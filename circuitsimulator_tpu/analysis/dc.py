@@ -1,0 +1,120 @@
+"""DC operating point.
+
+Reproduces the reference's solver structure (src/dcanalysis.cpp):
+
+- Linear circuits (no MOS/diode): one stamp pass at sourceScale=1 and one LU
+  solve, NO gmin (dcSolveDirectLU, dcanalysis.cpp:46-68).
+- Nonlinear circuits: 10-step source ramp; per ramp step a damped Newton loop
+  (max 50 iters) with the ConvController schedule (dcanalysis.cpp:95-163,
+  264-307).  Quirks kept in strict mode:
+    * the damped update is ALWAYS x + 0.35*(xRaw - x): dcanalysis.cpp:274
+      re-clamps the constant 0.35, so the "adaptive" alpha never affects the
+      update (it only appears in warning logs);
+    * convergence tests the damped step size ||xNew - x|| < tol, not a
+      residual (dcanalysis.cpp:275-276, 304);
+    * gmin starts each ramp step at base(scale) = 1e-6*(1-s) + 3.35e-7*s,
+      is doubled (cap 1e-4) on slow convergence, relaxed toward base
+      otherwise, and multiplied by 10 (cap 1e-2) on a non-finite solve with
+      x and prevErr left untouched (dcanalysis.cpp:135-138, 277-298);
+    * non-convergence after 50 iters is NOT an error — the ramp proceeds
+      (dcanalysis.cpp:153-158).
+
+All loops are lax primitives; the function is jit- and vmap-safe.  Under
+vmap, converged lanes are frozen by masking so extra iterations (run because
+other lanes still work) cannot perturb their trajectory.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.assemble import Engine
+from ..ops.lu import lu_solve
+from ..utils.options import SolverOptions
+
+
+def dc_linear(engine: Engine, params):
+    """dcSolveDirectLU: single stamp + solve, sourceScale=1, no gmin."""
+    N = engine.N
+    one = jnp.asarray(1.0, engine.dtype)
+    G, I = engine.dc_static(params, one)
+    return lu_solve(G[..., :N, :N], I[..., :N], engine.opts.lu_pivot_floor)
+
+
+def dc_newton(engine: Engine, params, with_stats: bool = False):
+    """dcSolveNewtonLU: source ramp + damped Newton with ConvController."""
+    opts = engine.opts
+    N = engine.N
+    dtype = engine.dtype
+    ramp = opts.ramp_steps
+
+    def ramp_body(step, carry):
+        x0, total_iters = carry
+        scale = (step + 1).astype(dtype) / ramp
+        G_s, I_s = engine.dc_static(params, scale)
+        s = jnp.clip(scale, 0.0, 1.0)
+        gmin_base = opts.gmin_high_base * (1.0 - s) + opts.gmin_low_base * s
+
+        def cond(c):
+            return (~c["done"]) & (c["iter"] < opts.dc_max_newton_iters)
+
+        def body(c):
+            x, gmin, prev_err = c["x"], c["gmin"], c["prev_err"]
+            G, I = engine.assemble_dc_iter(G_s, I_s, params, x, gmin)
+            x_raw = lu_solve(G[..., :N, :N], I[..., :N], opts.lu_pivot_floor)
+            finite = jnp.all(jnp.isfinite(x_raw), axis=-1)
+
+            # ConvController::update (finite path)
+            alpha = jnp.clip(opts.alpha_const, opts.alpha_min, opts.alpha_max)
+            x_new = x + alpha * (x_raw - x)
+            err = jnp.linalg.norm(x_new - x, axis=-1)
+            first = (c["iter"] == 0) | ~jnp.isfinite(prev_err)
+            slow = err > prev_err * opts.slow_conv_ratio
+            fast = err < prev_err * opts.fast_conv_ratio
+            gmin_upd = jnp.where(
+                first, gmin_base,
+                jnp.where(slow, jnp.minimum(gmin * 2.0, opts.gmin_abs_max),
+                          jnp.where(fast, 0.5 * gmin + 0.5 * gmin_base,
+                                    0.7 * gmin + 0.3 * gmin_base)))
+            converged = err < opts.dc_tol
+
+            # non-finite path: bump gmin, keep x/prevErr (dcanalysis.cpp:135-138)
+            gmin_nf = jnp.minimum(gmin * opts.gmin_nonfinite_factor,
+                                  opts.gmin_nonfinite_max)
+
+            upd = finite & ~c["done"]
+            c = dict(c)
+            c["x"] = jnp.where(upd, x_new, x)
+            c["prev_err"] = jnp.where(upd, err, prev_err)
+            c["gmin"] = jnp.where(c["done"], gmin,
+                                  jnp.where(finite, gmin_upd, gmin_nf))
+            c["done"] = c["done"] | (upd & converged)
+            c["iter"] = c["iter"] + 1
+            return c
+
+        init = dict(
+            x=x0,
+            gmin=jnp.asarray(gmin_base, dtype),
+            prev_err=jnp.asarray(jnp.inf, dtype),
+            done=jnp.asarray(False),
+            iter=jnp.asarray(0, jnp.int32),
+        )
+        out = lax.while_loop(cond, body, init)
+        return out["x"], total_iters + out["iter"]
+
+    x0 = jnp.zeros(N, dtype=dtype)
+    x, iters = lax.fori_loop(0, ramp, ramp_body, (x0, jnp.asarray(0, jnp.int32)))
+    if with_stats:
+        return x, {"newton_iters": iters}
+    return x
+
+
+def dc_operating_point(engine: Engine, params, with_stats: bool = False):
+    """computeDcOperatingPoint (tanalisis.cpp:44-47 -> dcSolve -> dcSolveLU)."""
+    if engine.topo.has_nonlinear:
+        return dc_newton(engine, params, with_stats=with_stats)
+    x = dc_linear(engine, params)
+    if with_stats:
+        return x, {"newton_iters": jnp.asarray(0, jnp.int32)}
+    return x

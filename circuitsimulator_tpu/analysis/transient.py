@@ -1,0 +1,135 @@
+"""Backward-Euler transient analysis.
+
+Reproduces src/tanalisis.cpp:83-424 as a `lax.scan` over timesteps with a
+damped-Newton `lax.while_loop` per step:
+
+- t=0 state comes from the DC operating point (tanalisis.cpp:109-180);
+- nSteps = floor(tstop/dt + 1e-12), t_k = (k+1)*dt (tanalisis.cpp:238, 256);
+- per step: fixed alpha=0.45, gmin=1e-6, tol=1e-6 on the damped step size,
+  max 50 Newton iterations; non-convergence is a warning, not an error
+  (tanalisis.cpp:241-244, 364-376);
+- companion models: C -> G += C/dt with history current, L -> Thevenin
+  R=L/dt with V_hist = -(L/dt) i_prev, MOS junction caps Cgs=Cgd=Cj0/2,
+  Csb=Cdb=Cj0 (tanalisis.cpp:59-80, 294-353);
+- element history state updates from the *accepted* x after each step even
+  if Newton did not converge (tanalisis.cpp:379-417).
+
+Where the reference throws on a non-finite LU result (tanalisis.cpp:360-362)
+this engine freezes the offending batch lane and raises a per-lane `failed`
+flag instead, so one diverging Monte-Carlo lane cannot poison the batch; the
+single-circuit CLI path turns the flag back into an error.
+
+The scan carry is a pytree (x, cap history, inductor currents, failed flag)
+— serializable for checkpoint/resume (see parallel/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.assemble import Engine
+from ..ops.lu import lu_solve
+from .dc import dc_operating_point
+
+
+@dataclasses.dataclass
+class TransientResult:
+    times: Any        # (n_saved,) — includes t=0 row from the DC solution
+    xs: Any           # (n_saved, N)
+    x_final: Any      # (N,)
+    newton_iters: Any # (n_steps,) or total, per save mode
+    failed: Any       # per-lane bool: non-finite LU encountered
+    n_steps: int
+
+
+jax.tree_util.register_dataclass(
+    TransientResult,
+    data_fields=["times", "xs", "x_final", "newton_iters", "failed"],
+    meta_fields=["n_steps"])
+
+
+def n_steps_for(tstep: float, tstop: float) -> int:
+    """nSteps = floor(tstop/dt + 1e-12) (tanalisis.cpp:238)."""
+    import math
+    return int(math.floor(tstop / tstep + 1e-12))
+
+
+def transient_step_fn(engine: Engine, params, dt):
+    """Build the single-timestep function (carry, t) -> (carry, (x, iters)).
+
+    carry = (x, cap_hist, ind_i, failed).
+    """
+    opts = engine.opts
+    N = engine.N
+    dtype = engine.dtype
+    G_static = engine.tran_static_G(params, dt, opts.tran_gmin)
+    static_I = engine.make_tran_static_I(dt)
+
+    def step(carry, t):
+        x, cap_hist, ind_i, failed = carry
+        I_s = static_I(params, cap_hist, ind_i, t)
+
+        def cond(c):
+            return (~c["done"]) & (c["iter"] < opts.tran_max_newton_iters)
+
+        def body(c):
+            G, I = engine.assemble_tran_iter(G_static, I_s, params, c["x"])
+            x_raw = lu_solve(G[..., :N, :N], I[..., :N], opts.lu_pivot_floor)
+            finite = jnp.all(jnp.isfinite(x_raw), axis=-1)
+            x_new = c["x"] + opts.tran_alpha * (x_raw - c["x"])
+            err = jnp.linalg.norm(x_new - c["x"], axis=-1)
+            upd = finite & ~c["done"]
+            out = dict(c)
+            out["x"] = jnp.where(upd, x_new, c["x"])
+            out["done"] = c["done"] | (upd & (err < opts.tran_tol)) | ~finite
+            out["failed"] = c["failed"] | ~finite
+            out["iter"] = c["iter"] + 1
+            return out
+
+        init = dict(x=x, done=failed, failed=failed,
+                    iter=jnp.asarray(0, jnp.int32))
+        out = lax.while_loop(cond, body, init)
+        x = out["x"]
+        cap_hist, ind_i = engine.update_state(x)
+        return (x, cap_hist, ind_i, out["failed"]), (x, out["iter"])
+
+    return step
+
+
+def run_transient(engine: Engine, params, tstep, tstop,
+                  x0: Optional[Any] = None, save_xs: bool = True):
+    """Full transient run.  x0 defaults to the DC operating point."""
+    dtype = engine.dtype
+    dt = jnp.asarray(tstep, dtype)
+    n_steps = n_steps_for(float(tstep), float(tstop))
+
+    if x0 is None:
+        x0 = dc_operating_point(engine, params)
+    cap_hist, ind_i = engine.init_state(x0)
+    failed0 = jnp.zeros(x0.shape[:-1], dtype=bool)
+    carry0 = (x0, cap_hist, ind_i, failed0)
+
+    ts = (jnp.arange(1, n_steps + 1, dtype=dtype)) * dt
+    step = transient_step_fn(engine, params, dt)
+
+    if save_xs:
+        carry, (xs, iters) = lax.scan(step, carry0, ts)
+        x_final = carry[0]
+        times = jnp.concatenate([jnp.zeros((1,), dtype), ts])
+        xs_all = jnp.concatenate([x0[None], xs], axis=0)
+        return TransientResult(times=times, xs=xs_all, x_final=x_final,
+                               newton_iters=iters, failed=carry[3],
+                               n_steps=n_steps)
+    else:
+        def step_nosave(carry, t):
+            carry, (_, iters) = step(carry, t)
+            return carry, iters
+        carry, iters = lax.scan(step_nosave, carry0, ts)
+        return TransientResult(times=ts, xs=None, x_final=carry[0],
+                               newton_iters=iters, failed=carry[3],
+                               n_steps=n_steps)

@@ -1,0 +1,205 @@
+"""Lowering: host-side Circuit -> flat device-parameter arrays + index maps.
+
+This replaces the reference's polymorphic per-element stamp dispatch
+(src/element.cpp, src/circuit.cpp) with a TPU-friendly struct-of-arrays IR:
+all devices of a class are evaluated as one vectorized op, and MNA assembly
+is a precomputed scatter-add (see ops/assemble.py).
+
+Conventions:
+- Equation indices follow the reference ordering (src/circuit.cpp:42-61):
+  non-ground nodes in creation order get 0..n_node_eq-1, then V-source and
+  inductor branch currents in element order.  This makes CSV column order and
+  DC tables match byte-for-byte.
+- Ground (eq_index -1) is mapped to the "dump slot" N: the MNA system is
+  assembled into an (N+1)x(N+1) matrix / (N+1) RHS whose last row/column is
+  discarded, which implements the reference's "skip stamps touching ground"
+  rule (element.cpp:26-31 et al.) without branches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..netlist.circuit import (
+    Circuit, KIND_R, KIND_C, KIND_L, KIND_V, KIND_I, KIND_M, KIND_D,
+)
+from ..utils.numbers import is_ground_name
+
+
+@dataclasses.dataclass(frozen=True)
+class Topology:
+    """Static (hashable-by-id) circuit structure; numpy arrays only."""
+    n_unknowns: int
+    n_node_eq: int
+    n_nodes: int
+    n_elements: int
+    has_nonlinear: bool
+    # eq-index arrays per device class; ground mapped to dump slot N
+    node_eqs: np.ndarray          # (n_node_eq,) node equations (for gmin)
+    res_e1: np.ndarray
+    res_e2: np.ndarray
+    cap_e1: np.ndarray
+    cap_e2: np.ndarray
+    ind_ep: np.ndarray
+    ind_em: np.ndarray
+    ind_k: np.ndarray             # branch eq (always a real eq, never dump)
+    vs_ep: np.ndarray
+    vs_em: np.ndarray
+    vs_k: np.ndarray
+    is_ep: np.ndarray
+    is_em: np.ndarray
+    mos_ed: np.ndarray
+    mos_eg: np.ndarray
+    mos_es: np.ndarray
+    mos_eb: np.ndarray
+    dio_ep: np.ndarray
+    dio_em: np.ndarray
+    # output metadata
+    volt_col_eqs: np.ndarray      # (n_node_eq,) eq of each V(...) CSV column
+    volt_col_names: Tuple[str, ...]
+    branch_col_eqs: np.ndarray    # eq of each I(...) CSV column
+    branch_col_names: Tuple[str, ...]
+    # DC table rows: (name, eq) for every node in creation order
+    node_table: Tuple[Tuple[str, int], ...]
+    # branch table rows: (kind, name, node_p_name, node_m_name, eq)
+    branch_table: Tuple[Tuple[str, str, str, str, int], ...]
+
+    @property
+    def counts(self):
+        return dict(
+            R=len(self.res_e1), C=len(self.cap_e1), L=len(self.ind_ep),
+            V=len(self.vs_ep), I=len(self.is_ep), M=len(self.mos_ed),
+            D=len(self.dio_ep),
+        )
+
+
+@dataclasses.dataclass
+class LoweredCircuit:
+    topo: Topology
+    params: Dict[str, Any]        # jnp arrays; the batchable pytree
+    circuit: Circuit
+
+
+def _np_i32(xs) -> np.ndarray:
+    return np.asarray(xs, dtype=np.int32)
+
+
+def _eq_of(ckt: Circuit, node_id: int, dump: int) -> int:
+    eq = ckt.nodes[node_id].eq_index
+    return eq if eq >= 0 else dump
+
+
+def _pack_sources(specs, dtype):
+    n = len(specs)
+    dc = np.zeros(n)
+    kind = np.zeros(n, dtype=np.int32)
+    pulse = np.zeros((n, 7))
+    sin = np.zeros((n, 5))
+    pmax = max([len(s.wave.pwl_t) for s in specs], default=0)
+    pmax = max(pmax, 1) if n else 0
+    pwl_t = np.zeros((n, pmax))
+    pwl_v = np.zeros((n, pmax))
+    pwl_n = np.zeros(n, dtype=np.int32)
+    for i, s in enumerate(specs):
+        w = s.wave
+        dc[i] = s.dc
+        kind[i] = w.kind
+        pulse[i] = [w.v1, w.v2, w.ptd, w.tr, w.tf, w.ton, w.per]
+        sin[i] = [w.v0, w.va, w.freq, w.std, w.phi]
+        m = len(w.pwl_t)
+        pwl_n[i] = m
+        if m:
+            pwl_t[i, :m] = w.pwl_t
+            pwl_v[i, :m] = w.pwl_v
+    return {
+        "dc": jnp.asarray(dc, dtype), "kind": jnp.asarray(kind),
+        "pulse": jnp.asarray(pulse, dtype), "sin": jnp.asarray(sin, dtype),
+        "pwl_t": jnp.asarray(pwl_t, dtype), "pwl_v": jnp.asarray(pwl_v, dtype),
+        "pwl_n": jnp.asarray(pwl_n),
+    }
+
+
+def lower(ckt: Circuit, dtype=jnp.float64) -> LoweredCircuit:
+    """Lower a parsed Circuit (with equation indices assigned) to flat arrays."""
+    if any(n.eq_index == -1 and not is_ground_name(n.name) for n in ckt.nodes):
+        ckt.assign_equation_indices()
+    N = ckt.num_unknowns()
+    dump = N
+
+    res = [e for e in ckt.elements if e.kind == KIND_R]
+    cap = [e for e in ckt.elements if e.kind == KIND_C]
+    ind = [e for e in ckt.elements if e.kind == KIND_L]
+    vs = [e for e in ckt.elements if e.kind == KIND_V]
+    isrc = [e for e in ckt.elements if e.kind == KIND_I]
+    mos = [e for e in ckt.elements if e.kind == KIND_M]
+    dio = [e for e in ckt.elements if e.kind == KIND_D]
+
+    eq = lambda nid: _eq_of(ckt, nid, dump)
+
+    node_eqs = _np_i32([n.eq_index for n in ckt.nodes if n.eq_index >= 0])
+
+    volt_cols = [(n.name, n.eq_index) for n in ckt.nodes if n.eq_index >= 0]
+    branch_cols = [(e.name, e.branch_eq) for e in ckt.elements
+                   if e.kind in (KIND_V, KIND_L)]
+    node_table = tuple((n.name, n.eq_index) for n in ckt.nodes)
+    branch_table = tuple(
+        (e.kind, e.name, ckt.nodes[e.node_ids[0]].name,
+         ckt.nodes[e.node_ids[1]].name, e.branch_eq)
+        for e in ckt.elements if e.kind in (KIND_V, KIND_L))
+
+    topo = Topology(
+        n_unknowns=N,
+        n_node_eq=ckt.num_node_equations(),
+        n_nodes=len(ckt.nodes),
+        n_elements=len(ckt.elements),
+        has_nonlinear=bool(mos or dio),
+        node_eqs=node_eqs,
+        res_e1=_np_i32([eq(e.node_ids[0]) for e in res]),
+        res_e2=_np_i32([eq(e.node_ids[1]) for e in res]),
+        cap_e1=_np_i32([eq(e.node_ids[0]) for e in cap]),
+        cap_e2=_np_i32([eq(e.node_ids[1]) for e in cap]),
+        ind_ep=_np_i32([eq(e.node_ids[0]) for e in ind]),
+        ind_em=_np_i32([eq(e.node_ids[1]) for e in ind]),
+        ind_k=_np_i32([e.branch_eq for e in ind]),
+        vs_ep=_np_i32([eq(e.node_ids[0]) for e in vs]),
+        vs_em=_np_i32([eq(e.node_ids[1]) for e in vs]),
+        vs_k=_np_i32([e.branch_eq for e in vs]),
+        is_ep=_np_i32([eq(e.node_ids[0]) for e in isrc]),
+        is_em=_np_i32([eq(e.node_ids[1]) for e in isrc]),
+        mos_ed=_np_i32([eq(e.node_ids[0]) for e in mos]),
+        mos_eg=_np_i32([eq(e.node_ids[1]) for e in mos]),
+        mos_es=_np_i32([eq(e.node_ids[2]) for e in mos]),
+        mos_eb=_np_i32([eq(e.node_ids[3]) for e in mos]),
+        dio_ep=_np_i32([eq(e.node_ids[0]) for e in dio]),
+        dio_em=_np_i32([eq(e.node_ids[1]) for e in dio]),
+        volt_col_eqs=_np_i32([c[1] for c in volt_cols]),
+        volt_col_names=tuple(c[0] for c in volt_cols),
+        branch_col_eqs=_np_i32([c[1] for c in branch_cols]),
+        branch_col_names=tuple(c[0] for c in branch_cols),
+        node_table=node_table,
+        branch_table=branch_table,
+    )
+
+    vsp = _pack_sources([e.spec for e in vs], dtype)
+    isp = _pack_sources([e.spec for e in isrc], dtype)
+    params = {
+        "res_r": jnp.asarray([e.value for e in res], dtype),
+        "cap_c": jnp.asarray([e.value for e in cap], dtype),
+        "ind_l": jnp.asarray([e.value for e in ind], dtype),
+        "mos_vth": jnp.asarray([e.vth for e in mos], dtype),
+        "mos_k": jnp.asarray([e.k for e in mos], dtype),
+        "mos_lam": jnp.asarray([e.lam for e in mos], dtype),
+        "mos_cj0": jnp.asarray([e.cj0 for e in mos], dtype),
+        "mos_p": jnp.asarray([-1.0 if e.is_p else 1.0 for e in mos], dtype),
+        "dio_is": jnp.asarray([e.i_sat for e in dio], dtype),
+        "dio_n": jnp.asarray([e.n_ideal for e in dio], dtype),
+    }
+    for key, pack in (("vs", vsp), ("is", isp)):
+        for f, arr in pack.items():
+            params[f"{key}_{f}"] = arr
+
+    return LoweredCircuit(topo=topo, params=params, circuit=ckt)

@@ -1,0 +1,74 @@
+"""Level-1 (square-law) MOSFET Newton-Raphson linearization, vectorized.
+
+jnp re-expression of the reference's per-device stamp (src/element.cpp:181-307),
+evaluating ALL MOSFETs of a circuit in one shot.  The reference's exact
+semantics are kept (SURVEY.md §2 "key device-physics semantics"):
+
+- PMOS is mapped to an effective NMOS with p = -1: Vgs_eff = p(Vg-Vs),
+  Vds_eff = p(Vd-Vs)  (element.cpp:207-211).
+- The device is "on" iff Vgs_eff > Vth AND Vds_eff >= 0; there is NO
+  reverse-region (drain/source swap) handling (element.cpp:223).
+- Triode: Ids0 = K(Vov*Vds - Vds^2/2); saturation: Ids0 = K*Vov^2/2
+  (element.cpp:232-242).
+- Off state leaks with gds = 1e-12 (element.cpp:245-252).
+- Channel-length modulation multiplies by factor = max(1 + lambda*Vds_eff, 0)
+  (element.cpp:254-257); dIds/dVgs deliberately omits the lambda term
+  (gm0*factor only, element.cpp:263) — replicated bug-for-bug.
+- Bulk is ignored for conduction (element.cpp:204).
+
+Returns the 6 conductance entries (rows D,D,D,S,S,S x cols D,G,S) and the 2
+RHS entries (-cst at D, +cst at S) per device, flattened in device order.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def mos_linearize(vth, k, lam, p, vd, vg, vs, off_gds=1e-12):
+    """Linearize Ids(Vd,Vg,Vs) around the given voltages.
+
+    All args are (nM,) arrays (p is +1 for NMOS, -1 for PMOS).
+    Returns (gd, gg, gs, cst) with Ids ~= gd*Vd + gg*Vg + gs*Vs + cst.
+    """
+    vgs_eff = p * (vg - vs)
+    vds_eff = p * (vd - vs)
+
+    on = (vgs_eff > vth) & (vds_eff >= 0.0)
+    vov = vgs_eff - vth
+    triode = vds_eff < vov
+
+    ids0 = jnp.where(
+        on,
+        jnp.where(triode,
+                  k * (vov * vds_eff - 0.5 * vds_eff * vds_eff),
+                  0.5 * k * vov * vov),
+        0.0)
+    gds0 = jnp.where(on, jnp.where(triode, k * (vov - vds_eff), 0.0), off_gds)
+    gm0 = jnp.where(on, jnp.where(triode, k * vds_eff, k * vov), 0.0)
+
+    factor = jnp.maximum(1.0 + lam * vds_eff, 0.0)
+    ids_eff = ids0 * factor
+    d_vds = gds0 * factor + ids0 * lam
+    d_vgs = gm0 * factor
+
+    ids = p * ids_eff
+    # Chain rule back to physical node voltages; p^2 == 1 cancels
+    # (element.cpp:266-271).
+    gd = d_vds
+    gg = d_vgs
+    gs = -(d_vds + d_vgs)
+    cst = ids - gd * vd - gg * vg - gs * vs
+    return gd, gg, gs, cst
+
+
+def mos_stamp_vals(vth, k, lam, p, vd, vg, vs, off_gds=1e-12):
+    """(G-entry values (6*nM,), RHS values (2*nM,)) for the conduction stamp.
+
+    Entry order per device matches the static index pattern built in
+    ir/lower.py: rows [D,D,D,S,S,S], cols [D,G,S,D,G,S]; RHS rows [D,S].
+    """
+    gd, gg, gs, cst = mos_linearize(vth, k, lam, p, vd, vg, vs, off_gds)
+    gvals = jnp.stack([gd, gg, gs, -gd, -gg, -gs], axis=-1).reshape(-1)
+    rhs = jnp.stack([-cst, cst], axis=-1).reshape(-1)
+    return gvals, rhs

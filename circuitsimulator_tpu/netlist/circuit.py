@@ -1,0 +1,260 @@
+"""Circuit description produced by the netlist frontend.
+
+This is the host-side IR: plain-data element records in netlist order, a node
+table in creation order, and the MOS model registry.  Equation-index
+assignment follows the reference rule exactly (src/circuit.cpp:42-61):
+non-ground nodes get node equations in creation order, then voltage sources
+and inductors get branch-current equations in element order.  Ground nodes
+(name "0"/"gnd", case-insensitive) get eq_index -1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import sys
+from typing import Dict, List, Optional
+
+from ..utils.numbers import is_ground_name
+
+# Waveform kinds
+WAVE_NONE = 0
+WAVE_PULSE = 1
+WAVE_SIN = 2
+WAVE_PWL = 3
+
+
+@dataclasses.dataclass
+class Waveform:
+    kind: int = WAVE_NONE
+    # PULSE (sim.hpp:46-54)
+    v1: float = 0.0
+    v2: float = 0.0
+    ptd: float = 0.0
+    tr: float = 0.0
+    tf: float = 0.0
+    ton: float = 0.0
+    per: float = 0.0
+    # SIN (sim.hpp:56-62)
+    v0: float = 0.0
+    va: float = 0.0
+    freq: float = 0.0
+    std: float = 0.0
+    phi: float = 0.0
+    # PWL (sim.hpp:64-67)
+    pwl_t: List[float] = dataclasses.field(default_factory=list)
+    pwl_v: List[float] = dataclasses.field(default_factory=list)
+
+
+@dataclasses.dataclass
+class SourceSpec:
+    dc: float = 0.0
+    ac_mag: float = 0.0
+    ac_phase_deg: float = 0.0
+    wave: Waveform = dataclasses.field(default_factory=Waveform)
+
+    def eval_dc(self, scale: float) -> float:
+        """Reference sim.hpp:152-158: SIN sources fold the sine's v0 offset
+        into the DC value."""
+        base = self.dc
+        if self.wave.kind == WAVE_SIN:
+            base += self.wave.v0
+        return base * scale
+
+    def eval_tran(self, t: float) -> float:
+        return self.dc + eval_waveform(self.wave, t)
+
+
+def _clamp01(x: float) -> float:
+    if x < 0.0:
+        return 0.0
+    if x > 1.0:
+        return 1.0
+    return x
+
+
+def eval_waveform(w: Waveform, t: float) -> float:
+    """Scalar waveform evaluator (sim.hpp:75-143); the vectorized jnp twin
+    lives in models/sources.py and is tested against this one."""
+    if w.kind == WAVE_PULSE:
+        if w.per <= 0.0:
+            tau = t - w.ptd
+            if tau <= 0.0:
+                return w.v1
+            if tau < w.tr:
+                return w.v1 + _clamp01(tau / w.tr) * (w.v2 - w.v1)
+            if tau < w.tr + w.ton:
+                return w.v2
+            tfall = tau - (w.tr + w.ton)
+            return w.v2 + _clamp01(tfall / w.tf if w.tf != 0.0 else math.inf) * (w.v1 - w.v2)
+        else:
+            if t < w.ptd:
+                return w.v1
+            tau = math.fmod(t - w.ptd, w.per)
+            if tau < 0.0:
+                tau += w.per
+            if tau < w.tr:
+                return w.v1 + (w.v2 - w.v1) * _clamp01(tau / w.tr)
+            if tau < w.tr + w.ton:
+                return w.v2
+            if tau < w.tr + w.ton + w.tf:
+                tfall = tau - (w.tr + w.ton)
+                return w.v2 + (w.v1 - w.v2) * _clamp01(tfall / w.tf if w.tf != 0.0 else math.inf)
+            return w.v1
+    if w.kind == WAVE_SIN:
+        if t < w.std:
+            return w.v0
+        tau = t - w.std
+        return w.v0 + w.va * math.sin(2.0 * math.pi * w.freq * tau + w.phi)
+    if w.kind == WAVE_PWL:
+        tt, vv = w.pwl_t, w.pwl_v
+        if not tt:
+            return 0.0
+        if t <= tt[0]:
+            return vv[0]
+        if t >= tt[-1]:
+            return vv[-1]
+        for i in range(len(tt) - 1):
+            if tt[i] < t <= tt[i + 1]:
+                k = (t - tt[i]) / (tt[i + 1] - tt[i])
+                return vv[i] + (vv[i + 1] - vv[i]) * k
+        return vv[-1]
+    return 0.0
+
+
+@dataclasses.dataclass
+class MosModel:
+    name: str
+    is_p: bool = False
+    vt: float = 0.7
+    mu: float = 1e-3
+    cox: float = 1e-3
+    lam: float = 0.0
+    cj0: float = 0.0
+
+
+# Element kinds
+KIND_R = "R"
+KIND_C = "C"
+KIND_L = "L"
+KIND_V = "V"
+KIND_I = "I"
+KIND_M = "M"
+KIND_D = "D"  # diode: extension beyond the reference's device set
+
+
+@dataclasses.dataclass
+class ElementRec:
+    kind: str
+    name: str
+    node_ids: List[int]
+    value: float = 0.0                  # R / C / L value
+    spec: Optional[SourceSpec] = None   # V / I sources
+    # MOSFET parameters, resolved at netlist-build time (circuit.cpp:144)
+    is_p: bool = False
+    vth: float = 0.0
+    k: float = 0.0
+    lam: float = 0.0
+    cj0: float = 0.0
+    # Diode parameters
+    i_sat: float = 0.0
+    n_ideal: float = 1.0
+    branch_eq: int = -1                 # V / L branch-current equation
+
+
+@dataclasses.dataclass
+class Node:
+    id: int
+    name: str
+    eq_index: int = -1
+
+
+class Circuit:
+    def __init__(self):
+        self.nodes: List[Node] = []
+        self.node_name_to_id: Dict[str, int] = {}
+        self.elements: List[ElementRec] = []
+        self.mos_models: Dict[str, MosModel] = {}
+
+    # --- node table -------------------------------------------------------
+    def get_or_create_node(self, name: str) -> int:
+        nid = self.node_name_to_id.get(name)
+        if nid is not None:
+            return nid
+        nid = len(self.nodes)
+        self.nodes.append(Node(id=nid, name=name))
+        self.node_name_to_id[name] = nid
+        return nid
+
+    def num_node_equations(self) -> int:
+        return sum(1 for n in self.nodes if not is_ground_name(n.name))
+
+    def num_voltage_branches(self) -> int:
+        return sum(1 for e in self.elements if e.kind in (KIND_V, KIND_L))
+
+    def num_unknowns(self) -> int:
+        return self.num_node_equations() + self.num_voltage_branches()
+
+    def assign_equation_indices(self) -> None:
+        eq = 0
+        for n in self.nodes:
+            if is_ground_name(n.name):
+                n.eq_index = -1
+            else:
+                n.eq_index = eq
+                eq += 1
+        for e in self.elements:
+            if e.kind in (KIND_V, KIND_L):
+                e.branch_eq = eq
+                eq += 1
+
+    # --- element factories ------------------------------------------------
+    def add_resistor(self, name, n1, n2, value):
+        ids = [self.get_or_create_node(n1), self.get_or_create_node(n2)]
+        self.elements.append(ElementRec(KIND_R, name, ids, value=value))
+
+    def add_capacitor(self, name, n1, n2, value):
+        ids = [self.get_or_create_node(n1), self.get_or_create_node(n2)]
+        self.elements.append(ElementRec(KIND_C, name, ids, value=value))
+
+    def add_inductor(self, name, n1, n2, value):
+        ids = [self.get_or_create_node(n1), self.get_or_create_node(n2)]
+        self.elements.append(ElementRec(KIND_L, name, ids, value=value))
+
+    def add_current_source(self, name, np_, nm, spec):
+        ids = [self.get_or_create_node(np_), self.get_or_create_node(nm)]
+        self.elements.append(ElementRec(KIND_I, name, ids, spec=spec))
+
+    def add_voltage_source(self, name, np_, nm, spec):
+        ids = [self.get_or_create_node(np_), self.get_or_create_node(nm)]
+        self.elements.append(ElementRec(KIND_V, name, ids, spec=spec))
+
+    def add_mosfet(self, name, nd, ng, ns, model_id, w, l):
+        """Mirrors src/circuit.cpp:128-168: the model must exist *before* any
+        node is created, bulk is forced to node "0", and K = MU*COX*(W/L) is
+        resolved immediately."""
+        m = self.mos_models.get(model_id)
+        if m is None:
+            print(f"Unknown MOS model: {model_id}", file=sys.stderr)
+            return
+        ids = [
+            self.get_or_create_node(nd),
+            self.get_or_create_node(ng),
+            self.get_or_create_node(ns),
+            self.get_or_create_node("0"),
+        ]
+        self.elements.append(ElementRec(
+            KIND_M, name, ids,
+            is_p=m.is_p, vth=abs(m.vt), k=m.mu * m.cox * (w / l),
+            lam=m.lam, cj0=m.cj0,
+        ))
+
+    def add_diode(self, name, np_, nm, i_sat, n_ideal):
+        ids = [self.get_or_create_node(np_), self.get_or_create_node(nm)]
+        self.elements.append(ElementRec(KIND_D, name, ids, i_sat=i_sat, n_ideal=n_ideal))
+
+    def add_mos_model(self, m: MosModel):
+        self.mos_models[m.name] = m
+
+    def has_nonlinear(self) -> bool:
+        return any(e.kind in (KIND_M, KIND_D) for e in self.elements)

@@ -1,0 +1,560 @@
+"""SPICE netlist parser.
+
+Reproduces the reference frontend's accepted grammar and quirks
+(src/parser.cpp; feature matrix in SURVEY.md §2):
+
+- Two-pass parse: all ``.MODEL`` cards first (parser.cpp:141-148) so devices
+  may reference models defined later in the file; then dot-cards and devices.
+- Devices dispatch on the first character R/C/L/V/I/M (case-insensitive);
+  anything else prints a diagnostic and is ignored (parser.cpp:204-215) —
+  this is also how title lines are effectively handled.
+- V sources accept ``V n+ n- [DC v | v] [SIN v0 va freq [td [phi]]]``; note
+  the 5th SIN argument is a *delay in seconds*, not a phase (parser.cpp:330).
+- I sources accept only a DC value (parser.cpp:358-379).
+- MOSFETs accept the 7-token ``M name d g s model W L`` and 8-token
+  ``M name d g s p|n W L modelId`` forms; in the 8-token form the p/n token
+  is ignored and the trailing model id wins (parser.cpp:398-405).
+- Dot cards: .op/.dc/.tran/.ac/.hb/.print/.plotnv/.plotnc/.model; unknown
+  cards print a warning.  If no analysis was requested, .OP is implied.
+
+Extension beyond the reference grammar: ``D name n+ n- [IS=x] [N=x]`` diodes
+(the reference has no diode model; BASELINE.json's synthetic stress config
+asks for one).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+from typing import List, Optional
+
+from ..utils.numbers import parse_spice_number
+from .circuit import (
+    Circuit, MosModel, SourceSpec, Waveform,
+    WAVE_PULSE, WAVE_SIN, WAVE_PWL,
+)
+from .lexer import Statement, lex_file, lex_text
+
+# Analysis types (sim.hpp:10-17)
+AN_NONE = "none"
+AN_OP = "op"
+AN_DC = "dc"
+AN_AC = "ac"
+AN_TRAN = "tran"
+AN_HB = "hb"
+
+
+@dataclasses.dataclass
+class DCSweepConfig:
+    source_name: str = ""
+    start: float = 0.0
+    stop: float = 0.0
+    step: float = 0.0
+
+
+@dataclasses.dataclass
+class TranConfig:
+    enabled: bool = False
+    tstep: float = 0.0
+    tstop: float = 0.0
+    tstart: float = 0.0
+
+
+@dataclasses.dataclass
+class AcConfig:
+    enabled: bool = False
+    sweep_type: str = "dec"  # lin | dec | oct
+    n_points: int = 0
+    fstart: float = 0.0
+    fstop: float = 0.0
+
+
+@dataclasses.dataclass
+class HbConfig:
+    enabled: bool = False
+    f0: float = 0.0
+    n_harm: int = 0
+
+
+@dataclasses.dataclass
+class ProbeSpec:
+    kind: str = "nv"           # nv | dv | br
+    expr: str = ""
+    node1: str = ""
+    node2: str = ""
+    ele_name: str = ""
+    ele_port: str = ""
+
+
+@dataclasses.dataclass
+class PrintCommand:
+    analysis: str = AN_NONE
+    probes: List[ProbeSpec] = dataclasses.field(default_factory=list)
+
+
+@dataclasses.dataclass
+class SimulationConfig:
+    do_op: bool = False
+    dc_sweeps: List[DCSweepConfig] = dataclasses.field(default_factory=list)
+    tran: TranConfig = dataclasses.field(default_factory=TranConfig)
+    ac: AcConfig = dataclasses.field(default_factory=AcConfig)
+    hb: HbConfig = dataclasses.field(default_factory=HbConfig)
+    print_commands: List[PrintCommand] = dataclasses.field(default_factory=list)
+
+    def has_any_analysis(self) -> bool:
+        return (self.do_op or bool(self.dc_sweeps) or self.tran.enabled
+                or self.ac.enabled or self.hb.enabled)
+
+    def ensure_default_op(self) -> None:
+        self.do_op = not self.has_any_analysis()
+
+
+def _warn(line_no: int, msg: str) -> None:
+    print(f"Line {line_no}: {msg}", file=sys.stderr)
+
+
+class NetlistParser:
+    def __init__(self, circuit: Circuit, sim: SimulationConfig):
+        self.ckt = circuit
+        self.sim = sim
+
+    # ---- entry points ----
+    def parse_file(self, path: str) -> bool:
+        try:
+            stmts = lex_file(path)
+        except OSError:
+            print(f"cannot open netlist file {path}", file=sys.stderr)
+            return False
+        self._parse_statements(stmts)
+        return True
+
+    def parse_text(self, text: str) -> bool:
+        self._parse_statements(lex_text(text))
+        return True
+
+    # ---- driver ----
+    def _parse_statements(self, stmts: List[Statement]) -> None:
+        for st in stmts:
+            if st.tokens and st.tokens[0].lower() == ".model":
+                self._parse_model_card(st)
+        for st in stmts:
+            if not st.tokens:
+                continue
+            head = st.tokens[0]
+            if head.startswith("."):
+                if head.lower() == ".model":
+                    continue
+                self._parse_dot_card(st)
+                continue
+            self._parse_device(st)
+        self.sim.ensure_default_op()
+
+    # ---- devices ----
+    def _parse_device(self, st: Statement) -> None:
+        c0 = st.tokens[0][0].upper()
+        if c0 == "R":
+            self._parse_rcl(st, "R")
+        elif c0 == "C":
+            self._parse_rcl(st, "C")
+        elif c0 == "L":
+            self._parse_rcl(st, "L")
+        elif c0 == "V":
+            self._parse_vsource(st)
+        elif c0 == "I":
+            self._parse_isource(st)
+        elif c0 == "M":
+            self._parse_mosfet(st)
+        elif c0 == "D":
+            self._parse_diode(st)
+        else:
+            _warn(st.line_no, f"unsupported element or syntax: {st.raw}")
+
+    def _parse_rcl(self, st: Statement, kind: str) -> None:
+        t = st.tokens
+        label = {"R": "resistor", "C": "capacitor", "L": "inductor"}[kind]
+        if len(t) < 4:
+            _warn(st.line_no, f"invalid {label}: {st.raw}")
+            return
+        try:
+            val = parse_spice_number(t[3])
+        except (ValueError, Exception) as e:
+            _warn(st.line_no, f"cannot parse {kind} value: {e} in '{st.raw}'")
+            return
+        if kind == "R":
+            self.ckt.add_resistor(t[0], t[1], t[2], val)
+        elif kind == "C":
+            self.ckt.add_capacitor(t[0], t[1], t[2], val)
+        else:
+            self.ckt.add_inductor(t[0], t[1], t[2], val)
+
+    def _parse_sin(self, st: Statement, spec: SourceSpec, sin_idx: int) -> None:
+        t = st.tokens
+        if t[sin_idx].lower() != "sin":
+            return
+        if len(t) < sin_idx + 4:
+            _warn(st.line_no,
+                  f"SIN needs at least 3 parameters (v0 va freq): {st.raw}")
+            return
+        w = Waveform(kind=WAVE_SIN)
+        try:
+            w.v0 = parse_spice_number(t[sin_idx + 1])
+            w.va = parse_spice_number(t[sin_idx + 2])
+            w.freq = parse_spice_number(t[sin_idx + 3])
+            if len(t) > sin_idx + 4:
+                w.std = parse_spice_number(t[sin_idx + 4])
+            if len(t) > sin_idx + 5:
+                w.phi = parse_spice_number(t[sin_idx + 5])
+        except ValueError as e:
+            _warn(st.line_no, f"cannot parse SIN parameters: {e} in '{st.raw}'")
+            return
+        spec.wave = w
+
+    def _parse_pulse(self, st: Statement, spec: SourceSpec, idx: int) -> None:
+        # PULSE(v1 v2 td tr tf ton per) — extension: reference parses only
+        # SIN on V sources; PULSE/PWL evaluators exist (sim.hpp:80-115) but
+        # are unreachable from its parser.  We accept them.
+        t = st.tokens
+        args = [tok.strip("()") for tok in t[idx + 1:]]
+        if t[idx].lower().startswith("pulse(") :
+            args = [t[idx][6:].strip("()")] + args if len(t[idx]) > 6 else args
+        vals = []
+        for a in args:
+            if not a:
+                continue
+            try:
+                vals.append(parse_spice_number(a))
+            except ValueError:
+                break
+        if len(vals) < 2:
+            _warn(st.line_no, f"PULSE needs at least v1 v2: {st.raw}")
+            return
+        w = Waveform(kind=WAVE_PULSE)
+        fields = ["v1", "v2", "ptd", "tr", "tf", "ton", "per"]
+        for f, v in zip(fields, vals):
+            setattr(w, f, v)
+        spec.wave = w
+
+    def _parse_pwl(self, st: Statement, spec: SourceSpec, idx: int) -> None:
+        # PWL(t1 v1 t2 v2 ...) — same extension note as PULSE.
+        t = st.tokens
+        args = []
+        for tok in t[idx:]:
+            low = tok.lower()
+            if low.startswith("pwl"):
+                low = low[3:]
+            args.extend(a for a in low.replace("(", " ").replace(")", " ").split())
+        vals = []
+        for a in args:
+            try:
+                vals.append(parse_spice_number(a))
+            except ValueError:
+                _warn(st.line_no, f"cannot parse PWL point: {st.raw}")
+                return
+        if len(vals) < 2 or len(vals) % 2 != 0:
+            _warn(st.line_no, f"PWL needs (t, v) pairs: {st.raw}")
+            return
+        w = Waveform(kind=WAVE_PWL)
+        w.pwl_t = vals[0::2]
+        w.pwl_v = vals[1::2]
+        spec.wave = w
+
+    def _parse_vsource(self, st: Statement) -> None:
+        t = st.tokens
+        if len(t) < 4:
+            _warn(st.line_no, f"invalid voltage source: {st.raw}")
+            return
+        spec = SourceSpec()
+        idx = 3
+        try:
+            low3 = t[3].lower()
+            if len(t) >= 5 and low3 == "dc":
+                spec.dc = parse_spice_number(t[4])
+                idx = 5
+            elif low3 == "sin" or low3.startswith("pulse") or low3.startswith("pwl"):
+                spec.dc = 0.0
+                idx = 3
+            else:
+                spec.dc = parse_spice_number(t[3])
+                idx = 4
+        except ValueError as e:
+            _warn(st.line_no, f"cannot parse V DC value: {e} in '{st.raw}'")
+            return
+        if idx < len(t):
+            head = t[idx].lower()
+            if head == "sin":
+                self._parse_sin(st, spec, idx)
+            elif head.startswith("pulse"):
+                self._parse_pulse(st, spec, idx)
+            elif head.startswith("pwl"):
+                self._parse_pwl(st, spec, idx)
+        self.ckt.add_voltage_source(t[0], t[1], t[2], spec)
+
+    def _parse_isource(self, st: Statement) -> None:
+        t = st.tokens
+        if len(t) < 4:
+            _warn(st.line_no, f"invalid current source: {st.raw}")
+            return
+        spec = SourceSpec()
+        try:
+            if len(t) >= 5 and t[3].lower() == "dc":
+                spec.dc = parse_spice_number(t[4])
+            else:
+                spec.dc = parse_spice_number(t[3])
+        except ValueError as e:
+            _warn(st.line_no, f"cannot parse I value: {e} in '{st.raw}'")
+            return
+        self.ckt.add_current_source(t[0], t[1], t[2], spec)
+
+    def _parse_mosfet(self, st: Statement) -> None:
+        t = st.tokens
+        if len(t) not in (7, 8):
+            _warn(st.line_no, f"invalid MOSFET: {st.raw}")
+            return
+        name, nd, ng, ns = t[0], t[1], t[2], t[3]
+        # 7-token: model is t[4]; 8-token: the p/n token t[4] is ignored and
+        # the trailing token is the model id (parser.cpp:398-405).
+        model_id = t[4] if len(t) == 7 else t[-1]
+        try:
+            w = parse_spice_number(t[5])
+            l = parse_spice_number(t[6])
+        except ValueError as e:
+            _warn(st.line_no, f"cannot parse MOS W/L: {e} in '{st.raw}'")
+            return
+        self.ckt.add_mosfet(name, nd, ng, ns, model_id, w, l)
+
+    def _parse_diode(self, st: Statement) -> None:
+        t = st.tokens
+        if len(t) < 3:
+            _warn(st.line_no, f"invalid diode: {st.raw}")
+            return
+        i_sat, n_ideal = 1e-14, 1.0
+        for tok in t[3:]:
+            key, _, val = tok.partition("=")
+            try:
+                if key.lower() == "is" and val:
+                    i_sat = parse_spice_number(val)
+                elif key.lower() == "n" and val:
+                    n_ideal = parse_spice_number(val)
+            except ValueError as e:
+                _warn(st.line_no, f"cannot parse diode param: {e} in '{st.raw}'")
+                return
+        self.ckt.add_diode(t[0], t[1], t[2], i_sat, n_ideal)
+
+    # ---- dot cards ----
+    def _parse_dot_card(self, st: Statement) -> None:
+        head = st.tokens[0].lower()
+        if head == ".op":
+            self.sim.do_op = True
+        elif head == ".dc":
+            self._parse_dc_card(st)
+        elif head == ".tran":
+            self._parse_tran_card(st)
+        elif head == ".ac":
+            self._parse_ac_card(st)
+        elif head == ".print":
+            self._parse_print_card(st)
+        elif head == ".hb":
+            self._parse_hb_card(st)
+        elif head == ".plotnv":
+            self._parse_plotnv_card(st)
+        elif head == ".plotnc":
+            self._parse_plotnc_card(st)
+        else:
+            _warn(st.line_no, f"unsupported control card: {st.raw}")
+
+    def _parse_dc_card(self, st: Statement) -> None:
+        t = st.tokens
+        if len(t) < 5:
+            _warn(st.line_no, f"invalid .DC syntax: {st.raw}")
+            return
+        dc = DCSweepConfig(source_name=t[1])
+        try:
+            dc.start = parse_spice_number(t[2])
+            dc.stop = parse_spice_number(t[3])
+            dc.step = parse_spice_number(t[4])
+        except ValueError as e:
+            _warn(st.line_no, f"cannot parse .DC numbers: {e} in '{st.raw}'")
+            return
+        self.sim.dc_sweeps.append(dc)
+
+    def _parse_tran_card(self, st: Statement) -> None:
+        t = st.tokens
+        if len(t) < 3:
+            _warn(st.line_no, f"invalid .TRAN syntax: {st.raw}")
+            return
+        cfg = TranConfig()
+        try:
+            cfg.tstep = parse_spice_number(t[1])
+            cfg.tstop = parse_spice_number(t[2])
+            cfg.tstart = parse_spice_number(t[3]) if len(t) >= 4 else 0.0
+        except ValueError as e:
+            _warn(st.line_no, f"cannot parse .TRAN numbers: {e} in '{st.raw}'")
+            return
+        cfg.enabled = True
+        self.sim.tran = cfg
+
+    def _parse_ac_card(self, st: Statement) -> None:
+        t = st.tokens
+        if len(t) < 5:
+            _warn(st.line_no, f"invalid .AC syntax: {st.raw}")
+            return
+        cfg = AcConfig()
+        low = t[1].lower()
+        cfg.sweep_type = low if low in ("lin", "oct") else "dec"
+        try:
+            cfg.n_points = int(t[2])
+            cfg.fstart = parse_spice_number(t[3])
+            cfg.fstop = parse_spice_number(t[4])
+        except ValueError as e:
+            _warn(st.line_no, f"cannot parse .AC arguments: {e} in '{st.raw}'")
+            return
+        cfg.enabled = True
+        self.sim.ac = cfg
+
+    def _parse_hb_card(self, st: Statement) -> None:
+        t = st.tokens
+        if len(t) < 3:
+            _warn(st.line_no, f"invalid .hb syntax: {st.raw}")
+            return
+        cfg = HbConfig()
+        try:
+            cfg.f0 = parse_spice_number(t[1])
+            cfg.n_harm = int(t[2])
+        except ValueError as e:
+            _warn(st.line_no, f"cannot parse .hb arguments: {e} in '{st.raw}'")
+            return
+        cfg.enabled = True
+        self.sim.hb = cfg
+
+    # ---- probes ----
+    @staticmethod
+    def _find_paren(s: str):
+        l = r = -1
+        for i, c in enumerate(s):
+            if c == "(" and l == -1:
+                l = i
+            if c == ")":
+                r = i
+        return l, r
+
+    def _parse_probe_token(self, token: str) -> ProbeSpec:
+        p = ProbeSpec(expr=token)
+        if not token:
+            return p
+        c0 = token[0].upper()
+        if c0 == "V":
+            p.kind = "nv"
+            l, r = self._find_paren(token)
+            if l >= 0 and r > l + 1:
+                inside = token[l + 1:r]
+                if "," in inside:
+                    a, b = inside.split(",", 1)
+                    p.node1, p.node2, p.kind = a.strip(), b.strip(), "dv"
+                else:
+                    p.node1 = inside.strip()
+        elif c0 == "I":
+            p.kind = "br"
+            l, r = self._find_paren(token)
+            if l >= 0 and r > l + 1:
+                p.ele_name = token[l + 1:r].strip()
+        return p
+
+    def _parse_print_card(self, st: Statement) -> None:
+        t = st.tokens
+        if len(t) < 3:
+            _warn(st.line_no, f"invalid .PRINT: {st.raw}")
+            return
+        pc = PrintCommand()
+        low = t[1].lower()
+        if low not in (AN_OP, AN_DC, AN_AC, AN_TRAN, AN_HB):
+            _warn(st.line_no,
+                  f"unknown analysis type in .PRINT: {t[1]} in '{st.raw}'")
+            return
+        pc.analysis = low
+        for tok in t[2:]:
+            pc.probes.append(self._parse_probe_token(tok))
+        self.sim.print_commands.append(pc)
+
+    def _parse_plotnv_card(self, st: Statement) -> None:
+        t = st.tokens
+        if len(t) < 2:
+            _warn(st.line_no, f"invalid .PLOTNV: {st.raw}")
+            return
+        pc = PrintCommand(analysis=AN_NONE)
+        for name in t[1:]:
+            if name:
+                pc.probes.append(self._parse_probe_token(f"V({name})"))
+        if pc.probes:
+            self.sim.print_commands.append(pc)
+
+    def _parse_plotnc_card(self, st: Statement) -> None:
+        t = st.tokens
+        if len(t) < 2:
+            _warn(st.line_no, f"invalid .PLOTNC: {st.raw}")
+            return
+        pc = PrintCommand(analysis=AN_NONE)
+        for tok in t[1:]:
+            if not tok:
+                continue
+            p = ProbeSpec(kind="br", expr=tok)
+            l, r = self._find_paren(tok)
+            if l < 0:
+                p.ele_name = tok
+            else:
+                p.ele_name = tok[:l].strip()
+                p.ele_port = tok[l + 1:r].strip()
+            pc.probes.append(p)
+        if pc.probes:
+            self.sim.print_commands.append(pc)
+
+    # ---- .MODEL ----
+    def _parse_model_card(self, st: Statement) -> None:
+        t = st.tokens
+        if len(t) < 4:
+            _warn(st.line_no, f"invalid .MODEL: {st.raw}")
+            return
+        m = MosModel(name=t[1])
+        i = 2
+        while i + 1 < len(t):
+            key = t[i].lower()
+            try:
+                val = parse_spice_number(t[i + 1])
+            except ValueError as e:
+                _warn(st.line_no,
+                      f"cannot parse .MODEL param {t[i]} = {t[i+1]} : {e}")
+                return
+            if key == "vt":
+                m.vt = val
+            elif key == "mu":
+                m.mu = val
+            elif key == "cox":
+                m.cox = val
+            elif key == "lambda":
+                m.lam = val
+            elif key in ("cj0", "cjo"):
+                m.cj0 = val
+            i += 2
+        if m.vt < 0.0:
+            m.is_p = True
+            m.vt = -m.vt
+        else:
+            m.is_p = False
+        self.ckt.add_mos_model(m)
+
+
+def parse_netlist(path: str):
+    """Parse a netlist file -> (Circuit, SimulationConfig); equation indices
+    are NOT yet assigned (mirror of parser.hpp:67-75)."""
+    ckt = Circuit()
+    sim = SimulationConfig()
+    ok = NetlistParser(ckt, sim).parse_file(path)
+    if not ok:
+        raise FileNotFoundError(path)
+    return ckt, sim
+
+
+def parse_netlist_text(text: str):
+    ckt = Circuit()
+    sim = SimulationConfig()
+    NetlistParser(ckt, sim).parse_text(text)
+    return ckt, sim

@@ -1,0 +1,293 @@
+"""MNA assembly as precomputed scatter-adds.
+
+The reference re-stamps every element through virtual dispatch on every
+Newton iteration (src/dcanalysis.cpp:126-128, src/tanalisis.cpp:269-353).
+Here the stamp *pattern* (row/col index lists) is precomputed per circuit at
+lowering time and only the *values* are recomputed — and the values are split
+by how often they change:
+
+- static-per-analysis:   R, V/L ±1 couplings, C & MOS-junction-cap
+                         conductances (C/dt), gmin diagonal        -> G_static
+- static-per-timestep:   source values at time t, C/L/MOS-cap
+                         history currents                          -> I_static
+- per-Newton-iteration:  MOSFET conduction linearization, diodes   -> scatter
+                         onto G_static/I_static
+
+Ground is the dump slot N of an (N+1)-sized system (see ir/lower.py), so no
+stamp needs a branch.  Everything is pure jnp and vmap-safe: `params`, `x`
+and state carry the batch dimensions; index patterns are shared constants.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ir.lower import LoweredCircuit, Topology
+from ..models import sources as srcmod
+from ..models.mosfet import mos_stamp_vals
+from ..models.diode import diode_stamp_vals
+from ..utils.options import SolverOptions
+
+
+def _two_terminal_pattern(a: np.ndarray, b: np.ndarray):
+    """Conductance-like stamp pattern between node eqs a and b:
+    rows [a,b,a,b], cols [a,b,b,a], value pattern [+g,+g,-g,-g]."""
+    rows = np.stack([a, b, a, b], axis=1).ravel()
+    cols = np.stack([a, b, b, a], axis=1).ravel()
+    return rows.astype(np.int32), cols.astype(np.int32)
+
+
+def _two_terminal_vals(g):
+    return jnp.stack([g, g, -g, -g], axis=-1).reshape(*g.shape[:-1], -1)
+
+
+def _branch_pattern(ep: np.ndarray, em: np.ndarray, k: np.ndarray):
+    """V-source/inductor ±1 coupling pattern (element.cpp:115-121, 173-177):
+    rows [ep,em,k,k], cols [k,k,ep,em], values [+1,-1,+1,-1]."""
+    rows = np.stack([ep, em, k, k], axis=1).ravel()
+    cols = np.stack([k, k, ep, em], axis=1).ravel()
+    return rows.astype(np.int32), cols.astype(np.int32)
+
+
+class Engine:
+    """Per-circuit assembly engine: holds the static stamp patterns."""
+
+    def __init__(self, low: LoweredCircuit, opts: SolverOptions):
+        t = self.topo = low.topo
+        self.opts = opts
+        self.dtype = opts.dtype
+        N = t.n_unknowns
+        self.N = N
+        nM = len(t.mos_ed)
+
+        # ---- DC G pattern ----
+        self.res_rows, self.res_cols = _two_terminal_pattern(t.res_e1, t.res_e2)
+        vs_rows, vs_cols = _branch_pattern(t.vs_ep, t.vs_em, t.vs_k)
+        ind_dc_rows, ind_dc_cols = _branch_pattern(t.ind_ep, t.ind_em, t.ind_k)
+        self.dc_const_rows = np.concatenate([vs_rows, ind_dc_rows])
+        self.dc_const_cols = np.concatenate([vs_cols, ind_dc_cols])
+        npat = len(t.vs_ep) + len(t.ind_ep)
+        self.dc_const_vals = jnp.asarray(
+            np.tile(np.array([1.0, -1.0, 1.0, -1.0]), npat), self.dtype)
+
+        # ---- transient-only patterns ----
+        # inductor BE companion (tanalisis.cpp:294-319): the 4 ±1 couplings
+        # plus the -L/dt branch diagonal
+        self.ind_rows = np.concatenate(
+            [np.stack([t.ind_ep, t.ind_em, t.ind_k, t.ind_k], 1).ravel(),
+             t.ind_k]).astype(np.int32)
+        self.ind_cols = np.concatenate(
+            [np.stack([t.ind_k, t.ind_k, t.ind_ep, t.ind_em], 1).ravel(),
+             t.ind_k]).astype(np.int32)
+
+        # "cap-like" class: explicit capacitors followed by the 4 lumped MOS
+        # junction caps per device, pair order (G,S),(G,D),(S,B),(D,B)
+        # (tanalisis.cpp:321-353); state vector shares this layout.
+        mc_a = np.stack([t.mos_eg, t.mos_eg, t.mos_es, t.mos_ed], 1).ravel()
+        mc_b = np.stack([t.mos_es, t.mos_ed, t.mos_eb, t.mos_eb], 1).ravel()
+        self.cap_a = np.concatenate([t.cap_e1, mc_a]).astype(np.int32)
+        self.cap_b = np.concatenate([t.cap_e2, mc_b]).astype(np.int32)
+        self.cap_rows, self.cap_cols = _two_terminal_pattern(self.cap_a, self.cap_b)
+        self.n_caplike = len(self.cap_a)
+
+        # ---- nonlinear (per-Newton-iteration) patterns ----
+        self.mos_rows = np.stack(
+            [t.mos_ed, t.mos_ed, t.mos_ed, t.mos_es, t.mos_es, t.mos_es],
+            1).ravel().astype(np.int32)
+        self.mos_cols = np.stack(
+            [t.mos_ed, t.mos_eg, t.mos_es, t.mos_ed, t.mos_eg, t.mos_es],
+            1).ravel().astype(np.int32)
+        self.mos_rhs_rows = np.stack([t.mos_ed, t.mos_es], 1).ravel().astype(np.int32)
+        self.dio_rows = np.stack(
+            [t.dio_ep, t.dio_ep, t.dio_em, t.dio_em], 1).ravel().astype(np.int32)
+        self.dio_cols = np.stack(
+            [t.dio_ep, t.dio_em, t.dio_ep, t.dio_em], 1).ravel().astype(np.int32)
+        self.dio_rhs_rows = np.stack([t.dio_ep, t.dio_em], 1).ravel().astype(np.int32)
+        self.nl_rows = np.concatenate([self.mos_rows, self.dio_rows])
+        self.nl_cols = np.concatenate([self.mos_cols, self.dio_cols])
+        self.nl_rhs_rows = np.concatenate([self.mos_rhs_rows, self.dio_rhs_rows])
+
+        # ---- RHS patterns ----
+        self.is_rhs_rows = np.stack([t.is_ep, t.is_em], 1).ravel().astype(np.int32)
+        self.cap_rhs_rows = np.stack([self.cap_a, self.cap_b], 1).ravel().astype(np.int32)
+
+    # ------------------------------------------------------------------
+    # helpers
+    # ------------------------------------------------------------------
+    def x_ext(self, x):
+        """Append the ground slot (always 0 V) so eq-index gathers are
+        branch-free; mirrors the getV(-1)->0.0 convention (element.cpp:196-199)."""
+        pad = jnp.zeros(x.shape[:-1] + (1,), dtype=x.dtype)
+        return jnp.concatenate([x, pad], axis=-1)
+
+    def _caplike_C(self, params):
+        """Capacitance of every cap-like element: explicit C values then the
+        MOS junction caps Cgs=Cgd=Cj0/2, Csb=Cdb=Cj0 (tanalisis.cpp:337-341)."""
+        cj0 = params["mos_cj0"]
+        mc = jnp.stack([0.5 * cj0, 0.5 * cj0, cj0, cj0], axis=-1)
+        mc = mc.reshape(*cj0.shape[:-1], -1)
+        return jnp.concatenate([params["cap_c"], mc], axis=-1)
+
+    def _res_vals(self, params):
+        r = params["res_r"]
+        g = jnp.where(r != 0.0, 1.0 / jnp.where(r != 0.0, r, 1.0), 0.0)
+        return _two_terminal_vals(g)
+
+    def _nl_vals(self, params, x):
+        """Per-Newton-iteration nonlinear stamp values (MOS + diode)."""
+        xe = self.x_ext(x)
+        gv = []
+        rv = []
+        t = self.topo
+        if len(t.mos_ed):
+            vd = xe[..., t.mos_ed]
+            vg = xe[..., t.mos_eg]
+            vs = xe[..., t.mos_es]
+            g, r = mos_stamp_vals(params["mos_vth"], params["mos_k"],
+                                  params["mos_lam"], params["mos_p"],
+                                  vd, vg, vs, self.opts.mos_off_gds)
+            gv.append(g)
+            rv.append(r)
+        if len(t.dio_ep):
+            vp = xe[..., t.dio_ep]
+            vm = xe[..., t.dio_em]
+            g, r = diode_stamp_vals(params["dio_is"], params["dio_n"], vp, vm)
+            gv.append(g)
+            rv.append(r)
+        if not gv:
+            z = jnp.zeros(x.shape[:-1] + (0,), dtype=x.dtype)
+            return z, z
+        return (jnp.concatenate(gv, axis=-1), jnp.concatenate(rv, axis=-1))
+
+    def _zeros_G(self, like):
+        return jnp.zeros(like.shape[:-1] + (self.N + 1, self.N + 1), dtype=self.dtype)
+
+    def _zeros_I(self, like):
+        return jnp.zeros(like.shape[:-1] + (self.N + 1,), dtype=self.dtype)
+
+    # ------------------------------------------------------------------
+    # DC assembly
+    # ------------------------------------------------------------------
+    def dc_static(self, params, scale):
+        """G/I contributions that are constant across Newton iterations of a
+        ramp step: R conductances, V/L branch couplings, source values at
+        `scale` (src/dcanalysis.cpp:120-130 stamp pass sans MOS)."""
+        rvals = self._res_vals(params)
+        G = self._zeros_G(rvals)
+        G = G.at[..., self.res_rows, self.res_cols].add(rvals)
+        G = G.at[..., self.dc_const_rows, self.dc_const_cols].add(self.dc_const_vals)
+
+        I = self._zeros_I(rvals)
+        vval = srcmod.eval_dc(params["vs_dc"], params["vs_kind"],
+                              params["vs_sin"], scale)
+        I = I.at[..., self.topo.vs_k].add(vval)
+        ival = srcmod.eval_dc(params["is_dc"], params["is_kind"],
+                              params["is_sin"], scale)
+        irhs = jnp.stack([-ival, ival], axis=-1).reshape(*ival.shape[:-1], -1)
+        I = I.at[..., self.is_rhs_rows].add(irhs)
+        return G, I
+
+    def assemble_dc_iter(self, G_static, I_static, params, x, gmin):
+        """Add the per-iteration parts: nonlinear device linearization and the
+        adaptive gmin-to-ground diagonal (dcanalysis.cpp:126-130)."""
+        gvals, rvals = self._nl_vals(params, x)
+        G = G_static.at[..., self.nl_rows, self.nl_cols].add(gvals)
+        gm = jnp.broadcast_to(
+            jnp.asarray(gmin, self.dtype)[..., None],
+            gvals.shape[:-1] + (len(self.topo.node_eqs),))
+        G = G.at[..., self.topo.node_eqs, self.topo.node_eqs].add(gm)
+        I = I_static.at[..., self.nl_rhs_rows].add(rvals)
+        return G, I
+
+    # ------------------------------------------------------------------
+    # Transient assembly (Backward Euler companions, tanalisis.cpp:255-356)
+    # ------------------------------------------------------------------
+    def tran_static_G(self, params, dt, gmin):
+        """The whole G matrix except the nonlinear conduction entries — this
+        is constant for the entire transient (fixed dt, fixed gmin)."""
+        rvals = self._res_vals(params)
+        G = self._zeros_G(rvals)
+        G = G.at[..., self.res_rows, self.res_cols].add(rvals)
+
+        # V sources keep their ±1 coupling; inductors get the BE companion.
+        nV = len(self.topo.vs_ep)
+        vs_vals = self.dc_const_vals[:4 * nV]
+        G = G.at[..., self.dc_const_rows[:4 * nV],
+                 self.dc_const_cols[:4 * nV]].add(vs_vals)
+
+        L = params["ind_l"]
+        lmask = L > 0.0
+        ones = jnp.ones_like(L)
+        pat = jnp.stack([ones, -ones, ones, -ones], axis=-1)
+        pat = (pat * lmask[..., None]).reshape(*L.shape[:-1], -1)
+        diag = jnp.where(lmask, -L / dt, 0.0)
+        ind_vals = jnp.concatenate([pat, diag], axis=-1)
+        G = G.at[..., self.ind_rows, self.ind_cols].add(ind_vals)
+
+        C = self._caplike_C(params)
+        gc = jnp.where(C > 0.0, C / dt, 0.0)
+        G = G.at[..., self.cap_rows, self.cap_cols].add(_two_terminal_vals(gc))
+
+        gm = jnp.broadcast_to(
+            jnp.asarray(gmin, self.dtype)[..., None],
+            rvals.shape[:-1] + (len(self.topo.node_eqs),))
+        G = G.at[..., self.topo.node_eqs, self.topo.node_eqs].add(gm)
+        return G
+
+    def make_tran_static_I(self, dt):
+        """Returns f(params, cap_hist, ind_i, t) -> I_static: RHS for one
+        timestep — sources at time t plus C/L/MOS-cap history currents.
+        cap_hist is the previous-step voltage across every cap-like element
+        (explicit caps then MOS junction caps); ind_i the previous inductor
+        branch currents."""
+        topo = self.topo
+
+        def f(params, cap_hist, ind_i, t):
+            vval = srcmod.eval_tran(
+                params["vs_dc"], params["vs_kind"], params["vs_pulse"],
+                params["vs_sin"], params["vs_pwl_t"], params["vs_pwl_v"],
+                params["vs_pwl_n"], t)
+            I = self._zeros_I(vval)
+            I = I.at[..., topo.vs_k].add(vval)
+
+            ival = srcmod.eval_tran(
+                params["is_dc"], params["is_kind"], params["is_pulse"],
+                params["is_sin"], params["is_pwl_t"], params["is_pwl_v"],
+                params["is_pwl_n"], t)
+            irhs = jnp.stack([-ival, ival], axis=-1).reshape(*ival.shape[:-1], -1)
+            I = I.at[..., self.is_rhs_rows].add(irhs)
+
+            # inductor history: I(k) += -(L/dt) * i_prev (tanalisis.cpp:308-318)
+            L = params["ind_l"]
+            lmask = L > 0.0
+            vhist = jnp.where(lmask, -(L / dt) * ind_i, 0.0)
+            I = I.at[..., topo.ind_k].add(vhist)
+
+            # cap history: I(a) += Gc*vprev, I(b) -= Gc*vprev (tanalisis.cpp:76-79)
+            C = self._caplike_C(params)
+            gc = jnp.where(C > 0.0, C / dt, 0.0)
+            h = gc * cap_hist
+            hrhs = jnp.stack([h, -h], axis=-1).reshape(*h.shape[:-1], -1)
+            I = I.at[..., self.cap_rhs_rows].add(hrhs)
+            return I
+
+        return f
+
+    def assemble_tran_iter(self, G_static, I_static, params, x):
+        gvals, rvals = self._nl_vals(params, x)
+        G = G_static.at[..., self.nl_rows, self.nl_cols].add(gvals)
+        I = I_static.at[..., self.nl_rhs_rows].add(rvals)
+        return G, I
+
+    # ------------------------------------------------------------------
+    # Transient state
+    # ------------------------------------------------------------------
+    def init_state(self, x):
+        """Per-element history state from a solution vector (tanalisis.cpp:139-180)."""
+        xe = self.x_ext(x)
+        cap_hist = xe[..., self.cap_a] - xe[..., self.cap_b]
+        ind_i = x[..., self.topo.ind_k]
+        return cap_hist, ind_i
+
+    update_state = init_state  # same formula after each accepted step

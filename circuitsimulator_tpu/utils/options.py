@@ -1,0 +1,70 @@
+"""Solver options.
+
+Every knob the reference hard-codes lives here with the reference value as the
+default, so the default configuration reproduces reference numerics exactly:
+
+- DC ramp/N-R constants: src/dcanalysis.cpp:104-106 (rampSteps=10,
+  maxNewtonIters=50, tol=1e-9) and the ConvController constants
+  (src/dcanalysis.cpp:264-265, 274).
+- Transient N-R constants: src/tanalisis.cpp:241-244 (maxNewtonIters=50,
+  tol=1e-6, gmin=1e-6, alpha=0.45).
+- LU pivot floor: include/solver.hpp:31 (eps=1e-15).
+- Gauss-Seidel: src/dcanalysis.cpp:90,206 (2000 iters, tol 1e-10) and
+  include/solver.hpp:159 (diagonal regularization 1e-12).
+
+``strict_reference_mode`` keeps the reference's quirky-but-load-bearing
+behaviors (see SURVEY.md §2 "key device-physics semantics"), most notably that
+the DC damped update is always applied with alpha=0.35 regardless of the
+"adaptive" alpha the controller reports (src/dcanalysis.cpp:274 re-clamps the
+constant 0.35 every call, ignoring alphaCurrent).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverOptions:
+    # --- DC operating point ---
+    ramp_steps: int = 10
+    dc_max_newton_iters: int = 50
+    dc_tol: float = 1e-9
+    # ConvController constants (src/dcanalysis.cpp:264-265)
+    alpha_min: float = 0.1
+    alpha_max: float = 0.5
+    alpha_const: float = 0.35          # the value clamped at dcanalysis.cpp:274
+    gmin_high_base: float = 1e-6
+    gmin_low_base: float = 3.35e-7
+    gmin_abs_max: float = 1e-4
+    fast_conv_ratio: float = 0.7
+    slow_conv_ratio: float = 1.05
+    gmin_nonfinite_factor: float = 10.0
+    gmin_nonfinite_max: float = 1e-2
+
+    # --- Transient ---
+    tran_max_newton_iters: int = 50
+    tran_tol: float = 1e-6
+    tran_gmin: float = 1e-6
+    tran_alpha: float = 0.45
+
+    # --- Linear solver ---
+    lu_pivot_floor: float = 1e-15
+    gs_max_iters: int = 2000
+    gs_tol: float = 1e-10
+    gs_diag_eps: float = 1e-12
+
+    # --- Numerics / engine ---
+    dtype: Any = jnp.float64
+    strict_reference_mode: bool = True
+    # MOSFET off-state drain-source leak conductance (src/element.cpp:246)
+    mos_off_gds: float = 1e-12
+
+    def replace(self, **kw) -> "SolverOptions":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_OPTIONS = SolverOptions()
