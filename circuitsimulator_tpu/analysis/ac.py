@@ -1,0 +1,127 @@
+"""Small-signal AC analysis (the `.AC lin|dec|oct n fstart fstop` card).
+
+NEW WORK with a defined-from-scratch semantics: the reference parses .AC
+(parser.cpp:526-549) and has AC stamps for the independent sources
+(element.cpp:68-81, 125-151) but no AC driver, and no stampAC for
+R/C/L/MOS — executing its intended design verbatim would produce a singular
+system.  This module implements the standard SPICE small-signal analysis:
+
+1. solve the DC operating point;
+2. linearize every nonlinear device there (the same gd/gg/gs the Newton
+   stamp uses, models/mosfet.py);
+3. for each frequency solve  Y(w) X = J  with
+     R:   1/R                    C (and MOS junction caps): jwC
+     L:   branch rows +/-1 with Y[k,k] = -jwL
+     V:   branch rows +/-1, RHS J[k] = acMag * e^{j*phase}
+     I:   RHS J[p] -= Iac, J[m] += Iac
+     MOS/diode: DC-point conductances;
+4. the frequency sweep is vmapped — every point solves in parallel.
+
+Sweep conventions: lin = n points total; dec = n points/decade;
+oct = n points/octave (endpoints included).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.assemble import Engine, _two_terminal_vals
+from ..ops.lu import lu_solve
+from .dc import dc_operating_point
+
+
+@dataclasses.dataclass
+class ACResult:
+    freqs: Any    # (F,)
+    xs: Any       # (F, N) complex node solutions
+
+
+def sweep_frequencies(sweep_type: str, n_points: int,
+                      fstart: float, fstop: float) -> np.ndarray:
+    if n_points <= 0 or fstart <= 0 or fstop < fstart:
+        raise ValueError("invalid .AC sweep parameters")
+    if sweep_type == "lin":
+        return np.linspace(fstart, fstop, max(n_points, 1))
+    per = np.log10(fstop / fstart) if sweep_type == "dec" \
+        else np.log2(fstop / fstart)
+    total = int(np.floor(n_points * per + 1e-9)) + 1
+    total = max(total, 1)
+    return np.asarray(
+        fstart * (fstop / fstart) ** (np.arange(total) / max(total - 1, 1)))
+
+
+def ac_system(engine: Engine, params, x_op, omega):
+    """Build (Y, J) at angular frequency omega around operating point x_op."""
+    t = engine.topo
+    N = engine.N
+    cdtype = jnp.complex128 if engine.dtype == jnp.float64 else jnp.complex64
+    jw = 1j * omega
+
+    rvals = engine._res_vals(params).astype(cdtype)
+    Y = jnp.zeros((N + 1, N + 1), dtype=cdtype)
+    Y = Y.at[engine.res_rows, engine.res_cols].add(rvals)
+
+    # V-source and inductor branch couplings (+/-1), then -jwL on L diagonal
+    Y = Y.at[engine.dc_const_rows, engine.dc_const_cols].add(
+        engine.dc_const_vals.astype(cdtype))
+    if len(t.ind_k):
+        Y = Y.at[t.ind_k, t.ind_k].add(-jw * params["ind_l"].astype(cdtype))
+
+    # capacitor-like elements: jwC
+    C = engine._caplike_C(params).astype(cdtype)
+    Y = Y.at[engine.cap_rows, engine.cap_cols].add(_two_terminal_vals(jw * C))
+
+    # nonlinear devices linearized at the DC operating point
+    gvals, _ = engine._nl_vals(params, x_op)
+    Y = Y.at[engine.nl_rows, engine.nl_cols].add(gvals.astype(cdtype))
+
+    J = jnp.zeros((N + 1,), dtype=cdtype)
+    deg = jnp.pi / 180.0
+    vac = params["vs_ac_mag"] * jnp.exp(1j * params["vs_ac_phase"] * deg)
+    J = J.at[t.vs_k].add(vac.astype(cdtype))
+    iac = params["is_ac_mag"] * jnp.exp(1j * params["is_ac_phase"] * deg)
+    iac = iac.astype(cdtype)
+    irhs = jnp.stack([-iac, iac], axis=-1).reshape(-1)
+    J = J.at[engine.is_rhs_rows].add(irhs)
+    return Y[:N, :N], J[:N]
+
+
+def ac_analysis(engine: Engine, params, freqs, x_op: Optional[Any] = None):
+    """Run the AC sweep; returns ACResult with complex (F, N) solutions."""
+    if x_op is None:
+        x_op = dc_operating_point(engine, params)
+    freqs = jnp.asarray(freqs, engine.dtype)
+
+    def solve_one(f):
+        Y, J = ac_system(engine, params, x_op, 2.0 * jnp.pi * f)
+        return lu_solve(Y, J, engine.opts.lu_pivot_floor)
+
+    xs = jax.jit(jax.vmap(solve_one))(freqs)
+    return ACResult(freqs=freqs, xs=xs)
+
+
+def write_ac_csv(path: str, topo, result: ACResult) -> None:
+    """CSV schema: freq, then VM(node)/VP(node) (magnitude, phase in deg) for
+    every node-voltage column, then IM/IP for branch currents."""
+    freqs = np.asarray(result.freqs)
+    xs = np.asarray(result.xs)
+    cols = []
+    col_eqs = []
+    for n in topo.volt_col_names:
+        cols += [f"VM({n})", f"VP({n})"]
+    for n in topo.branch_col_names:
+        cols += [f"IM({n})", f"IP({n})"]
+    col_eqs = np.concatenate([topo.volt_col_eqs, topo.branch_col_eqs]).astype(int)
+    with open(path, "w") as f:
+        f.write("freq," + ",".join(cols) + "\n")
+        for fi, row in zip(freqs, xs):
+            vals = []
+            for eq in col_eqs:
+                v = row[eq]
+                vals += [f"{abs(v):.9e}", f"{np.degrees(np.angle(v)):.9e}"]
+            f.write(f"{fi:.9e}," + ",".join(vals) + "\n")

@@ -31,6 +31,7 @@ from jax import lax
 
 from ..ops.assemble import Engine
 from ..ops.lu import lu_solve
+from ..ops.gauss_seidel import gauss_seidel_solve
 from ..utils.options import SolverOptions
 
 
@@ -42,12 +43,29 @@ def dc_linear(engine: Engine, params):
     return lu_solve(G[..., :N, :N], I[..., :N], engine.opts.lu_pivot_floor)
 
 
-def dc_newton(engine: Engine, params, with_stats: bool = False):
-    """dcSolveNewtonLU: source ramp + damped Newton with ConvController."""
+def dc_linear_gs(engine: Engine, params):
+    """dcSolveDirectGS (dcanalysis.cpp:71-92): one stamp pass, Gauss-Seidel
+    with 2000 iterations / tol 1e-10 from a zero initial guess."""
+    N = engine.N
+    opts = engine.opts
+    one = jnp.asarray(1.0, engine.dtype)
+    G, I = engine.dc_static(params, one)
+    return gauss_seidel_solve(G[..., :N, :N], I[..., :N], None,
+                              opts.gs_max_iters, opts.gs_tol, opts.gs_diag_eps)
+
+
+def dc_newton(engine: Engine, params, with_stats: bool = False,
+              linear_solver: str = "lu"):
+    """dcSolveNewtonLU / dcSolveNewtonGS: source ramp + damped Newton with
+    the ConvController schedule.  The GS variant warm-starts Gauss-Seidel
+    from the current x, allows 60 Newton iterations per ramp step and 120 on
+    the final step (dcanalysis.cpp:175-191)."""
     opts = engine.opts
     N = engine.N
     dtype = engine.dtype
     ramp = opts.ramp_steps
+    use_gs = linear_solver == "gs"
+    max_iters_base = 60 if use_gs else opts.dc_max_newton_iters
 
     def ramp_body(step, carry):
         x0, total_iters = carry
@@ -55,14 +73,25 @@ def dc_newton(engine: Engine, params, with_stats: bool = False):
         G_s, I_s = engine.dc_static(params, scale)
         s = jnp.clip(scale, 0.0, 1.0)
         gmin_base = opts.gmin_high_base * (1.0 - s) + opts.gmin_low_base * s
+        if use_gs:
+            max_iters = jnp.where(step == ramp - 1, 2 * max_iters_base,
+                                  max_iters_base)
+        else:
+            max_iters = max_iters_base
 
         def cond(c):
-            return (~c["done"]) & (c["iter"] < opts.dc_max_newton_iters)
+            return (~c["done"]) & (c["iter"] < max_iters)
 
         def body(c):
             x, gmin, prev_err = c["x"], c["gmin"], c["prev_err"]
             G, I = engine.assemble_dc_iter(G_s, I_s, params, x, gmin)
-            x_raw = lu_solve(G[..., :N, :N], I[..., :N], opts.lu_pivot_floor)
+            if use_gs:
+                x_raw = gauss_seidel_solve(
+                    G[..., :N, :N], I[..., :N], x,
+                    opts.gs_max_iters, opts.gs_tol, opts.gs_diag_eps)
+            else:
+                x_raw = lu_solve(G[..., :N, :N], I[..., :N],
+                                 opts.lu_pivot_floor)
             finite = jnp.all(jnp.isfinite(x_raw), axis=-1)
 
             # ConvController::update (finite path)
@@ -110,11 +139,15 @@ def dc_newton(engine: Engine, params, with_stats: bool = False):
     return x
 
 
-def dc_operating_point(engine: Engine, params, with_stats: bool = False):
-    """computeDcOperatingPoint (tanalisis.cpp:44-47 -> dcSolve -> dcSolveLU)."""
+def dc_operating_point(engine: Engine, params, with_stats: bool = False,
+                       linear_solver: str = "lu"):
+    """computeDcOperatingPoint (tanalisis.cpp:44-47 -> dcSolve -> dcSolveLU).
+    linear_solver="gs" selects the Gauss-Seidel variant
+    (dcSolveGaussSeidel, dcanalysis.cpp:251-257)."""
     if engine.topo.has_nonlinear:
-        return dc_newton(engine, params, with_stats=with_stats)
-    x = dc_linear(engine, params)
+        return dc_newton(engine, params, with_stats=with_stats,
+                         linear_solver=linear_solver)
+    x = (dc_linear_gs if linear_solver == "gs" else dc_linear)(engine, params)
     if with_stats:
         return x, {"newton_iters": jnp.asarray(0, jnp.int32)}
     return x

@@ -59,11 +59,18 @@ class Simulator:
     # ---- analyses ----
     @functools.cached_property
     def _dc_jit(self):
-        return jax.jit(lambda p: dc_operating_point(self.engine, p))
+        return {
+            "lu": jax.jit(lambda p: dc_operating_point(self.engine, p, linear_solver="lu")),
+            "gs": jax.jit(lambda p: dc_operating_point(self.engine, p, linear_solver="gs")),
+        }
 
-    def dc(self, params: Optional[Any] = None):
-        """DC operating point -> (N,) solution vector."""
-        return self._dc_jit(params if params is not None else self.params)
+    def dc(self, params: Optional[Any] = None, linear_solver: str = "lu"):
+        """DC operating point -> (N,) solution vector.
+
+        linear_solver: "lu" (default, = reference dcSolve/dcSolveLU) or
+        "gs" (= dcSolveGaussSeidel)."""
+        return self._dc_jit[linear_solver](
+            params if params is not None else self.params)
 
     def transient(self, params: Optional[Any] = None,
                   tstep: Optional[float] = None,
@@ -81,6 +88,52 @@ class Simulator:
             run_transient, self.engine,
             tstep=tstep, tstop=tstop, save_xs=save_xs))
         return fn(p)
+
+    def steady_state(self, params: Optional[Any] = None,
+                     f0: Optional[float] = None,
+                     n_harm: Optional[int] = None,
+                     **kw):
+        """Periodic steady state (.hb card) via Newton shooting
+        (analysis/sstate.py).  Defaults to the netlist's .hb card."""
+        from .analysis.sstate import steady_state
+        hb = self.config.hb
+        f0 = f0 if f0 is not None else (hb.f0 if hb.enabled else None)
+        if not f0 or f0 <= 0:
+            raise ValueError(".hb card missing or invalid (f0 must be > 0)")
+        n_harm = n_harm if n_harm is not None else (hb.n_harm or 8)
+        p = params if params is not None else self.params
+        return steady_state(self.engine, p, f0, n_harm=n_harm, **kw)
+
+    def ac(self, params: Optional[Any] = None, freqs=None,
+           x_op: Optional[Any] = None):
+        """Small-signal AC sweep (analysis/ac.py).  Defaults to the
+        netlist's .AC card; `freqs` overrides with an explicit array."""
+        from .analysis.ac import ac_analysis, sweep_frequencies
+        if freqs is None:
+            cfg = self.config.ac
+            if not cfg.enabled:
+                raise ValueError(".AC card missing")
+            freqs = sweep_frequencies(cfg.sweep_type, cfg.n_points,
+                                      cfg.fstart, cfg.fstop)
+        p = params if params is not None else self.params
+        return ac_analysis(self.engine, p, freqs, x_op=x_op)
+
+    def dc_sweep(self, sweep_index: int = 0, params: Optional[Any] = None,
+                 values=None, source: Optional[str] = None):
+        """DC sweep (analysis/sweep.py).  Defaults to the netlist's .DC
+        card(s); `source`+`values` override."""
+        from .analysis.sweep import dc_sweep, sweep_values
+        if source is None:
+            if not self.config.dc_sweeps:
+                raise ValueError(".DC card missing")
+            cfg = self.config.dc_sweeps[sweep_index]
+            source = cfg.source_name
+            if values is None:
+                values = sweep_values(cfg.start, cfg.stop, cfg.step)
+        elif values is None:
+            raise ValueError("explicit `source` requires `values`")
+        p = params if params is not None else self.params
+        return dc_sweep(self.engine, p, self.circuit, source, values)
 
     # ---- output ----
     def write_transient_csv(self, path: str, result: TransientResult,

@@ -1,0 +1,142 @@
+"""Command-line driver, mirroring the reference CLI (src/main.cpp):
+
+    mysim <netlist.sp> [tran_out.csv]
+
+prints the circuit summary, DC node-voltage/branch-current tables, then runs
+the Backward-Euler transient if a .TRAN card is present (output defaults to
+tran_out.csv).  Extra options (beyond the reference) select the platform,
+precision, and analyses.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="mysim",
+        description="TPU-native SPICE-class circuit simulator")
+    p.add_argument("netlist", help="SPICE netlist file (.sp)")
+    p.add_argument("tran_out", nargs="?", default="tran_out.csv",
+                   help="transient CSV output path (default: tran_out.csv)")
+    p.add_argument("--platform", choices=["cpu", "tpu", "default"],
+                   default="cpu",
+                   help="JAX platform (default cpu; single-circuit runs "
+                        "compile and run fastest on host)")
+    p.add_argument("--f32", action="store_true",
+                   help="run in float32 (default float64 for reference "
+                        "parity)")
+    p.add_argument("--no-tran", action="store_true",
+                   help="skip the transient analysis even if .TRAN present")
+    # analyses beyond the reference executable (it parses these cards but
+    # never runs them; off by default to keep CLI output parity)
+    p.add_argument("--run-ac", metavar="CSV", nargs="?", const="ac_out.csv",
+                   help="run the .AC small-signal sweep, write mag/phase CSV")
+    p.add_argument("--run-dc-sweep", metavar="CSV", nargs="?",
+                   const="dcsweep_out.csv",
+                   help="run the .DC sweep card(s), write CSV")
+    p.add_argument("--run-hb", metavar="CSV", nargs="?", const="hb_out.csv",
+                   help="run .hb periodic steady state (shooting), write one "
+                        "period CSV and print the harmonic table")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+
+    import jax
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    elif args.platform == "tpu":
+        pass  # leave the environment's TPU platform in place
+    if not args.f32:
+        jax.config.update("jax_enable_x64", True)
+
+    from .api import Simulator
+
+    print(f"Reading netlist: {args.netlist}")
+    try:
+        sim = Simulator.from_file(args.netlist)
+    except FileNotFoundError:
+        print("parseNetlist() failed.", file=sys.stderr)
+        return 1
+
+    print(sim.summary())
+    print("\nRunning DC operating point...")
+    try:
+        x = sim.dc()
+    except Exception as e:  # noqa: BLE001 — mirror reference's catch-all
+        print(f"DC solve failed: {e}", file=sys.stderr)
+        return 1
+    print(sim.dc_report(x))
+    print("\nDC analysis finished.")
+
+    tran = sim.config.tran
+    if tran.enabled and not args.no_tran:
+        print("\nRunning transient analysis (Backward Euler)...")
+        print(f"  .TRAN: tstep={tran.tstep:.6e}, tstop={tran.tstop:.6e}, "
+              f"tstart={tran.tstart:.6e}")
+        print(f"  output file: {args.tran_out}")
+        n = int(tran.tstop / tran.tstep + 1e-12)
+        print(f"[TRAN] tstep={tran.tstep:.6e}, tstop={tran.tstop:.6e}, "
+              f"tstart={tran.tstart:.6e}")
+        print(f"[TRAN] total steps = {n}")
+        try:
+            res = sim.transient()
+            sim.write_transient_csv(args.tran_out, res)
+        except Exception as e:  # noqa: BLE001
+            print(f"Transient failed: {e}", file=sys.stderr)
+            return 1
+        print("Transient analysis (Backward Euler) finished. "
+              f"Results written to '{args.tran_out}'.")
+    else:
+        print("\nNo .TRAN card; transient analysis skipped.")
+
+    if args.run_ac:
+        from .analysis.ac import write_ac_csv
+        print("\nRunning AC small-signal sweep...")
+        try:
+            acres = sim.ac(x_op=x)
+            write_ac_csv(args.run_ac, sim.topo, acres)
+            print(f"AC sweep finished ({len(acres.freqs)} points). "
+                  f"Results written to '{args.run_ac}'.")
+        except Exception as e:  # noqa: BLE001
+            print(f"AC failed: {e}", file=sys.stderr)
+            return 1
+
+    if args.run_dc_sweep:
+        from .analysis.sweep import write_sweep_csv
+        print("\nRunning DC sweep...")
+        try:
+            swres = sim.dc_sweep()
+            write_sweep_csv(args.run_dc_sweep, sim.topo, swres)
+            print(f"DC sweep of {swres.source} finished "
+                  f"({len(swres.values)} points). "
+                  f"Results written to '{args.run_dc_sweep}'.")
+        except Exception as e:  # noqa: BLE001
+            print(f"DC sweep failed: {e}", file=sys.stderr)
+            return 1
+
+    if args.run_hb:
+        from .analysis.sstate import harmonic_table
+        from .io.csvout import write_transient_csv
+        print("\nRunning periodic steady state (shooting)...")
+        try:
+            hbres = sim.steady_state()
+            write_transient_csv(args.run_hb, sim.topo,
+                                hbres.times, hbres.xs)
+            print(f"steady state: residual={float(hbres.residual):.3e}, "
+                  f"newton_iters={hbres.newton_iters}, "
+                  f"converged={bool(hbres.converged)}")
+            print(harmonic_table(sim.topo, hbres))
+            print(f"One period written to '{args.run_hb}'.")
+        except Exception as e:  # noqa: BLE001
+            print(f"Steady state failed: {e}", file=sys.stderr)
+            return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

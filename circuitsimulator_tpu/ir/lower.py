@@ -104,12 +104,16 @@ def _pack_sources(specs, dtype):
     pwl_t = np.zeros((n, pmax))
     pwl_v = np.zeros((n, pmax))
     pwl_n = np.zeros(n, dtype=np.int32)
+    ac_mag = np.zeros(n)
+    ac_phase = np.zeros(n)
     for i, s in enumerate(specs):
         w = s.wave
         dc[i] = s.dc
         kind[i] = w.kind
         pulse[i] = [w.v1, w.v2, w.ptd, w.tr, w.tf, w.ton, w.per]
         sin[i] = [w.v0, w.va, w.freq, w.std, w.phi]
+        ac_mag[i] = s.ac_mag
+        ac_phase[i] = s.ac_phase_deg
         m = len(w.pwl_t)
         pwl_n[i] = m
         if m:
@@ -120,6 +124,8 @@ def _pack_sources(specs, dtype):
         "pulse": jnp.asarray(pulse, dtype), "sin": jnp.asarray(sin, dtype),
         "pwl_t": jnp.asarray(pwl_t, dtype), "pwl_v": jnp.asarray(pwl_v, dtype),
         "pwl_n": jnp.asarray(pwl_n),
+        "ac_mag": jnp.asarray(ac_mag, dtype),
+        "ac_phase": jnp.asarray(ac_phase, dtype),
     }
 
 

@@ -258,6 +258,26 @@ class NetlistParser:
         w.pwl_v = vals[1::2]
         spec.wave = w
 
+    def _parse_ac_spec(self, st: Statement, spec: SourceSpec) -> None:
+        """Extension: `AC mag [phase_deg]` anywhere after the node tokens.
+        The reference's SourceSpec carries acMag/acPhaseDeg (sim.hpp:148-149)
+        and its AC stamps use them (element.cpp:68-81, 125-151), but its
+        parser never fills them; we accept the standard SPICE syntax."""
+        t = st.tokens
+        for i in range(3, len(t)):
+            if t[i].lower() == "ac" and i + 1 < len(t):
+                try:
+                    spec.ac_mag = parse_spice_number(t[i + 1])
+                    if i + 2 < len(t):
+                        try:
+                            spec.ac_phase_deg = parse_spice_number(t[i + 2])
+                        except ValueError:
+                            pass
+                except ValueError as e:
+                    _warn(st.line_no,
+                          f"cannot parse AC spec: {e} in '{st.raw}'")
+                return
+
     def _parse_vsource(self, st: Statement) -> None:
         t = st.tokens
         if len(t) < 4:
@@ -270,7 +290,8 @@ class NetlistParser:
             if len(t) >= 5 and low3 == "dc":
                 spec.dc = parse_spice_number(t[4])
                 idx = 5
-            elif low3 == "sin" or low3.startswith("pulse") or low3.startswith("pwl"):
+            elif (low3 == "sin" or low3 == "ac"
+                  or low3.startswith("pulse") or low3.startswith("pwl")):
                 spec.dc = 0.0
                 idx = 3
             else:
@@ -279,14 +300,21 @@ class NetlistParser:
         except ValueError as e:
             _warn(st.line_no, f"cannot parse V DC value: {e} in '{st.raw}'")
             return
-        if idx < len(t):
-            head = t[idx].lower()
+        # the reference looks for SIN only at the token right after the DC
+        # part (parser.cpp:347-351); with the AC extension the waveform
+        # keyword may sit later, so scan from idx onward
+        for j in range(idx, len(t)):
+            head = t[j].lower()
             if head == "sin":
-                self._parse_sin(st, spec, idx)
-            elif head.startswith("pulse"):
-                self._parse_pulse(st, spec, idx)
-            elif head.startswith("pwl"):
-                self._parse_pwl(st, spec, idx)
+                self._parse_sin(st, spec, j)
+                break
+            if head.startswith("pulse"):
+                self._parse_pulse(st, spec, j)
+                break
+            if head.startswith("pwl"):
+                self._parse_pwl(st, spec, j)
+                break
+        self._parse_ac_spec(st, spec)
         self.ckt.add_voltage_source(t[0], t[1], t[2], spec)
 
     def _parse_isource(self, st: Statement) -> None:
@@ -298,11 +326,14 @@ class NetlistParser:
         try:
             if len(t) >= 5 and t[3].lower() == "dc":
                 spec.dc = parse_spice_number(t[4])
+            elif t[3].lower() == "ac":
+                spec.dc = 0.0
             else:
                 spec.dc = parse_spice_number(t[3])
         except ValueError as e:
             _warn(st.line_no, f"cannot parse I value: {e} in '{st.raw}'")
             return
+        self._parse_ac_spec(st, spec)
         self.ckt.add_current_source(t[0], t[1], t[2], spec)
 
     def _parse_mosfet(self, st: Statement) -> None:

@@ -8,10 +8,16 @@ Behavioral contract (reference: include/solver.hpp:30-131):
 - Back-substitution maps a tiny diagonal (|d| < 1e-15) to x_i = 0
   (solver.hpp:121-127).
 
-The elimination is formulated as N masked rank-1 updates over the full
-matrix so every shape is static; under vmap the updates become (B, N, N)
-elementwise ops that map well onto the TPU VPU.  A Pallas lane-major variant
-for large batches lives in ops/pallas_lu.py.
+Two lowerings of the same algorithm:
+- N <= UNROLL_LIMIT (the common SPICE case): the elimination is a *static*
+  Python loop — every index is a compile-time constant, each column step is
+  a masked argmax + where-select row swap + rank-1 update on full-size
+  tensors.  No `fori_loop`, no dynamic slices: under vmap this compiles to
+  straight-line vector code with zero loop overhead per TPU step.
+- larger N: `lax.fori_loop` with dynamic indexing (compile-size bound).
+
+Complex dtypes are supported (pivot magnitudes are real); used by the AC
+analysis.
 """
 
 from __future__ import annotations
@@ -20,50 +26,90 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+UNROLL_LIMIT = 16
 
-def lu_solve(A, b, pivot_floor=1e-15):
-    """Solve A x = b (single system; vmap for batches).
 
-    A: (N, N), b: (N,).  Returns x: (N,).
-    """
+def _lu_solve_unrolled(A, b, pivot_floor):
+    """Static-index elimination; A: (N, N), b: (N,)."""
     N = A.shape[-1]
-    if N == 0:
-        return b
+    rdt = jnp.real(A).dtype
     idx = jnp.arange(N)
+    minpiv = jnp.asarray(jnp.inf, dtype=rdt)
+    neg1 = jnp.asarray(-1.0, rdt)
+    for k in range(N):
+        abscol = jnp.where(idx >= k, jnp.abs(A[:, k]), neg1)
+        p = jnp.argmax(abscol)
+        minpiv = jnp.minimum(minpiv, abscol[p])
+        # swap rows k <-> p (where-select; p is traced, k static).  Order:
+        # first write rowk into row p, then rowp into row k — consistent
+        # also when p == k (rowp == rowk there).
+        rowk = A[k]
+        rowp = A[p]
+        A = jnp.where((idx == p)[:, None], rowk[None, :], A)
+        A = A.at[k].set(rowp)
+        bk, bp = b[k], b[p]
+        b = jnp.where(idx == p, bk, b)
+        b = b.at[k].set(bp)
+        pivot = A[k, k]
+        safe = jnp.where(pivot != 0.0, pivot, 1.0)
+        factors = jnp.where(idx > k, A[:, k] / safe, 0.0)
+        A = A - factors[:, None] * A[k][None, :]
+        b = b - factors * b[k]
+    x = jnp.zeros_like(b)
+    for j in range(N - 1, -1, -1):
+        s = b[j] - jnp.dot(A[j], x)
+        d = A[j, j]
+        xj = jnp.where(jnp.abs(d) < pivot_floor, 0.0,
+                       s / jnp.where(d != 0.0, d, 1.0))
+        x = x.at[j].set(xj)
+    return jnp.where(minpiv < pivot_floor, jnp.zeros_like(x), x)
+
+
+def _lu_solve_looped(A, b, pivot_floor):
+    N = A.shape[-1]
+    idx = jnp.arange(N)
+    rdt = jnp.real(A).dtype
 
     def elim(k, carry):
         A, b, minpiv = carry
-        col = A[:, k]
-        abscol = jnp.where(idx >= k, jnp.abs(col), -1.0)
+        abscol = jnp.where(idx >= k, jnp.abs(A[:, k]),
+                           jnp.asarray(-1.0, rdt))
         p = jnp.argmax(abscol)
-        maxabs = abscol[p]
-        minpiv = jnp.minimum(minpiv, maxabs)
-        # swap rows k and p of A and b
+        minpiv = jnp.minimum(minpiv, abscol[p])
         rowk, rowp = A[k], A[p]
         A = A.at[k].set(rowp).at[p].set(rowk)
         bk, bp = b[k], b[p]
         b = b.at[k].set(bp).at[p].set(bk)
         pivot = A[k, k]
-        safe_pivot = jnp.where(pivot != 0.0, pivot, 1.0)
-        factors = jnp.where(idx > k, A[:, k] / safe_pivot, 0.0)
+        safe = jnp.where(pivot != 0.0, pivot, 1.0)
+        factors = jnp.where(idx > k, A[:, k] / safe, 0.0)
         A = A - factors[:, None] * A[k][None, :]
         b = b - factors * b[k]
         return A, b, minpiv
 
-    minpiv0 = jnp.asarray(jnp.inf, dtype=A.dtype)
+    minpiv0 = jnp.asarray(jnp.inf, dtype=rdt)
     A, b, minpiv = lax.fori_loop(0, N, elim, (A, b, minpiv0))
 
     def back(i, x):
         j = N - 1 - i
         s = b[j] - jnp.dot(A[j], x)
         d = A[j, j]
-        xi = jnp.where(jnp.abs(d) < pivot_floor, 0.0,
+        xj = jnp.where(jnp.abs(d) < pivot_floor, 0.0,
                        s / jnp.where(d != 0.0, d, 1.0))
-        return x.at[j].set(xi)
+        return x.at[j].set(xj)
 
     x = lax.fori_loop(0, N, back, jnp.zeros_like(b))
-    # decomposition "failed": reference returns the zero vector
     return jnp.where(minpiv < pivot_floor, jnp.zeros_like(x), x)
+
+
+def lu_solve(A, b, pivot_floor=1e-15):
+    """Solve A x = b (single system; vmap for batches).  A: (N, N), b: (N,)."""
+    N = A.shape[-1]
+    if N == 0:
+        return b
+    if N <= UNROLL_LIMIT:
+        return _lu_solve_unrolled(A, b, pivot_floor)
+    return _lu_solve_looped(A, b, pivot_floor)
 
 
 lu_solve_batched = jax.vmap(lu_solve, in_axes=(0, 0, None))

@@ -1,0 +1,152 @@
+"""Low-rank (Woodbury) Newton solve for the transient hot loop.
+
+Key structural fact: the per-iteration MOSFET conduction stamp
+(element.cpp:289-304) writes +v into row D and -v into row S, where v is the
+same linearized row  v = gd*e_D + gg*e_G + gs*e_S  — i.e. each MOSFET is a
+RANK-ONE update  (e_D - e_S) v^T  of the MNA matrix, and its RHS
+contribution is  -(e_D - e_S) * cst.  Diodes likewise:
+(e_P - e_M) * g * (e_P - e_M)^T.  Everything else in the transient system
+matrix (R, V/L couplings, C/dt companion conductances, gmin) is CONSTANT for
+the whole analysis (fixed dt).
+
+So with G0 factored (inverted) once per transient:
+
+    A   = G0 + U V^T          U : (N, k) static +/-1 pattern, k = nM + nD
+    b   = b0 - U c            c : per-device Newton constants
+    x   = z - Y (I_k + V^T Y)^{-1} V^T z,   z = G0^{-1} b = z0 - Y c
+    Y   = G0^{-1} U           (precomputed once)
+    z0  = G0^{-1} b0          (one matvec per timestep)
+
+Per-Newton-iteration cost collapses from the reference's O(N^3) re-factor
+(solver.hpp:46-77, ~20k flops at N=31) to O(N*k + k^3) (~1k flops), all of
+it dense matvecs and a k x k solve — exactly the shapes the TPU VPU/MXU
+like.  The solution is algebraically identical to the full LU solve, so the
+Newton trajectory (and hence waveforms) match to floating-point resolution.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .lu import lu_solve
+from ..models.mosfet import mos_linearize
+from ..models.diode import diode_linearize
+
+
+def lu_inverse(A, pivot_floor=1e-15):
+    """Dense inverse via the pivoted LU solver (columns of I as RHS)."""
+    N = A.shape[-1]
+    eye = jnp.eye(N, dtype=A.dtype)
+    import jax
+    cols = jax.vmap(lambda e: lu_solve(A, e, pivot_floor), in_axes=1,
+                    out_axes=1)(eye)
+    return cols
+
+
+class WoodburyPlan:
+    """Static index plan for the low-rank nonlinear update of one circuit."""
+
+    def __init__(self, engine):
+        t = engine.topo
+        self.engine = engine
+        self.N = engine.N
+        nM, nD = len(t.mos_ed), len(t.dio_ep)
+        self.nM, self.nD = nM, nD
+        self.k = nM + nD
+        dump = self.N
+        # U column j = e_pos[j] - e_neg[j] (dump-mapped entries vanish)
+        self.u_pos = np.concatenate([t.mos_ed, t.dio_ep]).astype(np.int32)
+        self.u_neg = np.concatenate([t.mos_es, t.dio_em]).astype(np.int32)
+        # V^T row j has entries at these columns (3 for MOS, 2 for diode)
+        self.mos_cols = np.stack([t.mos_ed, t.mos_eg, t.mos_es], 1)  # (nM,3)
+        self.dio_cols = np.stack([t.dio_ep, t.dio_em], 1)           # (nD,2)
+
+    def build_U(self, dtype):
+        """(N, k) dense U (tiny; built once per compile)."""
+        U = jnp.zeros((self.N + 1, self.k), dtype=dtype)
+        U = U.at[self.u_pos, jnp.arange(self.k)].add(1.0)
+        U = U.at[self.u_neg, jnp.arange(self.k)].add(-1.0)
+        return U[: self.N]
+
+    def nonlinear_coeffs(self, params, x_ext):
+        """Per-device V^T values and Newton constants c at the current x.
+
+        Returns (vcoef, c): vcoef (k, 3) column coefficients aligned with
+        col_idx() (diodes use 2 of the 3 slots, third is zero), c (k,).
+        """
+        parts_v, parts_c = [], []
+        if self.nM:
+            t = self.engine.topo
+            vd = x_ext[..., t.mos_ed]
+            vg = x_ext[..., t.mos_eg]
+            vs = x_ext[..., t.mos_es]
+            gd, gg, gs, cst = mos_linearize(
+                params["mos_vth"], params["mos_k"], params["mos_lam"],
+                params["mos_p"], vd, vg, vs, self.engine.opts.mos_off_gds)
+            parts_v.append(jnp.stack([gd, gg, gs], axis=-1))
+            parts_c.append(cst)
+        if self.nD:
+            t = self.engine.topo
+            vp = x_ext[..., t.dio_ep]
+            vm = x_ext[..., t.dio_em]
+            g, cst = diode_linearize(params["dio_is"], params["dio_n"], vp, vm)
+            zeros = jnp.zeros_like(g)
+            parts_v.append(jnp.stack([g, -g, zeros], axis=-1))
+            parts_c.append(cst)
+        vcoef = jnp.concatenate(parts_v, axis=-2) if parts_v else \
+            jnp.zeros(x_ext.shape[:-1] + (0, 3), dtype=x_ext.dtype)
+        c = jnp.concatenate(parts_c, axis=-1) if parts_c else \
+            jnp.zeros(x_ext.shape[:-1] + (0,), dtype=x_ext.dtype)
+        return vcoef, c
+
+    def col_idx(self) -> np.ndarray:
+        """(k, 3) column indices for vcoef (diodes pad with the dump slot)."""
+        dump = np.full((self.nD, 1), self.N, dtype=np.int32)
+        mos = self.mos_cols if self.nM else np.zeros((0, 3), np.int32)
+        dio = (np.concatenate([self.dio_cols, dump], axis=1)
+               if self.nD else np.zeros((0, 3), np.int32))
+        return np.concatenate([mos, dio], axis=0).astype(np.int32)
+
+
+class WoodburySolver:
+    """Per-transient factorization state + the per-iteration solve."""
+
+    def __init__(self, engine, params, G0):
+        """G0: (..., N, N) static transient system matrix (engine.tran_static_G
+        sliced to the real unknowns)."""
+        self.engine = engine
+        self.plan = WoodburyPlan(engine)
+        opts = engine.opts
+        self.G0inv = lu_inverse(G0, opts.lu_pivot_floor)
+        U = self.plan.build_U(engine.dtype)
+        self.Y = self.G0inv @ U                       # (..., N, k)
+        # static gathers of Y rows at each device's column indices
+        cols = self.plan.col_idx()                    # (k, 3)
+        pad = jnp.zeros(self.Y.shape[:-2] + (1, self.plan.k),
+                        dtype=self.Y.dtype)
+        Y_ext = jnp.concatenate([self.Y, pad], axis=-2)   # dump row = 0
+        self.Y_cols = Y_ext[..., cols, :]             # (..., k, 3, k)
+        self.eye_k = jnp.eye(self.plan.k, dtype=engine.dtype)
+        self.cols = cols
+
+    def z0(self, b0):
+        """G0^{-1} b0 — once per timestep (b0 = sources + history)."""
+        return jnp.einsum("...ij,...j->...i", self.G0inv, b0)
+
+    def solve(self, params, x, z0):
+        """One Newton linear solve: returns x_raw solving A(x) x_raw = b(x)."""
+        plan = self.plan
+        if plan.k == 0:
+            return z0
+        xe = self.engine.x_ext(x)
+        vcoef, c = plan.nonlinear_coeffs(params, xe)   # (...,k,3), (...,k)
+        z = z0 - jnp.einsum("...nk,...k->...n", self.Y, c)
+        # S = I + V^T Y : S[j,l] = sum_s vcoef[j,s] * Y[cols[j,s], l]
+        S = self.eye_k + jnp.einsum("...js,...jsl->...jl", vcoef, self.Y_cols)
+        # V^T z
+        pad = jnp.zeros(z.shape[:-1] + (1,), dtype=z.dtype)
+        z_ext = jnp.concatenate([z, pad], axis=-1)
+        vz = jnp.einsum("...js,...js->...j", vcoef, z_ext[..., self.cols])
+        w = lu_solve(S, vz, self.engine.opts.lu_pivot_floor)
+        return z - jnp.einsum("...nk,...k->...n", self.Y, w)

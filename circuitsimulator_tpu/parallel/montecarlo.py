@@ -1,0 +1,67 @@
+"""Monte-Carlo / parameter-sweep batching.
+
+The reference runs one circuit per process; here thousands of instances of
+the same topology batch via `vmap` over the params pytree (SURVEY.md §2
+parallelism table).  Only *parameters* vary across lanes — topology (index
+patterns) is shared, so the whole batch compiles to one XLA program whose
+leading batch dimension maps onto the TPU vector lanes, and shards across
+chips via parallel/sharding.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..analysis.dc import dc_operating_point
+from ..analysis.transient import run_transient
+from ..ops.assemble import Engine
+
+
+def broadcast_params(params: Dict[str, Any], batch: int) -> Dict[str, Any]:
+    """Tile every parameter leaf to a leading batch axis."""
+    return jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (batch,) + a.shape), params)
+
+
+def perturb_params(params: Dict[str, Any], key, batch: int,
+                   rel_sigma: Mapping[str, float],
+                   dtype=None) -> Dict[str, Any]:
+    """Batched lognormal perturbation: params[k] * exp(sigma * N(0,1)).
+
+    `rel_sigma` maps param names (e.g. "mos_vth", "res_r") to relative
+    sigmas; unlisted params are broadcast unperturbed.  Lognormal keeps
+    physical positivity (R, C, K, ...).
+    """
+    out = {}
+    keys = jax.random.split(key, len(rel_sigma))
+    key_for = dict(zip(sorted(rel_sigma), keys))
+    for name, arr in params.items():
+        if name in rel_sigma and arr.dtype.kind == "f" and arr.size:
+            sig = rel_sigma[name]
+            noise = jax.random.normal(
+                key_for[name], (batch,) + arr.shape, dtype=arr.dtype)
+            out[name] = arr[None] * jnp.exp(sig * noise)
+        else:
+            out[name] = jnp.broadcast_to(arr, (batch,) + arr.shape)
+    return out
+
+
+def batched_dc(engine: Engine, bparams):
+    """vmap'd DC operating point: params with leading batch axis -> (B, N)."""
+    return jax.vmap(lambda p: dc_operating_point(engine, p))(bparams)
+
+
+def batched_transient(engine: Engine, bparams, tstep, tstop,
+                      save_xs: bool = False):
+    """vmap'd Backward-Euler transient over a params batch.
+
+    With save_xs=False only final state / iteration counts / failure flags
+    are kept — the right mode for large sweeps (a 8192-lane dbmixer sweep
+    would otherwise materialize ~50 G waveform samples).
+    """
+    return jax.vmap(
+        lambda p: run_transient(engine, p, tstep, tstop, save_xs=save_xs)
+    )(bparams)

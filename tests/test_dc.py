@@ -36,7 +36,7 @@ def test_capacitor_dc_open():
 
 @pytest.mark.parametrize("netlist", ["buffer", "dbmixer"])
 def test_dc_matches_reference_goldens(netlist, goldens_dir):
-    sim = Simulator.from_file(f"/root/reference/tests/{netlist}.sp")
+    sim = Simulator.from_file(f"tests/netlists/{netlist}.sp")
     x = np.asarray(sim.dc())
     ref_volts, ref_amps = parse_dc_table(
         (goldens_dir / f"{netlist}_stdout.txt").read_text())
@@ -51,7 +51,7 @@ def test_dc_matches_reference_goldens(netlist, goldens_dir):
 
 def test_dc_report_format_matches_reference_stdout(goldens_dir):
     """Byte-level format parity of the DC tables (main.cpp:62-91)."""
-    sim = Simulator.from_file("/root/reference/tests/buffer.sp")
+    sim = Simulator.from_file("tests/netlists/buffer.sp")
     x = np.asarray(sim.dc())
     report = sim.dc_report(x)
     ref = (goldens_dir / "buffer_stdout.txt").read_text()
@@ -64,7 +64,7 @@ def test_dc_report_format_matches_reference_stdout(goldens_dir):
 
 
 def test_circuit_summary_format(goldens_dir):
-    sim = Simulator.from_file("/root/reference/tests/dbmixer.sp")
+    sim = Simulator.from_file("tests/netlists/dbmixer.sp")
     ref = (goldens_dir / "dbmixer_stdout.txt").read_text()
     for line in sim.summary().splitlines():
         if line.strip():
@@ -74,7 +74,7 @@ def test_circuit_summary_format(goldens_dir):
 def test_vmapped_dc_equals_single():
     import jax
     import jax.numpy as jnp
-    sim = Simulator.from_file("/root/reference/tests/buffer.sp")
+    sim = Simulator.from_file("tests/netlists/buffer.sp")
     x1 = np.asarray(sim.dc())
     B = 4
     bparams = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), sim.params)

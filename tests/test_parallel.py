@@ -1,0 +1,110 @@
+"""Batch layer: vmap consistency, Monte-Carlo perturbation, multi-chip
+sharding on the virtual 8-device CPU mesh, checkpoint/resume."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from circuitsimulator_tpu.api import Simulator
+from circuitsimulator_tpu.parallel.montecarlo import (
+    broadcast_params, perturb_params, batched_dc, batched_transient,
+)
+from circuitsimulator_tpu.parallel.sharding import (
+    make_mesh, sharded_transient, sweep_statistics,
+)
+from circuitsimulator_tpu.parallel.checkpoint import ChunkedTransient
+
+MIXER = "tests/netlists/dbmixer.sp"
+BUFFER = "tests/netlists/buffer.sp"
+
+
+def test_broadcast_batch_equals_single():
+    sim = Simulator.from_file(BUFFER)
+    x1 = np.asarray(sim.dc())
+    xb = np.asarray(batched_dc(sim.engine, broadcast_params(sim.params, 8)))
+    assert xb.shape == (8, 13)
+    for i in range(8):
+        np.testing.assert_array_equal(xb[i], x1)
+
+
+def test_perturbed_monte_carlo_dc_spread():
+    sim = Simulator.from_file(BUFFER)
+    B = 64
+    bp = perturb_params(sim.params, jax.random.key(0), B,
+                        {"mos_vth": 0.05, "res_r": 0.01})
+    xb = np.asarray(batched_dc(sim.engine, bp))
+    assert xb.shape == (B, 13)
+    assert np.all(np.isfinite(xb))
+    # V(107) (eq 3) is MOS-bias dependent: must actually vary across lanes
+    assert np.std(xb[:, 3]) > 1e-4
+    # VDD node (eq 0) is pinned by the source: must stay 3 V
+    np.testing.assert_allclose(xb[:, 0], 3.0, atol=1e-9)
+
+
+def test_batched_transient_short():
+    sim = Simulator.from_file(MIXER)
+    B = 4
+    bp = broadcast_params(sim.params, B)
+    res = batched_transient(sim.engine, bp, 1e-13, 2e-11, save_xs=False)
+    assert res.x_final.shape == (B, 31)
+    assert not np.any(np.asarray(res.failed))
+    single = sim.transient(tstep=1e-13, tstop=2e-11, save_xs=False)
+    np.testing.assert_allclose(np.asarray(res.x_final[0]),
+                               np.asarray(single.x_final),
+                               rtol=0, atol=1e-12)
+
+
+def test_sharded_transient_on_8_device_mesh():
+    assert len(jax.devices()) == 8, "conftest should give 8 virtual devices"
+    sim = Simulator.from_file(MIXER)
+    mesh = make_mesh()
+    B = 16  # 2 lanes per device
+    bp = broadcast_params(sim.params, B)
+    res = sharded_transient(sim.engine, mesh, bp, 1e-13, 1e-11,
+                            save_xs=False)
+    xf = res.x_final
+    # result is actually sharded over the mesh
+    assert not xf.sharding.is_fully_replicated
+    assert xf.shape == (B, 31)
+    single = sim.transient(tstep=1e-13, tstop=1e-11, save_xs=False)
+    for i in range(B):
+        np.testing.assert_allclose(np.asarray(xf[i]),
+                                   np.asarray(single.x_final),
+                                   rtol=0, atol=1e-12)
+    stats = jax.jit(sweep_statistics)(xf)
+    np.testing.assert_allclose(np.asarray(stats["mean"]),
+                               np.asarray(single.x_final), atol=1e-13)
+    np.testing.assert_allclose(np.asarray(stats["std"]), 0.0, atol=1e-13)
+
+
+def test_checkpoint_resume_bitwise(tmp_path):
+    sim = Simulator.from_file(BUFFER)
+    tstep, tstop = 1e-9, 60e-9
+    # straight run
+    ref = sim.transient(tstep=tstep, tstop=tstop, save_xs=False)
+    # chunked run without checkpoint file
+    r1 = ChunkedTransient(sim.engine, sim.params, tstep, tstop,
+                          ckpt_path=None, chunk_steps=17)
+    carry1, iters1 = r1.run()
+    np.testing.assert_allclose(np.asarray(carry1[0]),
+                               np.asarray(ref.x_final), rtol=0, atol=1e-12)
+    assert iters1 == int(np.asarray(ref.newton_iters).sum())
+
+    # interrupted + resumed run must agree exactly with the uninterrupted one
+    ck = str(tmp_path / "run.npz")
+    r2 = ChunkedTransient(sim.engine, sim.params, tstep, tstop,
+                          ckpt_path=ck, chunk_steps=25)
+    carry = r2.initial_carry()
+    # simulate a crash: run only the first chunk manually, persist
+    import jax.numpy as jnp
+    from circuitsimulator_tpu.parallel.checkpoint import save_carry, load_carry
+    ts = jnp.arange(1, 26, dtype=sim.engine.dtype) * tstep
+    carry, _ = r2._run_chunk(carry, ts)
+    save_carry(ck, jax.device_get(carry), 25)
+    # new object resumes from step 25
+    r3 = ChunkedTransient(sim.engine, sim.params, tstep, tstop,
+                          ckpt_path=ck, chunk_steps=25)
+    carry3, _ = r3.run()
+    np.testing.assert_array_equal(np.asarray(carry3[0]),
+                                  np.asarray(carry1[0]))

@@ -138,14 +138,14 @@ def test_tran_optional_tstart():
 
 
 def test_bundled_netlists_counts():
-    ckt, sim = parse_netlist_text(open("/root/reference/tests/buffer.sp").read())
+    ckt, sim = parse_netlist_text(open("tests/netlists/buffer.sp").read())
     ckt.assign_equation_indices()
     assert len(ckt.nodes) == 10
     assert len(ckt.elements) == 14
     assert ckt.num_unknowns() == 13
     assert ckt.num_node_equations() == 9
 
-    ckt2, sim2 = parse_netlist_text(open("/root/reference/tests/dbmixer.sp").read())
+    ckt2, sim2 = parse_netlist_text(open("tests/netlists/dbmixer.sp").read())
     ckt2.assign_equation_indices()
     assert len(ckt2.nodes) == 22
     assert len(ckt2.elements) == 26

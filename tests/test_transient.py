@@ -87,7 +87,7 @@ def test_rl_steady_current():
                                                ("dbmixer", 492304)])
 def test_transient_matches_reference_golden(netlist, ref_iters, goldens_dir,
                                             tmp_path):
-    sim = Simulator.from_file(f"/root/reference/tests/{netlist}.sp")
+    sim = Simulator.from_file(f"tests/netlists/{netlist}.sp")
     res = sim.transient()
     assert not bool(res.failed)
     # exact Newton-trajectory parity: same total iteration count as the
@@ -106,7 +106,7 @@ def test_transient_matches_reference_golden(netlist, ref_iters, goldens_dir,
 
 def test_csv_byte_format(tmp_path, goldens_dir):
     """First rows must match the reference byte-for-byte (same %.9e grid)."""
-    sim = Simulator.from_file("/root/reference/tests/buffer.sp")
+    sim = Simulator.from_file("tests/netlists/buffer.sp")
     res = sim.transient()
     out = tmp_path / "buffer.csv"
     sim.write_transient_csv(str(out), res)
