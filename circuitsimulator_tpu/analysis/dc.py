@@ -67,10 +67,28 @@ def dc_newton(engine: Engine, params, with_stats: bool = False,
     use_gs = linear_solver == "gs"
     max_iters_base = 60 if use_gs else opts.dc_max_newton_iters
 
+    use_tridiag = linear_solver == "tridiag"
+    if use_tridiag:
+        from ..ops.banded import BandedPlan
+        from ..ops.tridiag import bordered_solve
+        n = engine.topo.n_node_eq
+        m = N - n
+        srows, scols, _ = engine.dc_static_entries(params)
+        static_plan = BandedPlan(n, m, srows, scols)
+        nl_plan = BandedPlan(n, m, engine.nl_rows, engine.nl_cols)
+        if not (static_plan.ok and nl_plan.ok):
+            raise ValueError("circuit is not ladder-structured; "
+                             "tridiag DC solver not applicable")
+
     def ramp_body(step, carry):
         x0, total_iters = carry
         scale = (step + 1).astype(dtype) / ramp
-        G_s, I_s = engine.dc_static(params, scale)
+        if use_tridiag:
+            _, _, svals = engine.dc_static_entries(params)
+            banded_s = static_plan.scatter(svals)
+            I_s = engine.dc_rhs(params, scale)
+        else:
+            G_s, I_s = engine.dc_static(params, scale)
         s = jnp.clip(scale, 0.0, 1.0)
         gmin_base = opts.gmin_high_base * (1.0 - s) + opts.gmin_low_base * s
         if use_gs:
@@ -84,12 +102,23 @@ def dc_newton(engine: Engine, params, with_stats: bool = False,
 
         def body(c):
             x, gmin, prev_err = c["x"], c["gmin"], c["prev_err"]
-            G, I = engine.assemble_dc_iter(G_s, I_s, params, x, gmin)
-            if use_gs:
+            if use_tridiag:
+                gvals, rvals = engine._nl_vals(params, x)
+                mats = nl_plan.scatter(gvals, base=banded_s)
+                diag = mats["diag"] + gmin
+                I = I_s.at[..., engine.nl_rhs_rows].add(rvals)
+                xn, y = bordered_solve(
+                    mats["sub"], diag, mats["sup"],
+                    mats["U"], mats["W"], mats["D"],
+                    I[..., :n], I[..., n:N])
+                x_raw = jnp.concatenate([xn, y], axis=-1)
+            elif use_gs:
+                G, I = engine.assemble_dc_iter(G_s, I_s, params, x, gmin)
                 x_raw = gauss_seidel_solve(
                     G[..., :N, :N], I[..., :N], x,
                     opts.gs_max_iters, opts.gs_tol, opts.gs_diag_eps)
             else:
+                G, I = engine.assemble_dc_iter(G_s, I_s, params, x, gmin)
                 x_raw = lu_solve(G[..., :N, :N], I[..., :N],
                                  opts.lu_pivot_floor)
             finite = jnp.all(jnp.isfinite(x_raw), axis=-1)
@@ -139,15 +168,40 @@ def dc_newton(engine: Engine, params, with_stats: bool = False,
     return x
 
 
+def dc_linear_tridiag(engine: Engine, params):
+    """Linear DC via the bordered-tridiagonal solve (ladder circuits)."""
+    from ..ops.banded import BandedPlan
+    from ..ops.tridiag import bordered_solve
+    N = engine.N
+    n = engine.topo.n_node_eq
+    m = N - n
+    rows, cols, vals = engine.dc_static_entries(params)
+    plan = BandedPlan(n, m, rows, cols)
+    if not plan.ok:
+        raise ValueError("circuit is not ladder-structured")
+    mats = plan.scatter(vals)
+    one = jnp.asarray(1.0, engine.dtype)
+    I = engine.dc_rhs(params, one)
+    xn, y = bordered_solve(mats["sub"], mats["diag"], mats["sup"],
+                           mats["U"], mats["W"], mats["D"],
+                           I[..., :n], I[..., n:N])
+    return jnp.concatenate([xn, y], axis=-1)
+
+
 def dc_operating_point(engine: Engine, params, with_stats: bool = False,
-                       linear_solver: str = "lu"):
+                       linear_solver: str = None):
     """computeDcOperatingPoint (tanalisis.cpp:44-47 -> dcSolve -> dcSolveLU).
-    linear_solver="gs" selects the Gauss-Seidel variant
-    (dcSolveGaussSeidel, dcanalysis.cpp:251-257)."""
+    linear_solver: "lu" (reference default), "gs" (dcSolveGaussSeidel,
+    dcanalysis.cpp:251-257), or "tridiag" (ladder circuits).  Defaults to
+    engine.opts.dc_solver."""
+    if linear_solver is None:
+        linear_solver = engine.opts.dc_solver
     if engine.topo.has_nonlinear:
         return dc_newton(engine, params, with_stats=with_stats,
                          linear_solver=linear_solver)
-    x = (dc_linear_gs if linear_solver == "gs" else dc_linear)(engine, params)
+    fn = {"gs": dc_linear_gs, "tridiag": dc_linear_tridiag}.get(
+        linear_solver, dc_linear)
+    x = fn(engine, params)
     if with_stats:
         return x, {"newton_iters": jnp.asarray(0, jnp.int32)}
     return x

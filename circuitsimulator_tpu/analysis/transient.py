@@ -75,9 +75,25 @@ def transient_step_fn(engine: Engine, params, dt):
     opts = engine.opts
     N = engine.N
     dtype = engine.dtype
-    G_static = engine.tran_static_G(params, dt, opts.tran_gmin)
     static_I = engine.make_tran_static_I(dt)
     use_woodbury = opts.tran_solver == "woodbury"
+    use_tridiag = opts.tran_solver == "tridiag"
+    if use_tridiag:
+        # O(n) bordered-tridiagonal path for ladder circuits (no dense G)
+        from ..ops.banded import BandedPlan
+        from ..ops.tridiag import bordered_solve
+        n = engine.topo.n_node_eq
+        m = N - n
+        srows, scols, svals = engine.tran_static_entries(
+            params, dt, opts.tran_gmin)
+        static_plan = BandedPlan(n, m, srows, scols)
+        nl_plan = BandedPlan(n, m, engine.nl_rows, engine.nl_cols)
+        if not (static_plan.ok and nl_plan.ok):
+            raise ValueError("circuit is not ladder-structured; "
+                             "tridiag transient solver not applicable")
+        banded_static = static_plan.scatter(svals)
+    else:
+        G_static = engine.tran_static_G(params, dt, opts.tran_gmin)
     if use_woodbury:
         from ..ops.woodbury import WoodburySolver
         wb = WoodburySolver(engine, params, G_static[..., :N, :N])
@@ -94,6 +110,15 @@ def transient_step_fn(engine: Engine, params, dt):
         def body(c):
             if use_woodbury:
                 x_raw = wb.solve(params, c["x"], z0)
+            elif use_tridiag:
+                gvals, rvals = engine._nl_vals(params, c["x"])
+                mats = nl_plan.scatter(gvals, base=banded_static)
+                I = I_s.at[..., engine.nl_rhs_rows].add(rvals)
+                xn, y = bordered_solve(
+                    mats["sub"], mats["diag"], mats["sup"],
+                    mats["U"], mats["W"], mats["D"],
+                    I[..., :n], I[..., n:N])
+                x_raw = jnp.concatenate([xn, y], axis=-1)
             else:
                 G, I = engine.assemble_tran_iter(G_static, I_s, params, c["x"])
                 x_raw = lu_solve(G[..., :N, :N], I[..., :N],

@@ -44,6 +44,15 @@ class Simulator:
         self.topo = self.lowered.topo
         self.params = self.lowered.params
         self.engine = Engine(self.lowered, opts)
+        # large ladder circuits (RC lines etc.): dense O(N^2) assembly and
+        # O(N^3) LU are unusable — switch to the bordered-tridiagonal
+        # cyclic-reduction backend when the topology allows it
+        if opts.auto_backend and self.topo.n_node_eq > 128:
+            from .ops.banded import is_ladder
+            if is_ladder(self.engine):
+                self.opts = opts = opts.replace(tran_solver="tridiag",
+                                                dc_solver="tridiag")
+                self.engine = Engine(self.lowered, opts)
 
     # ---- constructors ----
     @classmethod
@@ -59,17 +68,21 @@ class Simulator:
     # ---- analyses ----
     @functools.cached_property
     def _dc_jit(self):
-        return {
-            "lu": jax.jit(lambda p: dc_operating_point(self.engine, p, linear_solver="lu")),
-            "gs": jax.jit(lambda p: dc_operating_point(self.engine, p, linear_solver="gs")),
-        }
+        return {}
 
-    def dc(self, params: Optional[Any] = None, linear_solver: str = "lu"):
+    def dc(self, params: Optional[Any] = None,
+           linear_solver: Optional[str] = None):
         """DC operating point -> (N,) solution vector.
 
-        linear_solver: "lu" (default, = reference dcSolve/dcSolveLU) or
-        "gs" (= dcSolveGaussSeidel)."""
-        return self._dc_jit[linear_solver](
+        linear_solver: "lu" (reference dcSolve/dcSolveLU), "gs"
+        (= dcSolveGaussSeidel), or "tridiag" (ladder circuits).  Defaults to
+        the engine's configured dc_solver."""
+        key = linear_solver or self.opts.dc_solver
+        if key not in self._dc_jit:
+            self._dc_jit[key] = jax.jit(
+                lambda p: dc_operating_point(self.engine, p,
+                                             linear_solver=key))
+        return self._dc_jit[key](
             params if params is not None else self.params)
 
     def transient(self, params: Optional[Any] = None,

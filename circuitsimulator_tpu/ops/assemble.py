@@ -169,24 +169,35 @@ class Engine:
     # ------------------------------------------------------------------
     # DC assembly
     # ------------------------------------------------------------------
-    def dc_static(self, params, scale):
-        """G/I contributions that are constant across Newton iterations of a
-        ramp step: R conductances, V/L branch couplings, source values at
-        `scale` (src/dcanalysis.cpp:120-130 stamp pass sans MOS)."""
+    def dc_static_entries(self, params):
+        """Static COO entries of the DC system matrix (everything except the
+        nonlinear linearization and the per-iteration gmin diagonal)."""
         rvals = self._res_vals(params)
-        G = self._zeros_G(rvals)
-        G = G.at[..., self.res_rows, self.res_cols].add(rvals)
-        G = G.at[..., self.dc_const_rows, self.dc_const_cols].add(self.dc_const_vals)
+        rows = np.concatenate([self.res_rows, self.dc_const_rows])
+        cols = np.concatenate([self.res_cols, self.dc_const_cols])
+        vals = jnp.concatenate([rvals, self.dc_const_vals], axis=-1)
+        return rows, cols, vals
 
-        I = self._zeros_I(rvals)
+    def dc_rhs(self, params, scale):
+        """DC RHS vector: V/I source values at the given ramp scale."""
         vval = srcmod.eval_dc(params["vs_dc"], params["vs_kind"],
                               params["vs_sin"], scale)
+        I = self._zeros_I(vval)
         I = I.at[..., self.topo.vs_k].add(vval)
         ival = srcmod.eval_dc(params["is_dc"], params["is_kind"],
                               params["is_sin"], scale)
         irhs = jnp.stack([-ival, ival], axis=-1).reshape(*ival.shape[:-1], -1)
         I = I.at[..., self.is_rhs_rows].add(irhs)
-        return G, I
+        return I
+
+    def dc_static(self, params, scale):
+        """G/I contributions that are constant across Newton iterations of a
+        ramp step: R conductances, V/L branch couplings, source values at
+        `scale` (src/dcanalysis.cpp:120-130 stamp pass sans MOS)."""
+        rows, cols, vals = self.dc_static_entries(params)
+        G = self._zeros_G(vals)
+        G = G.at[..., rows, cols].add(vals)
+        return G, self.dc_rhs(params, scale)
 
     def assemble_dc_iter(self, G_static, I_static, params, x, gmin):
         """Add the per-iteration parts: nonlinear device linearization and the
@@ -203,18 +214,15 @@ class Engine:
     # ------------------------------------------------------------------
     # Transient assembly (Backward Euler companions, tanalisis.cpp:255-356)
     # ------------------------------------------------------------------
-    def tran_static_G(self, params, dt, gmin):
-        """The whole G matrix except the nonlinear conduction entries — this
-        is constant for the entire transient (fixed dt, fixed gmin)."""
+    def tran_static_entries(self, params, dt, gmin):
+        """Static COO entries of the transient system matrix (constant for
+        the whole analysis: R, V couplings, L and C/MOS-cap BE companions,
+        gmin diagonal) as (rows, cols, vals)."""
         rvals = self._res_vals(params)
-        G = self._zeros_G(rvals)
-        G = G.at[..., self.res_rows, self.res_cols].add(rvals)
 
         # V sources keep their ±1 coupling; inductors get the BE companion.
         nV = len(self.topo.vs_ep)
         vs_vals = self.dc_const_vals[:4 * nV]
-        G = G.at[..., self.dc_const_rows[:4 * nV],
-                 self.dc_const_cols[:4 * nV]].add(vs_vals)
 
         L = params["ind_l"]
         lmask = L > 0.0
@@ -223,16 +231,32 @@ class Engine:
         pat = (pat * lmask[..., None]).reshape(*L.shape[:-1], -1)
         diag = jnp.where(lmask, -L / dt, 0.0)
         ind_vals = jnp.concatenate([pat, diag], axis=-1)
-        G = G.at[..., self.ind_rows, self.ind_cols].add(ind_vals)
 
         C = self._caplike_C(params)
         gc = jnp.where(C > 0.0, C / dt, 0.0)
-        G = G.at[..., self.cap_rows, self.cap_cols].add(_two_terminal_vals(gc))
+        cap_vals = _two_terminal_vals(gc)
 
         gm = jnp.broadcast_to(
             jnp.asarray(gmin, self.dtype)[..., None],
             rvals.shape[:-1] + (len(self.topo.node_eqs),))
-        G = G.at[..., self.topo.node_eqs, self.topo.node_eqs].add(gm)
+
+        rows = np.concatenate([self.res_rows, self.dc_const_rows[:4 * nV],
+                               self.ind_rows, self.cap_rows,
+                               self.topo.node_eqs])
+        cols = np.concatenate([self.res_cols, self.dc_const_cols[:4 * nV],
+                               self.ind_cols, self.cap_cols,
+                               self.topo.node_eqs])
+        vals = jnp.concatenate(
+            [rvals, jnp.broadcast_to(vs_vals, rvals.shape[:-1] + vs_vals.shape[-1:]),
+             ind_vals, cap_vals, gm], axis=-1)
+        return rows, cols, vals
+
+    def tran_static_G(self, params, dt, gmin):
+        """The whole G matrix except the nonlinear conduction entries — this
+        is constant for the entire transient (fixed dt, fixed gmin)."""
+        rows, cols, vals = self.tran_static_entries(params, dt, gmin)
+        G = self._zeros_G(vals)
+        G = G.at[..., rows, cols].add(vals)
         return G
 
     def make_tran_static_I(self, dt):

@@ -55,8 +55,15 @@ class SolverOptions:
     # "woodbury" = static factor + rank-k update solve (same solution,
     # ~20x fewer flops/iter; see ops/woodbury.py).  Both reproduce the
     # reference goldens with identical Newton trajectories; woodbury is
-    # the default because it is strictly faster.
+    # the default because it is strictly faster.  "tridiag" = bordered
+    # cyclic-reduction solve for ladder circuits (O(n) per iteration,
+    # required beyond a few hundred nodes).
     tran_solver: str = "woodbury"
+    # DC linear solver: "lu" (reference), "gs", or "tridiag" (ladder)
+    dc_solver: str = "lu"
+    # let the Simulator switch both to "tridiag" automatically for large
+    # ladder-structured circuits
+    auto_backend: bool = True
 
     # --- Linear solver ---
     lu_pivot_floor: float = 1e-15
