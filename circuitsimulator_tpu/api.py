@@ -55,14 +55,33 @@ class Simulator:
                 self.engine = Engine(self.lowered, opts)
 
     # ---- constructors ----
+    @staticmethod
+    def _parse(text: Optional[str], path: Optional[str], frontend: str):
+        """frontend: "python", "native" (C++ via ctypes), or "auto"."""
+        if frontend not in ("python", "native", "auto"):
+            raise ValueError(f"unknown frontend {frontend!r}")
+        if frontend in ("native", "auto"):
+            from . import native
+            if native.available():
+                if path is not None:
+                    return native.parse_netlist_native(path)
+                return native.parse_netlist_text_native(text)
+            if frontend == "native":
+                raise RuntimeError("native frontend unavailable")
+        if path is not None:
+            return parse_netlist(path)
+        return parse_netlist_text(text)
+
     @classmethod
-    def from_file(cls, path: str, opts: Optional[SolverOptions] = None):
-        ckt, sim = parse_netlist(path)
+    def from_file(cls, path: str, opts: Optional[SolverOptions] = None,
+                  frontend: str = "python"):
+        ckt, sim = cls._parse(None, path, frontend)
         return cls(ckt, sim, opts)
 
     @classmethod
-    def from_text(cls, text: str, opts: Optional[SolverOptions] = None):
-        ckt, sim = parse_netlist_text(text)
+    def from_text(cls, text: str, opts: Optional[SolverOptions] = None,
+                  frontend: str = "python"):
+        ckt, sim = cls._parse(text, None, frontend)
         return cls(ckt, sim, opts)
 
     # ---- analyses ----

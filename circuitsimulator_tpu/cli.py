@@ -30,6 +30,10 @@ def build_argparser() -> argparse.ArgumentParser:
                         "parity)")
     p.add_argument("--no-tran", action="store_true",
                    help="skip the transient analysis even if .TRAN present")
+    p.add_argument("--frontend", choices=["python", "native", "auto"],
+                   default="auto",
+                   help="netlist frontend: the C++ parser (native) or the "
+                        "pure-Python one (default: auto = native if built)")
     # analyses beyond the reference executable (it parses these cards but
     # never runs them; off by default to keep CLI output parity)
     p.add_argument("--run-ac", metavar="CSV", nargs="?", const="ac_out.csv",
@@ -58,7 +62,7 @@ def main(argv=None) -> int:
 
     print(f"Reading netlist: {args.netlist}")
     try:
-        sim = Simulator.from_file(args.netlist)
+        sim = Simulator.from_file(args.netlist, frontend=args.frontend)
     except FileNotFoundError:
         print("parseNetlist() failed.", file=sys.stderr)
         return 1

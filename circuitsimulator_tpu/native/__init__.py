@@ -1,0 +1,247 @@
+"""Native (C++) netlist frontend binding.
+
+The reference's frontend/graph-builder tier is native C++ (src/parser.cpp,
+src/circuit.cpp); this package's equivalent lives in csim_frontend.cpp and
+performs the full lex -> parse -> circuit-build -> equation-numbering
+pipeline natively, returning flat record arrays over a string pool that map
+directly onto the Python Circuit / SimulationConfig.  Loaded via ctypes (no
+pybind11 in the build environment); compiled on demand with g++ and cached
+next to the source.
+
+Use `parse_netlist_native(path)` / `parse_netlist_text_native(text)`, or
+`Simulator.from_file(..., frontend="native")`.  `available()` reports
+whether the shared library could be built/loaded.
+"""
+
+from __future__ import annotations
+
+import ctypes as ct
+import os
+import subprocess
+import sys
+import tempfile
+from typing import Optional, Tuple
+
+from ..netlist.circuit import (
+    Circuit, ElementRec, Node, SourceSpec, Waveform,
+    KIND_R, KIND_C, KIND_L, KIND_V, KIND_I, KIND_M, KIND_D,
+)
+from ..netlist.parser import (
+    SimulationConfig, TranConfig, AcConfig, HbConfig, DCSweepConfig,
+    PrintCommand, ProbeSpec, AN_NONE, AN_OP, AN_DC, AN_AC, AN_TRAN, AN_HB,
+)
+
+_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                    "csim_frontend.cpp")
+_LIB_NAME = "libcsim_frontend.so"
+_ABI_VERSION = 1
+
+_lib = None
+_lib_error: Optional[str] = None
+
+
+class _CElement(ct.Structure):
+    _pack_ = 1
+    _fields_ = [
+        ("kind", ct.c_int32), ("name_off", ct.c_int32),
+        ("nodes", ct.c_int32 * 4), ("branch_eq", ct.c_int32),
+        ("value", ct.c_double),
+        ("is_p", ct.c_int32),
+        ("vth", ct.c_double), ("k", ct.c_double), ("lam", ct.c_double),
+        ("cj0", ct.c_double),
+        ("i_sat", ct.c_double), ("n_ideal", ct.c_double),
+        ("dc", ct.c_double), ("ac_mag", ct.c_double), ("ac_phase", ct.c_double),
+        ("wave_kind", ct.c_int32),
+        ("pulse", ct.c_double * 7), ("sin5", ct.c_double * 5),
+        ("pwl_off", ct.c_int32), ("pwl_n", ct.c_int32),
+    ]
+
+
+class _CNode(ct.Structure):
+    _pack_ = 1
+    _fields_ = [("name_off", ct.c_int32), ("eq_index", ct.c_int32)]
+
+
+class _CProbe(ct.Structure):
+    _pack_ = 1
+    _fields_ = [("analysis", ct.c_int32), ("kind", ct.c_int32),
+                ("node1_off", ct.c_int32), ("node2_off", ct.c_int32),
+                ("ele_off", ct.c_int32), ("port_off", ct.c_int32)]
+
+
+class _CSweep(ct.Structure):
+    _pack_ = 1
+    _fields_ = [("source_off", ct.c_int32), ("start", ct.c_double),
+                ("stop", ct.c_double), ("step", ct.c_double)]
+
+
+class _CConfig(ct.Structure):
+    _pack_ = 1
+    _fields_ = [
+        ("do_op", ct.c_int32),
+        ("tran_enabled", ct.c_int32),
+        ("tstep", ct.c_double), ("tstop", ct.c_double), ("tstart", ct.c_double),
+        ("ac_enabled", ct.c_int32), ("ac_sweep", ct.c_int32),
+        ("ac_npoints", ct.c_int32),
+        ("fstart", ct.c_double), ("fstop", ct.c_double),
+        ("hb_enabled", ct.c_int32), ("hb_f0", ct.c_double),
+        ("hb_nharm", ct.c_int32),
+    ]
+
+
+def _build_lib(lib_path: str) -> None:
+    cmd = ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", _SRC,
+           "-o", lib_path]
+    subprocess.run(cmd, check=True, capture_output=True, text=True)
+
+
+def _load() -> Optional[ct.CDLL]:
+    global _lib, _lib_error
+    if _lib is not None or _lib_error is not None:
+        return _lib
+    lib_dir = os.path.dirname(_SRC)
+    lib_path = os.path.join(lib_dir, _LIB_NAME)
+    try:
+        if (not os.path.exists(lib_path)
+                or os.path.getmtime(lib_path) < os.path.getmtime(_SRC)):
+            try:
+                _build_lib(lib_path)
+            except (OSError, subprocess.CalledProcessError):
+                # source dir may be read-only: build into a temp dir
+                lib_path = os.path.join(tempfile.gettempdir(),
+                                        f"csim_frontend_{os.getuid()}.so")
+                _build_lib(lib_path)
+        lib = ct.CDLL(lib_path)
+    except (OSError, subprocess.CalledProcessError) as e:
+        _lib_error = str(e)
+        return None
+    lib.csim_parse.restype = ct.c_void_p
+    lib.csim_parse.argtypes = [ct.c_char_p]
+    lib.csim_free.argtypes = [ct.c_void_p]
+    for name in ("csim_n_elements", "csim_n_nodes", "csim_n_probes",
+                 "csim_n_sweeps", "csim_n_pwl", "csim_strpool_size",
+                 "csim_abi_version"):
+        getattr(lib, name).restype = ct.c_int32
+        if name != "csim_abi_version":
+            getattr(lib, name).argtypes = [ct.c_void_p]
+    for name in ("csim_elements", "csim_nodes", "csim_probes", "csim_sweeps",
+                 "csim_config"):
+        getattr(lib, name).restype = ct.c_void_p
+        getattr(lib, name).argtypes = [ct.c_void_p]
+    lib.csim_pwl.restype = ct.POINTER(ct.c_double)
+    lib.csim_pwl.argtypes = [ct.c_void_p]
+    lib.csim_strpool.restype = ct.c_void_p
+    lib.csim_strpool.argtypes = [ct.c_void_p]
+    lib.csim_diagnostics.restype = ct.c_char_p
+    lib.csim_diagnostics.argtypes = [ct.c_void_p]
+    if lib.csim_abi_version() != _ABI_VERSION:
+        _lib_error = "ABI version mismatch"
+        return None
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+_KIND_MAP = {0: KIND_R, 1: KIND_C, 2: KIND_L, 3: KIND_V, 4: KIND_I,
+             5: KIND_M, 6: KIND_D}
+_AN_MAP = {0: AN_NONE, 1: AN_OP, 2: AN_DC, 3: AN_AC, 4: AN_TRAN, 5: AN_HB}
+_PROBE_KIND = {0: "nv", 1: "dv", 2: "br"}
+
+
+def parse_netlist_text_native(text: str) -> Tuple[Circuit, SimulationConfig]:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native frontend unavailable: {_lib_error}")
+    h = lib.csim_parse(text.encode())
+    try:
+        pool_size = lib.csim_strpool_size(h)
+        pool = ct.string_at(lib.csim_strpool(h), pool_size)
+
+        def s(off: int) -> str:
+            if off < 0:
+                return ""
+            end = pool.index(b"\0", off)
+            return pool[off:end].decode()
+
+        diags = lib.csim_diagnostics(h).decode()
+        if diags:
+            sys.stderr.write(diags)
+
+        npwl = lib.csim_n_pwl(h)
+        pwl = [lib.csim_pwl(h)[i] for i in range(npwl)] if npwl else []
+
+        ckt = Circuit()
+        n_nodes = lib.csim_n_nodes(h)
+        cn = ct.cast(lib.csim_nodes(h), ct.POINTER(_CNode))
+        for i in range(n_nodes):
+            name = s(cn[i].name_off)
+            ckt.nodes.append(Node(id=i, name=name, eq_index=cn[i].eq_index))
+            ckt.node_name_to_id[name] = i
+
+        ne = lib.csim_n_elements(h)
+        cels = ct.cast(lib.csim_elements(h), ct.POINTER(_CElement))
+        for i in range(ne):
+            e = cels[i]
+            kind = _KIND_MAP[e.kind]
+            node_ids = [e.nodes[j] for j in range(4) if e.nodes[j] >= 0]
+            rec = ElementRec(kind=kind, name=s(e.name_off), node_ids=node_ids,
+                             value=e.value, branch_eq=e.branch_eq)
+            if kind in (KIND_V, KIND_I):
+                w = Waveform(kind=e.wave_kind)
+                if e.wave_kind == 1:
+                    (w.v1, w.v2, w.ptd, w.tr, w.tf, w.ton, w.per) = list(e.pulse)
+                elif e.wave_kind == 2:
+                    (w.v0, w.va, w.freq, w.std, w.phi) = list(e.sin5)
+                elif e.wave_kind == 3:
+                    pts = pwl[e.pwl_off:e.pwl_off + 2 * e.pwl_n]
+                    w.pwl_t = pts[0::2]
+                    w.pwl_v = pts[1::2]
+                rec.spec = SourceSpec(dc=e.dc, ac_mag=e.ac_mag,
+                                      ac_phase_deg=e.ac_phase, wave=w)
+            elif kind == KIND_M:
+                rec.is_p = bool(e.is_p)
+                rec.vth, rec.k, rec.lam, rec.cj0 = e.vth, e.k, e.lam, e.cj0
+            elif kind == KIND_D:
+                rec.i_sat, rec.n_ideal = e.i_sat, e.n_ideal
+            ckt.elements.append(rec)
+
+        cfg = ct.cast(lib.csim_config(h), ct.POINTER(_CConfig))[0]
+        sim = SimulationConfig()
+        sim.do_op = bool(cfg.do_op)
+        sim.tran = TranConfig(enabled=bool(cfg.tran_enabled), tstep=cfg.tstep,
+                              tstop=cfg.tstop, tstart=cfg.tstart)
+        sim.ac = AcConfig(enabled=bool(cfg.ac_enabled),
+                          sweep_type=["lin", "dec", "oct"][cfg.ac_sweep],
+                          n_points=cfg.ac_npoints, fstart=cfg.fstart,
+                          fstop=cfg.fstop)
+        sim.hb = HbConfig(enabled=bool(cfg.hb_enabled), f0=cfg.hb_f0,
+                          n_harm=cfg.hb_nharm)
+        nsw = lib.csim_n_sweeps(h)
+        csw = ct.cast(lib.csim_sweeps(h), ct.POINTER(_CSweep))
+        for i in range(nsw):
+            sim.dc_sweeps.append(DCSweepConfig(
+                source_name=s(csw[i].source_off), start=csw[i].start,
+                stop=csw[i].stop, step=csw[i].step))
+        npr = lib.csim_n_probes(h)
+        cpr = ct.cast(lib.csim_probes(h), ct.POINTER(_CProbe))
+        # group consecutive probes with the same analysis into PrintCommands
+        # (one per probe keeps semantics; the reference only aggregates for
+        # display purposes)
+        for i in range(npr):
+            p = cpr[i]
+            probe = ProbeSpec(kind=_PROBE_KIND[p.kind],
+                              node1=s(p.node1_off), node2=s(p.node2_off),
+                              ele_name=s(p.ele_off), ele_port=s(p.port_off))
+            pc = PrintCommand(analysis=_AN_MAP[p.analysis], probes=[probe])
+            sim.print_commands.append(pc)
+        return ckt, sim
+    finally:
+        lib.csim_free(h)
+
+
+def parse_netlist_native(path: str) -> Tuple[Circuit, SimulationConfig]:
+    with open(path, "r", errors="replace") as f:
+        return parse_netlist_text_native(f.read())

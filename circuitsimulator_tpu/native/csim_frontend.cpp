@@ -1,0 +1,786 @@
+// Native netlist frontend for circuitsimulator_tpu.
+//
+// Re-implements the Python frontend (circuitsimulator_tpu/netlist/) in C++
+// with the same behavioral contract as the reference simulator's parser
+// (reference: src/parser.cpp, src/circuit.cpp, include/utils.hpp — see
+// SURVEY.md §2 parser feature matrix), plus this project's extensions
+// (diodes, AC source specs, PULSE/PWL on V sources).
+//
+// Exposed as a C ABI consumed via ctypes (circuitsimulator_tpu/native/):
+// the parser produces flat fixed-size record arrays (elements, nodes,
+// models, probes, sweeps) over an interned string pool — i.e. it performs
+// the full lex/parse/graph-build/equation-numbering pipeline natively and
+// hands Python data that maps 1:1 onto the flat-array IR.
+//
+// Build: g++ -O2 -std=c++17 -shared -fPIC csim_frontend.cpp -o libcsim_frontend.so
+
+#include <algorithm>
+#include <cctype>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <fstream>
+#include <sstream>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+// ----------------------------------------------------------------------
+// small utilities (behavior contract: utils.hpp:5-84)
+// ----------------------------------------------------------------------
+std::string lower(std::string s) {
+    for (char& c : s) c = (char)std::tolower((unsigned char)c);
+    return s;
+}
+
+std::string trim(const std::string& s) {
+    size_t b = s.find_first_not_of(" \t\r\n");
+    if (b == std::string::npos) return "";
+    size_t e = s.find_last_not_of(" \t\r\n");
+    return s.substr(b, e - b + 1);
+}
+
+bool is_ground(const std::string& name) {
+    std::string l = lower(name);
+    return l == "0" || l == "gnd";
+}
+
+double suffix_factor(const std::string& suf) {
+    if (suf == "f") return 1e-15;
+    if (suf == "p") return 1e-12;
+    if (suf == "n") return 1e-9;
+    if (suf == "u") return 1e-6;
+    if (suf == "m") return 1e-3;
+    if (suf == "k") return 1e3;
+    if (suf == "meg") return 1e6;
+    if (suf == "g") return 1e9;
+    if (suf == "t") return 1e12;
+    return 1.0;
+}
+
+// std::stod-style longest numeric prefix; returns chars consumed (0 if none)
+size_t num_prefix(const std::string& s, double* out) {
+    size_t i = 0;
+    size_t n = s.size();
+    if (i < n && (s[i] == '+' || s[i] == '-')) ++i;
+    size_t digits_start = i;
+    while (i < n && std::isdigit((unsigned char)s[i])) ++i;
+    bool int_digits = i > digits_start;
+    bool frac_digits = false;
+    if (i < n && s[i] == '.') {
+        ++i;
+        size_t f0 = i;
+        while (i < n && std::isdigit((unsigned char)s[i])) ++i;
+        frac_digits = i > f0;
+    }
+    if (!int_digits && !frac_digits) return 0;
+    size_t before_exp = i;
+    if (i < n && (s[i] == 'e' || s[i] == 'E')) {
+        size_t j = i + 1;
+        if (j < n && (s[j] == '+' || s[j] == '-')) ++j;
+        size_t d0 = j;
+        while (j < n && std::isdigit((unsigned char)s[j])) ++j;
+        if (j > d0) i = j; else i = before_exp;  // incomplete exponent
+    }
+    *out = std::strtod(s.substr(0, i).c_str(), nullptr);
+    return i;
+}
+
+// parse_spice_number: numeric prefix * suffix factor; fallback: number
+// before the first alpha char; no number at all -> 0.0; unparseable -> fail
+bool parse_spice(const std::string& token, double* out) {
+    std::string s = lower(token);
+    double base;
+    size_t used = num_prefix(s, &base);
+    if (used > 0) {
+        std::string suf = s.substr(used);
+        *out = suf.empty() ? base : base * suffix_factor(suf);
+        return true;
+    }
+    size_t pos = std::string::npos;
+    for (size_t i = 0; i < s.size(); ++i) {
+        if (std::isalpha((unsigned char)s[i])) { pos = i; break; }
+    }
+    if (pos == std::string::npos) { *out = 0.0; return true; }
+    std::string head = s.substr(0, pos);
+    used = num_prefix(head, &base);
+    if (used == 0 || used != head.size()) return false;
+    *out = base * suffix_factor(s.substr(pos));
+    return true;
+}
+
+// ----------------------------------------------------------------------
+// flat output records (mirrored by ctypes structs on the Python side)
+// ----------------------------------------------------------------------
+#pragma pack(push, 1)
+struct ElementRec {
+    int32_t kind;       // 0=R 1=C 2=L 3=V 4=I 5=M 6=D
+    int32_t name_off;
+    int32_t nodes[4];   // node ids; -1 unused
+    int32_t branch_eq;  // -1 unless V/L
+    double value;       // R/C/L value
+    // MOS
+    int32_t is_p;
+    double vth, k, lam, cj0;
+    // diode
+    double i_sat, n_ideal;
+    // source spec
+    double dc, ac_mag, ac_phase;
+    int32_t wave_kind;  // 0 none 1 pulse 2 sin 3 pwl
+    double pulse[7];    // v1 v2 td tr tf ton per
+    double sin5[5];     // v0 va freq td phi
+    int32_t pwl_off, pwl_n;  // into pwl pool (pairs t,v interleaved)
+};
+
+struct NodeRec {
+    int32_t name_off;
+    int32_t eq_index;
+};
+
+struct ProbeRec {
+    int32_t analysis;   // 0 none 1 op 2 dc 3 ac 4 tran 5 hb
+    int32_t kind;       // 0 nv 1 dv 2 br
+    int32_t node1_off, node2_off, ele_off, port_off;
+};
+
+struct SweepRec {
+    int32_t source_off;
+    double start, stop, step;
+};
+
+struct Config {
+    int32_t do_op;
+    int32_t tran_enabled;
+    double tstep, tstop, tstart;
+    int32_t ac_enabled;
+    int32_t ac_sweep;   // 0 lin 1 dec 2 oct
+    int32_t ac_npoints;
+    double fstart, fstop;
+    int32_t hb_enabled;
+    double hb_f0;
+    int32_t hb_nharm;
+};
+#pragma pack(pop)
+
+struct Result {
+    std::vector<ElementRec> elements;
+    std::vector<NodeRec> nodes;
+    std::vector<ProbeRec> probes;
+    std::vector<SweepRec> sweeps;
+    std::vector<double> pwl_pool;
+    std::string str_pool;
+    std::string diagnostics;
+    Config config{};
+};
+
+struct MosModel {
+    bool is_p = false;
+    double vt = 0.7, mu = 1e-3, cox = 1e-3, lambda_ = 0.0, cj0 = 0.0;
+};
+
+struct Statement {
+    int line_no;
+    std::string raw;
+    std::vector<std::string> tokens;
+};
+
+class Frontend {
+public:
+    Result out;
+    std::unordered_map<std::string, int32_t> node_ids;
+    std::unordered_map<std::string, MosModel> models;
+    std::ostringstream diag;
+
+    int32_t intern(const std::string& s) {
+        int32_t off = (int32_t)out.str_pool.size();
+        out.str_pool.append(s);
+        out.str_pool.push_back('\0');
+        return off;
+    }
+
+    int32_t node(const std::string& name) {
+        auto it = node_ids.find(name);
+        if (it != node_ids.end()) return it->second;
+        int32_t id = (int32_t)out.nodes.size();
+        NodeRec nr{intern(name), -1};
+        out.nodes.push_back(nr);
+        node_ids.emplace(name, id);
+        return id;
+    }
+
+    void warn(int line, const std::string& msg) {
+        diag << "Line " << line << ": " << msg << "\n";
+    }
+
+    // ---- lexer (contract: parser.cpp:59-135) ----
+    static std::vector<Statement> lex(const std::string& text) {
+        std::vector<Statement> stmts;
+        std::string logical;
+        int logical_start = 0;
+        int line_no = 0;
+        auto flush = [&]() {
+            if (logical.empty()) return;
+            std::string s = logical;
+            size_t dollar = s.find('$');
+            if (dollar != std::string::npos) s = s.substr(0, dollar);
+            s = trim(s);
+            logical.clear();
+            if (s.empty()) return;
+            Statement st;
+            st.line_no = logical_start;
+            st.raw = s;
+            std::istringstream iss(s);
+            std::string tok;
+            while (iss >> tok) st.tokens.push_back(tok);
+            if (!st.tokens.empty()) stmts.push_back(std::move(st));
+        };
+        std::istringstream in(text);
+        std::string phys;
+        while (std::getline(in, phys)) {
+            ++line_no;
+            if (!phys.empty() && phys.back() == '\r') phys.pop_back();
+            size_t dollar = phys.find('$');
+            if (dollar != std::string::npos) phys = phys.substr(0, dollar);
+            std::string s = trim(phys);
+            if (s.empty()) continue;
+            if (s[0] == '*' || s[0] == ';') continue;
+            if (s[0] == '+') {
+                std::string rest = trim(s.substr(1));
+                if (!logical.empty()) {
+                    logical += " ";
+                    logical += rest;
+                } else {
+                    logical_start = line_no;
+                    logical = rest;
+                }
+            } else {
+                flush();
+                logical_start = line_no;
+                logical = s;
+            }
+        }
+        flush();
+        return stmts;
+    }
+
+    // ---- element record helpers ----
+    ElementRec blank(int kind, const std::string& name) {
+        ElementRec e{};
+        e.kind = kind;
+        e.name_off = intern(name);
+        e.nodes[0] = e.nodes[1] = e.nodes[2] = e.nodes[3] = -1;
+        e.branch_eq = -1;
+        e.n_ideal = 1.0;
+        e.pwl_off = -1;
+        return e;
+    }
+
+    bool parse_or_warn(const Statement& st, const std::string& tok,
+                       const char* what, double* out_val) {
+        if (parse_spice(tok, out_val)) return true;
+        warn(st.line_no, std::string("cannot parse ") + what + ": '" +
+                              st.raw + "'");
+        return false;
+    }
+
+    // ---- devices ----
+    void dev_rcl(const Statement& st, int kind) {
+        if (st.tokens.size() < 4) {
+            warn(st.line_no, "invalid element: " + st.raw);
+            return;
+        }
+        double v;
+        if (!parse_or_warn(st, st.tokens[3], "value", &v)) return;
+        ElementRec e = blank(kind, st.tokens[0]);
+        e.nodes[0] = node(st.tokens[1]);
+        e.nodes[1] = node(st.tokens[2]);
+        e.value = v;
+        out.elements.push_back(e);
+    }
+
+    void parse_waveform(const Statement& st, ElementRec& e, size_t from) {
+        const auto& t = st.tokens;
+        for (size_t j = from; j < t.size(); ++j) {
+            std::string head = lower(t[j]);
+            if (head == "sin") {
+                if (t.size() < j + 4) {
+                    warn(st.line_no,
+                         "SIN needs at least 3 parameters (v0 va freq): " +
+                             st.raw);
+                    return;
+                }
+                double p[5] = {0, 0, 0, 0, 0};
+                size_t avail = std::min<size_t>(5, t.size() - j - 1);
+                for (size_t i = 0; i < avail; ++i) {
+                    if (!parse_spice(t[j + 1 + i], &p[i])) {
+                        // any unparseable parameter aborts the whole
+                        // waveform, matching the Python frontend
+                        warn(st.line_no,
+                             "cannot parse SIN parameters: " + st.raw);
+                        return;
+                    }
+                }
+                e.wave_kind = 2;
+                for (int i = 0; i < 5; ++i) e.sin5[i] = p[i];
+                return;
+            }
+            if (head.rfind("pulse", 0) == 0) {
+                std::vector<double> vals;
+                std::string first = head.size() > 5 ? head.substr(5) : "";
+                auto push_tok = [&](std::string a) {
+                    a.erase(std::remove_if(a.begin(), a.end(),
+                                           [](char c) {
+                                               return c == '(' || c == ')';
+                                           }),
+                            a.end());
+                    if (a.empty()) return true;
+                    double v;
+                    if (!parse_spice(a, &v)) return false;
+                    vals.push_back(v);
+                    return true;
+                };
+                push_tok(first);
+                for (size_t i = j + 1; i < t.size(); ++i)
+                    if (!push_tok(t[i])) break;
+                if (vals.size() < 2) {
+                    warn(st.line_no, "PULSE needs at least v1 v2: " + st.raw);
+                    return;
+                }
+                e.wave_kind = 1;
+                for (size_t i = 0; i < vals.size() && i < 7; ++i)
+                    e.pulse[i] = vals[i];
+                return;
+            }
+            if (head.rfind("pwl", 0) == 0) {
+                std::vector<double> vals;
+                std::string first = head.size() > 3 ? head.substr(3) : "";
+                bool ok = true;
+                auto push_tok = [&](std::string a) {
+                    std::replace(a.begin(), a.end(), '(', ' ');
+                    std::replace(a.begin(), a.end(), ')', ' ');
+                    std::istringstream iss(a);
+                    std::string piece;
+                    while (iss >> piece) {
+                        double v;
+                        if (!parse_spice(piece, &v)) { ok = false; return; }
+                        vals.push_back(v);
+                    }
+                };
+                push_tok(first);
+                for (size_t i = j + 1; i < t.size() && ok; ++i)
+                    push_tok(t[i]);
+                if (!ok) {
+                    warn(st.line_no, "cannot parse PWL point: " + st.raw);
+                    return;
+                }
+                if (vals.size() < 2 || vals.size() % 2) {
+                    warn(st.line_no, "PWL needs (t, v) pairs: " + st.raw);
+                    return;
+                }
+                e.wave_kind = 3;
+                e.pwl_off = (int32_t)out.pwl_pool.size();
+                e.pwl_n = (int32_t)(vals.size() / 2);
+                out.pwl_pool.insert(out.pwl_pool.end(), vals.begin(),
+                                    vals.end());
+                return;
+            }
+        }
+    }
+
+    void parse_ac_spec(const Statement& st, ElementRec& e) {
+        const auto& t = st.tokens;
+        for (size_t i = 3; i + 1 < t.size(); ++i) {
+            if (lower(t[i]) == "ac") {
+                double mag;
+                if (!parse_spice(t[i + 1], &mag)) {
+                    warn(st.line_no, "cannot parse AC spec: " + st.raw);
+                    return;
+                }
+                e.ac_mag = mag;
+                if (i + 2 < t.size()) {
+                    double ph;
+                    if (parse_spice(t[i + 2], &ph)) e.ac_phase = ph;
+                }
+                return;
+            }
+        }
+    }
+
+    void dev_vsource(const Statement& st) {
+        const auto& t = st.tokens;
+        if (t.size() < 4) {
+            warn(st.line_no, "invalid voltage source: " + st.raw);
+            return;
+        }
+        ElementRec e = blank(3, t[0]);
+        size_t idx = 3;
+        std::string low3 = lower(t[3]);
+        if (t.size() >= 5 && low3 == "dc") {
+            if (!parse_or_warn(st, t[4], "V DC value", &e.dc)) return;
+            idx = 5;
+        } else if (low3 == "sin" || low3 == "ac" ||
+                   low3.rfind("pulse", 0) == 0 || low3.rfind("pwl", 0) == 0) {
+            e.dc = 0.0;
+            idx = 3;
+        } else {
+            if (!parse_or_warn(st, t[3], "V DC value", &e.dc)) return;
+            idx = 4;
+        }
+        parse_waveform(st, e, idx);
+        parse_ac_spec(st, e);
+        e.nodes[0] = node(t[1]);
+        e.nodes[1] = node(t[2]);
+        out.elements.push_back(e);
+    }
+
+    void dev_isource(const Statement& st) {
+        const auto& t = st.tokens;
+        if (t.size() < 4) {
+            warn(st.line_no, "invalid current source: " + st.raw);
+            return;
+        }
+        ElementRec e = blank(4, t[0]);
+        std::string low3 = lower(t[3]);
+        if (t.size() >= 5 && low3 == "dc") {
+            if (!parse_or_warn(st, t[4], "I value", &e.dc)) return;
+        } else if (low3 == "ac") {
+            e.dc = 0.0;
+        } else {
+            if (!parse_or_warn(st, t[3], "I value", &e.dc)) return;
+        }
+        parse_ac_spec(st, e);
+        e.nodes[0] = node(t[1]);
+        e.nodes[1] = node(t[2]);
+        out.elements.push_back(e);
+    }
+
+    void dev_mosfet(const Statement& st) {
+        const auto& t = st.tokens;
+        // 7-token: M name d g s model W L; 8-token: the p/n token is ignored
+        // and the trailing token is the model id
+        if (t.size() != 7 && t.size() != 8) {
+            warn(st.line_no, "invalid MOSFET: " + st.raw);
+            return;
+        }
+        std::string model_id = (t.size() == 7) ? t[4] : t.back();
+        double w, l;
+        if (!parse_or_warn(st, t[5], "MOS W", &w)) return;
+        if (!parse_or_warn(st, t[6], "MOS L", &l)) return;
+        auto it = models.find(model_id);
+        if (it == models.end()) {
+            diag << "Unknown MOS model: " << model_id << "\n";
+            return;  // model check precedes node creation (circuit.cpp:133-137)
+        }
+        const MosModel& m = it->second;
+        ElementRec e = blank(5, t[0]);
+        e.nodes[0] = node(t[1]);
+        e.nodes[1] = node(t[2]);
+        e.nodes[2] = node(t[3]);
+        e.nodes[3] = node("0");  // bulk forced to ground (circuit.cpp:142)
+        e.is_p = m.is_p ? 1 : 0;
+        e.vth = std::fabs(m.vt);
+        e.k = m.mu * m.cox * (w / l);
+        e.lam = m.lambda_;
+        e.cj0 = m.cj0;
+        out.elements.push_back(e);
+    }
+
+    void dev_diode(const Statement& st) {
+        const auto& t = st.tokens;
+        if (t.size() < 3) {
+            warn(st.line_no, "invalid diode: " + st.raw);
+            return;
+        }
+        ElementRec e = blank(6, t[0]);
+        e.i_sat = 1e-14;
+        e.n_ideal = 1.0;
+        for (size_t i = 3; i < t.size(); ++i) {
+            std::string tok = t[i];
+            size_t eq = tok.find('=');
+            if (eq == std::string::npos) continue;
+            std::string key = lower(tok.substr(0, eq));
+            double v;
+            if (!parse_spice(tok.substr(eq + 1), &v)) {
+                warn(st.line_no, "cannot parse diode param: " + st.raw);
+                return;
+            }
+            if (key == "is") e.i_sat = v;
+            else if (key == "n") e.n_ideal = v;
+        }
+        e.nodes[0] = node(t[1]);
+        e.nodes[1] = node(t[2]);
+        out.elements.push_back(e);
+    }
+
+    // ---- dot cards ----
+    void card_model(const Statement& st) {
+        const auto& t = st.tokens;
+        if (t.size() < 4) {
+            warn(st.line_no, "invalid .MODEL: " + st.raw);
+            return;
+        }
+        MosModel m;
+        for (size_t i = 2; i + 1 < t.size(); i += 2) {
+            std::string key = lower(t[i]);
+            double v;
+            if (!parse_spice(t[i + 1], &v)) {
+                warn(st.line_no, "cannot parse .MODEL param " + t[i]);
+                return;
+            }
+            if (key == "vt") m.vt = v;
+            else if (key == "mu") m.mu = v;
+            else if (key == "cox") m.cox = v;
+            else if (key == "lambda") m.lambda_ = v;
+            else if (key == "cj0" || key == "cjo") m.cj0 = v;
+        }
+        if (m.vt < 0) { m.is_p = true; m.vt = -m.vt; }
+        models[t[1]] = m;
+    }
+
+    int32_t probe_intern(const std::string& s) {
+        return s.empty() ? -1 : intern(s);
+    }
+
+    ProbeRec parse_probe_token(const std::string& token) {
+        ProbeRec p{};
+        p.node1_off = p.node2_off = p.ele_off = p.port_off = -1;
+        if (token.empty()) return p;
+        char c0 = (char)std::toupper((unsigned char)token[0]);
+        long l = -1, r = -1;
+        for (size_t i = 0; i < token.size(); ++i) {
+            if (token[i] == '(' && l < 0) l = (long)i;
+            if (token[i] == ')') r = (long)i;
+        }
+        if (c0 == 'V') {
+            p.kind = 0;
+            if (l >= 0 && r > l + 1) {
+                std::string inside = token.substr(l + 1, r - l - 1);
+                size_t comma = inside.find(',');
+                if (comma == std::string::npos) {
+                    p.node1_off = probe_intern(trim(inside));
+                } else {
+                    p.kind = 1;
+                    p.node1_off = probe_intern(trim(inside.substr(0, comma)));
+                    p.node2_off = probe_intern(trim(inside.substr(comma + 1)));
+                }
+            }
+        } else if (c0 == 'I') {
+            p.kind = 2;
+            if (l >= 0 && r > l + 1)
+                p.ele_off = probe_intern(trim(token.substr(l + 1, r - l - 1)));
+        }
+        return p;
+    }
+
+    void dot_card(const Statement& st) {
+        const auto& t = st.tokens;
+        std::string head = lower(t[0]);
+        if (head == ".op") {
+            out.config.do_op = 1;
+        } else if (head == ".dc") {
+            if (t.size() < 5) {
+                warn(st.line_no, "invalid .DC syntax: " + st.raw);
+                return;
+            }
+            SweepRec s{};
+            s.source_off = intern(t[1]);
+            if (!parse_spice(t[2], &s.start) || !parse_spice(t[3], &s.stop) ||
+                !parse_spice(t[4], &s.step)) {
+                warn(st.line_no, "cannot parse .DC numbers: " + st.raw);
+                return;
+            }
+            out.sweeps.push_back(s);
+        } else if (head == ".tran") {
+            if (t.size() < 3) {
+                warn(st.line_no, "invalid .TRAN syntax: " + st.raw);
+                return;
+            }
+            double ts, tp, t0 = 0.0;
+            if (!parse_spice(t[1], &ts) || !parse_spice(t[2], &tp) ||
+                (t.size() >= 4 && !parse_spice(t[3], &t0))) {
+                warn(st.line_no, "cannot parse .TRAN numbers: " + st.raw);
+                return;
+            }
+            out.config.tran_enabled = 1;
+            out.config.tstep = ts;
+            out.config.tstop = tp;
+            out.config.tstart = t0;
+        } else if (head == ".ac") {
+            if (t.size() < 5) {
+                warn(st.line_no, "invalid .AC syntax: " + st.raw);
+                return;
+            }
+            std::string sw = lower(t[1]);
+            int swv = sw == "lin" ? 0 : (sw == "oct" ? 2 : 1);
+            char* end = nullptr;
+            long np = std::strtol(t[2].c_str(), &end, 10);
+            double f0, f1;
+            if (end == t[2].c_str() || !parse_spice(t[3], &f0) ||
+                !parse_spice(t[4], &f1)) {
+                warn(st.line_no, "cannot parse .AC arguments: " + st.raw);
+                return;
+            }
+            out.config.ac_enabled = 1;
+            out.config.ac_sweep = swv;
+            out.config.ac_npoints = (int32_t)np;
+            out.config.fstart = f0;
+            out.config.fstop = f1;
+        } else if (head == ".hb") {
+            if (t.size() < 3) {
+                warn(st.line_no, "invalid .hb syntax: " + st.raw);
+                return;
+            }
+            double f0;
+            char* end = nullptr;
+            long nh = std::strtol(t[2].c_str(), &end, 10);
+            if (!parse_spice(t[1], &f0) || end == t[2].c_str()) {
+                warn(st.line_no, "cannot parse .hb arguments: " + st.raw);
+                return;
+            }
+            out.config.hb_enabled = 1;
+            out.config.hb_f0 = f0;
+            out.config.hb_nharm = (int32_t)nh;
+        } else if (head == ".print") {
+            if (t.size() < 3) {
+                warn(st.line_no, "invalid .PRINT: " + st.raw);
+                return;
+            }
+            std::string an = lower(t[1]);
+            int av = an == "op" ? 1 : an == "dc" ? 2 : an == "ac" ? 3
+                     : an == "tran" ? 4 : an == "hb" ? 5 : 0;
+            if (!av) {
+                warn(st.line_no, "unknown analysis type in .PRINT: " + st.raw);
+                return;
+            }
+            for (size_t i = 2; i < t.size(); ++i) {
+                ProbeRec p = parse_probe_token(t[i]);
+                p.analysis = av;
+                out.probes.push_back(p);
+            }
+        } else if (head == ".plotnv") {
+            if (t.size() < 2) {
+                warn(st.line_no, "invalid .PLOTNV: " + st.raw);
+                return;
+            }
+            for (size_t i = 1; i < t.size(); ++i) {
+                ProbeRec p{};
+                p.analysis = 0;
+                p.kind = 0;
+                p.node1_off = probe_intern(t[i]);
+                p.node2_off = p.ele_off = p.port_off = -1;
+                out.probes.push_back(p);
+            }
+        } else if (head == ".plotnc") {
+            if (t.size() < 2) {
+                warn(st.line_no, "invalid .PLOTNC: " + st.raw);
+                return;
+            }
+            for (size_t i = 1; i < t.size(); ++i) {
+                ProbeRec p{};
+                p.analysis = 0;
+                p.kind = 2;
+                p.node1_off = p.node2_off = p.port_off = -1;
+                const std::string& tok = t[i];
+                long l = -1, r = -1;
+                for (size_t j = 0; j < tok.size(); ++j) {
+                    if (tok[j] == '(' && l < 0) l = (long)j;
+                    if (tok[j] == ')') r = (long)j;
+                }
+                if (l < 0) {
+                    p.ele_off = probe_intern(tok);
+                } else {
+                    p.ele_off = probe_intern(trim(tok.substr(0, l)));
+                    p.port_off = probe_intern(trim(tok.substr(l + 1, r - l - 1)));
+                }
+                out.probes.push_back(p);
+            }
+        } else if (head != ".model") {
+            warn(st.line_no, "unsupported control card: " + st.raw);
+        }
+    }
+
+    // ---- driver ----
+    void parse(const std::string& text) {
+        out.config.ac_sweep = 1;  // default sweep type is DEC (parser.cpp:439)
+        std::vector<Statement> stmts = lex(text);
+        for (const auto& st : stmts) {
+            if (!st.tokens.empty() && lower(st.tokens[0]) == ".model")
+                card_model(st);
+        }
+        for (const auto& st : stmts) {
+            if (st.tokens.empty()) continue;
+            const std::string& h = st.tokens[0];
+            if (h[0] == '.') {
+                if (lower(h) != ".model") dot_card(st);
+                continue;
+            }
+            switch (std::toupper((unsigned char)h[0])) {
+                case 'R': dev_rcl(st, 0); break;
+                case 'C': dev_rcl(st, 1); break;
+                case 'L': dev_rcl(st, 2); break;
+                case 'V': dev_vsource(st); break;
+                case 'I': dev_isource(st); break;
+                case 'M': dev_mosfet(st); break;
+                case 'D': dev_diode(st); break;
+                default:
+                    warn(st.line_no,
+                         "unsupported element or syntax: " + st.raw);
+            }
+        }
+        // implied .OP when nothing was requested (sim.hpp:219-225)
+        bool any = out.config.do_op || !out.sweeps.empty() ||
+                   out.config.tran_enabled || out.config.ac_enabled ||
+                   out.config.hb_enabled;
+        out.config.do_op = any ? out.config.do_op : 1;
+
+        // equation numbering: non-ground nodes in creation order, then V/L
+        // branch currents in element order (circuit.cpp:42-61)
+        int32_t eq = 0;
+        for (auto& n : out.nodes) {
+            const char* nm = out.str_pool.c_str() + n.name_off;
+            n.eq_index = is_ground(nm) ? -1 : eq++;
+        }
+        for (auto& e : out.elements) {
+            if (e.kind == 3 || e.kind == 2) e.branch_eq = eq++;
+        }
+        out.diagnostics = diag.str();
+    }
+};
+
+}  // namespace
+
+// ----------------------------------------------------------------------
+// C ABI
+// ----------------------------------------------------------------------
+extern "C" {
+
+void* csim_parse(const char* text) {
+    auto* fe = new Frontend();
+    fe->parse(text ? text : "");
+    return fe;
+}
+
+void csim_free(void* h) { delete static_cast<Frontend*>(h); }
+
+#define FE static_cast<Frontend*>(h)->out
+
+int32_t csim_n_elements(void* h) { return (int32_t)FE.elements.size(); }
+int32_t csim_n_nodes(void* h) { return (int32_t)FE.nodes.size(); }
+int32_t csim_n_probes(void* h) { return (int32_t)FE.probes.size(); }
+int32_t csim_n_sweeps(void* h) { return (int32_t)FE.sweeps.size(); }
+int32_t csim_n_pwl(void* h) { return (int32_t)FE.pwl_pool.size(); }
+int32_t csim_strpool_size(void* h) { return (int32_t)FE.str_pool.size(); }
+
+const void* csim_elements(void* h) { return FE.elements.data(); }
+const void* csim_nodes(void* h) { return FE.nodes.data(); }
+const void* csim_probes(void* h) { return FE.probes.data(); }
+const void* csim_sweeps(void* h) { return FE.sweeps.data(); }
+const double* csim_pwl(void* h) { return FE.pwl_pool.data(); }
+const char* csim_strpool(void* h) { return FE.str_pool.c_str(); }
+const void* csim_config(void* h) { return &FE.config; }
+const char* csim_diagnostics(void* h) { return FE.diagnostics.c_str(); }
+
+int32_t csim_abi_version(void) { return 1; }
+}
