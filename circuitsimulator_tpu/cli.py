@@ -30,6 +30,9 @@ def build_argparser() -> argparse.ArgumentParser:
                         "parity)")
     p.add_argument("--no-tran", action="store_true",
                    help="skip the transient analysis even if .TRAN present")
+    p.add_argument("--stats", metavar="JSON", default=None,
+                   help="write structured run metadata (Newton iteration "
+                        "histogram, timings) to a JSON file")
     p.add_argument("--frontend", choices=["python", "native", "auto"],
                    default="auto",
                    help="netlist frontend: the C++ parser (native) or the "
@@ -88,13 +91,23 @@ def main(argv=None) -> int:
               f"tstart={tran.tstart:.6e}")
         print(f"[TRAN] total steps = {n}")
         try:
+            import time
+            t0 = time.time()
             res = sim.transient()
+            res.x_final.block_until_ready()
+            wall = time.time() - t0
             sim.write_transient_csv(args.tran_out, res)
         except Exception as e:  # noqa: BLE001
             print(f"Transient failed: {e}", file=sys.stderr)
             return 1
         print("Transient analysis (Backward Euler) finished. "
               f"Results written to '{args.tran_out}'.")
+        if args.stats:
+            from .io.metadata import transient_metadata, write_metadata
+            write_metadata(args.stats,
+                           transient_metadata(sim, res, wall_s=wall,
+                                              extra={"netlist": args.netlist}))
+            print(f"Run metadata written to '{args.stats}'.")
     else:
         print("\nNo .TRAN card; transient analysis skipped.")
 

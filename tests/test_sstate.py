@@ -68,6 +68,26 @@ def test_pss_linear_rc():
     assert abs(spec[1, eq2]) == pytest.approx(abs(h_analytic), rel=0.05)
 
 
+def test_pss_dbmixer():
+    """Config #3 (BASELINE.md): steady state on dbmixer.sp with its periodic
+    drive (.hb 100e6 50 -> 10 ns common period of the 900/800/600 MHz
+    tones)."""
+    sim = Simulator.from_file("tests/netlists/dbmixer.sp")
+    r = sim.steady_state(steps_per_period=512, warmup_periods=6,
+                         max_newton=12, n_harm=10)
+    assert bool(r.converged)
+    xs = np.asarray(r.xs)
+    assert np.all(np.isfinite(xs))
+    # periodicity of the full state trajectory
+    np.testing.assert_allclose(xs[0], xs[-1], atol=1e-7)
+    # the IF output nodes (102/103) carry mixing products, i.e. nonzero
+    # harmonic content beyond DC
+    spec = np.asarray(r.spectrum)
+    eq102 = sim.topo.volt_col_eqs[sim.topo.volt_col_names.index("102")]
+    assert abs(spec[0, eq102]) > 2.0          # DC bias ~2.85 V
+    assert np.max(np.abs(spec[1:, eq102])) > 1e-3
+
+
 def test_hb_card_missing_raises():
     sim = Simulator.from_text("R1 1 0 1\nV1 1 0 1\n.op\n")
     with pytest.raises(ValueError):
