@@ -46,7 +46,7 @@ def main():
         jax.config.update("jax_enable_x64", True)
 
     B = int(os.environ.get("BENCH_BATCH", 8192))
-    steps_chunk = int(os.environ.get("BENCH_STEPS", 2000))
+    steps_chunk = int(os.environ.get("BENCH_STEPS", 1000))
 
     from circuitsimulator_tpu import Simulator, DEFAULT_OPTIONS
     from circuitsimulator_tpu.analysis.dc import dc_operating_point

@@ -112,3 +112,22 @@ def eval_dc(dc, kind, sin, scale):
 def eval_tran(dc, kind, pulse, sin, pwl_t, pwl_v, pwl_n, t):
     """SourceSpec::evalTran (sim.hpp:160-162)."""
     return dc + eval_waveform(kind, pulse, sin, pwl_t, pwl_v, pwl_n, t)
+
+
+def eval_tran_static_kinds(kinds_np, dc, pulse, sin, pwl_t, pwl_v, pwl_n, t):
+    """eval_tran specialized on a *static* waveform-kind vector: only the
+    formulas for kinds actually present in the circuit are emitted (waveform
+    kinds are structural — a Monte-Carlo sweep perturbs float parameters,
+    never the kind), so e.g. a SIN-only netlist compiles to a single fused
+    sin expression with no selects, gathers, or dead PULSE/PWL code."""
+    out = dc
+    if (kinds_np == WAVE_PULSE).any():
+        mask = jnp.asarray(kinds_np == WAVE_PULSE)
+        out = out + jnp.where(mask, eval_pulse(pulse, t), 0.0)
+    if (kinds_np == WAVE_SIN).any():
+        mask = jnp.asarray(kinds_np == WAVE_SIN)
+        out = out + jnp.where(mask, eval_sin(sin, t), 0.0)
+    if (kinds_np == WAVE_PWL).any() and pwl_t.shape[-1] > 0:
+        mask = jnp.asarray(kinds_np == WAVE_PWL)
+        out = out + jnp.where(mask, eval_pwl(pwl_t, pwl_v, pwl_n, t), 0.0)
+    return out

@@ -112,6 +112,46 @@ class Engine:
         self.is_rhs_rows = np.stack([t.is_ep, t.is_em], 1).ravel().astype(np.int32)
         self.cap_rhs_rows = np.stack([self.cap_a, self.cap_b], 1).ravel().astype(np.int32)
 
+        # ---- gather/scatter-free hot-path operators ----
+        # Dynamic gathers/scatters are the dominant per-step cost inside TPU
+        # loop bodies (each one breaks fusion and lowers to a slow op), so
+        # the transient hot loop uses tiny one-hot matmuls instead:
+        #   RHS assembly:  I = [vval | ival | vhist | cap_hist_currents] @ M
+        #   state update:  [cap_hist | ind_i] = x @ S
+        nV, nI, nL = len(t.vs_ep), len(t.is_ep), len(t.ind_ep)
+        ncap = self.n_caplike
+        M = np.zeros((N, nV + nI + nL + ncap))
+        for j in range(nV):
+            M[t.vs_k[j], j] += 1.0
+        for j in range(nI):
+            if t.is_ep[j] < N:
+                M[t.is_ep[j], nV + j] -= 1.0
+            if t.is_em[j] < N:
+                M[t.is_em[j], nV + j] += 1.0
+        for j in range(nL):
+            M[t.ind_k[j], nV + nI + j] += 1.0
+        for j in range(ncap):
+            if self.cap_a[j] < N:
+                M[self.cap_a[j], nV + nI + nL + j] += 1.0
+            if self.cap_b[j] < N:
+                M[self.cap_b[j], nV + nI + nL + j] -= 1.0
+        self.rhs_mat = jnp.asarray(M.T, self.dtype)        # (nterms, N)
+
+        S = np.zeros((N, ncap + nL))
+        for j in range(ncap):
+            if self.cap_a[j] < N:
+                S[self.cap_a[j], j] += 1.0
+            if self.cap_b[j] < N:
+                S[self.cap_b[j], j] -= 1.0
+        for j in range(nL):
+            S[t.ind_k[j], ncap + j] += 1.0
+        self.state_mat = jnp.asarray(S, self.dtype)        # (N, ncap+nL)
+
+        # static waveform-kind masks: kinds are structural (set by the
+        # netlist), so absent waveform formulas compile away entirely
+        self.vs_kinds = np.asarray(low.params["vs_kind"])
+        self.is_kinds = np.asarray(low.params["is_kind"])
+
     # ------------------------------------------------------------------
     # helpers
     # ------------------------------------------------------------------
@@ -264,37 +304,40 @@ class Engine:
         timestep — sources at time t plus C/L/MOS-cap history currents.
         cap_hist is the previous-step voltage across every cap-like element
         (explicit caps then MOS junction caps); ind_i the previous inductor
-        branch currents."""
-        topo = self.topo
+        branch currents.
+
+        Hot-path form: a single (nterms, N) one-hot matmul replaces the four
+        scatter-adds (scatters inside TPU loop bodies cost ~0.1 ms each; the
+        matmul is fused into the step).  Waveform evaluation is specialized
+        on the static kind vector.  Returns an (N+1,) vector (dump slot 0)
+        for interface compatibility."""
 
         def f(params, cap_hist, ind_i, t):
-            vval = srcmod.eval_tran(
-                params["vs_dc"], params["vs_kind"], params["vs_pulse"],
+            vval = srcmod.eval_tran_static_kinds(
+                self.vs_kinds,
+                params["vs_dc"], params["vs_pulse"],
                 params["vs_sin"], params["vs_pwl_t"], params["vs_pwl_v"],
                 params["vs_pwl_n"], t)
-            I = self._zeros_I(vval)
-            I = I.at[..., topo.vs_k].add(vval)
 
-            ival = srcmod.eval_tran(
-                params["is_dc"], params["is_kind"], params["is_pulse"],
+            ival = srcmod.eval_tran_static_kinds(
+                self.is_kinds,
+                params["is_dc"], params["is_pulse"],
                 params["is_sin"], params["is_pwl_t"], params["is_pwl_v"],
                 params["is_pwl_n"], t)
-            irhs = jnp.stack([-ival, ival], axis=-1).reshape(*ival.shape[:-1], -1)
-            I = I.at[..., self.is_rhs_rows].add(irhs)
 
             # inductor history: I(k) += -(L/dt) * i_prev (tanalisis.cpp:308-318)
             L = params["ind_l"]
-            lmask = L > 0.0
-            vhist = jnp.where(lmask, -(L / dt) * ind_i, 0.0)
-            I = I.at[..., topo.ind_k].add(vhist)
+            vhist = jnp.where(L > 0.0, -(L / dt) * ind_i, 0.0)
 
             # cap history: I(a) += Gc*vprev, I(b) -= Gc*vprev (tanalisis.cpp:76-79)
             C = self._caplike_C(params)
             gc = jnp.where(C > 0.0, C / dt, 0.0)
             h = gc * cap_hist
-            hrhs = jnp.stack([h, -h], axis=-1).reshape(*h.shape[:-1], -1)
-            I = I.at[..., self.cap_rhs_rows].add(hrhs)
-            return I
+
+            terms = jnp.concatenate([vval, ival, vhist, h], axis=-1)
+            I = jnp.einsum("...j,jn->...n", terms, self.rhs_mat)
+            pad = jnp.zeros(I.shape[:-1] + (1,), dtype=I.dtype)
+            return jnp.concatenate([I, pad], axis=-1)
 
         return f
 
@@ -308,10 +351,12 @@ class Engine:
     # Transient state
     # ------------------------------------------------------------------
     def init_state(self, x):
-        """Per-element history state from a solution vector (tanalisis.cpp:139-180)."""
-        xe = self.x_ext(x)
-        cap_hist = xe[..., self.cap_a] - xe[..., self.cap_b]
-        ind_i = x[..., self.topo.ind_k]
-        return cap_hist, ind_i
+        """Per-element history state from a solution vector
+        (tanalisis.cpp:139-180).  One matmul (gather-free hot path):
+        state_mat's columns are the (e_a - e_b) difference / e_k selection
+        patterns for the cap-like and inductor classes."""
+        ncap = self.n_caplike
+        s = jnp.einsum("...n,nj->...j", x, self.state_mat)
+        return s[..., :ncap], s[..., ncap:]
 
     update_state = init_state  # same formula after each accepted step

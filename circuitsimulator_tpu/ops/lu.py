@@ -39,16 +39,18 @@ def _lu_solve_unrolled(A, b, pivot_floor):
     for k in range(N):
         abscol = jnp.where(idx >= k, jnp.abs(A[:, k]), neg1)
         p = jnp.argmax(abscol)
-        minpiv = jnp.minimum(minpiv, abscol[p])
-        # swap rows k <-> p (where-select; p is traced, k static).  Order:
-        # first write rowk into row p, then rowp into row k — consistent
-        # also when p == k (rowp == rowk there).
+        minpiv = jnp.minimum(minpiv, jnp.max(abscol))
+        # swap rows k <-> p.  p is traced, so row p is extracted with a
+        # masked reduction instead of a dynamic gather (gathers are slow
+        # inside TPU loop bodies); the write side is a where-select.
+        onehot_p = (idx == p)
         rowk = A[k]
-        rowp = A[p]
-        A = jnp.where((idx == p)[:, None], rowk[None, :], A)
+        rowp = jnp.sum(A * onehot_p[:, None].astype(A.dtype), axis=0)
+        A = jnp.where(onehot_p[:, None], rowk[None, :], A)
         A = A.at[k].set(rowp)
-        bk, bp = b[k], b[p]
-        b = jnp.where(idx == p, bk, b)
+        bk = b[k]
+        bp = jnp.sum(b * onehot_p.astype(b.dtype))
+        b = jnp.where(onehot_p, bk, b)
         b = b.at[k].set(bp)
         pivot = A[k, k]
         safe = jnp.where(pivot != 0.0, pivot, 1.0)

@@ -118,6 +118,7 @@ class WoodburySolver:
         self.engine = engine
         self.plan = WoodburyPlan(engine)
         opts = engine.opts
+        N = engine.N
         self.G0inv = lu_inverse(G0, opts.lu_pivot_floor)
         U = self.plan.build_U(engine.dtype)
         self.Y = self.G0inv @ U                       # (..., N, k)
@@ -129,24 +130,72 @@ class WoodburySolver:
         self.Y_cols = Y_ext[..., cols, :]             # (..., k, 3, k)
         self.eye_k = jnp.eye(self.plan.k, dtype=engine.dtype)
         self.cols = cols
+        # one-hot selection matrices: per-iteration terminal-voltage reads
+        # become tiny matmuls instead of gathers (slow inside TPU loops).
+        # Rows for grounded terminals (dump index) are all-zero, which
+        # reproduces the x_ext ground convention.
+        t = engine.topo
+        nM, nD = self.plan.nM, self.plan.nD
+
+        def onehot(idx_list):
+            M = np.zeros((N, len(idx_list)))
+            for j, r in enumerate(idx_list):
+                if r < N:
+                    M[r, j] = 1.0
+            return jnp.asarray(M, engine.dtype)
+
+        mos_terms = np.stack([t.mos_ed, t.mos_eg, t.mos_es], 1).ravel() \
+            if nM else np.zeros((0,), np.int32)
+        dio_terms = np.stack([t.dio_ep, t.dio_em], 1).ravel() \
+            if nD else np.zeros((0,), np.int32)
+        self.M_mos = onehot(mos_terms)                # (N, 3nM)
+        self.M_dio = onehot(dio_terms)                # (N, 2nD)
+        self.M_cols = onehot(cols.ravel())            # (N, 3k)
 
     def z0(self, b0):
         """G0^{-1} b0 — once per timestep (b0 = sources + history)."""
         return jnp.einsum("...ij,...j->...i", self.G0inv, b0)
+
+    def nl_coeffs(self, params, x):
+        """Per-device V^T values and Newton constants at x, all terminal
+        voltages read via one-hot matmuls (no gathers in the hot loop)."""
+        from ..models.mosfet import mos_linearize as _mos
+        from ..models.diode import diode_linearize as _dio
+        plan = self.plan
+        parts_v, parts_c = [], []
+        if plan.nM:
+            vm = jnp.einsum("...n,nj->...j", x, self.M_mos)
+            vm = vm.reshape(*vm.shape[:-1], plan.nM, 3)
+            gd, gg, gs, cst = _mos(
+                params["mos_vth"], params["mos_k"], params["mos_lam"],
+                params["mos_p"], vm[..., 0], vm[..., 1], vm[..., 2],
+                self.engine.opts.mos_off_gds)
+            parts_v.append(jnp.stack([gd, gg, gs], axis=-1))
+            parts_c.append(cst)
+        if plan.nD:
+            vd2 = jnp.einsum("...n,nj->...j", x, self.M_dio)
+            vd2 = vd2.reshape(*vd2.shape[:-1], plan.nD, 2)
+            g, cst = _dio(params["dio_is"], params["dio_n"],
+                          vd2[..., 0], vd2[..., 1])
+            zeros = jnp.zeros_like(g)
+            parts_v.append(jnp.stack([g, -g, zeros], axis=-1))
+            parts_c.append(cst)
+        vcoef = jnp.concatenate(parts_v, axis=-2)
+        c = jnp.concatenate(parts_c, axis=-1)
+        return vcoef, c
 
     def solve(self, params, x, z0):
         """One Newton linear solve: returns x_raw solving A(x) x_raw = b(x)."""
         plan = self.plan
         if plan.k == 0:
             return z0
-        xe = self.engine.x_ext(x)
-        vcoef, c = plan.nonlinear_coeffs(params, xe)   # (...,k,3), (...,k)
+        vcoef, c = self.nl_coeffs(params, x)           # (...,k,3), (...,k)
         z = z0 - jnp.einsum("...nk,...k->...n", self.Y, c)
         # S = I + V^T Y : S[j,l] = sum_s vcoef[j,s] * Y[cols[j,s], l]
         S = self.eye_k + jnp.einsum("...js,...jsl->...jl", vcoef, self.Y_cols)
-        # V^T z
-        pad = jnp.zeros(z.shape[:-1] + (1,), dtype=z.dtype)
-        z_ext = jnp.concatenate([z, pad], axis=-1)
-        vz = jnp.einsum("...js,...js->...j", vcoef, z_ext[..., self.cols])
+        # V^T z, with z at each device's columns read via one-hot matmul
+        zc = jnp.einsum("...n,nj->...j", z, self.M_cols)
+        zc = zc.reshape(*zc.shape[:-1], plan.k, 3)
+        vz = jnp.einsum("...js,...js->...j", vcoef, zc)
         w = lu_solve(S, vz, self.engine.opts.lu_pivot_floor)
         return z - jnp.einsum("...nk,...k->...n", self.Y, w)
