@@ -258,3 +258,17 @@ class Circuit:
 
     def has_nonlinear(self) -> bool:
         return any(e.kind in (KIND_M, KIND_D) for e in self.elements)
+
+    def connectivity_report(self) -> str:
+        """Node -> attached elements table (counterpart of the reference's
+        Circuit::printConnectivity, circuit.cpp:174-186)."""
+        attached = {n.id: [] for n in self.nodes}
+        for e in self.elements:
+            for nid in e.node_ids:
+                if e.name not in attached[nid]:
+                    attached[nid].append(e.name)
+        lines = ["========== node connectivity =========="]
+        for n in self.nodes:
+            els = " ".join(attached[n.id])
+            lines.append(f"Node {n.name} (id={n.id}, eqIndex={n.eq_index}): {els}")
+        return "\n".join(lines)
