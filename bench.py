@@ -79,8 +79,7 @@ def main():
 
     def lane_init(p):
         x0 = dc_operating_point(engine, p)
-        ch, ii = engine.init_state(x0)
-        return x0, ch, ii, jnp.zeros((), bool)
+        return x0, engine.init_state(x0), jnp.zeros((), bool)
 
     def lane_chunk(p, carry, ts):
         step = transient_step_fn(engine, p, dt)
@@ -118,7 +117,7 @@ def main():
     jax.block_until_ready(carry)
     wall = time.time() - t0
 
-    failed = int(jax.device_get(jnp.sum(carry[3])))
+    failed = int(jax.device_get(jnp.sum(carry[2])))
     mean_iters = float(jax.device_get(jnp.mean(iters.astype(jnp.float32))))
     agg = B * total_steps / wall
     log(f"timed: {total_steps} steps x {B} lanes in {wall:.2f}s; "

@@ -51,17 +51,26 @@ class SteadyStateResult:
     converged: Any
 
 
+_STATE_KEYS = ("vc", "ic", "il", "vl")
+
+
 def _split(engine: Engine, s):
+    """Flat shooting vector -> (x, TranState dict)."""
     N = engine.N
     nc = engine.n_caplike
+    nL = len(engine.topo.ind_k)
+    sizes = {"vc": nc, "ic": nc, "il": nL, "vl": nL}
     x = s[..., :N]
-    cap = s[..., N:N + nc]
-    ind = s[..., N + nc:]
-    return x, cap, ind
+    state = {}
+    off = N
+    for k in _STATE_KEYS:
+        state[k] = s[..., off:off + sizes[k]]
+        off += sizes[k]
+    return x, state
 
 
-def _join(x, cap, ind):
-    return jnp.concatenate([x, cap, ind], axis=-1)
+def _join(x, state):
+    return jnp.concatenate([x] + [state[k] for k in _STATE_KEYS], axis=-1)
 
 
 def steady_state(engine: Engine, params, f0: float,
@@ -80,31 +89,30 @@ def steady_state(engine: Engine, params, f0: float,
     ts = jnp.arange(1, K + 1, dtype=dtype) * dt
 
     def propagate(s):
-        x, cap, ind = _split(engine, s)
+        x, state = _split(engine, s)
         failed = jnp.zeros(x.shape[:-1], dtype=bool)
 
         def body(c, t):
             c, _ = step(c, t)
             return c, None
 
-        (x, cap, ind, _), _ = lax.scan(body, (x, cap, ind, failed), ts)
-        return _join(x, cap, ind)
+        (x, state, _), _ = lax.scan(body, (x, state, failed), ts)
+        return _join(x, state)
 
     def propagate_save(s):
-        x, cap, ind = _split(engine, s)
+        x, state = _split(engine, s)
         failed = jnp.zeros(x.shape[:-1], dtype=bool)
 
         def body(c, t):
             c, (xo, _) = step(c, t)
             return c, xo
 
-        (xf, cap, ind, _), xs = lax.scan(body, (x, cap, ind, failed), ts)
-        return _join(xf, cap, ind), xs
+        (xf, state, _), xs = lax.scan(body, (x, state, failed), ts)
+        return _join(xf, state), xs
 
     # ---- initial state: DC + warm-up periods ----
     x0 = dc_operating_point(engine, params)
-    cap0, ind0 = engine.init_state(x0)
-    s = _join(x0, cap0, ind0)
+    s = _join(x0, engine.init_state(x0))
     prop_jit = jax.jit(propagate)
     for _ in range(warmup_periods):
         s = prop_jit(s)
@@ -139,7 +147,7 @@ def steady_state(engine: Engine, params, f0: float,
     # final verification + one saved period
     s_out, xs = jax.jit(propagate_save)(s)
     final_res = jnp.linalg.norm(s_out - s)
-    x_first, _, _ = _split(engine, s)
+    x_first, _ = _split(engine, s)
     xs_all = jnp.concatenate([x_first[None], xs], axis=0)
     times = jnp.concatenate([jnp.zeros((1,), dtype), ts])
 

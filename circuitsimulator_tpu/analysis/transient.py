@@ -62,20 +62,26 @@ def n_steps_for(tstep: float, tstop: float) -> int:
 def transient_step_fn(engine: Engine, params, dt):
     """Build the single-timestep function (carry, t) -> (carry, (x, iters)).
 
-    carry = (x, cap_hist, ind_i, failed).
+    carry = (x, state, failed) with state the TranState dict
+    {vc, ic, il, vl} (see Engine.init_state).
 
-    Two interchangeable linear-solve backends (SolverOptions.tran_solver):
+    Integration method via SolverOptions.tran_method ("be" = reference
+    Backward Euler, "trap" = trapezoidal).  Three interchangeable
+    linear-solve backends (SolverOptions.tran_solver):
     - "lu":       re-assemble + pivoted LU per Newton iteration, the
                   reference's algorithm (tanalisis.cpp:255-362);
     - "woodbury": G_static factored once for the whole transient, each
                   Newton iteration is a rank-k update solve
                   (ops/woodbury.py) — algebraically the same x_raw,
-                  ~20x fewer flops per iteration at dbmixer size.
+                  ~20x fewer flops per iteration at dbmixer size;
+    - "tridiag":  bordered cyclic reduction for ladder circuits.
     """
     opts = engine.opts
     N = engine.N
     dtype = engine.dtype
-    static_I = engine.make_tran_static_I(dt)
+    method = opts.tran_method
+    static_I = engine.make_tran_static_I(dt, method)
+    update_state = engine.make_update_state(dt, method)
     use_woodbury = opts.tran_solver == "woodbury"
     use_tridiag = opts.tran_solver == "tridiag"
     if use_tridiag:
@@ -85,7 +91,7 @@ def transient_step_fn(engine: Engine, params, dt):
         n = engine.topo.n_node_eq
         m = N - n
         srows, scols, svals = engine.tran_static_entries(
-            params, dt, opts.tran_gmin)
+            params, dt, opts.tran_gmin, method)
         static_plan = BandedPlan(n, m, srows, scols)
         nl_plan = BandedPlan(n, m, engine.nl_rows, engine.nl_cols)
         if not (static_plan.ok and nl_plan.ok):
@@ -93,14 +99,14 @@ def transient_step_fn(engine: Engine, params, dt):
                              "tridiag transient solver not applicable")
         banded_static = static_plan.scatter(svals)
     else:
-        G_static = engine.tran_static_G(params, dt, opts.tran_gmin)
+        G_static = engine.tran_static_G(params, dt, opts.tran_gmin, method)
     if use_woodbury:
         from ..ops.woodbury import WoodburySolver
         wb = WoodburySolver(engine, params, G_static[..., :N, :N])
 
     def step(carry, t):
-        x, cap_hist, ind_i, failed = carry
-        I_s = static_I(params, cap_hist, ind_i, t)
+        x, state, failed = carry
+        I_s = static_I(params, state, t)
         if use_woodbury:
             z0 = wb.z0(I_s[..., :N])
 
@@ -138,8 +144,8 @@ def transient_step_fn(engine: Engine, params, dt):
                     iter=jnp.asarray(0, jnp.int32))
         out = lax.while_loop(cond, body, init)
         x = out["x"]
-        cap_hist, ind_i = engine.update_state(x)
-        return (x, cap_hist, ind_i, out["failed"]), (x, out["iter"])
+        state = update_state(params, x, state)
+        return (x, state, out["failed"]), (x, out["iter"])
 
     return step
 
@@ -153,9 +159,9 @@ def run_transient(engine: Engine, params, tstep, tstop,
 
     if x0 is None:
         x0 = dc_operating_point(engine, params)
-    cap_hist, ind_i = engine.init_state(x0)
+    state0 = engine.init_state(x0)
     failed0 = jnp.zeros(x0.shape[:-1], dtype=bool)
-    carry0 = (x0, cap_hist, ind_i, failed0)
+    carry0 = (x0, state0, failed0)
 
     ts = (jnp.arange(1, n_steps + 1, dtype=dtype)) * dt
     step = transient_step_fn(engine, params, dt)
@@ -166,7 +172,7 @@ def run_transient(engine: Engine, params, tstep, tstop,
         times = jnp.concatenate([jnp.zeros((1,), dtype), ts])
         xs_all = jnp.concatenate([x0[None], xs], axis=0)
         return TransientResult(times=times, xs=xs_all, x_final=x_final,
-                               newton_iters=iters, failed=carry[3],
+                               newton_iters=iters, failed=carry[2],
                                n_steps=n_steps)
     else:
         def step_nosave(carry, t):
@@ -174,5 +180,5 @@ def run_transient(engine: Engine, params, tstep, tstop,
             return carry, iters
         carry, iters = lax.scan(step_nosave, carry0, ts)
         return TransientResult(times=ts, xs=None, x_final=carry[0],
-                               newton_iters=iters, failed=carry[3],
+                               newton_iters=iters, failed=carry[2],
                                n_steps=n_steps)

@@ -30,6 +30,9 @@ def build_argparser() -> argparse.ArgumentParser:
                         "parity)")
     p.add_argument("--no-tran", action="store_true",
                    help="skip the transient analysis even if .TRAN present")
+    p.add_argument("--method", choices=["be", "trap"], default="be",
+                   help="transient integration: Backward Euler (reference "
+                        "behavior, default) or trapezoidal (2nd order)")
     p.add_argument("--stats", metavar="JSON", default=None,
                    help="write structured run metadata (Newton iteration "
                         "histogram, timings) to a JSON file")
@@ -62,10 +65,19 @@ def main(argv=None) -> int:
         jax.config.update("jax_enable_x64", True)
 
     from .api import Simulator
+    from .utils.options import DEFAULT_OPTIONS
+
+    opts = None
+    if args.method != "be":
+        import jax.numpy as jnp
+        opts = DEFAULT_OPTIONS.replace(
+            dtype=jnp.float64 if not args.f32 else jnp.float32,
+            tran_method=args.method)
 
     print(f"Reading netlist: {args.netlist}")
     try:
-        sim = Simulator.from_file(args.netlist, frontend=args.frontend)
+        sim = Simulator.from_file(args.netlist, opts=opts,
+                                  frontend=args.frontend)
     except FileNotFoundError:
         print("parseNetlist() failed.", file=sys.stderr)
         return 1

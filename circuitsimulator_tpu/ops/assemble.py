@@ -137,7 +137,10 @@ class Engine:
                 M[self.cap_b[j], nV + nI + nL + j] -= 1.0
         self.rhs_mat = jnp.asarray(M.T, self.dtype)        # (nterms, N)
 
-        S = np.zeros((N, ncap + nL))
+        # columns: cap-like voltage differences | inductor branch currents |
+        # inductor terminal-voltage differences (the last needed only by the
+        # trapezoidal method)
+        S = np.zeros((N, ncap + 2 * nL))
         for j in range(ncap):
             if self.cap_a[j] < N:
                 S[self.cap_a[j], j] += 1.0
@@ -145,7 +148,11 @@ class Engine:
                 S[self.cap_b[j], j] -= 1.0
         for j in range(nL):
             S[t.ind_k[j], ncap + j] += 1.0
-        self.state_mat = jnp.asarray(S, self.dtype)        # (N, ncap+nL)
+            if t.ind_ep[j] < N:
+                S[t.ind_ep[j], ncap + nL + j] += 1.0
+            if t.ind_em[j] < N:
+                S[t.ind_em[j], ncap + nL + j] -= 1.0
+        self.state_mat = jnp.asarray(S, self.dtype)        # (N, ncap+2nL)
 
         # static waveform-kind masks: kinds are structural (set by the
         # netlist), so absent waveform formulas compile away entirely
@@ -254,13 +261,17 @@ class Engine:
     # ------------------------------------------------------------------
     # Transient assembly (Backward Euler companions, tanalisis.cpp:255-356)
     # ------------------------------------------------------------------
-    def tran_static_entries(self, params, dt, gmin):
+    def tran_static_entries(self, params, dt, gmin, method: str = "be"):
         """Static COO entries of the transient system matrix (constant for
-        the whole analysis: R, V couplings, L and C/MOS-cap BE companions,
-        gmin diagonal) as (rows, cols, vals)."""
-        rvals = self._res_vals(params)
+        the whole analysis: R, V couplings, L and C/MOS-cap companion
+        conductances, gmin diagonal) as (rows, cols, vals).
 
-        # V sources keep their ±1 coupling; inductors get the BE companion.
+        method "be": G_C = C/dt, R_L = L/dt (tanalisis.cpp:59-80, 294-319);
+        method "trap": G_C = 2C/dt, R_L = 2L/dt (trapezoidal companions)."""
+        rvals = self._res_vals(params)
+        fac = 2.0 if method == "trap" else 1.0
+
+        # V sources keep their ±1 coupling; inductors get the companion.
         nV = len(self.topo.vs_ep)
         vs_vals = self.dc_const_vals[:4 * nV]
 
@@ -269,11 +280,11 @@ class Engine:
         ones = jnp.ones_like(L)
         pat = jnp.stack([ones, -ones, ones, -ones], axis=-1)
         pat = (pat * lmask[..., None]).reshape(*L.shape[:-1], -1)
-        diag = jnp.where(lmask, -L / dt, 0.0)
+        diag = jnp.where(lmask, -fac * L / dt, 0.0)
         ind_vals = jnp.concatenate([pat, diag], axis=-1)
 
         C = self._caplike_C(params)
-        gc = jnp.where(C > 0.0, C / dt, 0.0)
+        gc = jnp.where(C > 0.0, fac * C / dt, 0.0)
         cap_vals = _two_terminal_vals(gc)
 
         gm = jnp.broadcast_to(
@@ -291,28 +302,34 @@ class Engine:
              ind_vals, cap_vals, gm], axis=-1)
         return rows, cols, vals
 
-    def tran_static_G(self, params, dt, gmin):
+    def tran_static_G(self, params, dt, gmin, method: str = "be"):
         """The whole G matrix except the nonlinear conduction entries — this
         is constant for the entire transient (fixed dt, fixed gmin)."""
-        rows, cols, vals = self.tran_static_entries(params, dt, gmin)
+        rows, cols, vals = self.tran_static_entries(params, dt, gmin, method)
         G = self._zeros_G(vals)
         G = G.at[..., rows, cols].add(vals)
         return G
 
-    def make_tran_static_I(self, dt):
-        """Returns f(params, cap_hist, ind_i, t) -> I_static: RHS for one
-        timestep — sources at time t plus C/L/MOS-cap history currents.
-        cap_hist is the previous-step voltage across every cap-like element
-        (explicit caps then MOS junction caps); ind_i the previous inductor
-        branch currents.
+    def make_tran_static_I(self, dt, method: str = "be"):
+        """Returns f(params, state, t) -> I_static: RHS for one timestep —
+        sources at time t plus element history currents.  `state` is the
+        TranState dict (see init_state).
 
         Hot-path form: a single (nterms, N) one-hot matmul replaces the four
         scatter-adds (scatters inside TPU loop bodies cost ~0.1 ms each; the
         matmul is fused into the step).  Waveform evaluation is specialized
         on the static kind vector.  Returns an (N+1,) vector (dump slot 0)
-        for interface compatibility."""
+        for interface compatibility.
 
-        def f(params, cap_hist, ind_i, t):
+        History terms — BE (tanalisis.cpp:76-79, 308-318):
+            cap:  I(a) += (C/dt) v_prev,    L: I(k) += -(L/dt) i_prev
+        trapezoidal:
+            cap:  I(a) += (2C/dt) v_prev + i_prev
+            L:    I(k) += -(2L/dt) i_prev - v_prev
+        """
+        trap = method == "trap"
+
+        def f(params, state, t):
             vval = srcmod.eval_tran_static_kinds(
                 self.vs_kinds,
                 params["vs_dc"], params["vs_pulse"],
@@ -325,14 +342,18 @@ class Engine:
                 params["is_sin"], params["is_pwl_t"], params["is_pwl_v"],
                 params["is_pwl_n"], t)
 
-            # inductor history: I(k) += -(L/dt) * i_prev (tanalisis.cpp:308-318)
             L = params["ind_l"]
-            vhist = jnp.where(L > 0.0, -(L / dt) * ind_i, 0.0)
-
-            # cap history: I(a) += Gc*vprev, I(b) -= Gc*vprev (tanalisis.cpp:76-79)
             C = self._caplike_C(params)
-            gc = jnp.where(C > 0.0, C / dt, 0.0)
-            h = gc * cap_hist
+            if trap:
+                vhist = jnp.where(L > 0.0,
+                                  -(2.0 * L / dt) * state["il"] - state["vl"],
+                                  0.0)
+                gc = jnp.where(C > 0.0, 2.0 * C / dt, 0.0)
+                h = gc * state["vc"] + jnp.where(C > 0.0, state["ic"], 0.0)
+            else:
+                vhist = jnp.where(L > 0.0, -(L / dt) * state["il"], 0.0)
+                gc = jnp.where(C > 0.0, C / dt, 0.0)
+                h = gc * state["vc"]
 
             terms = jnp.concatenate([vval, ival, vhist, h], axis=-1)
             I = jnp.einsum("...j,jn->...n", terms, self.rhs_mat)
@@ -350,13 +371,38 @@ class Engine:
     # ------------------------------------------------------------------
     # Transient state
     # ------------------------------------------------------------------
-    def init_state(self, x):
-        """Per-element history state from a solution vector
-        (tanalisis.cpp:139-180).  One matmul (gather-free hot path):
-        state_mat's columns are the (e_a - e_b) difference / e_k selection
-        patterns for the cap-like and inductor classes."""
+    def _state_parts(self, x):
+        """One matmul (gather-free hot path): state_mat's columns are the
+        (e_a - e_b) difference / e_k selection patterns."""
         ncap = self.n_caplike
+        nL = len(self.topo.ind_k)
         s = jnp.einsum("...n,nj->...j", x, self.state_mat)
-        return s[..., :ncap], s[..., ncap:]
+        return (s[..., :ncap], s[..., ncap:ncap + nL],
+                s[..., ncap + nL:])
 
-    update_state = init_state  # same formula after each accepted step
+    def init_state(self, x):
+        """TranState from a DC solution (tanalisis.cpp:139-180): cap-like
+        voltages and inductor currents; the trapezoidal extras start at the
+        DC values i_C = 0, v_L = 0 (caps open / inductors shorted at DC)."""
+        vc, il, _ = self._state_parts(x)
+        return {"vc": vc, "ic": jnp.zeros_like(vc),
+                "il": il, "vl": jnp.zeros_like(il)}
+
+    def make_update_state(self, dt, method: str = "be"):
+        """Post-step state update.  BE keeps voltages/currents only
+        (tanalisis.cpp:379-417); trapezoidal also propagates element
+        currents/voltages: i_C' = (2C/dt)(v'-v) - i_C, v_L' = V(p)-V(m)."""
+        trap = method == "trap"
+
+        def f(params, x, state):
+            vc, il, vl = self._state_parts(x)
+            if trap:
+                C = self._caplike_C(params)
+                gc2 = jnp.where(C > 0.0, 2.0 * C / dt, 0.0)
+                ic = gc2 * (vc - state["vc"]) - state["ic"]
+                return {"vc": vc, "ic": ic, "il": il, "vl": vl}
+            zc = jnp.zeros_like(vc)
+            return {"vc": vc, "ic": zc, "il": il,
+                    "vl": jnp.zeros_like(il)}
+
+        return f

@@ -26,12 +26,15 @@ from ..analysis.dc import dc_operating_point
 from ..analysis.transient import transient_step_fn, n_steps_for
 from ..ops.assemble import Engine
 
-_CARRY_KEYS = ("x", "cap_hist", "ind_i", "failed")
+_STATE_KEYS = ("vc", "ic", "il", "vl")
 
 
 def save_carry(path: str, carry, step_done: int) -> None:
-    arrs = {k: np.asarray(v) for k, v in zip(_CARRY_KEYS, carry)}
-    arrs["step_done"] = np.asarray(step_done)
+    x, state, failed = carry
+    arrs = {"x": np.asarray(x), "failed": np.asarray(failed),
+            "step_done": np.asarray(step_done)}
+    for k in _STATE_KEYS:
+        arrs[f"s_{k}"] = np.asarray(state[k])
     tmp = path + ".tmp.npz"
     with open(tmp, "wb") as f:
         np.savez(f, **arrs)
@@ -40,7 +43,8 @@ def save_carry(path: str, carry, step_done: int) -> None:
 
 def load_carry(path: str):
     with np.load(path) as z:
-        carry = tuple(jnp.asarray(z[k]) for k in _CARRY_KEYS)
+        state = {k: jnp.asarray(z[f"s_{k}"]) for k in _STATE_KEYS}
+        carry = (jnp.asarray(z["x"]), state, jnp.asarray(z["failed"]))
         return carry, int(z["step_done"])
 
 
@@ -66,9 +70,9 @@ class ChunkedTransient:
 
     def initial_carry(self):
         x0 = dc_operating_point(self.engine, self.params)
-        cap_hist, ind_i = self.engine.init_state(x0)
+        state = self.engine.init_state(x0)
         failed = jnp.zeros(x0.shape[:-1], dtype=bool)
-        return (x0, cap_hist, ind_i, failed)
+        return (x0, state, failed)
 
     def run(self):
         """Run to completion, checkpointing every chunk; resumes if a

@@ -46,6 +46,9 @@ class SolverOptions:
     gmin_nonfinite_max: float = 1e-2
 
     # --- Transient ---
+    # integration method: "be" (Backward Euler, the reference's method,
+    # tanalisis.cpp) or "trap" (trapezoidal, 2nd order — extension)
+    tran_method: str = "be"
     tran_max_newton_iters: int = 50
     tran_tol: float = 1e-6
     tran_gmin: float = 1e-6
