@@ -49,9 +49,9 @@ def main():
     steps_chunk = int(os.environ.get("BENCH_STEPS", 1000))
 
     from circuitsimulator_tpu import Simulator, DEFAULT_OPTIONS
-    from circuitsimulator_tpu.analysis.dc import dc_operating_point
     from circuitsimulator_tpu.analysis.transient import transient_step_fn
-    from circuitsimulator_tpu.parallel.montecarlo import perturb_params
+    from circuitsimulator_tpu.parallel.montecarlo import (
+        perturb_params, batched_dc_fast)
 
     f32 = dtype == jnp.float32
     opts = DEFAULT_OPTIONS.replace(
@@ -60,7 +60,7 @@ def main():
         # f32 cannot resolve the reference's f64 damped-step tolerances;
         # scale them to what f32 arithmetic can actually detect.  f64 runs
         # use the reference tolerances exactly.
-        tran_tol=(1e-4 if f32 else 1e-6),
+        tran_tol=(1e-5 if f32 else 1e-6),
         dc_tol=(1e-5 if f32 else 1e-9),
     )
     sim = Simulator.from_file(os.path.join(REPO, "tests/netlists/dbmixer.sp"),
@@ -77,9 +77,11 @@ def main():
     dt_f = sim.config.tran.tstep
     dt = jnp.asarray(dt_f, dtype)
 
-    def lane_init(p):
-        x0 = dc_operating_point(engine, p)
-        return x0, engine.init_state(x0), jnp.zeros((), bool)
+    def batch_init(bp):
+        # natively batched DC (Pallas LU per iteration on TPU)
+        x0 = batched_dc_fast(engine, bp)
+        state = engine.init_state(x0)     # batch-aware (einsum)
+        return x0, state, jnp.zeros((B,), bool)
 
     def lane_chunk(p, carry, ts):
         step = transient_step_fn(engine, p, dt)
@@ -90,7 +92,7 @@ def main():
 
         return lax.scan(body, carry, ts)
 
-    init = jax.jit(jax.vmap(lane_init))
+    init = jax.jit(batch_init)
     run_chunk = jax.jit(jax.vmap(lane_chunk, in_axes=(0, 0, None)))
 
     t0 = time.time()

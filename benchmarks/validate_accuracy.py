@@ -31,7 +31,7 @@ import numpy as np
 from circuitsimulator_tpu import Simulator, DEFAULT_OPTIONS
 dtype = jnp.{dtype_name}
 opts = DEFAULT_OPTIONS.replace(dtype=dtype, tran_solver='woodbury',
-                               tran_tol=(float(__import__('os').environ.get('VAL_TOL', '1e-4')) if dtype == jnp.float32 else 1e-6),
+                               tran_tol=(float(__import__('os').environ.get('VAL_TOL', '1e-5')) if dtype == jnp.float32 else 1e-6),
                                dc_tol=(1e-5 if dtype == jnp.float32 else 1e-9))
 sim = Simulator.from_file({os.path.join(REPO, 'tests/netlists/dbmixer.sp')!r}, opts=opts)
 res = sim.transient(tstep=1e-13, tstop={steps}e-13)

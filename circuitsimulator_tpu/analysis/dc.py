@@ -55,17 +55,36 @@ def dc_linear_gs(engine: Engine, params):
 
 
 def dc_newton(engine: Engine, params, with_stats: bool = False,
-              linear_solver: str = "lu"):
+              linear_solver: str = "lu", batch: int = 0):
     """dcSolveNewtonLU / dcSolveNewtonGS: source ramp + damped Newton with
     the ConvController schedule.  The GS variant warm-starts Gauss-Seidel
     from the current x, allows 60 Newton iterations per ramp step and 120 on
-    the final step (dcanalysis.cpp:175-191)."""
+    the final step (dcanalysis.cpp:175-191).
+
+    batch > 0: params carry a leading lane axis of that size and the whole
+    ramp/Newton loop runs natively batched (per-lane done/gmin/prevErr
+    masks) with the per-iteration solves dispatched to the Pallas batched
+    LU kernel — far faster than vmapping the scalar path, because the
+    factorization keeps each lane block resident in VMEM
+    (ops/pallas_lu.py)."""
     opts = engine.opts
     N = engine.N
     dtype = engine.dtype
     ramp = opts.ramp_steps
     use_gs = linear_solver == "gs"
     max_iters_base = 60 if use_gs else opts.dc_max_newton_iters
+    if batch and use_gs:
+        raise ValueError("batched DC supports the LU solver only")
+    if batch:
+        import jax
+        if jax.default_backend() == "tpu":
+            from ..ops.pallas_lu import lu_solve_pallas_batched
+            batched_solve = lambda G, I: lu_solve_pallas_batched(
+                G, I, opts.lu_pivot_floor)
+        else:
+            from ..ops.lu import lu_solve_batched
+            batched_solve = lambda G, I: lu_solve_batched(
+                G, I, opts.lu_pivot_floor)
 
     use_tridiag = linear_solver == "tridiag"
     if use_tridiag:
@@ -98,11 +117,15 @@ def dc_newton(engine: Engine, params, with_stats: bool = False,
             max_iters = max_iters_base
 
         def cond(c):
-            return (~c["done"]) & (c["iter"] < max_iters)
+            active = jnp.any(~c["done"]) if batch else ~c["done"]
+            return active & (c["iter"] < max_iters)
 
         def body(c):
             x, gmin, prev_err = c["x"], c["gmin"], c["prev_err"]
-            if use_tridiag:
+            if batch:
+                G, I = engine.assemble_dc_iter(G_s, I_s, params, x, gmin)
+                x_raw = batched_solve(G[:, :N, :N], I[:, :N])
+            elif use_tridiag:
                 gvals, rvals = engine._nl_vals(params, x)
                 mats = nl_plan.scatter(gvals, base=banded_s)
                 diag = mats["diag"] + gmin
@@ -143,7 +166,7 @@ def dc_newton(engine: Engine, params, with_stats: bool = False,
 
             upd = finite & ~c["done"]
             c = dict(c)
-            c["x"] = jnp.where(upd, x_new, x)
+            c["x"] = jnp.where(upd[..., None], x_new, x)
             c["prev_err"] = jnp.where(upd, err, prev_err)
             c["gmin"] = jnp.where(c["done"], gmin,
                                   jnp.where(finite, gmin_upd, gmin_nf))
@@ -151,17 +174,18 @@ def dc_newton(engine: Engine, params, with_stats: bool = False,
             c["iter"] = c["iter"] + 1
             return c
 
+        lane_shape = (batch,) if batch else ()
         init = dict(
             x=x0,
-            gmin=jnp.asarray(gmin_base, dtype),
-            prev_err=jnp.asarray(jnp.inf, dtype),
-            done=jnp.asarray(False),
+            gmin=jnp.full(lane_shape, gmin_base, dtype),
+            prev_err=jnp.full(lane_shape, jnp.inf, dtype),
+            done=jnp.zeros(lane_shape, bool),
             iter=jnp.asarray(0, jnp.int32),
         )
         out = lax.while_loop(cond, body, init)
         return out["x"], total_iters + out["iter"]
 
-    x0 = jnp.zeros(N, dtype=dtype)
+    x0 = jnp.zeros(((batch,) if batch else ()) + (N,), dtype=dtype)
     x, iters = lax.fori_loop(0, ramp, ramp_body, (x0, jnp.asarray(0, jnp.int32)))
     if with_stats:
         return x, {"newton_iters": iters}

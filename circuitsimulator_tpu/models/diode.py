@@ -45,6 +45,6 @@ def diode_stamp_vals(i_sat, n_ideal, vp, vm, vt=VT_THERMAL):
     RHS rows [P,M] with vals [-cst,+cst].
     """
     g, cst = diode_linearize(i_sat, n_ideal, vp, vm, vt)
-    gvals = jnp.stack([g, -g, -g, g], axis=-1).reshape(-1)
-    rhs = jnp.stack([-cst, cst], axis=-1).reshape(-1)
+    gvals = jnp.stack([g, -g, -g, g], axis=-1).reshape(*g.shape[:-1], -1)
+    rhs = jnp.stack([-cst, cst], axis=-1).reshape(*cst.shape[:-1], -1)
     return gvals, rhs

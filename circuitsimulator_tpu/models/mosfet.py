@@ -69,6 +69,7 @@ def mos_stamp_vals(vth, k, lam, p, vd, vg, vs, off_gds=1e-12):
     ir/lower.py: rows [D,D,D,S,S,S], cols [D,G,S,D,G,S]; RHS rows [D,S].
     """
     gd, gg, gs, cst = mos_linearize(vth, k, lam, p, vd, vg, vs, off_gds)
-    gvals = jnp.stack([gd, gg, gs, -gd, -gg, -gs], axis=-1).reshape(-1)
-    rhs = jnp.stack([-cst, cst], axis=-1).reshape(-1)
+    gvals = jnp.stack([gd, gg, gs, -gd, -gg, -gs],
+                      axis=-1).reshape(*gd.shape[:-1], -1)
+    rhs = jnp.stack([-cst, cst], axis=-1).reshape(*cst.shape[:-1], -1)
     return gvals, rhs

@@ -222,7 +222,9 @@ class Engine:
         rvals = self._res_vals(params)
         rows = np.concatenate([self.res_rows, self.dc_const_rows])
         cols = np.concatenate([self.res_cols, self.dc_const_cols])
-        vals = jnp.concatenate([rvals, self.dc_const_vals], axis=-1)
+        const = jnp.broadcast_to(self.dc_const_vals,
+                                 rvals.shape[:-1] + self.dc_const_vals.shape)
+        vals = jnp.concatenate([rvals, const], axis=-1)
         return rows, cols, vals
 
     def dc_rhs(self, params, scale):
