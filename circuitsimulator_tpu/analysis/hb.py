@@ -1,0 +1,194 @@
+"""Harmonic Balance: frequency-domain periodic steady state.
+
+NEW WORK (the reference's steady-state module is an empty file; this is the
+analysis its `.hb f0 nHarm` card names).  Complements the time-domain
+shooting method (analysis/sstate.py) with the industry-standard
+frequency-domain formulation:
+
+- unknowns are the K = 2H+1 uniform time samples X (K, N) of one period
+  (equivalently H harmonics by the DFT bijection for a band-limited signal);
+- reactive currents are evaluated *spectrally*: d/dt is the dense K x K
+  differentiation operator D = F^-1 diag(j k w) F (exact for band-limited
+  waveforms, no finite-difference error and no numerical damping);
+- resistive/nonlinear currents are evaluated per time sample with the same
+  stamp machinery the transient uses.  A key identity of Newton stamping:
+  A(x) x - b(x) equals the exact KCL residual (the linearization constants
+  cancel), so the HB residual is one batched assemble + matvec;
+- Newton's method on the full (K*N) system; the Jacobian is
+  blockdiag_t(A(x_t)) + kron(D, C_struct), with C_struct the
+  capacitance/inductance structure matrix.
+
+Cost: the Jacobian is (K*N)^2 — for dbmixer at H=50 that is a 3131^2 dense
+system, entirely feasible on TPU and solved with jnp.linalg.solve (this is
+a cold path; the hot transient never builds it).
+
+Initial guess: a few warm-up transient periods, resampled onto the HB time
+grid — Newton then converges in a handful of iterations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.assemble import Engine
+from .dc import dc_operating_point
+from .transient import transient_step_fn
+from ..models import sources as srcmod
+
+
+@dataclasses.dataclass
+class HBResult:
+    times: Any       # (K,) sample times in [0, T)
+    xs: Any          # (K, N) periodic waveform samples
+    freqs: Any       # (H+1,)
+    spectrum: Any    # (H+1, N) complex Fourier coefficients
+    residual: Any    # final ||KCL residual||
+    newton_iters: int
+    converged: Any
+
+
+def spectral_diff_matrix(K: int, T: float) -> np.ndarray:
+    """Dense d/dt operator for K uniform samples of a T-periodic signal."""
+    F = np.fft.rfft(np.eye(K), axis=0)            # (H+1, K)
+    w = 2.0 * np.pi / T
+    kvec = np.arange(F.shape[0]) * w
+    D = np.fft.irfft(1j * kvec[:, None] * F, n=K, axis=0)  # (K, K)
+    return D
+
+
+def _reactive_structure(engine: Engine, params):
+    """C_struct (N, N): node rows get the capacitor patterns (+C at (a,a),
+    -C at (a,b), ...), inductor branch rows get -L on the diagonal, so that
+    r += C_struct @ dx/dt completes KCL/branch equations."""
+    N = engine.N
+    C = engine._caplike_C(params)
+    cvals = jnp.stack([C, C, -C, -C], axis=-1).reshape(*C.shape[:-1], -1)
+    M = jnp.zeros(C.shape[:-1] + (N + 1, N + 1), engine.dtype)
+    M = M.at[..., engine.cap_rows, engine.cap_cols].add(cvals)
+    t = engine.topo
+    if len(t.ind_k):
+        M = M.at[..., t.ind_k, t.ind_k].add(-params["ind_l"])
+    return M[..., :N, :N]
+
+
+def harmonic_balance(engine: Engine, params, f0: float,
+                     n_harm: int = 8,
+                     warmup_periods: int = 6,
+                     max_newton: int = 30,
+                     tol: float = 1e-9,
+                     gmin: float = 0.0,
+                     damping: float = 1.0):
+    """Solve the periodic steady state in the frequency domain."""
+    opts = engine.opts
+    dtype = engine.dtype
+    N = engine.N
+    T = 1.0 / f0
+    H = int(n_harm)
+    K = 2 * H + 1
+    D = jnp.asarray(spectral_diff_matrix(K, T), dtype)
+    ts = jnp.arange(K, dtype=dtype) * (T / K)
+
+    C_struct = _reactive_structure(engine, params)
+
+    def sources_rhs(t):
+        """Source-only RHS at time t (N,)."""
+        vval = srcmod.eval_tran_static_kinds(
+            engine.vs_kinds, params["vs_dc"], params["vs_pulse"],
+            params["vs_sin"], params["vs_pwl_t"], params["vs_pwl_v"],
+            params["vs_pwl_n"], t)
+        ival = srcmod.eval_tran_static_kinds(
+            engine.is_kinds, params["is_dc"], params["is_pulse"],
+            params["is_sin"], params["is_pwl_t"], params["is_pwl_v"],
+            params["is_pwl_n"], t)
+        zeros_l = jnp.zeros(params["ind_l"].shape, dtype)
+        zeros_c = jnp.zeros(engine._caplike_C(params).shape, dtype)
+        terms = jnp.concatenate([vval, ival, zeros_l, zeros_c], axis=-1)
+        return jnp.einsum("...j,jn->...n", terms, engine.rhs_mat)
+
+    b_src = jax.vmap(sources_rhs)(ts)             # (K, N)
+
+    # resistive static part: R + V/L couplings (the DC pattern), plus an
+    # optional conditioning gmin
+    rows, cols, svals = engine.dc_static_entries(params)
+    A_res = jnp.zeros((N + 1, N + 1), dtype).at[rows, cols].add(svals)
+    A_res = A_res.at[engine.topo.node_eqs, engine.topo.node_eqs].add(
+        jnp.full(len(engine.topo.node_eqs), gmin, dtype))
+    A_res = A_res[:N, :N]
+
+    def assemble_t(x_t):
+        """(A(x_t) incl. nonlinear stamps, b(x_t) incl. nl constants)."""
+        gvals, rvals = engine._nl_vals(params, x_t)
+        A = jnp.zeros((N + 1, N + 1), dtype)
+        A = A.at[engine.nl_rows, engine.nl_cols].add(gvals)
+        b = jnp.zeros((N + 1,), dtype).at[engine.nl_rhs_rows].add(rvals)
+        return A_res + A[:N, :N], b[:N]
+
+    def residual(X):
+        """Exact KCL residual of the HB system, (K, N)."""
+        A_t, b_nl = jax.vmap(assemble_t)(X)       # (K,N,N), (K,N)
+        res_cond = jnp.einsum("tij,tj->ti", A_t, X) - b_nl - b_src
+        dxdt = D @ X                              # spectral derivative
+        res_reac = jnp.einsum("ij,tj->ti", C_struct, dxdt)
+        return res_cond + res_reac, A_t
+
+    def jacobian(A_t):
+        """(K*N, K*N) = blockdiag(A_t) + kron(D, C_struct)."""
+        J = jnp.einsum("ts,ij->tisj", D, C_struct)
+        tid = jnp.arange(K)
+        J = J.at[tid, :, tid, :].add(A_t)
+        return J.reshape(K * N, K * N)
+
+    # ---- initial guess: warm-up transient, resampled to the HB grid ----
+    steps_per_period = max(4 * K, 64)
+    dt_w = jnp.asarray(T / steps_per_period, dtype)
+    step = transient_step_fn(engine, params, dt_w)
+    x0 = dc_operating_point(engine, params)
+    state = engine.init_state(x0)
+    carry = (x0, state, jnp.zeros(x0.shape[:-1], bool))
+    tw = (jnp.arange(1, warmup_periods * steps_per_period + 1, dtype=dtype)
+          * dt_w)
+
+    def wstep(c, t):
+        c, (xo, _) = step(c, t)
+        return c, xo
+
+    carry, xs_w = jax.jit(lambda c, t: lax.scan(wstep, c, t))(carry, tw)
+    last = xs_w[-steps_per_period:]
+    idx = (np.arange(K) * steps_per_period) // K
+    X = last[idx]
+
+    # ---- Newton on the full spectrum ----
+    @jax.jit
+    def newton(X):
+        r, A_t = residual(X)
+        J = jacobian(A_t)
+        dX = jnp.linalg.solve(J, -r.reshape(-1)).reshape(K, N)
+        return X + damping * dX, jnp.linalg.norm(r)
+
+    res_norm = jnp.inf
+    iters = 0
+    for i in range(max_newton):
+        X_new, res_norm = newton(X)
+        iters = i + 1
+        if not bool(jnp.isfinite(res_norm)):
+            break
+        X = X_new
+        if float(res_norm) < tol:
+            break
+    r_final, _ = jax.jit(lambda X: residual(X))(X)
+    final = jnp.linalg.norm(r_final)
+
+    fft = jnp.fft.rfft(X, axis=0) / K
+    coeffs = fft * 2.0
+    coeffs = coeffs.at[0].divide(2.0)
+    freqs = jnp.arange(H + 1, dtype=dtype) * f0
+
+    return HBResult(times=ts, xs=X, freqs=freqs, spectrum=coeffs,
+                    residual=final, newton_iters=iters,
+                    converged=final < max(tol * 100, 1e-6))

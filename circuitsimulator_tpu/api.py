@@ -136,6 +136,21 @@ class Simulator:
         p = params if params is not None else self.params
         return steady_state(self.engine, p, f0, n_harm=n_harm, **kw)
 
+    def harmonic_balance(self, params: Optional[Any] = None,
+                         f0: Optional[float] = None,
+                         n_harm: Optional[int] = None, **kw):
+        """Frequency-domain periodic steady state (analysis/hb.py).
+        Defaults to the netlist's .hb card; the shooting alternative is
+        steady_state()."""
+        from .analysis.hb import harmonic_balance
+        hb = self.config.hb
+        f0 = f0 if f0 is not None else (hb.f0 if hb.enabled else None)
+        if not f0 or f0 <= 0:
+            raise ValueError(".hb card missing or invalid (f0 must be > 0)")
+        n_harm = n_harm if n_harm is not None else (hb.n_harm or 8)
+        p = params if params is not None else self.params
+        return harmonic_balance(self.engine, p, f0, n_harm=n_harm, **kw)
+
     def ac(self, params: Optional[Any] = None, freqs=None,
            x_op: Optional[Any] = None):
         """Small-signal AC sweep (analysis/ac.py).  Defaults to the
@@ -169,12 +184,18 @@ class Simulator:
 
     # ---- output ----
     def write_transient_csv(self, path: str, result: TransientResult,
-                            tstart: Optional[float] = None) -> None:
+                            tstart: Optional[float] = None,
+                            probes_only: bool = False) -> None:
         if tstart is None:
             tstart = self.config.tran.tstart or 0.0
         if bool(result.failed):
             raise RuntimeError("Transient: LU produced NaN/Inf.")
-        write_transient_csv(path, self.topo, result.times, result.xs, tstart)
+        selection = None
+        if probes_only:
+            from .io.csvout import probe_selection
+            selection = probe_selection(self.topo, self.config.print_commands)
+        write_transient_csv(path, self.topo, result.times, result.xs, tstart,
+                            selection=selection)
 
     def summary(self) -> str:
         return circuit_summary(self.topo)

@@ -30,6 +30,12 @@ def build_argparser() -> argparse.ArgumentParser:
                         "parity)")
     p.add_argument("--no-tran", action="store_true",
                    help="skip the transient analysis even if .TRAN present")
+    p.add_argument("--probes-only", action="store_true",
+                   help="restrict the transient CSV to the columns named by "
+                        ".PLOTNV/.PLOTNC/.PRINT cards (the reference parses "
+                        "these cards but always writes every column)")
+    p.add_argument("--connectivity", action="store_true",
+                   help="print the node connectivity table")
     p.add_argument("--method", choices=["be", "trap"], default="be",
                    help="transient integration: Backward Euler (reference "
                         "behavior, default) or trapezoidal (2nd order)")
@@ -48,8 +54,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    const="dcsweep_out.csv",
                    help="run the .DC sweep card(s), write CSV")
     p.add_argument("--run-hb", metavar="CSV", nargs="?", const="hb_out.csv",
-                   help="run .hb periodic steady state (shooting), write one "
-                        "period CSV and print the harmonic table")
+                   help="run .hb periodic steady state, write one period "
+                        "CSV and print the harmonic table")
+    p.add_argument("--hb-method", choices=["shooting", "hb"],
+                   default="shooting",
+                   help="steady-state algorithm: time-domain Newton "
+                        "shooting or frequency-domain harmonic balance")
     return p
 
 
@@ -83,6 +93,9 @@ def main(argv=None) -> int:
         return 1
 
     print(sim.summary())
+    if args.connectivity:
+        print()
+        print(sim.circuit.connectivity_report())
     print("\nRunning DC operating point...")
     try:
         x = sim.dc()
@@ -108,7 +121,8 @@ def main(argv=None) -> int:
             res = sim.transient()
             res.x_final.block_until_ready()
             wall = time.time() - t0
-            sim.write_transient_csv(args.tran_out, res)
+            sim.write_transient_csv(args.tran_out, res,
+                                    probes_only=args.probes_only)
         except Exception as e:  # noqa: BLE001
             print(f"Transient failed: {e}", file=sys.stderr)
             return 1
@@ -151,9 +165,10 @@ def main(argv=None) -> int:
     if args.run_hb:
         from .analysis.sstate import harmonic_table
         from .io.csvout import write_transient_csv
-        print("\nRunning periodic steady state (shooting)...")
+        print(f"\nRunning periodic steady state ({args.hb_method})...")
         try:
-            hbres = sim.steady_state()
+            hbres = (sim.harmonic_balance() if args.hb_method == "hb"
+                     else sim.steady_state())
             write_transient_csv(args.run_hb, sim.topo,
                                 hbres.times, hbres.xs)
             print(f"steady state: residual={float(hbres.residual):.3e}, "

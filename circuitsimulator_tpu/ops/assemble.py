@@ -118,8 +118,19 @@ class Engine:
         # the transient hot loop uses tiny one-hot matmuls instead:
         #   RHS assembly:  I = [vval | ival | vhist | cap_hist_currents] @ M
         #   state update:  [cap_hist | ind_i] = x @ S
+        # The matmul form is O(N * nterms) per step — a huge win for small
+        # circuits (where gathers dominate) but quadratic for big ladders;
+        # beyond this size the scatter/gather fallback is used instead.
         nV, nI, nL = len(t.vs_ep), len(t.is_ep), len(t.ind_ep)
         ncap = self.n_caplike
+        nterms = nV + nI + nL + ncap
+        self.use_matmul_hotpath = N * max(nterms, 1) <= 2_000_000
+        if not self.use_matmul_hotpath:
+            self.rhs_mat = None
+            self.state_mat = None
+            self.vs_kinds = np.asarray(low.params["vs_kind"])
+            self.is_kinds = np.asarray(low.params["is_kind"])
+            return
         M = np.zeros((N, nV + nI + nL + ncap))
         for j in range(nV):
             M[t.vs_k[j], j] += 1.0
@@ -331,7 +342,7 @@ class Engine:
         """
         trap = method == "trap"
 
-        def f(params, state, t):
+        def terms_of(params, state, t):
             vval = srcmod.eval_tran_static_kinds(
                 self.vs_kinds,
                 params["vs_dc"], params["vs_pulse"],
@@ -356,11 +367,29 @@ class Engine:
                 vhist = jnp.where(L > 0.0, -(L / dt) * state["il"], 0.0)
                 gc = jnp.where(C > 0.0, C / dt, 0.0)
                 h = gc * state["vc"]
+            return vval, ival, vhist, h
 
-            terms = jnp.concatenate([vval, ival, vhist, h], axis=-1)
-            I = jnp.einsum("...j,jn->...n", terms, self.rhs_mat)
-            pad = jnp.zeros(I.shape[:-1] + (1,), dtype=I.dtype)
-            return jnp.concatenate([I, pad], axis=-1)
+        if self.use_matmul_hotpath:
+            def f(params, state, t):
+                vval, ival, vhist, h = terms_of(params, state, t)
+                terms = jnp.concatenate([vval, ival, vhist, h], axis=-1)
+                I = jnp.einsum("...j,jn->...n", terms, self.rhs_mat)
+                pad = jnp.zeros(I.shape[:-1] + (1,), dtype=I.dtype)
+                return jnp.concatenate([I, pad], axis=-1)
+        else:
+            topo = self.topo
+
+            def f(params, state, t):
+                vval, ival, vhist, h = terms_of(params, state, t)
+                I = self._zeros_I(vval)
+                I = I.at[..., topo.vs_k].add(vval)
+                irhs = jnp.stack([-ival, ival],
+                                 axis=-1).reshape(*ival.shape[:-1], -1)
+                I = I.at[..., self.is_rhs_rows].add(irhs)
+                I = I.at[..., topo.ind_k].add(vhist)
+                hrhs = jnp.stack([h, -h], axis=-1).reshape(*h.shape[:-1], -1)
+                I = I.at[..., self.cap_rhs_rows].add(hrhs)
+                return I
 
         return f
 
@@ -374,13 +403,20 @@ class Engine:
     # Transient state
     # ------------------------------------------------------------------
     def _state_parts(self, x):
-        """One matmul (gather-free hot path): state_mat's columns are the
-        (e_a - e_b) difference / e_k selection patterns."""
+        """(cap-like voltage diffs, inductor currents, inductor voltage
+        diffs).  Small circuits: one matmul (gather-free hot path); large
+        circuits: static-index gathers (the matmul would be O(N^2))."""
         ncap = self.n_caplike
         nL = len(self.topo.ind_k)
-        s = jnp.einsum("...n,nj->...j", x, self.state_mat)
-        return (s[..., :ncap], s[..., ncap:ncap + nL],
-                s[..., ncap + nL:])
+        if self.use_matmul_hotpath:
+            s = jnp.einsum("...n,nj->...j", x, self.state_mat)
+            return (s[..., :ncap], s[..., ncap:ncap + nL],
+                    s[..., ncap + nL:])
+        xe = self.x_ext(x)
+        vc = xe[..., self.cap_a] - xe[..., self.cap_b]
+        il = x[..., self.topo.ind_k]
+        vl = xe[..., self.topo.ind_ep] - xe[..., self.topo.ind_em]
+        return vc, il, vl
 
     def init_state(self, x):
         """TranState from a DC solution (tanalisis.cpp:139-180): cap-like
