@@ -25,7 +25,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..netlist.circuit import (
-    Circuit, KIND_R, KIND_C, KIND_L, KIND_V, KIND_I, KIND_M, KIND_D,
+    Circuit, KIND_R, KIND_C, KIND_L, KIND_V, KIND_I, KIND_M, KIND_D, KIND_Q,
 )
 from ..utils.numbers import is_ground_name
 
@@ -58,6 +58,9 @@ class Topology:
     mos_eb: np.ndarray
     dio_ep: np.ndarray
     dio_em: np.ndarray
+    bjt_ec: np.ndarray
+    bjt_eb: np.ndarray
+    bjt_ee: np.ndarray
     # output metadata
     volt_col_eqs: np.ndarray      # (n_node_eq,) eq of each V(...) CSV column
     volt_col_names: Tuple[str, ...]
@@ -73,7 +76,7 @@ class Topology:
         return dict(
             R=len(self.res_e1), C=len(self.cap_e1), L=len(self.ind_ep),
             V=len(self.vs_ep), I=len(self.is_ep), M=len(self.mos_ed),
-            D=len(self.dio_ep),
+            D=len(self.dio_ep), Q=len(self.bjt_ec),
         )
 
 
@@ -143,6 +146,7 @@ def lower(ckt: Circuit, dtype=jnp.float64) -> LoweredCircuit:
     isrc = [e for e in ckt.elements if e.kind == KIND_I]
     mos = [e for e in ckt.elements if e.kind == KIND_M]
     dio = [e for e in ckt.elements if e.kind == KIND_D]
+    bjt = [e for e in ckt.elements if e.kind == KIND_Q]
 
     eq = lambda nid: _eq_of(ckt, nid, dump)
 
@@ -162,7 +166,7 @@ def lower(ckt: Circuit, dtype=jnp.float64) -> LoweredCircuit:
         n_node_eq=ckt.num_node_equations(),
         n_nodes=len(ckt.nodes),
         n_elements=len(ckt.elements),
-        has_nonlinear=bool(mos or dio),
+        has_nonlinear=bool(mos or dio or bjt),
         node_eqs=node_eqs,
         res_e1=_np_i32([eq(e.node_ids[0]) for e in res]),
         res_e2=_np_i32([eq(e.node_ids[1]) for e in res]),
@@ -182,6 +186,9 @@ def lower(ckt: Circuit, dtype=jnp.float64) -> LoweredCircuit:
         mos_eb=_np_i32([eq(e.node_ids[3]) for e in mos]),
         dio_ep=_np_i32([eq(e.node_ids[0]) for e in dio]),
         dio_em=_np_i32([eq(e.node_ids[1]) for e in dio]),
+        bjt_ec=_np_i32([eq(e.node_ids[0]) for e in bjt]),
+        bjt_eb=_np_i32([eq(e.node_ids[1]) for e in bjt]),
+        bjt_ee=_np_i32([eq(e.node_ids[2]) for e in bjt]),
         volt_col_eqs=_np_i32([c[1] for c in volt_cols]),
         volt_col_names=tuple(c[0] for c in volt_cols),
         branch_col_eqs=_np_i32([c[1] for c in branch_cols]),
@@ -203,6 +210,10 @@ def lower(ckt: Circuit, dtype=jnp.float64) -> LoweredCircuit:
         "mos_p": jnp.asarray([-1.0 if e.is_p else 1.0 for e in mos], dtype),
         "dio_is": jnp.asarray([e.i_sat for e in dio], dtype),
         "dio_n": jnp.asarray([e.n_ideal for e in dio], dtype),
+        "bjt_is": jnp.asarray([e.i_sat for e in bjt], dtype),
+        "bjt_bf": jnp.asarray([e.bf for e in bjt], dtype),
+        "bjt_br": jnp.asarray([e.br for e in bjt], dtype),
+        "bjt_p": jnp.asarray([-1.0 if e.is_p else 1.0 for e in bjt], dtype),
     }
     for key, pack in (("vs", vsp), ("is", isp)):
         for f, arr in pack.items():

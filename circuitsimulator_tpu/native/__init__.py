@@ -24,7 +24,7 @@ from typing import Optional, Tuple
 
 from ..netlist.circuit import (
     Circuit, ElementRec, Node, SourceSpec, Waveform,
-    KIND_R, KIND_C, KIND_L, KIND_V, KIND_I, KIND_M, KIND_D,
+    KIND_R, KIND_C, KIND_L, KIND_V, KIND_I, KIND_M, KIND_D, KIND_Q,
 )
 from ..netlist.parser import (
     SimulationConfig, TranConfig, AcConfig, HbConfig, DCSweepConfig,
@@ -34,7 +34,7 @@ from ..netlist.parser import (
 _SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                     "csim_frontend.cpp")
 _LIB_NAME = "libcsim_frontend.so"
-_ABI_VERSION = 1
+_ABI_VERSION = 2
 
 _lib = None
 _lib_error: Optional[str] = None
@@ -50,6 +50,7 @@ class _CElement(ct.Structure):
         ("vth", ct.c_double), ("k", ct.c_double), ("lam", ct.c_double),
         ("cj0", ct.c_double),
         ("i_sat", ct.c_double), ("n_ideal", ct.c_double),
+        ("bf", ct.c_double), ("br", ct.c_double),
         ("dc", ct.c_double), ("ac_mag", ct.c_double), ("ac_phase", ct.c_double),
         ("wave_kind", ct.c_int32),
         ("pulse", ct.c_double * 7), ("sin5", ct.c_double * 5),
@@ -146,7 +147,7 @@ def available() -> bool:
 
 
 _KIND_MAP = {0: KIND_R, 1: KIND_C, 2: KIND_L, 3: KIND_V, 4: KIND_I,
-             5: KIND_M, 6: KIND_D}
+             5: KIND_M, 6: KIND_D, 7: KIND_Q}
 _AN_MAP = {0: AN_NONE, 1: AN_OP, 2: AN_DC, 3: AN_AC, 4: AN_TRAN, 5: AN_HB}
 _PROBE_KIND = {0: "nv", 1: "dv", 2: "br"}
 
@@ -206,6 +207,9 @@ def parse_netlist_text_native(text: str) -> Tuple[Circuit, SimulationConfig]:
                 rec.vth, rec.k, rec.lam, rec.cj0 = e.vth, e.k, e.lam, e.cj0
             elif kind == KIND_D:
                 rec.i_sat, rec.n_ideal = e.i_sat, e.n_ideal
+            elif kind == KIND_Q:
+                rec.is_p = bool(e.is_p)
+                rec.i_sat, rec.bf, rec.br = e.i_sat, e.bf, e.br
             ckt.elements.append(rec)
 
         cfg = ct.cast(lib.csim_config(h), ct.POINTER(_CConfig))[0]

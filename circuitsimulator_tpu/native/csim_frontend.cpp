@@ -116,7 +116,7 @@ bool parse_spice(const std::string& token, double* out) {
 // ----------------------------------------------------------------------
 #pragma pack(push, 1)
 struct ElementRec {
-    int32_t kind;       // 0=R 1=C 2=L 3=V 4=I 5=M 6=D
+    int32_t kind;       // 0=R 1=C 2=L 3=V 4=I 5=M 6=D 7=Q
     int32_t name_off;
     int32_t nodes[4];   // node ids; -1 unused
     int32_t branch_eq;  // -1 unless V/L
@@ -126,6 +126,8 @@ struct ElementRec {
     double vth, k, lam, cj0;
     // diode
     double i_sat, n_ideal;
+    // BJT (Ebers-Moll)
+    double bf, br;
     // source spec
     double dc, ac_mag, ac_phase;
     int32_t wave_kind;  // 0 none 1 pulse 2 sin 3 pwl
@@ -180,6 +182,11 @@ struct MosModel {
     double vt = 0.7, mu = 1e-3, cox = 1e-3, lambda_ = 0.0, cj0 = 0.0;
 };
 
+struct BjtModel {
+    bool is_pnp = false;
+    double i_sat = 1e-16, bf = 100.0, br = 1.0;
+};
+
 struct Statement {
     int line_no;
     std::string raw;
@@ -191,6 +198,7 @@ public:
     Result out;
     std::unordered_map<std::string, int32_t> node_ids;
     std::unordered_map<std::string, MosModel> models;
+    std::unordered_map<std::string, BjtModel> bjt_models;
     std::ostringstream diag;
 
     int32_t intern(const std::string& s) {
@@ -487,6 +495,30 @@ public:
         out.elements.push_back(e);
     }
 
+    void dev_bjt(const Statement& st) {
+        // Q name nc nb ne model (extension; no BJT in the reference)
+        const auto& t = st.tokens;
+        if (t.size() < 5) {
+            warn(st.line_no, "invalid BJT: " + st.raw);
+            return;
+        }
+        auto it = bjt_models.find(t[4]);
+        if (it == bjt_models.end()) {
+            diag << "Unknown BJT model: " << t[4] << "\n";
+            return;
+        }
+        const BjtModel& m = it->second;
+        ElementRec e = blank(7, t[0]);
+        e.nodes[0] = node(t[1]);
+        e.nodes[1] = node(t[2]);
+        e.nodes[2] = node(t[3]);
+        e.is_p = m.is_pnp ? 1 : 0;
+        e.i_sat = m.i_sat;
+        e.bf = m.bf;
+        e.br = m.br;
+        out.elements.push_back(e);
+    }
+
     void dev_diode(const Statement& st) {
         const auto& t = st.tokens;
         if (t.size() < 3) {
@@ -515,8 +547,42 @@ public:
     }
 
     // ---- dot cards ----
+    void card_bjt_model(const Statement& st) {
+        const auto& t = st.tokens;
+        BjtModel m;
+        m.is_pnp = lower(t[2]) == "pnp";
+        std::vector<std::string> args;
+        for (size_t i = 3; i < t.size(); ++i) {
+            const std::string& tok = t[i];
+            size_t eq = tok.find('=');
+            if (eq == std::string::npos) {
+                args.push_back(tok);
+            } else {
+                args.push_back(tok.substr(0, eq));
+                args.push_back(tok.substr(eq + 1));
+            }
+        }
+        for (size_t i = 0; i + 1 < args.size(); i += 2) {
+            std::string key = lower(args[i]);
+            double v;
+            if (!parse_spice(args[i + 1], &v)) {
+                warn(st.line_no, "cannot parse .MODEL param " + key);
+                return;
+            }
+            if (key == "is") m.i_sat = v;
+            else if (key == "bf") m.bf = v;
+            else if (key == "br") m.br = v;
+        }
+        bjt_models[t[1]] = m;
+    }
+
     void card_model(const Statement& st) {
         const auto& t = st.tokens;
+        if (t.size() >= 3 &&
+            (lower(t[2]) == "npn" || lower(t[2]) == "pnp")) {
+            card_bjt_model(st);
+            return;
+        }
         if (t.size() < 4) {
             warn(st.line_no, "invalid .MODEL: " + st.raw);
             return;
@@ -724,6 +790,7 @@ public:
                 case 'I': dev_isource(st); break;
                 case 'M': dev_mosfet(st); break;
                 case 'D': dev_diode(st); break;
+                case 'Q': dev_bjt(st); break;
                 default:
                     warn(st.line_no,
                          "unsupported element or syntax: " + st.raw);
@@ -782,5 +849,5 @@ const char* csim_strpool(void* h) { return FE.str_pool.c_str(); }
 const void* csim_config(void* h) { return &FE.config; }
 const char* csim_diagnostics(void* h) { return FE.diagnostics.c_str(); }
 
-int32_t csim_abi_version(void) { return 1; }
+int32_t csim_abi_version(void) { return 2; }
 }

@@ -133,6 +133,17 @@ class MosModel:
     cj0: float = 0.0
 
 
+@dataclasses.dataclass
+class BjtModel:
+    """Ebers-Moll BJT model card (extension: `.MODEL id NPN|PNP IS=.. BF=..
+    BR=..`); the reference has no BJT."""
+    name: str
+    is_pnp: bool = False
+    i_sat: float = 1e-16
+    bf: float = 100.0
+    br: float = 1.0
+
+
 # Element kinds
 KIND_R = "R"
 KIND_C = "C"
@@ -141,6 +152,7 @@ KIND_V = "V"
 KIND_I = "I"
 KIND_M = "M"
 KIND_D = "D"  # diode: extension beyond the reference's device set
+KIND_Q = "Q"  # BJT: extension beyond the reference's device set
 
 
 @dataclasses.dataclass
@@ -159,6 +171,9 @@ class ElementRec:
     # Diode parameters
     i_sat: float = 0.0
     n_ideal: float = 1.0
+    # BJT parameters (kind Q; node_ids = [C, B, E])
+    bf: float = 0.0
+    br: float = 0.0
     branch_eq: int = -1                 # V / L branch-current equation
 
 
@@ -175,6 +190,7 @@ class Circuit:
         self.node_name_to_id: Dict[str, int] = {}
         self.elements: List[ElementRec] = []
         self.mos_models: Dict[str, MosModel] = {}
+        self.bjt_models: Dict[str, BjtModel] = {}
 
     # --- node table -------------------------------------------------------
     def get_or_create_node(self, name: str) -> int:
@@ -253,11 +269,24 @@ class Circuit:
         ids = [self.get_or_create_node(np_), self.get_or_create_node(nm)]
         self.elements.append(ElementRec(KIND_D, name, ids, i_sat=i_sat, n_ideal=n_ideal))
 
+    def add_bjt(self, name, nc, nb, ne, model_id):
+        m = self.bjt_models.get(model_id)
+        if m is None:
+            print(f"Unknown BJT model: {model_id}", file=sys.stderr)
+            return
+        ids = [self.get_or_create_node(nc), self.get_or_create_node(nb),
+               self.get_or_create_node(ne)]
+        self.elements.append(ElementRec(
+            KIND_Q, name, ids, is_p=m.is_pnp, i_sat=m.i_sat, bf=m.bf, br=m.br))
+
     def add_mos_model(self, m: MosModel):
         self.mos_models[m.name] = m
 
+    def add_bjt_model(self, m: BjtModel):
+        self.bjt_models[m.name] = m
+
     def has_nonlinear(self) -> bool:
-        return any(e.kind in (KIND_M, KIND_D) for e in self.elements)
+        return any(e.kind in (KIND_M, KIND_D, KIND_Q) for e in self.elements)
 
     def connectivity_report(self) -> str:
         """Node -> attached elements table (counterpart of the reference's

@@ -30,7 +30,7 @@ from typing import List, Optional
 
 from ..utils.numbers import parse_spice_number
 from .circuit import (
-    Circuit, MosModel, SourceSpec, Waveform,
+    Circuit, MosModel, BjtModel, SourceSpec, Waveform,
     WAVE_PULSE, WAVE_SIN, WAVE_PWL,
 )
 from .lexer import Statement, lex_file, lex_text
@@ -166,6 +166,8 @@ class NetlistParser:
             self._parse_mosfet(st)
         elif c0 == "D":
             self._parse_diode(st)
+        elif c0 == "Q":
+            self._parse_bjt(st)
         else:
             _warn(st.line_no, f"unsupported element or syntax: {st.raw}")
 
@@ -353,6 +355,14 @@ class NetlistParser:
             return
         self.ckt.add_mosfet(name, nd, ng, ns, model_id, w, l)
 
+    def _parse_bjt(self, st: Statement) -> None:
+        # Q name nc nb ne model  (extension; no BJT in the reference)
+        t = st.tokens
+        if len(t) < 5:
+            _warn(st.line_no, f"invalid BJT: {st.raw}")
+            return
+        self.ckt.add_bjt(t[0], t[1], t[2], t[3], t[4])
+
     def _parse_diode(self, st: Statement) -> None:
         t = st.tokens
         if len(t) < 3:
@@ -539,8 +549,39 @@ class NetlistParser:
             self.sim.print_commands.append(pc)
 
     # ---- .MODEL ----
+    def _parse_bjt_model_card(self, st: Statement) -> None:
+        """`.MODEL id NPN|PNP [IS=x] [BF=x] [BR=x]` (also `KEY value`
+        pairs); extension — the reference has MOS model cards only."""
+        t = st.tokens
+        m = BjtModel(name=t[1], is_pnp=t[2].lower() == "pnp")
+        args = []
+        for tok in t[3:]:
+            key, eq, val = tok.partition("=")
+            args += [key, val] if eq else [tok]
+        i = 0
+        while i < len(args):
+            key = args[i].lower()
+            if i + 1 >= len(args):
+                break
+            try:
+                val = parse_spice_number(args[i + 1])
+            except ValueError as e:
+                _warn(st.line_no, f"cannot parse .MODEL param {key}: {e}")
+                return
+            if key == "is":
+                m.i_sat = val
+            elif key == "bf":
+                m.bf = val
+            elif key == "br":
+                m.br = val
+            i += 2
+        self.ckt.add_bjt_model(m)
+
     def _parse_model_card(self, st: Statement) -> None:
         t = st.tokens
+        if len(t) >= 3 and t[2].lower() in ("npn", "pnp"):
+            self._parse_bjt_model_card(st)
+            return
         if len(t) < 4:
             _warn(st.line_no, f"invalid .MODEL: {st.raw}")
             return

@@ -104,9 +104,21 @@ class Engine:
         self.dio_cols = np.stack(
             [t.dio_ep, t.dio_em, t.dio_ep, t.dio_em], 1).ravel().astype(np.int32)
         self.dio_rhs_rows = np.stack([t.dio_ep, t.dio_em], 1).ravel().astype(np.int32)
-        self.nl_rows = np.concatenate([self.mos_rows, self.dio_rows])
-        self.nl_cols = np.concatenate([self.mos_cols, self.dio_cols])
-        self.nl_rhs_rows = np.concatenate([self.mos_rhs_rows, self.dio_rhs_rows])
+        # BJT: rows [C,C,C, B,B,B, E,E,E] x cols [C,B,E]x3 (models/bjt.py)
+        self.bjt_rows = np.stack(
+            [t.bjt_ec] * 3 + [t.bjt_eb] * 3 + [t.bjt_ee] * 3,
+            1).ravel().astype(np.int32)
+        self.bjt_cols = np.stack(
+            [t.bjt_ec, t.bjt_eb, t.bjt_ee] * 3, 1).ravel().astype(np.int32)
+        self.bjt_rhs_rows = np.stack(
+            [t.bjt_ec, t.bjt_eb, t.bjt_ee], 1).ravel().astype(np.int32)
+        self.nl_rows = np.concatenate([self.mos_rows, self.dio_rows,
+                                       self.bjt_rows])
+        self.nl_cols = np.concatenate([self.mos_cols, self.dio_cols,
+                                       self.bjt_cols])
+        self.nl_rhs_rows = np.concatenate([self.mos_rhs_rows,
+                                           self.dio_rhs_rows,
+                                           self.bjt_rhs_rows])
 
         # ---- RHS patterns ----
         self.is_rhs_rows = np.stack([t.is_ep, t.is_em], 1).ravel().astype(np.int32)
@@ -211,6 +223,16 @@ class Engine:
             vp = xe[..., t.dio_ep]
             vm = xe[..., t.dio_em]
             g, r = diode_stamp_vals(params["dio_is"], params["dio_n"], vp, vm)
+            gv.append(g)
+            rv.append(r)
+        if len(t.bjt_ec):
+            from ..models.bjt import bjt_stamp_vals
+            vc = xe[..., t.bjt_ec]
+            vb = xe[..., t.bjt_eb]
+            ve = xe[..., t.bjt_ee]
+            g, r = bjt_stamp_vals(params["bjt_is"], params["bjt_bf"],
+                                  params["bjt_br"], params["bjt_p"],
+                                  vc, vb, ve)
             gv.append(g)
             rv.append(r)
         if not gv:

@@ -51,16 +51,31 @@ class WoodburyPlan:
         t = engine.topo
         self.engine = engine
         self.N = engine.N
-        nM, nD = len(t.mos_ed), len(t.dio_ep)
-        self.nM, self.nD = nM, nD
-        self.k = nM + nD
-        dump = self.N
-        # U column j = e_pos[j] - e_neg[j] (dump-mapped entries vanish)
-        self.u_pos = np.concatenate([t.mos_ed, t.dio_ep]).astype(np.int32)
-        self.u_neg = np.concatenate([t.mos_es, t.dio_em]).astype(np.int32)
-        # V^T row j has entries at these columns (3 for MOS, 2 for diode)
-        self.mos_cols = np.stack([t.mos_ed, t.mos_eg, t.mos_es], 1)  # (nM,3)
-        self.dio_cols = np.stack([t.dio_ep, t.dio_em], 1)           # (nD,2)
+        nM, nD, nQ = len(t.mos_ed), len(t.dio_ep), len(t.bjt_ec)
+        self.nM, self.nD, self.nQ = nM, nD, nQ
+        # rank: 1 per MOS/diode, 2 per BJT (Ic and Ib row patterns)
+        self.k = nM + nD + 2 * nQ
+        # U column j = e_pos[j] - e_neg[j] (dump-mapped entries vanish);
+        # BJT contributes (e_C - e_E) then (e_B - e_E), interleaved per device
+        bjt_pos = np.stack([t.bjt_ec, t.bjt_eb], 1).ravel() if nQ \
+            else np.zeros((0,), np.int32)
+        bjt_neg = np.stack([t.bjt_ee, t.bjt_ee], 1).ravel() if nQ \
+            else np.zeros((0,), np.int32)
+        self.u_pos = np.concatenate([t.mos_ed, t.dio_ep,
+                                     bjt_pos]).astype(np.int32)
+        self.u_neg = np.concatenate([t.mos_es, t.dio_em,
+                                     bjt_neg]).astype(np.int32)
+        # V^T row j has entries at these columns (width-3 layout; diodes pad
+        # the third slot with the dump index)
+        self.mos_cols = np.stack([t.mos_ed, t.mos_eg, t.mos_es], 1) \
+            if nM else np.zeros((0, 3), np.int32)
+        self.dio_cols = np.concatenate(
+            [np.stack([t.dio_ep, t.dio_em], 1),
+             np.full((nD, 1), self.N, np.int32)], axis=1) \
+            if nD else np.zeros((0, 3), np.int32)
+        cbe = np.stack([t.bjt_ec, t.bjt_eb, t.bjt_ee], 1) if nQ \
+            else np.zeros((0, 3), np.int32)
+        self.bjt_cols = np.repeat(cbe, 2, axis=0)  # Ic row, Ib row per device
 
     def build_U(self, dtype):
         """(N, k) dense U (tiny; built once per compile)."""
@@ -69,44 +84,10 @@ class WoodburyPlan:
         U = U.at[self.u_neg, jnp.arange(self.k)].add(-1.0)
         return U[: self.N]
 
-    def nonlinear_coeffs(self, params, x_ext):
-        """Per-device V^T values and Newton constants c at the current x.
-
-        Returns (vcoef, c): vcoef (k, 3) column coefficients aligned with
-        col_idx() (diodes use 2 of the 3 slots, third is zero), c (k,).
-        """
-        parts_v, parts_c = [], []
-        if self.nM:
-            t = self.engine.topo
-            vd = x_ext[..., t.mos_ed]
-            vg = x_ext[..., t.mos_eg]
-            vs = x_ext[..., t.mos_es]
-            gd, gg, gs, cst = mos_linearize(
-                params["mos_vth"], params["mos_k"], params["mos_lam"],
-                params["mos_p"], vd, vg, vs, self.engine.opts.mos_off_gds)
-            parts_v.append(jnp.stack([gd, gg, gs], axis=-1))
-            parts_c.append(cst)
-        if self.nD:
-            t = self.engine.topo
-            vp = x_ext[..., t.dio_ep]
-            vm = x_ext[..., t.dio_em]
-            g, cst = diode_linearize(params["dio_is"], params["dio_n"], vp, vm)
-            zeros = jnp.zeros_like(g)
-            parts_v.append(jnp.stack([g, -g, zeros], axis=-1))
-            parts_c.append(cst)
-        vcoef = jnp.concatenate(parts_v, axis=-2) if parts_v else \
-            jnp.zeros(x_ext.shape[:-1] + (0, 3), dtype=x_ext.dtype)
-        c = jnp.concatenate(parts_c, axis=-1) if parts_c else \
-            jnp.zeros(x_ext.shape[:-1] + (0,), dtype=x_ext.dtype)
-        return vcoef, c
-
     def col_idx(self) -> np.ndarray:
-        """(k, 3) column indices for vcoef (diodes pad with the dump slot)."""
-        dump = np.full((self.nD, 1), self.N, dtype=np.int32)
-        mos = self.mos_cols if self.nM else np.zeros((0, 3), np.int32)
-        dio = (np.concatenate([self.dio_cols, dump], axis=1)
-               if self.nD else np.zeros((0, 3), np.int32))
-        return np.concatenate([mos, dio], axis=0).astype(np.int32)
+        """(k, 3) column indices for the V^T coefficient rows."""
+        return np.concatenate([self.mos_cols, self.dio_cols,
+                               self.bjt_cols], axis=0).astype(np.int32)
 
 
 class WoodburySolver:
@@ -148,8 +129,12 @@ class WoodburySolver:
             if nM else np.zeros((0,), np.int32)
         dio_terms = np.stack([t.dio_ep, t.dio_em], 1).ravel() \
             if nD else np.zeros((0,), np.int32)
+        nQ = self.plan.nQ
+        bjt_terms = np.stack([t.bjt_ec, t.bjt_eb, t.bjt_ee], 1).ravel() \
+            if nQ else np.zeros((0,), np.int32)
         self.M_mos = onehot(mos_terms)                # (N, 3nM)
         self.M_dio = onehot(dio_terms)                # (N, 2nD)
+        self.M_bjt = onehot(bjt_terms)                # (N, 3nQ)
         self.M_cols = onehot(cols.ravel())            # (N, 3k)
 
     def z0(self, b0):
@@ -180,6 +165,21 @@ class WoodburySolver:
             zeros = jnp.zeros_like(g)
             parts_v.append(jnp.stack([g, -g, zeros], axis=-1))
             parts_c.append(cst)
+        if plan.nQ:
+            from ..models.bjt import bjt_linearize as _bjt
+            vq = jnp.einsum("...n,nj->...j", x, self.M_bjt)
+            vq = vq.reshape(*vq.shape[:-1], plan.nQ, 3)
+            rc, rb = _bjt(params["bjt_is"], params["bjt_bf"],
+                          params["bjt_br"], params["bjt_p"],
+                          vq[..., 0], vq[..., 1], vq[..., 2])
+            # interleave (Ic row, Ib row) per device: (..., 2nQ, 3) / (..., 2nQ)
+            vrows = jnp.stack(
+                [jnp.stack(rc[:3], axis=-1), jnp.stack(rb[:3], axis=-1)],
+                axis=-2).reshape(*vq.shape[:-2], 2 * plan.nQ, 3)
+            crows = jnp.stack([rc[3], rb[3]],
+                              axis=-1).reshape(*vq.shape[:-2], 2 * plan.nQ)
+            parts_v.append(vrows)
+            parts_c.append(crows)
         vcoef = jnp.concatenate(parts_v, axis=-2)
         c = jnp.concatenate(parts_c, axis=-1)
         return vcoef, c
