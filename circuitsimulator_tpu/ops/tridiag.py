@@ -84,11 +84,14 @@ def cr_solve(a, b, c, d):
         zr = jnp.zeros(x.shape[:-1] + (1,), x.dtype)
         x_right = jnp.concatenate([x[..., 1:], zr], -1)
         x_odd = (do - ao * x - co * x_right) / bo
-        M2 = x.shape[-1] + x_odd.shape[-1]
-        out = jnp.zeros(x.shape[:-1] + (M2,), x.dtype)
-        out = out.at[..., ::2].set(x)
-        out = out.at[..., 1::2].set(x_odd)
-        x = out
+        # even/odd halves are equal-length at every level (power-of-two
+        # padding), so the interleave is a stack+reshape — strided
+        # .at[::2].set scatters are slow on TPU
+        b_shape = jnp.broadcast_shapes(x.shape, x_odd.shape)
+        xb = jnp.broadcast_to(x, b_shape)
+        ob = jnp.broadcast_to(x_odd, b_shape)
+        x = jnp.stack([xb, ob], axis=-1).reshape(*b_shape[:-1],
+                                                 2 * b_shape[-1])
     return x[..., :N]
 
 
