@@ -122,6 +122,7 @@ def dc_newton(engine: Engine, params, with_stats: bool = False,
 
         def body(c):
             x, gmin, prev_err = c["x"], c["gmin"], c["prev_err"]
+            alpha_c = c["alpha"]
             if batch:
                 G, I = engine.assemble_dc_iter(G_s, I_s, params, x, gmin)
                 x_raw = batched_solve(G[:, :N, :N], I[:, :N])
@@ -146,13 +147,29 @@ def dc_newton(engine: Engine, params, with_stats: bool = False,
                                  opts.lu_pivot_floor)
             finite = jnp.all(jnp.isfinite(x_raw), axis=-1)
 
-            # ConvController::update (finite path)
-            alpha = jnp.clip(opts.alpha_const, opts.alpha_min, opts.alpha_max)
+            # ConvController::update (finite path).  Strict mode replicates
+            # the reference bug: the damping used for the update is ALWAYS
+            # the re-clamped constant 0.35 (dcanalysis.cpp:274); the
+            # "adaptive" alpha only feeds the next iteration's logs.
+            # Non-strict mode applies the adaptation the controller
+            # apparently intended: the carried alpha damps the update and
+            # evolves with the error ratio.
+            if opts.strict_reference_mode:
+                alpha = jnp.clip(opts.alpha_const, opts.alpha_min,
+                                 opts.alpha_max)
+            else:
+                alpha = alpha_c
             x_new = x + alpha * (x_raw - x)
             err = jnp.linalg.norm(x_new - x, axis=-1)
             first = (c["iter"] == 0) | ~jnp.isfinite(prev_err)
             slow = err > prev_err * opts.slow_conv_ratio
             fast = err < prev_err * opts.fast_conv_ratio
+            alpha_next = jnp.where(
+                first, alpha,
+                jnp.where(slow, jnp.maximum(alpha * 0.7, opts.alpha_min),
+                          jnp.where(fast,
+                                    jnp.minimum(alpha * 1.1, opts.alpha_max),
+                                    alpha)))
             gmin_upd = jnp.where(
                 first, gmin_base,
                 jnp.where(slow, jnp.minimum(gmin * 2.0, opts.gmin_abs_max),
@@ -170,15 +187,18 @@ def dc_newton(engine: Engine, params, with_stats: bool = False,
             c["prev_err"] = jnp.where(upd, err, prev_err)
             c["gmin"] = jnp.where(c["done"], gmin,
                                   jnp.where(finite, gmin_upd, gmin_nf))
+            c["alpha"] = jnp.where(upd, alpha_next, alpha_c)
             c["done"] = c["done"] | (upd & converged)
             c["iter"] = c["iter"] + 1
             return c
 
         lane_shape = (batch,) if batch else ()
+        alpha0 = 0.7 if use_gs else 0.5   # initialAlphaGS/LU (dcanalysis.hpp)
         init = dict(
             x=x0,
             gmin=jnp.full(lane_shape, gmin_base, dtype),
             prev_err=jnp.full(lane_shape, jnp.inf, dtype),
+            alpha=jnp.full(lane_shape, alpha0, dtype),
             done=jnp.zeros(lane_shape, bool),
             iter=jnp.asarray(0, jnp.int32),
         )

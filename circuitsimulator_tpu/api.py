@@ -104,11 +104,17 @@ class Simulator:
         return self._dc_jit[key](
             params if params is not None else self.params)
 
+    @functools.cached_property
+    def _tran_jit(self):
+        return {}
+
     def transient(self, params: Optional[Any] = None,
                   tstep: Optional[float] = None,
                   tstop: Optional[float] = None,
                   save_xs: bool = True) -> TransientResult:
-        """Backward-Euler transient; defaults to the netlist's .TRAN card."""
+        """Backward-Euler/trapezoidal transient; defaults to the netlist's
+        .TRAN card.  Compiled executables are cached per (tstep, tstop,
+        save_xs) so repeated calls (parameter sweeps) do not re-trace."""
         cfg = self.config.tran
         tstep = cfg.tstep if tstep is None else tstep
         tstop = cfg.tstop if tstop is None else tstop
@@ -116,10 +122,12 @@ class Simulator:
             raise ValueError(".TRAN card missing or invalid "
                              "(tstep and tstop must be > 0)")
         p = params if params is not None else self.params
-        fn = jax.jit(functools.partial(
-            run_transient, self.engine,
-            tstep=tstep, tstop=tstop, save_xs=save_xs))
-        return fn(p)
+        key = (float(tstep), float(tstop), bool(save_xs))
+        if key not in self._tran_jit:
+            self._tran_jit[key] = jax.jit(functools.partial(
+                run_transient, self.engine,
+                tstep=tstep, tstop=tstop, save_xs=save_xs))
+        return self._tran_jit[key](p)
 
     def steady_state(self, params: Optional[Any] = None,
                      f0: Optional[float] = None,

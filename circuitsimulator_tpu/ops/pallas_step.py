@@ -27,9 +27,6 @@ inline-`None` indexing must be avoided — it routes through gather).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict
-
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -137,7 +134,6 @@ class PallasStepRunner:
         self.M_rhs = M                                  # (N, nterms)
 
         # DC-only I sources: constant RHS, precomputed lane-minor
-        b0s = np.zeros((N, 1), np.float32)
         self.b0_static = jnp.zeros((N, B), f32)
         if len(t.is_ep):
             idc = bparams["is_dc"].T.astype(f32)        # (nI, B)
@@ -160,7 +156,6 @@ class PallasStepRunner:
         mos_terms = np.stack([t.mos_ed, t.mos_eg, t.mos_es], 1).ravel()
         self.M_mos = onehot_rows(mos_terms)             # (3nM, N)
         self.M_zc = onehot_rows(solver.cols.ravel())    # (3k, N)
-        state_rows = []
         Sm = np.zeros((self.nCap + self.nL, N), np.float32)
         for j in range(self.nCap):
             a, b = engine.cap_a[j], engine.cap_b[j]

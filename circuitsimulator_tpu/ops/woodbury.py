@@ -30,8 +30,6 @@ import numpy as np
 import jax.numpy as jnp
 
 from .lu import lu_solve
-from ..models.mosfet import mos_linearize
-from ..models.diode import diode_linearize
 
 
 def lu_inverse(A, pivot_floor=1e-15):

@@ -83,3 +83,19 @@ def test_vmapped_dc_equals_single():
     assert xb.shape == (B, len(x1))
     for i in range(B):
         np.testing.assert_allclose(xb[i], x1, rtol=0, atol=0)
+
+
+def test_nonstrict_mode_converges_to_same_op_point():
+    """strict_reference_mode=False uses the adaptive damping the reference's
+    ConvController apparently intended (its alpha is otherwise pinned to
+    0.35 by the re-clamp bug, dcanalysis.cpp:274); the converged operating
+    point must agree to solver tolerance."""
+    import jax.numpy as jnp
+    from circuitsimulator_tpu.utils.options import DEFAULT_OPTIONS
+    sane = DEFAULT_OPTIONS.replace(dtype=jnp.float64,
+                                   strict_reference_mode=False)
+    for name in ("buffer", "dbmixer"):
+        s1 = Simulator.from_file(f"tests/netlists/{name}.sp")
+        s2 = Simulator.from_file(f"tests/netlists/{name}.sp", opts=sane)
+        np.testing.assert_allclose(np.asarray(s2.dc()), np.asarray(s1.dc()),
+                                   atol=1e-8)
