@@ -158,18 +158,24 @@ def dc_newton(engine: Engine, params, with_stats: bool = False,
                 alpha = jnp.clip(opts.alpha_const, opts.alpha_min,
                                  opts.alpha_max)
             else:
-                alpha = alpha_c
-            x_new = x + alpha * (x_raw - x)
+                # the clamp the controller applies to its input
+                # (dcanalysis.cpp:274 with alphaCurrent, as intended)
+                alpha = jnp.clip(alpha_c, opts.alpha_min, opts.alpha_max)
+            x_new = x + (alpha[..., None] if batch else alpha) * (x_raw - x)
             err = jnp.linalg.norm(x_new - x, axis=-1)
             first = (c["iter"] == 0) | ~jnp.isfinite(prev_err)
             slow = err > prev_err * opts.slow_conv_ratio
             fast = err < prev_err * opts.fast_conv_ratio
-            alpha_next = jnp.where(
-                first, alpha,
-                jnp.where(slow, jnp.maximum(alpha * 0.7, opts.alpha_min),
-                          jnp.where(fast,
-                                    jnp.minimum(alpha * 1.1, opts.alpha_max),
-                                    alpha)))
+            if opts.strict_reference_mode:
+                alpha_next = alpha_c   # dead in strict mode; keep carry shape
+            else:
+                alpha_next = jnp.where(
+                    first, alpha,
+                    jnp.where(slow, jnp.maximum(alpha * 0.7, opts.alpha_min),
+                              jnp.where(fast,
+                                        jnp.minimum(alpha * 1.1,
+                                                    opts.alpha_max),
+                                        alpha)))
             gmin_upd = jnp.where(
                 first, gmin_base,
                 jnp.where(slow, jnp.minimum(gmin * 2.0, opts.gmin_abs_max),

@@ -124,6 +124,10 @@ class Simulator:
         p = params if params is not None else self.params
         key = (float(tstep), float(tstop), bool(save_xs))
         if key not in self._tran_jit:
+            # bounded: a timestep-sweep study would otherwise retain one
+            # compiled executable per distinct (tstep, tstop)
+            if len(self._tran_jit) >= 8:
+                self._tran_jit.pop(next(iter(self._tran_jit)))
             self._tran_jit[key] = jax.jit(functools.partial(
                 run_transient, self.engine,
                 tstep=tstep, tstop=tstop, save_xs=save_xs))
