@@ -30,9 +30,14 @@ import jax.numpy as jnp
 import numpy as np
 from circuitsimulator_tpu import Simulator, DEFAULT_OPTIONS
 dtype = jnp.{dtype_name}
+import os as _os
 opts = DEFAULT_OPTIONS.replace(dtype=dtype, tran_solver='woodbury',
-                               tran_tol=(float(__import__('os').environ.get('VAL_TOL', '1e-5')) if dtype == jnp.float32 else 1e-6),
+                               tran_tol=(float(_os.environ.get('VAL_TOL', '1e-5')) if dtype == jnp.float32 else 1e-6),
                                dc_tol=(1e-5 if dtype == jnp.float32 else 1e-9))
+# VAL_FAST: validate the bench's fast-Newton configuration (f32 side only)
+if dtype == jnp.float32 and _os.environ.get('VAL_FAST'):
+    opts = opts.replace(tran_alpha=1.0, tran_predictor=True,
+                        tran_max_newton_iters=int(_os.environ.get('VAL_CAP', '6')))
 sim = Simulator.from_file({os.path.join(REPO, 'tests/netlists/dbmixer.sp')!r}, opts=opts)
 res = sim.transient(tstep=1e-13, tstop={steps}e-13)
 xs = np.asarray(res.xs, dtype=np.float64)

@@ -111,10 +111,16 @@ class Simulator:
     def transient(self, params: Optional[Any] = None,
                   tstep: Optional[float] = None,
                   tstop: Optional[float] = None,
-                  save_xs: bool = True) -> TransientResult:
+                  save_xs: bool = True,
+                  adaptive: bool = False) -> TransientResult:
         """Backward-Euler/trapezoidal transient; defaults to the netlist's
         .TRAN card.  Compiled executables are cached per (tstep, tstop,
-        save_xs) so repeated calls (parameter sweeps) do not re-trace."""
+        save_xs) so repeated calls (parameter sweeps) do not re-trace.
+
+        adaptive=True uses the LTE-controlled dyadic-refinement integrator
+        (analysis/adaptive.py): output rows stay on the .TRAN grid but the
+        internal dt refines down to tstep/2**opts.tran_max_refine_levels
+        where the local truncation error demands it."""
         cfg = self.config.tran
         tstep = cfg.tstep if tstep is None else tstep
         tstop = cfg.tstop if tstop is None else tstop
@@ -122,14 +128,19 @@ class Simulator:
             raise ValueError(".TRAN card missing or invalid "
                              "(tstep and tstop must be > 0)")
         p = params if params is not None else self.params
-        key = (float(tstep), float(tstop), bool(save_xs))
+        key = (float(tstep), float(tstop), bool(save_xs), bool(adaptive))
         if key not in self._tran_jit:
             # bounded: a timestep-sweep study would otherwise retain one
             # compiled executable per distinct (tstep, tstop)
             if len(self._tran_jit) >= 8:
                 self._tran_jit.pop(next(iter(self._tran_jit)))
+            if adaptive:
+                from .analysis.adaptive import run_transient_adaptive
+                run = run_transient_adaptive
+            else:
+                run = run_transient
             self._tran_jit[key] = jax.jit(functools.partial(
-                run_transient, self.engine,
+                run, self.engine,
                 tstep=tstep, tstop=tstop, save_xs=save_xs))
         return self._tran_jit[key](p)
 

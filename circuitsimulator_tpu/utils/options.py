@@ -64,6 +64,28 @@ class SolverOptions:
     tran_solver: str = "woodbury"
     # DC linear solver: "lu" (reference), "gs", or "tridiag" (ladder)
     dc_solver: str = "lu"
+    # --- Adaptive transient (extension; analysis/adaptive.py) ---
+    # max dyadic refinement: internal dt ranges over tstep/2**[0..levels]
+    tran_max_refine_levels: int = 8
+    # weighted-LTE tolerance: |lte| <= rtol*|x| + atol per component
+    tran_lte_rtol: float = 1e-3
+    tran_lte_atol: float = 1e-6
+    # Newton damping for the adaptive path (full steps by default; the
+    # reference's 0.45 damping is a fixed-grid parity behavior)
+    tran_adaptive_alpha: float = 1.0
+    # start each timestep's Newton from the linear extrapolation of the two
+    # previous solutions instead of the previous solution (classic SPICE
+    # predictor; cuts iters/step to ~1 in smooth regions).  Off by default:
+    # it changes the damped-Newton *trajectory*, so reference-parity runs
+    # must keep it disabled.  The converged solution is unchanged (same
+    # fixed point, same tolerance).
+    tran_predictor: bool = False
+    # per-iteration Newton update clamp in volts (0 = off).  SPICE-style
+    # limiting: full (quadratic) steps near the solution, bounded steps far
+    # away — kills the region-switching oscillation that otherwise makes a
+    # few Monte-Carlo lanes dominate a vmapped while_loop (the batch cost is
+    # the max over lanes, not the mean).  Use with tran_alpha=1.0.
+    tran_newton_clamp: float = 0.0
     # let the Simulator switch both to "tridiag" automatically for large
     # ladder-structured circuits
     auto_backend: bool = True

@@ -111,3 +111,35 @@ def test_10k_node_ladder_smoke():
     # reached the far end yet
     assert abs(xf[-2]) < 1e-6
     assert xf[0] > 0.01
+
+
+def test_full_newton_predictor_matches_damped_trajectory():
+    """tran_alpha=1 + tran_predictor change only the Newton *path*, not the
+    per-step fixed point: trajectories agree to ~tolerance, with far fewer
+    iterations (the fast configuration used by benchmarks/bench_ladder.py)."""
+    net = rc_ladder_netlist(400, tstep=1e-11, tstop=2e-9)
+    o_ref = DEFAULT_OPTIONS.replace(dtype=jnp.float64)
+    o_fast = o_ref.replace(tran_alpha=1.0, tran_predictor=True)
+    s_ref = Simulator.from_text(net, opts=o_ref)
+    s_fast = Simulator.from_text(net, opts=o_fast)
+    assert s_ref.opts.tran_solver == "tridiag"
+    r_ref = s_ref.transient()
+    r_fast = s_fast.transient()
+    assert not bool(r_ref.failed) and not bool(r_fast.failed)
+    np.testing.assert_allclose(np.asarray(r_fast.xs), np.asarray(r_ref.xs),
+                               rtol=0, atol=5e-5)
+    assert float(r_fast.newton_iters.sum()) < 0.5 * float(
+        r_ref.newton_iters.sum())
+
+
+def test_predictor_dense_backends():
+    """Predictor works identically across lu/woodbury dense backends."""
+    net = rc_ladder_netlist(40, tstep=1e-11, tstop=5e-10)
+    o = DEFAULT_OPTIONS.replace(dtype=jnp.float64, tran_alpha=1.0,
+                                tran_predictor=True)
+    r = {}
+    for solver in ("lu", "woodbury"):
+        s = Simulator.from_text(net, opts=o.replace(tran_solver=solver,
+                                                    auto_backend=False))
+        r[solver] = np.asarray(s.transient().xs)
+    np.testing.assert_allclose(r["woodbury"], r["lu"], rtol=0, atol=1e-9)

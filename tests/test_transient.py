@@ -153,3 +153,29 @@ def test_vmapped_transient_equals_single():
     for i in range(1, B):
         np.testing.assert_array_equal(np.asarray(resB.xs[i]),
                                       np.asarray(resB.xs[0]))
+
+
+def test_fast_newton_options_same_fixed_point():
+    """tran_alpha=1 + predictor + update clamp change the Newton path, not
+    the converged per-step solution (the bench.py fast configuration)."""
+    import jax.numpy as jnp
+    from circuitsimulator_tpu.utils.options import DEFAULT_OPTIONS
+    net = """\
+V1 vdd 0 5
+VIN in 0 SIN 2.5 0.5 2e6
+M1 out in vss n 20u 1u 1
+Rl vdd out 10k
+Rs vss 0 1k
+C1 out 0 0.5p
+.MODEL 1 VT 0.7 MU 5e-2 COX 2e-3 LAMBDA 0.02 CJ0 1e-14
+.TRAN 1e-9 2e-7
+"""
+    o_ref = DEFAULT_OPTIONS.replace(dtype=jnp.float64)
+    o_fast = o_ref.replace(tran_alpha=1.0, tran_predictor=True,
+                           tran_newton_clamp=0.5)
+    r_ref = Simulator.from_text(net, opts=o_ref).transient()
+    r_fast = Simulator.from_text(net, opts=o_fast).transient()
+    assert not bool(r_ref.failed) and not bool(r_fast.failed)
+    np.testing.assert_allclose(np.asarray(r_fast.xs), np.asarray(r_ref.xs),
+                               rtol=0, atol=5e-5)
+    assert float(r_fast.newton_iters.sum()) < float(r_ref.newton_iters.sum())
