@@ -105,16 +105,33 @@ def run_transient_adaptive(engine: Engine, params, tstep, tstop,
     n_out = n_steps_for(tstep_f, float(tstop))
 
     solver = opts.tran_solver
-    if solver == "tridiag":
-        # dense per-level precompute is wrong for big ladders; explicit for now
-        raise NotImplementedError(
-            "adaptive transient supports the 'lu' and 'woodbury' backends")
     use_woodbury = solver == "woodbury"
+    use_tridiag = solver == "tridiag"
 
     # --- per-level static precompute (all dts known at trace time) ---
     dts = [tstep_f / (1 << l) for l in range(L + 1)]
-    Gs = jnp.stack([engine.tran_static_G(params, d, opts.tran_gmin, method)
-                    for d in dts])                     # (L+1, ..., N+1, N+1)
+    if use_tridiag:
+        # O(n) bordered-tridiagonal path: per-level banded statics, selected
+        # by level with one dynamic index per substep (mirrors transient.py)
+        from ..ops.banded import BandedPlan
+        from ..ops.tridiag import bordered_solve
+        n = engine.topo.n_node_eq
+        m = N - n
+        plans = [engine.tran_static_entries(params, d, opts.tran_gmin,
+                                            method) for d in dts]
+        static_plan = BandedPlan(n, m, plans[0][0], plans[0][1])
+        nl_plan = BandedPlan(n, m, engine.nl_rows, engine.nl_cols)
+        if not (static_plan.ok and nl_plan.ok):
+            raise ValueError("circuit is not ladder-structured; "
+                             "tridiag transient solver not applicable")
+        banded_stack = jax.tree_util.tree_map(
+            lambda *leaves: jnp.stack(leaves),
+            *[static_plan.scatter(sv) for _, _, sv in plans])
+        Gs = None
+    else:
+        Gs = jnp.stack([engine.tran_static_G(params, d, opts.tran_gmin,
+                                             method)
+                        for d in dts])                 # (L+1, ..., N+1, N+1)
     if use_woodbury:
         from ..ops.woodbury import WoodburySolver
         # one factorization per level, stacked on a leading level axis
@@ -130,12 +147,18 @@ def run_transient_adaptive(engine: Engine, params, tstep, tstop,
         x0 = dc_operating_point(engine, params)
     state0 = engine.init_state(x0)
 
-    def newton(x, I_s, lvl, dt):
+    def newton(x_init, I_s, lvl, dt):
         """Damped Newton at one substep; returns (x_new, converged, finite,
-        iters)."""
+        iters).  x_init may be an extrapolated predictor — convergence is
+        measured on the iterate step, so the fixed point is unchanged."""
         if use_woodbury:
             wv = _wb_at_level(wb, lvl)
             z0 = wv.z0(I_s[..., :N])
+        elif use_tridiag:
+            banded_static = jax.tree_util.tree_map(
+                lambda a: lax.dynamic_index_in_dim(a, lvl, 0,
+                                                   keepdims=False),
+                banded_stack)
         else:
             G_static = lax.dynamic_index_in_dim(Gs, lvl, 0, keepdims=False)
 
@@ -145,6 +168,15 @@ def run_transient_adaptive(engine: Engine, params, tstep, tstop,
         def body(c):
             if use_woodbury:
                 x_raw = wv.solve(params, c["x"], z0)
+            elif use_tridiag:
+                gvals, rvals = engine._nl_vals(params, c["x"])
+                mats = nl_plan.scatter(gvals, base=banded_static)
+                I = I_s.at[..., engine.nl_rhs_rows].add(rvals)
+                xn, y = bordered_solve(
+                    mats["sub"], mats["diag"], mats["sup"],
+                    mats["U"], mats["W"], mats["D"],
+                    I[..., :n], I[..., n:N])
+                x_raw = jnp.concatenate([xn, y], axis=-1)
             else:
                 G, I = engine.assemble_tran_iter(G_static, I_s, params,
                                                  c["x"])
@@ -162,8 +194,8 @@ def run_transient_adaptive(engine: Engine, params, tstep, tstop,
             out["iter"] = c["iter"] + 1
             return out
 
-        init = dict(x=x, done=jnp.asarray(False), conv=jnp.asarray(False),
-                    finite=jnp.asarray(True),
+        init = dict(x=x_init, done=jnp.asarray(False),
+                    conv=jnp.asarray(False), finite=jnp.asarray(True),
                     iter=jnp.asarray(0, jnp.int32))
         out = lax.while_loop(cond, body, init)
         return out["x"], out["conv"], out["finite"], out["iter"]
@@ -183,13 +215,12 @@ def run_transient_adaptive(engine: Engine, params, tstep, tstop,
 
             I_s = engine.make_tran_static_I(dt, method)(params, c["state"],
                                                         t_new)
-            x_new, conv, finite, iters = newton(c["x"], I_s, lvl, dt)
-
-            # LTE estimate from the linear predictor
+            # linear predictor: the Newton initial guess AND the LTE probe
             slope = jnp.where(c["have_prev"],
                               (c["x"] - c["x_prev"])
                               / jnp.maximum(c["dt_prev"], dt_min), 0.0)
             x_pred = c["x"] + slope * dt
+            x_new, conv, finite, iters = newton(x_pred, I_s, lvl, dt)
             fac = dt / (dt + c["dt_prev"])
             if method == "trap":
                 fac = fac / 3.0

@@ -140,3 +140,23 @@ def test_adaptive_trapezoidal():
     assert not bool(res.failed)
     err = np.abs(np.asarray(res.xs)[:, node] - exact).max()
     assert err < 1e-3
+
+
+def test_adaptive_tridiag_ladder():
+    """Adaptive integrator on the O(n) bordered-tridiagonal ladder backend:
+    agrees with the fixed fine-grid run and with the dense-LU adaptive."""
+    from circuitsimulator_tpu.synthetic import rc_ladder_netlist
+    net = rc_ladder_netlist(300, tstep=2e-11, tstop=1e-9)
+    o = F64.replace(tran_lte_rtol=1e-4, tran_lte_atol=1e-7)
+    s_tri = Simulator.from_text(net, opts=o)
+    assert s_tri.opts.tran_solver == "tridiag"
+    s_lu = Simulator.from_text(net, opts=o.replace(auto_backend=False,
+                                                   tran_solver="lu"))
+    r_tri = s_tri.transient(adaptive=True)
+    r_lu = s_lu.transient(adaptive=True)
+    assert not bool(r_tri.failed)
+    np.testing.assert_allclose(np.asarray(r_tri.xs), np.asarray(r_lu.xs),
+                               rtol=0, atol=1e-7)
+    fine = s_tri.transient(tstep=2e-11 / 32, tstop=1e-9)
+    np.testing.assert_allclose(np.asarray(r_tri.xs)[:, :300],
+                               np.asarray(fine.xs)[::32, :300], atol=2e-3)
