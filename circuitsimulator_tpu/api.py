@@ -188,6 +188,59 @@ class Simulator:
         p = params if params is not None else self.params
         return ac_analysis(self.engine, p, freqs, x_op=x_op)
 
+    def noise(self, params: Optional[Any] = None, freqs=None,
+              out_node: Optional[str] = None, ref_node: Optional[str] = None,
+              input_source: Optional[str] = None,
+              x_op: Optional[Any] = None):
+        """Small-signal noise analysis (.NOISE card, analysis/noise.py).
+        Output PSD at V(out_node[, ref_node]); with input_source also the
+        gain-referred input noise.  Sweep defaults to the .NOISE card's, or
+        the .AC card's if the .NOISE card omits one."""
+        from .analysis.ac import sweep_frequencies
+        from .analysis.noise import noise_analysis
+        from .analysis.sweep import find_source
+        from .netlist.circuit import KIND_V
+        cfg = self.config.noise
+        if out_node is None:
+            if not cfg.enabled:
+                raise ValueError(".NOISE card missing")
+            out_node = cfg.out_node
+            ref_node = ref_node or (cfg.ref_node or None)
+            input_source = input_source or (cfg.input_source or None)
+        if freqs is None:
+            if cfg.enabled and cfg.sweep_type:
+                freqs = sweep_frequencies(cfg.sweep_type, cfg.n_points,
+                                          cfg.fstart, cfg.fstop)
+            elif self.config.ac.enabled:
+                ac = self.config.ac
+                freqs = sweep_frequencies(ac.sweep_type, ac.n_points,
+                                          ac.fstart, ac.fstop)
+            else:
+                raise ValueError("no frequency sweep: give freqs, a .NOISE "
+                                 "sweep, or a .AC card")
+
+        def node_eq(name):
+            nid = self.circuit.node_name_to_id.get(name)
+            if nid is None:
+                raise KeyError(f"unknown node {name!r}")
+            return self.circuit.nodes[nid].eq_index
+
+        out_eq = node_eq(out_node)
+        if out_eq < 0:
+            raise ValueError(f".NOISE output node {out_node!r} is ground")
+        ref_eq = node_eq(ref_node) if ref_node else -1
+        input_ref = None
+        if input_source:
+            kind, idx = find_source(self.circuit, input_source)
+            if kind == KIND_V:
+                input_ref = ("v", int(self.topo.vs_k[idx]))
+            else:
+                input_ref = ("i", int(self.topo.is_ep[idx]),
+                             int(self.topo.is_em[idx]))
+        p = params if params is not None else self.params
+        return noise_analysis(self.engine, p, freqs, out_eq, ref_eq,
+                              input_ref, x_op=x_op)
+
     def dc_sweep(self, sweep_index: int = 0, params: Optional[Any] = None,
                  values=None, source: Optional[str] = None):
         """DC sweep (analysis/sweep.py).  Defaults to the netlist's .DC

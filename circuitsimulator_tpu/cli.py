@@ -53,6 +53,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--run-dc-sweep", metavar="CSV", nargs="?",
                    const="dcsweep_out.csv",
                    help="run the .DC sweep card(s), write CSV")
+    p.add_argument("--run-noise", metavar="CSV", nargs="?",
+                   const="noise_out.csv", default=None,
+                   help="run the .NOISE small-signal noise sweep and write "
+                        "PSD columns to CSV")
     p.add_argument("--run-hb", metavar="CSV", nargs="?", const="hb_out.csv",
                    help="run .hb periodic steady state, write one period "
                         "CSV and print the harmonic table")
@@ -147,6 +151,18 @@ def main(argv=None) -> int:
                   f"Results written to '{args.run_ac}'.")
         except Exception as e:  # noqa: BLE001
             print(f"AC failed: {e}", file=sys.stderr)
+            return 1
+
+    if args.run_noise:
+        from .analysis.noise import write_noise_csv
+        print("\nRunning noise analysis...")
+        try:
+            nres = sim.noise(x_op=x)
+            write_noise_csv(args.run_noise, nres)
+            print(f"noise sweep finished ({len(nres.freqs)} points). "
+                  f"Results written to '{args.run_noise}'.")
+        except Exception as e:  # noqa: BLE001
+            print(f"noise analysis failed: {e}", file=sys.stderr)
             return 1
 
     if args.run_dc_sweep:

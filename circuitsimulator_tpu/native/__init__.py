@@ -28,6 +28,7 @@ from ..netlist.circuit import (
 )
 from ..netlist.parser import (
     SimulationConfig, TranConfig, AcConfig, HbConfig, DCSweepConfig,
+    NoiseConfig,
     PrintCommand, ProbeSpec, AN_NONE, AN_OP, AN_DC, AN_AC, AN_TRAN, AN_HB,
 )
 
@@ -48,7 +49,7 @@ class _CElement(ct.Structure):
         ("value", ct.c_double),
         ("is_p", ct.c_int32),
         ("vth", ct.c_double), ("k", ct.c_double), ("lam", ct.c_double),
-        ("cj0", ct.c_double),
+        ("cj0", ct.c_double), ("kf", ct.c_double), ("af", ct.c_double),
         ("i_sat", ct.c_double), ("n_ideal", ct.c_double),
         ("bf", ct.c_double), ("br", ct.c_double),
         ("dc", ct.c_double), ("ac_mag", ct.c_double), ("ac_phase", ct.c_double),
@@ -87,6 +88,11 @@ class _CConfig(ct.Structure):
         ("fstart", ct.c_double), ("fstop", ct.c_double),
         ("hb_enabled", ct.c_int32), ("hb_f0", ct.c_double),
         ("hb_nharm", ct.c_int32),
+        ("noise_enabled", ct.c_int32),
+        ("noise_out_off", ct.c_int32), ("noise_ref_off", ct.c_int32),
+        ("noise_src_off", ct.c_int32),
+        ("noise_sweep", ct.c_int32), ("noise_npoints", ct.c_int32),
+        ("noise_fstart", ct.c_double), ("noise_fstop", ct.c_double),
     ]
 
 
@@ -205,6 +211,7 @@ def parse_netlist_text_native(text: str) -> Tuple[Circuit, SimulationConfig]:
             elif kind == KIND_M:
                 rec.is_p = bool(e.is_p)
                 rec.vth, rec.k, rec.lam, rec.cj0 = e.vth, e.k, e.lam, e.cj0
+                rec.kf, rec.af = e.kf, e.af
             elif kind == KIND_D:
                 rec.i_sat, rec.n_ideal = e.i_sat, e.n_ideal
             elif kind == KIND_Q:
@@ -223,6 +230,17 @@ def parse_netlist_text_native(text: str) -> Tuple[Circuit, SimulationConfig]:
                           fstop=cfg.fstop)
         sim.hb = HbConfig(enabled=bool(cfg.hb_enabled), f0=cfg.hb_f0,
                           n_harm=cfg.hb_nharm)
+        if cfg.noise_enabled:
+            sim.noise = NoiseConfig(
+                enabled=True,
+                out_node=s(cfg.noise_out_off),
+                ref_node=s(cfg.noise_ref_off) if cfg.noise_ref_off >= 0 else "",
+                input_source=(s(cfg.noise_src_off)
+                              if cfg.noise_src_off >= 0 else ""),
+                sweep_type=(["lin", "dec", "oct"][cfg.noise_sweep]
+                            if cfg.noise_sweep >= 0 else ""),
+                n_points=cfg.noise_npoints, fstart=cfg.noise_fstart,
+                fstop=cfg.noise_fstop)
         nsw = lib.csim_n_sweeps(h)
         csw = ct.cast(lib.csim_sweeps(h), ct.POINTER(_CSweep))
         for i in range(nsw):

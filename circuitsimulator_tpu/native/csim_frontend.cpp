@@ -123,7 +123,7 @@ struct ElementRec {
     double value;       // R/C/L value
     // MOS
     int32_t is_p;
-    double vth, k, lam, cj0;
+    double vth, k, lam, cj0, kf, af;
     // diode
     double i_sat, n_ideal;
     // BJT (Ebers-Moll)
@@ -163,6 +163,12 @@ struct Config {
     int32_t hb_enabled;
     double hb_f0;
     int32_t hb_nharm;
+    // .NOISE (extension): V(out[,ref]) [src] [lin|dec|oct n fstart fstop]
+    int32_t noise_enabled;
+    int32_t noise_out_off, noise_ref_off, noise_src_off;  // -1 = absent
+    int32_t noise_sweep;     // -1 = fall back to the .AC sweep; else 0/1/2
+    int32_t noise_npoints;
+    double noise_fstart, noise_fstop;
 };
 #pragma pack(pop)
 
@@ -180,6 +186,7 @@ struct Result {
 struct MosModel {
     bool is_p = false;
     double vt = 0.7, mu = 1e-3, cox = 1e-3, lambda_ = 0.0, cj0 = 0.0;
+    double kf = 0.0, af = 1.0;  // flicker-noise coefficients (extension)
 };
 
 struct BjtModel {
@@ -492,6 +499,8 @@ public:
         e.k = m.mu * m.cox * (w / l);
         e.lam = m.lambda_;
         e.cj0 = m.cj0;
+        e.kf = m.kf;
+        e.af = m.af;
         out.elements.push_back(e);
     }
 
@@ -600,6 +609,8 @@ public:
             else if (key == "cox") m.cox = v;
             else if (key == "lambda") m.lambda_ = v;
             else if (key == "cj0" || key == "cjo") m.cj0 = v;
+            else if (key == "kf") m.kf = v;
+            else if (key == "af") m.af = v;
         }
         if (m.vt < 0) { m.is_p = true; m.vt = -m.vt; }
         models[t[1]] = m;
@@ -725,6 +736,45 @@ public:
                 p.analysis = av;
                 out.probes.push_back(p);
             }
+        } else if (head == ".noise") {
+            if (t.size() < 2) {
+                warn(st.line_no, "invalid .NOISE syntax: " + st.raw);
+                return;
+            }
+            ProbeRec pr = parse_probe_token(t[1]);
+            if (pr.kind > 1 || pr.node1_off < 0) {
+                warn(st.line_no,
+                     ".NOISE output must be V(node[,ref]): " + st.raw);
+                return;
+            }
+            out.config.noise_out_off = pr.node1_off;
+            out.config.noise_ref_off = pr.node2_off;
+            size_t i = 2;
+            if (i < t.size()) {
+                std::string sw = lower(t[i]);
+                if (sw != "lin" && sw != "dec" && sw != "oct") {
+                    out.config.noise_src_off = intern(t[i]);
+                    ++i;
+                }
+            }
+            if (i + 3 < t.size()) {
+                std::string sw = lower(t[i]);
+                int swv = sw == "lin" ? 0 : (sw == "oct" ? 2 : 1);
+                char* end = nullptr;
+                long np = std::strtol(t[i + 1].c_str(), &end, 10);
+                double f0, f1;
+                if (end == t[i + 1].c_str() ||
+                    !parse_spice(t[i + 2], &f0) ||
+                    !parse_spice(t[i + 3], &f1)) {
+                    warn(st.line_no, "cannot parse .NOISE sweep: " + st.raw);
+                    return;
+                }
+                out.config.noise_sweep = swv;
+                out.config.noise_npoints = (int32_t)np;
+                out.config.noise_fstart = f0;
+                out.config.noise_fstop = f1;
+            }
+            out.config.noise_enabled = 1;
         } else if (head == ".plotnv") {
             if (t.size() < 2) {
                 warn(st.line_no, "invalid .PLOTNV: " + st.raw);
@@ -770,6 +820,9 @@ public:
     // ---- driver ----
     void parse(const std::string& text) {
         out.config.ac_sweep = 1;  // default sweep type is DEC (parser.cpp:439)
+        out.config.noise_out_off = out.config.noise_ref_off = -1;
+        out.config.noise_src_off = -1;
+        out.config.noise_sweep = -1;
         std::vector<Statement> stmts = lex(text);
         for (const auto& st : stmts) {
             if (!st.tokens.empty() && lower(st.tokens[0]) == ".model")

@@ -131,6 +131,9 @@ class MosModel:
     cox: float = 1e-3
     lam: float = 0.0
     cj0: float = 0.0
+    # flicker-noise coefficients (extension; used by analysis/noise.py only)
+    kf: float = 0.0
+    af: float = 1.0
 
 
 @dataclasses.dataclass
@@ -168,6 +171,8 @@ class ElementRec:
     k: float = 0.0
     lam: float = 0.0
     cj0: float = 0.0
+    kf: float = 0.0
+    af: float = 1.0
     # Diode parameters
     i_sat: float = 0.0
     n_ideal: float = 1.0
@@ -262,7 +267,7 @@ class Circuit:
         self.elements.append(ElementRec(
             KIND_M, name, ids,
             is_p=m.is_p, vth=abs(m.vt), k=m.mu * m.cox * (w / l),
-            lam=m.lam, cj0=m.cj0,
+            lam=m.lam, cj0=m.cj0, kf=m.kf, af=m.af,
         ))
 
     def add_diode(self, name, np_, nm, i_sat, n_ideal):

@@ -77,6 +77,20 @@ class HbConfig:
 
 
 @dataclasses.dataclass
+class NoiseConfig:
+    """.NOISE V(out[,ref]) [input_src] [lin|dec|oct n fstart fstop]
+    (extension; sweep args default to the .AC card's sweep)."""
+    enabled: bool = False
+    out_node: str = ""
+    ref_node: str = ""
+    input_source: str = ""
+    sweep_type: str = ""     # empty -> use the .AC card
+    n_points: int = 0
+    fstart: float = 0.0
+    fstop: float = 0.0
+
+
+@dataclasses.dataclass
 class ProbeSpec:
     kind: str = "nv"           # nv | dv | br
     expr: str = ""
@@ -100,6 +114,7 @@ class SimulationConfig:
     ac: AcConfig = dataclasses.field(default_factory=AcConfig)
     hb: HbConfig = dataclasses.field(default_factory=HbConfig)
     print_commands: List[PrintCommand] = dataclasses.field(default_factory=list)
+    noise: NoiseConfig = dataclasses.field(default_factory=NoiseConfig)
 
     def has_any_analysis(self) -> bool:
         return (self.do_op or bool(self.dc_sweeps) or self.tran.enabled
@@ -396,6 +411,8 @@ class NetlistParser:
             self._parse_print_card(st)
         elif head == ".hb":
             self._parse_hb_card(st)
+        elif head == ".noise":
+            self._parse_noise_card(st)
         elif head == ".plotnv":
             self._parse_plotnv_card(st)
         elif head == ".plotnc":
@@ -466,6 +483,35 @@ class NetlistParser:
             return
         cfg.enabled = True
         self.sim.hb = cfg
+
+    def _parse_noise_card(self, st: Statement) -> None:
+        t = st.tokens
+        if len(t) < 2:
+            _warn(st.line_no, f"invalid .NOISE syntax: {st.raw}")
+            return
+        cfg = NoiseConfig()
+        probe = self._parse_probe_token(t[1])
+        if probe.kind not in ("nv", "dv") or not probe.node1:
+            _warn(st.line_no, f".NOISE output must be V(node[,ref]): {st.raw}")
+            return
+        cfg.out_node = probe.node1
+        cfg.ref_node = probe.node2
+        i = 2
+        if i < len(t) and t[i].lower() not in ("lin", "dec", "oct"):
+            cfg.input_source = t[i]
+            i += 1
+        if i + 3 < len(t):
+            cfg.sweep_type = t[i].lower()
+            try:
+                cfg.n_points = int(t[i + 1])
+                cfg.fstart = parse_spice_number(t[i + 2])
+                cfg.fstop = parse_spice_number(t[i + 3])
+            except ValueError as e:
+                _warn(st.line_no,
+                      f"cannot parse .NOISE sweep: {e} in '{st.raw}'")
+                return
+        cfg.enabled = True
+        self.sim.noise = cfg
 
     # ---- probes ----
     @staticmethod
@@ -605,6 +651,10 @@ class NetlistParser:
                 m.lam = val
             elif key in ("cj0", "cjo"):
                 m.cj0 = val
+            elif key == "kf":
+                m.kf = val
+            elif key == "af":
+                m.af = val
             i += 2
         if m.vt < 0.0:
             m.is_p = True
