@@ -105,23 +105,38 @@ def ac_analysis(engine: Engine, params, freqs, x_op: Optional[Any] = None):
     return ACResult(freqs=freqs, xs=xs)
 
 
-def write_ac_csv(path: str, topo, result: ACResult) -> None:
+def write_ac_csv(path: str, topo, result: ACResult, selection=None) -> None:
     """CSV schema: freq, then VM(node)/VP(node) (magnitude, phase in deg) for
-    every node-voltage column, then IM/IP for branch currents."""
+    every node-voltage column, then IM/IP for branch currents.  `selection`
+    (from io.csvout.probe_selection, e.g. the .PRINT AC probes) restricts
+    and orders the columns; differential V(a,b) probes subtract the complex
+    phasors before taking magnitude/phase."""
     freqs = np.asarray(result.freqs)
     xs = np.asarray(result.xs)
+    if selection is None:
+        selection = [(f"V({n})", int(e)) for n, e in
+                     zip(topo.volt_col_names, topo.volt_col_eqs)]
+        selection += [(f"I({n})", int(e)) for n, e in
+                      zip(topo.branch_col_names, topo.branch_col_eqs)]
+
+    def phasor(row, spec):
+        if isinstance(spec, tuple):
+            a = row[spec[0]] if spec[0] >= 0 else 0.0
+            b = row[spec[1]] if spec[1] >= 0 else 0.0
+            return a - b
+        return row[spec] if spec >= 0 else 0.0
+
     cols = []
-    col_eqs = []
-    for n in topo.volt_col_names:
-        cols += [f"VM({n})", f"VP({n})"]
-    for n in topo.branch_col_names:
-        cols += [f"IM({n})", f"IP({n})"]
-    col_eqs = np.concatenate([topo.volt_col_eqs, topo.branch_col_eqs]).astype(int)
+    for label, _ in selection:
+        inner = label[label.find("(") + 1:label.rfind(")")] \
+            if "(" in label else label
+        kind = "I" if label.startswith("I(") else "V"
+        cols += [f"{kind}M({inner})", f"{kind}P({inner})"]
     with open(path, "w") as f:
         f.write("freq," + ",".join(cols) + "\n")
         for fi, row in zip(freqs, xs):
             vals = []
-            for eq in col_eqs:
-                v = row[eq]
+            for _, spec in selection:
+                v = phasor(row, spec)
                 vals += [f"{abs(v):.9e}", f"{np.degrees(np.angle(v)):.9e}"]
             f.write(f"{fi:.9e}," + ",".join(vals) + "\n")

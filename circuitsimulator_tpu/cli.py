@@ -146,7 +146,12 @@ def main(argv=None) -> int:
         print("\nRunning AC small-signal sweep...")
         try:
             acres = sim.ac(x_op=x)
-            write_ac_csv(args.run_ac, sim.topo, acres)
+            ac_sel = None
+            if args.probes_only:
+                from .io.csvout import probe_selection
+                ac_sel = probe_selection(sim.topo, sim.config.print_commands,
+                                         analysis="ac") or None
+            write_ac_csv(args.run_ac, sim.topo, acres, selection=ac_sel)
             print(f"AC sweep finished ({len(acres.freqs)} points). "
                   f"Results written to '{args.run_ac}'.")
         except Exception as e:  # noqa: BLE001

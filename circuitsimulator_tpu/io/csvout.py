@@ -23,12 +23,14 @@ def format_header(topo: Topology) -> str:
     return ",".join(cols)
 
 
-def probe_selection(topo: Topology, print_commands):
+def probe_selection(topo: Topology, print_commands, analysis=None):
     """Resolve .PLOTNV/.PLOTNC/.PRINT probes to CSV columns.
 
     Returns [(label, spec)] where spec is an eq index, or a (eq_a, eq_b)
     pair for differential V(a,b) probes.  Unresolvable probes are skipped
-    (consistent with the reference's attitude to its dead probe config)."""
+    (consistent with the reference's attitude to its dead probe config).
+    `analysis` (an AN_* string) keeps only .PRINT commands for that
+    analysis plus analysis-less .PLOTNV/.PLOTNC probes."""
     v_by_name = dict(zip(topo.volt_col_names, topo.volt_col_eqs))
     i_by_name = dict(zip(topo.branch_col_names, topo.branch_col_eqs))
     sel = []
@@ -46,6 +48,8 @@ def probe_selection(topo: Topology, print_commands):
         return -1 if low in ("0", "gnd") else None
 
     for pc in print_commands:
+        if analysis is not None and pc.analysis not in (analysis, "none", ""):
+            continue
         for p in pc.probes:
             if p.kind == "nv":
                 eq = veq(p.node1)

@@ -25,12 +25,32 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def mos_linearize(vth, k, lam, p, vd, vg, vs, off_gds=1e-12):
+def mos_linearize(vth, k, lam, p, vd, vg, vs, off_gds=1e-12,
+                  reverse_region=False):
     """Linearize Ids(Vd,Vg,Vs) around the given voltages.
 
     All args are (nM,) arrays (p is +1 for NMOS, -1 for PMOS).
     Returns (gd, gg, gs, cst) with Ids ~= gd*Vd + gg*Vg + gs*Vs + cst.
+
+    reverse_region=True (SolverOptions.mos_reverse_region, extension) makes
+    the device symmetric: when Vds_eff < 0 the physical drain/source roles
+    swap (standard MOS physics).  The reference deliberately has no such
+    handling (element.cpp:223) and treats reverse bias as "off", so this is
+    opt-in and off in reference-parity mode.
     """
+    if reverse_region:
+        swap = p * (vd - vs) < 0.0
+        vd2 = jnp.where(swap, vs, vd)
+        vs2 = jnp.where(swap, vd, vs)
+        gd2, gg2, gs2, cst2 = mos_linearize(vth, k, lam, p, vd2, vg, vs2,
+                                            off_gds)
+        # current into the physical drain is -Ids' of the swapped device;
+        # re-express the linearization in the physical terminal voltages
+        gd = jnp.where(swap, -gs2, gd2)
+        gg = jnp.where(swap, -gg2, gg2)
+        gs = jnp.where(swap, -gd2, gs2)
+        cst = jnp.where(swap, -cst2, cst2)
+        return gd, gg, gs, cst
     vgs_eff = p * (vg - vs)
     vds_eff = p * (vd - vs)
 
@@ -62,13 +82,15 @@ def mos_linearize(vth, k, lam, p, vd, vg, vs, off_gds=1e-12):
     return gd, gg, gs, cst
 
 
-def mos_stamp_vals(vth, k, lam, p, vd, vg, vs, off_gds=1e-12):
+def mos_stamp_vals(vth, k, lam, p, vd, vg, vs, off_gds=1e-12,
+                   reverse_region=False):
     """(G-entry values (6*nM,), RHS values (2*nM,)) for the conduction stamp.
 
     Entry order per device matches the static index pattern built in
     ir/lower.py: rows [D,D,D,S,S,S], cols [D,G,S,D,G,S]; RHS rows [D,S].
     """
-    gd, gg, gs, cst = mos_linearize(vth, k, lam, p, vd, vg, vs, off_gds)
+    gd, gg, gs, cst = mos_linearize(vth, k, lam, p, vd, vg, vs, off_gds,
+                                    reverse_region)
     gvals = jnp.stack([gd, gg, gs, -gd, -gg, -gs],
                       axis=-1).reshape(*gd.shape[:-1], -1)
     rhs = jnp.stack([-cst, cst], axis=-1).reshape(*cst.shape[:-1], -1)

@@ -216,7 +216,8 @@ class Engine:
             vs = xe[..., t.mos_es]
             g, r = mos_stamp_vals(params["mos_vth"], params["mos_k"],
                                   params["mos_lam"], params["mos_p"],
-                                  vd, vg, vs, self.opts.mos_off_gds)
+                                  vd, vg, vs, self.opts.mos_off_gds,
+                                  self.opts.mos_reverse_region)
             gv.append(g)
             rv.append(r)
         if len(t.dio_ep):

@@ -152,7 +152,8 @@ class WoodburySolver:
             gd, gg, gs, cst = _mos(
                 params["mos_vth"], params["mos_k"], params["mos_lam"],
                 params["mos_p"], vm[..., 0], vm[..., 1], vm[..., 2],
-                self.engine.opts.mos_off_gds)
+                self.engine.opts.mos_off_gds,
+                self.engine.opts.mos_reverse_region)
             parts_v.append(jnp.stack([gd, gg, gs], axis=-1))
             parts_c.append(cst)
         if plan.nD:

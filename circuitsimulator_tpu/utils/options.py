@@ -101,6 +101,10 @@ class SolverOptions:
     strict_reference_mode: bool = True
     # MOSFET off-state drain-source leak conductance (src/element.cpp:246)
     mos_off_gds: float = 1e-12
+    # symmetric (reverse-region / drain-source swap) MOS conduction
+    # (extension; the reference treats Vds_eff < 0 as "off",
+    # element.cpp:223).  Needed for pass-transistor topologies.
+    mos_reverse_region: bool = False
 
     def replace(self, **kw) -> "SolverOptions":
         return dataclasses.replace(self, **kw)

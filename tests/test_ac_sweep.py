@@ -127,3 +127,34 @@ def test_sweep_unknown_source():
     sim = Simulator.from_text("V1 1 0 1\nR1 1 0 1\n.DC VX 0 1 0.5\n")
     with pytest.raises(KeyError):
         sim.dc_sweep()
+
+
+def test_ac_csv_probe_selection(tmp_path):
+    """`.PRINT AC` probes restrict + order the AC CSV columns; differential
+    probes subtract complex phasors."""
+    from circuitsimulator_tpu.analysis.ac import write_ac_csv
+    from circuitsimulator_tpu.io.csvout import probe_selection
+    net = """\
+V1 in 0 DC 0 AC 1
+R1 in mid 1k
+R2 mid out 1k
+C1 out 0 1n
+.AC dec 2 1e2 1e4
+.PRINT AC V(out) V(in,mid) I(V1)
+.PRINT TRAN V(mid)
+"""
+    sim = Simulator.from_text(net)
+    res = sim.ac()
+    sel = probe_selection(sim.topo, sim.config.print_commands, analysis="ac")
+    assert [l for l, _ in sel] == ["V(out)", "V(in)-V(mid)", "I(V1)"]
+    path = tmp_path / "ac.csv"
+    write_ac_csv(str(path), sim.topo, res, selection=sel)
+    lines = path.read_text().splitlines()
+    assert lines[0] == ("freq,VM(out),VP(out),VM(in)-V(mid),VP(in)-V(mid),"
+                        "IM(V1),IP(V1)")
+    row = np.array(lines[1].split(","), dtype=float)
+    xs = np.asarray(res.xs)[0]
+    v = {n: xs[e] for n, e in zip(sim.topo.volt_col_names,
+                                  sim.topo.volt_col_eqs)}
+    np.testing.assert_allclose(row[1], abs(v["out"]), rtol=1e-8)
+    np.testing.assert_allclose(row[3], abs(v["in"] - v["mid"]), rtol=1e-8)

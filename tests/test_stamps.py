@@ -167,3 +167,53 @@ def test_gmin_stamped_on_node_rows_only():
     D = G1 - G0
     np.testing.assert_allclose(np.diag(D), [1e-3, 1e-3, 0.0])
     assert np.count_nonzero(D) == 2  # branch row diagonal untouched
+
+
+def test_mos_reverse_region_symmetry():
+    """With mos_reverse_region the Level-1 device is symmetric: swapping the
+    physical D/S terminals negates Ids; in reference mode reverse bias leaks
+    gds=1e-12 (element.cpp:223 has no swap handling)."""
+    import jax.numpy as jnp
+    from circuitsimulator_tpu.models.mosfet import mos_linearize
+    vth = jnp.array([0.7]); k = jnp.array([1e-3])
+    lam = jnp.array([0.0]); p = jnp.array([1.0])
+    vd, vg, vs = jnp.array([0.2]), jnp.array([2.0]), jnp.array([1.0])
+    # reverse-biased (vds_eff = -0.8): reference mode -> off leak only
+    gd, gg, gs, cst = mos_linearize(vth, k, lam, p, vd, vg, vs)
+    ids_ref = float((gd * vd + gg * vg + gs * vs + cst)[0])
+    assert abs(ids_ref) < 1e-18          # off: zero current at the point...
+    assert abs(float(gd[0]) - 1e-12) < 1e-20   # ...with the gmin leak slope
+    # symmetric mode: equals minus the mirrored forward device's current
+    gd, gg, gs, cst = mos_linearize(vth, k, lam, p, vd, vg, vs,
+                                    reverse_region=True)
+    ids_sym = float((gd * vd + gg * vg + gs * vs + cst)[0])
+    gdf, ggf, gsf, cstf = mos_linearize(vth, k, lam, p, vs, vg, vd)
+    ids_fwd = float((gdf * vs + ggf * vg + gsf * vd + cstf)[0])
+    assert abs(ids_sym + ids_fwd) < 1e-15
+    assert ids_fwd > 1e-5  # the mirrored device really conducts
+
+
+def test_mos_reverse_region_pass_transistor_dc():
+    """NMOS pass transistor discharging: gate high, 'source' node above
+    'drain' node.  Reference mode leaves the output floating near its gmin
+    level; symmetric mode conducts and pulls the divider to the real value."""
+    import jax.numpy as jnp
+    from circuitsimulator_tpu.utils.options import DEFAULT_OPTIONS
+    net = """\
+VG g 0 5
+VIN in 0 2
+M1 out g in n 10u 1u 1
+RL out 0 10k
+.MODEL 1 VT 0.7 MU 5e-2 COX 2e-3 LAMBDA 0.0
+.OP
+"""
+    o = DEFAULT_OPTIONS.replace(dtype=jnp.float64)
+    # M1: drain=out (low), source=in (high) -> vds_eff < 0 at the solution
+    sim_ref = Simulator.from_text(net, opts=o)
+    sim_sym = Simulator.from_text(net, opts=o.replace(
+        mos_reverse_region=True, strict_reference_mode=False))
+    out_eq = sim_ref.circuit.nodes[sim_ref.circuit.node_name_to_id["out"]].eq_index
+    v_ref = float(np.asarray(sim_ref.dc())[out_eq])
+    v_sym = float(np.asarray(sim_sym.dc())[out_eq])
+    assert v_ref < 1e-3          # reference: device "off", out ~ 0
+    assert 1.5 < v_sym <= 2.0    # symmetric: conducts, out pulls near VIN
