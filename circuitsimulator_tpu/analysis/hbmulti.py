@@ -1,0 +1,272 @@
+"""Multi-tone harmonic balance: quasi-periodic steady state (extension).
+
+Single-tone HB (analysis/hb.py) covers the `.hb f0 nHarm` card by brute-
+forcing the common fundamental — for the dbmixer's 900/800/600 MHz tones
+that means f0 = 100 MHz and 50 harmonics.  This module implements the
+industry-standard alternative for widely-spaced or incommensurate tones:
+the multirate PDE (MPDE) / multidimensional-Fourier formulation.
+
+    circuit ODE:        d/dt q(x) + f(x) = b(t)
+    MPDE lift:          (sum_d d/dt_d) q(x^) + f(x^) = b^(t_1..t_D)
+    physical solution:  x(t) = x^(t mod T_1, ..., t mod T_D)
+
+where b^ separates each independent source onto the time axis of the tone
+it belongs to (matched by its SIN frequency).  x^ is sampled on a
+K_1 x ... x K_D uniform grid (K_d = 2*H_d + 1), each axis differentiated by
+its exact spectral operator D_d, and the coupled system is solved with
+Newton exactly like single-tone HB — the time-axis structure enters only
+through T = sum_d I (x) D_d (x) I, so the Jacobian keeps the familiar form
+kron(T, C_struct) + blockdiag(A(x_t)).
+
+Unknown count is N * prod(K_d): two tones at H=(8,3) on the dbmixer is
+17*7*31 = 3.7k unknowns — a dense solve the TPU does in milliseconds —
+versus 50 harmonics (3.1k unknowns) of brute force, but the multi-tone grid
+resolves ALL intermodulation products k1 f1 + k2 f2 up to the box, not just
+multiples of the common fundamental, and works for incommensurate tones
+where no common fundamental exists.
+
+Initial guess: single-tone HB of the dominant tone (others muted),
+broadcast along the remaining axes — for mixers (strong LO, weak RF) this
+starts Newton inside its quadratic basin.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.assemble import Engine
+from ..models import sources as srcmod
+from ..netlist.circuit import WAVE_NONE, WAVE_SIN
+from .hb import harmonic_balance, spectral_diff_matrix, _reactive_structure
+
+
+@dataclasses.dataclass
+class HBMultiResult:
+    tones: Any        # ((f, H) per axis)
+    times: Any        # list of per-axis sample-time arrays
+    xs: Any           # (K_1, ..., K_D, N) grid samples of x^
+    spectrum: Any     # (K_1, ..., K_D, N) complex; axis index k maps to
+                      # harmonic k for k <= H_d else k - K_d (negative)
+    residual: Any
+    newton_iters: int
+    converged: Any
+
+
+def _mute(params, key, assign, keep):
+    """params[key] with va (sin col 1) zeroed for sources whose assignment
+    != keep (keep=None zeroes every va)."""
+    sin = params[key]
+    if sin.shape[0] == 0:
+        return sin
+    if keep is None:
+        live = np.zeros(sin.shape[0], bool)
+    else:
+        live = assign == keep
+    keep_cols = jnp.asarray(live, sin.dtype)[:, None]
+    va_zero = sin * jnp.asarray([1.0, 0.0, 1.0, 1.0, 1.0], sin.dtype)
+    return sin * keep_cols + va_zero * (1.0 - keep_cols)
+
+
+def assign_tones(kinds: np.ndarray, sin: np.ndarray,
+                 tone_freqs: Sequence[float]) -> np.ndarray:
+    """Match each SIN source to the tone axis whose harmonic grid best
+    contains its frequency (relative distance of f to the nearest positive
+    multiple of f_tone).  Non-SIN (DC) sources get -1 (tone-independent)."""
+    n = len(kinds)
+    out = np.full(n, -1, np.int32)
+    for i in range(n):
+        if kinds[i] != WAVE_SIN:
+            if kinds[i] != WAVE_NONE:
+                raise ValueError(
+                    "multi-tone HB supports DC and SIN sources only "
+                    f"(source {i} has waveform kind {kinds[i]})")
+            continue
+        f = float(sin[i, 2])
+        if f <= 0.0:
+            continue
+        best, bestpen = 0, math.inf
+        for d, ft in enumerate(tone_freqs):
+            k = max(round(f / ft), 1)
+            pen = abs(f - k * ft) / ft
+            if pen < bestpen:
+                best, bestpen = d, pen
+        if bestpen > 1e-6:
+            raise ValueError(
+                f"source frequency {f} is not a harmonic of any tone "
+                f"{list(tone_freqs)} (closest relative error {bestpen:.3g})")
+        out[i] = best
+    return out
+
+
+def harmonic_balance_multi(engine: Engine, params,
+                           tones: Sequence[Tuple[float, int]],
+                           max_newton: int = 30,
+                           tol: float = 1e-9,
+                           damping: float = 1.0,
+                           **warmup_kw):
+    """Solve the quasi-periodic steady state on the multi-tone grid.
+
+    tones: [(freq, n_harm), ...]; the first tone is the dominant one (used
+    for the single-tone warm-up).  Unbatched params only.
+    """
+    opts = engine.opts
+    dtype = engine.dtype
+    N = engine.N
+    D_axes = len(tones)
+    if D_axes < 1:
+        raise ValueError("need at least one tone")
+    freqs = [float(f) for f, _ in tones]
+    Hs = [int(h) for _, h in tones]
+    Ks = [2 * h + 1 for h in Hs]
+    Kt = int(np.prod(Ks))
+
+    # per-axis spectral differentiation and sample grids
+    Ds = [jnp.asarray(spectral_diff_matrix(K, 1.0 / f), dtype)
+          for K, f in zip(Ks, freqs)]
+    ts = [jnp.arange(K, dtype=dtype) * (1.0 / (f * K))
+          for K, f in zip(Ks, freqs)]
+
+    # T = sum_d I (x) D_d (x) I on the flattened time grid (numpy kron of
+    # small matrices; trace-time constant)
+    T = np.zeros((Kt, Kt))
+    for d in range(D_axes):
+        M = np.eye(1)
+        for e in range(D_axes):
+            M = np.kron(M, np.asarray(Ds[e]) if e == d else np.eye(Ks[e]))
+        T += M
+    T = jnp.asarray(T, dtype)
+
+    C_struct = _reactive_structure(engine, params)
+
+    # ---- tone-separated sources ----
+    assign_v = assign_tones(np.asarray(engine.vs_kinds),
+                            np.asarray(params["vs_sin"]), freqs)
+    assign_i = assign_tones(np.asarray(engine.is_kinds),
+                            np.asarray(params["is_sin"]), freqs)
+
+    def sources_rhs(p, t):
+        vval = srcmod.eval_tran_static_kinds(
+            engine.vs_kinds, p["vs_dc"], p["vs_pulse"], p["vs_sin"],
+            p["vs_pwl_t"], p["vs_pwl_v"], p["vs_pwl_n"], t)
+        ival = srcmod.eval_tran_static_kinds(
+            engine.is_kinds, p["is_dc"], p["is_pulse"], p["is_sin"],
+            p["is_pwl_t"], p["is_pwl_v"], p["is_pwl_n"], t)
+        zeros_l = jnp.zeros(p["ind_l"].shape, dtype)
+        zeros_c = jnp.zeros(engine._caplike_C(p).shape, dtype)
+        terms = jnp.concatenate([vval, ival, zeros_l, zeros_c], axis=-1)
+        return jnp.einsum("...j,jn->...n", terms, engine.rhs_mat)
+
+    def tone_params(keep):
+        p = dict(params)
+        p["vs_sin"] = _mute(params, "vs_sin", assign_v, keep)
+        p["is_sin"] = _mute(params, "is_sin", assign_i, keep)
+        return p
+
+    p_dc = tone_params(None)
+    b_dc = sources_rhs(p_dc, jnp.zeros((), dtype))          # (N,)
+    b_hat = jnp.broadcast_to(b_dc, tuple(Ks) + (N,))
+    for d in range(D_axes):
+        p_d = tone_params(d)
+        bd = jax.vmap(lambda t: sources_rhs(p_d, t))(ts[d]) - b_dc  # (Kd,N)
+        shape = [1] * D_axes + [N]
+        shape[d] = Ks[d]
+        b_hat = b_hat + bd.reshape(shape)
+    b_src = b_hat.reshape(Kt, N)
+
+    # ---- resistive static + nonlinear assembly (same as single-tone) ----
+    rows, cols, svals = engine.dc_static_entries(params)
+    A_res = jnp.zeros((N + 1, N + 1), dtype).at[rows, cols].add(svals)
+    A_res = A_res[:N, :N]
+
+    def assemble_t(x_t):
+        gvals, rvals = engine._nl_vals(params, x_t)
+        A = jnp.zeros((N + 1, N + 1), dtype)
+        A = A.at[engine.nl_rows, engine.nl_cols].add(gvals)
+        b = jnp.zeros((N + 1,), dtype).at[engine.nl_rhs_rows].add(rvals)
+        return A_res + A[:N, :N], b[:N]
+
+    def residual(X):
+        """X: (Kt, N) -> (exact KCL residual, per-sample A)."""
+        A_t, b_nl = jax.vmap(assemble_t)(X)
+        res_cond = jnp.einsum("tij,tj->ti", A_t, X) - b_nl - b_src
+        dxdt = T @ X
+        res_reac = jnp.einsum("ij,tj->ti", C_struct, dxdt)
+        return res_cond + res_reac, A_t
+
+    def jacobian(A_t):
+        J = jnp.einsum("ts,ij->tisj", T, C_struct)
+        tid = jnp.arange(Kt)
+        J = J.at[tid, :, tid, :].add(A_t)
+        return J.reshape(Kt * N, Kt * N)
+
+    # ---- warm-up: single-tone HB of the dominant tone, broadcast ----
+    res1 = harmonic_balance(engine, tone_params(0), freqs[0],
+                            n_harm=Hs[0], tol=tol, **warmup_kw)
+    X = jnp.broadcast_to(
+        res1.xs.reshape((Ks[0],) + (1,) * (D_axes - 1) + (N,)),
+        tuple(Ks) + (N,)).reshape(Kt, N)
+
+    @jax.jit
+    def newton(X):
+        r, A_t = residual(X)
+        J = jacobian(A_t)
+        dX = jnp.linalg.solve(J, -r.reshape(-1)).reshape(Kt, N)
+        return X + damping * dX, jnp.linalg.norm(r)
+
+    res_norm = jnp.inf
+    iters = 0
+    for i in range(max_newton):
+        X_new, res_norm = newton(X)
+        iters = i + 1
+        if not bool(jnp.isfinite(res_norm)):
+            break
+        X = X_new
+        if float(res_norm) < tol:
+            break
+    r_final, _ = jax.jit(residual)(X)
+    final = jnp.linalg.norm(r_final)
+
+    Xg = X.reshape(tuple(Ks) + (N,))
+    spec = jnp.fft.fftn(Xg, axes=tuple(range(D_axes))) / Kt
+    return HBMultiResult(tones=tuple((f, h) for f, h in zip(freqs, Hs)),
+                         times=ts, xs=Xg, spectrum=spec,
+                         residual=final, newton_iters=iters,
+                         converged=final < max(tol * 100, 1e-6))
+
+
+def coeff(result: HBMultiResult, harmonics: Sequence[int]) -> Any:
+    """Complex coefficient (N,) of exp(j*2pi*(sum_d k_d f_d)*t); negative
+    k_d allowed (the exact conjugate symmetry c[-k] = conj(c[k]) holds for
+    the real-valued grid)."""
+    idx = []
+    for (f, H), k in zip(result.tones, harmonics):
+        K = 2 * H + 1
+        if abs(k) > H:
+            raise ValueError(f"harmonic {k} outside the box (H={H})")
+        idx.append(k % K)
+    return result.spectrum[tuple(idx)]
+
+
+def evaluate(result: HBMultiResult, t) -> Any:
+    """Reconstruct the physical waveform x(t) = x^(t, ..., t); t may be an
+    array — returns (*t.shape, N) real samples."""
+    t = jnp.asarray(t)
+    Ks = [2 * h + 1 for _, h in result.tones]
+    N = result.spectrum.shape[-1]
+    c = result.spectrum.reshape(-1, N)                     # (Kt, N)
+    # physical frequency k1 f1 + ... + kD fD of every grid coefficient
+    freq = np.zeros(tuple(Ks))
+    for d, (f, H) in enumerate(result.tones):
+        k = np.concatenate([np.arange(0, H + 1), np.arange(-H, 0)])
+        shape = [1] * len(Ks)
+        shape[d] = Ks[d]
+        freq = freq + (k * f).reshape(shape)
+    freq = jnp.asarray(freq.reshape(-1), jnp.asarray(result.xs).dtype)
+    ph = jnp.exp(2j * jnp.pi * jnp.tensordot(t, freq, axes=0))
+    return jnp.real(jnp.tensordot(ph, c, axes=[[-1], [0]]))

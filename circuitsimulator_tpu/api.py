@@ -161,17 +161,25 @@ class Simulator:
 
     def harmonic_balance(self, params: Optional[Any] = None,
                          f0: Optional[float] = None,
-                         n_harm: Optional[int] = None, **kw):
+                         n_harm: Optional[int] = None,
+                         tones=None, **kw):
         """Frequency-domain periodic steady state (analysis/hb.py).
         Defaults to the netlist's .hb card; the shooting alternative is
-        steady_state()."""
+        steady_state().  With multiple tones — `tones=[(f, H), ...]` or a
+        multi-tone `.hb f0 n0 f1 n1 ...` card — dispatches to the
+        quasi-periodic MPDE formulation (analysis/hbmulti.py)."""
         from .analysis.hb import harmonic_balance
         hb = self.config.hb
+        p = params if params is not None else self.params
+        if tones is None and f0 is None and hb.enabled and hb.extra_tones:
+            tones = hb.tones
+        if tones is not None:
+            from .analysis.hbmulti import harmonic_balance_multi
+            return harmonic_balance_multi(self.engine, p, tones, **kw)
         f0 = f0 if f0 is not None else (hb.f0 if hb.enabled else None)
         if not f0 or f0 <= 0:
             raise ValueError(".hb card missing or invalid (f0 must be > 0)")
         n_harm = n_harm if n_harm is not None else (hb.n_harm or 8)
-        p = params if params is not None else self.params
         return harmonic_balance(self.engine, p, f0, n_harm=n_harm, **kw)
 
     def ac(self, params: Optional[Any] = None, freqs=None,

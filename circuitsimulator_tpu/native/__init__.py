@@ -88,6 +88,8 @@ class _CConfig(ct.Structure):
         ("fstart", ct.c_double), ("fstop", ct.c_double),
         ("hb_enabled", ct.c_int32), ("hb_f0", ct.c_double),
         ("hb_nharm", ct.c_int32),
+        ("hb_extra_ntones", ct.c_int32),
+        ("hb_extra_f", ct.c_double * 4), ("hb_extra_n", ct.c_int32 * 4),
         ("noise_enabled", ct.c_int32),
         ("noise_out_off", ct.c_int32), ("noise_ref_off", ct.c_int32),
         ("noise_src_off", ct.c_int32),
@@ -229,7 +231,9 @@ def parse_netlist_text_native(text: str) -> Tuple[Circuit, SimulationConfig]:
                           n_points=cfg.ac_npoints, fstart=cfg.fstart,
                           fstop=cfg.fstop)
         sim.hb = HbConfig(enabled=bool(cfg.hb_enabled), f0=cfg.hb_f0,
-                          n_harm=cfg.hb_nharm)
+                          n_harm=cfg.hb_nharm,
+                          extra_tones=[(cfg.hb_extra_f[i], cfg.hb_extra_n[i])
+                                       for i in range(cfg.hb_extra_ntones)])
         if cfg.noise_enabled:
             sim.noise = NoiseConfig(
                 enabled=True,

@@ -163,6 +163,10 @@ struct Config {
     int32_t hb_enabled;
     double hb_f0;
     int32_t hb_nharm;
+    // extra tones of a multi-tone `.hb f0 n0 f1 n1 ...` card (extension)
+    int32_t hb_extra_ntones;
+    double hb_extra_f[4];
+    int32_t hb_extra_n[4];
     // .NOISE (extension): V(out[,ref]) [src] [lin|dec|oct n fstart fstop]
     int32_t noise_enabled;
     int32_t noise_out_off, noise_ref_off, noise_src_off;  // -1 = absent
@@ -719,6 +723,19 @@ public:
             out.config.hb_enabled = 1;
             out.config.hb_f0 = f0;
             out.config.hb_nharm = (int32_t)nh;
+            for (size_t i = 3; i + 1 < t.size()
+                 && out.config.hb_extra_ntones < 4; i += 2) {
+                double fx;
+                char* e2 = nullptr;
+                long nx = std::strtol(t[i + 1].c_str(), &e2, 10);
+                if (!parse_spice(t[i], &fx) || e2 == t[i + 1].c_str()) {
+                    warn(st.line_no, "cannot parse .hb extra tone: " + st.raw);
+                    break;
+                }
+                int32_t j = out.config.hb_extra_ntones++;
+                out.config.hb_extra_f[j] = fx;
+                out.config.hb_extra_n[j] = (int32_t)nx;
+            }
         } else if (head == ".print") {
             if (t.size() < 3) {
                 warn(st.line_no, "invalid .PRINT: " + st.raw);

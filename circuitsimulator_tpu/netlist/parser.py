@@ -74,6 +74,14 @@ class HbConfig:
     enabled: bool = False
     f0: float = 0.0
     n_harm: int = 0
+    # extra tones for multi-tone HB: [(freq, n_harm), ...] beyond (f0,
+    # n_harm).  `.hb f0 n0 f1 n1 ...` (extension; the reference card is
+    # strictly `.hb f0 nHarm`, parser.cpp:551)
+    extra_tones: List[tuple] = dataclasses.field(default_factory=list)
+
+    @property
+    def tones(self):
+        return [(self.f0, self.n_harm)] + list(self.extra_tones)
 
 
 @dataclasses.dataclass
@@ -478,6 +486,9 @@ class NetlistParser:
         try:
             cfg.f0 = parse_spice_number(t[1])
             cfg.n_harm = int(t[2])
+            for i in range(3, len(t) - 1, 2):
+                cfg.extra_tones.append(
+                    (parse_spice_number(t[i]), int(t[i + 1])))
         except ValueError as e:
             _warn(st.line_no, f"cannot parse .hb arguments: {e} in '{st.raw}'")
             return
