@@ -196,6 +196,33 @@ class Simulator:
         p = params if params is not None else self.params
         return ac_analysis(self.engine, p, freqs, x_op=x_op)
 
+    def fourier(self, result: TransientResult,
+                f0: Optional[float] = None, probes=None, n_harm: int = 9):
+        """.FOUR Fourier analysis of a finished transient (analysis/
+        fourier.py).  Defaults to the netlist's .FOUR card."""
+        from .analysis.fourier import fourier_analysis
+        from .io.csvout import probe_selection
+        from .netlist.parser import PrintCommand
+        cfg = self.config.four
+        if f0 is None:
+            if not cfg.enabled:
+                raise ValueError(".FOUR card missing")
+            f0 = cfg.f0
+        if probes is None:
+            if not cfg.enabled:
+                raise ValueError("explicit f0 requires `probes`")
+            probes = cfg.probes
+        sel = probe_selection(self.topo,
+                              [PrintCommand(analysis="none", probes=probes)])
+        if not sel:
+            raise ValueError(".FOUR: no resolvable output probes")
+        if result.xs is None:
+            raise ValueError(".FOUR needs a transient run with save_xs=True")
+        import numpy as np
+        return fourier_analysis(np.asarray(result.times),
+                                np.asarray(result.xs), f0, sel,
+                                n_harm=n_harm)
+
     def noise(self, params: Optional[Any] = None, freqs=None,
               out_node: Optional[str] = None, ref_node: Optional[str] = None,
               input_source: Optional[str] = None,

@@ -132,6 +132,13 @@ def main(argv=None) -> int:
             return 1
         print("Transient analysis (Backward Euler) finished. "
               f"Results written to '{args.tran_out}'.")
+        if sim.config.four.enabled:
+            from .analysis.fourier import fourier_table
+            try:
+                print()
+                print(fourier_table(sim.fourier(res)))
+            except Exception as e:  # noqa: BLE001
+                print(f".FOUR analysis failed: {e}", file=sys.stderr)
         if args.stats:
             from .io.metadata import transient_metadata, write_metadata
             write_metadata(args.stats,

@@ -28,7 +28,7 @@ from ..netlist.circuit import (
 )
 from ..netlist.parser import (
     SimulationConfig, TranConfig, AcConfig, HbConfig, DCSweepConfig,
-    NoiseConfig,
+    NoiseConfig, FourConfig,
     PrintCommand, ProbeSpec, AN_NONE, AN_OP, AN_DC, AN_AC, AN_TRAN, AN_HB,
 )
 
@@ -95,6 +95,7 @@ class _CConfig(ct.Structure):
         ("noise_src_off", ct.c_int32),
         ("noise_sweep", ct.c_int32), ("noise_npoints", ct.c_int32),
         ("noise_fstart", ct.c_double), ("noise_fstop", ct.c_double),
+        ("four_enabled", ct.c_int32), ("four_f0", ct.c_double),
     ]
 
 
@@ -256,13 +257,20 @@ def parse_netlist_text_native(text: str) -> Tuple[Circuit, SimulationConfig]:
         # group consecutive probes with the same analysis into PrintCommands
         # (one per probe keeps semantics; the reference only aggregates for
         # display purposes)
+        four_probes = []
         for i in range(npr):
             p = cpr[i]
             probe = ProbeSpec(kind=_PROBE_KIND[p.kind],
                               node1=s(p.node1_off), node2=s(p.node2_off),
                               ele_name=s(p.ele_off), ele_port=s(p.port_off))
+            if p.analysis == 6:       # .FOUR probe (extension tag)
+                four_probes.append(probe)
+                continue
             pc = PrintCommand(analysis=_AN_MAP[p.analysis], probes=[probe])
             sim.print_commands.append(pc)
+        if cfg.four_enabled:
+            sim.four = FourConfig(enabled=bool(four_probes),
+                                  f0=cfg.four_f0, probes=four_probes)
         return ckt, sim
     finally:
         lib.csim_free(h)

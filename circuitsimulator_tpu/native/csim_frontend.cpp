@@ -173,6 +173,9 @@ struct Config {
     int32_t noise_sweep;     // -1 = fall back to the .AC sweep; else 0/1/2
     int32_t noise_npoints;
     double noise_fstart, noise_fstop;
+    // .FOUR (extension): probes carry analysis tag 6 in the probe list
+    int32_t four_enabled;
+    double four_f0;
 };
 #pragma pack(pop)
 
@@ -753,6 +756,19 @@ public:
                 p.analysis = av;
                 out.probes.push_back(p);
             }
+        } else if (head == ".four") {
+            double f0;
+            if (t.size() < 3 || !parse_spice(t[1], &f0)) {
+                warn(st.line_no, "invalid .FOUR syntax: " + st.raw);
+                return;
+            }
+            for (size_t i = 2; i < t.size(); ++i) {
+                ProbeRec p = parse_probe_token(t[i]);
+                p.analysis = 6;  // .FOUR tag
+                out.probes.push_back(p);
+            }
+            out.config.four_enabled = 1;
+            out.config.four_f0 = f0;
         } else if (head == ".noise") {
             if (t.size() < 2) {
                 warn(st.line_no, "invalid .NOISE syntax: " + st.raw);

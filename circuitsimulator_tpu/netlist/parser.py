@@ -85,6 +85,15 @@ class HbConfig:
 
 
 @dataclasses.dataclass
+class FourConfig:
+    """.FOUR f0 V(a)|V(a,b)|I(el) ... — Fourier analysis of the transient
+    output over its last fundamental period (extension)."""
+    enabled: bool = False
+    f0: float = 0.0
+    probes: List["ProbeSpec"] = dataclasses.field(default_factory=list)
+
+
+@dataclasses.dataclass
 class NoiseConfig:
     """.NOISE V(out[,ref]) [input_src] [lin|dec|oct n fstart fstop]
     (extension; sweep args default to the .AC card's sweep)."""
@@ -123,6 +132,7 @@ class SimulationConfig:
     hb: HbConfig = dataclasses.field(default_factory=HbConfig)
     print_commands: List[PrintCommand] = dataclasses.field(default_factory=list)
     noise: NoiseConfig = dataclasses.field(default_factory=NoiseConfig)
+    four: FourConfig = dataclasses.field(default_factory=FourConfig)
 
     def has_any_analysis(self) -> bool:
         return (self.do_op or bool(self.dc_sweeps) or self.tran.enabled
@@ -421,6 +431,8 @@ class NetlistParser:
             self._parse_hb_card(st)
         elif head == ".noise":
             self._parse_noise_card(st)
+        elif head == ".four":
+            self._parse_four_card(st)
         elif head == ".plotnv":
             self._parse_plotnv_card(st)
         elif head == ".plotnc":
@@ -494,6 +506,22 @@ class NetlistParser:
             return
         cfg.enabled = True
         self.sim.hb = cfg
+
+    def _parse_four_card(self, st: Statement) -> None:
+        t = st.tokens
+        if len(t) < 3:
+            _warn(st.line_no, f"invalid .FOUR syntax: {st.raw}")
+            return
+        cfg = FourConfig()
+        try:
+            cfg.f0 = parse_spice_number(t[1])
+        except ValueError as e:
+            _warn(st.line_no, f"cannot parse .FOUR frequency: {e}")
+            return
+        for tok in t[2:]:
+            cfg.probes.append(self._parse_probe_token(tok))
+        cfg.enabled = cfg.f0 > 0 and bool(cfg.probes)
+        self.sim.four = cfg
 
     def _parse_noise_card(self, st: Statement) -> None:
         t = st.tokens
