@@ -76,6 +76,11 @@ def ac_system(engine: Engine, params, x_op, omega):
     C = engine._caplike_C(params).astype(cdtype)
     Y = Y.at[engine.cap_rows, engine.cap_cols].add(_two_terminal_vals(jw * C))
 
+    # linear controlled sources (E/G/F/H extensions): static real stamps
+    if len(engine.ctrl_rows):
+        Y = Y.at[engine.ctrl_rows, engine.ctrl_cols].add(
+            engine._ctrl_vals(params).astype(cdtype))
+
     # nonlinear devices linearized at the DC operating point
     gvals, _ = engine._nl_vals(params, x_op)
     Y = Y.at[engine.nl_rows, engine.nl_cols].add(gvals.astype(cdtype))

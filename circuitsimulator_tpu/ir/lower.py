@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from ..netlist.circuit import (
     Circuit, KIND_R, KIND_C, KIND_L, KIND_V, KIND_I, KIND_M, KIND_D, KIND_Q,
+    KIND_E, KIND_G, KIND_F, KIND_H,
 )
 from ..utils.numbers import is_ground_name
 
@@ -61,6 +62,23 @@ class Topology:
     bjt_ec: np.ndarray
     bjt_eb: np.ndarray
     bjt_ee: np.ndarray
+    # linear controlled sources (extensions; stamps in ops/assemble.py)
+    vcvs_ep: np.ndarray
+    vcvs_em: np.ndarray
+    vcvs_ecp: np.ndarray
+    vcvs_ecm: np.ndarray
+    vcvs_k: np.ndarray
+    vccs_ep: np.ndarray
+    vccs_em: np.ndarray
+    vccs_ecp: np.ndarray
+    vccs_ecm: np.ndarray
+    cccs_ep: np.ndarray
+    cccs_em: np.ndarray
+    cccs_kc: np.ndarray           # controlling V source branch eq
+    ccvs_ep: np.ndarray
+    ccvs_em: np.ndarray
+    ccvs_kc: np.ndarray
+    ccvs_k: np.ndarray
     # output metadata
     volt_col_eqs: np.ndarray      # (n_node_eq,) eq of each V(...) CSV column
     volt_col_names: Tuple[str, ...]
@@ -77,6 +95,8 @@ class Topology:
             R=len(self.res_e1), C=len(self.cap_e1), L=len(self.ind_ep),
             V=len(self.vs_ep), I=len(self.is_ep), M=len(self.mos_ed),
             D=len(self.dio_ep), Q=len(self.bjt_ec),
+            E=len(self.vcvs_ep), G=len(self.vccs_ep),
+            F=len(self.cccs_ep), H=len(self.ccvs_ep),
         )
 
 
@@ -147,6 +167,22 @@ def lower(ckt: Circuit, dtype=jnp.float64) -> LoweredCircuit:
     mos = [e for e in ckt.elements if e.kind == KIND_M]
     dio = [e for e in ckt.elements if e.kind == KIND_D]
     bjt = [e for e in ckt.elements if e.kind == KIND_Q]
+    vcvs = [e for e in ckt.elements if e.kind == KIND_E]
+    vccs = [e for e in ckt.elements if e.kind == KIND_G]
+    cccs = [e for e in ckt.elements if e.kind == KIND_F]
+    ccvs = [e for e in ckt.elements if e.kind == KIND_H]
+
+    def ctrl_branch(e):
+        """Branch eq of an F/H source's controlling V source (by name)."""
+        for exact in (True, False):
+            for el in ckt.elements:
+                if el.kind != KIND_V:
+                    continue
+                if (el.name == e.ctrl_name) if exact \
+                        else (el.name.lower() == e.ctrl_name.lower()):
+                    return el.branch_eq
+        raise ValueError(f"{e.name}: controlling source {e.ctrl_name!r} "
+                         "is not a voltage source in this circuit")
 
     eq = lambda nid: _eq_of(ckt, nid, dump)
 
@@ -154,12 +190,13 @@ def lower(ckt: Circuit, dtype=jnp.float64) -> LoweredCircuit:
 
     volt_cols = [(n.name, n.eq_index) for n in ckt.nodes if n.eq_index >= 0]
     branch_cols = [(e.name, e.branch_eq) for e in ckt.elements
-                   if e.kind in (KIND_V, KIND_L)]
+                   if e.kind in (KIND_V, KIND_L, KIND_E, KIND_H)]
     node_table = tuple((n.name, n.eq_index) for n in ckt.nodes)
     branch_table = tuple(
         (e.kind, e.name, ckt.nodes[e.node_ids[0]].name,
          ckt.nodes[e.node_ids[1]].name, e.branch_eq)
-        for e in ckt.elements if e.kind in (KIND_V, KIND_L))
+        for e in ckt.elements
+        if e.kind in (KIND_V, KIND_L, KIND_E, KIND_H))
 
     topo = Topology(
         n_unknowns=N,
@@ -189,6 +226,22 @@ def lower(ckt: Circuit, dtype=jnp.float64) -> LoweredCircuit:
         bjt_ec=_np_i32([eq(e.node_ids[0]) for e in bjt]),
         bjt_eb=_np_i32([eq(e.node_ids[1]) for e in bjt]),
         bjt_ee=_np_i32([eq(e.node_ids[2]) for e in bjt]),
+        vcvs_ep=_np_i32([eq(e.node_ids[0]) for e in vcvs]),
+        vcvs_em=_np_i32([eq(e.node_ids[1]) for e in vcvs]),
+        vcvs_ecp=_np_i32([eq(e.node_ids[2]) for e in vcvs]),
+        vcvs_ecm=_np_i32([eq(e.node_ids[3]) for e in vcvs]),
+        vcvs_k=_np_i32([e.branch_eq for e in vcvs]),
+        vccs_ep=_np_i32([eq(e.node_ids[0]) for e in vccs]),
+        vccs_em=_np_i32([eq(e.node_ids[1]) for e in vccs]),
+        vccs_ecp=_np_i32([eq(e.node_ids[2]) for e in vccs]),
+        vccs_ecm=_np_i32([eq(e.node_ids[3]) for e in vccs]),
+        cccs_ep=_np_i32([eq(e.node_ids[0]) for e in cccs]),
+        cccs_em=_np_i32([eq(e.node_ids[1]) for e in cccs]),
+        cccs_kc=_np_i32([ctrl_branch(e) for e in cccs]),
+        ccvs_ep=_np_i32([eq(e.node_ids[0]) for e in ccvs]),
+        ccvs_em=_np_i32([eq(e.node_ids[1]) for e in ccvs]),
+        ccvs_kc=_np_i32([ctrl_branch(e) for e in ccvs]),
+        ccvs_k=_np_i32([e.branch_eq for e in ccvs]),
         volt_col_eqs=_np_i32([c[1] for c in volt_cols]),
         volt_col_names=tuple(c[0] for c in volt_cols),
         branch_col_eqs=_np_i32([c[1] for c in branch_cols]),
@@ -215,6 +268,10 @@ def lower(ckt: Circuit, dtype=jnp.float64) -> LoweredCircuit:
         "bjt_is": jnp.asarray([e.i_sat for e in bjt], dtype),
         "bjt_bf": jnp.asarray([e.bf for e in bjt], dtype),
         "bjt_br": jnp.asarray([e.br for e in bjt], dtype),
+        "vcvs_gain": jnp.asarray([e.value for e in vcvs], dtype),
+        "vccs_g": jnp.asarray([e.value for e in vccs], dtype),
+        "cccs_gain": jnp.asarray([e.value for e in cccs], dtype),
+        "ccvs_r": jnp.asarray([e.value for e in ccvs], dtype),
         "bjt_p": jnp.asarray([-1.0 if e.is_p else 1.0 for e in bjt], dtype),
     }
     for key, pack in (("vs", vsp), ("is", isp)):

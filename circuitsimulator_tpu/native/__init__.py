@@ -25,6 +25,7 @@ from typing import Optional, Tuple
 from ..netlist.circuit import (
     Circuit, ElementRec, Node, SourceSpec, Waveform,
     KIND_R, KIND_C, KIND_L, KIND_V, KIND_I, KIND_M, KIND_D, KIND_Q,
+    KIND_E, KIND_G, KIND_F, KIND_H,
 )
 from ..netlist.parser import (
     SimulationConfig, TranConfig, AcConfig, HbConfig, DCSweepConfig,
@@ -52,6 +53,7 @@ class _CElement(ct.Structure):
         ("cj0", ct.c_double), ("kf", ct.c_double), ("af", ct.c_double),
         ("i_sat", ct.c_double), ("n_ideal", ct.c_double),
         ("bf", ct.c_double), ("br", ct.c_double),
+        ("ctrl_off", ct.c_int32),
         ("dc", ct.c_double), ("ac_mag", ct.c_double), ("ac_phase", ct.c_double),
         ("wave_kind", ct.c_int32),
         ("pulse", ct.c_double * 7), ("sin5", ct.c_double * 5),
@@ -156,7 +158,8 @@ def available() -> bool:
 
 
 _KIND_MAP = {0: KIND_R, 1: KIND_C, 2: KIND_L, 3: KIND_V, 4: KIND_I,
-             5: KIND_M, 6: KIND_D, 7: KIND_Q}
+             5: KIND_M, 6: KIND_D, 7: KIND_Q,
+             8: KIND_E, 9: KIND_G, 10: KIND_F, 11: KIND_H}
 _AN_MAP = {0: AN_NONE, 1: AN_OP, 2: AN_DC, 3: AN_AC, 4: AN_TRAN, 5: AN_HB}
 _PROBE_KIND = {0: "nv", 1: "dv", 2: "br"}
 
@@ -220,6 +223,8 @@ def parse_netlist_text_native(text: str) -> Tuple[Circuit, SimulationConfig]:
             elif kind == KIND_Q:
                 rec.is_p = bool(e.is_p)
                 rec.i_sat, rec.bf, rec.br = e.i_sat, e.bf, e.br
+            elif kind in (KIND_F, KIND_H):
+                rec.ctrl_name = s(e.ctrl_off)
             ckt.elements.append(rec)
 
         cfg = ct.cast(lib.csim_config(h), ct.POINTER(_CConfig))[0]

@@ -116,7 +116,7 @@ bool parse_spice(const std::string& token, double* out) {
 // ----------------------------------------------------------------------
 #pragma pack(push, 1)
 struct ElementRec {
-    int32_t kind;       // 0=R 1=C 2=L 3=V 4=I 5=M 6=D 7=Q
+    int32_t kind;       // 0=R 1=C 2=L 3=V 4=I 5=M 6=D 7=Q 8=E 9=G 10=F 11=H
     int32_t name_off;
     int32_t nodes[4];   // node ids; -1 unused
     int32_t branch_eq;  // -1 unless V/L
@@ -128,6 +128,8 @@ struct ElementRec {
     double i_sat, n_ideal;
     // BJT (Ebers-Moll)
     double bf, br;
+    // controlled sources (E/G/F/H): gain in `value`; F/H control element
+    int32_t ctrl_off;   // str offset of the controlling V source, -1 none
     // source spec
     double dc, ac_mag, ac_phase;
     int32_t wave_kind;  // 0 none 1 pulse 2 sin 3 pwl
@@ -205,6 +207,176 @@ struct Statement {
     int line_no;
     std::string raw;
     std::vector<std::string> tokens;
+};
+
+
+// ----------------------------------------------------------------------
+// .SUBCKT / .ENDS / X-instance flattening (extension; statement rewrite
+// mirroring netlist/subckt.py — see its docstring for the naming rules)
+// ----------------------------------------------------------------------
+struct SubcktDef {
+    std::vector<std::string> ports;
+    std::vector<Statement> body;
+};
+
+class SubcktFlattener {
+public:
+    std::ostringstream& diag;
+    std::unordered_map<std::string, SubcktDef> defs;
+    std::vector<Statement> out;
+    static const int kMaxDepth = 20;
+
+    explicit SubcktFlattener(std::ostringstream& d) : diag(d) {}
+
+    void warn(int line_no, const std::string& msg) {
+        diag << "Line " << line_no << ": " << msg << "\n";
+    }
+
+    static void node_range(char c0, size_t* lo, size_t* hi) {
+        switch (c0) {
+            case 'M': case 'Q': *lo = 1; *hi = 4; break;
+            case 'E': case 'G': *lo = 1; *hi = 5; break;
+            case 'R': case 'C': case 'L': case 'V': case 'I':
+            case 'D': case 'F': case 'H': *lo = 1; *hi = 3; break;
+            default: *lo = 1; *hi = 1; break;
+        }
+    }
+
+    Statement rename(const Statement& st,
+                     const std::unordered_map<std::string, std::string>& map,
+                     const std::string& prefix) {
+        Statement r = st;
+        char c0 = (char)std::toupper((unsigned char)r.tokens[0][0]);
+        r.tokens[0] += "@" + prefix;
+        auto map_node = [&](std::string& t) {
+            if (is_ground(t)) return;
+            auto it = map.find(t);
+            t = (it != map.end()) ? it->second : prefix + "." + t;
+        };
+        if (c0 == 'X') {
+            for (size_t j = 1; j + 1 < r.tokens.size(); ++j)
+                map_node(r.tokens[j]);
+        } else {
+            size_t lo, hi;
+            node_range(c0, &lo, &hi);
+            for (size_t j = lo; j < hi && j < r.tokens.size(); ++j)
+                map_node(r.tokens[j]);
+            if ((c0 == 'F' || c0 == 'H') && r.tokens.size() > 3)
+                r.tokens[3] += "@" + prefix;
+        }
+        std::string raw;
+        for (const auto& t : r.tokens) {
+            if (!raw.empty()) raw += " ";
+            raw += t;
+        }
+        r.raw = raw;
+        return r;
+    }
+
+    void collect(const std::vector<Statement>& seq,
+                 std::vector<Statement>& sink, bool nested) {
+        size_t i = 0;
+        while (i < seq.size()) {
+            const Statement& st = seq[i];
+            std::string head = st.tokens.empty() ? ""
+                                                 : lower(st.tokens[0]);
+            if (head == ".subckt") {
+                if (nested)
+                    warn(st.line_no,
+                         "nested .SUBCKT definition; registering it globally");
+                if (st.tokens.size() < 2)
+                    warn(st.line_no, "invalid .SUBCKT: " + st.raw);
+                std::string name = st.tokens.size() > 1
+                                       ? lower(st.tokens[1]) : "";
+                std::vector<Statement> body;
+                int depth = 1;
+                ++i;
+                bool closed = false;
+                while (i < seq.size()) {
+                    std::string h2 = seq[i].tokens.empty() ? ""
+                                         : lower(seq[i].tokens[0]);
+                    if (h2 == ".subckt") ++depth;
+                    else if (h2 == ".ends") {
+                        if (--depth == 0) { closed = true; break; }
+                    }
+                    body.push_back(seq[i]);
+                    ++i;
+                }
+                if (!closed)
+                    warn(st.line_no, ".SUBCKT " + name + " missing .ENDS");
+                ++i;  // skip the .ends
+                SubcktDef def;
+                if (st.tokens.size() > 2)
+                    def.ports.assign(st.tokens.begin() + 2, st.tokens.end());
+                collect(body, def.body, true);
+                if (!name.empty()) defs[name] = std::move(def);
+            } else if (head == ".ends") {
+                warn(st.line_no, ".ENDS without .SUBCKT; ignored");
+                ++i;
+            } else if (head == ".model" && nested) {
+                out.push_back(st);  // hoist to top (global model registry)
+                ++i;
+            } else {
+                sink.push_back(st);
+                ++i;
+            }
+        }
+    }
+
+    void expand(const Statement& st, int depth,
+                std::vector<Statement>& result) {
+        if (st.tokens.empty() ||
+            std::toupper((unsigned char)st.tokens[0][0]) != 'X') {
+            result.push_back(st);
+            return;
+        }
+        if (depth > kMaxDepth) {
+            warn(st.line_no, "subcircuit nesting too deep (cycle?); "
+                             "dropping " + st.tokens[0]);
+            return;
+        }
+        if (st.tokens.size() < 2) {
+            warn(st.line_no, "invalid instance: " + st.raw);
+            return;
+        }
+        std::string subname = lower(st.tokens.back());
+        auto it = defs.find(subname);
+        if (it == defs.end()) {
+            warn(st.line_no, "unknown subcircuit '" + st.tokens.back() +
+                             "'; dropping " + st.tokens[0]);
+            return;
+        }
+        const SubcktDef& def = it->second;
+        size_t n_nets = st.tokens.size() - 2;
+        if (n_nets != def.ports.size()) {
+            warn(st.line_no, st.tokens[0] + ": " + std::to_string(n_nets) +
+                 " nets for " + std::to_string(def.ports.size()) +
+                 " ports of " + subname + "; dropping instance");
+            return;
+        }
+        std::unordered_map<std::string, std::string> map;
+        for (size_t j = 0; j < n_nets; ++j)
+            map[def.ports[j]] = st.tokens[1 + j];
+        for (const auto& bst : def.body)
+            expand(rename(bst, map, st.tokens[0]), depth + 1, result);
+    }
+
+    std::vector<Statement> run(const std::vector<Statement>& stmts) {
+        std::vector<Statement> top;
+        collect(stmts, top, false);
+        bool any_x = false;
+        for (const auto& st : top)
+            if (!st.tokens.empty() &&
+                std::toupper((unsigned char)st.tokens[0][0]) == 'X')
+                any_x = true;
+        if (defs.empty() && !any_x) {
+            for (auto& st : top) out.push_back(std::move(st));
+            return std::move(out);
+        }
+        std::vector<Statement> result(std::move(out));
+        for (const auto& st : top) expand(st, 0, result);
+        return result;
+    }
 };
 
 class Frontend {
@@ -296,6 +468,8 @@ public:
         e.branch_eq = -1;
         e.n_ideal = 1.0;
         e.pwl_off = -1;
+        e.ctrl_off = -1;
+        e.af = 1.0;
         return e;
     }
 
@@ -532,6 +706,33 @@ public:
         e.i_sat = m.i_sat;
         e.bf = m.bf;
         e.br = m.br;
+        out.elements.push_back(e);
+    }
+
+    void dev_ctrl(const Statement& st, int kind) {
+        // E/G np nm ncp ncm gain ; F/H np nm Vctrl gain (extensions)
+        const auto& t = st.tokens;
+        bool vctl = kind == 8 || kind == 9;
+        size_t need = vctl ? 6 : 5;
+        if (t.size() < need) {
+            warn(st.line_no, "invalid controlled source: " + st.raw);
+            return;
+        }
+        double val;
+        if (!parse_spice(t[need - 1], &val)) {
+            warn(st.line_no, "cannot parse controlled-source value: " + st.raw);
+            return;
+        }
+        ElementRec e = blank(kind, t[0]);
+        e.nodes[0] = node(t[1]);
+        e.nodes[1] = node(t[2]);
+        if (vctl) {
+            e.nodes[2] = node(t[3]);
+            e.nodes[3] = node(t[4]);
+        } else {
+            e.ctrl_off = intern(t[3]);
+        }
+        e.value = val;
         out.elements.push_back(e);
     }
 
@@ -856,7 +1057,8 @@ public:
         out.config.noise_out_off = out.config.noise_ref_off = -1;
         out.config.noise_src_off = -1;
         out.config.noise_sweep = -1;
-        std::vector<Statement> stmts = lex(text);
+        std::vector<Statement> stmts =
+            SubcktFlattener(diag).run(lex(text));
         for (const auto& st : stmts) {
             if (!st.tokens.empty() && lower(st.tokens[0]) == ".model")
                 card_model(st);
@@ -877,6 +1079,10 @@ public:
                 case 'M': dev_mosfet(st); break;
                 case 'D': dev_diode(st); break;
                 case 'Q': dev_bjt(st); break;
+                case 'E': dev_ctrl(st, 8); break;
+                case 'G': dev_ctrl(st, 9); break;
+                case 'F': dev_ctrl(st, 10); break;
+                case 'H': dev_ctrl(st, 11); break;
                 default:
                     warn(st.line_no,
                          "unsupported element or syntax: " + st.raw);
@@ -896,7 +1102,8 @@ public:
             n.eq_index = is_ground(nm) ? -1 : eq++;
         }
         for (auto& e : out.elements) {
-            if (e.kind == 3 || e.kind == 2) e.branch_eq = eq++;
+            if (e.kind == 3 || e.kind == 2 || e.kind == 8 || e.kind == 11)
+                e.branch_eq = eq++;
         }
         out.diagnostics = diag.str();
     }

@@ -156,6 +156,11 @@ KIND_I = "I"
 KIND_M = "M"
 KIND_D = "D"  # diode: extension beyond the reference's device set
 KIND_Q = "Q"  # BJT: extension beyond the reference's device set
+# linear controlled sources (extensions; absent from the reference):
+KIND_E = "E"  # VCVS: E np nm ncp ncm gain     (branch-current unknown)
+KIND_G = "G"  # VCCS: G np nm ncp ncm gm
+KIND_F = "F"  # CCCS: F np nm Vctrl gain
+KIND_H = "H"  # CCVS: H np nm Vctrl r          (branch-current unknown)
 
 
 @dataclasses.dataclass
@@ -179,7 +184,9 @@ class ElementRec:
     # BJT parameters (kind Q; node_ids = [C, B, E])
     bf: float = 0.0
     br: float = 0.0
-    branch_eq: int = -1                 # V / L branch-current equation
+    # controlled sources: gain/gm/r in `value`; F/H controlling V source
+    ctrl_name: str = ""
+    branch_eq: int = -1                 # V / L / E / H branch-current eq
 
 
 @dataclasses.dataclass
@@ -211,7 +218,8 @@ class Circuit:
         return sum(1 for n in self.nodes if not is_ground_name(n.name))
 
     def num_voltage_branches(self) -> int:
-        return sum(1 for e in self.elements if e.kind in (KIND_V, KIND_L))
+        return sum(1 for e in self.elements
+                   if e.kind in (KIND_V, KIND_L, KIND_E, KIND_H))
 
     def num_unknowns(self) -> int:
         return self.num_node_equations() + self.num_voltage_branches()
@@ -225,7 +233,7 @@ class Circuit:
                 n.eq_index = eq
                 eq += 1
         for e in self.elements:
-            if e.kind in (KIND_V, KIND_L):
+            if e.kind in (KIND_V, KIND_L, KIND_E, KIND_H):
                 e.branch_eq = eq
                 eq += 1
 
@@ -269,6 +277,24 @@ class Circuit:
             is_p=m.is_p, vth=abs(m.vt), k=m.mu * m.cox * (w / l),
             lam=m.lam, cj0=m.cj0, kf=m.kf, af=m.af,
         ))
+
+    def add_vcvs(self, name, np_, nm, ncp, ncm, gain):
+        ids = [self.get_or_create_node(n) for n in (np_, nm, ncp, ncm)]
+        self.elements.append(ElementRec(KIND_E, name, ids, value=gain))
+
+    def add_vccs(self, name, np_, nm, ncp, ncm, gm):
+        ids = [self.get_or_create_node(n) for n in (np_, nm, ncp, ncm)]
+        self.elements.append(ElementRec(KIND_G, name, ids, value=gm))
+
+    def add_cccs(self, name, np_, nm, ctrl, gain):
+        ids = [self.get_or_create_node(np_), self.get_or_create_node(nm)]
+        self.elements.append(ElementRec(KIND_F, name, ids, value=gain,
+                                        ctrl_name=ctrl))
+
+    def add_ccvs(self, name, np_, nm, ctrl, r):
+        ids = [self.get_or_create_node(np_), self.get_or_create_node(nm)]
+        self.elements.append(ElementRec(KIND_H, name, ids, value=r,
+                                        ctrl_name=ctrl))
 
     def add_diode(self, name, np_, nm, i_sat, n_ideal):
         ids = [self.get_or_create_node(np_), self.get_or_create_node(nm)]

@@ -167,6 +167,8 @@ class NetlistParser:
 
     # ---- driver ----
     def _parse_statements(self, stmts: List[Statement]) -> None:
+        from .subckt import flatten_subcircuits
+        stmts = flatten_subcircuits(stmts)
         for st in stmts:
             if st.tokens and st.tokens[0].lower() == ".model":
                 self._parse_model_card(st)
@@ -201,6 +203,8 @@ class NetlistParser:
             self._parse_diode(st)
         elif c0 == "Q":
             self._parse_bjt(st)
+        elif c0 in ("E", "G", "F", "H"):
+            self._parse_controlled(st, c0)
         else:
             _warn(st.line_no, f"unsupported element or syntax: {st.raw}")
 
@@ -395,6 +399,28 @@ class NetlistParser:
             _warn(st.line_no, f"invalid BJT: {st.raw}")
             return
         self.ckt.add_bjt(t[0], t[1], t[2], t[3], t[4])
+
+    def _parse_controlled(self, st: Statement, c0: str) -> None:
+        """Linear controlled sources (extension):
+        E/G np nm ncp ncm gain|gm;  F/H np nm Vctrl gain|r."""
+        t = st.tokens
+        need = 6 if c0 in ("E", "G") else 5
+        if len(t) < need:
+            _warn(st.line_no, f"invalid {c0}-source: {st.raw}")
+            return
+        try:
+            val = parse_spice_number(t[need - 1])
+        except ValueError as e:
+            _warn(st.line_no, f"cannot parse {c0}-source value: {e}")
+            return
+        if c0 == "E":
+            self.ckt.add_vcvs(t[0], t[1], t[2], t[3], t[4], val)
+        elif c0 == "G":
+            self.ckt.add_vccs(t[0], t[1], t[2], t[3], t[4], val)
+        elif c0 == "F":
+            self.ckt.add_cccs(t[0], t[1], t[2], t[3], val)
+        else:
+            self.ckt.add_ccvs(t[0], t[1], t[2], t[3], val)
 
     def _parse_diode(self, st: Statement) -> None:
         t = st.tokens

@@ -91,6 +91,30 @@ class Engine:
         self.cap_rows, self.cap_cols = _two_terminal_pattern(self.cap_a, self.cap_b)
         self.n_caplike = len(self.cap_a)
 
+        # ---- linear controlled sources (extension; static stamps) ----
+        # VCCS: rows [p,p,m,m] x cols [cp,cm,cp,cm], vals [+g,-g,-g,+g]
+        # CCCS: rows [p,m] x cols [kc,kc], vals [+gain,-gain]
+        # VCVS: rows [p,m,k,k,k,k] x cols [k,k,p,m,cp,cm],
+        #       vals [1,-1, 1,-1,-gain,+gain]
+        # CCVS: rows [p,m,k,k,k] x cols [k,k,p,m,kc], vals [1,-1,1,-1,-r]
+        self.ctrl_rows = np.concatenate([
+            np.stack([t.vccs_ep, t.vccs_ep, t.vccs_em, t.vccs_em], 1).ravel(),
+            np.stack([t.cccs_ep, t.cccs_em], 1).ravel(),
+            np.stack([t.vcvs_ep, t.vcvs_em, t.vcvs_k, t.vcvs_k,
+                      t.vcvs_k, t.vcvs_k], 1).ravel(),
+            np.stack([t.ccvs_ep, t.ccvs_em, t.ccvs_k, t.ccvs_k,
+                      t.ccvs_k], 1).ravel(),
+        ]).astype(np.int32)
+        self.ctrl_cols = np.concatenate([
+            np.stack([t.vccs_ecp, t.vccs_ecm, t.vccs_ecp,
+                      t.vccs_ecm], 1).ravel(),
+            np.stack([t.cccs_kc, t.cccs_kc], 1).ravel(),
+            np.stack([t.vcvs_k, t.vcvs_k, t.vcvs_ep, t.vcvs_em,
+                      t.vcvs_ecp, t.vcvs_ecm], 1).ravel(),
+            np.stack([t.ccvs_k, t.ccvs_k, t.ccvs_ep, t.ccvs_em,
+                      t.ccvs_kc], 1).ravel(),
+        ]).astype(np.int32)
+
         # ---- nonlinear (per-Newton-iteration) patterns ----
         self.mos_rows = np.stack(
             [t.mos_ed, t.mos_ed, t.mos_ed, t.mos_es, t.mos_es, t.mos_es],
@@ -204,6 +228,25 @@ class Engine:
         g = jnp.where(r != 0.0, 1.0 / jnp.where(r != 0.0, r, 1.0), 0.0)
         return _two_terminal_vals(g)
 
+    def _ctrl_vals(self, params):
+        """Values for the controlled-source stamp pattern (ctrl_rows/cols
+        order); all linear, so these belong to the static tier."""
+        g = params["vccs_g"]
+        a = params["cccs_gain"]
+        e = params["vcvs_gain"]
+        r = params["ccvs_r"]
+        oe = jnp.ones_like(e)
+        orr = jnp.ones_like(r)
+        parts = [
+            jnp.stack([g, -g, -g, g], axis=-1).reshape(*g.shape[:-1], -1),
+            jnp.stack([a, -a], axis=-1).reshape(*a.shape[:-1], -1),
+            jnp.stack([oe, -oe, oe, -oe, -e, e],
+                      axis=-1).reshape(*e.shape[:-1], -1),
+            jnp.stack([orr, -orr, orr, -orr, -r],
+                      axis=-1).reshape(*r.shape[:-1], -1),
+        ]
+        return jnp.concatenate(parts, axis=-1)
+
     def _nl_vals(self, params, x):
         """Per-Newton-iteration nonlinear stamp values (MOS + diode)."""
         xe = self.x_ext(x)
@@ -254,11 +297,15 @@ class Engine:
         """Static COO entries of the DC system matrix (everything except the
         nonlinear linearization and the per-iteration gmin diagonal)."""
         rvals = self._res_vals(params)
-        rows = np.concatenate([self.res_rows, self.dc_const_rows])
-        cols = np.concatenate([self.res_cols, self.dc_const_cols])
+        rows = np.concatenate([self.res_rows, self.dc_const_rows,
+                               self.ctrl_rows])
+        cols = np.concatenate([self.res_cols, self.dc_const_cols,
+                               self.ctrl_cols])
         const = jnp.broadcast_to(self.dc_const_vals,
                                  rvals.shape[:-1] + self.dc_const_vals.shape)
-        vals = jnp.concatenate([rvals, const], axis=-1)
+        cvals = self._ctrl_vals(params)
+        cvals = jnp.broadcast_to(cvals, rvals.shape[:-1] + cvals.shape[-1:])
+        vals = jnp.concatenate([rvals, const, cvals], axis=-1)
         return rows, cols, vals
 
     def dc_rhs(self, params, scale):
@@ -329,13 +376,15 @@ class Engine:
 
         rows = np.concatenate([self.res_rows, self.dc_const_rows[:4 * nV],
                                self.ind_rows, self.cap_rows,
-                               self.topo.node_eqs])
+                               self.topo.node_eqs, self.ctrl_rows])
         cols = np.concatenate([self.res_cols, self.dc_const_cols[:4 * nV],
                                self.ind_cols, self.cap_cols,
-                               self.topo.node_eqs])
+                               self.topo.node_eqs, self.ctrl_cols])
+        cvals = self._ctrl_vals(params)
+        cvals = jnp.broadcast_to(cvals, rvals.shape[:-1] + cvals.shape[-1:])
         vals = jnp.concatenate(
             [rvals, jnp.broadcast_to(vs_vals, rvals.shape[:-1] + vs_vals.shape[-1:]),
-             ind_vals, cap_vals, gm], axis=-1)
+             ind_vals, cap_vals, gm, cvals], axis=-1)
         return rows, cols, vals
 
     def tran_static_G(self, params, dt, gmin, method: str = "be"):
