@@ -108,11 +108,35 @@ class Simulator:
     def _tran_jit(self):
         return {}
 
+    def _initial_conditions_x0(self, uic: bool):
+        """x0 for the transient honoring .IC/.TRAN-UIC (extension):
+        UIC -> zeros with the .IC values set (no DC solve); otherwise the
+        DC solution with .IC-constrained nodes overridden.  Returns None
+        when the default DC-op start applies (no .IC, no UIC)."""
+        ics = self.config.ics
+        if not ics and not uic:
+            return None
+        import numpy as np
+        if uic:
+            x0 = jnp.zeros((self.topo.n_unknowns,), self.opts.dtype)
+        else:
+            x0 = self.dc()
+        for node, val in ics:
+            nid = self.circuit.node_name_to_id.get(node)
+            if nid is None or self.circuit.nodes[nid].eq_index < 0:
+                import sys
+                print(f".IC: unknown or ground node {node!r}; ignored",
+                      file=sys.stderr)
+                continue
+            x0 = x0.at[self.circuit.nodes[nid].eq_index].set(val)
+        return x0
+
     def transient(self, params: Optional[Any] = None,
                   tstep: Optional[float] = None,
                   tstop: Optional[float] = None,
                   save_xs: bool = True,
-                  adaptive: bool = False) -> TransientResult:
+                  adaptive: bool = False,
+                  uic: Optional[bool] = None) -> TransientResult:
         """Backward-Euler/trapezoidal transient; defaults to the netlist's
         .TRAN card.  Compiled executables are cached per (tstep, tstop,
         save_xs) so repeated calls (parameter sweeps) do not re-trace.
@@ -128,7 +152,10 @@ class Simulator:
             raise ValueError(".TRAN card missing or invalid "
                              "(tstep and tstop must be > 0)")
         p = params if params is not None else self.params
-        key = (float(tstep), float(tstop), bool(save_xs), bool(adaptive))
+        uic = self.config.tran.uic if uic is None else uic
+        x0 = self._initial_conditions_x0(uic)
+        key = (float(tstep), float(tstop), bool(save_xs), bool(adaptive),
+               x0 is not None)
         if key not in self._tran_jit:
             # bounded: a timestep-sweep study would otherwise retain one
             # compiled executable per distinct (tstep, tstop)
@@ -142,6 +169,8 @@ class Simulator:
             self._tran_jit[key] = jax.jit(functools.partial(
                 run, self.engine,
                 tstep=tstep, tstop=tstop, save_xs=save_xs))
+        if x0 is not None:
+            return self._tran_jit[key](p, x0=x0)
         return self._tran_jit[key](p)
 
     def steady_state(self, params: Optional[Any] = None,

@@ -79,6 +79,11 @@ class _CSweep(ct.Structure):
                 ("stop", ct.c_double), ("step", ct.c_double)]
 
 
+class _CIc(ct.Structure):
+    _pack_ = 1
+    _fields_ = [("node_off", ct.c_int32), ("value", ct.c_double)]
+
+
 class _CConfig(ct.Structure):
     _pack_ = 1
     _fields_ = [
@@ -98,6 +103,7 @@ class _CConfig(ct.Structure):
         ("noise_sweep", ct.c_int32), ("noise_npoints", ct.c_int32),
         ("noise_fstart", ct.c_double), ("noise_fstop", ct.c_double),
         ("four_enabled", ct.c_int32), ("four_f0", ct.c_double),
+        ("tran_uic", ct.c_int32),
     ]
 
 
@@ -131,12 +137,14 @@ def _load() -> Optional[ct.CDLL]:
     lib.csim_parse.argtypes = [ct.c_char_p]
     lib.csim_free.argtypes = [ct.c_void_p]
     for name in ("csim_n_elements", "csim_n_nodes", "csim_n_probes",
-                 "csim_n_sweeps", "csim_n_pwl", "csim_strpool_size",
+                 "csim_n_sweeps", "csim_n_ics", "csim_n_pwl",
+                 "csim_strpool_size",
                  "csim_abi_version"):
         getattr(lib, name).restype = ct.c_int32
         if name != "csim_abi_version":
             getattr(lib, name).argtypes = [ct.c_void_p]
     for name in ("csim_elements", "csim_nodes", "csim_probes", "csim_sweeps",
+                 "csim_ics",
                  "csim_config"):
         getattr(lib, name).restype = ct.c_void_p
         getattr(lib, name).argtypes = [ct.c_void_p]
@@ -231,7 +239,12 @@ def parse_netlist_text_native(text: str) -> Tuple[Circuit, SimulationConfig]:
         sim = SimulationConfig()
         sim.do_op = bool(cfg.do_op)
         sim.tran = TranConfig(enabled=bool(cfg.tran_enabled), tstep=cfg.tstep,
-                              tstop=cfg.tstop, tstart=cfg.tstart)
+                              tstop=cfg.tstop, tstart=cfg.tstart,
+                              uic=bool(cfg.tran_uic))
+        nic = lib.csim_n_ics(h)
+        cic = ct.cast(lib.csim_ics(h), ct.POINTER(_CIc))
+        for i in range(nic):
+            sim.ics.append((s(cic[i].node_off), cic[i].value))
         sim.ac = AcConfig(enabled=bool(cfg.ac_enabled),
                           sweep_type=["lin", "dec", "oct"][cfg.ac_sweep],
                           n_points=cfg.ac_npoints, fstart=cfg.fstart,

@@ -154,6 +154,11 @@ struct SweepRec {
     double start, stop, step;
 };
 
+struct IcRec {          // .IC V(node)=value (extension)
+    int32_t node_off;
+    double value;
+};
+
 struct Config {
     int32_t do_op;
     int32_t tran_enabled;
@@ -178,6 +183,7 @@ struct Config {
     // .FOUR (extension): probes carry analysis tag 6 in the probe list
     int32_t four_enabled;
     double four_f0;
+    int32_t tran_uic;   // .TRAN ... UIC (extension)
 };
 #pragma pack(pop)
 
@@ -186,6 +192,7 @@ struct Result {
     std::vector<NodeRec> nodes;
     std::vector<ProbeRec> probes;
     std::vector<SweepRec> sweeps;
+    std::vector<IcRec> ics;
     std::vector<double> pwl_pool;
     std::string str_pool;
     std::string diagnostics;
@@ -882,9 +889,18 @@ public:
                 warn(st.line_no, "invalid .TRAN syntax: " + st.raw);
                 return;
             }
+            size_t ntok = t.size();
+            if (ntok >= 2 && lower(t[ntok - 1]) == "uic") {
+                out.config.tran_uic = 1;
+                --ntok;
+            }
+            if (ntok < 3) {
+                warn(st.line_no, "invalid .TRAN syntax: " + st.raw);
+                return;
+            }
             double ts, tp, t0 = 0.0;
             if (!parse_spice(t[1], &ts) || !parse_spice(t[2], &tp) ||
-                (t.size() >= 4 && !parse_spice(t[3], &t0))) {
+                (ntok >= 4 && !parse_spice(t[3], &t0))) {
                 warn(st.line_no, "cannot parse .TRAN numbers: " + st.raw);
                 return;
             }
@@ -957,6 +973,37 @@ public:
                 p.analysis = av;
                 out.probes.push_back(p);
             }
+        } else if (head == ".ic") {
+            // .IC V(node)=value ... (extension); '=' may be spaced out.
+            // Join tokens, then split on "V(" occurrences.
+            std::string text;
+            for (size_t i = 1; i < t.size(); ++i) text += t[i];
+            bool any = false;
+            size_t pos = 0;
+            while (pos + 1 < text.size()) {
+                if (std::toupper((unsigned char)text[pos]) != 'V' ||
+                    text[pos + 1] != '(') { ++pos; continue; }
+                size_t r = text.find(')', pos);
+                if (r == std::string::npos) break;
+                size_t eq = text.find('=', r);
+                if (eq == std::string::npos) break;
+                // value runs to the next "V(" or end of text
+                size_t nxt = eq + 1;
+                while (nxt + 1 < text.size() &&
+                       !(std::toupper((unsigned char)text[nxt]) == 'V' &&
+                         text[nxt + 1] == '(')) ++nxt;
+                size_t vend = (nxt + 1 < text.size()) ? nxt : text.size();
+                std::string node = text.substr(pos + 2, r - pos - 2);
+                std::string sval = text.substr(eq + 1, vend - eq - 1);
+                double val;
+                if (parse_spice(sval, &val)) {
+                    IcRec ic{intern(node), val};
+                    out.ics.push_back(ic);
+                    any = true;
+                }
+                pos = vend;
+            }
+            if (!any) warn(st.line_no, "invalid .IC syntax: " + st.raw);
         } else if (head == ".four") {
             double f0;
             if (t.size() < 3 || !parse_spice(t[1], &f0)) {
@@ -1130,6 +1177,7 @@ int32_t csim_n_elements(void* h) { return (int32_t)FE.elements.size(); }
 int32_t csim_n_nodes(void* h) { return (int32_t)FE.nodes.size(); }
 int32_t csim_n_probes(void* h) { return (int32_t)FE.probes.size(); }
 int32_t csim_n_sweeps(void* h) { return (int32_t)FE.sweeps.size(); }
+int32_t csim_n_ics(void* h) { return (int32_t)FE.ics.size(); }
 int32_t csim_n_pwl(void* h) { return (int32_t)FE.pwl_pool.size(); }
 int32_t csim_strpool_size(void* h) { return (int32_t)FE.str_pool.size(); }
 
@@ -1137,6 +1185,7 @@ const void* csim_elements(void* h) { return FE.elements.data(); }
 const void* csim_nodes(void* h) { return FE.nodes.data(); }
 const void* csim_probes(void* h) { return FE.probes.data(); }
 const void* csim_sweeps(void* h) { return FE.sweeps.data(); }
+const void* csim_ics(void* h) { return FE.ics.data(); }
 const double* csim_pwl(void* h) { return FE.pwl_pool.data(); }
 const char* csim_strpool(void* h) { return FE.str_pool.c_str(); }
 const void* csim_config(void* h) { return &FE.config; }

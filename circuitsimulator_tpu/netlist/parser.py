@@ -58,6 +58,9 @@ class TranConfig:
     tstep: float = 0.0
     tstop: float = 0.0
     tstart: float = 0.0
+    # `.TRAN ... UIC` (extension): skip the DC operating point and start
+    # from the .IC values (unset nodes start at 0)
+    uic: bool = False
 
 
 @dataclasses.dataclass
@@ -133,6 +136,8 @@ class SimulationConfig:
     print_commands: List[PrintCommand] = dataclasses.field(default_factory=list)
     noise: NoiseConfig = dataclasses.field(default_factory=NoiseConfig)
     four: FourConfig = dataclasses.field(default_factory=FourConfig)
+    # `.IC V(node)=value ...` pairs (extension)
+    ics: List[tuple] = dataclasses.field(default_factory=list)
 
     def has_any_analysis(self) -> bool:
         return (self.do_op or bool(self.dc_sweeps) or self.tran.enabled
@@ -459,6 +464,8 @@ class NetlistParser:
             self._parse_noise_card(st)
         elif head == ".four":
             self._parse_four_card(st)
+        elif head == ".ic":
+            self._parse_ic_card(st)
         elif head == ".plotnv":
             self._parse_plotnv_card(st)
         elif head == ".plotnc":
@@ -487,10 +494,17 @@ class NetlistParser:
             _warn(st.line_no, f"invalid .TRAN syntax: {st.raw}")
             return
         cfg = TranConfig()
+        rest = list(t[1:])
+        if rest and rest[-1].lower() == "uic":
+            cfg.uic = True
+            rest = rest[:-1]
+        if len(rest) < 2:
+            _warn(st.line_no, f"invalid .TRAN syntax: {st.raw}")
+            return
         try:
-            cfg.tstep = parse_spice_number(t[1])
-            cfg.tstop = parse_spice_number(t[2])
-            cfg.tstart = parse_spice_number(t[3]) if len(t) >= 4 else 0.0
+            cfg.tstep = parse_spice_number(rest[0])
+            cfg.tstop = parse_spice_number(rest[1])
+            cfg.tstart = parse_spice_number(rest[2]) if len(rest) >= 3 else 0.0
         except ValueError as e:
             _warn(st.line_no, f"cannot parse .TRAN numbers: {e} in '{st.raw}'")
             return
@@ -532,6 +546,22 @@ class NetlistParser:
             return
         cfg.enabled = True
         self.sim.hb = cfg
+
+    def _parse_ic_card(self, st: Statement) -> None:
+        """.IC V(node)=value ... (extension); also accepts the split form
+        `V(node) = value`."""
+        import re
+        text = " ".join(st.tokens[1:])
+        text = re.sub(r"\s*=\s*", "=", text)
+        found = re.findall(r"[Vv]\(([^)]+)\)=(\S+)", text)
+        if not found:
+            _warn(st.line_no, f"invalid .IC syntax: {st.raw}")
+            return
+        for node, sval in found:
+            try:
+                self.sim.ics.append((node.strip(), parse_spice_number(sval)))
+            except ValueError as e:
+                _warn(st.line_no, f"cannot parse .IC value: {e}")
 
     def _parse_four_card(self, st: Statement) -> None:
         t = st.tokens
