@@ -43,7 +43,9 @@ from .dc import dc_operating_point
 
 K_BOLTZ = 1.380649e-23
 Q_ELEM = 1.602176634e-19
-T_NOISE = 300.15           # SPICE TNOM = 27 C
+# default noise temperature: consistent with the device models' thermal
+# voltage (VT_THERMAL = kT/q -> T ~= 300.0 K); the .TEMP card rescales both
+T_NOISE = 0.025852 * Q_ELEM / K_BOLTZ
 
 
 @dataclasses.dataclass
@@ -63,6 +65,8 @@ def _device_noise_currents(engine: Engine, params, x_op):
     terms are divided by f at sweep time."""
     t = engine.topo
     xe = engine.x_ext(x_op)
+    temp = params["vt_thermal"] * Q_ELEM / K_BOLTZ     # .TEMP-aware kelvin
+    four_kt = 4.0 * K_BOLTZ * temp
     pairs = []
     s_white = []
     s_flick = []
@@ -72,7 +76,7 @@ def _device_noise_currents(engine: Engine, params, x_op):
     if r.shape[-1]:
         g = jnp.where(r > 0.0, 1.0 / jnp.where(r > 0.0, r, 1.0), 0.0)
         pairs.append(np.stack([t.res_e1, t.res_e2], 1))
-        s_white.append(4.0 * K_BOLTZ * T_NOISE * g)
+        s_white.append(four_kt * g)
         s_flick.append(jnp.zeros_like(g))
         kinds += ["R"] * len(t.res_e1)
 
@@ -88,7 +92,7 @@ def _device_noise_currents(engine: Engine, params, x_op):
         i_d = gd * vd + gg * vg + gs * vs + cst
         gm = jnp.abs(gg)
         pairs.append(np.stack([t.mos_ed, t.mos_es], 1))
-        s_white.append((8.0 / 3.0) * K_BOLTZ * T_NOISE * gm)
+        s_white.append((2.0 / 3.0) * four_kt * gm)
         s_flick.append(params["mos_kf"]
                        * jnp.abs(i_d) ** params["mos_af"])
         kinds += ["M"] * len(t.mos_ed)
@@ -97,7 +101,8 @@ def _device_noise_currents(engine: Engine, params, x_op):
         from ..models.diode import diode_linearize
         vp = xe[..., t.dio_ep]
         vm = xe[..., t.dio_em]
-        g, cst = diode_linearize(params["dio_is"], params["dio_n"], vp, vm)
+        g, cst = diode_linearize(params["dio_is"], params["dio_n"], vp, vm,
+                                 vt=params["vt_thermal"])
         i_d = g * (vp - vm) + cst
         pairs.append(np.stack([t.dio_ep, t.dio_em], 1))
         s_white.append(2.0 * Q_ELEM * jnp.abs(i_d))
@@ -111,7 +116,7 @@ def _device_noise_currents(engine: Engine, params, x_op):
         ve = xe[..., t.bjt_ee]
         rc, rb = bjt_linearize(params["bjt_is"], params["bjt_bf"],
                                params["bjt_br"], params["bjt_p"],
-                               vc, vb, ve)
+                               vc, vb, ve, vt=params["vt_thermal"])
         i_c = rc[0] * vc + rc[1] * vb + rc[2] * ve + rc[3]
         i_b = rb[0] * vc + rb[1] * vb + rb[2] * ve + rb[3]
         pairs.append(np.stack([t.bjt_ec, t.bjt_ee], 1))

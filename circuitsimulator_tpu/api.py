@@ -43,6 +43,13 @@ class Simulator:
         self.lowered: LoweredCircuit = lower(circuit, dtype=opts.dtype)
         self.topo = self.lowered.topo
         self.params = self.lowered.params
+        if getattr(sim_config, "temp_c", None) is not None:
+            # .TEMP (extension): rescale the thermal voltage kT/q used by
+            # the diode/BJT models and the noise analysis
+            k_b, q_e = 1.380649e-23, 1.602176634e-19
+            self.params = dict(self.params)
+            self.params["vt_thermal"] = jnp.asarray(
+                k_b * (273.15 + float(sim_config.temp_c)) / q_e, opts.dtype)
         self.engine = Engine(self.lowered, opts)
         # large ladder circuits (RC lines etc.): dense O(N^2) assembly and
         # O(N^3) LU are unusable — switch to the bordered-tridiagonal

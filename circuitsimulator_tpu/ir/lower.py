@@ -272,6 +272,10 @@ def lower(ckt: Circuit, dtype=jnp.float64) -> LoweredCircuit:
         "vccs_g": jnp.asarray([e.value for e in vccs], dtype),
         "cccs_gain": jnp.asarray([e.value for e in cccs], dtype),
         "ccvs_r": jnp.asarray([e.value for e in ccvs], dtype),
+        # thermal voltage kT/q (scalar; .TEMP card rescales it — batchable
+        # for Monte-Carlo temperature sweeps).  Default matches the diode
+        # model's VT_THERMAL constant exactly.
+        "vt_thermal": jnp.asarray(0.025852, dtype),
         "bjt_p": jnp.asarray([-1.0 if e.is_p else 1.0 for e in bjt], dtype),
     }
     for key, pack in (("vs", vsp), ("is", isp)):

@@ -104,6 +104,7 @@ class _CConfig(ct.Structure):
         ("noise_fstart", ct.c_double), ("noise_fstop", ct.c_double),
         ("four_enabled", ct.c_int32), ("four_f0", ct.c_double),
         ("tran_uic", ct.c_int32),
+        ("temp_set", ct.c_int32), ("temp_c", ct.c_double),
     ]
 
 
@@ -241,6 +242,8 @@ def parse_netlist_text_native(text: str) -> Tuple[Circuit, SimulationConfig]:
         sim.tran = TranConfig(enabled=bool(cfg.tran_enabled), tstep=cfg.tstep,
                               tstop=cfg.tstop, tstart=cfg.tstart,
                               uic=bool(cfg.tran_uic))
+        if cfg.temp_set:
+            sim.temp_c = cfg.temp_c
         nic = lib.csim_n_ics(h)
         cic = ct.cast(lib.csim_ics(h), ct.POINTER(_CIc))
         for i in range(nic):

@@ -184,6 +184,8 @@ struct Config {
     int32_t four_enabled;
     double four_f0;
     int32_t tran_uic;   // .TRAN ... UIC (extension)
+    int32_t temp_set;   // .TEMP given (extension)
+    double temp_c;
 };
 #pragma pack(pop)
 
@@ -972,6 +974,14 @@ public:
                 ProbeRec p = parse_probe_token(t[i]);
                 p.analysis = av;
                 out.probes.push_back(p);
+            }
+        } else if (head == ".temp") {
+            double tc;
+            if (t.size() < 2 || !parse_spice(t[1], &tc)) {
+                warn(st.line_no, "invalid .TEMP syntax: " + st.raw);
+            } else {
+                out.config.temp_set = 1;
+                out.config.temp_c = tc;
             }
         } else if (head == ".ic") {
             // .IC V(node)=value ... (extension); '=' may be spaced out.

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import sys
-from typing import List, Optional
+from typing import Any, List, Optional
 
 from ..utils.numbers import parse_spice_number
 from .circuit import (
@@ -138,6 +138,8 @@ class SimulationConfig:
     four: FourConfig = dataclasses.field(default_factory=FourConfig)
     # `.IC V(node)=value ...` pairs (extension)
     ics: List[tuple] = dataclasses.field(default_factory=list)
+    # `.TEMP celsius` (extension); None = default (kT/q = VT_THERMAL)
+    temp_c: Any = None
 
     def has_any_analysis(self) -> bool:
         return (self.do_op or bool(self.dc_sweeps) or self.tran.enabled
@@ -466,6 +468,14 @@ class NetlistParser:
             self._parse_four_card(st)
         elif head == ".ic":
             self._parse_ic_card(st)
+        elif head == ".temp":
+            if len(st.tokens) < 2:
+                _warn(st.line_no, f"invalid .TEMP syntax: {st.raw}")
+            else:
+                try:
+                    self.sim.temp_c = parse_spice_number(st.tokens[1])
+                except ValueError as e:
+                    _warn(st.line_no, f"cannot parse .TEMP value: {e}")
         elif head == ".plotnv":
             self._parse_plotnv_card(st)
         elif head == ".plotnc":

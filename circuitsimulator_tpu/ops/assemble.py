@@ -266,7 +266,8 @@ class Engine:
         if len(t.dio_ep):
             vp = xe[..., t.dio_ep]
             vm = xe[..., t.dio_em]
-            g, r = diode_stamp_vals(params["dio_is"], params["dio_n"], vp, vm)
+            g, r = diode_stamp_vals(params["dio_is"], params["dio_n"], vp,
+                                    vm, vt=params["vt_thermal"])
             gv.append(g)
             rv.append(r)
         if len(t.bjt_ec):
@@ -276,7 +277,7 @@ class Engine:
             ve = xe[..., t.bjt_ee]
             g, r = bjt_stamp_vals(params["bjt_is"], params["bjt_bf"],
                                   params["bjt_br"], params["bjt_p"],
-                                  vc, vb, ve)
+                                  vc, vb, ve, vt=params["vt_thermal"])
             gv.append(g)
             rv.append(r)
         if not gv:

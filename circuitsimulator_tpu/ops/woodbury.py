@@ -160,7 +160,8 @@ class WoodburySolver:
             vd2 = jnp.einsum("...n,nj->...j", x, self.M_dio)
             vd2 = vd2.reshape(*vd2.shape[:-1], plan.nD, 2)
             g, cst = _dio(params["dio_is"], params["dio_n"],
-                          vd2[..., 0], vd2[..., 1])
+                          vd2[..., 0], vd2[..., 1],
+                          vt=params["vt_thermal"])
             zeros = jnp.zeros_like(g)
             parts_v.append(jnp.stack([g, -g, zeros], axis=-1))
             parts_c.append(cst)
@@ -170,7 +171,8 @@ class WoodburySolver:
             vq = vq.reshape(*vq.shape[:-1], plan.nQ, 3)
             rc, rb = _bjt(params["bjt_is"], params["bjt_bf"],
                           params["bjt_br"], params["bjt_p"],
-                          vq[..., 0], vq[..., 1], vq[..., 2])
+                          vq[..., 0], vq[..., 1], vq[..., 2],
+                          vt=params["vt_thermal"])
             # interleave (Ic row, Ib row) per device: (..., 2nQ, 3) / (..., 2nQ)
             vrows = jnp.stack(
                 [jnp.stack(rc[:3], axis=-1), jnp.stack(rb[:3], axis=-1)],
