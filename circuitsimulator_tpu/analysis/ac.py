@@ -55,58 +55,89 @@ def sweep_frequencies(sweep_type: str, n_points: int,
         fstart * (fstop / fstart) ** (np.arange(total) / max(total - 1, 1)))
 
 
-def ac_system(engine: Engine, params, x_op, omega):
-    """Build (Y, J) at angular frequency omega around operating point x_op."""
+def ac_system_real(engine: Engine, params, x_op, omega):
+    """Real/imaginary split of the AC MNA system at angular frequency omega:
+    Y = G + jB, J = Jr + jJi, each real (N,)/(N,N).
+
+    The split exists for TPU execution: the axon TPU backend's complex-
+    dtype support is unreliable (v5e has no native complex; the lowering is
+    experimental), so the AC/noise solves run as the equivalent real
+    2N-system [[G, -B], [B, G]] — see solve_ac_real."""
     t = engine.topo
     N = engine.N
-    cdtype = jnp.complex128 if engine.dtype == jnp.float64 else jnp.complex64
-    jw = 1j * omega
+    dtype = engine.dtype
 
-    rvals = engine._res_vals(params).astype(cdtype)
-    Y = jnp.zeros((N + 1, N + 1), dtype=cdtype)
-    Y = Y.at[engine.res_rows, engine.res_cols].add(rvals)
-
-    # V-source and inductor branch couplings (+/-1), then -jwL on L diagonal
-    Y = Y.at[engine.dc_const_rows, engine.dc_const_cols].add(
-        engine.dc_const_vals.astype(cdtype))
-    if len(t.ind_k):
-        Y = Y.at[t.ind_k, t.ind_k].add(-jw * params["ind_l"].astype(cdtype))
-
-    # capacitor-like elements: jwC
-    C = engine._caplike_C(params).astype(cdtype)
-    Y = Y.at[engine.cap_rows, engine.cap_cols].add(_two_terminal_vals(jw * C))
-
-    # linear controlled sources (E/G/F/H extensions): static real stamps
+    G = jnp.zeros((N + 1, N + 1), dtype=dtype)
+    G = G.at[engine.res_rows, engine.res_cols].add(engine._res_vals(params))
+    G = G.at[engine.dc_const_rows, engine.dc_const_cols].add(
+        engine.dc_const_vals)
     if len(engine.ctrl_rows):
-        Y = Y.at[engine.ctrl_rows, engine.ctrl_cols].add(
-            engine._ctrl_vals(params).astype(cdtype))
-
+        G = G.at[engine.ctrl_rows, engine.ctrl_cols].add(
+            engine._ctrl_vals(params))
     # nonlinear devices linearized at the DC operating point
     gvals, _ = engine._nl_vals(params, x_op)
-    Y = Y.at[engine.nl_rows, engine.nl_cols].add(gvals.astype(cdtype))
+    G = G.at[engine.nl_rows, engine.nl_cols].add(gvals)
 
-    J = jnp.zeros((N + 1,), dtype=cdtype)
+    B = jnp.zeros((N + 1, N + 1), dtype=dtype)
+    C = engine._caplike_C(params)
+    B = B.at[engine.cap_rows, engine.cap_cols].add(
+        _two_terminal_vals(omega * C))
+    if len(t.ind_k):
+        B = B.at[t.ind_k, t.ind_k].add(-omega * params["ind_l"])
+
     deg = jnp.pi / 180.0
-    vac = params["vs_ac_mag"] * jnp.exp(1j * params["vs_ac_phase"] * deg)
-    J = J.at[t.vs_k].add(vac.astype(cdtype))
-    iac = params["is_ac_mag"] * jnp.exp(1j * params["is_ac_phase"] * deg)
-    iac = iac.astype(cdtype)
-    irhs = jnp.stack([-iac, iac], axis=-1).reshape(-1)
-    J = J.at[engine.is_rhs_rows].add(irhs)
-    return Y[:N, :N], J[:N]
+    vph = params["vs_ac_phase"] * deg
+    Jr = jnp.zeros((N + 1,), dtype=dtype)
+    Ji = jnp.zeros((N + 1,), dtype=dtype)
+    Jr = Jr.at[t.vs_k].add(params["vs_ac_mag"] * jnp.cos(vph))
+    Ji = Ji.at[t.vs_k].add(params["vs_ac_mag"] * jnp.sin(vph))
+    iph = params["is_ac_phase"] * deg
+    ir = params["is_ac_mag"] * jnp.cos(iph)
+    ii = params["is_ac_mag"] * jnp.sin(iph)
+    Jr = Jr.at[engine.is_rhs_rows].add(
+        jnp.stack([-ir, ir], axis=-1).reshape(-1))
+    Ji = Ji.at[engine.is_rhs_rows].add(
+        jnp.stack([-ii, ii], axis=-1).reshape(-1))
+    return G[:N, :N], B[:N, :N], Jr[:N], Ji[:N]
+
+
+def ac_system(engine: Engine, params, x_op, omega):
+    """Build complex (Y, J) at angular frequency omega (CPU path)."""
+    cdtype = jnp.complex128 if engine.dtype == jnp.float64 else jnp.complex64
+    G, B, Jr, Ji = ac_system_real(engine, params, x_op, omega)
+    return (G.astype(cdtype) + 1j * B.astype(cdtype),
+            Jr.astype(cdtype) + 1j * Ji.astype(cdtype))
+
+
+def solve_ac_real(engine: Engine, G, B, br, bi):
+    """Solve (G + jB)(xr + jxi) = br + jbi as the real 2N system
+    [[G, -B], [B, G]] [xr; xi] = [br; bi].  Returns (xr, xi)."""
+    M = jnp.concatenate(
+        [jnp.concatenate([G, -B], axis=-1),
+         jnp.concatenate([B, G], axis=-1)], axis=-2)
+    rhs = jnp.concatenate([br, bi], axis=-1)
+    x = lu_solve(M, rhs, engine.opts.lu_pivot_floor)
+    N = G.shape[-1]
+    return x[..., :N], x[..., N:]
 
 
 def ac_analysis(engine: Engine, params, freqs, x_op: Optional[Any] = None):
-    """Run the AC sweep; returns ACResult with complex (F, N) solutions."""
+    """Run the AC sweep; returns ACResult with complex (F, N) solutions.
+
+    The jitted computation is complex-free (real 2N solves; see
+    ac_system_real) — the complex result is composed on the host, so the
+    sweep runs on TPU backends without complex-dtype support."""
     if x_op is None:
         x_op = dc_operating_point(engine, params)
     freqs = jnp.asarray(freqs, engine.dtype)
 
     def solve_one(f):
-        Y, J = ac_system(engine, params, x_op, 2.0 * jnp.pi * f)
-        return lu_solve(Y, J, engine.opts.lu_pivot_floor)
+        G, B, br, bi = ac_system_real(engine, params, x_op,
+                                      2.0 * jnp.pi * f)
+        return solve_ac_real(engine, G, B, br, bi)
 
-    xs = jax.jit(jax.vmap(solve_one))(freqs)
+    xr, xi = jax.jit(jax.vmap(solve_one))(freqs)
+    xs = np.asarray(xr) + 1j * np.asarray(xi)
     return ACResult(freqs=freqs, xs=xs)
 
 

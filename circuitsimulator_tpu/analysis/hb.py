@@ -184,9 +184,11 @@ def harmonic_balance(engine: Engine, params, f0: float,
     r_final, _ = jax.jit(lambda X: residual(X))(X)
     final = jnp.linalg.norm(r_final)
 
-    fft = jnp.fft.rfft(X, axis=0) / K
+    # host-side FFT: keeps every on-device program complex-free (the axon
+    # TPU backend's complex support is unreliable)
+    fft = np.fft.rfft(np.asarray(X), axis=0) / K
     coeffs = fft * 2.0
-    coeffs = coeffs.at[0].divide(2.0)
+    coeffs[0] /= 2.0
     freqs = jnp.arange(H + 1, dtype=dtype) * f0
 
     return HBResult(times=ts, xs=X, freqs=freqs, spectrum=coeffs,

@@ -233,7 +233,8 @@ def harmonic_balance_multi(engine: Engine, params,
     final = jnp.linalg.norm(r_final)
 
     Xg = X.reshape(tuple(Ks) + (N,))
-    spec = jnp.fft.fftn(Xg, axes=tuple(range(D_axes))) / Kt
+    # host-side FFT (complex-free device programs; see analysis/hb.py)
+    spec = np.fft.fftn(np.asarray(Xg), axes=tuple(range(D_axes))) / Kt
     return HBMultiResult(tones=tuple((f, h) for f, h in zip(freqs, Hs)),
                          times=ts, xs=Xg, spectrum=spec,
                          residual=final, newton_iters=iters,
@@ -255,11 +256,12 @@ def coeff(result: HBMultiResult, harmonics: Sequence[int]) -> Any:
 
 def evaluate(result: HBMultiResult, t) -> Any:
     """Reconstruct the physical waveform x(t) = x^(t, ..., t); t may be an
-    array — returns (*t.shape, N) real samples."""
-    t = jnp.asarray(t)
+    array — returns (*t.shape, N) real samples.  Host-side numpy: no
+    complex arithmetic runs on the device (see analysis/hb.py)."""
+    t = np.asarray(t, np.float64)
     Ks = [2 * h + 1 for _, h in result.tones]
     N = result.spectrum.shape[-1]
-    c = result.spectrum.reshape(-1, N)                     # (Kt, N)
+    c = np.asarray(result.spectrum).reshape(-1, N)         # (Kt, N)
     # physical frequency k1 f1 + ... + kD fD of every grid coefficient
     freq = np.zeros(tuple(Ks))
     for d, (f, H) in enumerate(result.tones):
@@ -267,6 +269,5 @@ def evaluate(result: HBMultiResult, t) -> Any:
         shape = [1] * len(Ks)
         shape[d] = Ks[d]
         freq = freq + (k * f).reshape(shape)
-    freq = jnp.asarray(freq.reshape(-1), jnp.asarray(result.xs).dtype)
-    ph = jnp.exp(2j * jnp.pi * jnp.tensordot(t, freq, axes=0))
-    return jnp.real(jnp.tensordot(ph, c, axes=[[-1], [0]]))
+    ph = np.exp(2j * np.pi * np.tensordot(t, freq.reshape(-1), axes=0))
+    return np.real(np.tensordot(ph, c, axes=[[-1], [0]]))

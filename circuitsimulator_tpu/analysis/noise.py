@@ -37,8 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.assemble import Engine
-from ..ops.lu import lu_solve
-from .ac import ac_system
+from .ac import ac_system_real, solve_ac_real
 from .dc import dc_operating_point
 
 K_BOLTZ = 1.380649e-23
@@ -161,21 +160,29 @@ def noise_analysis(engine: Engine, params, freqs, out_eq: int,
         e_out = e_out.at[ref_eq].add(-1.0)
 
     def solve_one(f):
-        Y, _ = ac_system(engine, params, x_op, 2.0 * jnp.pi * f)
-        y = lu_solve(jnp.swapaxes(Y, -1, -2), e_out.astype(Y.dtype),
-                     engine.opts.lu_pivot_floor)
-        ye = jnp.concatenate([y, jnp.zeros((1,), y.dtype)])
-        tr2 = jnp.abs(ye[a_idx] - ye[b_idx]) ** 2          # |transfer|^2
+        # complex-free adjoint solve (see ac.ac_system_real): Y^T y = e_out
+        # becomes the real 2N system with (G^T, B^T)
+        G, B, _, _ = ac_system_real(engine, params, x_op, 2.0 * jnp.pi * f)
+        yr, yi = solve_ac_real(engine, jnp.swapaxes(G, -1, -2),
+                               jnp.swapaxes(B, -1, -2),
+                               e_out, jnp.zeros_like(e_out))
+        pad = jnp.zeros((1,), yr.dtype)
+        yre = jnp.concatenate([yr, pad])
+        yie = jnp.concatenate([yi, pad])
+        tr2 = ((yre[a_idx] - yre[b_idx]) ** 2
+               + (yie[a_idx] - yie[b_idx]) ** 2)           # |transfer|^2
         s_dev = (s_white + s_flick / jnp.maximum(f, 1e-30)) * tr2
         if input_ref is None:
-            gain = jnp.zeros((), y.dtype)
+            g_re = g_im = jnp.zeros(())
         elif input_ref[0] == "v":
-            gain = ye[input_ref[1]]
+            g_re, g_im = yre[input_ref[1]], yie[input_ref[1]]
         else:
-            gain = ye[input_ref[2]] - ye[input_ref[1]]
-        return s_dev, gain
+            g_re = yre[input_ref[2]] - yre[input_ref[1]]
+            g_im = yie[input_ref[2]] - yie[input_ref[1]]
+        return s_dev, g_re, g_im
 
-    s_dev, gain = jax.jit(jax.vmap(solve_one))(freqs)      # (F, nS), (F,)
+    s_dev, g_re, g_im = jax.jit(jax.vmap(solve_one))(freqs)  # (F,nS),(F,)x2
+    gain = np.asarray(g_re) + 1j * np.asarray(g_im)
     onoise = jnp.sum(s_dev, axis=-1)
     by_class = {}
     kind_arr = np.asarray(kinds)
