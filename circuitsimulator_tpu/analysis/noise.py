@@ -191,7 +191,9 @@ def noise_analysis(engine: Engine, params, freqs, out_eq: int,
         if len(sel):
             by_class[k] = jnp.sum(s_dev[:, sel], axis=-1)
     if input_ref is not None:
-        inoise = onoise / jnp.maximum(jnp.abs(gain) ** 2, 1e-300)
+        # host-side: `gain` is a numpy complex array; keep complex math
+        # off the device (axon lacks reliable complex support)
+        inoise = np.asarray(onoise) / np.maximum(np.abs(gain) ** 2, 1e-300)
     else:
         gain = None
         inoise = None
