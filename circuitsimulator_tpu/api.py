@@ -259,6 +259,38 @@ class Simulator:
                                 np.asarray(result.xs), f0, sel,
                                 n_harm=n_harm)
 
+    def sensitivity(self, params: Optional[Any] = None,
+                    out_node: Optional[str] = None,
+                    ref_node: Optional[str] = None,
+                    x_op: Optional[Any] = None):
+        """.SENS DC sensitivity (analysis/sensitivity.py): gradient of
+        V(out[,ref]) with respect to every circuit parameter via implicit
+        differentiation at the operating point.  Returns (grads, rows)
+        where grads matches the params pytree and rows is the sorted
+        per-element report [(label, dV/dp, p*dV/dp)]."""
+        from .analysis.sensitivity import dc_sensitivity, sensitivity_report
+        cfg = self.config.sens
+        if out_node is None:
+            if not cfg.enabled:
+                raise ValueError(".SENS card missing")
+            out_node = cfg.out_node
+            ref_node = ref_node or (cfg.ref_node or None)
+
+        def node_eq(name):
+            nid = self.circuit.node_name_to_id.get(name)
+            if nid is None:
+                raise KeyError(f"unknown node {name!r}")
+            return self.circuit.nodes[nid].eq_index
+
+        out_eq = node_eq(out_node)
+        if out_eq < 0:
+            raise ValueError(f".SENS output node {out_node!r} is ground")
+        ref_eq = node_eq(ref_node) if ref_node else -1
+        p = params if params is not None else self.params
+        grads, _, _ = dc_sensitivity(self.engine, p, out_eq, ref_eq, x=x_op)
+        rows = sensitivity_report(self.circuit, grads, normalize_params=p)
+        return grads, rows
+
     def noise(self, params: Optional[Any] = None, freqs=None,
               out_node: Optional[str] = None, ref_node: Optional[str] = None,
               input_source: Optional[str] = None,

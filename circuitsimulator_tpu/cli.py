@@ -165,6 +165,18 @@ def main(argv=None) -> int:
             print(f"AC failed: {e}", file=sys.stderr)
             return 1
 
+    if sim.config.sens.enabled:
+        try:
+            _, rows = sim.sensitivity(x_op=x)
+            out = sim.config.sens.out_node
+            ref = sim.config.sens.ref_node
+            probe = f"V({out},{ref})" if ref else f"V({out})"
+            print(f"\n==== DC sensitivities of {probe} ====")
+            for label, g, gn in rows[:15]:
+                print(f"{label:>24s} = {g: .6e}   (p*dV/dp = {gn: .6e})")
+        except Exception as e:  # noqa: BLE001
+            print(f".SENS failed: {e}", file=sys.stderr)
+
     if args.run_noise:
         from .analysis.noise import write_noise_csv
         print("\nRunning noise analysis...")

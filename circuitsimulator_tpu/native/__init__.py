@@ -29,7 +29,7 @@ from ..netlist.circuit import (
 )
 from ..netlist.parser import (
     SimulationConfig, TranConfig, AcConfig, HbConfig, DCSweepConfig,
-    NoiseConfig, FourConfig,
+    NoiseConfig, FourConfig, SensConfig,
     PrintCommand, ProbeSpec, AN_NONE, AN_OP, AN_DC, AN_AC, AN_TRAN, AN_HB,
 )
 
@@ -105,6 +105,7 @@ class _CConfig(ct.Structure):
         ("four_enabled", ct.c_int32), ("four_f0", ct.c_double),
         ("tran_uic", ct.c_int32),
         ("temp_set", ct.c_int32), ("temp_c", ct.c_double),
+        ("sens_out_off", ct.c_int32), ("sens_ref_off", ct.c_int32),
     ]
 
 
@@ -244,6 +245,10 @@ def parse_netlist_text_native(text: str) -> Tuple[Circuit, SimulationConfig]:
                               uic=bool(cfg.tran_uic))
         if cfg.temp_set:
             sim.temp_c = cfg.temp_c
+        if cfg.sens_out_off >= 0:
+            sim.sens = SensConfig(
+                enabled=True, out_node=s(cfg.sens_out_off),
+                ref_node=s(cfg.sens_ref_off) if cfg.sens_ref_off >= 0 else "")
         nic = lib.csim_n_ics(h)
         cic = ct.cast(lib.csim_ics(h), ct.POINTER(_CIc))
         for i in range(nic):

@@ -186,6 +186,7 @@ struct Config {
     int32_t tran_uic;   // .TRAN ... UIC (extension)
     int32_t temp_set;   // .TEMP given (extension)
     double temp_c;
+    int32_t sens_out_off, sens_ref_off;  // .SENS V(out[,ref]); -1 absent
 };
 #pragma pack(pop)
 
@@ -975,6 +976,19 @@ public:
                 p.analysis = av;
                 out.probes.push_back(p);
             }
+        } else if (head == ".sens") {
+            if (t.size() < 2) {
+                warn(st.line_no, "invalid .SENS syntax: " + st.raw);
+                return;
+            }
+            ProbeRec pr = parse_probe_token(t[1]);
+            if (pr.kind > 1 || pr.node1_off < 0) {
+                warn(st.line_no,
+                     ".SENS output must be V(node[,ref]): " + st.raw);
+                return;
+            }
+            out.config.sens_out_off = pr.node1_off;
+            out.config.sens_ref_off = pr.node2_off;
         } else if (head == ".temp") {
             double tc;
             if (t.size() < 2 || !parse_spice(t[1], &tc)) {
@@ -1114,6 +1128,7 @@ public:
         out.config.noise_out_off = out.config.noise_ref_off = -1;
         out.config.noise_src_off = -1;
         out.config.noise_sweep = -1;
+        out.config.sens_out_off = out.config.sens_ref_off = -1;
         std::vector<Statement> stmts =
             SubcktFlattener(diag).run(lex(text));
         for (const auto& st : stmts) {

@@ -97,6 +97,14 @@ class FourConfig:
 
 
 @dataclasses.dataclass
+class SensConfig:
+    """.SENS V(out[,ref]) — DC sensitivity output (extension)."""
+    enabled: bool = False
+    out_node: str = ""
+    ref_node: str = ""
+
+
+@dataclasses.dataclass
 class NoiseConfig:
     """.NOISE V(out[,ref]) [input_src] [lin|dec|oct n fstart fstop]
     (extension; sweep args default to the .AC card's sweep)."""
@@ -140,6 +148,7 @@ class SimulationConfig:
     ics: List[tuple] = dataclasses.field(default_factory=list)
     # `.TEMP celsius` (extension); None = default (kT/q = VT_THERMAL)
     temp_c: Any = None
+    sens: SensConfig = dataclasses.field(default_factory=SensConfig)
 
     def has_any_analysis(self) -> bool:
         return (self.do_op or bool(self.dc_sweeps) or self.tran.enabled
@@ -468,6 +477,18 @@ class NetlistParser:
             self._parse_four_card(st)
         elif head == ".ic":
             self._parse_ic_card(st)
+        elif head == ".sens":
+            if len(st.tokens) < 2:
+                _warn(st.line_no, f"invalid .SENS syntax: {st.raw}")
+            else:
+                probe = self._parse_probe_token(st.tokens[1])
+                if probe.kind not in ("nv", "dv") or not probe.node1:
+                    _warn(st.line_no,
+                          f".SENS output must be V(node[,ref]): {st.raw}")
+                else:
+                    self.sim.sens = SensConfig(enabled=True,
+                                               out_node=probe.node1,
+                                               ref_node=probe.node2)
         elif head == ".temp":
             if len(st.tokens) < 2:
                 _warn(st.line_no, f"invalid .TEMP syntax: {st.raw}")
