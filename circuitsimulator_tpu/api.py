@@ -259,6 +259,47 @@ class Simulator:
                                 np.asarray(result.xs), f0, sel,
                                 n_harm=n_harm)
 
+    def pole_zero(self, params: Optional[Any] = None,
+                  out_node: Optional[str] = None,
+                  ref_node: Optional[str] = None,
+                  input_source: Optional[str] = None,
+                  x_op: Optional[Any] = None):
+        """.PZ pole-zero analysis (analysis/pz.py) of the circuit
+        linearized at the DC operating point; zeros require an input
+        source."""
+        from .analysis.pz import pole_zero
+        from .analysis.sweep import find_source
+        from .netlist.circuit import KIND_V
+        cfg = self.config.pz
+        if out_node is None:
+            if not cfg.enabled:
+                raise ValueError(".PZ card missing")
+            out_node = cfg.out_node
+            ref_node = ref_node or (cfg.ref_node or None)
+            input_source = input_source or (cfg.input_source or None)
+
+        def node_eq(name):
+            nid = self.circuit.node_name_to_id.get(name)
+            if nid is None:
+                raise KeyError(f"unknown node {name!r}")
+            return self.circuit.nodes[nid].eq_index
+
+        out_eq = node_eq(out_node)
+        if out_eq < 0:
+            raise ValueError(f".PZ output node {out_node!r} is ground")
+        ref_eq = node_eq(ref_node) if ref_node else -1
+        input_ref = None
+        if input_source:
+            kind, idx = find_source(self.circuit, input_source)
+            if kind == KIND_V:
+                input_ref = ("v", int(self.topo.vs_k[idx]))
+            else:
+                input_ref = ("i", int(self.topo.is_ep[idx]),
+                             int(self.topo.is_em[idx]))
+        p = params if params is not None else self.params
+        return pole_zero(self.engine, p, out_eq, ref_eq, input_ref,
+                         x_op=x_op)
+
     def sensitivity(self, params: Optional[Any] = None,
                     out_node: Optional[str] = None,
                     ref_node: Optional[str] = None,

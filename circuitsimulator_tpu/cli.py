@@ -165,6 +165,14 @@ def main(argv=None) -> int:
             print(f"AC failed: {e}", file=sys.stderr)
             return 1
 
+    if sim.config.pz.enabled:
+        try:
+            from .analysis.pz import pz_table
+            print()
+            print(pz_table(sim.pole_zero(x_op=x)))
+        except Exception as e:  # noqa: BLE001
+            print(f".PZ failed: {e}", file=sys.stderr)
+
     if sim.config.sens.enabled:
         try:
             _, rows = sim.sensitivity(x_op=x)

@@ -29,7 +29,7 @@ from ..netlist.circuit import (
 )
 from ..netlist.parser import (
     SimulationConfig, TranConfig, AcConfig, HbConfig, DCSweepConfig,
-    NoiseConfig, FourConfig, SensConfig,
+    NoiseConfig, FourConfig, SensConfig, PzConfig,
     PrintCommand, ProbeSpec, AN_NONE, AN_OP, AN_DC, AN_AC, AN_TRAN, AN_HB,
 )
 
@@ -106,6 +106,8 @@ class _CConfig(ct.Structure):
         ("tran_uic", ct.c_int32),
         ("temp_set", ct.c_int32), ("temp_c", ct.c_double),
         ("sens_out_off", ct.c_int32), ("sens_ref_off", ct.c_int32),
+        ("pz_out_off", ct.c_int32), ("pz_ref_off", ct.c_int32),
+        ("pz_src_off", ct.c_int32),
     ]
 
 
@@ -245,6 +247,11 @@ def parse_netlist_text_native(text: str) -> Tuple[Circuit, SimulationConfig]:
                               uic=bool(cfg.tran_uic))
         if cfg.temp_set:
             sim.temp_c = cfg.temp_c
+        if cfg.pz_out_off >= 0:
+            sim.pz = PzConfig(
+                enabled=True, out_node=s(cfg.pz_out_off),
+                ref_node=s(cfg.pz_ref_off) if cfg.pz_ref_off >= 0 else "",
+                input_source=s(cfg.pz_src_off) if cfg.pz_src_off >= 0 else "")
         if cfg.sens_out_off >= 0:
             sim.sens = SensConfig(
                 enabled=True, out_node=s(cfg.sens_out_off),

@@ -187,6 +187,7 @@ struct Config {
     int32_t temp_set;   // .TEMP given (extension)
     double temp_c;
     int32_t sens_out_off, sens_ref_off;  // .SENS V(out[,ref]); -1 absent
+    int32_t pz_out_off, pz_ref_off, pz_src_off;  // .PZ (extension)
 };
 #pragma pack(pop)
 
@@ -976,6 +977,20 @@ public:
                 p.analysis = av;
                 out.probes.push_back(p);
             }
+        } else if (head == ".pz") {
+            if (t.size() < 2) {
+                warn(st.line_no, "invalid .PZ syntax: " + st.raw);
+                return;
+            }
+            ProbeRec pr = parse_probe_token(t[1]);
+            if (pr.kind > 1 || pr.node1_off < 0) {
+                warn(st.line_no,
+                     ".PZ output must be V(node[,ref]): " + st.raw);
+                return;
+            }
+            out.config.pz_out_off = pr.node1_off;
+            out.config.pz_ref_off = pr.node2_off;
+            if (t.size() > 2) out.config.pz_src_off = intern(t[2]);
         } else if (head == ".sens") {
             if (t.size() < 2) {
                 warn(st.line_no, "invalid .SENS syntax: " + st.raw);
@@ -1129,6 +1144,8 @@ public:
         out.config.noise_src_off = -1;
         out.config.noise_sweep = -1;
         out.config.sens_out_off = out.config.sens_ref_off = -1;
+        out.config.pz_out_off = out.config.pz_ref_off = -1;
+        out.config.pz_src_off = -1;
         std::vector<Statement> stmts =
             SubcktFlattener(diag).run(lex(text));
         for (const auto& st : stmts) {

@@ -97,6 +97,15 @@ class FourConfig:
 
 
 @dataclasses.dataclass
+class PzConfig:
+    """.PZ V(out[,ref]) [input_src] — pole-zero analysis (extension)."""
+    enabled: bool = False
+    out_node: str = ""
+    ref_node: str = ""
+    input_source: str = ""
+
+
+@dataclasses.dataclass
 class SensConfig:
     """.SENS V(out[,ref]) — DC sensitivity output (extension)."""
     enabled: bool = False
@@ -149,6 +158,7 @@ class SimulationConfig:
     # `.TEMP celsius` (extension); None = default (kT/q = VT_THERMAL)
     temp_c: Any = None
     sens: SensConfig = dataclasses.field(default_factory=SensConfig)
+    pz: PzConfig = dataclasses.field(default_factory=PzConfig)
 
     def has_any_analysis(self) -> bool:
         return (self.do_op or bool(self.dc_sweeps) or self.tran.enabled
@@ -477,6 +487,20 @@ class NetlistParser:
             self._parse_four_card(st)
         elif head == ".ic":
             self._parse_ic_card(st)
+        elif head == ".pz":
+            if len(st.tokens) < 2:
+                _warn(st.line_no, f"invalid .PZ syntax: {st.raw}")
+            else:
+                probe = self._parse_probe_token(st.tokens[1])
+                if probe.kind not in ("nv", "dv") or not probe.node1:
+                    _warn(st.line_no,
+                          f".PZ output must be V(node[,ref]): {st.raw}")
+                else:
+                    self.sim.pz = PzConfig(
+                        enabled=True, out_node=probe.node1,
+                        ref_node=probe.node2,
+                        input_source=(st.tokens[2]
+                                      if len(st.tokens) > 2 else ""))
         elif head == ".sens":
             if len(st.tokens) < 2:
                 _warn(st.line_no, f"invalid .SENS syntax: {st.raw}")
