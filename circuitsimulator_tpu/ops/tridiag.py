@@ -43,7 +43,31 @@ def _pad_pow2(a, b, c, d):
     return padded(a, 0.0), padded(b, 1.0), padded(c, 0.0), padded(d, 0.0), N
 
 
-def cr_solve(a, b, c, d):
+# Hybrid cutoff: stop the reduction at `cutoff` unknowns and solve the
+# remainder densely (matrix from three broadcast masks, one XLA LU).
+# MEASURED SLOWER on the v5e at n=10k — the late CR levels are cheap
+# (small arrays) while XLA's TPU LU is row-sequential: 1.28 ms (pure CR)
+# vs 1.33/1.40/1.59/2.15 ms at cutoff 128/256/512/1024.  Default stays
+# pure CR; the parameter remains for other hardware where dense solves
+# win.
+CR_DENSE_CUTOFF = 1
+
+
+def _dense_tridiag_solve(a, b, c, d):
+    """Direct solve of a small tridiagonal system via a dense LU."""
+    k = a.shape[-1]
+    eye = jnp.eye(k, dtype=b.dtype)
+    dn = jnp.eye(k, k=-1, dtype=b.dtype)     # subdiagonal mask
+    up = jnp.eye(k, k=1, dtype=b.dtype)      # superdiagonal mask
+    A = (b[..., :, None] * eye + a[..., :, None] * dn
+         + c[..., :, None] * up)
+    batch = jnp.broadcast_shapes(A.shape[:-2], d.shape[:-1])
+    A = jnp.broadcast_to(A, batch + (k, k))
+    dd = jnp.broadcast_to(d, batch + (k,))
+    return jnp.linalg.solve(A, dd[..., None])[..., 0]
+
+
+def cr_solve(a, b, c, d, cutoff: int = CR_DENSE_CUTOFF):
     """Solve the tridiagonal system
         a[i] x[i-1] + b[i] x[i] + c[i] x[i+1] = d[i]   (a[0] = c[N-1] = 0)
     by cyclic reduction.  All arrays (..., N); batch dims broadcast.
@@ -51,7 +75,7 @@ def cr_solve(a, b, c, d):
     a, b, c, d, N = _pad_pow2(jnp.asarray(a), jnp.asarray(b),
                               jnp.asarray(c), jnp.asarray(d))
     levels = []
-    while a.shape[-1] > 1:
+    while a.shape[-1] > max(cutoff, 1):
         # split into even (kept) and odd (eliminated) equations
         ae, be, ce, de = a[..., ::2], b[..., ::2], c[..., ::2], d[..., ::2]
         ao, bo, co, do = a[..., 1::2], b[..., 1::2], c[..., 1::2], d[..., 1::2]
@@ -77,7 +101,10 @@ def cr_solve(a, b, c, d):
         c_new = -gamma * co
         d_new = de - alpha * d_l - gamma * do
         a, b, c, d = a_new, b_new, c_new, d_new
-    x = d / b   # single remaining unknown
+    if a.shape[-1] > 1:
+        x = _dense_tridiag_solve(a, b, c, d)
+    else:
+        x = d / b   # single remaining unknown
     for (ao, bo, co, do) in reversed(levels):
         # interleave: given even solutions x, recover odd:
         # x_odd[k] = (d_o[k] - a_o[k] x_even[k] - c_o[k] x_even[k+1]) / b_o[k]

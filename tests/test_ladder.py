@@ -143,3 +143,20 @@ def test_predictor_dense_backends():
                                                     auto_backend=False))
         r[solver] = np.asarray(s.transient().xs)
     np.testing.assert_allclose(r["woodbury"], r["lu"], rtol=0, atol=1e-9)
+
+
+def test_cr_dense_cutoff_path():
+    """The hybrid dense-cutoff CR variant (kept for non-TPU hardware; the
+    v5e default is pure CR) matches the dense solution."""
+    from circuitsimulator_tpu.ops.tridiag import cr_solve
+    rng = np.random.default_rng(3)
+    N = 1000
+    b = 4 + rng.random(N)
+    a = rng.random(N); a[0] = 0.0
+    c = rng.random(N); c[-1] = 0.0
+    d = rng.standard_normal(N)
+    T = np.diag(b) + np.diag(a[1:], -1) + np.diag(c[:-1], 1)
+    ref = np.linalg.solve(T, d)
+    for cutoff in (64, 256):
+        x = np.asarray(cr_solve(a, b, c, d, cutoff=cutoff))
+        np.testing.assert_allclose(x, ref, rtol=1e-9, atol=1e-11)
