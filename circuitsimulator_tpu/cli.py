@@ -36,6 +36,9 @@ def build_argparser() -> argparse.ArgumentParser:
                         "these cards but always writes every column)")
     p.add_argument("--connectivity", action="store_true",
                    help="print the node connectivity table")
+    p.add_argument("--adaptive", action="store_true",
+                   help="LTE-controlled adaptive timestep refinement "
+                        "(dyadic dt ladder; output stays on the .TRAN grid)")
     p.add_argument("--method", choices=["be", "trap"], default="be",
                    help="transient integration: Backward Euler (reference "
                         "behavior, default) or trapezoidal (2nd order)")
@@ -122,7 +125,7 @@ def main(argv=None) -> int:
         try:
             import time
             t0 = time.time()
-            res = sim.transient()
+            res = sim.transient(adaptive=args.adaptive)
             res.x_final.block_until_ready()
             wall = time.time() - t0
             sim.write_transient_csv(args.tran_out, res,
@@ -215,14 +218,33 @@ def main(argv=None) -> int:
         from .io.csvout import write_transient_csv
         print(f"\nRunning periodic steady state ({args.hb_method})...")
         try:
-            hbres = (sim.harmonic_balance() if args.hb_method == "hb"
+            multi_card = bool(getattr(sim.config.hb, "extra_tones", []))
+            if multi_card and args.hb_method != "hb":
+                print("multi-tone .hb card: using the MPDE harmonic-balance "
+                      "solver (shooting is single-tone only)")
+            hbres = (sim.harmonic_balance()
+                     if args.hb_method == "hb" or multi_card
                      else sim.steady_state())
-            write_transient_csv(args.run_hb, sim.topo,
-                                hbres.times, hbres.xs)
-            print(f"steady state: residual={float(hbres.residual):.3e}, "
-                  f"newton_iters={hbres.newton_iters}, "
-                  f"converged={bool(hbres.converged)}")
-            print(harmonic_table(sim.topo, hbres))
+            from .analysis.hbmulti import HBMultiResult
+            if isinstance(hbres, HBMultiResult):
+                # multi-tone card: write the reconstructed quasi-periodic
+                # waveform over one period of the slowest tone
+                from .analysis.hbmulti import evaluate
+                import numpy as _np
+                f_min = min(f for f, _ in hbres.tones)
+                ts = _np.linspace(0.0, 1.0 / f_min, 512, endpoint=False)
+                xs = evaluate(hbres, ts)
+                write_transient_csv(args.run_hb, sim.topo, ts, xs)
+                print(f"multi-tone steady state: tones={hbres.tones}, "
+                      f"residual={float(hbres.residual):.3e}, "
+                      f"converged={bool(hbres.converged)}")
+            else:
+                write_transient_csv(args.run_hb, sim.topo,
+                                    hbres.times, hbres.xs)
+                print(f"steady state: residual={float(hbres.residual):.3e}, "
+                      f"newton_iters={hbres.newton_iters}, "
+                      f"converged={bool(hbres.converged)}")
+                print(harmonic_table(sim.topo, hbres))
             print(f"One period written to '{args.run_hb}'.")
         except Exception as e:  # noqa: BLE001
             print(f"Steady state failed: {e}", file=sys.stderr)
