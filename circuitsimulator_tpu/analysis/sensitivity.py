@@ -121,3 +121,37 @@ def sensitivity_report(circuit, grads: Dict[str, Any],
         rows.append(("d/dVt(thermal)", float(np.asarray(grads["vt_thermal"]))))
     rows.sort(key=lambda r: -abs(r[1]))
     return rows
+
+
+def unit_tangent(params, key: str, idx=None):
+    """A params-shaped tangent pytree: 1.0 at params[key][idx], zero
+    elsewhere (float0 for integer leaves, as jax.jvp requires)."""
+    def zero(leaf):
+        arr = jnp.asarray(leaf)
+        if not jnp.issubdtype(arr.dtype, jnp.floating):
+            return np.zeros(arr.shape, jax.dtypes.float0)
+        return jnp.zeros_like(arr)
+
+    t = jax.tree_util.tree_map(zero, dict(params))
+    t[key] = t[key].at[idx if idx is not None else ()].set(1.0)
+    return t
+
+
+def transient_sensitivity(engine: Engine, params, tangent, tstep, tstop,
+                          **tran_kw):
+    """Waveform sensitivity d x(t) / d p in the direction `tangent` (a
+    params pytree, e.g. from unit_tangent) via forward-mode JVP through the
+    whole DC-init + timestepping pipeline — `lax.while_loop` is forward-
+    differentiable, so no custom adjoint is needed.  Returns
+    (TransientResult, dxs) with dxs of shape xs.
+
+    One linearization per direction; vmap over tangents for batches of
+    parameters.  (Reverse-mode over all parameters at once needs the
+    adjoint-in-time machinery — future work.)"""
+    from .transient import run_transient
+
+    def f(p):
+        return run_transient(engine, p, tstep, tstop, save_xs=True).xs
+
+    xs, dxs = jax.jvp(f, (dict(params),), (tangent,))
+    return xs, dxs

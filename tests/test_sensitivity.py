@@ -109,3 +109,36 @@ def test_sens_cli_and_errors(capsys):
     out = capsys.readouterr().out
     assert "DC sensitivities of V(out)" in out
     assert "d/dDC(V1)" in out
+
+
+def test_transient_sensitivity_jvp_vs_fd():
+    """Forward-mode waveform sensitivity through the full transient (DC
+    init + while_loop Newton + scan) against central finite differences."""
+    from circuitsimulator_tpu.analysis.sensitivity import (
+        transient_sensitivity, unit_tangent)
+    net = """\
+V1 in 0 PULSE 0 1 0 1e-12 1e-12 1 2
+R1 in out 1k
+C1 out 0 1u
+D1 out 0 IS=1e-12 N=1
+.TRAN 1e-4 1e-3
+"""
+    sim = Simulator.from_text(net, opts=F64)
+    out = veq(sim, "out")
+    for key, idx in [("res_r", 0), ("cap_c", 0)]:
+        tan = unit_tangent(sim.params, key, idx)
+        xs, dxs = transient_sensitivity(sim.engine, sim.params, tan,
+                                        1e-4, 1e-3)
+        h = float(np.asarray(sim.params[key])[idx]) * 1e-6
+        ps = {s: dict(sim.params) for s in ("+", "-")}
+        ps["+"][key] = sim.params[key].at[idx].add(h)
+        ps["-"][key] = sim.params[key].at[idx].add(-h)
+        from circuitsimulator_tpu.analysis.transient import run_transient
+        fd = (np.asarray(run_transient(sim.engine, ps["+"], 1e-4, 1e-3).xs)
+              - np.asarray(run_transient(sim.engine, ps["-"], 1e-4,
+                                         1e-3).xs)) / (2 * h)
+        scale = max(np.abs(np.asarray(dxs)[:, out]).max(), 1e-12)
+        np.testing.assert_allclose(np.asarray(dxs)[:, out], fd[:, out],
+                                   atol=3e-3 * scale, rtol=0,
+                                   err_msg=key)
+        assert np.abs(np.asarray(dxs)[:, out]).max() > 0
