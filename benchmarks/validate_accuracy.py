@@ -37,7 +37,8 @@ opts = DEFAULT_OPTIONS.replace(dtype=dtype, tran_solver='woodbury',
 # VAL_FAST: validate the bench's fast-Newton configuration (f32 side only)
 if dtype == jnp.float32 and _os.environ.get('VAL_FAST'):
     opts = opts.replace(tran_alpha=1.0, tran_predictor=True,
-                        tran_max_newton_iters=int(_os.environ.get('VAL_CAP', '6')))
+                        tran_max_newton_iters=int(_os.environ.get('VAL_CAP', '6')),
+                        tran_unrolled_iters=int(_os.environ.get('VAL_UNROLL', '0')))
 sim = Simulator.from_file({os.path.join(REPO, 'tests/netlists/dbmixer.sp')!r}, opts=opts)
 res = sim.transient(tstep=1e-13, tstop={steps}e-13)
 xs = np.asarray(res.xs, dtype=np.float64)

@@ -119,6 +119,8 @@ def transient_step_fn(engine: Engine, params, dt, predictor: bool = False):
         if use_woodbury:
             z0 = wb.z0(I_s[..., :N])
 
+        unrolled = int(opts.tran_unrolled_iters)
+
         def cond(c):
             return (~c["done"]) & (c["iter"] < opts.tran_max_newton_iters)
 
@@ -155,7 +157,12 @@ def transient_step_fn(engine: Engine, params, dt, predictor: bool = False):
 
         init = dict(x=x_init, done=failed, failed=failed,
                     iter=jnp.asarray(0, jnp.int32))
-        out = lax.while_loop(cond, body, init)
+        if unrolled > 0:
+            out = init
+            for _ in range(unrolled):
+                out = body(out)
+        else:
+            out = lax.while_loop(cond, body, init)
         x_new = out["x"]
         state = update_state(params, x_new, state)
         if predictor:

@@ -80,6 +80,13 @@ class SolverOptions:
     # must keep it disabled.  The converged solution is unchanged (same
     # fixed point, same tolerance).
     tran_predictor: bool = False
+    # fixed unrolled Newton iterations per step (0 = use the while_loop
+    # with the convergence test).  With the predictor + full Newton, K=3
+    # unrolled iterations converge far below tol in practice, and removing
+    # the while_loop lets XLA fuse the entire timestep — the batch also no
+    # longer pays for the slowest lane's trip count.  No convergence
+    # guarantee: benchmarks validate accuracy against the f64 oracle.
+    tran_unrolled_iters: int = 0
     # per-iteration Newton update clamp in volts (0 = off).  SPICE-style
     # limiting: full (quadratic) steps near the solution, bounded steps far
     # away — kills the region-switching oscillation that otherwise makes a

@@ -179,3 +179,29 @@ C1 out 0 0.5p
     np.testing.assert_allclose(np.asarray(r_fast.xs), np.asarray(r_ref.xs),
                                rtol=0, atol=5e-5)
     assert float(r_fast.newton_iters.sum()) < float(r_ref.newton_iters.sum())
+
+
+def test_unrolled_newton_matches_converged():
+    """tran_unrolled_iters=3 (fixed iterations, no convergence branch)
+    reaches the same per-step fixed point as the while_loop configuration
+    on a smooth circuit (the bench.py fast configuration)."""
+    import jax.numpy as jnp
+    from circuitsimulator_tpu.utils.options import DEFAULT_OPTIONS
+    net = """\
+V1 vdd 0 5
+VIN in 0 SIN 2.5 0.5 2e6
+M1 out in vss n 20u 1u 1
+Rl vdd out 10k
+Rs vss 0 1k
+C1 out 0 0.5p
+.MODEL 1 VT 0.7 MU 5e-2 COX 2e-3 LAMBDA 0.02 CJ0 1e-14
+.TRAN 1e-9 2e-7
+"""
+    o = DEFAULT_OPTIONS.replace(dtype=jnp.float64, tran_alpha=1.0,
+                                tran_predictor=True)
+    r_loop = Simulator.from_text(net, opts=o).transient()
+    r_unrl = Simulator.from_text(
+        net, opts=o.replace(tran_unrolled_iters=3)).transient()
+    assert not bool(r_unrl.failed)
+    np.testing.assert_allclose(np.asarray(r_unrl.xs), np.asarray(r_loop.xs),
+                               rtol=0, atol=1e-9)
