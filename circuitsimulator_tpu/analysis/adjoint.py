@@ -41,12 +41,15 @@ def _make_diff_dc(engine: Engine):
     from .dc import dc_operating_point
     N = engine.N
 
-    @jax.custom_vjp
-    def dc_solve(params):
+    def _primal(params):
         return _polish(engine, params, dc_operating_point(engine, params))
 
+    @jax.custom_vjp
+    def dc_solve(params):
+        return _primal(params)
+
     def fwd(params):
-        x = dc_solve(params)
+        x = _primal(params)
         return x, (params, x)
 
     def bwd(res, xbar):
@@ -107,7 +110,7 @@ def _make_diff_step(engine: Engine, dt, method: str):
         return newton(params, state, t, x_init)
 
     def fwd(params, state, t, x_init):
-        x = solve_step(params, state, t, x_init)
+        x = newton(params, state, t, x_init)
         return x, (params, state, t, x)
 
     def bwd(res, xbar):
@@ -126,6 +129,28 @@ def _make_diff_step(engine: Engine, dt, method: str):
     return solve_step
 
 
+# custom_vjp function objects must be created OUTSIDE any trace: a fresh
+# custom_vjp identity per jit trace leaks tracers into while_loop constants
+# ("No constant handler for DynamicJaxprTracer" at lowering).  Cache per
+# (engine, dt, method); bounded like the Simulator's executable caches.
+_DIFF_FNS_CACHE = {}
+
+
+def _diff_fns(engine: Engine, tstep_f: float, method: str):
+    key = (id(engine), float(tstep_f), method)
+    if key not in _DIFF_FNS_CACHE:
+        if len(_DIFF_FNS_CACHE) >= 16:
+            _DIFF_FNS_CACHE.pop(next(iter(_DIFF_FNS_CACHE)))
+        # the factory closures outlive any active trace: dt must be a real
+        # constant, never a trace-lifted value, or later jit lowerings see
+        # a foreign tracer ("No constant handler for DynamicJaxprTracer")
+        with jax.ensure_compile_time_eval():
+            dt = jnp.asarray(tstep_f, engine.dtype)
+        _DIFF_FNS_CACHE[key] = (_make_diff_dc(engine),
+                                _make_diff_step(engine, dt, method))
+    return _DIFF_FNS_CACHE[key]
+
+
 def diff_transient(engine: Engine, params, tstep, tstop):
     """Fully reverse-differentiable transient: returns (times, xs) with xs
     (n_steps+1, N); jax.grad of any function of xs flows back to params
@@ -133,15 +158,15 @@ def diff_transient(engine: Engine, params, tstep, tstop):
     opts = engine.opts
     dtype = engine.dtype
     method = opts.tran_method
-    dt = jnp.asarray(tstep, dtype)
     n_steps = n_steps_for(float(tstep), float(tstop))
-    dc_solve = _make_diff_dc(engine)
-    solve_step = _make_diff_step(engine, dt, method)
+    dc_solve, solve_step = _diff_fns(engine, float(tstep), method)
+    with jax.ensure_compile_time_eval():
+        dt = jnp.asarray(tstep, dtype)
+        ts = jnp.arange(1, n_steps + 1, dtype=dtype) * dt
     update_state = engine.make_update_state(dt, method)
 
     x0 = dc_solve(params)
     state0 = engine.init_state(x0)
-    ts = jnp.arange(1, n_steps + 1, dtype=dtype) * dt
 
     def step(carry, t):
         x, state = carry
