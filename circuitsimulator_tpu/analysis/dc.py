@@ -55,7 +55,7 @@ def dc_linear_gs(engine: Engine, params):
 
 
 def dc_newton(engine: Engine, params, with_stats: bool = False,
-              linear_solver: str = "lu", batch: int = 0):
+              linear_solver: str = "lu", batch: int = 0, nodeset=None):
     """dcSolveNewtonLU / dcSolveNewtonGS: source ramp + damped Newton with
     the ConvController schedule.  The GS variant warm-starts Gauss-Seidel
     from the current x, allows 60 Newton iterations per ramp step and 120 on
@@ -108,6 +108,14 @@ def dc_newton(engine: Engine, params, with_stats: bool = False,
             I_s = engine.dc_rhs(params, scale)
         else:
             G_s, I_s = engine.dc_static(params, scale)
+        if nodeset is not None:
+            ns_eqs, ns_vals = nodeset
+            hold = jnp.where(step < ramp - 1, 1.0, 0.0)
+            if use_tridiag:
+                I_s = I_s.at[..., ns_eqs].add(hold * ns_vals)
+            else:
+                G_s = G_s.at[..., ns_eqs, ns_eqs].add(hold)
+                I_s = I_s.at[..., ns_eqs].add(hold * ns_vals)
         s = jnp.clip(scale, 0.0, 1.0)
         gmin_base = opts.gmin_high_base * (1.0 - s) + opts.gmin_low_base * s
         if use_gs:
@@ -130,6 +138,9 @@ def dc_newton(engine: Engine, params, with_stats: bool = False,
                 gvals, rvals = engine._nl_vals(params, x)
                 mats = nl_plan.scatter(gvals, base=banded_s)
                 diag = mats["diag"] + gmin
+                if nodeset is not None:
+                    diag = diag.at[..., nodeset[0]].add(
+                        jnp.where(step < ramp - 1, 1.0, 0.0))
                 I = I_s.at[..., engine.nl_rhs_rows].add(rvals)
                 xn, y = bordered_solve(
                     mats["sub"], diag, mats["sup"],
@@ -212,6 +223,8 @@ def dc_newton(engine: Engine, params, with_stats: bool = False,
         return out["x"], total_iters + out["iter"]
 
     x0 = jnp.zeros(((batch,) if batch else ()) + (N,), dtype=dtype)
+    if nodeset is not None:
+        x0 = x0.at[..., nodeset[0]].set(nodeset[1])
     x, iters = lax.fori_loop(0, ramp, ramp_body, (x0, jnp.asarray(0, jnp.int32)))
     if with_stats:
         return x, {"newton_iters": iters}
@@ -239,7 +252,7 @@ def dc_linear_tridiag(engine: Engine, params):
 
 
 def dc_operating_point(engine: Engine, params, with_stats: bool = False,
-                       linear_solver: str = None):
+                       linear_solver: str = None, nodeset=None):
     """computeDcOperatingPoint (tanalisis.cpp:44-47 -> dcSolve -> dcSolveLU).
     linear_solver: "lu" (reference default), "gs" (dcSolveGaussSeidel,
     dcanalysis.cpp:251-257), or "tridiag" (ladder circuits).  Defaults to
@@ -248,7 +261,7 @@ def dc_operating_point(engine: Engine, params, with_stats: bool = False,
         linear_solver = engine.opts.dc_solver
     if engine.topo.has_nonlinear:
         return dc_newton(engine, params, with_stats=with_stats,
-                         linear_solver=linear_solver)
+                         linear_solver=linear_solver, nodeset=nodeset)
     fn = {"gs": dc_linear_gs, "tridiag": dc_linear_tridiag}.get(
         linear_solver, dc_linear)
     x = fn(engine, params)

@@ -96,18 +96,41 @@ class Simulator:
     def _dc_jit(self):
         return {}
 
+    def _nodeset(self):
+        """Resolve the .NODESET card to (eqs, vals) arrays, or None."""
+        if not getattr(self.config, "nodesets", None):
+            return None
+        import numpy as np
+        eqs, vals = [], []
+        for node, val in self.config.nodesets:
+            nid = self.circuit.node_name_to_id.get(node)
+            if nid is None or self.circuit.nodes[nid].eq_index < 0:
+                import sys
+                print(f".NODESET: unknown or ground node {node!r}; ignored",
+                      file=sys.stderr)
+                continue
+            eqs.append(self.circuit.nodes[nid].eq_index)
+            vals.append(val)
+        if not eqs:
+            return None
+        return (np.asarray(eqs, np.int32),
+                jnp.asarray(vals, self.opts.dtype))
+
     def dc(self, params: Optional[Any] = None,
            linear_solver: Optional[str] = None):
         """DC operating point -> (N,) solution vector.
 
         linear_solver: "lu" (reference dcSolve/dcSolveLU), "gs"
         (= dcSolveGaussSeidel), or "tridiag" (ladder circuits).  Defaults to
-        the engine's configured dc_solver."""
+        the engine's configured dc_solver.  A .NODESET card steers Newton
+        toward the wanted solution branch (hold-then-release)."""
         key = linear_solver or self.opts.dc_solver
         if key not in self._dc_jit:
+            ns = self._nodeset()
             self._dc_jit[key] = jax.jit(
                 lambda p: dc_operating_point(self.engine, p,
-                                             linear_solver=key))
+                                             linear_solver=key,
+                                             nodeset=ns))
         return self._dc_jit[key](
             params if params is not None else self.params)
 

@@ -141,14 +141,15 @@ def _load() -> Optional[ct.CDLL]:
     lib.csim_parse.argtypes = [ct.c_char_p]
     lib.csim_free.argtypes = [ct.c_void_p]
     for name in ("csim_n_elements", "csim_n_nodes", "csim_n_probes",
-                 "csim_n_sweeps", "csim_n_ics", "csim_n_pwl",
+                 "csim_n_sweeps", "csim_n_ics", "csim_n_nodesets",
+                 "csim_n_pwl",
                  "csim_strpool_size",
                  "csim_abi_version"):
         getattr(lib, name).restype = ct.c_int32
         if name != "csim_abi_version":
             getattr(lib, name).argtypes = [ct.c_void_p]
     for name in ("csim_elements", "csim_nodes", "csim_probes", "csim_sweeps",
-                 "csim_ics",
+                 "csim_ics", "csim_nodesets",
                  "csim_config"):
         getattr(lib, name).restype = ct.c_void_p
         getattr(lib, name).argtypes = [ct.c_void_p]
@@ -260,6 +261,10 @@ def parse_netlist_text_native(text: str) -> Tuple[Circuit, SimulationConfig]:
         cic = ct.cast(lib.csim_ics(h), ct.POINTER(_CIc))
         for i in range(nic):
             sim.ics.append((s(cic[i].node_off), cic[i].value))
+        nns = lib.csim_n_nodesets(h)
+        cns = ct.cast(lib.csim_nodesets(h), ct.POINTER(_CIc))
+        for i in range(nns):
+            sim.nodesets.append((s(cns[i].node_off), cns[i].value))
         sim.ac = AcConfig(enabled=bool(cfg.ac_enabled),
                           sweep_type=["lin", "dec", "oct"][cfg.ac_sweep],
                           n_points=cfg.ac_npoints, fstart=cfg.fstart,

@@ -197,6 +197,7 @@ struct Result {
     std::vector<ProbeRec> probes;
     std::vector<SweepRec> sweeps;
     std::vector<IcRec> ics;
+    std::vector<IcRec> nodesets;
     std::vector<double> pwl_pool;
     std::string str_pool;
     std::string diagnostics;
@@ -1012,7 +1013,9 @@ public:
                 out.config.temp_set = 1;
                 out.config.temp_c = tc;
             }
-        } else if (head == ".ic") {
+        } else if (head == ".ic" || head == ".nodeset") {
+            std::vector<IcRec>& sink =
+                (head == ".ic") ? out.ics : out.nodesets;
             // .IC V(node)=value ... (extension); '=' may be spaced out.
             // Join tokens, then split on "V(" occurrences.
             std::string text;
@@ -1037,12 +1040,12 @@ public:
                 double val;
                 if (parse_spice(sval, &val)) {
                     IcRec ic{intern(node), val};
-                    out.ics.push_back(ic);
+                    sink.push_back(ic);
                     any = true;
                 }
                 pos = vend;
             }
-            if (!any) warn(st.line_no, "invalid .IC syntax: " + st.raw);
+            if (!any) warn(st.line_no, "invalid .IC/.NODESET syntax: " + st.raw);
         } else if (head == ".four") {
             double f0;
             if (t.size() < 3 || !parse_spice(t[1], &f0)) {
@@ -1220,6 +1223,7 @@ int32_t csim_n_nodes(void* h) { return (int32_t)FE.nodes.size(); }
 int32_t csim_n_probes(void* h) { return (int32_t)FE.probes.size(); }
 int32_t csim_n_sweeps(void* h) { return (int32_t)FE.sweeps.size(); }
 int32_t csim_n_ics(void* h) { return (int32_t)FE.ics.size(); }
+int32_t csim_n_nodesets(void* h) { return (int32_t)FE.nodesets.size(); }
 int32_t csim_n_pwl(void* h) { return (int32_t)FE.pwl_pool.size(); }
 int32_t csim_strpool_size(void* h) { return (int32_t)FE.str_pool.size(); }
 
@@ -1228,6 +1232,7 @@ const void* csim_nodes(void* h) { return FE.nodes.data(); }
 const void* csim_probes(void* h) { return FE.probes.data(); }
 const void* csim_sweeps(void* h) { return FE.sweeps.data(); }
 const void* csim_ics(void* h) { return FE.ics.data(); }
+const void* csim_nodesets(void* h) { return FE.nodesets.data(); }
 const double* csim_pwl(void* h) { return FE.pwl_pool.data(); }
 const char* csim_strpool(void* h) { return FE.str_pool.c_str(); }
 const void* csim_config(void* h) { return &FE.config; }

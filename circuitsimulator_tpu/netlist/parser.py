@@ -155,6 +155,8 @@ class SimulationConfig:
     four: FourConfig = dataclasses.field(default_factory=FourConfig)
     # `.IC V(node)=value ...` pairs (extension)
     ics: List[tuple] = dataclasses.field(default_factory=list)
+    # `.NODESET V(node)=value ...` pairs (extension)
+    nodesets: List[tuple] = dataclasses.field(default_factory=list)
     # `.TEMP celsius` (extension); None = default (kT/q = VT_THERMAL)
     temp_c: Any = None
     sens: SensConfig = dataclasses.field(default_factory=SensConfig)
@@ -487,6 +489,8 @@ class NetlistParser:
             self._parse_four_card(st)
         elif head == ".ic":
             self._parse_ic_card(st)
+        elif head == ".nodeset":
+            self._parse_ic_card(st, target="nodesets")
         elif head == ".pz":
             if len(st.tokens) < 2:
                 _warn(st.line_no, f"invalid .PZ syntax: {st.raw}")
@@ -602,21 +606,23 @@ class NetlistParser:
         cfg.enabled = True
         self.sim.hb = cfg
 
-    def _parse_ic_card(self, st: Statement) -> None:
-        """.IC V(node)=value ... (extension); also accepts the split form
-        `V(node) = value`."""
+    def _parse_ic_card(self, st: Statement, target: str = "ics") -> None:
+        """.IC / .NODESET V(node)=value ... (extensions); also accepts the
+        split form `V(node) = value`."""
         import re
         text = " ".join(st.tokens[1:])
         text = re.sub(r"\s*=\s*", "=", text)
         found = re.findall(r"[Vv]\(([^)]+)\)=(\S+)", text)
+        card = ".IC" if target == "ics" else ".NODESET"
         if not found:
-            _warn(st.line_no, f"invalid .IC syntax: {st.raw}")
+            _warn(st.line_no, f"invalid {card} syntax: {st.raw}")
             return
         for node, sval in found:
             try:
-                self.sim.ics.append((node.strip(), parse_spice_number(sval)))
+                getattr(self.sim, target).append(
+                    (node.strip(), parse_spice_number(sval)))
             except ValueError as e:
-                _warn(st.line_no, f"cannot parse .IC value: {e}")
+                _warn(st.line_no, f"cannot parse {card} value: {e}")
 
     def _parse_four_card(self, st: Statement) -> None:
         t = st.tokens
