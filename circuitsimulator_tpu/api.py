@@ -43,6 +43,8 @@ class Simulator:
         self.lowered: LoweredCircuit = lower(circuit, dtype=opts.dtype)
         self.topo = self.lowered.topo
         self.params = self.lowered.params
+        opts = self._apply_netlist_options(opts, sim_config)
+        self.opts = opts
         if getattr(sim_config, "temp_c", None) is not None:
             # .TEMP (extension): rescale the thermal voltage kT/q used by
             # the diode/BJT models and the noise analysis
@@ -60,6 +62,47 @@ class Simulator:
                 self.opts = opts = opts.replace(tran_solver="tridiag",
                                                 dc_solver="tridiag")
                 self.engine = Engine(self.lowered, opts)
+
+    @staticmethod
+    def _apply_netlist_options(opts: SolverOptions, sim_config):
+        """.OPTIONS card -> SolverOptions mapping (extension).  Supported:
+        METHOD=BE|TRAP, GMIN, VNTOL/ABSTOL (transient Newton tol), RELTOL
+        (adaptive LTE rtol), ITL1 (DC Newton cap), ITL4 (transient Newton
+        cap), TEMP (like .TEMP).  Unknown keys warn and are ignored."""
+        raw = getattr(sim_config, "options", None)
+        if not raw:
+            return opts
+        import sys
+        from .utils.numbers import parse_spice_number as _num
+        kw = {}
+        for k, v in raw.items():
+            try:
+                if k == "method":
+                    m = v.lower()
+                    if m in ("be", "trap"):
+                        kw["tran_method"] = m
+                    else:
+                        print(f".OPTIONS: unsupported METHOD={v}; "
+                              "keeping be", file=sys.stderr)
+                elif k == "gmin":
+                    kw["tran_gmin"] = _num(v)
+                elif k in ("vntol", "abstol"):
+                    kw["tran_tol"] = _num(v)
+                elif k == "reltol":
+                    kw["tran_lte_rtol"] = _num(v)
+                elif k == "itl1":
+                    kw["dc_max_newton_iters"] = int(_num(v))
+                elif k == "itl4":
+                    kw["tran_max_newton_iters"] = int(_num(v))
+                elif k == "temp":
+                    sim_config.temp_c = _num(v)
+                else:
+                    print(f".OPTIONS: unknown option {k.upper()}; ignored",
+                          file=sys.stderr)
+            except ValueError as e:
+                print(f".OPTIONS: cannot parse {k}={v}: {e}",
+                      file=sys.stderr)
+        return opts.replace(**kw) if kw else opts
 
     # ---- constructors ----
     @staticmethod

@@ -84,6 +84,11 @@ class _CIc(ct.Structure):
     _fields_ = [("node_off", ct.c_int32), ("value", ct.c_double)]
 
 
+class _COpt(ct.Structure):
+    _pack_ = 1
+    _fields_ = [("name_off", ct.c_int32), ("value_off", ct.c_int32)]
+
+
 class _CConfig(ct.Structure):
     _pack_ = 1
     _fields_ = [
@@ -142,14 +147,14 @@ def _load() -> Optional[ct.CDLL]:
     lib.csim_free.argtypes = [ct.c_void_p]
     for name in ("csim_n_elements", "csim_n_nodes", "csim_n_probes",
                  "csim_n_sweeps", "csim_n_ics", "csim_n_nodesets",
-                 "csim_n_pwl",
+                 "csim_n_options", "csim_n_pwl",
                  "csim_strpool_size",
                  "csim_abi_version"):
         getattr(lib, name).restype = ct.c_int32
         if name != "csim_abi_version":
             getattr(lib, name).argtypes = [ct.c_void_p]
     for name in ("csim_elements", "csim_nodes", "csim_probes", "csim_sweeps",
-                 "csim_ics", "csim_nodesets",
+                 "csim_ics", "csim_nodesets", "csim_options",
                  "csim_config"):
         getattr(lib, name).restype = ct.c_void_p
         getattr(lib, name).argtypes = [ct.c_void_p]
@@ -265,6 +270,10 @@ def parse_netlist_text_native(text: str) -> Tuple[Circuit, SimulationConfig]:
         cns = ct.cast(lib.csim_nodesets(h), ct.POINTER(_CIc))
         for i in range(nns):
             sim.nodesets.append((s(cns[i].node_off), cns[i].value))
+        nop = lib.csim_n_options(h)
+        cop = ct.cast(lib.csim_options(h), ct.POINTER(_COpt))
+        for i in range(nop):
+            sim.options[s(cop[i].name_off)] = s(cop[i].value_off)
         sim.ac = AcConfig(enabled=bool(cfg.ac_enabled),
                           sweep_type=["lin", "dec", "oct"][cfg.ac_sweep],
                           n_points=cfg.ac_npoints, fstart=cfg.fstart,

@@ -159,6 +159,11 @@ struct IcRec {          // .IC V(node)=value (extension)
     double value;
 };
 
+struct OptRec {         // .OPTIONS key=value (extension; value as string)
+    int32_t name_off;
+    int32_t value_off;
+};
+
 struct Config {
     int32_t do_op;
     int32_t tran_enabled;
@@ -198,6 +203,7 @@ struct Result {
     std::vector<SweepRec> sweeps;
     std::vector<IcRec> ics;
     std::vector<IcRec> nodesets;
+    std::vector<OptRec> options;
     std::vector<double> pwl_pool;
     std::string str_pool;
     std::string diagnostics;
@@ -1013,6 +1019,31 @@ public:
                 out.config.temp_set = 1;
                 out.config.temp_c = tc;
             }
+        } else if (head == ".options" || head == ".option") {
+            std::string text;
+            for (size_t i = 1; i < t.size(); ++i) {
+                if (!text.empty()) text += " ";
+                text += t[i];
+            }
+            // normalize "k = v" to "k=v", then split on whitespace
+            std::string norm;
+            for (size_t i = 0; i < text.size(); ++i) {
+                if (text[i] == ' ' &&
+                    ((i + 1 < text.size() && text[i + 1] == '=') ||
+                     (!norm.empty() && norm.back() == '='))) continue;
+                norm += text[i];
+            }
+            std::istringstream iss(norm);
+            std::string tok;
+            while (iss >> tok) {
+                size_t eq = tok.find('=');
+                std::string k = lower(eq == std::string::npos
+                                          ? tok : tok.substr(0, eq));
+                std::string v = eq == std::string::npos
+                                    ? "1" : tok.substr(eq + 1);
+                OptRec o{intern(k), intern(v)};
+                out.options.push_back(o);
+            }
         } else if (head == ".ic" || head == ".nodeset") {
             std::vector<IcRec>& sink =
                 (head == ".ic") ? out.ics : out.nodesets;
@@ -1224,6 +1255,7 @@ int32_t csim_n_probes(void* h) { return (int32_t)FE.probes.size(); }
 int32_t csim_n_sweeps(void* h) { return (int32_t)FE.sweeps.size(); }
 int32_t csim_n_ics(void* h) { return (int32_t)FE.ics.size(); }
 int32_t csim_n_nodesets(void* h) { return (int32_t)FE.nodesets.size(); }
+int32_t csim_n_options(void* h) { return (int32_t)FE.options.size(); }
 int32_t csim_n_pwl(void* h) { return (int32_t)FE.pwl_pool.size(); }
 int32_t csim_strpool_size(void* h) { return (int32_t)FE.str_pool.size(); }
 
@@ -1233,6 +1265,7 @@ const void* csim_probes(void* h) { return FE.probes.data(); }
 const void* csim_sweeps(void* h) { return FE.sweeps.data(); }
 const void* csim_ics(void* h) { return FE.ics.data(); }
 const void* csim_nodesets(void* h) { return FE.nodesets.data(); }
+const void* csim_options(void* h) { return FE.options.data(); }
 const double* csim_pwl(void* h) { return FE.pwl_pool.data(); }
 const char* csim_strpool(void* h) { return FE.str_pool.c_str(); }
 const void* csim_config(void* h) { return &FE.config; }

@@ -157,6 +157,9 @@ class SimulationConfig:
     ics: List[tuple] = dataclasses.field(default_factory=list)
     # `.NODESET V(node)=value ...` pairs (extension)
     nodesets: List[tuple] = dataclasses.field(default_factory=list)
+    # `.OPTIONS key[=value] ...` raw pairs (extension; values may be
+    # numbers or words like METHOD=TRAP) — applied by the Simulator
+    options: dict = dataclasses.field(default_factory=dict)
     # `.TEMP celsius` (extension); None = default (kT/q = VT_THERMAL)
     temp_c: Any = None
     sens: SensConfig = dataclasses.field(default_factory=SensConfig)
@@ -491,6 +494,15 @@ class NetlistParser:
             self._parse_ic_card(st)
         elif head == ".nodeset":
             self._parse_ic_card(st, target="nodesets")
+        elif head in (".options", ".option"):
+            import re as _re
+            text = _re.sub(r"\s*=\s*", "=", " ".join(st.tokens[1:]))
+            for tok in text.split():
+                if "=" in tok:
+                    k, v = tok.split("=", 1)
+                else:
+                    k, v = tok, "1"
+                self.sim.options[k.lower()] = v
         elif head == ".pz":
             if len(st.tokens) < 2:
                 _warn(st.line_no, f"invalid .PZ syntax: {st.raw}")
