@@ -398,6 +398,52 @@ class Simulator:
         rows = sensitivity_report(self.circuit, grads, normalize_params=p)
         return grads, rows
 
+    def tf(self, params: Optional[Any] = None, x_op: Optional[Any] = None):
+        """.TF DC transfer function (analysis/tf.py): small-signal DC
+        gain d out/d in, input resistance seen by the input source, and
+        output resistance at the output probe, all from one linearization
+        at the (polished) operating point."""
+        from .analysis.tf import dc_transfer_function
+        from .analysis.sweep import find_source
+        from .netlist.circuit import KIND_V
+        cfg = self.config.tf
+        if not cfg.enabled:
+            raise ValueError(".TF card missing")
+        kind, idx = find_source(self.circuit, cfg.input_source)
+        if kind == KIND_V:
+            input_ref = ("v", int(self.topo.vs_k[idx]))
+        else:
+            input_ref = ("i", int(self.topo.is_ep[idx]),
+                         int(self.topo.is_em[idx]))
+        if cfg.out_kind == "v":
+            nid = self.circuit.node_name_to_id.get(cfg.out_node)
+            if nid is None:
+                raise KeyError(f"unknown node {cfg.out_node!r}")
+            out_a = self.circuit.nodes[nid].eq_index
+            if out_a < 0:
+                raise ValueError(f".TF output node {cfg.out_node!r} "
+                                 "is ground")
+            out_b = -1
+            if cfg.ref_node:
+                rid = self.circuit.node_name_to_id.get(cfg.ref_node)
+                if rid is None:
+                    raise KeyError(f"unknown node {cfg.ref_node!r}")
+                out_b = self.circuit.nodes[rid].eq_index
+        else:
+            out_a = out_b = -1
+            for e in self.circuit.elements:
+                if (e.name.lower() == cfg.out_element.lower()
+                        and getattr(e, "branch_eq", -1) >= 0):
+                    out_a = e.branch_eq
+                    break
+            if out_a < 0:
+                raise ValueError(f".TF current output {cfg.out_element!r}: "
+                                 "no such branch-current unknown (only "
+                                 "V sources and inductors carry one)")
+        p = params if params is not None else self.params
+        return dc_transfer_function(self.engine, p, cfg.out_kind,
+                                    out_a, out_b, input_ref, x=x_op)
+
     def noise(self, params: Optional[Any] = None, freqs=None,
               out_node: Optional[str] = None, ref_node: Optional[str] = None,
               input_source: Optional[str] = None,

@@ -188,6 +188,20 @@ def main(argv=None) -> int:
         except Exception as e:  # noqa: BLE001
             print(f".SENS failed: {e}", file=sys.stderr)
 
+    if sim.config.tf.enabled:
+        try:
+            from .analysis.tf import tf_report
+            cfg = sim.config.tf
+            if cfg.out_kind == "v":
+                out_label = (f"V({cfg.out_node},{cfg.ref_node})"
+                             if cfg.ref_node else f"V({cfg.out_node})")
+            else:
+                out_label = f"I({cfg.out_element})"
+            print()
+            print(tf_report(sim.tf(x_op=x), out_label, cfg.input_source))
+        except Exception as e:  # noqa: BLE001
+            print(f".TF failed: {e}", file=sys.stderr)
+
     if args.run_noise:
         from .analysis.noise import write_noise_csv
         print("\nRunning noise analysis...")

@@ -29,7 +29,7 @@ from ..netlist.circuit import (
 )
 from ..netlist.parser import (
     SimulationConfig, TranConfig, AcConfig, HbConfig, DCSweepConfig,
-    NoiseConfig, FourConfig, SensConfig, PzConfig,
+    NoiseConfig, FourConfig, SensConfig, PzConfig, TfConfig,
     PrintCommand, ProbeSpec, AN_NONE, AN_OP, AN_DC, AN_AC, AN_TRAN, AN_HB,
 )
 
@@ -113,6 +113,9 @@ class _CConfig(ct.Structure):
         ("sens_out_off", ct.c_int32), ("sens_ref_off", ct.c_int32),
         ("pz_out_off", ct.c_int32), ("pz_ref_off", ct.c_int32),
         ("pz_src_off", ct.c_int32),
+        ("tf_enabled", ct.c_int32), ("tf_out_kind", ct.c_int32),
+        ("tf_out_off", ct.c_int32), ("tf_ref_off", ct.c_int32),
+        ("tf_elem_off", ct.c_int32), ("tf_src_off", ct.c_int32),
     ]
 
 
@@ -262,6 +265,15 @@ def parse_netlist_text_native(text: str) -> Tuple[Circuit, SimulationConfig]:
             sim.sens = SensConfig(
                 enabled=True, out_node=s(cfg.sens_out_off),
                 ref_node=s(cfg.sens_ref_off) if cfg.sens_ref_off >= 0 else "")
+        if cfg.tf_enabled:
+            sim.tf = TfConfig(
+                enabled=True,
+                out_kind="i" if cfg.tf_out_kind == 1 else "v",
+                out_node=s(cfg.tf_out_off) if cfg.tf_out_off >= 0 else "",
+                ref_node=s(cfg.tf_ref_off) if cfg.tf_ref_off >= 0 else "",
+                out_element=(s(cfg.tf_elem_off)
+                             if cfg.tf_elem_off >= 0 else ""),
+                input_source=s(cfg.tf_src_off) if cfg.tf_src_off >= 0 else "")
         nic = lib.csim_n_ics(h)
         cic = ct.cast(lib.csim_ics(h), ct.POINTER(_CIc))
         for i in range(nic):

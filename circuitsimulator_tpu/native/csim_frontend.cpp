@@ -193,6 +193,10 @@ struct Config {
     double temp_c;
     int32_t sens_out_off, sens_ref_off;  // .SENS V(out[,ref]); -1 absent
     int32_t pz_out_off, pz_ref_off, pz_src_off;  // .PZ (extension)
+    // .TF V(out[,ref])|I(elem) src (extension)
+    int32_t tf_enabled;
+    int32_t tf_out_kind;    // 0 = V(out[,ref]), 1 = I(elem)
+    int32_t tf_out_off, tf_ref_off, tf_elem_off, tf_src_off;
 };
 #pragma pack(pop)
 
@@ -1011,6 +1015,27 @@ public:
             }
             out.config.sens_out_off = pr.node1_off;
             out.config.sens_ref_off = pr.node2_off;
+        } else if (head == ".tf") {
+            if (t.size() < 3) {
+                warn(st.line_no, "invalid .TF syntax: " + st.raw);
+                return;
+            }
+            ProbeRec pr = parse_probe_token(t[1]);
+            if (pr.kind <= 1 && pr.node1_off >= 0) {
+                out.config.tf_enabled = 1;
+                out.config.tf_out_kind = 0;
+                out.config.tf_out_off = pr.node1_off;
+                out.config.tf_ref_off = pr.node2_off;
+                out.config.tf_src_off = intern(t[2]);
+            } else if (pr.kind == 2 && pr.ele_off >= 0) {
+                out.config.tf_enabled = 1;
+                out.config.tf_out_kind = 1;
+                out.config.tf_elem_off = pr.ele_off;
+                out.config.tf_src_off = intern(t[2]);
+            } else {
+                warn(st.line_no,
+                     ".TF output must be V(out[,ref]) or I(elem): " + st.raw);
+            }
         } else if (head == ".temp") {
             double tc;
             if (t.size() < 2 || !parse_spice(t[1], &tc)) {
@@ -1180,6 +1205,8 @@ public:
         out.config.sens_out_off = out.config.sens_ref_off = -1;
         out.config.pz_out_off = out.config.pz_ref_off = -1;
         out.config.pz_src_off = -1;
+        out.config.tf_out_off = out.config.tf_ref_off = -1;
+        out.config.tf_elem_off = out.config.tf_src_off = -1;
         std::vector<Statement> stmts =
             SubcktFlattener(diag).run(lex(text));
         for (const auto& st : stmts) {

@@ -114,6 +114,18 @@ class SensConfig:
 
 
 @dataclasses.dataclass
+class TfConfig:
+    """.TF V(out[,ref])|I(Velem) input_src — DC transfer function
+    (extension; standard SPICE card, absent from the reference)."""
+    enabled: bool = False
+    out_kind: str = "v"      # "v" (node pair) | "i" (branch current)
+    out_node: str = ""
+    ref_node: str = ""
+    out_element: str = ""    # for I(<element>) outputs
+    input_source: str = ""
+
+
+@dataclasses.dataclass
 class NoiseConfig:
     """.NOISE V(out[,ref]) [input_src] [lin|dec|oct n fstart fstop]
     (extension; sweep args default to the .AC card's sweep)."""
@@ -164,6 +176,7 @@ class SimulationConfig:
     temp_c: Any = None
     sens: SensConfig = dataclasses.field(default_factory=SensConfig)
     pz: PzConfig = dataclasses.field(default_factory=PzConfig)
+    tf: TfConfig = dataclasses.field(default_factory=TfConfig)
 
     def has_any_analysis(self) -> bool:
         return (self.do_op or bool(self.dc_sweeps) or self.tran.enabled
@@ -529,6 +542,24 @@ class NetlistParser:
                     self.sim.sens = SensConfig(enabled=True,
                                                out_node=probe.node1,
                                                ref_node=probe.node2)
+        elif head == ".tf":
+            if len(st.tokens) < 3:
+                _warn(st.line_no, f"invalid .TF syntax: {st.raw}")
+            else:
+                probe = self._parse_probe_token(st.tokens[1])
+                if probe.kind in ("nv", "dv") and probe.node1:
+                    self.sim.tf = TfConfig(
+                        enabled=True, out_kind="v", out_node=probe.node1,
+                        ref_node=probe.node2, input_source=st.tokens[2])
+                elif probe.kind == "br" and probe.ele_name:
+                    self.sim.tf = TfConfig(
+                        enabled=True, out_kind="i",
+                        out_element=probe.ele_name,
+                        input_source=st.tokens[2])
+                else:
+                    _warn(st.line_no,
+                          f".TF output must be V(out[,ref]) or I(elem): "
+                          f"{st.raw}")
         elif head == ".temp":
             if len(st.tokens) < 2:
                 _warn(st.line_no, f"invalid .TEMP syntax: {st.raw}")
