@@ -398,6 +398,17 @@ class Simulator:
         rows = sensitivity_report(self.circuit, grads, normalize_params=p)
         return grads, rows
 
+    def measure(self, result, analysis: str = "tran"):
+        """.MEASURE evaluation (analysis/measure.py) over a transient
+        result (needs save_xs=True, the default).  Returns
+        [(name, value)] with NaN for failed measurements."""
+        from .analysis.measure import run_measures
+        if result.xs is None:
+            raise ValueError(".MEASURE needs a transient run with "
+                             "save_xs=True")
+        return run_measures(self.config.measures, self.topo,
+                            result.times, result.xs, analysis=analysis)
+
     def tf(self, params: Optional[Any] = None, x_op: Optional[Any] = None):
         """.TF DC transfer function (analysis/tf.py): small-signal DC
         gain d out/d in, input resistance seen by the input source, and

@@ -135,6 +135,13 @@ def main(argv=None) -> int:
             return 1
         print("Transient analysis (Backward Euler) finished. "
               f"Results written to '{args.tran_out}'.")
+        if any(m.analysis == "tran" for m in sim.config.measures):
+            from .analysis.measure import measure_report
+            try:
+                print()
+                print(measure_report(sim.measure(res)))
+            except Exception as e:  # noqa: BLE001
+                print(f".MEASURE failed: {e}", file=sys.stderr)
         if sim.config.four.enabled:
             from .analysis.fourier import fourier_table
             try:

@@ -30,6 +30,7 @@ from ..netlist.circuit import (
 from ..netlist.parser import (
     SimulationConfig, TranConfig, AcConfig, HbConfig, DCSweepConfig,
     NoiseConfig, FourConfig, SensConfig, PzConfig, TfConfig,
+    MeasureSpec, EventSpec,
     PrintCommand, ProbeSpec, AN_NONE, AN_OP, AN_DC, AN_AC, AN_TRAN, AN_HB,
 )
 
@@ -71,6 +72,19 @@ class _CProbe(ct.Structure):
     _fields_ = [("analysis", ct.c_int32), ("kind", ct.c_int32),
                 ("node1_off", ct.c_int32), ("node2_off", ct.c_int32),
                 ("ele_off", ct.c_int32), ("port_off", ct.c_int32)]
+
+
+class _CMeasure(ct.Structure):
+    _pack_ = 1
+    _fields_ = [("analysis", ct.c_int32), ("name_off", ct.c_int32),
+                ("kind", ct.c_int32), ("stat_off", ct.c_int32),
+                ("p1", _CProbe), ("p2", _CProbe), ("p3", _CProbe),
+                ("val1", ct.c_double), ("val2", ct.c_double),
+                ("edge1", ct.c_int32), ("edge2", ct.c_int32),
+                ("n1", ct.c_int32), ("n2", ct.c_int32),
+                ("td1", ct.c_double), ("td2", ct.c_double),
+                ("t_from", ct.c_double), ("t_to", ct.c_double),
+                ("at", ct.c_double)]
 
 
 class _CSweep(ct.Structure):
@@ -150,7 +164,7 @@ def _load() -> Optional[ct.CDLL]:
     lib.csim_free.argtypes = [ct.c_void_p]
     for name in ("csim_n_elements", "csim_n_nodes", "csim_n_probes",
                  "csim_n_sweeps", "csim_n_ics", "csim_n_nodesets",
-                 "csim_n_options", "csim_n_pwl",
+                 "csim_n_options", "csim_n_measures", "csim_n_pwl",
                  "csim_strpool_size",
                  "csim_abi_version"):
         getattr(lib, name).restype = ct.c_int32
@@ -158,7 +172,7 @@ def _load() -> Optional[ct.CDLL]:
             getattr(lib, name).argtypes = [ct.c_void_p]
     for name in ("csim_elements", "csim_nodes", "csim_probes", "csim_sweeps",
                  "csim_ics", "csim_nodesets", "csim_options",
-                 "csim_config"):
+                 "csim_measures", "csim_config"):
         getattr(lib, name).restype = ct.c_void_p
         getattr(lib, name).argtypes = [ct.c_void_p]
     lib.csim_pwl.restype = ct.POINTER(ct.c_double)
@@ -286,6 +300,29 @@ def parse_netlist_text_native(text: str) -> Tuple[Circuit, SimulationConfig]:
         cop = ct.cast(lib.csim_options(h), ct.POINTER(_COpt))
         for i in range(nop):
             sim.options[s(cop[i].name_off)] = s(cop[i].value_off)
+
+        def probe(p):
+            return ProbeSpec(kind=_PROBE_KIND[p.kind],
+                             node1=s(p.node1_off), node2=s(p.node2_off),
+                             ele_name=s(p.ele_off), ele_port=s(p.port_off))
+
+        _EDGE = {0: "cross", 1: "rise", 2: "fall"}
+        _MKIND = {0: "stat", 1: "trig_targ", 2: "when", 3: "find_when",
+                  4: "find_at"}
+        nme = lib.csim_n_measures(h)
+        cme = ct.cast(lib.csim_measures(h), ct.POINTER(_CMeasure))
+        for i in range(nme):
+            cm = cme[i]
+            sim.measures.append(MeasureSpec(
+                analysis=_AN_MAP[cm.analysis], name=s(cm.name_off),
+                kind=_MKIND[cm.kind],
+                stat=s(cm.stat_off) if cm.stat_off >= 0 else "",
+                probe=probe(cm.p1),
+                ev1=EventSpec(probe=probe(cm.p2), val=cm.val1,
+                              edge=_EDGE[cm.edge1], n=cm.n1, td=cm.td1),
+                ev2=EventSpec(probe=probe(cm.p3), val=cm.val2,
+                              edge=_EDGE[cm.edge2], n=cm.n2, td=cm.td2),
+                t_from=cm.t_from, t_to=cm.t_to, at=cm.at))
         sim.ac = AcConfig(enabled=bool(cfg.ac_enabled),
                           sweep_type=["lin", "dec", "oct"][cfg.ac_sweep],
                           n_points=cfg.ac_npoints, fstart=cfg.fstart,

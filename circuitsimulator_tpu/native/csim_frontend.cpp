@@ -20,6 +20,7 @@
 #include <cstdint>
 #include <cstring>
 #include <fstream>
+#include <limits>
 #include <sstream>
 #include <string>
 #include <unordered_map>
@@ -154,6 +155,22 @@ struct SweepRec {
     double start, stop, step;
 };
 
+struct MeasureRec {     // .MEASURE card (extension)
+    int32_t analysis;   // probe analysis codes: 2 dc, 3 ac, 4 tran
+    int32_t name_off;
+    int32_t kind;       // 0 stat 1 trig_targ 2 when 3 find_when 4 find_at
+    int32_t stat_off;   // interned stat keyword (avg/rms/...), -1 if none
+    ProbeRec p1;        // stat / FIND probe
+    ProbeRec p2;        // TRIG / WHEN probe
+    ProbeRec p3;        // TARG probe
+    double val1, val2;
+    int32_t edge1, edge2;   // 0 cross 1 rise 2 fall
+    int32_t n1, n2;         // 1-based occurrence; -1 = LAST
+    double td1, td2;
+    double t_from, t_to;    // window; t_to = +inf when unset
+    double at;
+};
+
 struct IcRec {          // .IC V(node)=value (extension)
     int32_t node_off;
     double value;
@@ -208,6 +225,7 @@ struct Result {
     std::vector<IcRec> ics;
     std::vector<IcRec> nodesets;
     std::vector<OptRec> options;
+    std::vector<MeasureRec> measures;
     std::vector<double> pwl_pool;
     std::string str_pool;
     std::string diagnostics;
@@ -881,6 +899,198 @@ public:
         return p;
     }
 
+    // .MEASURE TRAN name <AVG|RMS|...|TRIG...TARG...|WHEN...|FIND...>
+    // mirrors NetlistParser._parse_measure_card (netlist/parser.py)
+    void parse_measure(const Statement& st) {
+        const auto& t = st.tokens;
+        std::string text;
+        for (size_t i = 1; i < t.size(); ++i) {
+            if (!text.empty()) text += " ";
+            text += t[i];
+        }
+        std::string norm;   // 'VAL = 1.5' -> 'VAL=1.5'
+        for (size_t i = 0; i < text.size(); ++i) {
+            if (text[i] == ' ' &&
+                ((i + 1 < text.size() && text[i + 1] == '=') ||
+                 (!norm.empty() && norm.back() == '='))) continue;
+            norm += text[i];
+        }
+        std::vector<std::string> toks;
+        {
+            std::istringstream iss(norm);
+            std::string tok;
+            while (iss >> tok) toks.push_back(tok);
+        }
+        if (toks.size() < 3) {
+            warn(st.line_no, "invalid .MEASURE syntax: " + st.raw);
+            return;
+        }
+        std::string an = lower(toks[0]);
+        int av = an == "tran" ? 4 : an == "dc" ? 2 : an == "ac" ? 3 : 0;
+        if (!av) {
+            warn(st.line_no,
+                 "unsupported .MEASURE analysis '" + toks[0] + "': " + st.raw);
+            return;
+        }
+        MeasureRec m{};
+        m.analysis = av;
+        m.name_off = intern(toks[1]);
+        m.stat_off = -1;
+        m.p1 = parse_probe_token("");
+        m.p2 = parse_probe_token("");
+        m.p3 = parse_probe_token("");
+        m.n1 = m.n2 = 1;
+        m.t_to = std::numeric_limits<double>::infinity();
+
+        auto edge_code = [](const std::string& k) {
+            return k == "rise" ? 1 : k == "fall" ? 2 : 0;
+        };
+        // KEY=VALUE applier; which: 0 = window keys only, 1 = ev1, 2 = ev2.
+        // Returns the index of the first non-KEY=VALUE token (or kv.size()).
+        auto apply_kv = [&](const std::vector<std::string>& kv,
+                            int which) -> size_t {
+            for (size_t i = 0; i < kv.size(); ++i) {
+                size_t eq = kv[i].find('=');
+                if (eq == std::string::npos) return i;
+                std::string k = lower(kv[i].substr(0, eq));
+                std::string v = kv[i].substr(eq + 1);
+                double d;
+                if ((k == "rise" || k == "fall" || k == "cross") && which) {
+                    int n;
+                    if (lower(v) == "last") {
+                        n = -1;
+                    } else {
+                        char* e2 = nullptr;
+                        double dn = std::strtod(v.c_str(), &e2);
+                        if (e2 == v.c_str()) {
+                            warn(st.line_no, "cannot parse .MEASURE " + k +
+                                                 ": " + st.raw);
+                            continue;
+                        }
+                        n = (int)dn;
+                    }
+                    if (which == 1) { m.edge1 = edge_code(k); m.n1 = n; }
+                    else            { m.edge2 = edge_code(k); m.n2 = n; }
+                } else if (k == "val" && which) {
+                    if (parse_spice(v, &d)) (which == 1 ? m.val1 : m.val2) = d;
+                    else warn(st.line_no, "cannot parse .MEASURE val: " + st.raw);
+                } else if (k == "td" && which) {
+                    if (parse_spice(v, &d)) (which == 1 ? m.td1 : m.td2) = d;
+                    else warn(st.line_no, "cannot parse .MEASURE td: " + st.raw);
+                } else if (k == "from") {
+                    if (parse_spice(v, &d)) m.t_from = d;
+                    else warn(st.line_no, "cannot parse .MEASURE from: " + st.raw);
+                } else if (k == "to") {
+                    if (parse_spice(v, &d)) m.t_to = d;
+                    else warn(st.line_no, "cannot parse .MEASURE to: " + st.raw);
+                } else if (k == "at") {
+                    if (parse_spice(v, &d)) m.at = d;
+                    else warn(st.line_no, "cannot parse .MEASURE at: " + st.raw);
+                } else {
+                    warn(st.line_no,
+                         "unknown .MEASURE key '" + k + "': " + st.raw);
+                }
+            }
+            return kv.size();
+        };
+        // <probe>[=val] [VAL=v] [RISE|FALL|CROSS=n] [TD=t]
+        auto parse_event = [&](std::vector<std::string> ts,
+                               int which) -> bool {
+            if (ts.empty()) return true;
+            std::string ptok = ts[0];
+            size_t rp = ptok.rfind(')');
+            size_t re = ptok.rfind('=');
+            if (re != std::string::npos && rp != std::string::npos &&
+                re > rp) {
+                double d;
+                if (parse_spice(ptok.substr(re + 1), &d))
+                    (which == 1 ? m.val1 : m.val2) = d;
+                else
+                    warn(st.line_no,
+                         "cannot parse .MEASURE WHEN value: " + st.raw);
+                ptok = ptok.substr(0, re);
+            }
+            ProbeRec pr = parse_probe_token(ptok);
+            if (which == 1) m.p2 = pr; else m.p3 = pr;
+            std::vector<std::string> kv(ts.begin() + 1, ts.end());
+            return apply_kv(kv, which) == kv.size();
+        };
+
+        std::vector<std::string> rest(toks.begin() + 2, toks.end());
+        std::string h2 = lower(rest[0]);
+        static const char* kStats[] = {"avg", "rms", "min", "max", "pp",
+                                       "integ", "min_at", "max_at"};
+        bool is_stat = false;
+        for (const char* s2 : kStats) is_stat = is_stat || h2 == s2;
+        if (is_stat) {
+            m.kind = 0;
+            m.stat_off = intern(h2);
+            if (rest.size() < 2) {
+                warn(st.line_no,
+                     "invalid .MEASURE: missing probe in '" + st.raw + "'");
+                return;
+            }
+            m.p1 = parse_probe_token(rest[1]);
+            apply_kv(std::vector<std::string>(rest.begin() + 2, rest.end()),
+                     0);
+        } else if (h2 == "trig") {
+            m.kind = 1;
+            size_t tidx = 0;
+            for (size_t i = 1; i < rest.size(); ++i)
+                if (lower(rest[i]) == "targ") { tidx = i; break; }
+            if (!tidx) {
+                warn(st.line_no,
+                     "invalid .MEASURE: TRIG without TARG in '" + st.raw + "'");
+                return;
+            }
+            if (!parse_event({rest.begin() + 1, rest.begin() + tidx}, 1) ||
+                !parse_event({rest.begin() + tidx + 1, rest.end()}, 2)) {
+                warn(st.line_no,
+                     "invalid .MEASURE: unparsed tokens in '" + st.raw + "'");
+                return;
+            }
+        } else if (h2 == "when") {
+            m.kind = 2;
+            if (!parse_event({rest.begin() + 1, rest.end()}, 1)) {
+                warn(st.line_no,
+                     "invalid .MEASURE: unparsed tokens in '" + st.raw + "'");
+                return;
+            }
+        } else if (h2 == "find") {
+            if (rest.size() < 3) {
+                warn(st.line_no,
+                     "invalid .MEASURE: FIND needs a probe and AT=/WHEN in '" +
+                         st.raw + "'");
+                return;
+            }
+            m.p1 = parse_probe_token(rest[1]);
+            std::string nxt = lower(rest[2]);
+            if (nxt.rfind("at=", 0) == 0) {
+                m.kind = 4;
+                apply_kv(std::vector<std::string>(rest.begin() + 2,
+                                                  rest.end()), 0);
+            } else if (nxt == "when") {
+                m.kind = 3;
+                if (!parse_event({rest.begin() + 3, rest.end()}, 1)) {
+                    warn(st.line_no,
+                         "invalid .MEASURE: unparsed tokens in '" + st.raw +
+                             "'");
+                    return;
+                }
+            } else {
+                warn(st.line_no, "invalid .MEASURE: FIND expects AT=/WHEN in '"
+                                     + st.raw + "'");
+                return;
+            }
+        } else {
+            warn(st.line_no,
+                 "invalid .MEASURE: unknown form '" + rest[0] + "' in '" +
+                     st.raw + "'");
+            return;
+        }
+        out.measures.push_back(m);
+    }
+
     void dot_card(const Statement& st) {
         const auto& t = st.tokens;
         std::string head = lower(t[0]);
@@ -1015,6 +1225,8 @@ public:
             }
             out.config.sens_out_off = pr.node1_off;
             out.config.sens_ref_off = pr.node2_off;
+        } else if (head == ".measure" || head == ".meas") {
+            parse_measure(st);
         } else if (head == ".tf") {
             if (t.size() < 3) {
                 warn(st.line_no, "invalid .TF syntax: " + st.raw);
@@ -1283,6 +1495,7 @@ int32_t csim_n_sweeps(void* h) { return (int32_t)FE.sweeps.size(); }
 int32_t csim_n_ics(void* h) { return (int32_t)FE.ics.size(); }
 int32_t csim_n_nodesets(void* h) { return (int32_t)FE.nodesets.size(); }
 int32_t csim_n_options(void* h) { return (int32_t)FE.options.size(); }
+int32_t csim_n_measures(void* h) { return (int32_t)FE.measures.size(); }
 int32_t csim_n_pwl(void* h) { return (int32_t)FE.pwl_pool.size(); }
 int32_t csim_strpool_size(void* h) { return (int32_t)FE.str_pool.size(); }
 
@@ -1293,6 +1506,7 @@ const void* csim_sweeps(void* h) { return FE.sweeps.data(); }
 const void* csim_ics(void* h) { return FE.ics.data(); }
 const void* csim_nodesets(void* h) { return FE.nodesets.data(); }
 const void* csim_options(void* h) { return FE.options.data(); }
+const void* csim_measures(void* h) { return FE.measures.data(); }
 const double* csim_pwl(void* h) { return FE.pwl_pool.data(); }
 const char* csim_strpool(void* h) { return FE.str_pool.c_str(); }
 const void* csim_config(void* h) { return &FE.config; }

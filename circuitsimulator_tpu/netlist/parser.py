@@ -150,6 +150,42 @@ class ProbeSpec:
 
 
 @dataclasses.dataclass
+class EventSpec:
+    """One crossing event of a .MEASURE card: <probe> reaching VAL on the
+    n-th RISE/FALL/CROSS occurrence after TD."""
+    probe: ProbeSpec = dataclasses.field(default_factory=ProbeSpec)
+    val: float = 0.0
+    edge: str = "cross"        # cross | rise | fall
+    n: int = 1                 # 1-based occurrence; -1 = LAST
+    td: float = 0.0
+
+
+@dataclasses.dataclass
+class MeasureSpec:
+    """.MEASURE card (extension; standard SPICE post-processing —
+    the reference has no such card).  Forms:
+
+      .MEASURE TRAN name AVG|RMS|MIN|MAX|PP|INTEG|MIN_AT|MAX_AT <probe>
+                         [FROM=t1] [TO=t2]
+      .MEASURE TRAN name TRIG <probe> VAL=v [RISE|FALL|CROSS=n] [TD=t]
+                         TARG <probe> VAL=v [RISE|FALL|CROSS=n] [TD=t]
+      .MEASURE TRAN name WHEN <probe>=v [RISE|FALL|CROSS=n] [TD=t]
+      .MEASURE TRAN name FIND <probe> WHEN <probe2>=v [RISE|FALL|CROSS=n]
+      .MEASURE TRAN name FIND <probe> AT=t
+    """
+    analysis: str = "tran"
+    name: str = ""
+    kind: str = "stat"         # stat | trig_targ | when | find_when | find_at
+    stat: str = ""             # avg|rms|min|max|pp|integ|min_at|max_at
+    probe: ProbeSpec = dataclasses.field(default_factory=ProbeSpec)
+    ev1: EventSpec = dataclasses.field(default_factory=EventSpec)
+    ev2: EventSpec = dataclasses.field(default_factory=EventSpec)
+    t_from: float = 0.0
+    t_to: float = float("inf")
+    at: float = 0.0
+
+
+@dataclasses.dataclass
 class PrintCommand:
     analysis: str = AN_NONE
     probes: List[ProbeSpec] = dataclasses.field(default_factory=list)
@@ -177,6 +213,7 @@ class SimulationConfig:
     sens: SensConfig = dataclasses.field(default_factory=SensConfig)
     pz: PzConfig = dataclasses.field(default_factory=PzConfig)
     tf: TfConfig = dataclasses.field(default_factory=TfConfig)
+    measures: List[MeasureSpec] = dataclasses.field(default_factory=list)
 
     def has_any_analysis(self) -> bool:
         return (self.do_op or bool(self.dc_sweeps) or self.tran.enabled
@@ -542,6 +579,8 @@ class NetlistParser:
                     self.sim.sens = SensConfig(enabled=True,
                                                out_node=probe.node1,
                                                ref_node=probe.node2)
+        elif head in (".measure", ".meas"):
+            self._parse_measure_card(st)
         elif head == ".tf":
             if len(st.tokens) < 3:
                 _warn(st.line_no, f"invalid .TF syntax: {st.raw}")
@@ -574,6 +613,124 @@ class NetlistParser:
             self._parse_plotnc_card(st)
         else:
             _warn(st.line_no, f"unsupported control card: {st.raw}")
+
+    _MEASURE_STATS = ("avg", "rms", "min", "max", "pp", "integ",
+                      "min_at", "max_at")
+
+    def _parse_measure_card(self, st: Statement) -> None:
+        import re as _re
+        # normalize '=' spacing, then re-split: 'VAL = 1.5' -> 'VAL=1.5'
+        text = _re.sub(r"\s*=\s*", "=", " ".join(st.tokens[1:]))
+        toks = text.split()
+        if len(toks) < 3:
+            _warn(st.line_no, f"invalid .MEASURE syntax: {st.raw}")
+            return
+        analysis = toks[0].lower()
+        if analysis not in ("tran", "dc", "ac"):
+            _warn(st.line_no,
+                  f"unsupported .MEASURE analysis {toks[0]!r}: {st.raw}")
+            return
+        m = MeasureSpec(analysis=analysis, name=toks[1])
+        rest = toks[2:]
+        head = rest[0].lower()
+
+        def parse_kv(tokens, ev_or_none):
+            """Apply KEY=VALUE tokens to an EventSpec (or window keys to
+            the MeasureSpec); returns unconsumed tokens."""
+            i = 0
+            while i < len(tokens):
+                tok = tokens[i]
+                if "=" not in tok:
+                    return tokens[i:]
+                k, v = tok.split("=", 1)
+                k = k.lower()
+                try:
+                    if k in ("rise", "fall", "cross") and ev_or_none is not None:
+                        ev_or_none.edge = k
+                        ev_or_none.n = (-1 if v.lower() == "last"
+                                        else int(float(v)))
+                    elif k == "val" and ev_or_none is not None:
+                        ev_or_none.val = parse_spice_number(v)
+                    elif k == "td" and ev_or_none is not None:
+                        ev_or_none.td = parse_spice_number(v)
+                    elif k == "from":
+                        m.t_from = parse_spice_number(v)
+                    elif k == "to":
+                        m.t_to = parse_spice_number(v)
+                    elif k == "at":
+                        m.at = parse_spice_number(v)
+                    else:
+                        _warn(st.line_no,
+                              f"unknown .MEASURE key {k!r}: {st.raw}")
+                except ValueError as e:
+                    _warn(st.line_no, f"cannot parse .MEASURE {k}: {e}")
+                i += 1
+            return []
+
+        def parse_event(tokens):
+            """<probe> [VAL=v] [RISE|FALL|CROSS=n] [TD=t]; the probe token
+            may carry '=val' directly (WHEN V(a)=1.5)."""
+            ev = EventSpec()
+            if not tokens:
+                return ev, []
+            ptok = tokens[0]
+            if "=" in ptok and ")" in ptok and ptok.rfind("=") > ptok.rfind(")"):
+                ptok, sval = ptok.rsplit("=", 1)
+                try:
+                    ev.val = parse_spice_number(sval)
+                except ValueError as e:
+                    _warn(st.line_no, f"cannot parse .MEASURE WHEN value: {e}")
+            ev.probe = self._parse_probe_token(ptok)
+            rest2 = parse_kv(tokens[1:], ev)
+            return ev, rest2
+
+        try:
+            if head in self._MEASURE_STATS:
+                m.kind = "stat"
+                m.stat = head
+                if len(rest) < 2:
+                    raise ValueError("missing probe")
+                m.probe = self._parse_probe_token(rest[1])
+                parse_kv(rest[2:], None)
+            elif head == "trig":
+                m.kind = "trig_targ"
+                try:
+                    tidx = next(i for i, t in enumerate(rest)
+                                if t.lower() == "targ")
+                except StopIteration:
+                    raise ValueError("TRIG without TARG")
+                m.ev1, extra = parse_event(rest[1:tidx])
+                if extra:
+                    raise ValueError(f"unparsed TRIG tokens {extra}")
+                m.ev2, extra = parse_event(rest[tidx + 1:])
+                if extra:
+                    raise ValueError(f"unparsed TARG tokens {extra}")
+            elif head == "when":
+                m.kind = "when"
+                m.ev1, extra = parse_event(rest[1:])
+                if extra:
+                    raise ValueError(f"unparsed WHEN tokens {extra}")
+            elif head == "find":
+                if len(rest) < 3:
+                    raise ValueError("FIND needs a probe and AT=/WHEN")
+                m.probe = self._parse_probe_token(rest[1])
+                nxt = rest[2].lower()
+                if nxt.startswith("at="):
+                    m.kind = "find_at"
+                    parse_kv(rest[2:], None)
+                elif nxt == "when":
+                    m.kind = "find_when"
+                    m.ev1, extra = parse_event(rest[3:])
+                    if extra:
+                        raise ValueError(f"unparsed WHEN tokens {extra}")
+                else:
+                    raise ValueError(f"FIND expects AT=/WHEN, got {rest[2]!r}")
+            else:
+                raise ValueError(f"unknown .MEASURE form {rest[0]!r}")
+        except ValueError as e:
+            _warn(st.line_no, f"invalid .MEASURE: {e} in '{st.raw}'")
+            return
+        self.sim.measures.append(m)
 
     def _parse_dc_card(self, st: Statement) -> None:
         t = st.tokens
