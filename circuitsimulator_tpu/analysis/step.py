@@ -1,0 +1,134 @@
+"""`.STEP` parameter sweeps (extension; standard SPICE card).
+
+TPU-native execution model: a `.STEP` does NOT re-run the simulator per
+value the way SPICE engines loop.  The circuit topology is unchanged
+across step values, so only the lowered params pytree differs — each step
+value produces one params instance, the instances stack along a leading
+batch axis, and the whole sweep runs as ONE vmapped (and shardable)
+program through the already-compiled engine (parallel/montecarlo.py).
+A 100-point step costs one compile plus one batched run.
+
+For `.STEP PARAM name ...` the netlist is re-parsed per value with the
+parameter override bound (host-side, microseconds) because a parameter
+can feed arbitrarily many element values through `{...}` expressions.
+For `.STEP <srcname> ...` the swept value maps directly onto the
+vs_dc/is_dc leaf.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class StepResult:
+    name: str                 # stepped parameter / source name
+    kind: str                 # "param" | "source"
+    values: Any               # (B,) swept values
+    analysis: str             # "tran" | "op"
+    result: Any               # batched TransientResult or (B, N) DC array
+    measures: Optional[List] = None   # [(measure_name, (B,) values)]
+
+
+def stacked_step_params(sim, name: str, values) -> Any:
+    """Params pytree with a leading step axis: one lowered instance per
+    value of `.PARAM name`, stacked leaf-wise."""
+    from ..netlist.parser import parse_netlist_text
+    from ..ir.lower import lower
+    if sim.netlist_text is None:
+        raise ValueError(".STEP PARAM needs the original netlist text "
+                         "(construct the Simulator via from_file/from_text)")
+    plist = []
+    for v in values:
+        ckt2, _ = parse_netlist_text(sim.netlist_text,
+                                     param_overrides={name: float(v)})
+        ckt2.assign_equation_indices()
+        low2 = lower(ckt2, dtype=sim.opts.dtype)
+        plist.append(low2.params)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *plist)
+    # preserve Simulator-level param post-processing (.TEMP thermal voltage)
+    if "vt_thermal" in sim.params:
+        stacked["vt_thermal"] = jnp.broadcast_to(
+            jnp.asarray(sim.params["vt_thermal"]),
+            (len(values),) + jnp.shape(sim.params["vt_thermal"]))
+    return stacked
+
+
+def stacked_source_params(sim, name: str, values) -> Any:
+    """Params pytree with vs_dc/is_dc of `name` swept along the step axis."""
+    from ..analysis.sweep import find_source
+    from ..netlist.circuit import KIND_V
+    from ..parallel.montecarlo import broadcast_params
+    kind, idx = find_source(sim.circuit, name)
+    key = "vs_dc" if kind == KIND_V else "is_dc"
+    B = len(values)
+    bparams = dict(broadcast_params(sim.params, B))
+    vals = jnp.asarray(np.asarray(values), bparams[key].dtype)
+    bparams[key] = bparams[key].at[:, idx].set(vals)
+    return bparams
+
+
+def run_step(sim, cfg, save_xs: bool = True) -> StepResult:
+    """Execute one .STEP card over the netlist's primary analysis
+    (.TRAN if present, else the DC operating point)."""
+    from ..parallel.montecarlo import batched_dc, batched_transient
+    from .measure import run_measures
+    values = list(cfg.values)
+    if cfg.kind == "param":
+        bparams = stacked_step_params(sim, cfg.name, values)
+    else:
+        bparams = stacked_source_params(sim, cfg.name, values)
+    tran = sim.config.tran
+    if tran.enabled:
+        res = batched_transient(sim.engine, bparams, tran.tstep, tran.tstop,
+                                save_xs=save_xs)
+        measures = None
+        if save_xs and sim.config.measures:
+            per_step = []
+            xs = np.asarray(res.xs)
+            times = np.asarray(res.times)
+            t_rows = times[0] if times.ndim == 2 else times
+            for b in range(len(values)):
+                per_step.append(run_measures(sim.config.measures, sim.topo,
+                                             t_rows, xs[b]))
+            if per_step:
+                measures = [(nm, np.array([row[i][1] for row in per_step]))
+                            for i, (nm, _) in enumerate(per_step[0])]
+        return StepResult(name=cfg.name, kind=cfg.kind, values=values,
+                          analysis="tran", result=res, measures=measures)
+    xs = batched_dc(sim.engine, bparams)
+    return StepResult(name=cfg.name, kind=cfg.kind, values=values,
+                      analysis="op", result=xs)
+
+
+def write_step_csv(path: str, topo, sres: StepResult) -> None:
+    """One row per step value.  Columns: the stepped value, then either
+    the .MEASURE results (transient steps) or every node voltage / branch
+    current (operating-point steps), %.9e like the reference CSV."""
+    import numpy as np
+    with open(path, "w") as f:
+        if sres.analysis == "tran" and sres.measures is not None:
+            f.write(",".join([sres.name] + [nm for nm, _ in sres.measures])
+                    + "\n")
+            cols = [np.asarray(v) for _, v in sres.measures]
+            for b, val in enumerate(sres.values):
+                row = [val] + [c[b] for c in cols]
+                f.write(",".join(f"{v:.9e}" for v in row) + "\n")
+            return
+        if sres.analysis == "tran":
+            xs = np.asarray(sres.result.x_final)
+        else:
+            xs = np.asarray(sres.result)
+        from ..io.csvout import format_header
+        hdr = format_header(topo).split(",")
+        f.write(",".join([sres.name] + hdr[1:]) + "\n")
+        col_eqs = np.concatenate([topo.volt_col_eqs,
+                                  topo.branch_col_eqs]).astype(int)
+        for b, val in enumerate(sres.values):
+            row = [val] + list(xs[b][col_eqs])
+            f.write(",".join(f"{v:.9e}" for v in row) + "\n")

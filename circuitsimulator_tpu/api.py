@@ -12,6 +12,7 @@ compiled executables.
 from __future__ import annotations
 
 import functools
+import sys
 from typing import Any, Optional
 
 import jax
@@ -39,6 +40,7 @@ class Simulator:
         self.opts = opts
         self.circuit = circuit
         self.config = sim_config
+        self.netlist_text: Optional[str] = None   # set by from_file/from_text
         circuit.assign_equation_indices()
         self.lowered: LoweredCircuit = lower(circuit, dtype=opts.dtype)
         self.topo = self.lowered.topo
@@ -125,14 +127,26 @@ class Simulator:
     @classmethod
     def from_file(cls, path: str, opts: Optional[SolverOptions] = None,
                   frontend: str = "python"):
-        ckt, sim = cls._parse(None, path, frontend)
-        return cls(ckt, sim, opts)
+        # read once (the path may be a pipe, e.g. /dev/stdin) and parse the
+        # text; kept on the instance for .STEP re-binding
+        try:
+            with open(path, "r", errors="replace") as f:
+                text = f.read()
+        except OSError:
+            print(f"cannot open netlist file {path}", file=sys.stderr)
+            raise FileNotFoundError(path)
+        ckt, sim = cls._parse(text, None, frontend)
+        inst = cls(ckt, sim, opts)
+        inst.netlist_text = text
+        return inst
 
     @classmethod
     def from_text(cls, text: str, opts: Optional[SolverOptions] = None,
                   frontend: str = "python"):
         ckt, sim = cls._parse(text, None, frontend)
-        return cls(ckt, sim, opts)
+        inst = cls(ckt, sim, opts)
+        inst.netlist_text = text
+        return inst
 
     # ---- analyses ----
     @functools.cached_property
@@ -397,6 +411,16 @@ class Simulator:
         grads, _, _ = dc_sensitivity(self.engine, p, out_eq, ref_eq, x=x_op)
         rows = sensitivity_report(self.circuit, grads, normalize_params=p)
         return grads, rows
+
+    def step(self, step_index: int = 0, save_xs: bool = True):
+        """.STEP sweep (analysis/step.py): the step values run as ONE
+        vmapped batch through the compiled engine — transient if a .TRAN
+        card is present (with per-step .MEASURE evaluation), else the DC
+        operating point.  Returns a StepResult."""
+        from .analysis.step import run_step
+        if not self.config.steps:
+            raise ValueError(".STEP card missing")
+        return run_step(self, self.config.steps[step_index], save_xs=save_xs)
 
     def measure(self, result, analysis: str = "tran"):
         """.MEASURE evaluation (analysis/measure.py) over a transient

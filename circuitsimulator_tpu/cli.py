@@ -60,6 +60,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    const="noise_out.csv", default=None,
                    help="run the .NOISE small-signal noise sweep and write "
                         "PSD columns to CSV")
+    p.add_argument("--run-step", metavar="CSV", nargs="?",
+                   const="step_out.csv",
+                   help="run the .STEP sweep as one vmapped batch; CSV has "
+                        "one row per step value (.MEASURE columns for "
+                        "transient steps, node voltages for .OP steps)")
     p.add_argument("--run-hb", metavar="CSV", nargs="?", const="hb_out.csv",
                    help="run .hb periodic steady state, write one period "
                         "CSV and print the harmonic table")
@@ -232,6 +237,19 @@ def main(argv=None) -> int:
                   f"Results written to '{args.run_dc_sweep}'.")
         except Exception as e:  # noqa: BLE001
             print(f"DC sweep failed: {e}", file=sys.stderr)
+            return 1
+
+    if args.run_step:
+        from .analysis.step import write_step_csv
+        print("\nRunning .STEP sweep (vmapped batch)...")
+        try:
+            sres = sim.step()
+            write_step_csv(args.run_step, sim.topo, sres)
+            print(f".STEP {sres.kind} {sres.name} finished "
+                  f"({len(sres.values)} values, analysis={sres.analysis}). "
+                  f"Results written to '{args.run_step}'.")
+        except Exception as e:  # noqa: BLE001
+            print(f".STEP failed: {e}", file=sys.stderr)
             return 1
 
     if args.run_hb:

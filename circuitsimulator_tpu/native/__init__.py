@@ -30,7 +30,7 @@ from ..netlist.circuit import (
 from ..netlist.parser import (
     SimulationConfig, TranConfig, AcConfig, HbConfig, DCSweepConfig,
     NoiseConfig, FourConfig, SensConfig, PzConfig, TfConfig,
-    MeasureSpec, EventSpec,
+    MeasureSpec, EventSpec, StepConfig,
     PrintCommand, ProbeSpec, AN_NONE, AN_OP, AN_DC, AN_AC, AN_TRAN, AN_HB,
 )
 
@@ -85,6 +85,17 @@ class _CMeasure(ct.Structure):
                 ("td1", ct.c_double), ("td2", ct.c_double),
                 ("t_from", ct.c_double), ("t_to", ct.c_double),
                 ("at", ct.c_double)]
+
+
+class _CParam(ct.Structure):
+    _pack_ = 1
+    _fields_ = [("name_off", ct.c_int32), ("value", ct.c_double)]
+
+
+class _CStep(ct.Structure):
+    _pack_ = 1
+    _fields_ = [("kind", ct.c_int32), ("name_off", ct.c_int32),
+                ("val_off", ct.c_int32), ("n_vals", ct.c_int32)]
 
 
 class _CSweep(ct.Structure):
@@ -164,7 +175,8 @@ def _load() -> Optional[ct.CDLL]:
     lib.csim_free.argtypes = [ct.c_void_p]
     for name in ("csim_n_elements", "csim_n_nodes", "csim_n_probes",
                  "csim_n_sweeps", "csim_n_ics", "csim_n_nodesets",
-                 "csim_n_options", "csim_n_measures", "csim_n_pwl",
+                 "csim_n_options", "csim_n_measures", "csim_n_params",
+                 "csim_n_step_cards", "csim_step_pool_size", "csim_n_pwl",
                  "csim_strpool_size",
                  "csim_abi_version"):
         getattr(lib, name).restype = ct.c_int32
@@ -172,11 +184,14 @@ def _load() -> Optional[ct.CDLL]:
             getattr(lib, name).argtypes = [ct.c_void_p]
     for name in ("csim_elements", "csim_nodes", "csim_probes", "csim_sweeps",
                  "csim_ics", "csim_nodesets", "csim_options",
-                 "csim_measures", "csim_config"):
+                 "csim_measures", "csim_params", "csim_step_cards",
+                 "csim_config"):
         getattr(lib, name).restype = ct.c_void_p
         getattr(lib, name).argtypes = [ct.c_void_p]
     lib.csim_pwl.restype = ct.POINTER(ct.c_double)
     lib.csim_pwl.argtypes = [ct.c_void_p]
+    lib.csim_step_pool.restype = ct.POINTER(ct.c_double)
+    lib.csim_step_pool.argtypes = [ct.c_void_p]
     lib.csim_strpool.restype = ct.c_void_p
     lib.csim_strpool.argtypes = [ct.c_void_p]
     lib.csim_diagnostics.restype = ct.c_char_p
@@ -300,6 +315,20 @@ def parse_netlist_text_native(text: str) -> Tuple[Circuit, SimulationConfig]:
         cop = ct.cast(lib.csim_options(h), ct.POINTER(_COpt))
         for i in range(nop):
             sim.options[s(cop[i].name_off)] = s(cop[i].value_off)
+
+        npa = lib.csim_n_params(h)
+        cpa = ct.cast(lib.csim_params(h), ct.POINTER(_CParam))
+        for i in range(npa):
+            sim.param_values[s(cpa[i].name_off)] = cpa[i].value
+        nst = lib.csim_n_step_cards(h)
+        cst2 = ct.cast(lib.csim_step_cards(h), ct.POINTER(_CStep))
+        spool = lib.csim_step_pool(h)
+        for i in range(nst):
+            r = cst2[i]
+            sim.steps.append(StepConfig(
+                kind="param" if r.kind == 0 else "source",
+                name=s(r.name_off),
+                values=[spool[r.val_off + j] for j in range(r.n_vals)]))
 
         def probe(p):
             return ProbeSpec(kind=_PROBE_KIND[p.kind],

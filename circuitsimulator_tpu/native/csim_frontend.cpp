@@ -18,6 +18,8 @@
 #include <cctype>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <fstream>
 #include <limits>
@@ -113,6 +115,214 @@ bool parse_spice(const std::string& token, double* out) {
 }
 
 // ----------------------------------------------------------------------
+// arithmetic expressions for .PARAM / {...} values — mirror of
+// circuitsimulator_tpu/utils/expr.py (same grammar, same double ops, so
+// both frontends produce bit-identical element values)
+// ----------------------------------------------------------------------
+struct ExprEval {
+    struct Tok { int kind; std::string text; };  // 0 num 1 name 2 op 3 ( 4 ) 5 ,
+    std::vector<Tok> toks;
+    size_t pos = 0;
+    const std::unordered_map<std::string, double>* bindings;
+    bool ok = true;
+
+    bool fail() { ok = false; return false; }
+
+    bool tokenize(const std::string& s) {
+        size_t i = 0, n = s.size();
+        while (i < n) {
+            char c = s[i];
+            if (std::isspace((unsigned char)c)) { ++i; continue; }
+            if (std::isdigit((unsigned char)c) ||
+                (c == '.' && i + 1 < n &&
+                 std::isdigit((unsigned char)s[i + 1]))) {
+                size_t j = i;
+                while (j < n && (std::isdigit((unsigned char)s[j]) ||
+                                 s[j] == '.')) ++j;
+                if (j < n && (s[j] == 'e' || s[j] == 'E')) {
+                    size_t k = j + 1;
+                    if (k < n && (s[k] == '+' || s[k] == '-')) ++k;
+                    if (k < n && std::isdigit((unsigned char)s[k])) {
+                        j = k;
+                        while (j < n && std::isdigit((unsigned char)s[j])) ++j;
+                    }
+                }
+                while (j < n && std::isalpha((unsigned char)s[j])) ++j;
+                toks.push_back({0, s.substr(i, j - i)});
+                i = j;
+            } else if (std::isalpha((unsigned char)c) || c == '_') {
+                size_t j = i;
+                while (j < n && (std::isalnum((unsigned char)s[j]) ||
+                                 s[j] == '_')) ++j;
+                toks.push_back({1, s.substr(i, j - i)});
+                i = j;
+            } else if (c == '*' && i + 1 < n && s[i + 1] == '*') {
+                toks.push_back({2, "**"});
+                i += 2;
+            } else if (std::strchr("+-*/%^", c)) {
+                toks.push_back({2, std::string(1, c)});
+                ++i;
+            } else if (c == '(') {
+                toks.push_back({3, "("});
+                ++i;
+            } else if (c == ')') {
+                toks.push_back({4, ")"});
+                ++i;
+            } else if (c == ',') {
+                toks.push_back({5, ","});
+                ++i;
+            } else {
+                return false;
+            }
+        }
+        return !toks.empty();
+    }
+
+    const Tok* peek() { return pos < toks.size() ? &toks[pos] : nullptr; }
+    const Tok* next() {
+        const Tok* t = peek();
+        if (t) ++pos; else fail();
+        return t;
+    }
+
+    double additive() {
+        double v = multiplicative();
+        while (ok) {
+            const Tok* t = peek();
+            if (t && t->kind == 2 && (t->text == "+" || t->text == "-")) {
+                ++pos;
+                double r = multiplicative();
+                v = t->text == "+" ? v + r : v - r;
+            } else {
+                break;
+            }
+        }
+        return v;
+    }
+
+    double multiplicative() {
+        double v = unary();
+        while (ok) {
+            const Tok* t = peek();
+            if (t && t->kind == 2 &&
+                (t->text == "*" || t->text == "/" || t->text == "%")) {
+                ++pos;
+                double r = unary();
+                if (t->text == "*") v = v * r;
+                else if (r == 0.0) { fail(); return 0.0; }  // py raises
+                else if (t->text == "/") v = v / r;
+                else v = std::fmod(v, r);
+            } else {
+                break;
+            }
+        }
+        return v;
+    }
+
+    double unary() {
+        const Tok* t = peek();
+        if (t && t->kind == 2 && (t->text == "+" || t->text == "-")) {
+            ++pos;
+            double v = unary();
+            return t->text == "-" ? -v : v;
+        }
+        return power();
+    }
+
+    double power() {
+        double v = atom();
+        const Tok* t = peek();
+        if (ok && t && t->kind == 2 && (t->text == "**" || t->text == "^")) {
+            ++pos;
+            return std::pow(v, unary());
+        }
+        return v;
+    }
+
+    double atom() {
+        const Tok* t = next();
+        if (!t) return 0.0;
+        if (t->kind == 0) {
+            double d;
+            if (!parse_spice(t->text, &d)) { fail(); return 0.0; }
+            return d;
+        }
+        if (t->kind == 1) {
+            std::string name = lower(t->text);
+            const Tok* nx = peek();
+            if (nx && nx->kind == 3) {       // function call
+                ++pos;
+                std::vector<double> args{additive()};
+                while (ok && peek() && peek()->kind == 5) {
+                    ++pos;
+                    args.push_back(additive());
+                }
+                const Tok* rp = next();
+                if (!rp || rp->kind != 4) { fail(); return 0.0; }
+                return call(name, args);
+            }
+            auto it = bindings->find(name);
+            if (it != bindings->end()) return it->second;
+            if (name == "pi") return M_PI;
+            if (name == "e") return M_E;
+            fail();
+            return 0.0;
+        }
+        if (t->kind == 3) {
+            double v = additive();
+            const Tok* rp = next();
+            if (!rp || rp->kind != 4) fail();
+            return v;
+        }
+        fail();
+        return 0.0;
+    }
+
+    double call(const std::string& f, const std::vector<double>& a) {
+        if (a.size() == 1) {
+            double x = a[0];
+            if (f == "sin") return std::sin(x);
+            if (f == "cos") return std::cos(x);
+            if (f == "tan") return std::tan(x);
+            if (f == "asin") return std::asin(x);
+            if (f == "acos") return std::acos(x);
+            if (f == "atan") return std::atan(x);
+            if (f == "sinh") return std::sinh(x);
+            if (f == "cosh") return std::cosh(x);
+            if (f == "tanh") return std::tanh(x);
+            if (f == "exp") return std::exp(x);
+            if (f == "ln" || f == "log") return std::log(x);
+            if (f == "log10") return std::log10(x);
+            if (f == "sqrt") return std::sqrt(x);
+            if (f == "abs") return std::fabs(x);
+            if (f == "floor") return std::floor(x);
+            if (f == "ceil") return std::ceil(x);
+        } else if (a.size() == 2) {
+            if (f == "pow") return std::pow(a[0], a[1]);
+            if (f == "atan2") return std::atan2(a[0], a[1]);
+            if (f == "min") return std::min(a[0], a[1]);
+            if (f == "max") return std::max(a[0], a[1]);
+        }
+        fail();
+        return 0.0;
+    }
+};
+
+// returns false on any parse/eval problem (mirrors ExprError)
+bool eval_expr(const std::string& s,
+               const std::unordered_map<std::string, double>& bindings,
+               double* out) {
+    ExprEval p;
+    p.bindings = &bindings;
+    if (!p.tokenize(s)) return false;
+    double v = p.additive();
+    if (!p.ok || p.peek() != nullptr) return false;
+    if (!std::isfinite(v)) return false;    // py: ZeroDivision/Overflow/domain
+    *out = v;
+    return true;
+}
+
+// ----------------------------------------------------------------------
 // flat output records (mirrored by ctypes structs on the Python side)
 // ----------------------------------------------------------------------
 #pragma pack(push, 1)
@@ -181,6 +391,18 @@ struct OptRec {         // .OPTIONS key=value (extension; value as string)
     int32_t value_off;
 };
 
+struct ParamRec {       // resolved .PARAM entry (extension)
+    int32_t name_off;
+    double value;
+};
+
+struct StepRec {        // .STEP card (extension)
+    int32_t kind;       // 0 param, 1 source
+    int32_t name_off;
+    int32_t val_off;    // offset into step_pool
+    int32_t n_vals;
+};
+
 struct Config {
     int32_t do_op;
     int32_t tran_enabled;
@@ -226,6 +448,9 @@ struct Result {
     std::vector<IcRec> nodesets;
     std::vector<OptRec> options;
     std::vector<MeasureRec> measures;
+    std::vector<ParamRec> params;
+    std::vector<StepRec> steps;
+    std::vector<double> step_pool;
     std::vector<double> pwl_pool;
     std::string str_pool;
     std::string diagnostics;
@@ -899,6 +1124,237 @@ public:
         return p;
     }
 
+    // ---- .PARAM machinery (mirror of NetlistParser in netlist/parser.py)
+    std::unordered_map<std::string, double> param_values;
+
+    static std::vector<std::string> merge_brace_groups(
+            const std::vector<std::string>& tokens) {
+        std::vector<std::string> out;
+        std::string buf;
+        bool open = false;
+        long depth = 0;
+        auto delta = [](const std::string& t) {
+            long d = 0;
+            for (char c : t) d += c == '{' ? 1 : c == '}' ? -1 : 0;
+            return d;
+        };
+        for (const auto& tok : tokens) {
+            if (!open) {
+                long d = delta(tok);
+                if (tok.find('{') == std::string::npos || d == 0) {
+                    out.push_back(tok);
+                    continue;
+                }
+                buf = tok;
+                depth = d;
+                open = true;
+            } else {
+                buf += " " + tok;
+                depth += delta(tok);
+            }
+            if (depth <= 0) {
+                out.push_back(buf);
+                open = false;
+            }
+        }
+        if (open) out.push_back(buf);
+        return out;
+    }
+
+    static std::string normalize_eq(const std::vector<std::string>& tokens) {
+        std::string text;
+        for (size_t i = 0; i < tokens.size(); ++i) {
+            if (!text.empty()) text += " ";
+            text += tokens[i];
+        }
+        std::string norm;   // 'a = b' -> 'a=b'
+        for (size_t i = 0; i < text.size(); ++i) {
+            if (text[i] == ' ' &&
+                ((i + 1 < text.size() && text[i + 1] == '=') ||
+                 (!norm.empty() && norm.back() == '='))) continue;
+            norm += text[i];
+        }
+        return norm;
+    }
+
+    void collect_param_card(const Statement& st,
+                            std::vector<std::pair<std::string,
+                                                  std::string>>& defs,
+                            std::vector<int>& def_lines) {
+        std::vector<std::string> rest(st.tokens.begin() + 1,
+                                      st.tokens.end());
+        std::string norm = normalize_eq(rest);
+        std::vector<std::string> toks;
+        {
+            std::istringstream iss(norm);
+            std::string tok;
+            while (iss >> tok) toks.push_back(tok);
+        }
+        for (const auto& tok : merge_brace_groups(toks)) {
+            size_t eq = tok.find('=');
+            if (eq == std::string::npos) {
+                warn(st.line_no, "invalid .PARAM assignment: '" + tok + "'");
+                continue;
+            }
+            std::string name = tok.substr(0, eq);
+            std::string expr = tok.substr(eq + 1);
+            // trim
+            while (!expr.empty() && std::isspace((unsigned char)expr.front()))
+                expr.erase(expr.begin());
+            while (!expr.empty() && std::isspace((unsigned char)expr.back()))
+                expr.pop_back();
+            if (expr.size() >= 2 && expr.front() == '{' && expr.back() == '}')
+                expr = expr.substr(1, expr.size() - 2);
+            if (name.empty() || expr.empty()) {
+                warn(st.line_no, "invalid .PARAM assignment: '" + tok + "'");
+                continue;
+            }
+            defs.emplace_back(lower(name), expr);
+            def_lines.push_back(st.line_no);
+        }
+    }
+
+    void resolve_params(
+            const std::vector<std::pair<std::string, std::string>>& defs,
+            const std::vector<int>& def_lines) {
+        // last definition of a name wins; forward references by iteration
+        std::vector<std::string> order;        // insertion order
+        std::unordered_map<std::string, std::string> table;
+        std::unordered_map<std::string, int> lines;
+        for (size_t i = 0; i < defs.size(); ++i) {
+            if (!table.count(defs[i].first)) order.push_back(defs[i].first);
+            table[defs[i].first] = defs[i].second;
+            lines[defs[i].first] = def_lines[i];
+        }
+        for (size_t pass = 0; pass <= table.size(); ++pass) {
+            bool progress = false, missing = false;
+            for (const auto& n : order) {
+                if (param_values.count(n)) continue;
+                double v;
+                if (eval_expr(table[n], param_values, &v)) {
+                    param_values[n] = v;
+                    progress = true;
+                } else {
+                    missing = true;
+                }
+            }
+            if (!missing || !progress) break;
+        }
+        for (const auto& n : order) {
+            if (!param_values.count(n))
+                warn(lines[n], ".PARAM " + n + ": cannot resolve expression '"
+                                   + table.at(n) + "'");
+        }
+        for (const auto& n : order) {
+            if (param_values.count(n))
+                out.params.push_back(
+                    ParamRec{intern(n), param_values.at(n)});
+        }
+    }
+
+    std::vector<std::string> substitute_params(
+            const std::vector<std::string>& tokens, int line_no) {
+        std::vector<std::string> outv;
+        for (const auto& tok : merge_brace_groups(tokens)) {
+            if (tok.find('{') == std::string::npos) {
+                outv.push_back(tok);
+                continue;
+            }
+            std::string res;
+            size_t i = 0;
+            while (i < tok.size()) {
+                if (tok[i] == '{') {
+                    size_t j = tok.find('}', i);
+                    if (j == std::string::npos) {
+                        warn(line_no, "unbalanced braces in '" + tok + "'");
+                        res += tok.substr(i);
+                        break;
+                    }
+                    std::string expr = tok.substr(i + 1, j - i - 1);
+                    double v;
+                    if (eval_expr(expr, param_values, &v)) {
+                        char buf[40];
+                        std::snprintf(buf, sizeof buf, "%.17g", v);
+                        res += buf;
+                    } else {
+                        warn(line_no,
+                             "cannot evaluate {" + expr + "}: expression error");
+                        res += "0";
+                    }
+                    i = j + 1;
+                } else {
+                    res += tok[i];
+                    ++i;
+                }
+            }
+            outv.push_back(res);
+        }
+        return outv;
+    }
+
+    // .STEP PARAM name start stop incr | .STEP PARAM name LIST v... |
+    // .STEP <src> start stop incr  (mirror of _parse_step_card)
+    void parse_step(const Statement& st) {
+        const auto& t = st.tokens;
+        if (t.size() < 4) {
+            warn(st.line_no, "invalid .STEP syntax: " + st.raw);
+            return;
+        }
+        StepRec rec{};
+        size_t idx;
+        if (lower(t[1]) == "param") {
+            rec.kind = 0;
+            rec.name_off = intern(lower(t[2]));
+            idx = 3;
+        } else {
+            rec.kind = 1;
+            rec.name_off = intern(t[1]);
+            idx = 2;
+        }
+        std::vector<double> vals;
+        if (idx < t.size() && lower(t[idx]) == "list") {
+            for (size_t i = idx + 1; i < t.size(); ++i) {
+                double v;
+                if (!parse_spice(t[i], &v)) {
+                    warn(st.line_no,
+                         "cannot parse .STEP values: bad number in '" +
+                             st.raw + "'");
+                    return;
+                }
+                vals.push_back(v);
+            }
+        } else {
+            if (t.size() < idx + 3) {
+                warn(st.line_no, "cannot parse .STEP values: need start "
+                                 "stop incr in '" + st.raw + "'");
+                return;
+            }
+            double start, stop, incr;
+            if (!parse_spice(t[idx], &start) ||
+                !parse_spice(t[idx + 1], &stop) ||
+                !parse_spice(t[idx + 2], &incr)) {
+                warn(st.line_no, "cannot parse .STEP values: bad number in '"
+                                     + st.raw + "'");
+                return;
+            }
+            if (incr == 0.0 || (stop - start) * incr < 0) {
+                warn(st.line_no, "cannot parse .STEP values: bad increment "
+                                 "in '" + st.raw + "'");
+                return;
+            }
+            long n = (long)(std::fabs((stop - start) / incr) + 1e-9) + 1;
+            for (long i = 0; i < n; ++i) vals.push_back(start + i * incr);
+        }
+        if (vals.empty()) {
+            warn(st.line_no, ".STEP with no values: " + st.raw);
+            return;
+        }
+        rec.val_off = (int32_t)out.step_pool.size();
+        rec.n_vals = (int32_t)vals.size();
+        out.step_pool.insert(out.step_pool.end(), vals.begin(), vals.end());
+        out.steps.push_back(rec);
+    }
+
     // .MEASURE TRAN name <AVG|RMS|...|TRIG...TARG...|WHEN...|FIND...>
     // mirrors NetlistParser._parse_measure_card (netlist/parser.py)
     void parse_measure(const Statement& st) {
@@ -1227,6 +1683,10 @@ public:
             out.config.sens_ref_off = pr.node2_off;
         } else if (head == ".measure" || head == ".meas") {
             parse_measure(st);
+        } else if (head == ".param") {
+            // handled in the pre-pass (parse())
+        } else if (head == ".step") {
+            parse_step(st);
         } else if (head == ".tf") {
             if (t.size() < 3) {
                 warn(st.line_no, "invalid .TF syntax: " + st.raw);
@@ -1421,6 +1881,22 @@ public:
         out.config.tf_elem_off = out.config.tf_src_off = -1;
         std::vector<Statement> stmts =
             SubcktFlattener(diag).run(lex(text));
+        // .PARAM pre-pass: resolve the table, substitute {expr} everywhere
+        std::vector<std::pair<std::string, std::string>> defs;
+        std::vector<int> def_lines;
+        for (const auto& st : stmts)
+            if (!st.tokens.empty() && lower(st.tokens[0]) == ".param")
+                collect_param_card(st, defs, def_lines);
+        resolve_params(defs, def_lines);
+        for (auto& st : stmts) {
+            if (st.tokens.empty() || lower(st.tokens[0]) == ".param")
+                continue;
+            bool braced = false;
+            for (const auto& tok : st.tokens)
+                braced = braced || tok.find('{') != std::string::npos;
+            if (braced)
+                st.tokens = substitute_params(st.tokens, st.line_no);
+        }
         for (const auto& st : stmts) {
             if (!st.tokens.empty() && lower(st.tokens[0]) == ".model")
                 card_model(st);
@@ -1496,6 +1972,9 @@ int32_t csim_n_ics(void* h) { return (int32_t)FE.ics.size(); }
 int32_t csim_n_nodesets(void* h) { return (int32_t)FE.nodesets.size(); }
 int32_t csim_n_options(void* h) { return (int32_t)FE.options.size(); }
 int32_t csim_n_measures(void* h) { return (int32_t)FE.measures.size(); }
+int32_t csim_n_params(void* h) { return (int32_t)FE.params.size(); }
+int32_t csim_n_step_cards(void* h) { return (int32_t)FE.steps.size(); }
+int32_t csim_step_pool_size(void* h) { return (int32_t)FE.step_pool.size(); }
 int32_t csim_n_pwl(void* h) { return (int32_t)FE.pwl_pool.size(); }
 int32_t csim_strpool_size(void* h) { return (int32_t)FE.str_pool.size(); }
 
@@ -1507,6 +1986,9 @@ const void* csim_ics(void* h) { return FE.ics.data(); }
 const void* csim_nodesets(void* h) { return FE.nodesets.data(); }
 const void* csim_options(void* h) { return FE.options.data(); }
 const void* csim_measures(void* h) { return FE.measures.data(); }
+const void* csim_params(void* h) { return FE.params.data(); }
+const void* csim_step_cards(void* h) { return FE.steps.data(); }
+const double* csim_step_pool(void* h) { return FE.step_pool.data(); }
 const double* csim_pwl(void* h) { return FE.pwl_pool.data(); }
 const char* csim_strpool(void* h) { return FE.str_pool.c_str(); }
 const void* csim_config(void* h) { return &FE.config; }

@@ -150,6 +150,21 @@ class ProbeSpec:
 
 
 @dataclasses.dataclass
+class StepConfig:
+    """.STEP card (extension): re-run analyses over a swept parameter.
+
+      .STEP PARAM name start stop incr
+      .STEP PARAM name LIST v1 v2 ...
+      .STEP <srcname> start stop incr
+
+    TPU-native execution: the engine compiles once and the step values run
+    as one vmapped batch (api.Simulator.step)."""
+    kind: str = "param"        # param | source
+    name: str = ""
+    values: List[float] = dataclasses.field(default_factory=list)
+
+
+@dataclasses.dataclass
 class EventSpec:
     """One crossing event of a .MEASURE card: <probe> reaching VAL on the
     n-th RISE/FALL/CROSS occurrence after TD."""
@@ -214,6 +229,10 @@ class SimulationConfig:
     pz: PzConfig = dataclasses.field(default_factory=PzConfig)
     tf: TfConfig = dataclasses.field(default_factory=TfConfig)
     measures: List[MeasureSpec] = dataclasses.field(default_factory=list)
+    # `.PARAM` table (extension): resolved numeric values by (lowercased)
+    # name, for .STEP re-binding and run metadata
+    param_values: dict = dataclasses.field(default_factory=dict)
+    steps: List[StepConfig] = dataclasses.field(default_factory=list)
 
     def has_any_analysis(self) -> bool:
         return (self.do_op or bool(self.dc_sweeps) or self.tran.enabled
@@ -228,9 +247,14 @@ def _warn(line_no: int, msg: str) -> None:
 
 
 class NetlistParser:
-    def __init__(self, circuit: Circuit, sim: SimulationConfig):
+    def __init__(self, circuit: Circuit, sim: SimulationConfig,
+                 param_overrides: Optional[dict] = None):
         self.ckt = circuit
         self.sim = sim
+        # .STEP re-binding: {name: value} wins over the .PARAM definition
+        self.param_overrides = {k.lower(): float(v)
+                                for k, v in (param_overrides or {}).items()}
+        self.param_values: dict = {}
 
     # ---- entry points ----
     def parse_file(self, path: str) -> bool:
@@ -250,6 +274,19 @@ class NetlistParser:
     def _parse_statements(self, stmts: List[Statement]) -> None:
         from .subckt import flatten_subcircuits
         stmts = flatten_subcircuits(stmts)
+        # .PARAM pre-pass (extension): collect definitions, resolve (with
+        # forward references), then substitute {expr} groups everywhere
+        # so the rest of the grammar only ever sees literal numbers
+        defs = []
+        for st in stmts:
+            if st.tokens and st.tokens[0].lower() == ".param":
+                self._collect_param_card(st, defs)
+        self._resolve_params(defs)
+        for st in stmts:
+            if (st.tokens and st.tokens[0].lower() != ".param"
+                    and any("{" in tok for tok in st.tokens)):
+                st.tokens = self._substitute_params(st.tokens, st.line_no)
+        self.sim.param_values = dict(self.param_values)
         for st in stmts:
             if st.tokens and st.tokens[0].lower() == ".model":
                 self._parse_model_card(st)
@@ -581,6 +618,10 @@ class NetlistParser:
                                                ref_node=probe.node2)
         elif head in (".measure", ".meas"):
             self._parse_measure_card(st)
+        elif head == ".param":
+            pass                      # handled in the pre-pass
+        elif head == ".step":
+            self._parse_step_card(st)
         elif head == ".tf":
             if len(st.tokens) < 3:
                 _warn(st.line_no, f"invalid .TF syntax: {st.raw}")
@@ -613,6 +654,146 @@ class NetlistParser:
             self._parse_plotnc_card(st)
         else:
             _warn(st.line_no, f"unsupported control card: {st.raw}")
+
+    # ---- .PARAM machinery (extension) ----
+    @staticmethod
+    def _merge_brace_groups(tokens: List[str]) -> List[str]:
+        """Re-join tokens so each {...} group (which may contain spaces)
+        becomes part of a single token."""
+        out: List[str] = []
+        buf = None
+        depth = 0
+        for tok in tokens:
+            if buf is None:
+                if "{" not in tok or tok.count("{") == tok.count("}"):
+                    out.append(tok)
+                    continue
+                buf = tok
+                depth = tok.count("{") - tok.count("}")
+            else:
+                buf += " " + tok
+                depth += tok.count("{") - tok.count("}")
+            if depth <= 0:
+                out.append(buf)
+                buf = None
+        if buf is not None:
+            out.append(buf)          # unbalanced; surfaces as a parse error
+        return out
+
+    def _collect_param_card(self, st: Statement, defs: List[tuple]) -> None:
+        """.PARAM name=expr [name=expr ...]; exprs may be {braced} (allows
+        spaces) or plain (no spaces)."""
+        import re as _re
+        text = _re.sub(r"\s*=\s*", "=", " ".join(st.tokens[1:]))
+        for tok in self._merge_brace_groups(text.split()):
+            if "=" not in tok:
+                _warn(st.line_no, f"invalid .PARAM assignment: {tok!r}")
+                continue
+            name, expr = tok.split("=", 1)
+            expr = expr.strip()
+            if expr.startswith("{") and expr.endswith("}"):
+                expr = expr[1:-1]
+            if not name or not expr:
+                _warn(st.line_no, f"invalid .PARAM assignment: {tok!r}")
+                continue
+            defs.append((name.lower(), expr, st.line_no))
+
+    def _resolve_params(self, defs: List[tuple]) -> None:
+        """Evaluate .PARAM definitions (last definition of a name wins;
+        forward references allowed via iteration); .STEP overrides win."""
+        from ..utils.expr import eval_expr, ExprError
+        table = {}
+        lines = {}
+        for name, expr, line_no in defs:
+            table[name] = expr
+            lines[name] = line_no
+        values = dict(self.param_overrides)
+        for _ in range(len(table) + 1):
+            missing = [n for n in table if n not in values]
+            if not missing:
+                break
+            progress = False
+            for n in missing:
+                try:
+                    values[n] = eval_expr(table[n], values)
+                    progress = True
+                except ExprError:
+                    pass
+            if not progress:
+                break
+        for n in table:
+            if n not in values:
+                _warn(lines[n], f".PARAM {n}: cannot resolve "
+                                f"expression {table[n]!r}")
+        self.param_values = values
+
+    def _substitute_params(self, tokens: List[str],
+                           line_no: int) -> List[str]:
+        """Replace every {expr} group in the statement's tokens with its
+        evaluated value."""
+        from ..utils.expr import eval_expr, ExprError
+        out = []
+        for tok in self._merge_brace_groups(tokens):
+            if "{" not in tok:
+                out.append(tok)
+                continue
+            res = []
+            i = 0
+            while i < len(tok):
+                if tok[i] == "{":
+                    j = tok.find("}", i)
+                    if j < 0:
+                        _warn(line_no, f"unbalanced braces in {tok!r}")
+                        res.append(tok[i:])
+                        break
+                    expr = tok[i + 1:j]
+                    try:
+                        res.append(repr(eval_expr(expr, self.param_values)))
+                    except ExprError as e:
+                        _warn(line_no, f"cannot evaluate {{{expr}}}: {e}")
+                        res.append("0")
+                    i = j + 1
+                else:
+                    res.append(tok[i])
+                    i += 1
+            out.append("".join(res))
+        return out
+
+    def _parse_step_card(self, st: Statement) -> None:
+        t = st.tokens
+        if len(t) < 4:
+            _warn(st.line_no, f"invalid .STEP syntax: {st.raw}")
+            return
+        cfg = StepConfig()
+        idx = 1
+        if t[1].lower() == "param":
+            cfg.kind = "param"
+            cfg.name = t[2].lower()
+            idx = 3
+        else:
+            cfg.kind = "source"
+            cfg.name = t[1]
+            idx = 2
+        try:
+            if idx < len(t) and t[idx].lower() == "list":
+                cfg.values = [parse_spice_number(v) for v in t[idx + 1:]]
+            else:
+                if len(t) < idx + 3:
+                    raise ValueError("need start stop incr")
+                start = parse_spice_number(t[idx])
+                stop = parse_spice_number(t[idx + 1])
+                incr = parse_spice_number(t[idx + 2])
+                if incr == 0.0 or (stop - start) * incr < 0:
+                    raise ValueError("bad increment")
+                n = int(abs((stop - start) / incr) + 1e-9) + 1
+                cfg.values = [start + i * incr for i in range(n)]
+        except ValueError as e:
+            _warn(st.line_no, f"cannot parse .STEP values: {e} in '{st.raw}'")
+            return
+        if not cfg.values:
+            _warn(st.line_no, f".STEP with no values: {st.raw}")
+            return
+        self.sim.steps.append(cfg)
 
     _MEASURE_STATS = ("avg", "rms", "min", "max", "pp", "integ",
                       "min_at", "max_at")
@@ -1020,19 +1201,19 @@ class NetlistParser:
         self.ckt.add_mos_model(m)
 
 
-def parse_netlist(path: str):
+def parse_netlist(path: str, param_overrides: Optional[dict] = None):
     """Parse a netlist file -> (Circuit, SimulationConfig); equation indices
     are NOT yet assigned (mirror of parser.hpp:67-75)."""
     ckt = Circuit()
     sim = SimulationConfig()
-    ok = NetlistParser(ckt, sim).parse_file(path)
+    ok = NetlistParser(ckt, sim, param_overrides).parse_file(path)
     if not ok:
         raise FileNotFoundError(path)
     return ckt, sim
 
 
-def parse_netlist_text(text: str):
+def parse_netlist_text(text: str, param_overrides: Optional[dict] = None):
     ckt = Circuit()
     sim = SimulationConfig()
-    NetlistParser(ckt, sim).parse_text(text)
+    NetlistParser(ckt, sim, param_overrides).parse_text(text)
     return ckt, sim
