@@ -84,6 +84,10 @@ def ac_system_real(engine: Engine, params, x_op, omega):
         _two_terminal_vals(omega * C))
     if len(t.ind_k):
         B = B.at[t.ind_k, t.ind_k].add(-omega * params["ind_l"])
+    if len(t.mut_a):
+        M = engine._mutual_M(params)
+        B = B.at[engine.mut_rows, engine.mut_cols].add(
+            -omega * jnp.concatenate([M, M], axis=-1))
 
     deg = jnp.pi / 180.0
     vph = params["vs_ac_phase"] * deg

@@ -74,6 +74,10 @@ def _reactive_structure(engine: Engine, params):
     t = engine.topo
     if len(t.ind_k):
         M = M.at[..., t.ind_k, t.ind_k].add(-params["ind_l"])
+    if len(t.mut_a):
+        mm = engine._mutual_M(params)
+        M = M.at[..., engine.mut_rows, engine.mut_cols].add(
+            -jnp.concatenate([mm, mm], axis=-1))
     return M[..., :N, :N]
 
 

@@ -85,6 +85,7 @@ def dc_sensitivity(engine: Engine, params, out_eq: int, ref_eq: int = -1,
 # params-key -> (circuit element kind, parameter label)
 _PARAM_LABELS = {
     "res_r": ("R", "R"), "cap_c": ("C", "C"), "ind_l": ("L", "L"),
+    "mut_k": ("K", "K"),
     "vs_dc": ("V", "DC"), "is_dc": ("I", "DC"),
     "mos_vth": ("M", "VT"), "mos_k": ("M", "K"), "mos_lam": ("M", "LAMBDA"),
     "mos_cj0": ("M", "CJ0"),

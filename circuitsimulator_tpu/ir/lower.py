@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..netlist.circuit import (
     Circuit, KIND_R, KIND_C, KIND_L, KIND_V, KIND_I, KIND_M, KIND_D, KIND_Q,
-    KIND_E, KIND_G, KIND_F, KIND_H,
+    KIND_E, KIND_G, KIND_F, KIND_H, KIND_K,
 )
 from ..utils.numbers import is_ground_name
 
@@ -79,6 +79,9 @@ class Topology:
     ccvs_em: np.ndarray
     ccvs_kc: np.ndarray
     ccvs_k: np.ndarray
+    # mutual inductance (K card, extension): indices into the inductor class
+    mut_a: np.ndarray
+    mut_b: np.ndarray
     # output metadata
     volt_col_eqs: np.ndarray      # (n_node_eq,) eq of each V(...) CSV column
     volt_col_names: Tuple[str, ...]
@@ -97,6 +100,7 @@ class Topology:
             D=len(self.dio_ep), Q=len(self.bjt_ec),
             E=len(self.vcvs_ep), G=len(self.vccs_ep),
             F=len(self.cccs_ep), H=len(self.ccvs_ep),
+            K=len(self.mut_a),
         )
 
 
@@ -167,6 +171,7 @@ def lower(ckt: Circuit, dtype=jnp.float64) -> LoweredCircuit:
     mos = [e for e in ckt.elements if e.kind == KIND_M]
     dio = [e for e in ckt.elements if e.kind == KIND_D]
     bjt = [e for e in ckt.elements if e.kind == KIND_Q]
+    mut = [e for e in ckt.elements if e.kind == KIND_K]
     vcvs = [e for e in ckt.elements if e.kind == KIND_E]
     vccs = [e for e in ckt.elements if e.kind == KIND_G]
     cccs = [e for e in ckt.elements if e.kind == KIND_F]
@@ -185,6 +190,25 @@ def lower(ckt: Circuit, dtype=jnp.float64) -> LoweredCircuit:
                          "is not a voltage source in this circuit")
 
     eq = lambda nid: _eq_of(ckt, nid, dump)
+
+    def ind_index(kel, lname):
+        """Index of an inductor within the L class by element name."""
+        for exact in (True, False):
+            for j, el in enumerate(ind):
+                if (el.name == lname) if exact \
+                        else (el.name.lower() == lname.lower()):
+                    return j
+        raise ValueError(f"{kel.name}: coupled inductor {lname!r} "
+                         "is not an inductor in this circuit")
+
+    mut_ok = []
+    for e in mut:
+        try:
+            mut_ok.append((ind_index(e, e.ctrl_name),
+                           ind_index(e, e.ctrl2_name), e.value))
+        except ValueError as err:
+            import sys
+            print(f"warning: {err}; K element skipped", file=sys.stderr)
 
     node_eqs = _np_i32([n.eq_index for n in ckt.nodes if n.eq_index >= 0])
 
@@ -242,6 +266,8 @@ def lower(ckt: Circuit, dtype=jnp.float64) -> LoweredCircuit:
         ccvs_em=_np_i32([eq(e.node_ids[1]) for e in ccvs]),
         ccvs_kc=_np_i32([ctrl_branch(e) for e in ccvs]),
         ccvs_k=_np_i32([e.branch_eq for e in ccvs]),
+        mut_a=_np_i32([m[0] for m in mut_ok]),
+        mut_b=_np_i32([m[1] for m in mut_ok]),
         volt_col_eqs=_np_i32([c[1] for c in volt_cols]),
         volt_col_names=tuple(c[0] for c in volt_cols),
         branch_col_eqs=_np_i32([c[1] for c in branch_cols]),
@@ -268,6 +294,7 @@ def lower(ckt: Circuit, dtype=jnp.float64) -> LoweredCircuit:
         "bjt_is": jnp.asarray([e.i_sat for e in bjt], dtype),
         "bjt_bf": jnp.asarray([e.bf for e in bjt], dtype),
         "bjt_br": jnp.asarray([e.br for e in bjt], dtype),
+        "mut_k": jnp.asarray([m[2] for m in mut_ok], dtype),
         "vcvs_gain": jnp.asarray([e.value for e in vcvs], dtype),
         "vccs_g": jnp.asarray([e.value for e in vccs], dtype),
         "cccs_gain": jnp.asarray([e.value for e in cccs], dtype),

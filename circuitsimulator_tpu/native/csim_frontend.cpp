@@ -347,6 +347,7 @@ struct ElementRec {
     double pulse[7];    // v1 v2 td tr tf ton per
     double sin5[5];     // v0 va freq td phi
     int32_t pwl_off, pwl_n;  // into pwl pool (pairs t,v interleaved)
+    int32_t ctrl2_off;  // K element (kind 12): second coupled inductor
 };
 
 struct NodeRec {
@@ -528,6 +529,10 @@ public:
                 map_node(r.tokens[j]);
             if ((c0 == 'F' || c0 == 'H') && r.tokens.size() > 3)
                 r.tokens[3] += "@" + prefix;
+            if (c0 == 'K') {
+                if (r.tokens.size() > 1) r.tokens[1] += "@" + prefix;
+                if (r.tokens.size() > 2) r.tokens[2] += "@" + prefix;
+            }
         }
         std::string raw;
         for (const auto& t : r.tokens) {
@@ -734,6 +739,7 @@ public:
         e.n_ideal = 1.0;
         e.pwl_off = -1;
         e.ctrl_off = -1;
+        e.ctrl2_off = -1;
         e.af = 1.0;
         return e;
     }
@@ -998,6 +1004,31 @@ public:
             e.ctrl_off = intern(t[3]);
         }
         e.value = val;
+        out.elements.push_back(e);
+    }
+
+    void dev_mutual(const Statement& st) {
+        // K name L1 L2 k (extension): mirror of _parse_mutual
+        const auto& t = st.tokens;
+        if (t.size() < 4) {
+            warn(st.line_no, "invalid mutual inductance: " + st.raw);
+            return;
+        }
+        double k;
+        if (!parse_spice(t[3], &k)) {
+            warn(st.line_no,
+                 "cannot parse coupling coefficient: " + st.raw);
+            return;
+        }
+        if (std::fabs(k) > 1.0) {
+            warn(st.line_no, "coupling |k| > 1 in '" + st.raw +
+                                 "'; clamping");
+            k = k > 0 ? 1.0 : -1.0;
+        }
+        ElementRec e = blank(12, t[0]);
+        e.ctrl_off = intern(t[1]);
+        e.ctrl2_off = intern(t[2]);
+        e.value = k;
         out.elements.push_back(e);
     }
 
@@ -1921,6 +1952,7 @@ public:
                 case 'G': dev_ctrl(st, 9); break;
                 case 'F': dev_ctrl(st, 10); break;
                 case 'H': dev_ctrl(st, 11); break;
+                case 'K': dev_mutual(st); break;
                 default:
                     warn(st.line_no,
                          "unsupported element or syntax: " + st.raw);

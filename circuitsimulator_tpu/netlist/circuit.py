@@ -161,6 +161,7 @@ KIND_E = "E"  # VCVS: E np nm ncp ncm gain     (branch-current unknown)
 KIND_G = "G"  # VCCS: G np nm ncp ncm gm
 KIND_F = "F"  # CCCS: F np nm Vctrl gain
 KIND_H = "H"  # CCVS: H np nm Vctrl r          (branch-current unknown)
+KIND_K = "K"  # mutual inductance: K L1 L2 k   (no nodes, no unknowns)
 
 
 @dataclasses.dataclass
@@ -186,6 +187,9 @@ class ElementRec:
     br: float = 0.0
     # controlled sources: gain/gm/r in `value`; F/H controlling V source
     ctrl_name: str = ""
+    # mutual inductance (kind K): the two coupled inductors by name,
+    # ctrl_name = L1 and ctrl2_name = L2; coupling coefficient in `value`
+    ctrl2_name: str = ""
     branch_eq: int = -1                 # V / L / E / H branch-current eq
 
 
@@ -295,6 +299,12 @@ class Circuit:
         ids = [self.get_or_create_node(np_), self.get_or_create_node(nm)]
         self.elements.append(ElementRec(KIND_H, name, ids, value=r,
                                         ctrl_name=ctrl))
+
+    def add_mutual(self, name, l1, l2, k):
+        """K L1 L2 k (extension): mutual inductance M = k*sqrt(L1*L2)
+        between two inductors; contributes no nodes and no unknowns."""
+        self.elements.append(ElementRec(KIND_K, name, [], value=k,
+                                        ctrl_name=l1, ctrl2_name=l2))
 
     def add_diode(self, name, np_, nm, i_sat, n_ideal):
         ids = [self.get_or_create_node(np_), self.get_or_create_node(nm)]

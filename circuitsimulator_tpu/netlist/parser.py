@@ -323,6 +323,8 @@ class NetlistParser:
             self._parse_bjt(st)
         elif c0 in ("E", "G", "F", "H"):
             self._parse_controlled(st, c0)
+        elif c0 == "K":
+            self._parse_mutual(st)
         else:
             _warn(st.line_no, f"unsupported element or syntax: {st.raw}")
 
@@ -539,6 +541,23 @@ class NetlistParser:
             self.ckt.add_cccs(t[0], t[1], t[2], t[3], val)
         else:
             self.ckt.add_ccvs(t[0], t[1], t[2], t[3], val)
+
+    def _parse_mutual(self, st: Statement) -> None:
+        """K name L1 L2 k (extension): mutual inductance, 0 <= k <= 1."""
+        t = st.tokens
+        if len(t) < 4:
+            _warn(st.line_no, f"invalid mutual inductance: {st.raw}")
+            return
+        try:
+            k = parse_spice_number(t[3])
+        except ValueError as e:
+            _warn(st.line_no, f"cannot parse coupling coefficient: {e} "
+                              f"in '{st.raw}'")
+            return
+        if abs(k) > 1.0:
+            _warn(st.line_no, f"coupling |k| > 1 in '{st.raw}'; clamping")
+            k = 1.0 if k > 0 else -1.0
+        self.ckt.add_mutual(t[0], t[1], t[2], k)
 
     def _parse_diode(self, st: Statement) -> None:
         t = st.tokens

@@ -35,7 +35,7 @@ _NODE_RANGES = {
     "F": (1, 3), "H": (1, 3),
 }
 # token indices referring to another element (renamed like element names)
-_ELEM_REFS = {"F": (3,), "H": (3,)}
+_ELEM_REFS = {"F": (3,), "H": (3,), "K": (1, 2)}
 
 
 def _warn(line_no: int, msg: str) -> None:

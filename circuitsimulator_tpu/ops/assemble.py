@@ -91,6 +91,27 @@ class Engine:
         self.cap_rows, self.cap_cols = _two_terminal_pattern(self.cap_a, self.cap_b)
         self.n_caplike = len(self.cap_a)
 
+        # ---- mutual inductance (K card, extension) ----
+        # branch-row cross terms: row k_a gets -M/dt at col k_b and vice
+        # versa (BE companion of v_a = L_a di_a/dt + M di_b/dt)
+        nK = len(t.mut_a)
+        nL = len(t.ind_k)
+        if nK:
+            ka = t.ind_k[t.mut_a]
+            kb = t.ind_k[t.mut_b]
+            self.mut_rows = np.concatenate([ka, kb]).astype(np.int32)
+            self.mut_cols = np.concatenate([kb, ka]).astype(np.int32)
+            A = np.zeros((nK, nL))
+            Bsel = np.zeros((nK, nL))
+            A[np.arange(nK), t.mut_a] = 1.0
+            Bsel[np.arange(nK), t.mut_b] = 1.0
+            self.mut_sel_a = jnp.asarray(A, self.dtype)
+            self.mut_sel_b = jnp.asarray(Bsel, self.dtype)
+        else:
+            self.mut_rows = np.zeros(0, np.int32)
+            self.mut_cols = np.zeros(0, np.int32)
+            self.mut_sel_a = self.mut_sel_b = None
+
         # ---- linear controlled sources (extension; static stamps) ----
         # VCCS: rows [p,p,m,m] x cols [cp,cm,cp,cm], vals [+g,-g,-g,+g]
         # CCCS: rows [p,m] x cols [kc,kc], vals [+gain,-gain]
@@ -222,6 +243,14 @@ class Engine:
         mc = jnp.stack([0.5 * cj0, 0.5 * cj0, cj0, cj0], axis=-1)
         mc = mc.reshape(*cj0.shape[:-1], -1)
         return jnp.concatenate([params["cap_c"], mc], axis=-1)
+
+    def _mutual_M(self, params):
+        """Mutual inductance per K element: M = k * sqrt(L_a * L_b) —
+        derived from the live L params so Monte-Carlo/.STEP perturbations
+        of an inductor keep its couplings physically consistent."""
+        t = self.topo
+        L = params["ind_l"]
+        return params["mut_k"] * jnp.sqrt(L[..., t.mut_a] * L[..., t.mut_b])
 
     def _res_vals(self, params):
         r = params["res_r"]
@@ -376,16 +405,18 @@ class Engine:
             rvals.shape[:-1] + (len(self.topo.node_eqs),))
 
         rows = np.concatenate([self.res_rows, self.dc_const_rows[:4 * nV],
-                               self.ind_rows, self.cap_rows,
+                               self.ind_rows, self.mut_rows, self.cap_rows,
                                self.topo.node_eqs, self.ctrl_rows])
         cols = np.concatenate([self.res_cols, self.dc_const_cols[:4 * nV],
-                               self.ind_cols, self.cap_cols,
+                               self.ind_cols, self.mut_cols, self.cap_cols,
                                self.topo.node_eqs, self.ctrl_cols])
+        mv = -fac * self._mutual_M(params) / dt
+        mut_vals = jnp.concatenate([mv, mv], axis=-1)
         cvals = self._ctrl_vals(params)
         cvals = jnp.broadcast_to(cvals, rvals.shape[:-1] + cvals.shape[-1:])
         vals = jnp.concatenate(
             [rvals, jnp.broadcast_to(vs_vals, rvals.shape[:-1] + vs_vals.shape[-1:]),
-             ind_vals, cap_vals, gm, cvals], axis=-1)
+             ind_vals, mut_vals, cap_vals, gm, cvals], axis=-1)
         return rows, cols, vals
 
     def tran_static_G(self, params, dt, gmin, method: str = "be"):
@@ -430,6 +461,7 @@ class Engine:
 
             L = params["ind_l"]
             C = self._caplike_C(params)
+            fac = 2.0 if trap else 1.0
             if trap:
                 vhist = jnp.where(L > 0.0,
                                   -(2.0 * L / dt) * state["il"] - state["vl"],
@@ -440,6 +472,17 @@ class Engine:
                 vhist = jnp.where(L > 0.0, -(L / dt) * state["il"], 0.0)
                 gc = jnp.where(C > 0.0, C / dt, 0.0)
                 h = gc * state["vc"]
+            if len(self.topo.mut_a):
+                # mutual-inductance history: row k_a gets -(M/dt) i_b_prev
+                # (x2 for trap); gather/scatter-free via one-hot selectors
+                coef = -(fac / dt) * self._mutual_M(params)
+                ia = jnp.einsum("...l,kl->...k", state["il"], self.mut_sel_a)
+                ib = jnp.einsum("...l,kl->...k", state["il"], self.mut_sel_b)
+                vhist = (vhist
+                         + jnp.einsum("...k,kl->...l", coef * ib,
+                                      self.mut_sel_a)
+                         + jnp.einsum("...k,kl->...l", coef * ia,
+                                      self.mut_sel_b))
             return vval, ival, vhist, h
 
         if self.use_matmul_hotpath:

@@ -97,9 +97,9 @@ def is_ladder(engine) -> bool:
     n = t.n_node_eq
     m = t.n_unknowns - n
     rows = np.concatenate([engine.res_rows, engine.dc_const_rows,
-                           engine.ind_rows, engine.cap_rows,
+                           engine.ind_rows, engine.mut_rows, engine.cap_rows,
                            engine.nl_rows, t.node_eqs])
     cols = np.concatenate([engine.res_cols, engine.dc_const_cols,
-                           engine.ind_cols, engine.cap_cols,
+                           engine.ind_cols, engine.mut_cols, engine.cap_cols,
                            engine.nl_cols, t.node_eqs])
     return BandedPlan(n, m, rows, cols).ok
