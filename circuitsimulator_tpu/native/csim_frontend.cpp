@@ -908,15 +908,23 @@ public:
             warn(st.line_no, "invalid current source: " + st.raw);
             return;
         }
+        // reference grammar: no waveforms on I sources (parser.cpp:358-379);
+        // SIN/PULSE/PWL accepted as an extension, like the V-source forms
         ElementRec e = blank(4, t[0]);
+        size_t idx = 3;
         std::string low3 = lower(t[3]);
         if (t.size() >= 5 && low3 == "dc") {
             if (!parse_or_warn(st, t[4], "I value", &e.dc)) return;
-        } else if (low3 == "ac") {
+            idx = 5;
+        } else if (low3 == "sin" || low3 == "ac" ||
+                   low3.rfind("pulse", 0) == 0 || low3.rfind("pwl", 0) == 0) {
             e.dc = 0.0;
+            idx = 3;
         } else {
             if (!parse_or_warn(st, t[3], "I value", &e.dc)) return;
+            idx = 4;
         }
+        parse_waveform(st, e, idx);
         parse_ac_spec(st, e);
         e.nodes[0] = node(t[1]);
         e.nodes[1] = node(t[2]);

@@ -477,21 +477,42 @@ class NetlistParser:
         self.ckt.add_voltage_source(t[0], t[1], t[2], spec)
 
     def _parse_isource(self, st: Statement) -> None:
+        # reference grammar: `I name np nm [DC] v` with NO waveforms
+        # (parser.cpp:358-379); SIN/PULSE/PWL accepted as an extension,
+        # mirroring the V-source forms (the engine evaluates I-source
+        # waveforms through the same machinery as V sources)
         t = st.tokens
         if len(t) < 4:
             _warn(st.line_no, f"invalid current source: {st.raw}")
             return
         spec = SourceSpec()
+        idx = 3
         try:
-            if len(t) >= 5 and t[3].lower() == "dc":
+            low3 = t[3].lower()
+            if len(t) >= 5 and low3 == "dc":
                 spec.dc = parse_spice_number(t[4])
-            elif t[3].lower() == "ac":
+                idx = 5
+            elif (low3 == "sin" or low3 == "ac"
+                  or low3.startswith("pulse") or low3.startswith("pwl")):
                 spec.dc = 0.0
+                idx = 3
             else:
                 spec.dc = parse_spice_number(t[3])
+                idx = 4
         except ValueError as e:
             _warn(st.line_no, f"cannot parse I value: {e} in '{st.raw}'")
             return
+        for j in range(idx, len(t)):
+            head = t[j].lower()
+            if head == "sin":
+                self._parse_sin(st, spec, j)
+                break
+            if head.startswith("pulse"):
+                self._parse_pulse(st, spec, j)
+                break
+            if head.startswith("pwl"):
+                self._parse_pwl(st, spec, j)
+                break
         self._parse_ac_spec(st, spec)
         self.ckt.add_current_source(t[0], t[1], t[2], spec)
 
