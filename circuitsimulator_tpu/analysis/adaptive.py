@@ -107,6 +107,8 @@ def run_transient_adaptive(engine: Engine, params, tstep, tstop,
     solver = opts.tran_solver
     use_woodbury = solver == "woodbury"
     use_tridiag = solver == "tridiag"
+    if use_woodbury and len(engine.topo.sw_ep):
+        use_woodbury = False    # see analysis/transient.py: switch stamps
 
     # --- per-level static precompute (all dts known at trace time) ---
     dts = [tstep_f / (1 << l) for l in range(L + 1)]

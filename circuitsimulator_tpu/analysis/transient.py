@@ -88,6 +88,11 @@ def transient_step_fn(engine: Engine, params, dt, predictor: bool = False):
     update_state = engine.make_update_state(dt, method)
     use_woodbury = opts.tran_solver == "woodbury"
     use_tridiag = opts.tran_solver == "tridiag"
+    if use_woodbury and len(engine.topo.sw_ep):
+        # switch stamps couple a node pair to a *different* control pair —
+        # a width-4 V^T row the current rank-k plan does not carry; fall
+        # back to the full LU per iteration (still batched/fused)
+        use_woodbury = False
     if use_tridiag:
         # O(n) bordered-tridiagonal path for ladder circuits (no dense G)
         from ..ops.banded import BandedPlan

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..netlist.circuit import (
     Circuit, KIND_R, KIND_C, KIND_L, KIND_V, KIND_I, KIND_M, KIND_D, KIND_Q,
-    KIND_E, KIND_G, KIND_F, KIND_H, KIND_K,
+    KIND_E, KIND_G, KIND_F, KIND_H, KIND_K, KIND_S, KIND_W,
 )
 from ..utils.numbers import is_ground_name
 
@@ -82,6 +82,11 @@ class Topology:
     # mutual inductance (K card, extension): indices into the inductor class
     mut_a: np.ndarray
     mut_b: np.ndarray
+    # switches (S/W, extension): W maps (ecp, ecm) to (ctrl branch eq, dump)
+    sw_ep: np.ndarray
+    sw_em: np.ndarray
+    sw_ecp: np.ndarray
+    sw_ecm: np.ndarray
     # output metadata
     volt_col_eqs: np.ndarray      # (n_node_eq,) eq of each V(...) CSV column
     volt_col_names: Tuple[str, ...]
@@ -100,7 +105,7 @@ class Topology:
             D=len(self.dio_ep), Q=len(self.bjt_ec),
             E=len(self.vcvs_ep), G=len(self.vccs_ep),
             F=len(self.cccs_ep), H=len(self.ccvs_ep),
-            K=len(self.mut_a),
+            K=len(self.mut_a), S=len(self.sw_ep),
         )
 
 
@@ -172,6 +177,7 @@ def lower(ckt: Circuit, dtype=jnp.float64) -> LoweredCircuit:
     dio = [e for e in ckt.elements if e.kind == KIND_D]
     bjt = [e for e in ckt.elements if e.kind == KIND_Q]
     mut = [e for e in ckt.elements if e.kind == KIND_K]
+    sw = [e for e in ckt.elements if e.kind in (KIND_S, KIND_W)]
     vcvs = [e for e in ckt.elements if e.kind == KIND_E]
     vccs = [e for e in ckt.elements if e.kind == KIND_G]
     cccs = [e for e in ckt.elements if e.kind == KIND_F]
@@ -227,7 +233,7 @@ def lower(ckt: Circuit, dtype=jnp.float64) -> LoweredCircuit:
         n_node_eq=ckt.num_node_equations(),
         n_nodes=len(ckt.nodes),
         n_elements=len(ckt.elements),
-        has_nonlinear=bool(mos or dio or bjt),
+        has_nonlinear=bool(mos or dio or bjt or sw),
         node_eqs=node_eqs,
         res_e1=_np_i32([eq(e.node_ids[0]) for e in res]),
         res_e2=_np_i32([eq(e.node_ids[1]) for e in res]),
@@ -268,6 +274,12 @@ def lower(ckt: Circuit, dtype=jnp.float64) -> LoweredCircuit:
         ccvs_k=_np_i32([e.branch_eq for e in ccvs]),
         mut_a=_np_i32([m[0] for m in mut_ok]),
         mut_b=_np_i32([m[1] for m in mut_ok]),
+        sw_ep=_np_i32([eq(e.node_ids[0]) for e in sw]),
+        sw_em=_np_i32([eq(e.node_ids[1]) for e in sw]),
+        sw_ecp=_np_i32([eq(e.node_ids[2]) if e.kind == KIND_S
+                        else ctrl_branch(e) for e in sw]),
+        sw_ecm=_np_i32([eq(e.node_ids[3]) if e.kind == KIND_S
+                        else dump for e in sw]),
         volt_col_eqs=_np_i32([c[1] for c in volt_cols]),
         volt_col_names=tuple(c[0] for c in volt_cols),
         branch_col_eqs=_np_i32([c[1] for c in branch_cols]),
@@ -295,6 +307,10 @@ def lower(ckt: Circuit, dtype=jnp.float64) -> LoweredCircuit:
         "bjt_bf": jnp.asarray([e.bf for e in bjt], dtype),
         "bjt_br": jnp.asarray([e.br for e in bjt], dtype),
         "mut_k": jnp.asarray([m[2] for m in mut_ok], dtype),
+        "sw_ron": jnp.asarray([e.ron for e in sw], dtype),
+        "sw_roff": jnp.asarray([e.roff for e in sw], dtype),
+        "sw_vt": jnp.asarray([e.s_vt for e in sw], dtype),
+        "sw_vh": jnp.asarray([e.s_vh for e in sw], dtype),
         "vcvs_gain": jnp.asarray([e.value for e in vcvs], dtype),
         "vccs_g": jnp.asarray([e.value for e in vccs], dtype),
         "cccs_gain": jnp.asarray([e.value for e in cccs], dtype),

@@ -348,6 +348,8 @@ struct ElementRec {
     double sin5[5];     // v0 va freq td phi
     int32_t pwl_off, pwl_n;  // into pwl pool (pairs t,v interleaved)
     int32_t ctrl2_off;  // K element (kind 12): second coupled inductor
+    // switches (kinds 13=S, 14=W): resolved model parameters
+    double ron, roff, s_vt, s_vh;
 };
 
 struct NodeRec {
@@ -469,6 +471,10 @@ struct BjtModel {
     double i_sat = 1e-16, bf = 100.0, br = 1.0;
 };
 
+struct SwModel {    // switch model card (extension)
+    double ron = 1.0, roff = 1e12, vt = 0.0, vh = 0.0;
+};
+
 struct Statement {
     int line_no;
     std::string raw;
@@ -501,9 +507,9 @@ public:
     static void node_range(char c0, size_t* lo, size_t* hi) {
         switch (c0) {
             case 'M': case 'Q': *lo = 1; *hi = 4; break;
-            case 'E': case 'G': *lo = 1; *hi = 5; break;
+            case 'E': case 'G': case 'S': *lo = 1; *hi = 5; break;
             case 'R': case 'C': case 'L': case 'V': case 'I':
-            case 'D': case 'F': case 'H': *lo = 1; *hi = 3; break;
+            case 'D': case 'F': case 'H': case 'W': *lo = 1; *hi = 3; break;
             default: *lo = 1; *hi = 1; break;
         }
     }
@@ -527,7 +533,7 @@ public:
             node_range(c0, &lo, &hi);
             for (size_t j = lo; j < hi && j < r.tokens.size(); ++j)
                 map_node(r.tokens[j]);
-            if ((c0 == 'F' || c0 == 'H') && r.tokens.size() > 3)
+            if ((c0 == 'F' || c0 == 'H' || c0 == 'W') && r.tokens.size() > 3)
                 r.tokens[3] += "@" + prefix;
             if (c0 == 'K') {
                 if (r.tokens.size() > 1) r.tokens[1] += "@" + prefix;
@@ -655,6 +661,7 @@ public:
     std::unordered_map<std::string, int32_t> node_ids;
     std::unordered_map<std::string, MosModel> models;
     std::unordered_map<std::string, BjtModel> bjt_models;
+    std::unordered_map<std::string, SwModel> sw_models;
     std::ostringstream diag;
 
     int32_t intern(const std::string& s) {
@@ -741,6 +748,8 @@ public:
         e.ctrl_off = -1;
         e.ctrl2_off = -1;
         e.af = 1.0;
+        e.ron = 1.0;
+        e.roff = 1e12;
         return e;
     }
 
@@ -1015,6 +1024,39 @@ public:
         out.elements.push_back(e);
     }
 
+    void dev_switch(const Statement& st, char c0) {
+        // S np nm ncp ncm model [ON|OFF] / W np nm Vctrl model [ON|OFF]
+        // (extension; mirror of _parse_switch — ON/OFF accepted, ignored)
+        const auto& t = st.tokens;
+        size_t need = c0 == 'S' ? 6 : 5;
+        if (t.size() < need) {
+            warn(st.line_no, std::string("invalid ") + c0 + "-switch: "
+                                 + st.raw);
+            return;
+        }
+        const std::string& model_id = t[need - 1];
+        auto it = sw_models.find(model_id);
+        if (it == sw_models.end()) {
+            diag << "Unknown switch model: " << model_id << "\n";
+            return;
+        }
+        const SwModel& m = it->second;
+        ElementRec e = blank(c0 == 'S' ? 13 : 14, t[0]);
+        e.nodes[0] = node(t[1]);
+        e.nodes[1] = node(t[2]);
+        if (c0 == 'S') {
+            e.nodes[2] = node(t[3]);
+            e.nodes[3] = node(t[4]);
+        } else {
+            e.ctrl_off = intern(t[3]);
+        }
+        e.ron = m.ron;
+        e.roff = m.roff;
+        e.s_vt = m.vt;
+        e.s_vh = m.vh;
+        out.elements.push_back(e);
+    }
+
     void dev_mutual(const Statement& st) {
         // K name L1 L2 k (extension): mirror of _parse_mutual
         const auto& t = st.tokens;
@@ -1097,12 +1139,64 @@ public:
         bjt_models[t[1]] = m;
     }
 
+    void card_sw_model(const Statement& st) {
+        // .MODEL id SW|CSW [RON=] [ROFF=] [VT=|IT=] [VH=|IH=]; mirror of
+        // NetlistParser._parse_sw_model_card
+        const auto& t = st.tokens;
+        SwModel m;
+        std::string text;
+        for (size_t i = 2; i < t.size(); ++i) {
+            if (!text.empty()) text += " ";
+            text += t[i];
+        }
+        for (auto& c : text)
+            if (c == '(' || c == ')') c = ' ';
+        std::string norm;
+        for (size_t i = 0; i < text.size(); ++i) {
+            if (text[i] == ' ' &&
+                ((i + 1 < text.size() && text[i + 1] == '=') ||
+                 (!norm.empty() && norm.back() == '='))) continue;
+            norm += text[i];
+        }
+        std::istringstream iss(norm);
+        std::string tok;
+        while (iss >> tok) {
+            std::string low = lower(tok);
+            if (low == "sw" || low == "csw") continue;
+            size_t eq = low.find('=');
+            if (eq == std::string::npos) {
+                warn(st.line_no, "invalid switch model param: '" + tok + "'");
+                continue;
+            }
+            std::string k = low.substr(0, eq);
+            double v;
+            if (!parse_spice(low.substr(eq + 1), &v)) {
+                warn(st.line_no, "cannot parse .MODEL param " + tok);
+                return;
+            }
+            if (k == "ron") m.ron = v;
+            else if (k == "roff") m.roff = v;
+            else if (k == "vt" || k == "it") m.vt = v;
+            else if (k == "vh" || k == "ih") m.vh = std::fabs(v);
+            else warn(st.line_no, "unknown switch model param '" + k + "'");
+        }
+        sw_models[t[1]] = m;
+    }
+
     void card_model(const Statement& st) {
         const auto& t = st.tokens;
         if (t.size() >= 3 &&
             (lower(t[2]) == "npn" || lower(t[2]) == "pnp")) {
             card_bjt_model(st);
             return;
+        }
+        if (t.size() >= 3) {
+            std::string head2 = lower(t[2]);
+            head2 = head2.substr(0, head2.find('('));
+            if (head2 == "sw" || head2 == "csw") {
+                card_sw_model(st);
+                return;
+            }
         }
         if (t.size() < 4) {
             warn(st.line_no, "invalid .MODEL: " + st.raw);
@@ -1961,6 +2055,8 @@ public:
                 case 'F': dev_ctrl(st, 10); break;
                 case 'H': dev_ctrl(st, 11); break;
                 case 'K': dev_mutual(st); break;
+                case 'S': dev_switch(st, 'S'); break;
+                case 'W': dev_switch(st, 'W'); break;
                 default:
                     warn(st.line_no,
                          "unsupported element or syntax: " + st.raw);

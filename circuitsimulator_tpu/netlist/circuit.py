@@ -137,6 +137,17 @@ class MosModel:
 
 
 @dataclasses.dataclass
+class SwModel:
+    """Switch model card (extension): `.MODEL id SW|CSW RON= ROFF= VT=|IT=
+    VH=|IH=`; the reference has no switch devices."""
+    name: str
+    ron: float = 1.0
+    roff: float = 1e12
+    vt: float = 0.0       # threshold (volts for SW, amps for CSW)
+    vh: float = 0.0       # transition half-width (no hysteresis state)
+
+
+@dataclasses.dataclass
 class BjtModel:
     """Ebers-Moll BJT model card (extension: `.MODEL id NPN|PNP IS=.. BF=..
     BR=..`); the reference has no BJT."""
@@ -162,6 +173,8 @@ KIND_G = "G"  # VCCS: G np nm ncp ncm gm
 KIND_F = "F"  # CCCS: F np nm Vctrl gain
 KIND_H = "H"  # CCVS: H np nm Vctrl r          (branch-current unknown)
 KIND_K = "K"  # mutual inductance: K L1 L2 k   (no nodes, no unknowns)
+KIND_S = "S"  # V-controlled switch: S np nm ncp ncm model [ON|OFF]
+KIND_W = "W"  # I-controlled switch: W np nm Vctrl model [ON|OFF]
 
 
 @dataclasses.dataclass
@@ -190,6 +203,11 @@ class ElementRec:
     # mutual inductance (kind K): the two coupled inductors by name,
     # ctrl_name = L1 and ctrl2_name = L2; coupling coefficient in `value`
     ctrl2_name: str = ""
+    # switches (kinds S/W): resolved model parameters
+    ron: float = 1.0
+    roff: float = 1e12
+    s_vt: float = 0.0
+    s_vh: float = 0.0
     branch_eq: int = -1                 # V / L / E / H branch-current eq
 
 
@@ -207,6 +225,7 @@ class Circuit:
         self.elements: List[ElementRec] = []
         self.mos_models: Dict[str, MosModel] = {}
         self.bjt_models: Dict[str, BjtModel] = {}
+        self.sw_models: Dict[str, SwModel] = {}
 
     # --- node table -------------------------------------------------------
     def get_or_create_node(self, name: str) -> int:
@@ -299,6 +318,33 @@ class Circuit:
         ids = [self.get_or_create_node(np_), self.get_or_create_node(nm)]
         self.elements.append(ElementRec(KIND_H, name, ids, value=r,
                                         ctrl_name=ctrl))
+
+    def add_sw_model(self, m: SwModel) -> None:
+        self.sw_models[m.name] = m
+
+    def add_switch(self, name, np_, nm, ncp, ncm, model_id):
+        """S np nm ncp ncm model (extension): V-controlled switch; model
+        resolved at build time like the MOSFET's (circuit.cpp:128-168)."""
+        m = self.sw_models.get(model_id)
+        if m is None:
+            print(f"Unknown switch model: {model_id}", file=sys.stderr)
+            return
+        ids = [self.get_or_create_node(n) for n in (np_, nm, ncp, ncm)]
+        self.elements.append(ElementRec(
+            KIND_S, name, ids, ron=m.ron, roff=m.roff,
+            s_vt=m.vt, s_vh=m.vh))
+
+    def add_wswitch(self, name, np_, nm, ctrl, model_id):
+        """W np nm Vctrl model (extension): switch controlled by the branch
+        current of a V source."""
+        m = self.sw_models.get(model_id)
+        if m is None:
+            print(f"Unknown switch model: {model_id}", file=sys.stderr)
+            return
+        ids = [self.get_or_create_node(np_), self.get_or_create_node(nm)]
+        self.elements.append(ElementRec(
+            KIND_W, name, ids, ctrl_name=ctrl, ron=m.ron, roff=m.roff,
+            s_vt=m.vt, s_vh=m.vh))
 
     def add_mutual(self, name, l1, l2, k):
         """K L1 L2 k (extension): mutual inductance M = k*sqrt(L1*L2)

@@ -325,6 +325,8 @@ class NetlistParser:
             self._parse_controlled(st, c0)
         elif c0 == "K":
             self._parse_mutual(st)
+        elif c0 in ("S", "W"):
+            self._parse_switch(st, c0)
         else:
             _warn(st.line_no, f"unsupported element or syntax: {st.raw}")
 
@@ -562,6 +564,24 @@ class NetlistParser:
             self.ckt.add_cccs(t[0], t[1], t[2], t[3], val)
         else:
             self.ckt.add_ccvs(t[0], t[1], t[2], t[3], val)
+
+    def _parse_switch(self, st: Statement, c0: str) -> None:
+        """S np nm ncp ncm model [ON|OFF] / W np nm Vctrl model [ON|OFF]
+        (extension).  A trailing ON/OFF token is accepted and ignored —
+        this engine's switch is the smooth non-hysteretic variant, whose
+        DC state follows from the controlling quantity alone."""
+        t = st.tokens
+        need = 6 if c0 == "S" else 5
+        toks = list(t)
+        if len(toks) > need and toks[need].lower() in ("on", "off"):
+            pass                      # accepted, ignored
+        if len(toks) < need:
+            _warn(st.line_no, f"invalid {c0}-switch: {st.raw}")
+            return
+        if c0 == "S":
+            self.ckt.add_switch(t[0], t[1], t[2], t[3], t[4], t[5])
+        else:
+            self.ckt.add_wswitch(t[0], t[1], t[2], t[3], t[4])
 
     def _parse_mutual(self, st: Statement) -> None:
         """K name L1 L2 k (extension): mutual inductance, 0 <= k <= 1."""
@@ -1205,6 +1225,9 @@ class NetlistParser:
         if len(t) >= 3 and t[2].lower() in ("npn", "pnp"):
             self._parse_bjt_model_card(st)
             return
+        if len(t) >= 3 and t[2].lower().split("(")[0] in ("sw", "csw"):
+            self._parse_sw_model_card(st)
+            return
         if len(t) < 4:
             _warn(st.line_no, f"invalid .MODEL: {st.raw}")
             return
@@ -1239,6 +1262,41 @@ class NetlistParser:
         else:
             m.is_p = False
         self.ckt.add_mos_model(m)
+
+    def _parse_sw_model_card(self, st: Statement) -> None:
+        """.MODEL id SW|CSW [RON=] [ROFF=] [VT=|IT=] [VH=|IH=]; the
+        parenthesized SW(...) form is accepted too."""
+        import re as _re
+        from .circuit import SwModel
+        m = SwModel(name=st.tokens[1])
+        text = " ".join(st.tokens[2:])
+        text = text.replace("(", " ").replace(")", " ")
+        text = _re.sub(r"\s*=\s*", "=", text)
+        for tok in text.split():
+            low = tok.lower()
+            if low in ("sw", "csw"):
+                continue
+            if "=" not in tok:
+                _warn(st.line_no, f"invalid switch model param: {tok!r}")
+                continue
+            k, v = low.split("=", 1)
+            try:
+                val = parse_spice_number(v)
+            except ValueError as e:
+                _warn(st.line_no,
+                      f"cannot parse .MODEL param {tok}: {e}")
+                return
+            if k == "ron":
+                m.ron = val
+            elif k == "roff":
+                m.roff = val
+            elif k in ("vt", "it"):
+                m.vt = val
+            elif k in ("vh", "ih"):
+                m.vh = abs(val)
+            else:
+                _warn(st.line_no, f"unknown switch model param {k!r}")
+        self.ckt.add_sw_model(m)
 
 
 def parse_netlist(path: str, param_overrides: Optional[dict] = None):

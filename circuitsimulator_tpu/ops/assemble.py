@@ -157,13 +157,25 @@ class Engine:
             [t.bjt_ec, t.bjt_eb, t.bjt_ee] * 3, 1).ravel().astype(np.int32)
         self.bjt_rhs_rows = np.stack(
             [t.bjt_ec, t.bjt_eb, t.bjt_ee], 1).ravel().astype(np.int32)
+        # switches (S/W, extension): 2x2 conductance block + 2x2 control
+        # coupling (models/switch.py)
+        self.sw_rows = np.stack(
+            [t.sw_ep, t.sw_ep, t.sw_em, t.sw_em,
+             t.sw_ep, t.sw_ep, t.sw_em, t.sw_em], 1).ravel().astype(np.int32)
+        self.sw_cols = np.stack(
+            [t.sw_ep, t.sw_em, t.sw_ep, t.sw_em,
+             t.sw_ecp, t.sw_ecm, t.sw_ecp, t.sw_ecm],
+            1).ravel().astype(np.int32)
+        self.sw_rhs_rows = np.stack([t.sw_ep, t.sw_em],
+                                    1).ravel().astype(np.int32)
         self.nl_rows = np.concatenate([self.mos_rows, self.dio_rows,
-                                       self.bjt_rows])
+                                       self.bjt_rows, self.sw_rows])
         self.nl_cols = np.concatenate([self.mos_cols, self.dio_cols,
-                                       self.bjt_cols])
+                                       self.bjt_cols, self.sw_cols])
         self.nl_rhs_rows = np.concatenate([self.mos_rhs_rows,
                                            self.dio_rhs_rows,
-                                           self.bjt_rhs_rows])
+                                           self.bjt_rhs_rows,
+                                           self.sw_rhs_rows])
 
         # ---- RHS patterns ----
         self.is_rhs_rows = np.stack([t.is_ep, t.is_em], 1).ravel().astype(np.int32)
@@ -307,6 +319,14 @@ class Engine:
             g, r = bjt_stamp_vals(params["bjt_is"], params["bjt_bf"],
                                   params["bjt_br"], params["bjt_p"],
                                   vc, vb, ve, vt=params["vt_thermal"])
+            gv.append(g)
+            rv.append(r)
+        if len(t.sw_ep):
+            from ..models.switch import switch_stamp_vals
+            g, r = switch_stamp_vals(
+                params["sw_ron"], params["sw_roff"], params["sw_vt"],
+                params["sw_vh"], xe[..., t.sw_ep], xe[..., t.sw_em],
+                xe[..., t.sw_ecp], xe[..., t.sw_ecm])
             gv.append(g)
             rv.append(r)
         if not gv:
