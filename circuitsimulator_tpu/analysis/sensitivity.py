@@ -86,6 +86,8 @@ def dc_sensitivity(engine: Engine, params, out_eq: int, ref_eq: int = -1,
 _PARAM_LABELS = {
     "res_r": ("R", "R"), "cap_c": ("C", "C"), "ind_l": ("L", "L"),
     "mut_k": ("K", "K"),
+    "jf_vto": ("J", "VTO"), "jf_beta": ("J", "BETA"), "jf_lam": ("J", "LAMBDA"),
+    "sw_ron": ("S", "RON"), "sw_roff": ("S", "ROFF"), "sw_vt": ("S", "VT"),
     "vs_dc": ("V", "DC"), "is_dc": ("I", "DC"),
     "mos_vth": ("M", "VT"), "mos_k": ("M", "K"), "mos_lam": ("M", "LAMBDA"),
     "mos_cj0": ("M", "CJ0"),

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..netlist.circuit import (
     Circuit, KIND_R, KIND_C, KIND_L, KIND_V, KIND_I, KIND_M, KIND_D, KIND_Q,
-    KIND_E, KIND_G, KIND_F, KIND_H, KIND_K, KIND_S, KIND_W,
+    KIND_E, KIND_G, KIND_F, KIND_H, KIND_K, KIND_S, KIND_W, KIND_J,
 )
 from ..utils.numbers import is_ground_name
 
@@ -87,6 +87,10 @@ class Topology:
     sw_em: np.ndarray
     sw_ecp: np.ndarray
     sw_ecm: np.ndarray
+    # JFETs (J, extension): same 3x3 square-law stamp shape as the MOSFET
+    jf_ed: np.ndarray
+    jf_eg: np.ndarray
+    jf_es: np.ndarray
     # output metadata
     volt_col_eqs: np.ndarray      # (n_node_eq,) eq of each V(...) CSV column
     volt_col_names: Tuple[str, ...]
@@ -105,7 +109,7 @@ class Topology:
             D=len(self.dio_ep), Q=len(self.bjt_ec),
             E=len(self.vcvs_ep), G=len(self.vccs_ep),
             F=len(self.cccs_ep), H=len(self.ccvs_ep),
-            K=len(self.mut_a), S=len(self.sw_ep),
+            K=len(self.mut_a), S=len(self.sw_ep), J=len(self.jf_ed),
         )
 
 
@@ -178,6 +182,7 @@ def lower(ckt: Circuit, dtype=jnp.float64) -> LoweredCircuit:
     bjt = [e for e in ckt.elements if e.kind == KIND_Q]
     mut = [e for e in ckt.elements if e.kind == KIND_K]
     sw = [e for e in ckt.elements if e.kind in (KIND_S, KIND_W)]
+    jf = [e for e in ckt.elements if e.kind == KIND_J]
     vcvs = [e for e in ckt.elements if e.kind == KIND_E]
     vccs = [e for e in ckt.elements if e.kind == KIND_G]
     cccs = [e for e in ckt.elements if e.kind == KIND_F]
@@ -233,7 +238,7 @@ def lower(ckt: Circuit, dtype=jnp.float64) -> LoweredCircuit:
         n_node_eq=ckt.num_node_equations(),
         n_nodes=len(ckt.nodes),
         n_elements=len(ckt.elements),
-        has_nonlinear=bool(mos or dio or bjt or sw),
+        has_nonlinear=bool(mos or dio or bjt or sw or jf),
         node_eqs=node_eqs,
         res_e1=_np_i32([eq(e.node_ids[0]) for e in res]),
         res_e2=_np_i32([eq(e.node_ids[1]) for e in res]),
@@ -280,6 +285,9 @@ def lower(ckt: Circuit, dtype=jnp.float64) -> LoweredCircuit:
                         else ctrl_branch(e) for e in sw]),
         sw_ecm=_np_i32([eq(e.node_ids[3]) if e.kind == KIND_S
                         else dump for e in sw]),
+        jf_ed=_np_i32([eq(e.node_ids[0]) for e in jf]),
+        jf_eg=_np_i32([eq(e.node_ids[1]) for e in jf]),
+        jf_es=_np_i32([eq(e.node_ids[2]) for e in jf]),
         volt_col_eqs=_np_i32([c[1] for c in volt_cols]),
         volt_col_names=tuple(c[0] for c in volt_cols),
         branch_col_eqs=_np_i32([c[1] for c in branch_cols]),
@@ -307,6 +315,10 @@ def lower(ckt: Circuit, dtype=jnp.float64) -> LoweredCircuit:
         "bjt_bf": jnp.asarray([e.bf for e in bjt], dtype),
         "bjt_br": jnp.asarray([e.br for e in bjt], dtype),
         "mut_k": jnp.asarray([m[2] for m in mut_ok], dtype),
+        "jf_vto": jnp.asarray([e.vth for e in jf], dtype),
+        "jf_beta": jnp.asarray([e.k for e in jf], dtype),
+        "jf_lam": jnp.asarray([e.lam for e in jf], dtype),
+        "jf_p": jnp.asarray([-1.0 if e.is_p else 1.0 for e in jf], dtype),
         "sw_ron": jnp.asarray([e.ron for e in sw], dtype),
         "sw_roff": jnp.asarray([e.roff for e in sw], dtype),
         "sw_vt": jnp.asarray([e.s_vt for e in sw], dtype),

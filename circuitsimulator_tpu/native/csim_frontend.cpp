@@ -475,6 +475,11 @@ struct SwModel {    // switch model card (extension)
     double ron = 1.0, roff = 1e12, vt = 0.0, vh = 0.0;
 };
 
+struct JfetModel {  // JFET model card (extension)
+    bool is_p = false;
+    double vto = -2.0, beta = 1e-4, lambda_ = 0.0;
+};
+
 struct Statement {
     int line_no;
     std::string raw;
@@ -506,7 +511,7 @@ public:
 
     static void node_range(char c0, size_t* lo, size_t* hi) {
         switch (c0) {
-            case 'M': case 'Q': *lo = 1; *hi = 4; break;
+            case 'M': case 'Q': case 'J': *lo = 1; *hi = 4; break;
             case 'E': case 'G': case 'S': *lo = 1; *hi = 5; break;
             case 'R': case 'C': case 'L': case 'V': case 'I':
             case 'D': case 'F': case 'H': case 'W': *lo = 1; *hi = 3; break;
@@ -662,6 +667,7 @@ public:
     std::unordered_map<std::string, MosModel> models;
     std::unordered_map<std::string, BjtModel> bjt_models;
     std::unordered_map<std::string, SwModel> sw_models;
+    std::unordered_map<std::string, JfetModel> jfet_models;
     std::ostringstream diag;
 
     int32_t intern(const std::string& s) {
@@ -1024,6 +1030,31 @@ public:
         out.elements.push_back(e);
     }
 
+    void dev_jfet(const Statement& st) {
+        // J nd ng ns model (extension; mirror of add_jfet: signed VTO in
+        // vth, BETA in k, LAMBDA in lam)
+        const auto& t = st.tokens;
+        if (t.size() < 5) {
+            warn(st.line_no, "invalid JFET: " + st.raw);
+            return;
+        }
+        auto it = jfet_models.find(t[4]);
+        if (it == jfet_models.end()) {
+            diag << "Unknown JFET model: " << t[4] << "\n";
+            return;
+        }
+        const JfetModel& m = it->second;
+        ElementRec e = blank(15, t[0]);
+        e.nodes[0] = node(t[1]);
+        e.nodes[1] = node(t[2]);
+        e.nodes[2] = node(t[3]);
+        e.is_p = m.is_p ? 1 : 0;
+        e.vth = m.vto;
+        e.k = m.beta;
+        e.lam = m.lambda_;
+        out.elements.push_back(e);
+    }
+
     void dev_switch(const Statement& st, char c0) {
         // S np nm ncp ncm model [ON|OFF] / W np nm Vctrl model [ON|OFF]
         // (extension; mirror of _parse_switch — ON/OFF accepted, ignored)
@@ -1139,6 +1170,50 @@ public:
         bjt_models[t[1]] = m;
     }
 
+    void card_jfet_model(const Statement& st) {
+        // .MODEL id NJF|PJF [VTO=] [BETA=] [LAMBDA=] (extension)
+        const auto& t = st.tokens;
+        JfetModel m;
+        std::string h2 = lower(t[2]);
+        m.is_p = h2.substr(0, h2.find('(')) == "pjf";
+        std::string text;
+        for (size_t i = 2; i < t.size(); ++i) {
+            if (!text.empty()) text += " ";
+            text += t[i];
+        }
+        for (auto& c : text)
+            if (c == '(' || c == ')') c = ' ';
+        std::string norm;
+        for (size_t i = 0; i < text.size(); ++i) {
+            if (text[i] == ' ' &&
+                ((i + 1 < text.size() && text[i + 1] == '=') ||
+                 (!norm.empty() && norm.back() == '='))) continue;
+            norm += text[i];
+        }
+        std::istringstream iss(norm);
+        std::string tok;
+        while (iss >> tok) {
+            std::string lowtok = lower(tok);
+            if (lowtok == "njf" || lowtok == "pjf") continue;
+            size_t eq = tok.find('=');
+            if (eq == std::string::npos) {
+                warn(st.line_no, "invalid JFET model param: '" + tok + "'");
+                continue;
+            }
+            std::string k = lower(tok.substr(0, eq));
+            double v;
+            if (!parse_spice(tok.substr(eq + 1), &v)) {
+                warn(st.line_no, "cannot parse .MODEL param " + tok);
+                return;
+            }
+            if (k == "vto") m.vto = v;
+            else if (k == "beta") m.beta = v;
+            else if (k == "lambda") m.lambda_ = v;
+            else warn(st.line_no, "unknown JFET model param '" + k + "'");
+        }
+        jfet_models[t[1]] = m;
+    }
+
     void card_sw_model(const Statement& st) {
         // .MODEL id SW|CSW [RON=] [ROFF=] [VT=|IT=] [VH=|IH=]; mirror of
         // NetlistParser._parse_sw_model_card
@@ -1195,6 +1270,10 @@ public:
             head2 = head2.substr(0, head2.find('('));
             if (head2 == "sw" || head2 == "csw") {
                 card_sw_model(st);
+                return;
+            }
+            if (head2 == "njf" || head2 == "pjf") {
+                card_jfet_model(st);
                 return;
             }
         }
@@ -2057,6 +2136,7 @@ public:
                 case 'K': dev_mutual(st); break;
                 case 'S': dev_switch(st, 'S'); break;
                 case 'W': dev_switch(st, 'W'); break;
+                case 'J': dev_jfet(st); break;
                 default:
                     warn(st.line_no,
                          "unsupported element or syntax: " + st.raw);

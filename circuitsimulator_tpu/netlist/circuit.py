@@ -137,6 +137,19 @@ class MosModel:
 
 
 @dataclasses.dataclass
+class JfetModel:
+    """JFET model card (extension): `.MODEL id NJF|PJF VTO= BETA= LAMBDA=`.
+    Shichman-Hodges: the square law is the MOSFET level-1 equation with
+    K = 2*BETA and a (typically negative) signed VTO — the engine reuses
+    the vectorized MOS linearization (models/mosfet.py) directly."""
+    name: str
+    is_p: bool = False
+    vto: float = -2.0
+    beta: float = 1e-4
+    lam: float = 0.0
+
+
+@dataclasses.dataclass
 class SwModel:
     """Switch model card (extension): `.MODEL id SW|CSW RON= ROFF= VT=|IT=
     VH=|IH=`; the reference has no switch devices."""
@@ -175,6 +188,7 @@ KIND_H = "H"  # CCVS: H np nm Vctrl r          (branch-current unknown)
 KIND_K = "K"  # mutual inductance: K L1 L2 k   (no nodes, no unknowns)
 KIND_S = "S"  # V-controlled switch: S np nm ncp ncm model [ON|OFF]
 KIND_W = "W"  # I-controlled switch: W np nm Vctrl model [ON|OFF]
+KIND_J = "J"  # JFET: J nd ng ns model (Shichman-Hodges square law)
 
 
 @dataclasses.dataclass
@@ -226,6 +240,7 @@ class Circuit:
         self.mos_models: Dict[str, MosModel] = {}
         self.bjt_models: Dict[str, BjtModel] = {}
         self.sw_models: Dict[str, SwModel] = {}
+        self.jfet_models: Dict[str, JfetModel] = {}
 
     # --- node table -------------------------------------------------------
     def get_or_create_node(self, name: str) -> int:
@@ -318,6 +333,20 @@ class Circuit:
         ids = [self.get_or_create_node(np_), self.get_or_create_node(nm)]
         self.elements.append(ElementRec(KIND_H, name, ids, value=r,
                                         ctrl_name=ctrl))
+
+    def add_jfet_model(self, m: JfetModel) -> None:
+        self.jfet_models[m.name] = m
+
+    def add_jfet(self, name, nd, ng, ns, model_id):
+        """J nd ng ns model (extension): signed VTO kept in `vth`,
+        BETA in `k`, LAMBDA in `lam` (MOS field reuse)."""
+        m = self.jfet_models.get(model_id)
+        if m is None:
+            print(f"Unknown JFET model: {model_id}", file=sys.stderr)
+            return
+        ids = [self.get_or_create_node(n) for n in (nd, ng, ns)]
+        self.elements.append(ElementRec(
+            KIND_J, name, ids, is_p=m.is_p, vth=m.vto, k=m.beta, lam=m.lam))
 
     def add_sw_model(self, m: SwModel) -> None:
         self.sw_models[m.name] = m

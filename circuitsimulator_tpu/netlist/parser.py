@@ -327,6 +327,12 @@ class NetlistParser:
             self._parse_mutual(st)
         elif c0 in ("S", "W"):
             self._parse_switch(st, c0)
+        elif c0 == "J":
+            if len(st.tokens) < 5:
+                _warn(st.line_no, f"invalid JFET: {st.raw}")
+            else:
+                self.ckt.add_jfet(st.tokens[0], st.tokens[1], st.tokens[2],
+                                  st.tokens[3], st.tokens[4])
         else:
             _warn(st.line_no, f"unsupported element or syntax: {st.raw}")
 
@@ -1228,6 +1234,9 @@ class NetlistParser:
         if len(t) >= 3 and t[2].lower().split("(")[0] in ("sw", "csw"):
             self._parse_sw_model_card(st)
             return
+        if len(t) >= 3 and t[2].lower().split("(")[0] in ("njf", "pjf"):
+            self._parse_jfet_model_card(st)
+            return
         if len(t) < 4:
             _warn(st.line_no, f"invalid .MODEL: {st.raw}")
             return
@@ -1262,6 +1271,36 @@ class NetlistParser:
         else:
             m.is_p = False
         self.ckt.add_mos_model(m)
+
+    def _parse_jfet_model_card(self, st: Statement) -> None:
+        """.MODEL id NJF|PJF [VTO=] [BETA=] [LAMBDA=] (extension)."""
+        import re as _re
+        from .circuit import JfetModel
+        m = JfetModel(name=st.tokens[1],
+                      is_p=st.tokens[2].lower().split("(")[0] == "pjf")
+        text = " ".join(st.tokens[2:]).replace("(", " ").replace(")", " ")
+        text = _re.sub(r"\s*=\s*", "=", text)
+        for tok in text.split():
+            if tok.lower() in ("njf", "pjf"):
+                continue
+            if "=" not in tok:
+                _warn(st.line_no, f"invalid JFET model param: {tok!r}")
+                continue
+            k, v = tok.lower().split("=", 1)
+            try:
+                val = parse_spice_number(v)
+            except ValueError as e:
+                _warn(st.line_no, f"cannot parse .MODEL param {tok}: {e}")
+                return
+            if k == "vto":
+                m.vto = val
+            elif k == "beta":
+                m.beta = val
+            elif k == "lambda":
+                m.lam = val
+            else:
+                _warn(st.line_no, f"unknown JFET model param {k!r}")
+        self.ckt.add_jfet_model(m)
 
     def _parse_sw_model_card(self, st: Statement) -> None:
         """.MODEL id SW|CSW [RON=] [ROFF=] [VT=|IT=] [VH=|IH=]; the

@@ -157,6 +157,15 @@ class Engine:
             [t.bjt_ec, t.bjt_eb, t.bjt_ee] * 3, 1).ravel().astype(np.int32)
         self.bjt_rhs_rows = np.stack(
             [t.bjt_ec, t.bjt_eb, t.bjt_ee], 1).ravel().astype(np.int32)
+        # JFETs (extension): same 3x3 block shape as the MOSFET stamp
+        self.jf_rows = np.stack(
+            [t.jf_ed, t.jf_ed, t.jf_ed, t.jf_es, t.jf_es, t.jf_es],
+            1).ravel().astype(np.int32)
+        self.jf_cols = np.stack(
+            [t.jf_ed, t.jf_eg, t.jf_es, t.jf_ed, t.jf_eg, t.jf_es],
+            1).ravel().astype(np.int32)
+        self.jf_rhs_rows = np.stack([t.jf_ed, t.jf_es],
+                                    1).ravel().astype(np.int32)
         # switches (S/W, extension): 2x2 conductance block + 2x2 control
         # coupling (models/switch.py)
         self.sw_rows = np.stack(
@@ -168,11 +177,14 @@ class Engine:
             1).ravel().astype(np.int32)
         self.sw_rhs_rows = np.stack([t.sw_ep, t.sw_em],
                                     1).ravel().astype(np.int32)
-        self.nl_rows = np.concatenate([self.mos_rows, self.dio_rows,
-                                       self.bjt_rows, self.sw_rows])
-        self.nl_cols = np.concatenate([self.mos_cols, self.dio_cols,
-                                       self.bjt_cols, self.sw_cols])
+        self.nl_rows = np.concatenate([self.mos_rows, self.jf_rows,
+                                       self.dio_rows, self.bjt_rows,
+                                       self.sw_rows])
+        self.nl_cols = np.concatenate([self.mos_cols, self.jf_cols,
+                                       self.dio_cols, self.bjt_cols,
+                                       self.sw_cols])
         self.nl_rhs_rows = np.concatenate([self.mos_rhs_rows,
+                                           self.jf_rhs_rows,
                                            self.dio_rhs_rows,
                                            self.bjt_rhs_rows,
                                            self.sw_rhs_rows])
@@ -301,6 +313,16 @@ class Engine:
             g, r = mos_stamp_vals(params["mos_vth"], params["mos_k"],
                                   params["mos_lam"], params["mos_p"],
                                   vd, vg, vs, self.opts.mos_off_gds,
+                                  self.opts.mos_reverse_region)
+            gv.append(g)
+            rv.append(r)
+        if len(t.jf_ed):
+            # Shichman-Hodges == square law with K = 2*BETA, signed VTO
+            g, r = mos_stamp_vals(params["jf_vto"],
+                                  2.0 * params["jf_beta"],
+                                  params["jf_lam"], params["jf_p"],
+                                  xe[..., t.jf_ed], xe[..., t.jf_eg],
+                                  xe[..., t.jf_es], self.opts.mos_off_gds,
                                   self.opts.mos_reverse_region)
             gv.append(g)
             rv.append(r)

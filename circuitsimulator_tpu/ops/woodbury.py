@@ -50,23 +50,26 @@ class WoodburyPlan:
         self.engine = engine
         self.N = engine.N
         nM, nD, nQ = len(t.mos_ed), len(t.dio_ep), len(t.bjt_ec)
-        self.nM, self.nD, self.nQ = nM, nD, nQ
-        # rank: 1 per MOS/diode, 2 per BJT (Ic and Ib row patterns)
-        self.k = nM + nD + 2 * nQ
+        nJ = len(t.jf_ed)
+        self.nM, self.nD, self.nQ, self.nJ = nM, nD, nQ, nJ
+        # rank: 1 per MOS/JFET/diode, 2 per BJT (Ic and Ib row patterns)
+        self.k = nM + nJ + nD + 2 * nQ
         # U column j = e_pos[j] - e_neg[j] (dump-mapped entries vanish);
         # BJT contributes (e_C - e_E) then (e_B - e_E), interleaved per device
         bjt_pos = np.stack([t.bjt_ec, t.bjt_eb], 1).ravel() if nQ \
             else np.zeros((0,), np.int32)
         bjt_neg = np.stack([t.bjt_ee, t.bjt_ee], 1).ravel() if nQ \
             else np.zeros((0,), np.int32)
-        self.u_pos = np.concatenate([t.mos_ed, t.dio_ep,
+        self.u_pos = np.concatenate([t.mos_ed, t.jf_ed, t.dio_ep,
                                      bjt_pos]).astype(np.int32)
-        self.u_neg = np.concatenate([t.mos_es, t.dio_em,
+        self.u_neg = np.concatenate([t.mos_es, t.jf_es, t.dio_em,
                                      bjt_neg]).astype(np.int32)
         # V^T row j has entries at these columns (width-3 layout; diodes pad
         # the third slot with the dump index)
         self.mos_cols = np.stack([t.mos_ed, t.mos_eg, t.mos_es], 1) \
             if nM else np.zeros((0, 3), np.int32)
+        self.jf_cols = np.stack([t.jf_ed, t.jf_eg, t.jf_es], 1) \
+            if nJ else np.zeros((0, 3), np.int32)
         self.dio_cols = np.concatenate(
             [np.stack([t.dio_ep, t.dio_em], 1),
              np.full((nD, 1), self.N, np.int32)], axis=1) \
@@ -84,7 +87,7 @@ class WoodburyPlan:
 
     def col_idx(self) -> np.ndarray:
         """(k, 3) column indices for the V^T coefficient rows."""
-        return np.concatenate([self.mos_cols, self.dio_cols,
+        return np.concatenate([self.mos_cols, self.jf_cols, self.dio_cols,
                                self.bjt_cols], axis=0).astype(np.int32)
 
 
@@ -125,12 +128,16 @@ class WoodburySolver:
 
         mos_terms = np.stack([t.mos_ed, t.mos_eg, t.mos_es], 1).ravel() \
             if nM else np.zeros((0,), np.int32)
+        nJ = self.plan.nJ
+        jf_terms = np.stack([t.jf_ed, t.jf_eg, t.jf_es], 1).ravel() \
+            if nJ else np.zeros((0,), np.int32)
         dio_terms = np.stack([t.dio_ep, t.dio_em], 1).ravel() \
             if nD else np.zeros((0,), np.int32)
         nQ = self.plan.nQ
         bjt_terms = np.stack([t.bjt_ec, t.bjt_eb, t.bjt_ee], 1).ravel() \
             if nQ else np.zeros((0,), np.int32)
         self.M_mos = onehot(mos_terms)                # (N, 3nM)
+        self.M_jf = onehot(jf_terms)                  # (N, 3nJ)
         self.M_dio = onehot(dio_terms)                # (N, 2nD)
         self.M_bjt = onehot(bjt_terms)                # (N, 3nQ)
         self.M_cols = onehot(cols.ravel())            # (N, 3k)
@@ -152,6 +159,17 @@ class WoodburySolver:
             gd, gg, gs, cst = _mos(
                 params["mos_vth"], params["mos_k"], params["mos_lam"],
                 params["mos_p"], vm[..., 0], vm[..., 1], vm[..., 2],
+                self.engine.opts.mos_off_gds,
+                self.engine.opts.mos_reverse_region)
+            parts_v.append(jnp.stack([gd, gg, gs], axis=-1))
+            parts_c.append(cst)
+        if plan.nJ:
+            vj = jnp.einsum("...n,nj->...j", x, self.M_jf)
+            vj = vj.reshape(*vj.shape[:-1], plan.nJ, 3)
+            gd, gg, gs, cst = _mos(
+                params["jf_vto"], 2.0 * params["jf_beta"],
+                params["jf_lam"], params["jf_p"],
+                vj[..., 0], vj[..., 1], vj[..., 2],
                 self.engine.opts.mos_off_gds,
                 self.engine.opts.mos_reverse_region)
             parts_v.append(jnp.stack([gd, gg, gs], axis=-1))
