@@ -88,6 +88,37 @@ def ac_system_real(engine: Engine, params, x_op, omega):
         M = engine._mutual_M(params)
         B = B.at[engine.mut_rows, engine.mut_cols].add(
             -omega * jnp.concatenate([M, M], axis=-1))
+    if engine.n_tl:
+        # exact frequency-domain line (no discretization): the Branin
+        # branch rows with the delay as a phase factor e^{-j w TD}:
+        #   k1: V(p1)-V(n1) - Z0 I1 - e^{-jwTD} (V(p2)-V(n2) + Z0 I2) = 0
+        # real split: -e^{-jth} = -cos(th) + j sin(th)
+        z0v = params["tl_z0"]
+        th = omega * params["tl_td"]
+        cth, sth = jnp.cos(th), jnp.sin(th)
+        G = G.at[engine.tl_kcl_rows, engine.tl_kcl_cols].add(
+            engine.tl_kcl_vals)
+        one = jnp.ones_like(z0v)
+        # own-port part (constant, real): +1, -1, -Z0
+        own_rows = np.stack([t.tl_k1, t.tl_k1, t.tl_k1,
+                             t.tl_k2, t.tl_k2, t.tl_k2], 1).ravel()
+        own_cols = np.stack([t.tl_ep1, t.tl_em1, t.tl_k1,
+                             t.tl_ep2, t.tl_em2, t.tl_k2], 1).ravel()
+        own_vals = jnp.stack([one, -one, -z0v, one, -one, -z0v],
+                             axis=-1).reshape(-1)
+        G = G.at[own_rows, own_cols].add(own_vals)
+        # delayed other-port part: coefficient -e^{-jth} on V(other) and
+        # -Z0 e^{-jth} on I(other)
+        oth_rows = np.stack([t.tl_k1, t.tl_k1, t.tl_k1,
+                             t.tl_k2, t.tl_k2, t.tl_k2], 1).ravel()
+        oth_cols = np.stack([t.tl_ep2, t.tl_em2, t.tl_k2,
+                             t.tl_ep1, t.tl_em1, t.tl_k1], 1).ravel()
+        g_oth = jnp.stack([-cth, cth, -z0v * cth,
+                           -cth, cth, -z0v * cth], axis=-1).reshape(-1)
+        b_oth = jnp.stack([sth, -sth, z0v * sth,
+                           sth, -sth, z0v * sth], axis=-1).reshape(-1)
+        G = G.at[oth_rows, oth_cols].add(g_oth)
+        B = B.at[oth_rows, oth_cols].add(b_oth)
 
     deg = jnp.pi / 180.0
     vph = params["vs_ac_phase"] * deg

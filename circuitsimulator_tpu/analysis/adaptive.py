@@ -104,6 +104,12 @@ def run_transient_adaptive(engine: Engine, params, tstep, tstop,
     grow_thr = 0.25 if method == "be" else 0.1
     n_out = n_steps_for(tstep_f, float(tstop))
 
+    if engine.n_tl:
+        raise NotImplementedError(
+            "adaptive timestepping with transmission lines is not "
+            "supported: the delay ring length is dt-dependent and the "
+            "dyadic levels use different dts; run the fixed-step "
+            "transient")
     solver = opts.tran_solver
     use_woodbury = solver == "woodbury"
     use_tridiag = solver == "tridiag"

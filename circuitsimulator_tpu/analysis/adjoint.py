@@ -165,6 +165,12 @@ def diff_transient(engine: Engine, params, tstep, tstop):
         ts = jnp.arange(1, n_steps + 1, dtype=dtype) * dt
     update_state = engine.make_update_state(dt, method)
 
+    if engine.n_tl:
+        raise NotImplementedError(
+            "reverse-mode transient adjoint does not support "
+            "transmission lines yet (delay state is excluded from the "
+            "implicit-differentiation carry); use forward-mode "
+            "transient_sensitivity")
     x0 = dc_solve(params)
     state0 = engine.init_state(x0)
 

@@ -89,6 +89,11 @@ def harmonic_balance(engine: Engine, params, f0: float,
                      gmin: float = 0.0,
                      damping: float = 1.0):
     """Solve the periodic steady state in the frequency domain."""
+    if engine.n_tl:
+        raise NotImplementedError(
+            "frequency-domain HB does not support transmission lines "
+            "(the delay is not expressible in the reactive structure "
+            "matrix); use the time-domain shooting method")
     opts = engine.opts
     dtype = engine.dtype
     N = engine.N
@@ -153,7 +158,7 @@ def harmonic_balance(engine: Engine, params, f0: float,
     dt_w = jnp.asarray(T / steps_per_period, dtype)
     step = transient_step_fn(engine, params, dt_w)
     x0 = dc_operating_point(engine, params)
-    state = engine.init_state(x0)
+    state = engine.init_state(x0, params, dt_w)
     carry = (x0, state, jnp.zeros(x0.shape[:-1], bool))
     tw = (jnp.arange(1, warmup_periods * steps_per_period + 1, dtype=dtype)
           * dt_w)

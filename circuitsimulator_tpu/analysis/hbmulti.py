@@ -142,6 +142,10 @@ def harmonic_balance_multi(engine: Engine, params,
         T += M
     T = jnp.asarray(T, dtype)
 
+    if engine.n_tl:
+        raise NotImplementedError(
+            "multi-tone HB does not support transmission lines; "
+            "use the time-domain shooting method")
     C_struct = _reactive_structure(engine, params)
 
     # ---- tone-separated sources ----

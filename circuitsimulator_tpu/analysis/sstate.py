@@ -54,8 +54,10 @@ class SteadyStateResult:
 _STATE_KEYS = ("vc", "ic", "il", "vl")
 
 
-def _split(engine: Engine, s):
-    """Flat shooting vector -> (x, TranState dict)."""
+def _split(engine: Engine, s, dmax: int = 0):
+    """Flat shooting vector -> (x, TranState dict).  With transmission
+    lines the delay-ring contents (dmax, 2*nT) are legitimate shooting
+    unknowns too (a periodic line carries a periodic wave pattern)."""
     N = engine.N
     nc = engine.n_caplike
     nL = len(engine.topo.ind_k)
@@ -66,11 +68,19 @@ def _split(engine: Engine, s):
     for k in _STATE_KEYS:
         state[k] = s[..., off:off + sizes[k]]
         off += sizes[k]
+    if engine.n_tl:
+        n2 = 2 * engine.n_tl
+        state["tlw"] = s[..., off:off + dmax * n2].reshape(
+            *s.shape[:-1], dmax, n2)
     return x, state
 
 
 def _join(x, state):
-    return jnp.concatenate([x] + [state[k] for k in _STATE_KEYS], axis=-1)
+    parts = [x] + [state[k] for k in _STATE_KEYS]
+    if "tlw" in state:
+        ring = state["tlw"]
+        parts.append(ring.reshape(*ring.shape[:-2], -1))
+    return jnp.concatenate(parts, axis=-1)
 
 
 def steady_state(engine: Engine, params, f0: float,
@@ -87,9 +97,10 @@ def steady_state(engine: Engine, params, f0: float,
     dt = jnp.asarray(T / K, dtype)
     step = transient_step_fn(engine, params, dt)
     ts = jnp.arange(1, K + 1, dtype=dtype) * dt
+    dmax = int(engine.tl_ticks(dt).max()) if engine.n_tl else 0
 
     def propagate(s):
-        x, state = _split(engine, s)
+        x, state = _split(engine, s, dmax)
         failed = jnp.zeros(x.shape[:-1], dtype=bool)
 
         def body(c, t):
@@ -100,7 +111,7 @@ def steady_state(engine: Engine, params, f0: float,
         return _join(x, state)
 
     def propagate_save(s):
-        x, state = _split(engine, s)
+        x, state = _split(engine, s, dmax)
         failed = jnp.zeros(x.shape[:-1], dtype=bool)
 
         def body(c, t):
@@ -112,7 +123,7 @@ def steady_state(engine: Engine, params, f0: float,
 
     # ---- initial state: DC + warm-up periods ----
     x0 = dc_operating_point(engine, params)
-    s = _join(x0, engine.init_state(x0))
+    s = _join(x0, engine.init_state(x0, params, dt))
     prop_jit = jax.jit(propagate)
     for _ in range(warmup_periods):
         s = prop_jit(s)
@@ -147,7 +158,7 @@ def steady_state(engine: Engine, params, f0: float,
     # final verification + one saved period
     s_out, xs = jax.jit(propagate_save)(s)
     final_res = jnp.linalg.norm(s_out - s)
-    x_first, _ = _split(engine, s)
+    x_first, _ = _split(engine, s, dmax)
     xs_all = jnp.concatenate([x_first[None], xs], axis=0)
     times = jnp.concatenate([jnp.zeros((1,), dtype), ts])
 

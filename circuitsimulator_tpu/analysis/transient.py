@@ -181,12 +181,15 @@ def run_transient(engine: Engine, params, tstep, tstop,
                   x0: Optional[Any] = None, save_xs: bool = True):
     """Full transient run.  x0 defaults to the DC operating point."""
     dtype = engine.dtype
-    dt = jnp.asarray(tstep, dtype)
+    # concrete even while tracing under jit: tstep is a bound static and
+    # the transmission-line ring length must be a compile-time constant
+    with jax.ensure_compile_time_eval():
+        dt = jnp.asarray(tstep, dtype)
     n_steps = n_steps_for(float(tstep), float(tstop))
 
     if x0 is None:
         x0 = dc_operating_point(engine, params)
-    state0 = engine.init_state(x0)
+    state0 = engine.init_state(x0, params, dt)
     failed0 = jnp.zeros(x0.shape[:-1], dtype=bool)
     predictor = engine.opts.tran_predictor
     carry0 = (x0, x0, state0, failed0) if predictor else (x0, state0, failed0)

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..netlist.circuit import (
     Circuit, KIND_R, KIND_C, KIND_L, KIND_V, KIND_I, KIND_M, KIND_D, KIND_Q,
-    KIND_E, KIND_G, KIND_F, KIND_H, KIND_K, KIND_S, KIND_W, KIND_J,
+    KIND_E, KIND_G, KIND_F, KIND_H, KIND_K, KIND_S, KIND_W, KIND_J, KIND_T,
 )
 from ..utils.numbers import is_ground_name
 
@@ -91,6 +91,16 @@ class Topology:
     jf_ed: np.ndarray
     jf_eg: np.ndarray
     jf_es: np.ndarray
+    # transmission lines (T, extension): two branch unknowns per line
+    tl_ep1: np.ndarray
+    tl_em1: np.ndarray
+    tl_ep2: np.ndarray
+    tl_em2: np.ndarray
+    tl_k1: np.ndarray
+    tl_k2: np.ndarray
+    # static copies of the line delays: the transient ring-buffer length is
+    # a compile-time constant (params["tl_td"] stays batchable for AC)
+    tl_td_s: Tuple[float, ...]
     # output metadata
     volt_col_eqs: np.ndarray      # (n_node_eq,) eq of each V(...) CSV column
     volt_col_names: Tuple[str, ...]
@@ -110,6 +120,7 @@ class Topology:
             E=len(self.vcvs_ep), G=len(self.vccs_ep),
             F=len(self.cccs_ep), H=len(self.ccvs_ep),
             K=len(self.mut_a), S=len(self.sw_ep), J=len(self.jf_ed),
+            T=len(self.tl_k1),
         )
 
 
@@ -183,6 +194,7 @@ def lower(ckt: Circuit, dtype=jnp.float64) -> LoweredCircuit:
     mut = [e for e in ckt.elements if e.kind == KIND_K]
     sw = [e for e in ckt.elements if e.kind in (KIND_S, KIND_W)]
     jf = [e for e in ckt.elements if e.kind == KIND_J]
+    tl = [e for e in ckt.elements if e.kind == KIND_T]
     vcvs = [e for e in ckt.elements if e.kind == KIND_E]
     vccs = [e for e in ckt.elements if e.kind == KIND_G]
     cccs = [e for e in ckt.elements if e.kind == KIND_F]
@@ -224,14 +236,26 @@ def lower(ckt: Circuit, dtype=jnp.float64) -> LoweredCircuit:
     node_eqs = _np_i32([n.eq_index for n in ckt.nodes if n.eq_index >= 0])
 
     volt_cols = [(n.name, n.eq_index) for n in ckt.nodes if n.eq_index >= 0]
-    branch_cols = [(e.name, e.branch_eq) for e in ckt.elements
-                   if e.kind in (KIND_V, KIND_L, KIND_E, KIND_H)]
+    branch_cols = []
+    branch_table = []
+    for e in ckt.elements:
+        if e.kind in (KIND_V, KIND_L, KIND_E, KIND_H):
+            branch_cols.append((e.name, e.branch_eq))
+            branch_table.append(
+                (e.kind, e.name, ckt.nodes[e.node_ids[0]].name,
+                 ckt.nodes[e.node_ids[1]].name, e.branch_eq))
+        elif e.kind == KIND_T:
+            # one branch-current column per port
+            branch_cols.append((f"{e.name}.1", e.branch_eq))
+            branch_cols.append((f"{e.name}.2", e.branch_eq2))
+            branch_table.append(
+                (e.kind, f"{e.name}.1", ckt.nodes[e.node_ids[0]].name,
+                 ckt.nodes[e.node_ids[1]].name, e.branch_eq))
+            branch_table.append(
+                (e.kind, f"{e.name}.2", ckt.nodes[e.node_ids[2]].name,
+                 ckt.nodes[e.node_ids[3]].name, e.branch_eq2))
     node_table = tuple((n.name, n.eq_index) for n in ckt.nodes)
-    branch_table = tuple(
-        (e.kind, e.name, ckt.nodes[e.node_ids[0]].name,
-         ckt.nodes[e.node_ids[1]].name, e.branch_eq)
-        for e in ckt.elements
-        if e.kind in (KIND_V, KIND_L, KIND_E, KIND_H))
+    branch_table = tuple(branch_table)
 
     topo = Topology(
         n_unknowns=N,
@@ -288,6 +312,13 @@ def lower(ckt: Circuit, dtype=jnp.float64) -> LoweredCircuit:
         jf_ed=_np_i32([eq(e.node_ids[0]) for e in jf]),
         jf_eg=_np_i32([eq(e.node_ids[1]) for e in jf]),
         jf_es=_np_i32([eq(e.node_ids[2]) for e in jf]),
+        tl_ep1=_np_i32([eq(e.node_ids[0]) for e in tl]),
+        tl_em1=_np_i32([eq(e.node_ids[1]) for e in tl]),
+        tl_ep2=_np_i32([eq(e.node_ids[2]) for e in tl]),
+        tl_em2=_np_i32([eq(e.node_ids[3]) for e in tl]),
+        tl_k1=_np_i32([e.branch_eq for e in tl]),
+        tl_k2=_np_i32([e.branch_eq2 for e in tl]),
+        tl_td_s=tuple(float(e.td) for e in tl),
         volt_col_eqs=_np_i32([c[1] for c in volt_cols]),
         volt_col_names=tuple(c[0] for c in volt_cols),
         branch_col_eqs=_np_i32([c[1] for c in branch_cols]),
@@ -315,6 +346,8 @@ def lower(ckt: Circuit, dtype=jnp.float64) -> LoweredCircuit:
         "bjt_bf": jnp.asarray([e.bf for e in bjt], dtype),
         "bjt_br": jnp.asarray([e.br for e in bjt], dtype),
         "mut_k": jnp.asarray([m[2] for m in mut_ok], dtype),
+        "tl_z0": jnp.asarray([e.z0 for e in tl], dtype),
+        "tl_td": jnp.asarray([e.td for e in tl], dtype),
         "jf_vto": jnp.asarray([e.vth for e in jf], dtype),
         "jf_beta": jnp.asarray([e.k for e in jf], dtype),
         "jf_lam": jnp.asarray([e.lam for e in jf], dtype),

@@ -350,6 +350,9 @@ struct ElementRec {
     int32_t ctrl2_off;  // K element (kind 12): second coupled inductor
     // switches (kinds 13=S, 14=W): resolved model parameters
     double ron, roff, s_vt, s_vh;
+    // transmission line (kind 16=T): impedance/delay + 2nd branch unknown
+    double z0, td;
+    int32_t branch_eq2;
 };
 
 struct NodeRec {
@@ -512,7 +515,7 @@ public:
     static void node_range(char c0, size_t* lo, size_t* hi) {
         switch (c0) {
             case 'M': case 'Q': case 'J': *lo = 1; *hi = 4; break;
-            case 'E': case 'G': case 'S': *lo = 1; *hi = 5; break;
+            case 'E': case 'G': case 'S': case 'T': *lo = 1; *hi = 5; break;
             case 'R': case 'C': case 'L': case 'V': case 'I':
             case 'D': case 'F': case 'H': case 'W': *lo = 1; *hi = 3; break;
             default: *lo = 1; *hi = 1; break;
@@ -756,6 +759,8 @@ public:
         e.af = 1.0;
         e.ron = 1.0;
         e.roff = 1e12;
+        e.z0 = 50.0;
+        e.branch_eq2 = -1;
         return e;
     }
 
@@ -1027,6 +1032,68 @@ public:
             e.ctrl_off = intern(t[3]);
         }
         e.value = val;
+        out.elements.push_back(e);
+    }
+
+    void dev_tline(const Statement& st) {
+        // T p1 n1 p2 n2 Z0= TD= | Z0= F= [NL=]  (mirror of _parse_tline)
+        const auto& t = st.tokens;
+        if (t.size() < 6) {
+            warn(st.line_no, "invalid transmission line: " + st.raw);
+            return;
+        }
+        std::string text;
+        for (size_t i = 5; i < t.size(); ++i) {
+            if (!text.empty()) text += " ";
+            text += t[i];
+        }
+        std::string norm;
+        for (size_t i = 0; i < text.size(); ++i) {
+            if (text[i] == ' ' &&
+                ((i + 1 < text.size() && text[i + 1] == '=') ||
+                 (!norm.empty() && norm.back() == '='))) continue;
+            norm += text[i];
+        }
+        double z0 = 50.0, td = -1.0, freq = 0.0, nl = 0.25;
+        bool has_td = false;
+        std::istringstream iss(norm);
+        std::string tok;
+        while (iss >> tok) {
+            size_t eq = tok.find('=');
+            if (eq == std::string::npos) {
+                warn(st.line_no, "invalid T-line param: '" + tok + "'");
+                continue;
+            }
+            std::string k = lower(tok.substr(0, eq));
+            double v;
+            if (!parse_spice(tok.substr(eq + 1), &v)) {
+                warn(st.line_no, "cannot parse T-line param " + tok);
+                return;
+            }
+            if (k == "z0") z0 = v;
+            else if (k == "td") { td = v; has_td = true; }
+            else if (k == "f") freq = v;
+            else if (k == "nl") nl = v;
+            else warn(st.line_no, "unknown T-line param '" + k + "'");
+        }
+        if (!has_td) {
+            if (freq == 0.0) {
+                warn(st.line_no, "T-line needs TD= or F=: " + st.raw);
+                return;
+            }
+            td = nl / freq;
+        }
+        if (td <= 0 || z0 <= 0) {
+            warn(st.line_no, "T-line needs positive Z0/TD: " + st.raw);
+            return;
+        }
+        ElementRec e = blank(16, t[0]);
+        e.nodes[0] = node(t[1]);
+        e.nodes[1] = node(t[2]);
+        e.nodes[2] = node(t[3]);
+        e.nodes[3] = node(t[4]);
+        e.z0 = z0;
+        e.td = td;
         out.elements.push_back(e);
     }
 
@@ -2137,6 +2204,7 @@ public:
                 case 'S': dev_switch(st, 'S'); break;
                 case 'W': dev_switch(st, 'W'); break;
                 case 'J': dev_jfet(st); break;
+                case 'T': dev_tline(st); break;
                 default:
                     warn(st.line_no,
                          "unsupported element or syntax: " + st.raw);
@@ -2156,8 +2224,12 @@ public:
             n.eq_index = is_ground(nm) ? -1 : eq++;
         }
         for (auto& e : out.elements) {
-            if (e.kind == 3 || e.kind == 2 || e.kind == 8 || e.kind == 11)
+            if (e.kind == 3 || e.kind == 2 || e.kind == 8 || e.kind == 11) {
                 e.branch_eq = eq++;
+            } else if (e.kind == 16) {      // T line: one branch per port
+                e.branch_eq = eq++;
+                e.branch_eq2 = eq++;
+            }
         }
         out.diagnostics = diag.str();
     }

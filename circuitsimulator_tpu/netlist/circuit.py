@@ -189,6 +189,7 @@ KIND_K = "K"  # mutual inductance: K L1 L2 k   (no nodes, no unknowns)
 KIND_S = "S"  # V-controlled switch: S np nm ncp ncm model [ON|OFF]
 KIND_W = "W"  # I-controlled switch: W np nm Vctrl model [ON|OFF]
 KIND_J = "J"  # JFET: J nd ng ns model (Shichman-Hodges square law)
+KIND_T = "T"  # lossless transmission line: T p1 n1 p2 n2 Z0= TD=|F= NL=
 
 
 @dataclasses.dataclass
@@ -222,6 +223,10 @@ class ElementRec:
     roff: float = 1e12
     s_vt: float = 0.0
     s_vh: float = 0.0
+    # transmission line (kind T): impedance/delay + second branch unknown
+    z0: float = 50.0
+    td: float = 0.0
+    branch_eq2: int = -1
     branch_eq: int = -1                 # V / L / E / H branch-current eq
 
 
@@ -257,7 +262,8 @@ class Circuit:
 
     def num_voltage_branches(self) -> int:
         return sum(1 for e in self.elements
-                   if e.kind in (KIND_V, KIND_L, KIND_E, KIND_H))
+                   if e.kind in (KIND_V, KIND_L, KIND_E, KIND_H)) \
+            + 2 * sum(1 for e in self.elements if e.kind == KIND_T)
 
     def num_unknowns(self) -> int:
         return self.num_node_equations() + self.num_voltage_branches()
@@ -274,6 +280,10 @@ class Circuit:
             if e.kind in (KIND_V, KIND_L, KIND_E, KIND_H):
                 e.branch_eq = eq
                 eq += 1
+            elif e.kind == KIND_T:
+                e.branch_eq = eq       # port-1 current
+                e.branch_eq2 = eq + 1  # port-2 current
+                eq += 2
 
     # --- element factories ------------------------------------------------
     def add_resistor(self, name, n1, n2, value):
@@ -347,6 +357,12 @@ class Circuit:
         ids = [self.get_or_create_node(n) for n in (nd, ng, ns)]
         self.elements.append(ElementRec(
             KIND_J, name, ids, is_p=m.is_p, vth=m.vto, k=m.beta, lam=m.lam))
+
+    def add_tline(self, name, p1, n1, p2, n2, z0, td):
+        """T p1 n1 p2 n2 Z0= TD= (extension): ideal lossless line, two
+        branch-current unknowns (one per port)."""
+        ids = [self.get_or_create_node(n) for n in (p1, n1, p2, n2)]
+        self.elements.append(ElementRec(KIND_T, name, ids, z0=z0, td=td))
 
     def add_sw_model(self, m: SwModel) -> None:
         self.sw_models[m.name] = m

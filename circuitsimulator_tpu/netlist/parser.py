@@ -333,6 +333,8 @@ class NetlistParser:
             else:
                 self.ckt.add_jfet(st.tokens[0], st.tokens[1], st.tokens[2],
                                   st.tokens[3], st.tokens[4])
+        elif c0 == "T":
+            self._parse_tline(st)
         else:
             _warn(st.line_no, f"unsupported element or syntax: {st.raw}")
 
@@ -588,6 +590,46 @@ class NetlistParser:
             self.ckt.add_switch(t[0], t[1], t[2], t[3], t[4], t[5])
         else:
             self.ckt.add_wswitch(t[0], t[1], t[2], t[3], t[4])
+
+    def _parse_tline(self, st: Statement) -> None:
+        """T p1 n1 p2 n2 Z0=z TD=t | Z0=z F=f [NL=frac]  (extension:
+        ideal lossless transmission line; TD = NL/F, NL defaults 0.25)."""
+        import re as _re
+        t = st.tokens
+        if len(t) < 6:
+            _warn(st.line_no, f"invalid transmission line: {st.raw}")
+            return
+        text = _re.sub(r"\s*=\s*", "=", " ".join(t[5:]))
+        z0, td, freq, nl = 50.0, None, None, 0.25
+        for tok in text.split():
+            if "=" not in tok:
+                _warn(st.line_no, f"invalid T-line param: {tok!r}")
+                continue
+            k, v = tok.lower().split("=", 1)
+            try:
+                val = parse_spice_number(v)
+            except ValueError as e:
+                _warn(st.line_no, f"cannot parse T-line param {tok}: {e}")
+                return
+            if k == "z0":
+                z0 = val
+            elif k == "td":
+                td = val
+            elif k == "f":
+                freq = val
+            elif k == "nl":
+                nl = val
+            else:
+                _warn(st.line_no, f"unknown T-line param {k!r}")
+        if td is None:
+            if not freq:
+                _warn(st.line_no, f"T-line needs TD= or F=: {st.raw}")
+                return
+            td = nl / freq
+        if td <= 0 or z0 <= 0:
+            _warn(st.line_no, f"T-line needs positive Z0/TD: {st.raw}")
+            return
+        self.ckt.add_tline(t[0], t[1], t[2], t[3], t[4], z0, td)
 
     def _parse_mutual(self, st: Statement) -> None:
         """K name L1 L2 k (extension): mutual inductance, 0 <= k <= 1."""

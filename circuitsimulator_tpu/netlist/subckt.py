@@ -33,6 +33,7 @@ _NODE_RANGES = {
     "R": (1, 3), "C": (1, 3), "L": (1, 3), "V": (1, 3), "I": (1, 3),
     "M": (1, 4), "D": (1, 3), "Q": (1, 4), "E": (1, 5), "G": (1, 5),
     "F": (1, 3), "H": (1, 3), "S": (1, 5), "W": (1, 3), "J": (1, 4),
+    "T": (1, 5),
 }
 # token indices referring to another element (renamed like element names)
 _ELEM_REFS = {"F": (3,), "H": (3,), "K": (1, 2), "W": (3,)}

@@ -112,6 +112,40 @@ class Engine:
             self.mut_cols = np.zeros(0, np.int32)
             self.mut_sel_a = self.mut_sel_b = None
 
+        # ---- transmission lines (T card, extension) ----
+        # Branin/method-of-characteristics: each port is a Thevenin branch
+        #   V(p)-V(n) - Z0*i = E(t),  E = delayed wave of the OTHER port
+        # (models note in netlist/parser.py _parse_tline).  Two branch
+        # unknowns per line.  DC: the line degenerates to a short
+        # (i1 = -i2, V1 = V2).
+        nT = len(t.tl_k1)
+        self.n_tl = nT
+        # KCL couplings (shared by DC and transient): current leaves the
+        # port's + node into the line
+        self.tl_kcl_rows = np.stack(
+            [t.tl_ep1, t.tl_em1, t.tl_ep2, t.tl_em2], 1).ravel().astype(np.int32)
+        self.tl_kcl_cols = np.stack(
+            [t.tl_k1, t.tl_k1, t.tl_k2, t.tl_k2], 1).ravel().astype(np.int32)
+        # transient branch rows: (k1: p1,n1,k1) (k2: p2,n2,k2)
+        self.tl_tran_rows = np.stack(
+            [t.tl_k1, t.tl_k1, t.tl_k1, t.tl_k2, t.tl_k2, t.tl_k2],
+            1).ravel().astype(np.int32)
+        self.tl_tran_cols = np.stack(
+            [t.tl_ep1, t.tl_em1, t.tl_k1, t.tl_ep2, t.tl_em2, t.tl_k2],
+            1).ravel().astype(np.int32)
+        # DC branch rows: k1: V(p1)-V(n1)-V(p2)+V(n2) = 0; k2: i1 + i2 = 0
+        self.tl_dc_rows = np.stack(
+            [t.tl_k1, t.tl_k1, t.tl_k1, t.tl_k1, t.tl_k2, t.tl_k2],
+            1).ravel().astype(np.int32)
+        self.tl_dc_cols = np.stack(
+            [t.tl_ep1, t.tl_em1, t.tl_ep2, t.tl_em2, t.tl_k1, t.tl_k2],
+            1).ravel().astype(np.int32)
+        self.tl_dc_vals = jnp.asarray(
+            np.tile(np.array([1.0, -1.0, -1.0, 1.0, 1.0, 1.0]), nT),
+            self.dtype)
+        self.tl_kcl_vals = jnp.asarray(
+            np.tile(np.array([1.0, -1.0, 1.0, -1.0]), nT), self.dtype)
+
         # ---- linear controlled sources (extension; static stamps) ----
         # VCCS: rows [p,p,m,m] x cols [cp,cm,cp,cm], vals [+g,-g,-g,+g]
         # CCCS: rows [p,m] x cols [kc,kc], vals [+gain,-gain]
@@ -204,7 +238,7 @@ class Engine:
         # beyond this size the scatter/gather fallback is used instead.
         nV, nI, nL = len(t.vs_ep), len(t.is_ep), len(t.ind_ep)
         ncap = self.n_caplike
-        nterms = nV + nI + nL + ncap
+        nterms = nV + nI + nL + ncap + 2 * nT
         self.use_matmul_hotpath = N * max(nterms, 1) <= 2_000_000
         if not self.use_matmul_hotpath:
             self.rhs_mat = None
@@ -212,7 +246,7 @@ class Engine:
             self.vs_kinds = np.asarray(low.params["vs_kind"])
             self.is_kinds = np.asarray(low.params["is_kind"])
             return
-        M = np.zeros((N, nV + nI + nL + ncap))
+        M = np.zeros((N, nterms))
         for j in range(nV):
             M[t.vs_k[j], j] += 1.0
         for j in range(nI):
@@ -227,6 +261,9 @@ class Engine:
                 M[self.cap_a[j], nV + nI + nL + j] += 1.0
             if self.cap_b[j] < N:
                 M[self.cap_b[j], nV + nI + nL + j] -= 1.0
+        for j in range(nT):     # delayed-wave Thevenin EMFs E1, E2
+            M[t.tl_k1[j], nV + nI + nL + ncap + j] += 1.0
+            M[t.tl_k2[j], nV + nI + nL + ncap + nT + j] += 1.0
         self.rhs_mat = jnp.asarray(M.T, self.dtype)        # (nterms, N)
 
         # columns: cap-like voltage differences | inductor branch currents |
@@ -267,6 +304,22 @@ class Engine:
         mc = jnp.stack([0.5 * cj0, 0.5 * cj0, cj0, cj0], axis=-1)
         mc = mc.reshape(*cj0.shape[:-1], -1)
         return jnp.concatenate([params["cap_c"], mc], axis=-1)
+
+    def tl_ticks(self, dt) -> np.ndarray:
+        """Per-line delay in timesteps (>=1); static — the ring length is a
+        compile-time constant."""
+        td = np.asarray(self.topo.tl_td_s, dtype=float)
+        return np.maximum(1, np.rint(td / float(dt)).astype(int))
+
+    def _tl_wave_now(self, params, x):
+        """w_j = V(p)-V(n) + Z0*i for both ports: (..., 2*nT) as
+        [w1_lines..., w2_lines...]."""
+        t = self.topo
+        xe = self.x_ext(x)
+        z0 = params["tl_z0"]
+        w1 = xe[..., t.tl_ep1] - xe[..., t.tl_em1] + z0 * x[..., t.tl_k1]
+        w2 = xe[..., t.tl_ep2] - xe[..., t.tl_em2] + z0 * x[..., t.tl_k2]
+        return jnp.concatenate([w1, w2], axis=-1)
 
     def _mutual_M(self, params):
         """Mutual inductance per K element: M = k * sqrt(L_a * L_b) —
@@ -370,11 +423,14 @@ class Engine:
         nonlinear linearization and the per-iteration gmin diagonal)."""
         rvals = self._res_vals(params)
         rows = np.concatenate([self.res_rows, self.dc_const_rows,
+                               self.tl_kcl_rows, self.tl_dc_rows,
                                self.ctrl_rows])
         cols = np.concatenate([self.res_cols, self.dc_const_cols,
+                               self.tl_kcl_cols, self.tl_dc_cols,
                                self.ctrl_cols])
-        const = jnp.broadcast_to(self.dc_const_vals,
-                                 rvals.shape[:-1] + self.dc_const_vals.shape)
+        tl_const = jnp.concatenate([self.tl_kcl_vals, self.tl_dc_vals])
+        const = jnp.concatenate([self.dc_const_vals, tl_const])
+        const = jnp.broadcast_to(const, rvals.shape[:-1] + const.shape)
         cvals = self._ctrl_vals(params)
         cvals = jnp.broadcast_to(cvals, rvals.shape[:-1] + cvals.shape[-1:])
         vals = jnp.concatenate([rvals, const, cvals], axis=-1)
@@ -448,17 +504,29 @@ class Engine:
 
         rows = np.concatenate([self.res_rows, self.dc_const_rows[:4 * nV],
                                self.ind_rows, self.mut_rows, self.cap_rows,
-                               self.topo.node_eqs, self.ctrl_rows])
+                               self.topo.node_eqs, self.ctrl_rows,
+                               self.tl_kcl_rows, self.tl_tran_rows])
         cols = np.concatenate([self.res_cols, self.dc_const_cols[:4 * nV],
                                self.ind_cols, self.mut_cols, self.cap_cols,
-                               self.topo.node_eqs, self.ctrl_cols])
+                               self.topo.node_eqs, self.ctrl_cols,
+                               self.tl_kcl_cols, self.tl_tran_cols])
         mv = -fac * self._mutual_M(params) / dt
         mut_vals = jnp.concatenate([mv, mv], axis=-1)
         cvals = self._ctrl_vals(params)
         cvals = jnp.broadcast_to(cvals, rvals.shape[:-1] + cvals.shape[-1:])
+        # transmission-line Thevenin branch rows: +1, -1, -Z0 per port
+        z0 = params["tl_z0"]
+        o = jnp.ones_like(z0)
+        tl_branch = jnp.stack([o, -o, -z0, o, -o, -z0],
+                              axis=-1).reshape(*z0.shape[:-1], -1)
+        tl_kcl = jnp.broadcast_to(self.tl_kcl_vals,
+                                  rvals.shape[:-1] + self.tl_kcl_vals.shape)
+        tl_branch = jnp.broadcast_to(tl_branch,
+                                     rvals.shape[:-1] + tl_branch.shape[-1:])
         vals = jnp.concatenate(
             [rvals, jnp.broadcast_to(vs_vals, rvals.shape[:-1] + vs_vals.shape[-1:]),
-             ind_vals, mut_vals, cap_vals, gm, cvals], axis=-1)
+             ind_vals, mut_vals, cap_vals, gm, cvals, tl_kcl, tl_branch],
+            axis=-1)
         return rows, cols, vals
 
     def tran_static_G(self, params, dt, gmin, method: str = "be"):
@@ -487,6 +555,21 @@ class Engine:
             L:    I(k) += -(2L/dt) i_prev - v_prev
         """
         trap = method == "trap"
+        nT = self.n_tl
+        if nT:
+            ticks = self.tl_ticks(dt)                # static per-line delays
+            tl_read = np.asarray(ticks - 1, np.int32)
+            tl_cols1 = np.arange(nT, 2 * nT, dtype=np.int32)  # E1 <- w2
+            tl_cols2 = np.arange(0, nT, dtype=np.int32)       # E2 <- w1
+
+        def tl_emfs(state):
+            """Delayed-wave Thevenin EMFs (E1s, E2s) from the ring buffer
+            state['tlw'] of shape (..., Dmax, 2*nT); slot d = wave d steps
+            before the one being computed."""
+            ring = state["tlw"]
+            e1 = ring[..., tl_read, tl_cols1]
+            e2 = ring[..., tl_read, tl_cols2]
+            return e1, e2
 
         def terms_of(params, state, t):
             vval = srcmod.eval_tran_static_kinds(
@@ -530,7 +613,11 @@ class Engine:
         if self.use_matmul_hotpath:
             def f(params, state, t):
                 vval, ival, vhist, h = terms_of(params, state, t)
-                terms = jnp.concatenate([vval, ival, vhist, h], axis=-1)
+                parts = [vval, ival, vhist, h]
+                if nT:
+                    e1, e2 = tl_emfs(state)
+                    parts += [e1, e2]
+                terms = jnp.concatenate(parts, axis=-1)
                 I = jnp.einsum("...j,jn->...n", terms, self.rhs_mat)
                 pad = jnp.zeros(I.shape[:-1] + (1,), dtype=I.dtype)
                 return jnp.concatenate([I, pad], axis=-1)
@@ -547,6 +634,10 @@ class Engine:
                 I = I.at[..., topo.ind_k].add(vhist)
                 hrhs = jnp.stack([h, -h], axis=-1).reshape(*h.shape[:-1], -1)
                 I = I.at[..., self.cap_rhs_rows].add(hrhs)
+                if nT:
+                    e1, e2 = tl_emfs(state)
+                    I = I.at[..., topo.tl_k1].add(e1)
+                    I = I.at[..., topo.tl_k2].add(e2)
                 return I
 
         return f
@@ -576,13 +667,27 @@ class Engine:
         vl = xe[..., self.topo.ind_ep] - xe[..., self.topo.ind_em]
         return vc, il, vl
 
-    def init_state(self, x):
+    def init_state(self, x, params=None, dt=None):
         """TranState from a DC solution (tanalisis.cpp:139-180): cap-like
         voltages and inductor currents; the trapezoidal extras start at the
-        DC values i_C = 0, v_L = 0 (caps open / inductors shorted at DC)."""
+        DC values i_C = 0, v_L = 0 (caps open / inductors shorted at DC).
+
+        With transmission lines present, `params` and `dt` are required:
+        the delay ring buffer (..., Dmax, 2*nT) starts filled with the DC
+        waves (the line begins in steady state)."""
         vc, il, _ = self._state_parts(x)
-        return {"vc": vc, "ic": jnp.zeros_like(vc),
-                "il": il, "vl": jnp.zeros_like(il)}
+        state = {"vc": vc, "ic": jnp.zeros_like(vc),
+                 "il": il, "vl": jnp.zeros_like(il)}
+        if self.n_tl:
+            if params is None or dt is None:
+                raise ValueError("transmission lines need init_state(x, "
+                                 "params, dt) — the delay ring length is "
+                                 "dt-dependent")
+            dmax = int(self.tl_ticks(dt).max())
+            w = self._tl_wave_now(params, x)             # (..., 2nT)
+            state["tlw"] = jnp.broadcast_to(
+                w[..., None, :], w.shape[:-1] + (dmax, 2 * self.n_tl))
+        return state
 
     def make_update_state(self, dt, method: str = "be"):
         """Post-step state update.  BE keeps voltages/currents only
@@ -596,9 +701,17 @@ class Engine:
                 C = self._caplike_C(params)
                 gc2 = jnp.where(C > 0.0, 2.0 * C / dt, 0.0)
                 ic = gc2 * (vc - state["vc"]) - state["ic"]
-                return {"vc": vc, "ic": ic, "il": il, "vl": vl}
-            zc = jnp.zeros_like(vc)
-            return {"vc": vc, "ic": zc, "il": il,
-                    "vl": jnp.zeros_like(il)}
+                new = {"vc": vc, "ic": ic, "il": il, "vl": vl}
+            else:
+                zc = jnp.zeros_like(vc)
+                new = {"vc": vc, "ic": zc, "il": il,
+                       "vl": jnp.zeros_like(il)}
+            if self.n_tl:
+                # push this step's waves into slot 0 of the delay ring
+                w = self._tl_wave_now(params, x)
+                ring = state["tlw"]
+                new["tlw"] = jnp.concatenate(
+                    [w[..., None, :], ring[..., :-1, :]], axis=-2)
+            return new
 
         return f

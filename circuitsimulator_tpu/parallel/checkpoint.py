@@ -70,7 +70,7 @@ class ChunkedTransient:
 
     def initial_carry(self):
         x0 = dc_operating_point(self.engine, self.params)
-        state = self.engine.init_state(x0)
+        state = self.engine.init_state(x0, self.params, self.tstep)
         failed = jnp.zeros(x0.shape[:-1], dtype=bool)
         return (x0, state, failed)
 
