@@ -74,6 +74,11 @@ def ac_system_real(engine: Engine, params, x_op, omega):
     if len(engine.ctrl_rows):
         G = G.at[engine.ctrl_rows, engine.ctrl_cols].add(
             engine._ctrl_vals(params))
+    if len(engine.b_static_rows):
+        # behavioral V-form branch couplings (the expression part is in
+        # the nl linearization below)
+        G = G.at[engine.b_static_rows, engine.b_static_cols].add(
+            engine.b_static_vals)
     # nonlinear devices linearized at the DC operating point
     gvals, _ = engine._nl_vals(params, x_op)
     G = G.at[engine.nl_rows, engine.nl_cols].add(gvals)

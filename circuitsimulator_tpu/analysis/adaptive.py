@@ -104,6 +104,11 @@ def run_transient_adaptive(engine: Engine, params, tstep, tstop,
     grow_thr = 0.25 if method == "be" else 0.1
     n_out = n_steps_for(tstep_f, float(tstop))
 
+    if engine.b_uses_time:
+        raise NotImplementedError(
+            "adaptive timestepping does not evaluate time-dependent "
+            "behavioral expressions in the Newton tier; run the fixed-step "
+            "transient")
     if engine.n_tl:
         raise NotImplementedError(
             "adaptive timestepping with transmission lines is not "
@@ -113,7 +118,7 @@ def run_transient_adaptive(engine: Engine, params, tstep, tstop,
     solver = opts.tran_solver
     use_woodbury = solver == "woodbury"
     use_tridiag = solver == "tridiag"
-    if use_woodbury and len(engine.topo.sw_ep):
+    if use_woodbury and (len(engine.topo.sw_ep) or engine.b_sources):
         use_woodbury = False    # see analysis/transient.py: switch stamps
 
     # --- per-level static precompute (all dts known at trace time) ---

@@ -165,6 +165,11 @@ def diff_transient(engine: Engine, params, tstep, tstop):
         ts = jnp.arange(1, n_steps + 1, dtype=dtype) * dt
     update_state = engine.make_update_state(dt, method)
 
+    if engine.b_uses_time:
+        raise NotImplementedError(
+            "reverse-mode transient adjoint does not thread time into "
+            "behavioral expressions; use forward-mode "
+            "transient_sensitivity")
     if engine.n_tl:
         raise NotImplementedError(
             "reverse-mode transient adjoint does not support "

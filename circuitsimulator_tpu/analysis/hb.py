@@ -130,9 +130,9 @@ def harmonic_balance(engine: Engine, params, f0: float,
         jnp.full(len(engine.topo.node_eqs), gmin, dtype))
     A_res = A_res[:N, :N]
 
-    def assemble_t(x_t):
+    def assemble_t(x_t, t_t):
         """(A(x_t) incl. nonlinear stamps, b(x_t) incl. nl constants)."""
-        gvals, rvals = engine._nl_vals(params, x_t)
+        gvals, rvals = engine._nl_vals(params, x_t, t_t)
         A = jnp.zeros((N + 1, N + 1), dtype)
         A = A.at[engine.nl_rows, engine.nl_cols].add(gvals)
         b = jnp.zeros((N + 1,), dtype).at[engine.nl_rhs_rows].add(rvals)
@@ -140,7 +140,7 @@ def harmonic_balance(engine: Engine, params, f0: float,
 
     def residual(X):
         """Exact KCL residual of the HB system, (K, N)."""
-        A_t, b_nl = jax.vmap(assemble_t)(X)       # (K,N,N), (K,N)
+        A_t, b_nl = jax.vmap(assemble_t)(X, ts)   # (K,N,N), (K,N)
         res_cond = jnp.einsum("tij,tj->ti", A_t, X) - b_nl - b_src
         dxdt = D @ X                              # spectral derivative
         res_reac = jnp.einsum("ij,tj->ti", C_struct, dxdt)

@@ -142,6 +142,10 @@ def harmonic_balance_multi(engine: Engine, params,
         T += M
     T = jnp.asarray(T, dtype)
 
+    if engine.b_uses_time:
+        raise NotImplementedError(
+            "multi-tone HB does not evaluate time-dependent behavioral "
+            "expressions (the MPDE grid has no single time axis)")
     if engine.n_tl:
         raise NotImplementedError(
             "multi-tone HB does not support transmission lines; "

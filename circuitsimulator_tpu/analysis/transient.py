@@ -88,7 +88,7 @@ def transient_step_fn(engine: Engine, params, dt, predictor: bool = False):
     update_state = engine.make_update_state(dt, method)
     use_woodbury = opts.tran_solver == "woodbury"
     use_tridiag = opts.tran_solver == "tridiag"
-    if use_woodbury and len(engine.topo.sw_ep):
+    if use_woodbury and (len(engine.topo.sw_ep) or engine.b_sources):
         # switch stamps couple a node pair to a *different* control pair —
         # a width-4 V^T row the current rank-k plan does not carry; fall
         # back to the full LU per iteration (still batched/fused)
@@ -133,7 +133,7 @@ def transient_step_fn(engine: Engine, params, dt, predictor: bool = False):
             if use_woodbury:
                 x_raw = wb.solve(params, c["x"], z0)
             elif use_tridiag:
-                gvals, rvals = engine._nl_vals(params, c["x"])
+                gvals, rvals = engine._nl_vals(params, c["x"], t)
                 mats = nl_plan.scatter(gvals, base=banded_static)
                 I = I_s.at[..., engine.nl_rhs_rows].add(rvals)
                 xn, y = bordered_solve(
@@ -142,7 +142,8 @@ def transient_step_fn(engine: Engine, params, dt, predictor: bool = False):
                     I[..., :n], I[..., n:N])
                 x_raw = jnp.concatenate([xn, y], axis=-1)
             else:
-                G, I = engine.assemble_tran_iter(G_static, I_s, params, c["x"])
+                G, I = engine.assemble_tran_iter(G_static, I_s, params,
+                                                 c["x"], t)
                 x_raw = lu_solve(G[..., :N, :N], I[..., :N],
                                  opts.lu_pivot_floor)
             finite = jnp.all(jnp.isfinite(x_raw), axis=-1)

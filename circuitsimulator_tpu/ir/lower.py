@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from ..netlist.circuit import (
     Circuit, KIND_R, KIND_C, KIND_L, KIND_V, KIND_I, KIND_M, KIND_D, KIND_Q,
     KIND_E, KIND_G, KIND_F, KIND_H, KIND_K, KIND_S, KIND_W, KIND_J, KIND_T,
+    KIND_B,
 )
 from ..utils.numbers import is_ground_name
 
@@ -125,10 +126,29 @@ class Topology:
 
 
 @dataclasses.dataclass
+class BSourceInfo:
+    """One lowered behavioral source (extension).
+
+    fn(vals, t) is the compiled jnp expression over the probe values
+    vals[j] = x_ext[pairs[j,0]] - x_ext[pairs[j,1]]; the Newton stamp is
+    jax.value_and_grad(fn).  is_v selects the V=expr (branch row `k`)
+    vs I=expr (KCL rows p/m) form."""
+    name: str
+    fn: Any
+    pairs: np.ndarray             # (m, 2) eq-index pairs per probe
+    is_v: bool
+    ep: int
+    em: int
+    k: int                        # branch eq (V form), -1 otherwise
+    uses_time: bool
+
+
+@dataclasses.dataclass
 class LoweredCircuit:
     topo: Topology
     params: Dict[str, Any]        # jnp arrays; the batchable pytree
     circuit: Circuit
+    b_sources: List[BSourceInfo] = dataclasses.field(default_factory=list)
 
 
 def _np_i32(xs) -> np.ndarray:
@@ -195,6 +215,7 @@ def lower(ckt: Circuit, dtype=jnp.float64) -> LoweredCircuit:
     sw = [e for e in ckt.elements if e.kind in (KIND_S, KIND_W)]
     jf = [e for e in ckt.elements if e.kind == KIND_J]
     tl = [e for e in ckt.elements if e.kind == KIND_T]
+    bsrc = [e for e in ckt.elements if e.kind == KIND_B]
     vcvs = [e for e in ckt.elements if e.kind == KIND_E]
     vccs = [e for e in ckt.elements if e.kind == KIND_G]
     cccs = [e for e in ckt.elements if e.kind == KIND_F]
@@ -239,7 +260,8 @@ def lower(ckt: Circuit, dtype=jnp.float64) -> LoweredCircuit:
     branch_cols = []
     branch_table = []
     for e in ckt.elements:
-        if e.kind in (KIND_V, KIND_L, KIND_E, KIND_H):
+        if (e.kind in (KIND_V, KIND_L, KIND_E, KIND_H)
+                or (e.kind == KIND_B and e.b_is_v)):
             branch_cols.append((e.name, e.branch_eq))
             branch_table.append(
                 (e.kind, e.name, ckt.nodes[e.node_ids[0]].name,
@@ -262,7 +284,7 @@ def lower(ckt: Circuit, dtype=jnp.float64) -> LoweredCircuit:
         n_node_eq=ckt.num_node_equations(),
         n_nodes=len(ckt.nodes),
         n_elements=len(ckt.elements),
-        has_nonlinear=bool(mos or dio or bjt or sw or jf),
+        has_nonlinear=bool(mos or dio or bjt or sw or jf or bsrc),
         node_eqs=node_eqs,
         res_e1=_np_i32([eq(e.node_ids[0]) for e in res]),
         res_e2=_np_i32([eq(e.node_ids[1]) for e in res]),
@@ -327,6 +349,58 @@ def lower(ckt: Circuit, dtype=jnp.float64) -> LoweredCircuit:
         branch_table=branch_table,
     )
 
+    # ---- behavioral sources: compile expressions, resolve probes ----
+    from ..utils.expr import (parse_expr, probe_refs, compile_jax, ExprError)
+    b_infos = []
+    for e in bsrc:
+        try:
+            ast = parse_expr(e.b_expr, probes=True)
+            refs = probe_refs(ast)
+            uses_time = ("time",) in refs
+            prefs = [r for r in refs if r[0] != "time"]
+            pairs = []
+            for r in prefs:
+                if r[0] == "v":
+                    nid = ckt.node_name_to_id.get(r[1])
+                    if nid is None:
+                        raise ExprError(f"unknown node {r[1]!r} in v()")
+                    a = eq(nid)
+                    bq = dump
+                    if r[2] is not None:
+                        nid2 = ckt.node_name_to_id.get(r[2])
+                        if nid2 is None:
+                            raise ExprError(f"unknown node {r[2]!r} in v()")
+                        bq = eq(nid2)
+                    pairs.append((a, bq))
+                else:
+                    keq = -1
+                    for exact in (True, False):
+                        for el in ckt.elements:
+                            if getattr(el, "branch_eq", -1) < 0:
+                                continue
+                            if (el.name == r[1]) if exact \
+                                    else (el.name.lower() == r[1].lower()):
+                                keq = el.branch_eq
+                                break
+                        if keq >= 0:
+                            break
+                    if keq < 0:
+                        raise ExprError(
+                            f"i({r[1]}): no branch-current unknown (only "
+                            "V/L/E/H/B-V elements carry one)")
+                    pairs.append((keq, dump))
+            ref_index = {r: j for j, r in enumerate(prefs)}
+            fn = compile_jax(ast, ref_index, bindings=ckt.param_values)
+            b_infos.append(BSourceInfo(
+                name=e.name, fn=fn,
+                pairs=np.asarray(pairs, np.int32).reshape(-1, 2),
+                is_v=e.b_is_v, ep=eq(e.node_ids[0]), em=eq(e.node_ids[1]),
+                k=e.branch_eq, uses_time=uses_time))
+        except ExprError as err:
+            # a V-form B already owns a branch equation; silently skipping
+            # would leave a singular row, so unresolved references are loud
+            raise ValueError(f"behavioral source {e.name}: {err}")
+
     vsp = _pack_sources([e.spec for e in vs], dtype)
     isp = _pack_sources([e.spec for e in isrc], dtype)
     params = {
@@ -370,4 +444,5 @@ def lower(ckt: Circuit, dtype=jnp.float64) -> LoweredCircuit:
         for f, arr in pack.items():
             params[f"{key}_{f}"] = arr
 
-    return LoweredCircuit(topo=topo, params=params, circuit=ckt)
+    return LoweredCircuit(topo=topo, params=params, circuit=ckt,
+                          b_sources=b_infos)

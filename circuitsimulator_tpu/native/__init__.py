@@ -26,6 +26,7 @@ from ..netlist.circuit import (
     Circuit, ElementRec, Node, SourceSpec, Waveform,
     KIND_R, KIND_C, KIND_L, KIND_V, KIND_I, KIND_M, KIND_D, KIND_Q,
     KIND_E, KIND_G, KIND_F, KIND_H, KIND_K, KIND_S, KIND_W, KIND_J, KIND_T,
+    KIND_B,
 )
 from ..netlist.parser import (
     SimulationConfig, TranConfig, AcConfig, HbConfig, DCSweepConfig,
@@ -64,6 +65,7 @@ class _CElement(ct.Structure):
         ("s_vt", ct.c_double), ("s_vh", ct.c_double),
         ("z0", ct.c_double), ("td", ct.c_double),
         ("branch_eq2", ct.c_int32),
+        ("bexpr_off", ct.c_int32), ("b_is_v", ct.c_int32),
     ]
 
 
@@ -215,7 +217,7 @@ def available() -> bool:
 _KIND_MAP = {0: KIND_R, 1: KIND_C, 2: KIND_L, 3: KIND_V, 4: KIND_I,
              5: KIND_M, 6: KIND_D, 7: KIND_Q,
              8: KIND_E, 9: KIND_G, 10: KIND_F, 11: KIND_H, 12: KIND_K,
-             13: KIND_S, 14: KIND_W, 15: KIND_J, 16: KIND_T}
+             13: KIND_S, 14: KIND_W, 15: KIND_J, 16: KIND_T, 17: KIND_B}
 _AN_MAP = {0: AN_NONE, 1: AN_OP, 2: AN_DC, 3: AN_AC, 4: AN_TRAN, 5: AN_HB}
 _PROBE_KIND = {0: "nv", 1: "dv", 2: "br"}
 
@@ -290,6 +292,9 @@ def parse_netlist_text_native(text: str) -> Tuple[Circuit, SimulationConfig]:
             elif kind == KIND_T:
                 rec.z0, rec.td = e.z0, e.td
                 rec.branch_eq2 = e.branch_eq2
+            elif kind == KIND_B:
+                rec.b_expr = s(e.bexpr_off)
+                rec.b_is_v = bool(e.b_is_v)
             elif kind in (KIND_S, KIND_W):
                 rec.ron, rec.roff = e.ron, e.roff
                 rec.s_vt, rec.s_vh = e.s_vt, e.s_vh
@@ -416,6 +421,7 @@ def parse_netlist_text_native(text: str) -> Tuple[Circuit, SimulationConfig]:
         if cfg.four_enabled:
             sim.four = FourConfig(enabled=bool(four_probes),
                                   f0=cfg.four_f0, probes=four_probes)
+        ckt.param_values = dict(sim.param_values)
         return ckt, sim
     finally:
         lib.csim_free(h)

@@ -353,6 +353,9 @@ struct ElementRec {
     // transmission line (kind 16=T): impedance/delay + 2nd branch unknown
     double z0, td;
     int32_t branch_eq2;
+    // behavioral source (kind 17=B): expression text + V/I form flag
+    int32_t bexpr_off;
+    int32_t b_is_v;
 };
 
 struct NodeRec {
@@ -517,7 +520,8 @@ public:
             case 'M': case 'Q': case 'J': *lo = 1; *hi = 4; break;
             case 'E': case 'G': case 'S': case 'T': *lo = 1; *hi = 5; break;
             case 'R': case 'C': case 'L': case 'V': case 'I':
-            case 'D': case 'F': case 'H': case 'W': *lo = 1; *hi = 3; break;
+            case 'D': case 'F': case 'H': case 'W': case 'B':
+                *lo = 1; *hi = 3; break;
             default: *lo = 1; *hi = 1; break;
         }
     }
@@ -761,6 +765,8 @@ public:
         e.roff = 1e12;
         e.z0 = 50.0;
         e.branch_eq2 = -1;
+        e.bexpr_off = -1;
+        e.b_is_v = 1;
         return e;
     }
 
@@ -1032,6 +1038,55 @@ public:
             e.ctrl_off = intern(t[3]);
         }
         e.value = val;
+        out.elements.push_back(e);
+    }
+
+    void dev_bsource(const Statement& st) {
+        // B np nm V=expr | I=expr (mirror of _parse_bsource; expression
+        // validation happens in the Python lowering — the frontend only
+        // carries the text)
+        const auto& t = st.tokens;
+        if (t.size() < 4) {
+            warn(st.line_no, "invalid behavioral source: " + st.raw);
+            return;
+        }
+        std::string text;
+        for (size_t i = 3; i < t.size(); ++i) {
+            if (!text.empty()) text += " ";
+            text += t[i];
+        }
+        std::string norm;
+        for (size_t i = 0; i < text.size(); ++i) {
+            if (text[i] == ' ' &&
+                ((i + 1 < text.size() && text[i + 1] == '=') ||
+                 (!norm.empty() && norm.back() == '='))) continue;
+            norm += text[i];
+        }
+        char c0 = norm.empty() ? 0 : (char)std::tolower((unsigned char)norm[0]);
+        bool is_v;
+        if (norm.size() > 2 && c0 == 'v' && norm[1] == '=') {
+            is_v = true;
+        } else if (norm.size() > 2 && c0 == 'i' && norm[1] == '=') {
+            is_v = false;
+        } else {
+            warn(st.line_no,
+                 "behavioral source needs V=expr or I=expr: " + st.raw);
+            return;
+        }
+        std::string expr = norm.substr(2);
+        while (!expr.empty() && std::isspace((unsigned char)expr.front()))
+            expr.erase(expr.begin());
+        while (!expr.empty() && std::isspace((unsigned char)expr.back()))
+            expr.pop_back();
+        if (expr.empty()) {
+            warn(st.line_no, "empty behavioral expression: " + st.raw);
+            return;
+        }
+        ElementRec e = blank(17, t[0]);
+        e.nodes[0] = node(t[1]);
+        e.nodes[1] = node(t[2]);
+        e.bexpr_off = intern(expr);
+        e.b_is_v = is_v ? 1 : 0;
         out.elements.push_back(e);
     }
 
@@ -2205,6 +2260,7 @@ public:
                 case 'W': dev_switch(st, 'W'); break;
                 case 'J': dev_jfet(st); break;
                 case 'T': dev_tline(st); break;
+                case 'B': dev_bsource(st); break;
                 default:
                     warn(st.line_no,
                          "unsupported element or syntax: " + st.raw);
@@ -2229,6 +2285,8 @@ public:
             } else if (e.kind == 16) {      // T line: one branch per port
                 e.branch_eq = eq++;
                 e.branch_eq2 = eq++;
+            } else if (e.kind == 17 && e.b_is_v) {   // B V=expr form
+                e.branch_eq = eq++;
             }
         }
         out.diagnostics = diag.str();

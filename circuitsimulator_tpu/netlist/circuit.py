@@ -190,6 +190,7 @@ KIND_S = "S"  # V-controlled switch: S np nm ncp ncm model [ON|OFF]
 KIND_W = "W"  # I-controlled switch: W np nm Vctrl model [ON|OFF]
 KIND_J = "J"  # JFET: J nd ng ns model (Shichman-Hodges square law)
 KIND_T = "T"  # lossless transmission line: T p1 n1 p2 n2 Z0= TD=|F= NL=
+KIND_B = "B"  # behavioral source: B np nm V=expr | I=expr
 
 
 @dataclasses.dataclass
@@ -227,6 +228,10 @@ class ElementRec:
     z0: float = 50.0
     td: float = 0.0
     branch_eq2: int = -1
+    # behavioral source (kind B): the raw expression text; b_is_v selects
+    # the V=expr (branch unknown) vs I=expr form
+    b_expr: str = ""
+    b_is_v: bool = True
     branch_eq: int = -1                 # V / L / E / H branch-current eq
 
 
@@ -246,6 +251,9 @@ class Circuit:
         self.bjt_models: Dict[str, BjtModel] = {}
         self.sw_models: Dict[str, SwModel] = {}
         self.jfet_models: Dict[str, JfetModel] = {}
+        # resolved .PARAM bindings (filled by the parser); behavioral B
+        # expressions resolve bare names against this at lowering
+        self.param_values: Dict[str, float] = {}
 
     # --- node table -------------------------------------------------------
     def get_or_create_node(self, name: str) -> int:
@@ -262,7 +270,8 @@ class Circuit:
 
     def num_voltage_branches(self) -> int:
         return sum(1 for e in self.elements
-                   if e.kind in (KIND_V, KIND_L, KIND_E, KIND_H)) \
+                   if e.kind in (KIND_V, KIND_L, KIND_E, KIND_H)
+                   or (e.kind == KIND_B and e.b_is_v)) \
             + 2 * sum(1 for e in self.elements if e.kind == KIND_T)
 
     def num_unknowns(self) -> int:
@@ -277,7 +286,8 @@ class Circuit:
                 n.eq_index = eq
                 eq += 1
         for e in self.elements:
-            if e.kind in (KIND_V, KIND_L, KIND_E, KIND_H):
+            if (e.kind in (KIND_V, KIND_L, KIND_E, KIND_H)
+                    or (e.kind == KIND_B and e.b_is_v)):
                 e.branch_eq = eq
                 eq += 1
             elif e.kind == KIND_T:
@@ -357,6 +367,14 @@ class Circuit:
         ids = [self.get_or_create_node(n) for n in (nd, ng, ns)]
         self.elements.append(ElementRec(
             KIND_J, name, ids, is_p=m.is_p, vth=m.vto, k=m.beta, lam=m.lam))
+
+    def add_bsource(self, name, np_, nm, is_v, expr):
+        """B np nm V=expr | I=expr (extension): behavioral source; the
+        expression is compiled to a JAX function at lowering and the
+        Newton stamp comes from jax.value_and_grad."""
+        ids = [self.get_or_create_node(np_), self.get_or_create_node(nm)]
+        self.elements.append(ElementRec(KIND_B, name, ids,
+                                        b_expr=expr, b_is_v=is_v))
 
     def add_tline(self, name, p1, n1, p2, n2, z0, td):
         """T p1 n1 p2 n2 Z0= TD= (extension): ideal lossless line, two

@@ -287,6 +287,7 @@ class NetlistParser:
                     and any("{" in tok for tok in st.tokens)):
                 st.tokens = self._substitute_params(st.tokens, st.line_no)
         self.sim.param_values = dict(self.param_values)
+        self.ckt.param_values = dict(self.param_values)
         for st in stmts:
             if st.tokens and st.tokens[0].lower() == ".model":
                 self._parse_model_card(st)
@@ -335,6 +336,8 @@ class NetlistParser:
                                   st.tokens[3], st.tokens[4])
         elif c0 == "T":
             self._parse_tline(st)
+        elif c0 == "B":
+            self._parse_bsource(st)
         else:
             _warn(st.line_no, f"unsupported element or syntax: {st.raw}")
 
@@ -590,6 +593,38 @@ class NetlistParser:
             self.ckt.add_switch(t[0], t[1], t[2], t[3], t[4], t[5])
         else:
             self.ckt.add_wswitch(t[0], t[1], t[2], t[3], t[4])
+
+    def _parse_bsource(self, st: Statement) -> None:
+        """B np nm V=expr | I=expr (extension): behavioral source.  The
+        expression runs to the end of the statement (spaces allowed, no
+        braces needed); it may reference v(node), v(a,b), i(Velem), time,
+        .PARAM names, and the usual functions.  Validated at parse time;
+        compiled to a JAX function at lowering."""
+        import re as _re
+        from ..utils.expr import parse_expr, ExprError
+        t = st.tokens
+        if len(t) < 4:
+            _warn(st.line_no, f"invalid behavioral source: {st.raw}")
+            return
+        text = _re.sub(r"\s*=\s*", "=", " ".join(t[3:]))
+        low = text.lower()
+        if low.startswith("v="):
+            is_v, expr = True, text[2:]
+        elif low.startswith("i="):
+            is_v, expr = False, text[2:]
+        else:
+            _warn(st.line_no,
+                  f"behavioral source needs V=expr or I=expr: {st.raw}")
+            return
+        if not expr.strip():
+            _warn(st.line_no, f"empty behavioral expression: {st.raw}")
+            return
+        try:
+            parse_expr(expr, probes=True)
+        except ExprError as e:
+            _warn(st.line_no, f"cannot parse behavioral expression: {e}")
+            return
+        self.ckt.add_bsource(t[0], t[1], t[2], is_v, expr.strip())
 
     def _parse_tline(self, st: Statement) -> None:
         """T p1 n1 p2 n2 Z0=z TD=t | Z0=z F=f [NL=frac]  (extension:

@@ -34,6 +34,10 @@ _NODE_RANGES = {
     "M": (1, 4), "D": (1, 3), "Q": (1, 4), "E": (1, 5), "G": (1, 5),
     "F": (1, 3), "H": (1, 3), "S": (1, 5), "W": (1, 3), "J": (1, 4),
     "T": (1, 5),
+    # B: only the two terminal tokens are renamed; v()/i() references
+    # inside the expression are NOT rewritten (they resolve at lowering,
+    # so a reference to a subckt-internal node fails loudly there)
+    "B": (1, 3),
 }
 # token indices referring to another element (renamed like element names)
 _ELEM_REFS = {"F": (3,), "H": (3,), "K": (1, 2), "W": (3,)}

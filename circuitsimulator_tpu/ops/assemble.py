@@ -21,6 +21,7 @@ and state carry the batch dimensions; index patterns are shared constants.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..ir.lower import LoweredCircuit, Topology
@@ -146,6 +147,40 @@ class Engine:
         self.tl_kcl_vals = jnp.asarray(
             np.tile(np.array([1.0, -1.0, 1.0, -1.0]), nT), self.dtype)
 
+        # ---- behavioral B sources (extension) ----
+        # static tier: V-form branch coupling (like a V source); nl tier:
+        # expression Jacobian entries from jax.value_and_grad per device
+        # (models note in utils/expr.py compile_jax)
+        self.b_sources = list(getattr(low, "b_sources", []))
+        b_static_rows, b_static_cols, b_static_vals = [], [], []
+        b_nl_rows, b_nl_cols, b_rhs_rows = [], [], []
+        import jax as _jax
+        self._b_vg = []
+        for bs in self.b_sources:
+            m = len(bs.pairs)
+            if bs.is_v:
+                # KCL couplings + branch row V(p)-V(m) (the -E part is nl)
+                b_static_rows += [bs.ep, bs.em, bs.k, bs.k]
+                b_static_cols += [bs.k, bs.k, bs.ep, bs.em]
+                b_static_vals += [1.0, -1.0, 1.0, -1.0]
+                for a, b in bs.pairs:
+                    b_nl_rows += [bs.k, bs.k]
+                    b_nl_cols += [int(a), int(b)]
+                b_rhs_rows.append(bs.k)
+            else:
+                for a, b in bs.pairs:
+                    b_nl_rows += [bs.ep, bs.ep, bs.em, bs.em]
+                    b_nl_cols += [int(a), int(b), int(a), int(b)]
+                b_rhs_rows += [bs.ep, bs.em]
+            self._b_vg.append(_jax.value_and_grad(bs.fn))
+        self.b_static_rows = np.asarray(b_static_rows, np.int32)
+        self.b_static_cols = np.asarray(b_static_cols, np.int32)
+        self.b_static_vals = jnp.asarray(b_static_vals, self.dtype)
+        self.b_nl_rows = np.asarray(b_nl_rows, np.int32)
+        self.b_nl_cols = np.asarray(b_nl_cols, np.int32)
+        self.b_rhs_rows = np.asarray(b_rhs_rows, np.int32)
+        self.b_uses_time = any(bs.uses_time for bs in self.b_sources)
+
         # ---- linear controlled sources (extension; static stamps) ----
         # VCCS: rows [p,p,m,m] x cols [cp,cm,cp,cm], vals [+g,-g,-g,+g]
         # CCCS: rows [p,m] x cols [kc,kc], vals [+gain,-gain]
@@ -213,15 +248,16 @@ class Engine:
                                     1).ravel().astype(np.int32)
         self.nl_rows = np.concatenate([self.mos_rows, self.jf_rows,
                                        self.dio_rows, self.bjt_rows,
-                                       self.sw_rows])
+                                       self.sw_rows, self.b_nl_rows])
         self.nl_cols = np.concatenate([self.mos_cols, self.jf_cols,
                                        self.dio_cols, self.bjt_cols,
-                                       self.sw_cols])
+                                       self.sw_cols, self.b_nl_cols])
         self.nl_rhs_rows = np.concatenate([self.mos_rhs_rows,
                                            self.jf_rhs_rows,
                                            self.dio_rhs_rows,
                                            self.bjt_rhs_rows,
-                                           self.sw_rhs_rows])
+                                           self.sw_rhs_rows,
+                                           self.b_rhs_rows])
 
         # ---- RHS patterns ----
         self.is_rhs_rows = np.stack([t.is_ep, t.is_em], 1).ravel().astype(np.int32)
@@ -353,11 +389,15 @@ class Engine:
         ]
         return jnp.concatenate(parts, axis=-1)
 
-    def _nl_vals(self, params, x):
-        """Per-Newton-iteration nonlinear stamp values (MOS + diode)."""
+    def _nl_vals(self, params, x, t=0.0):
+        """Per-Newton-iteration nonlinear stamp values (MOS/JFET/diode/
+        BJT/switch/behavioral).  `t` reaches behavioral expressions that
+        reference `time` (the transient threads the step time; DC/AC
+        linearize at t=0)."""
         xe = self.x_ext(x)
         gv = []
         rv = []
+        time_val = t
         t = self.topo
         if len(t.mos_ed):
             vd = xe[..., t.mos_ed]
@@ -404,6 +444,24 @@ class Engine:
                 xe[..., t.sw_ecp], xe[..., t.sw_ecm])
             gv.append(g)
             rv.append(r)
+        for bs, vg in zip(self.b_sources, self._b_vg):
+            # probe values: val_j = x[a_j] - x[b_j]; the expression's
+            # value/gradient give the Newton linearization directly
+            vals = xe[..., bs.pairs[:, 0]] - xe[..., bs.pairs[:, 1]]
+            f_vg = vg
+            for _ in range(vals.ndim - 1):
+                f_vg = jax.vmap(f_vg, in_axes=(0, None))
+            e0, grads = f_vg(vals, jnp.asarray(time_val, x.dtype))
+            cst = e0 - jnp.sum(grads * vals, axis=-1)
+            if bs.is_v:
+                # branch row: Vp - Vm - sum g_j val_j = cst
+                gpairs = jnp.stack([-grads, grads], axis=-1)
+                gv.append(gpairs.reshape(*grads.shape[:-1], -1))
+                rv.append(cst[..., None])
+            else:
+                g4 = jnp.stack([grads, -grads, -grads, grads], axis=-1)
+                gv.append(g4.reshape(*grads.shape[:-1], -1))
+                rv.append(jnp.stack([-cst, cst], axis=-1))
         if not gv:
             z = jnp.zeros(x.shape[:-1] + (0,), dtype=x.dtype)
             return z, z
@@ -424,12 +482,13 @@ class Engine:
         rvals = self._res_vals(params)
         rows = np.concatenate([self.res_rows, self.dc_const_rows,
                                self.tl_kcl_rows, self.tl_dc_rows,
-                               self.ctrl_rows])
+                               self.b_static_rows, self.ctrl_rows])
         cols = np.concatenate([self.res_cols, self.dc_const_cols,
                                self.tl_kcl_cols, self.tl_dc_cols,
-                               self.ctrl_cols])
+                               self.b_static_cols, self.ctrl_cols])
         tl_const = jnp.concatenate([self.tl_kcl_vals, self.tl_dc_vals])
-        const = jnp.concatenate([self.dc_const_vals, tl_const])
+        const = jnp.concatenate([self.dc_const_vals, tl_const,
+                                 self.b_static_vals])
         const = jnp.broadcast_to(const, rvals.shape[:-1] + const.shape)
         cvals = self._ctrl_vals(params)
         cvals = jnp.broadcast_to(cvals, rvals.shape[:-1] + cvals.shape[-1:])
@@ -460,7 +519,7 @@ class Engine:
     def assemble_dc_iter(self, G_static, I_static, params, x, gmin):
         """Add the per-iteration parts: nonlinear device linearization and the
         adaptive gmin-to-ground diagonal (dcanalysis.cpp:126-130)."""
-        gvals, rvals = self._nl_vals(params, x)
+        gvals, rvals = self._nl_vals(params, x)  # t=0 for behavioral exprs
         G = G_static.at[..., self.nl_rows, self.nl_cols].add(gvals)
         gm = jnp.broadcast_to(
             jnp.asarray(gmin, self.dtype)[..., None],
@@ -505,11 +564,13 @@ class Engine:
         rows = np.concatenate([self.res_rows, self.dc_const_rows[:4 * nV],
                                self.ind_rows, self.mut_rows, self.cap_rows,
                                self.topo.node_eqs, self.ctrl_rows,
-                               self.tl_kcl_rows, self.tl_tran_rows])
+                               self.tl_kcl_rows, self.tl_tran_rows,
+                               self.b_static_rows])
         cols = np.concatenate([self.res_cols, self.dc_const_cols[:4 * nV],
                                self.ind_cols, self.mut_cols, self.cap_cols,
                                self.topo.node_eqs, self.ctrl_cols,
-                               self.tl_kcl_cols, self.tl_tran_cols])
+                               self.tl_kcl_cols, self.tl_tran_cols,
+                               self.b_static_cols])
         mv = -fac * self._mutual_M(params) / dt
         mut_vals = jnp.concatenate([mv, mv], axis=-1)
         cvals = self._ctrl_vals(params)
@@ -523,9 +584,12 @@ class Engine:
                                   rvals.shape[:-1] + self.tl_kcl_vals.shape)
         tl_branch = jnp.broadcast_to(tl_branch,
                                      rvals.shape[:-1] + tl_branch.shape[-1:])
+        b_vals = jnp.broadcast_to(self.b_static_vals,
+                                  rvals.shape[:-1] + self.b_static_vals.shape)
         vals = jnp.concatenate(
             [rvals, jnp.broadcast_to(vs_vals, rvals.shape[:-1] + vs_vals.shape[-1:]),
-             ind_vals, mut_vals, cap_vals, gm, cvals, tl_kcl, tl_branch],
+             ind_vals, mut_vals, cap_vals, gm, cvals, tl_kcl, tl_branch,
+             b_vals],
             axis=-1)
         return rows, cols, vals
 
@@ -642,8 +706,8 @@ class Engine:
 
         return f
 
-    def assemble_tran_iter(self, G_static, I_static, params, x):
-        gvals, rvals = self._nl_vals(params, x)
+    def assemble_tran_iter(self, G_static, I_static, params, x, t=0.0):
+        gvals, rvals = self._nl_vals(params, x, t)
         G = G_static.at[..., self.nl_rows, self.nl_cols].add(gvals)
         I = I_static.at[..., self.nl_rhs_rows].add(rvals)
         return G, I

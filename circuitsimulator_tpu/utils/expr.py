@@ -1,8 +1,8 @@
-"""Arithmetic expression evaluator for `.PARAM` and `{...}` netlist
-values (extension; the reference has no parameter system — every value in
-its grammar is a literal, utils.hpp:20-74).
+"""Arithmetic expression engine for `.PARAM`, `{...}` netlist values, and
+behavioral B sources (extension; the reference has no parameter system —
+every value in its grammar is a literal, utils.hpp:20-74).
 
-A small Pratt/recursive-descent parser over:
+A small recursive-descent parser over:
 
   * SPICE numbers with magnitude suffixes (2.2k, 1meg, 10u, ...),
   * parameter names (case-insensitive, resolved via a bindings dict),
@@ -10,11 +10,20 @@ A small Pratt/recursive-descent parser over:
   * operators ``+ - * / % **`` (also ``^`` for power), unary ``+/-``,
   * functions: sin cos tan asin acos atan atan2 sinh cosh tanh exp ln
     log log10 sqrt abs floor ceil pow min max,
-  * parentheses.
+  * parentheses,
+  * (behavioral mode only) circuit probes ``v(node)``, ``v(a,b)``,
+    ``i(element)`` and the variable ``time``.
 
-Evaluation is immediate (host floats) — parameters are compile-time
-constants of a netlist; `.STEP` re-binds them and re-evaluates.  No
-Python ``eval`` is involved.
+Two consumers:
+
+- ``eval_expr(s, bindings)``: immediate host evaluation (floats) — for
+  `.PARAM` resolution and `{...}` substitution.  Parameters are
+  compile-time constants of a netlist; `.STEP` re-binds and re-evaluates.
+  No Python ``eval`` is involved.
+- ``parse_expr(s, probes=True)`` -> AST, plus ``compile_jax(ast, ...)``:
+  builds a pure jnp-traceable function for behavioral sources; the Newton
+  linearization then comes from ``jax.value_and_grad`` — no hand-written
+  derivative code per expression.
 """
 
 from __future__ import annotations
@@ -92,12 +101,14 @@ def _tokenize(s: str) -> List[Tuple[str, str]]:
     return toks
 
 
+# AST node tuples:
+#   ("num", float)  ("name", str)  ("neg", a)  ("bin", op, a, b)
+#   ("call", fname, [args])  ("probe_v", n1, n2|None)  ("probe_i", elem)
 class _Parser:
-    def __init__(self, toks: List[Tuple[str, str]],
-                 bindings: Dict[str, float]):
+    def __init__(self, toks: List[Tuple[str, str]], probes: bool):
         self.toks = toks
         self.pos = 0
-        self.bindings = bindings
+        self.probes = probes
 
     def peek(self) -> Optional[Tuple[str, str]]:
         return self.toks[self.pos] if self.pos < len(self.toks) else None
@@ -109,65 +120,61 @@ class _Parser:
         self.pos += 1
         return t
 
-    def expect(self, kind: str) -> None:
+    def expect(self, kind: str) -> Tuple[str, str]:
         t = self.next()
         if t[0] != kind:
             raise ExprError(f"expected {kind}, got {t[1]!r}")
+        return t
 
     # additive <- multiplicative (('+'|'-') multiplicative)*
-    def additive(self) -> float:
+    def additive(self):
         v = self.multiplicative()
         while True:
             t = self.peek()
             if t and t[0] == "op" and t[1] in "+-":
                 self.next()
-                rhs = self.multiplicative()
-                v = v + rhs if t[1] == "+" else v - rhs
+                v = ("bin", t[1], v, self.multiplicative())
             else:
                 return v
 
-    def multiplicative(self) -> float:
+    def multiplicative(self):
         v = self.unary()
         while True:
             t = self.peek()
             if t and t[0] == "op" and t[1] in ("*", "/", "%"):
                 self.next()
-                rhs = self.unary()
-                if t[1] == "*":
-                    v = v * rhs
-                elif t[1] == "/":
-                    v = v / rhs
-                else:
-                    v = math.fmod(v, rhs)
+                v = ("bin", t[1], v, self.unary())
             else:
                 return v
 
-    def unary(self) -> float:
+    def unary(self):
         t = self.peek()
         if t and t[0] == "op" and t[1] in "+-":
             self.next()
             v = self.unary()
-            return -v if t[1] == "-" else v
+            return ("neg", v) if t[1] == "-" else v
         return self.power()
 
     # right-associative power binds tighter than unary minus on the left
-    # of the base only through explicit parens (matches ngspice: -2**2=-4)
-    def power(self) -> float:
+    # of the base (matches ngspice: -2**2 = -4)
+    def power(self):
         v = self.atom()
         t = self.peek()
         if t and t[0] == "op" and t[1] in ("**", "^"):
             self.next()
-            return math.pow(v, self.unary())
+            return ("bin", "**", v, self.unary())
         return v
 
-    def atom(self) -> float:
+    def atom(self):
         t = self.next()
         if t[0] == "num":
-            return parse_spice_number(t[1])
+            return ("num", parse_spice_number(t[1]))
         if t[0] == "name":
             name = t[1].lower()
             nxt = self.peek()
             if nxt and nxt[0] == "lpar":
+                if self.probes and name in ("v", "i"):
+                    return self._probe(name)
                 self.next()
                 args = [self.additive()]
                 while self.peek() and self.peek()[0] == "comma":
@@ -175,41 +182,198 @@ class _Parser:
                     args.append(self.additive())
                 self.expect("rpar")
                 if name in _FUNCS1 and len(args) == 1:
-                    return float(_FUNCS1[name](args[0]))
+                    return ("call", name, args)
                 if name in _FUNCS2 and len(args) == 2:
-                    return float(_FUNCS2[name](*args))
-                raise ExprError(
-                    f"unknown function {name}/{len(args)}")
-            if name in self.bindings:
-                return float(self.bindings[name])
-            if name in _CONSTS:
-                return _CONSTS[name]
-            raise ExprError(f"undefined parameter {t[1]!r}")
+                    return ("call", name, args)
+                raise ExprError(f"unknown function {name}/{len(args)}")
+            return ("name", t[1])
         if t[0] == "lpar":
             v = self.additive()
             self.expect("rpar")
             return v
         raise ExprError(f"unexpected token {t[1]!r}")
 
+    def _probe(self, kind: str):
+        """v(node[,ref]) / i(element): args are raw names or numbers."""
+        self.next()                               # consume '('
+        a = self.next()
+        if a[0] not in ("name", "num"):
+            raise ExprError(f"bad probe argument {a[1]!r}")
+        if kind == "i":
+            self.expect("rpar")
+            return ("probe_i", a[1])
+        b = None
+        if self.peek() and self.peek()[0] == "comma":
+            self.next()
+            bt = self.next()
+            if bt[0] not in ("name", "num"):
+                raise ExprError(f"bad probe argument {bt[1]!r}")
+            b = bt[1]
+        self.expect("rpar")
+        return ("probe_v", a[1], b)
+
+
+def parse_expr(s: str, probes: bool = False):
+    """Parse to an AST; probes=True enables v()/i()/time (behavioral)."""
+    toks = _tokenize(s)
+    if not toks:
+        raise ExprError("empty expression")
+    p = _Parser(toks, probes)
+    ast = p.additive()
+    if p.peek() is not None:
+        raise ExprError(f"trailing tokens after expression in {s!r}")
+    return ast
+
+
+def _eval_ast(ast, bindings: Dict[str, float]) -> float:
+    kind = ast[0]
+    if kind == "num":
+        return ast[1]
+    if kind == "name":
+        name = ast[1].lower()
+        if name in bindings:
+            return float(bindings[name])
+        if name in _CONSTS:
+            return _CONSTS[name]
+        raise ExprError(f"undefined parameter {ast[1]!r}")
+    if kind == "neg":
+        return -_eval_ast(ast[1], bindings)
+    if kind == "bin":
+        a = _eval_ast(ast[2], bindings)
+        b = _eval_ast(ast[3], bindings)
+        op = ast[1]
+        if op == "+":
+            return a + b
+        if op == "-":
+            return a - b
+        if op == "*":
+            return a * b
+        if op == "/":
+            return a / b
+        if op == "%":
+            return math.fmod(a, b)
+        return math.pow(a, b)
+    if kind == "call":
+        args = [_eval_ast(a, bindings) for a in ast[2]]
+        f = _FUNCS1.get(ast[1]) if len(args) == 1 else _FUNCS2.get(ast[1])
+        return float(f(*args))
+    raise ExprError(f"probes not allowed here: {ast!r}")
+
 
 def eval_expr(s: str, bindings: Optional[Dict[str, float]] = None) -> float:
     """Evaluate an expression string with the given parameter bindings
     (names matched case-insensitively).  Raises ExprError on any problem."""
-    toks = _tokenize(s)
-    if not toks:
-        raise ExprError("empty expression")
+    ast = parse_expr(s, probes=False)
     b = {k.lower(): v for k, v in (bindings or {}).items()}
-    p = _Parser(toks, b)
     try:
-        v = p.additive()
+        v = _eval_ast(ast, b)
     except ZeroDivisionError:
         raise ExprError(f"division by zero in {s!r}")
     except (ValueError, OverflowError) as e:
         if isinstance(e, ExprError):
             raise
         raise ExprError(f"math error in {s!r}: {e}")
-    if p.peek() is not None:
-        raise ExprError(f"trailing tokens after expression in {s!r}")
     if not math.isfinite(v):
         raise ExprError(f"non-finite result for {s!r}")
     return float(v)
+
+
+def probe_refs(ast) -> List[tuple]:
+    """All distinct probe nodes of an AST, in first-appearance order:
+    [("v", node, ref|None) | ("i", elem)], plus ("time",) if used."""
+    out: List[tuple] = []
+
+    def walk(a):
+        k = a[0]
+        if k == "probe_v":
+            r = ("v", a[1], a[2])
+            if r not in out:
+                out.append(r)
+        elif k == "probe_i":
+            r = ("i", a[1])
+            if r not in out:
+                out.append(r)
+        elif k == "name" and a[1].lower() == "time":
+            r = ("time",)
+            if r not in out:
+                out.append(r)
+        elif k == "neg":
+            walk(a[1])
+        elif k == "bin":
+            walk(a[2])
+            walk(a[3])
+        elif k == "call":
+            for x in a[2]:
+                walk(x)
+
+    walk(ast)
+    return out
+
+
+def compile_jax(ast, ref_index: Dict[tuple, int],
+                bindings: Optional[Dict[str, float]] = None):
+    """Build f(vals, t) -> jnp scalar, where vals[j] is the value of the
+    j-th probe per ref_index (probe tuples as from probe_refs, excluding
+    ("time",)).  Parameter names resolve from `bindings` at compile time;
+    `time` resolves to t.  Differentiable in vals — the Newton stamp is
+    jax.value_and_grad(f)(vals, t)."""
+    import jax.numpy as jnp
+
+    b = {k.lower(): v for k, v in (bindings or {}).items()}
+
+    def ev(a, vals, t):
+        k = a[0]
+        if k == "num":
+            return a[1]
+        if k == "name":
+            name = a[1].lower()
+            if name == "time":
+                return t
+            if name in b:
+                return float(b[name])
+            if name in _CONSTS:
+                return _CONSTS[name]
+            raise ExprError(f"undefined parameter {a[1]!r}")
+        if k in ("probe_v", "probe_i"):
+            key = ("v", a[1], a[2]) if k == "probe_v" else ("i", a[1])
+            return vals[ref_index[key]]
+        if k == "neg":
+            return -ev(a[1], vals, t)
+        if k == "bin":
+            x = ev(a[2], vals, t)
+            y = ev(a[3], vals, t)
+            op = a[1]
+            if op == "+":
+                return x + y
+            if op == "-":
+                return x - y
+            if op == "*":
+                return x * y
+            if op == "/":
+                return x / y
+            if op == "%":
+                return jnp.fmod(x, y)
+            return x ** y
+        if k == "call":
+            args = [ev(x, vals, t) for x in a[2]]
+            f = getattr(jnp, {"ln": "log", "abs": "abs"}.get(a[1], a[1]),
+                        None)
+            if a[1] == "abs":
+                f = jnp.abs
+            elif a[1] == "ln" or a[1] == "log":
+                f = jnp.log
+            elif a[1] == "min":
+                f = jnp.minimum
+            elif a[1] == "max":
+                f = jnp.maximum
+            elif a[1] == "pow":
+                f = jnp.power
+            if f is None:
+                raise ExprError(f"function {a[1]} not jnp-mappable")
+            return f(*args)
+        raise ExprError(f"cannot compile node {a!r}")
+
+    def f(vals, t):
+        return jnp.asarray(ev(ast, vals, t))
+
+    return f
