@@ -73,6 +73,17 @@ def stacked_source_params(sim, name: str, values) -> Any:
     return bparams
 
 
+def stacked_temp_params(sim, values) -> Any:
+    """Params with the thermal voltage kT/q swept (.STEP TEMP, Celsius)."""
+    from ..parallel.montecarlo import broadcast_params
+    k_b, q_e = 1.380649e-23, 1.602176634e-19
+    bparams = dict(broadcast_params(sim.params, len(values)))
+    vt = jnp.asarray([k_b * (273.15 + float(c)) / q_e for c in values],
+                     sim.engine.dtype)
+    bparams["vt_thermal"] = vt
+    return bparams
+
+
 def run_step(sim, cfg, save_xs: bool = True) -> StepResult:
     """Execute one .STEP card over the netlist's primary analysis
     (.TRAN if present, else the DC operating point)."""
@@ -81,6 +92,8 @@ def run_step(sim, cfg, save_xs: bool = True) -> StepResult:
     values = list(cfg.values)
     if cfg.kind == "param":
         bparams = stacked_step_params(sim, cfg.name, values)
+    elif cfg.kind == "temp":
+        bparams = stacked_temp_params(sim, values)
     else:
         bparams = stacked_source_params(sim, cfg.name, values)
     tran = sim.config.tran

@@ -12,6 +12,7 @@ compiled executables.
 from __future__ import annotations
 
 import functools
+import os
 import sys
 from typing import Any, Optional
 
@@ -135,6 +136,8 @@ class Simulator:
         except OSError:
             print(f"cannot open netlist file {path}", file=sys.stderr)
             raise FileNotFoundError(path)
+        from .netlist.include import expand_includes
+        text = expand_includes(text, os.path.dirname(os.path.abspath(path)))
         ckt, sim = cls._parse(text, None, frontend)
         inst = cls(ckt, sim, opts)
         inst.netlist_text = text
@@ -143,6 +146,8 @@ class Simulator:
     @classmethod
     def from_text(cls, text: str, opts: Optional[SolverOptions] = None,
                   frontend: str = "python"):
+        from .netlist.include import expand_includes
+        text = expand_includes(text)
         ckt, sim = cls._parse(text, None, frontend)
         inst = cls(ckt, sim, opts)
         inst.netlist_text = text

@@ -351,7 +351,7 @@ def parse_netlist_text_native(text: str) -> Tuple[Circuit, SimulationConfig]:
         for i in range(nst):
             r = cst2[i]
             sim.steps.append(StepConfig(
-                kind="param" if r.kind == 0 else "source",
+                kind={0: "param", 1: "source", 2: "temp"}[r.kind],
                 name=s(r.name_off),
                 values=[spool[r.val_off + j] for j in range(r.n_vals)]))
 

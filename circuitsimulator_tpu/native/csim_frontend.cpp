@@ -1640,6 +1640,10 @@ public:
             rec.kind = 0;
             rec.name_off = intern(lower(t[2]));
             idx = 3;
+        } else if (lower(t[1]) == "temp") {
+            rec.kind = 2;
+            rec.name_off = intern("temp");
+            idx = 2;
         } else {
             rec.kind = 1;
             rec.name_off = intern(t[1]);

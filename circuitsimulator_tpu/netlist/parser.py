@@ -913,6 +913,10 @@ class NetlistParser:
             cfg.kind = "param"
             cfg.name = t[2].lower()
             idx = 3
+        elif t[1].lower() == "temp":
+            cfg.kind = "temp"        # sweeps the thermal voltage kT/q
+            cfg.name = "temp"
+            idx = 2
         else:
             cfg.kind = "source"
             cfg.name = t[1]
