@@ -27,6 +27,11 @@ def gen_netlist(rng: random.Random) -> str:
     lines.append(".MODEL 2 VT 0.6 MU 2e-2 COX 1e-3 LAMBDA 0.03 CJ0 1e-14 "
                  "KF 1e-24 AF 1.2")
     lines.append(".MODEL qq NPN IS=2e-15 BF=80 BR=2")
+    lines.append(".MODEL jj NJF VTO=-1.5 BETA=2e-4 LAMBDA=0.01")
+    lines.append(".MODEL ss SW RON=2 ROFF=1e8 VT=0.5 VH=0.2")
+    lines.append(".MODEL cs CSW RON=3 ROFF=1e8 IT=1m IH=0.1m")
+    lines.append(f".PARAM rbase={rng.randint(100, 999)} "
+                 f"rtop={{2*rbase + min(rbase, 500)}}")
     eid = 0
     for _ in range(rng.randint(3, 8)):
         eid += 1
@@ -51,10 +56,24 @@ def gen_netlist(rng: random.Random) -> str:
             lines.append(f"G{eid} {a} {b} {pick()} {pick()} 1e-3")
         elif r < 0.86:
             lines.append(f"F{eid} {a} {b} V1 {round(rng.uniform(0.5, 2), 2)}")
-        elif r < 0.93:
+        elif r < 0.9:
             lines.append(f"H{eid} {a} {b} V1 {rng.randint(10, 999)}")
+        elif r < 0.94:
+            lines.append(f"J{eid} {a} {pick()} {b} jj")
+        elif r < 0.97:
+            lines.append(f"S{eid} {a} {b} {pick()} 0 ss"
+                         + (" ON" if rng.random() < 0.3 else ""))
         else:
             lines.append(f"X{eid} {a} {b} blk")
+    # fixed instances of the remaining classes (well-posed by construction)
+    lines.append("La 1 0 10n")
+    lines.append("Lb 2 0 40n")
+    lines.append(f"Kxf La Lb {round(rng.uniform(0.1, 0.95), 3)}")
+    lines.append("Wsw 3 0 V1 cs")
+    lines.append(f"Ttl 1 0 4 0 Z0={rng.randint(25, 99)} TD=2n")
+    lines.append("Rpar 5 0 {rtop}")
+    lines.append("Bbv 6 0 V=0.5*v(1) + 0.1*tanh(v(2))")
+    lines.append("Bbi 5 0 I=1u*v(5) + 2u*i(V1)")
     # every leaf node gets a leak so the DC system stays well-posed
     for n in nodes:
         lines.append(f"Rleak{n} {n} 0 1meg")
@@ -69,6 +88,11 @@ def gen_netlist(rng: random.Random) -> str:
     lines.append(f".DC V1 0 1 0.5")
     lines.append(f".PRINT TRAN V({rng.choice(nodes)}) I(V1)")
     lines.append(f".PLOTNV {rng.choice(nodes)}")
+    lines.append(f".TF V({rng.choice(nodes)}) V1")
+    lines.append(f".MEASURE TRAN mrms RMS V({rng.choice(nodes)}) "
+                 f"FROM=0 TO=5e-8")
+    lines.append(f".MEASURE TRAN mw WHEN V({rng.choice(nodes)})=0.3 RISE=1")
+    lines.append(".STEP PARAM rbase LIST 100 200")
     return "\n".join(lines) + "\n"
 
 
@@ -80,6 +104,8 @@ def canon_elements(ckt):
                     e.value, e.is_p, e.vth, e.k, e.lam, e.cj0, e.kf, e.af,
                     e.i_sat, e.n_ideal, e.bf, e.br, e.ctrl_name,
                     e.branch_eq,
+                    e.ctrl2_name, e.ron, e.roff, e.s_vt, e.s_vh,
+                    e.z0, e.td, e.branch_eq2, e.b_expr, e.b_is_v,
                     None if e.spec is None else
                     (e.spec.dc, e.spec.ac_mag, e.spec.ac_phase_deg,
                      e.spec.wave.kind)))
@@ -111,5 +137,17 @@ def test_frontends_identical(seed):
     assert (py.config.noise.out_node, py.config.noise.input_source) == \
         (nat.config.noise.out_node, nat.config.noise.input_source)
     assert len(py.config.dc_sweeps) == len(nat.config.dc_sweeps) == 1
+    assert py.config.param_values == nat.config.param_values
+    assert dataclasses.asdict(py.config.tf) == dataclasses.asdict(nat.config.tf)
+    assert ([dataclasses.asdict(s) for s in py.config.steps]
+            == [dataclasses.asdict(s) for s in nat.config.steps])
+    def canon_measure(m):
+        d = dataclasses.asdict(m)
+        for p in (d["probe"], d["ev1"]["probe"], d["ev2"]["probe"]):
+            p.pop("expr")    # the native frontend carries no raw text
+        return d
+
+    assert ([canon_measure(m) for m in py.config.measures]
+            == [canon_measure(m) for m in nat.config.measures])
     # identical lowering -> identical DC trajectory, bit for bit
     np.testing.assert_array_equal(np.asarray(py.dc()), np.asarray(nat.dc()))
