@@ -24,13 +24,33 @@ from ..ir.lower import Topology
 from ..netlist.parser import EventSpec, MeasureSpec, ProbeSpec
 
 
+def _apply_mod(y: np.ndarray, mod: str) -> np.ndarray:
+    """Complex data reduces per the probe modifier (default magnitude —
+    the standard .MEASURE AC convention); real data only honors db."""
+    if np.iscomplexobj(y):
+        if mod == "db":
+            return 20.0 * np.log10(np.maximum(np.abs(y), 1e-300))
+        if mod == "ph":
+            return np.degrees(np.angle(y))
+        if mod == "re":
+            return y.real
+        if mod == "im":
+            return y.imag
+        return np.abs(y)
+    if mod == "db":
+        return 20.0 * np.log10(np.maximum(np.abs(y), 1e-300))
+    return y
+
+
 def probe_wave(topo: Topology, xs: np.ndarray,
                probe: ProbeSpec) -> Optional[np.ndarray]:
-    """Resolve a probe to its waveform column(s): V(a), V(a,b), I(elem).
-    Returns None (not an error) for unresolvable probes — consistent with
-    probe_selection in io/csvout.py."""
+    """Resolve a probe to its waveform column(s): V(a), V(a,b), I(elem),
+    with VDB/VP/VR/VI modifiers applied (AC data).  Returns None (not an
+    error) for unresolvable probes — consistent with probe_selection in
+    io/csvout.py."""
     v_by_name = dict(zip(topo.volt_col_names, topo.volt_col_eqs))
     i_by_name = dict(zip(topo.branch_col_names, topo.branch_col_eqs))
+    mod = getattr(probe, "mod", "")
 
     def veq(name):
         if name in v_by_name:
@@ -41,16 +61,17 @@ def probe_wave(topo: Topology, xs: np.ndarray,
         eq = veq(probe.node1)
         if eq is None:
             return None
-        return xs[:, eq] if eq >= 0 else np.zeros(xs.shape[0])
+        y = xs[:, eq] if eq >= 0 else np.zeros(xs.shape[0])
+        return _apply_mod(y, mod)
     if probe.kind == "dv":
         ea, eb = veq(probe.node1), veq(probe.node2)
         if ea is None or eb is None:
             return None
         ya = xs[:, ea] if ea >= 0 else 0.0
         yb = xs[:, eb] if eb >= 0 else 0.0
-        return ya - yb
+        return _apply_mod(ya - yb, mod)
     if probe.kind == "br" and probe.ele_name in i_by_name:
-        return xs[:, int(i_by_name[probe.ele_name])]
+        return _apply_mod(xs[:, int(i_by_name[probe.ele_name])], mod)
     return None
 
 
@@ -134,9 +155,16 @@ def _eval_stat(m: MeasureSpec, t: np.ndarray, y: np.ndarray) -> float:
 
 
 def evaluate_measure(m: MeasureSpec, topo: Topology, times, xs) -> float:
-    """One measurement over a transient waveform; NaN if unresolvable."""
+    """One measurement over a waveform array; NaN if unresolvable.
+
+    `times` is the sweep axis: time for TRAN, frequency for AC (crossing
+    "times" are then frequencies — e.g. a -3 dB bandwidth), the swept
+    source/parameter value for DC.  `xs` may be complex (AC) — probes
+    reduce it via their modifier (magnitude by default)."""
     t = np.asarray(times, dtype=float)
-    xs = np.asarray(xs, dtype=float)
+    xs = np.asarray(xs)
+    if not np.iscomplexobj(xs):
+        xs = xs.astype(float)
     if m.kind == "stat":
         y = probe_wave(topo, xs, m.probe)
         return _eval_stat(m, t, y) if y is not None else math.nan
@@ -166,6 +194,8 @@ def evaluate_measure(m: MeasureSpec, topo: Topology, times, xs) -> float:
 
 def run_measures(measures: List[MeasureSpec], topo: Topology, times, xs,
                  analysis: str = "tran") -> List[Tuple[str, float]]:
+    """Evaluate every .MEASURE of the given analysis ("tran", "ac", "dc")
+    over (axis, waveforms)."""
     return [(m.name, evaluate_measure(m, topo, times, xs))
             for m in measures if m.analysis == analysis]
 

@@ -428,15 +428,24 @@ class Simulator:
         return run_step(self, self.config.steps[step_index], save_xs=save_xs)
 
     def measure(self, result, analysis: str = "tran"):
-        """.MEASURE evaluation (analysis/measure.py) over a transient
-        result (needs save_xs=True, the default).  Returns
-        [(name, value)] with NaN for failed measurements."""
+        """.MEASURE evaluation (analysis/measure.py).  `result` matches
+        the analysis: a TransientResult ("tran", axis = time), an ACResult
+        ("ac", axis = frequency; complex data reduces per VDB/VP/...
+        probe modifiers — a `.MEASURE AC bw WHEN VDB(out)=-3` is a
+        bandwidth), or a DCSweepResult ("dc", axis = swept value).
+        Returns [(name, value)] with NaN for failed measurements."""
         from .analysis.measure import run_measures
         if result.xs is None:
-            raise ValueError(".MEASURE needs a transient run with "
-                             "save_xs=True")
+            raise ValueError(".MEASURE needs saved waveforms "
+                             "(save_xs=True)")
+        if analysis == "ac":
+            axis = result.freqs
+        elif analysis == "dc":
+            axis = result.values
+        else:
+            axis = result.times
         return run_measures(self.config.measures, self.topo,
-                            result.times, result.xs, analysis=analysis)
+                            axis, result.xs, analysis=analysis)
 
     def tf(self, params: Optional[Any] = None, x_op: Optional[Any] = None):
         """.TF DC transfer function (analysis/tf.py): small-signal DC

@@ -176,6 +176,10 @@ def main(argv=None) -> int:
             write_ac_csv(args.run_ac, sim.topo, acres, selection=ac_sel)
             print(f"AC sweep finished ({len(acres.freqs)} points). "
                   f"Results written to '{args.run_ac}'.")
+            if any(m.analysis == "ac" for m in sim.config.measures):
+                from .analysis.measure import measure_report
+                print()
+                print(measure_report(sim.measure(acres, analysis="ac")))
         except Exception as e:  # noqa: BLE001
             print(f"AC failed: {e}", file=sys.stderr)
             return 1
@@ -235,6 +239,10 @@ def main(argv=None) -> int:
             print(f"DC sweep of {swres.source} finished "
                   f"({len(swres.values)} points). "
                   f"Results written to '{args.run_dc_sweep}'.")
+            if any(m.analysis == "dc" for m in sim.config.measures):
+                from .analysis.measure import measure_report
+                print()
+                print(measure_report(sim.measure(swres, analysis="dc")))
         except Exception as e:  # noqa: BLE001
             print(f"DC sweep failed: {e}", file=sys.stderr)
             return 1

@@ -78,7 +78,11 @@ class _CProbe(ct.Structure):
     _pack_ = 1
     _fields_ = [("analysis", ct.c_int32), ("kind", ct.c_int32),
                 ("node1_off", ct.c_int32), ("node2_off", ct.c_int32),
-                ("ele_off", ct.c_int32), ("port_off", ct.c_int32)]
+                ("ele_off", ct.c_int32), ("port_off", ct.c_int32),
+                ("mod", ct.c_int32)]
+
+
+_PROBE_MOD = {0: "", 1: "db", 2: "ph", 3: "re", 4: "im"}
 
 
 class _CMeasure(ct.Structure):
@@ -358,7 +362,8 @@ def parse_netlist_text_native(text: str) -> Tuple[Circuit, SimulationConfig]:
         def probe(p):
             return ProbeSpec(kind=_PROBE_KIND[p.kind],
                              node1=s(p.node1_off), node2=s(p.node2_off),
-                             ele_name=s(p.ele_off), ele_port=s(p.port_off))
+                             ele_name=s(p.ele_off), ele_port=s(p.port_off),
+                             mod=_PROBE_MOD[p.mod])
 
         _EDGE = {0: "cross", 1: "rise", 2: "fall"}
         _MKIND = {0: "stat", 1: "trig_targ", 2: "when", 3: "find_when",
@@ -412,7 +417,8 @@ def parse_netlist_text_native(text: str) -> Tuple[Circuit, SimulationConfig]:
             p = cpr[i]
             probe = ProbeSpec(kind=_PROBE_KIND[p.kind],
                               node1=s(p.node1_off), node2=s(p.node2_off),
-                              ele_name=s(p.ele_off), ele_port=s(p.port_off))
+                              ele_name=s(p.ele_off), ele_port=s(p.port_off),
+                              mod=_PROBE_MOD[p.mod])
             if p.analysis == 6:       # .FOUR probe (extension tag)
                 four_probes.append(probe)
                 continue

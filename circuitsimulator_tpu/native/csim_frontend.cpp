@@ -367,6 +367,7 @@ struct ProbeRec {
     int32_t analysis;   // 0 none 1 op 2 dc 3 ac 4 tran 5 hb
     int32_t kind;       // 0 nv 1 dv 2 br
     int32_t node1_off, node2_off, ele_off, port_off;
+    int32_t mod;        // 0 none/mag 1 db 2 ph 3 re 4 im (VDB/VP/VR/VI)
 };
 
 struct SweepRec {
@@ -1439,6 +1440,11 @@ public:
         }
         if (c0 == 'V') {
             p.kind = 0;
+            if (l > 0) {
+                std::string head = lower(token.substr(0, l));
+                p.mod = head == "vdb" ? 1 : head == "vp" ? 2
+                        : head == "vr" ? 3 : head == "vi" ? 4 : 0;
+            }
             if (l >= 0 && r > l + 1) {
                 std::string inside = token.substr(l + 1, r - l - 1);
                 size_t comma = inside.find(',');

@@ -147,6 +147,9 @@ class ProbeSpec:
     node2: str = ""
     ele_name: str = ""
     ele_port: str = ""
+    # AC modifier (extension, used by .MEASURE AC): "" = value (magnitude
+    # for complex data), db | ph | re | im from VDB()/VP()/VR()/VI()
+    mod: str = ""
 
 
 @dataclasses.dataclass
@@ -1208,14 +1211,19 @@ class NetlistParser:
                 r = i
         return l, r
 
+    _PROBE_MODS = {"v": "", "vm": "", "vdb": "db", "vp": "ph",
+                   "vr": "re", "vi": "im"}
+
     def _parse_probe_token(self, token: str) -> ProbeSpec:
         p = ProbeSpec(expr=token)
         if not token:
             return p
         c0 = token[0].upper()
+        l, r = self._find_paren(token)
+        head = token[:l].lower() if l > 0 else ""
         if c0 == "V":
             p.kind = "nv"
-            l, r = self._find_paren(token)
+            p.mod = self._PROBE_MODS.get(head, "")
             if l >= 0 and r > l + 1:
                 inside = token[l + 1:r]
                 if "," in inside:
@@ -1225,7 +1233,6 @@ class NetlistParser:
                     p.node1 = inside.strip()
         elif c0 == "I":
             p.kind = "br"
-            l, r = self._find_paren(token)
             if l >= 0 and r > l + 1:
                 p.ele_name = token[l + 1:r].strip()
         return p

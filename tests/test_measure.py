@@ -119,6 +119,73 @@ def test_measure_native_frontend_parity():
             assert canon(a) == canon(b), (a, b)
 
 
+RC_AC = """* rc lowpass, f3db = 1/(2 pi RC) ~= 159.15 kHz
+V1 in 0 DC 0 AC 1
+R1 in out 1k
+C1 out 0 1n
+.AC dec 50 1e3 1e7
+.MEASURE AC f3db WHEN VDB(out)=-3.0103 FALL=1
+.MEASURE AC dc_gain MAX V(out)
+.MEASURE AC gain_at FIND VDB(out) AT=159.155e3
+.MEASURE AC ph90 WHEN VP(out)=-45 FALL=1
+"""
+
+
+def test_ac_measures_lowpass():
+    sim = Simulator.from_text(RC_AC)
+    acres = sim.ac()
+    vals = dict(sim.measure(acres, analysis="ac"))
+    f0 = 1.0 / (2 * np.pi * 1e3 * 1e-9)
+    # -3 dB corner (the .AC grid is log-spaced; interpolation is linear
+    # in f, so allow a grid-scale tolerance)
+    assert vals["f3db"] == pytest.approx(f0, rel=2e-2)
+    assert vals["dc_gain"] == pytest.approx(1.0, abs=1e-3)
+    assert vals["gain_at"] == pytest.approx(-3.0103, abs=0.05)
+    assert vals["ph90"] == pytest.approx(f0, rel=2e-2)
+
+
+def test_dc_measures_sweep():
+    sim = Simulator.from_text("""* diode turn-on vs source
+V1 in 0 DC 0
+R1 in a 1k
+D1 a 0 IS=1e-14
+.DC V1 0 2 0.05
+.MEASURE DC von WHEN V(a)=0.6 RISE=1
+.MEASURE DC vmax MAX V(a)
+""")
+    swres = sim.dc_sweep()
+    vals = dict(sim.measure(swres, analysis="dc"))
+    # the crossing is in swept-source units: V1 where V(a) hits 0.6
+    assert 0.6 < vals["von"] < 1.5
+    a_eq = sim.circuit.nodes[sim.circuit.node_name_to_id["a"]].eq_index
+    assert vals["vmax"] == pytest.approx(
+        float(np.asarray(swres.xs)[:, a_eq].max()), rel=1e-9)
+
+
+def test_probe_modifier_parsing():
+    _, sim = parse_netlist_text(
+        "V1 a 0 1\nR1 a 0 1\n.AC lin 1 1 1\n"
+        ".MEASURE AC m1 MAX VDB(a)\n.MEASURE AC m2 MAX VP(a)\n"
+        ".MEASURE AC m3 MAX VR(a)\n.MEASURE AC m4 MAX VI(a)\n"
+        ".MEASURE AC m5 MAX VM(a)\n")
+    mods = [m.probe.mod for m in sim.measures]
+    assert mods == ["db", "ph", "re", "im", ""]
+
+
+def test_probe_modifier_native_parity():
+    from circuitsimulator_tpu import native
+    if not native.available():
+        pytest.skip("native frontend not built")
+    text = ("V1 a 0 1\nR1 a 0 1\n.AC lin 1 1 1\n"
+            ".MEASURE AC m1 MAX VDB(a)\n.MEASURE AC m2 WHEN VP(a,0)=-45\n")
+    _, sp = parse_netlist_text(text)
+    _, sn = native.parse_netlist_text_native(text)
+    assert sp.measures[0].probe.mod == sn.measures[0].probe.mod == "db"
+    assert sp.measures[1].ev1.probe.mod == "ph"
+    assert sn.measures[1].ev1.probe.mod == "ph"
+    assert sn.measures[1].ev1.probe.kind == "dv"
+
+
 def test_measure_report_smoke():
     from circuitsimulator_tpu.analysis.measure import measure_report
     out = measure_report([("a", 1.0), ("b", math.nan)])
