@@ -42,6 +42,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--method", choices=["be", "trap"], default="be",
                    help="transient integration: Backward Euler (reference "
                         "behavior, default) or trapezoidal (2nd order)")
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="capture a jax.profiler trace of the transient "
+                        "into DIR (view with TensorBoard / Perfetto)")
     p.add_argument("--stats", metavar="JSON", default=None,
                    help="write structured run metadata (Newton iteration "
                         "histogram, timings) to a JSON file")
@@ -128,11 +131,17 @@ def main(argv=None) -> int:
               f"tstart={tran.tstart:.6e}")
         print(f"[TRAN] total steps = {n}")
         try:
+            import contextlib
             import time
+            prof = (jax.profiler.trace(args.profile)
+                    if args.profile else contextlib.nullcontext())
             t0 = time.time()
-            res = sim.transient(adaptive=args.adaptive)
-            res.x_final.block_until_ready()
+            with prof:
+                res = sim.transient(adaptive=args.adaptive)
+                res.x_final.block_until_ready()
             wall = time.time() - t0
+            if args.profile:
+                print(f"Profiler trace written to '{args.profile}'.")
             sim.write_transient_csv(args.tran_out, res,
                                     probes_only=args.probes_only)
         except Exception as e:  # noqa: BLE001
