@@ -538,9 +538,34 @@ public:
             auto it = map.find(t);
             t = (it != map.end()) ? it->second : prefix + "." + t;
         };
+        long n_poly = -1;
+        if ((c0 == 'E' || c0 == 'G' || c0 == 'F' || c0 == 'H') &&
+            r.tokens.size() > 3) {
+            std::string p3 = lower(r.tokens[3]);
+            if (p3.rfind("poly(", 0) == 0 && p3.size() > 6 &&
+                p3.back() == ')') {
+                char* e2 = nullptr;
+                long n = std::strtol(p3.c_str() + 5, &e2, 10);
+                if (e2 && *e2 == ')' && e2 != p3.c_str() + 5) n_poly = n;
+            }
+        }
         if (c0 == 'X') {
             for (size_t j = 1; j + 1 < r.tokens.size(); ++j)
                 map_node(r.tokens[j]);
+        } else if (n_poly >= 0) {
+            // POLY(n): output nodes + n control node pairs (E/G) or n
+            // controlling element names (F/H); coefficients untouched
+            map_node(r.tokens[1]);
+            map_node(r.tokens[2]);
+            if (c0 == 'E' || c0 == 'G') {
+                for (size_t j = 4;
+                     j < (size_t)(4 + 2 * n_poly) && j < r.tokens.size(); ++j)
+                    map_node(r.tokens[j]);
+            } else {
+                for (size_t j = 4;
+                     j < (size_t)(4 + n_poly) && j < r.tokens.size(); ++j)
+                    r.tokens[j] += "@" + prefix;
+            }
         } else {
             size_t lo, hi;
             node_range(c0, &lo, &hi);
@@ -1015,9 +1040,103 @@ public:
         out.elements.push_back(e);
     }
 
-    void dev_ctrl(const Statement& st, int kind) {
-        // E/G np nm ncp ncm gain ; F/H np nm Vctrl gain (extensions)
+    // SPICE2 POLY expression text from raw coefficient tokens; must build
+    // the IDENTICAL string as NetlistParser._poly_expr
+    static std::string poly_expr(const std::vector<std::string>& vars,
+                                 const std::vector<std::string>& coeffs) {
+        size_t n = vars.size();
+        if (n == 1 && coeffs.size() == 1)
+            return coeffs[0] + "*" + vars[0];
+        std::vector<std::string> terms;
+        size_t idx = 0;
+        if (!coeffs.empty()) {
+            terms.push_back(coeffs[0]);
+            idx = 1;
+        }
+        for (const auto& v : vars) {
+            if (idx >= coeffs.size()) break;
+            terms.push_back(coeffs[idx] + "*" + v);
+            ++idx;
+        }
+        if (n == 1) {
+            size_t k = 2;
+            while (idx < coeffs.size()) {
+                terms.push_back(coeffs[idx] + "*" + vars[0] + "**" +
+                                std::to_string(k));
+                ++idx;
+                ++k;
+            }
+        } else {
+            for (size_t i = 0; i < n; ++i) {
+                for (size_t j = i; j < n; ++j) {
+                    if (idx >= coeffs.size()) break;
+                    std::string prod = i == j ? vars[i] + "**2"
+                                              : vars[i] + "*" + vars[j];
+                    terms.push_back(coeffs[idx] + "*" + prod);
+                    ++idx;
+                }
+            }
+        }
+        if (terms.empty()) return "0";
+        std::string out;
+        for (const auto& s2 : terms) {
+            if (!out.empty()) out += " + ";
+            out += s2;
+        }
+        return out;
+    }
+
+    void dev_poly(const Statement& st, int kind, long n_poly) {
+        // POLY(n) E/G/F/H lowered to a behavioral source (kind 17);
+        // mirror of NetlistParser._parse_poly
         const auto& t = st.tokens;
+        bool vctl = kind == 8 || kind == 9;
+        size_t n_ctl = vctl ? 2 * (size_t)n_poly : (size_t)n_poly;
+        size_t first = 4 + n_ctl;
+        if (n_poly < 1 || t.size() < first + 1) {
+            warn(st.line_no, "invalid POLY source: " + st.raw);
+            return;
+        }
+        std::vector<std::string> vars;
+        for (long i = 0; i < n_poly; ++i) {
+            if (vctl)
+                vars.push_back("v(" + t[4 + 2 * i] + "," + t[4 + 2 * i + 1]
+                               + ")");
+            else
+                vars.push_back("i(" + t[4 + i] + ")");
+        }
+        std::vector<std::string> coeffs(t.begin() + first, t.end());
+        for (const auto& c : coeffs) {
+            double d;
+            if (!parse_spice(c, &d)) {
+                warn(st.line_no,
+                     "cannot parse POLY coefficient '" + c + "'");
+                return;
+            }
+        }
+        ElementRec e = blank(17, t[0]);
+        e.nodes[0] = node(t[1]);
+        e.nodes[1] = node(t[2]);
+        e.bexpr_off = intern(poly_expr(vars, coeffs));
+        e.b_is_v = (kind == 8 || kind == 11) ? 1 : 0;   // E/H forms
+        out.elements.push_back(e);
+    }
+
+    void dev_ctrl(const Statement& st, int kind) {
+        // E/G np nm ncp ncm gain ; F/H np nm Vctrl gain (extensions);
+        // the SPICE2 POLY(n) form routes to dev_poly
+        const auto& t = st.tokens;
+        if (t.size() > 3) {
+            std::string p3 = lower(t[3]);
+            if (p3.rfind("poly(", 0) == 0 && p3.back() == ')') {
+                char* e2 = nullptr;
+                long n = std::strtol(p3.c_str() + 5, &e2, 10);
+                if (e2 && *e2 == ')') {
+                    dev_poly(st, kind, n);
+                    return;
+                }
+            }
+        }
         bool vctl = kind == 8 || kind == 9;
         size_t need = vctl ? 6 : 5;
         if (t.size() < need) {

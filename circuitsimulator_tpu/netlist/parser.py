@@ -557,10 +557,86 @@ class NetlistParser:
             return
         self.ckt.add_bjt(t[0], t[1], t[2], t[3], t[4])
 
+    @staticmethod
+    def _poly_expr(variables: List[str], coeffs: List[str]) -> str:
+        """SPICE2 POLY expression text from raw coefficient tokens (kept
+        verbatim so both frontends build the identical string):
+        c0 + c1*x1 + ... + cn*xn, then for one variable the full power
+        series, for several the graded-lex second-order products
+        (x1^2, x1*x2, ..., x2^2, ...).  A single coefficient is the
+        LINEAR term (classic SPICE2 shorthand), for one variable."""
+        n = len(variables)
+        if n == 1 and len(coeffs) == 1:
+            return f"{coeffs[0]}*{variables[0]}"
+        terms: List[str] = []
+        idx = 0
+        if coeffs:
+            terms.append(coeffs[0])
+            idx = 1
+        for v in variables:
+            if idx >= len(coeffs):
+                break
+            terms.append(f"{coeffs[idx]}*{v}")
+            idx += 1
+        if n == 1:
+            k = 2
+            while idx < len(coeffs):
+                terms.append(f"{coeffs[idx]}*{variables[0]}**{k}")
+                idx += 1
+                k += 1
+        else:
+            for i in range(n):
+                for j in range(i, n):
+                    if idx >= len(coeffs):
+                        break
+                    prod = (f"{variables[i]}**2" if i == j
+                            else f"{variables[i]}*{variables[j]}")
+                    terms.append(f"{coeffs[idx]}*{prod}")
+                    idx += 1
+        return " + ".join(terms) if terms else "0"
+
+    def _parse_poly(self, st: Statement, c0: str, n_poly: int) -> None:
+        """POLY(n) form of E/G/F/H (extension): lowered onto the
+        behavioral-source machinery — the polynomial becomes a B
+        expression, so the Newton stamp comes from autodiff like any
+        other behavioral device."""
+        t = st.tokens
+        v_controlled = c0 in ("E", "G")       # controls are node pairs
+        n_ctl_toks = 2 * n_poly if v_controlled else n_poly
+        first_coeff = 4 + n_ctl_toks
+        if n_poly < 1 or len(t) < first_coeff + 1:
+            _warn(st.line_no, f"invalid POLY source: {st.raw}")
+            return
+        variables = []
+        for i in range(n_poly):
+            if v_controlled:
+                cp = t[4 + 2 * i]
+                cm = t[4 + 2 * i + 1]
+                variables.append(f"v({cp},{cm})")
+            else:
+                variables.append(f"i({t[4 + i]})")
+        coeffs = t[first_coeff:]
+        for c in coeffs:
+            try:
+                parse_spice_number(c)
+            except ValueError as e:
+                _warn(st.line_no,
+                      f"cannot parse POLY coefficient {c!r}: {e}")
+                return
+        expr = self._poly_expr(variables, coeffs)
+        self.ckt.add_bsource(t[0], t[1], t[2], c0 in ("E", "H"), expr)
+
     def _parse_controlled(self, st: Statement, c0: str) -> None:
         """Linear controlled sources (extension):
-        E/G np nm ncp ncm gain|gm;  F/H np nm Vctrl gain|r."""
+        E/G np nm ncp ncm gain|gm;  F/H np nm Vctrl gain|r.
+        The SPICE2 `POLY(n)` form routes to _parse_poly."""
         t = st.tokens
+        if len(t) > 3:
+            import re as _re
+            mpoly = _re.fullmatch(r"poly\((\d+)\)", t[3].lower())
+            if mpoly:
+                self._parse_poly(st, c0, int(mpoly.group(1)))
+                return
         need = 6 if c0 in ("E", "G") else 5
         if len(t) < need:
             _warn(st.line_no, f"invalid {c0}-source: {st.raw}")

@@ -60,9 +60,24 @@ def _rename(st: Statement, mapping: Dict[str, str], prefix: str) -> Statement:
             return mapping[t]
         return f"{prefix}.{t}"
 
+    import re as _re
+    poly = (c0 in "EGFH" and len(toks) > 3
+            and _re.fullmatch(r"poly\((\d+)\)", toks[3].lower()))
     if c0 == "X":
         for j in range(1, len(toks) - 1):
             toks[j] = map_node(toks[j])
+    elif poly:
+        # POLY(n) controlled source: output nodes, then n node pairs (E/G)
+        # or n controlling V-source names (F/H); coefficients untouched
+        n = int(poly.group(1))
+        toks[1] = map_node(toks[1])
+        toks[2] = map_node(toks[2])
+        if c0 in "EG":
+            for j in range(4, min(4 + 2 * n, len(toks))):
+                toks[j] = map_node(toks[j])
+        else:
+            for j in range(4, min(4 + n, len(toks))):
+                toks[j] = f"{toks[j]}@{prefix}"
     else:
         lo, hi = _NODE_RANGES.get(c0, (1, 1))
         for j in range(lo, min(hi, len(toks))):
