@@ -121,7 +121,11 @@ def sensitivity_report(circuit, grads: Dict[str, Any],
                 row.append(p * float(g[..., i]))
             rows.append(tuple(row))
     if "vt_thermal" in grads and hasattr(grads["vt_thermal"], "shape"):
-        rows.append(("d/dVt(thermal)", float(np.asarray(grads["vt_thermal"]))))
+        g = float(np.asarray(grads["vt_thermal"]))
+        row = ["d/dVt(thermal)", g]
+        if normalize_params is not None:
+            row.append(float(np.asarray(normalize_params["vt_thermal"])) * g)
+        rows.append(tuple(row))
     rows.sort(key=lambda r: -abs(r[1]))
     return rows
 

@@ -84,18 +84,54 @@ def stacked_temp_params(sim, values) -> Any:
     return bparams
 
 
-def run_step(sim, cfg, save_xs: bool = True) -> StepResult:
-    """Execute one .STEP card over the netlist's primary analysis
-    (.TRAN if present, else the DC operating point)."""
+def _combo_params(sim, cfgs, combo):
+    """One unbatched params pytree with every .STEP card's value bound."""
+    from ..analysis.sweep import find_source
+    from ..netlist.circuit import KIND_V
+    from ..netlist.parser import parse_netlist_text
+    from ..ir.lower import lower
+    overrides = {cfg.name: float(v) for cfg, v in zip(cfgs, combo)
+                 if cfg.kind == "param"}
+    if overrides:
+        if sim.netlist_text is None:
+            raise ValueError(".STEP PARAM needs the original netlist text "
+                             "(construct via from_file/from_text)")
+        ckt2, _ = parse_netlist_text(sim.netlist_text,
+                                     param_overrides=overrides)
+        ckt2.assign_equation_indices()
+        p = dict(lower(ckt2, dtype=sim.opts.dtype).params)
+        if "vt_thermal" in sim.params:
+            p["vt_thermal"] = jnp.asarray(sim.params["vt_thermal"])
+    else:
+        p = dict(sim.params)
+    k_b, q_e = 1.380649e-23, 1.602176634e-19
+    for cfg, v in zip(cfgs, combo):
+        if cfg.kind == "source":
+            kind, idx = find_source(sim.circuit, cfg.name)
+            key = "vs_dc" if kind == KIND_V else "is_dc"
+            p[key] = jnp.asarray(p[key]).at[idx].set(float(v))
+        elif cfg.kind == "temp":
+            p["vt_thermal"] = jnp.asarray(
+                k_b * (273.15 + float(v)) / q_e, sim.engine.dtype)
+    return p
+
+
+def run_step(sim, cfgs, save_xs: bool = True) -> StepResult:
+    """Execute the .STEP card(s) over the netlist's primary analysis
+    (.TRAN if present, else the DC operating point).  Several cards form
+    a cartesian grid — still ONE vmapped batch over the flattened grid."""
+    import itertools
     from ..parallel.montecarlo import batched_dc, batched_transient
     from .measure import run_measures
-    values = list(cfg.values)
-    if cfg.kind == "param":
-        bparams = stacked_step_params(sim, cfg.name, values)
-    elif cfg.kind == "temp":
-        bparams = stacked_temp_params(sim, values)
-    else:
-        bparams = stacked_source_params(sim, cfg.name, values)
+    if not isinstance(cfgs, (list, tuple)):
+        cfgs = [cfgs]
+    combos = list(itertools.product(*[cfg.values for cfg in cfgs]))
+    plist = [_combo_params(sim, cfgs, combo) for combo in combos]
+    bparams = jax.tree.map(lambda *xs: jnp.stack(xs), *plist)
+    values = ([c[0] for c in combos] if len(cfgs) == 1
+              else combos)
+    name = ",".join(cfg.name for cfg in cfgs)
+    kind = ",".join(cfg.kind for cfg in cfgs)
     tran = sim.config.tran
     if tran.enabled:
         res = batched_transient(sim.engine, bparams, tran.tstep, tran.tstop,
@@ -112,25 +148,31 @@ def run_step(sim, cfg, save_xs: bool = True) -> StepResult:
             if per_step:
                 measures = [(nm, np.array([row[i][1] for row in per_step]))
                             for i, (nm, _) in enumerate(per_step[0])]
-        return StepResult(name=cfg.name, kind=cfg.kind, values=values,
+        return StepResult(name=name, kind=kind, values=values,
                           analysis="tran", result=res, measures=measures)
     xs = batched_dc(sim.engine, bparams)
-    return StepResult(name=cfg.name, kind=cfg.kind, values=values,
+    return StepResult(name=name, kind=kind, values=values,
                       analysis="op", result=xs)
 
 
 def write_step_csv(path: str, topo, sres: StepResult) -> None:
-    """One row per step value.  Columns: the stepped value, then either
-    the .MEASURE results (transient steps) or every node voltage / branch
-    current (operating-point steps), %.9e like the reference CSV."""
+    """One row per step point.  Columns: the stepped value(s) (one column
+    per .STEP card), then either the .MEASURE results (transient steps)
+    or every node voltage / branch current (operating-point steps), %.9e
+    like the reference CSV."""
     import numpy as np
+    name_cols = sres.name.split(",")
+
+    def val_cols(val):
+        return list(val) if isinstance(val, tuple) else [val]
+
     with open(path, "w") as f:
         if sres.analysis == "tran" and sres.measures is not None:
-            f.write(",".join([sres.name] + [nm for nm, _ in sres.measures])
+            f.write(",".join(name_cols + [nm for nm, _ in sres.measures])
                     + "\n")
             cols = [np.asarray(v) for _, v in sres.measures]
             for b, val in enumerate(sres.values):
-                row = [val] + [c[b] for c in cols]
+                row = val_cols(val) + [c[b] for c in cols]
                 f.write(",".join(f"{v:.9e}" for v in row) + "\n")
             return
         if sres.analysis == "tran":
@@ -139,9 +181,9 @@ def write_step_csv(path: str, topo, sres: StepResult) -> None:
             xs = np.asarray(sres.result)
         from ..io.csvout import format_header
         hdr = format_header(topo).split(",")
-        f.write(",".join([sres.name] + hdr[1:]) + "\n")
+        f.write(",".join(name_cols + hdr[1:]) + "\n")
         col_eqs = np.concatenate([topo.volt_col_eqs,
                                   topo.branch_col_eqs]).astype(int)
         for b, val in enumerate(sres.values):
-            row = [val] + list(xs[b][col_eqs])
+            row = val_cols(val) + list(xs[b][col_eqs])
             f.write(",".join(f"{v:.9e}" for v in row) + "\n")

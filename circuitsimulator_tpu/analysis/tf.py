@@ -41,6 +41,7 @@ and finite differences):
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Any, Optional
 
 import jax.numpy as jnp
@@ -126,10 +127,12 @@ def dc_transfer_function(engine: Engine, params,
 
 
 def tf_report(result: TFResult, out_label: str, input_name: str) -> str:
+    r_in = float(result.r_in)
+    r_in_txt = "inf" if not math.isfinite(r_in) else f"{r_in: .6e}"
     lines = [
         f"==== Transfer function ====",
         f"d{out_label}/d{input_name} = {float(result.gain): .6e}",
-        f"input resistance at {input_name} = {float(result.r_in): .6e}",
+        f"input resistance at {input_name} = {r_in_txt}",
     ]
     if result.r_out is not None:
         lines.append(

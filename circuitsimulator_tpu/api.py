@@ -179,20 +179,33 @@ class Simulator:
                 jnp.asarray(vals, self.opts.dtype))
 
     def dc(self, params: Optional[Any] = None,
-           linear_solver: Optional[str] = None):
+           linear_solver: Optional[str] = None,
+           polish: bool = False):
         """DC operating point -> (N,) solution vector.
 
         linear_solver: "lu" (reference dcSolve/dcSolveLU), "gs"
         (= dcSolveGaussSeidel), or "tridiag" (ladder circuits).  Defaults to
         the engine's configured dc_solver.  A .NODESET card steers Newton
-        toward the wanted solution branch (hold-then-release)."""
-        key = linear_solver or self.opts.dc_solver
+        toward the wanted solution branch (hold-then-release).
+
+        polish=True follows the reference-parity ramped solve with a few
+        undamped Newton refinements at gmin = 0 (the same step .SENS/.TF
+        use), removing the ~1e-3-relative "gmin leak" the reference's
+        solution carries — use for accuracy, skip for strict parity."""
+        key = (linear_solver or self.opts.dc_solver, bool(polish))
         if key not in self._dc_jit:
             ns = self._nodeset()
-            self._dc_jit[key] = jax.jit(
-                lambda p: dc_operating_point(self.engine, p,
-                                             linear_solver=key,
-                                             nodeset=ns))
+            solver = key[0]
+
+            def run(p, _solver=solver, _ns=ns, _polish=polish):
+                x = dc_operating_point(self.engine, p,
+                                       linear_solver=_solver, nodeset=_ns)
+                if _polish:
+                    from .analysis.sensitivity import _polish as pol
+                    x = pol(self.engine, p, x)
+                return x
+
+            self._dc_jit[key] = jax.jit(run)
         return self._dc_jit[key](
             params if params is not None else self.params)
 
@@ -417,15 +430,19 @@ class Simulator:
         rows = sensitivity_report(self.circuit, grads, normalize_params=p)
         return grads, rows
 
-    def step(self, step_index: int = 0, save_xs: bool = True):
+    def step(self, step_index: Optional[int] = None, save_xs: bool = True):
         """.STEP sweep (analysis/step.py): the step values run as ONE
         vmapped batch through the compiled engine — transient if a .TRAN
         card is present (with per-step .MEASURE evaluation), else the DC
-        operating point.  Returns a StepResult."""
+        operating point.  Multiple .STEP cards form a cartesian grid
+        (flattened into the same single batch); step_index selects one
+        card only.  Returns a StepResult."""
         from .analysis.step import run_step
         if not self.config.steps:
             raise ValueError(".STEP card missing")
-        return run_step(self, self.config.steps[step_index], save_xs=save_xs)
+        cfgs = (self.config.steps if step_index is None
+                else self.config.steps[step_index])
+        return run_step(self, cfgs, save_xs=save_xs)
 
     def measure(self, result, analysis: str = "tran"):
         """.MEASURE evaluation (analysis/measure.py).  `result` matches

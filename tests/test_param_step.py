@@ -151,6 +151,54 @@ def test_param_step_native_frontend_parity():
         assert dataclasses.asdict(a) == dataclasses.asdict(b), (a, b)
 
 
+def test_dc_polish_removes_gmin_leak():
+    import jax.numpy as jnp
+    sim = Simulator.from_text(
+        ".MODEL nm1 vt 0.7 mu 350u cox 2.3m\nVdd vdd 0 DC 5\n"
+        "Vg g 0 DC 1.5\nRd vdd d 10k\nM1 d g 0 nm1 1000u 1u\n.op\n")
+    d_eq = sim.circuit.nodes[sim.circuit.node_name_to_id["d"]].eq_index
+    x_raw = sim.dc()
+    x_pol = sim.dc(polish=True)
+    # analytic: Id = 0.5*K*Vov^2 with K = 350u*2.3m*1000, Vov = 0.8
+    k = 350e-6 * 2.3e-3 * 1000
+    vd = 5.0 - 1e4 * 0.5 * k * 0.64
+    assert abs(float(x_pol[d_eq]) - vd) < 1e-9
+    assert abs(float(x_raw[d_eq]) - vd) > 1e-6    # the reference leak
+
+
+def test_step_cartesian_two_cards():
+    sim = Simulator.from_text("""* grid
+.PARAM rbot=1k
+V1 in 0 DC 2
+R1 in out 1k
+R2 out 0 {rbot}
+.STEP PARAM rbot LIST 1k 3k
+.STEP V1 LIST 2 4
+.op
+""")
+    sres = sim.step()
+    assert sres.kind == "param,source"
+    assert len(sres.values) == 4
+    out_eq = sim.circuit.nodes[sim.circuit.node_name_to_id["out"]].eq_index
+    xs = np.asarray(sres.result)
+    got = dict(zip([tuple(v) for v in sres.values], xs[:, out_eq]))
+    for (rb, v1), vout in got.items():
+        assert vout == pytest.approx(v1 * rb / (1000 + rb), rel=1e-9)
+
+
+def test_step_cartesian_csv(tmp_path):
+    from circuitsimulator_tpu.analysis.step import write_step_csv
+    sim = Simulator.from_text(
+        "V1 a 0 DC 1\nR1 a 0 1k\n"
+        ".STEP V1 LIST 1 2\n.STEP TEMP LIST 0 100\n.op\n")
+    sres = sim.step()
+    p = tmp_path / "grid.csv"
+    write_step_csv(str(p), sim.topo, sres)
+    lines = p.read_text().strip().split("\n")
+    assert lines[0].startswith("V1,temp,")
+    assert len(lines) == 5
+
+
 def test_step_transient_with_measures(tmp_path):
     sim = Simulator.from_text("""* step RC tau
 .PARAM rr=1k
