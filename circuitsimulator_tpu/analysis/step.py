@@ -134,6 +134,20 @@ def run_step(sim, cfgs, save_xs: bool = True) -> StepResult:
     kind = ",".join(cfg.kind for cfg in cfgs)
     tran = sim.config.tran
     if tran.enabled:
+        tran_measures = [m for m in sim.config.measures
+                         if m.analysis == "tran"]
+        if not save_xs and tran_measures:
+            # waveform-free sweep: measures evaluate as streaming
+            # accumulators inside the scan (analysis/measure_stream.py)
+            from ..parallel.montecarlo import batched_transient_measures
+            res, vals = batched_transient_measures(
+                sim.engine, bparams, tran.tstep, tran.tstop,
+                tran_measures, sim.topo)
+            measures = [(m.name, np.asarray(vals[m.name]))
+                        for m in tran_measures]
+            return StepResult(name=name, kind=kind, values=values,
+                              analysis="tran", result=res,
+                              measures=measures)
         res = batched_transient(sim.engine, bparams, tran.tstep, tran.tstop,
                                 save_xs=save_xs)
         measures = None

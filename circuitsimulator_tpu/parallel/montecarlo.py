@@ -68,6 +68,21 @@ def batched_dc_fast(engine: Engine, bparams):
     return dc_newton(engine, bparams, batch=B)
 
 
+def batched_transient_measures(engine: Engine, bparams, tstep, tstop,
+                               measures, topo):
+    """vmap'd transient with STREAMING .MEASURE evaluation: per-lane
+    measurement results with O(1) waveform memory — the whole sweep's
+    statistics without ever materializing (B, T, N) waveforms
+    (analysis/measure_stream.py).  Returns (TransientResult-without-xs,
+    {measure_name: (B,) values})."""
+    from ..analysis.measure_stream import (StreamingMeasures,
+                                           run_transient_streaming)
+    sm = StreamingMeasures(measures, topo, engine.dtype)
+    return jax.vmap(
+        lambda p: run_transient_streaming(engine, p, tstep, tstop, sm)
+    )(bparams)
+
+
 def batched_transient(engine: Engine, bparams, tstep, tstop,
                       save_xs: bool = False):
     """vmap'd Backward-Euler transient over a params batch.
