@@ -141,6 +141,10 @@ class BSourceInfo:
     em: int
     k: int                        # branch eq (V form), -1 otherwise
     uses_time: bool
+    # slice of params["b_consts"] carrying this device's referenced
+    # .PARAM values (dynamic — .STEP/Monte-Carlo re-bind without recompile)
+    const_off: int = 0
+    n_consts: int = 0
 
 
 @dataclasses.dataclass
@@ -350,8 +354,10 @@ def lower(ckt: Circuit, dtype=jnp.float64) -> LoweredCircuit:
     )
 
     # ---- behavioral sources: compile expressions, resolve probes ----
-    from ..utils.expr import (parse_expr, probe_refs, compile_jax, ExprError)
+    from ..utils.expr import (parse_expr, probe_refs, free_names,
+                              compile_jax, ExprError)
     b_infos = []
+    b_consts: List[float] = []
     for e in bsrc:
         try:
             ast = parse_expr(e.b_expr, probes=True)
@@ -390,12 +396,21 @@ def lower(ckt: Circuit, dtype=jnp.float64) -> LoweredCircuit:
                             "V/L/E/H/B-V elements carry one)")
                     pairs.append((keq, dump))
             ref_index = {r: j for j, r in enumerate(prefs)}
-            fn = compile_jax(ast, ref_index, bindings=ckt.param_values)
+            names = free_names(ast)
+            pv = {k2.lower(): v for k2, v in ckt.param_values.items()}
+            const_off = len(b_consts)
+            for nm in names:
+                if nm not in pv:
+                    raise ExprError(f"undefined parameter {nm!r}")
+                b_consts.append(float(pv[nm]))
+            const_index = {nm: j for j, nm in enumerate(names)}
+            fn = compile_jax(ast, ref_index, const_index)
             b_infos.append(BSourceInfo(
                 name=e.name, fn=fn,
                 pairs=np.asarray(pairs, np.int32).reshape(-1, 2),
                 is_v=e.b_is_v, ep=eq(e.node_ids[0]), em=eq(e.node_ids[1]),
-                k=e.branch_eq, uses_time=uses_time))
+                k=e.branch_eq, uses_time=uses_time,
+                const_off=const_off, n_consts=len(names)))
         except ExprError as err:
             # a V-form B already owns a branch equation; silently skipping
             # would leave a singular row, so unresolved references are loud
@@ -420,6 +435,9 @@ def lower(ckt: Circuit, dtype=jnp.float64) -> LoweredCircuit:
         "bjt_bf": jnp.asarray([e.bf for e in bjt], dtype),
         "bjt_br": jnp.asarray([e.br for e in bjt], dtype),
         "mut_k": jnp.asarray([m[2] for m in mut_ok], dtype),
+        # referenced .PARAM values of behavioral expressions, flattened
+        # in (device, first-appearance) order; see BSourceInfo.const_off
+        "b_consts": jnp.asarray(b_consts, dtype),
         "tl_z0": jnp.asarray([e.z0 for e in tl], dtype),
         "tl_td": jnp.asarray([e.td for e in tl], dtype),
         "jf_vto": jnp.asarray([e.vth for e in jf], dtype),

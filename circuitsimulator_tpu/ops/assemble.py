@@ -446,12 +446,16 @@ class Engine:
             rv.append(r)
         for bs, vg in zip(self.b_sources, self._b_vg):
             # probe values: val_j = x[a_j] - x[b_j]; the expression's
-            # value/gradient give the Newton linearization directly
+            # value/gradient give the Newton linearization directly.
+            # consts = the device's referenced .PARAM values (dynamic —
+            # batched for Monte-Carlo / re-bound by .STEP)
             vals = xe[..., bs.pairs[:, 0]] - xe[..., bs.pairs[:, 1]]
+            consts = params["b_consts"][
+                ..., bs.const_off:bs.const_off + bs.n_consts]
             f_vg = vg
             for _ in range(vals.ndim - 1):
-                f_vg = jax.vmap(f_vg, in_axes=(0, None))
-            e0, grads = f_vg(vals, jnp.asarray(time_val, x.dtype))
+                f_vg = jax.vmap(f_vg, in_axes=(0, None, 0))
+            e0, grads = f_vg(vals, jnp.asarray(time_val, x.dtype), consts)
             cst = e0 - jnp.sum(grads * vals, axis=-1)
             if bs.is_v:
                 # branch row: Vp - Vm - sum g_j val_j = cst

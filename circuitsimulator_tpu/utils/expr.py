@@ -310,18 +310,44 @@ def probe_refs(ast) -> List[tuple]:
     return out
 
 
+def free_names(ast) -> List[str]:
+    """Bare parameter names referenced by an AST (lowercased, first-
+    appearance order), excluding `time` and the built-in constants."""
+    out: List[str] = []
+
+    def walk(a):
+        k = a[0]
+        if k == "name":
+            n = a[1].lower()
+            if n not in ("time",) and n not in _CONSTS and n not in out:
+                out.append(n)
+        elif k == "neg":
+            walk(a[1])
+        elif k == "bin":
+            walk(a[2])
+            walk(a[3])
+        elif k == "call":
+            for x in a[2]:
+                walk(x)
+
+    walk(ast)
+    return out
+
+
 def compile_jax(ast, ref_index: Dict[tuple, int],
-                bindings: Optional[Dict[str, float]] = None):
-    """Build f(vals, t) -> jnp scalar, where vals[j] is the value of the
-    j-th probe per ref_index (probe tuples as from probe_refs, excluding
-    ("time",)).  Parameter names resolve from `bindings` at compile time;
-    `time` resolves to t.  Differentiable in vals — the Newton stamp is
-    jax.value_and_grad(f)(vals, t)."""
+                const_index: Optional[Dict[str, int]] = None):
+    """Build f(vals, t, consts) -> jnp scalar, where vals[j] is the value
+    of the j-th probe per ref_index (probe tuples as from probe_refs,
+    excluding ("time",)) and consts[i] carries the i-th referenced
+    parameter per const_index — DYNAMIC, so `.STEP`/Monte-Carlo can
+    re-bind behavioral parameters without recompiling.  `time` resolves
+    to t.  Differentiable in vals — the Newton stamp is
+    jax.value_and_grad(f)(vals, t, consts)."""
     import jax.numpy as jnp
 
-    b = {k.lower(): v for k, v in (bindings or {}).items()}
+    ci = {k.lower(): v for k, v in (const_index or {}).items()}
 
-    def ev(a, vals, t):
+    def ev(a, vals, t, consts):
         k = a[0]
         if k == "num":
             return a[1]
@@ -329,8 +355,8 @@ def compile_jax(ast, ref_index: Dict[tuple, int],
             name = a[1].lower()
             if name == "time":
                 return t
-            if name in b:
-                return float(b[name])
+            if name in ci:
+                return consts[ci[name]]
             if name in _CONSTS:
                 return _CONSTS[name]
             raise ExprError(f"undefined parameter {a[1]!r}")
@@ -338,10 +364,10 @@ def compile_jax(ast, ref_index: Dict[tuple, int],
             key = ("v", a[1], a[2]) if k == "probe_v" else ("i", a[1])
             return vals[ref_index[key]]
         if k == "neg":
-            return -ev(a[1], vals, t)
+            return -ev(a[1], vals, t, consts)
         if k == "bin":
-            x = ev(a[2], vals, t)
-            y = ev(a[3], vals, t)
+            x = ev(a[2], vals, t, consts)
+            y = ev(a[3], vals, t, consts)
             op = a[1]
             if op == "+":
                 return x + y
@@ -355,12 +381,10 @@ def compile_jax(ast, ref_index: Dict[tuple, int],
                 return jnp.fmod(x, y)
             return x ** y
         if k == "call":
-            args = [ev(x, vals, t) for x in a[2]]
-            f = getattr(jnp, {"ln": "log", "abs": "abs"}.get(a[1], a[1]),
-                        None)
+            args = [ev(x, vals, t, consts) for x in a[2]]
             if a[1] == "abs":
                 f = jnp.abs
-            elif a[1] == "ln" or a[1] == "log":
+            elif a[1] in ("ln", "log"):
                 f = jnp.log
             elif a[1] == "min":
                 f = jnp.minimum
@@ -368,12 +392,14 @@ def compile_jax(ast, ref_index: Dict[tuple, int],
                 f = jnp.maximum
             elif a[1] == "pow":
                 f = jnp.power
+            else:
+                f = getattr(jnp, a[1], None)
             if f is None:
                 raise ExprError(f"function {a[1]} not jnp-mappable")
             return f(*args)
         raise ExprError(f"cannot compile node {a!r}")
 
-    def f(vals, t):
-        return jnp.asarray(ev(ast, vals, t))
+    def f(vals, t, consts):
+        return jnp.asarray(ev(ast, vals, t, consts))
 
     return f

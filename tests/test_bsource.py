@@ -129,3 +129,20 @@ def test_bsource_native_frontend_parity():
     assert len(ckt_nat.elements) == len(ckt_py.elements) == 4
     for a, b in zip(ckt_nat.elements, ckt_py.elements):
         assert dataclasses.asdict(a) == dataclasses.asdict(b), (a, b)
+
+
+def test_step_rebinds_behavioral_param():
+    # behavioral .PARAM references are DYNAMIC (params["b_consts"]), so a
+    # .STEP re-binding flows through without recompiling the expression
+    sim = Simulator.from_text("""* step through a behavioral gain
+.PARAM g=2
+V1 in 0 DC 3
+B1 out 0 V=g*v(in)
+R1 out 0 1k
+.STEP PARAM g LIST 1 2 4
+.op
+""")
+    sres = sim.step()
+    eq = node_eq(sim, "out")
+    np.testing.assert_allclose(np.asarray(sres.result)[:, eq],
+                               [3.0, 6.0, 12.0], rtol=1e-6)
