@@ -444,6 +444,25 @@ class Simulator:
                 else self.config.steps[step_index])
         return run_step(self, cfgs, save_xs=save_xs)
 
+    def yield_analysis(self, key, batch: int, rel_sigma, specs,
+                       params: Optional[Any] = None):
+        """Monte-Carlo yield over the .TRAN card with streaming .MEASURE
+        scoring (parallel/montecarlo.yield_analysis): `rel_sigma` maps
+        param names (e.g. "res_r", "mos_vth") to relative sigmas, `specs`
+        maps .MEASURE names to (low, high) acceptance bounds."""
+        from .parallel.montecarlo import yield_analysis
+        tran = self.config.tran
+        if not tran.enabled:
+            raise ValueError("yield analysis needs a .TRAN card")
+        if not self.config.measures:
+            raise ValueError("yield analysis needs .MEASURE cards")
+        return yield_analysis(
+            self.engine, self.topo,
+            params if params is not None else self.params,
+            key, batch, rel_sigma,
+            [m for m in self.config.measures if m.analysis == "tran"],
+            specs, tran.tstep, tran.tstop)
+
     def measure(self, result, analysis: str = "tran"):
         """.MEASURE evaluation (analysis/measure.py).  `result` matches
         the analysis: a TransientResult ("tran", axis = time), an ACResult

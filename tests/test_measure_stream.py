@@ -93,3 +93,26 @@ C1 out 0 1n
     # rise time tracks the perturbed R (tau = R*C), BE-discretization slop
     np.testing.assert_allclose(t63, r * 1e-9 * (-np.log(1 - 0.632)),
                                rtol=8e-2)
+
+
+def test_yield_analysis():
+    import jax
+    sim = Simulator.from_text("""* yield: rc rise time spec
+V1 in 0 PULSE(0 1 0 1n 1n 1 2)
+R1 in out 1k
+C1 out 0 1n
+.TRAN 20n 6u
+.MEASURE TRAN t63 WHEN V(out)=0.632 RISE=1
+""")
+    out = sim.yield_analysis(jax.random.key(1), 64, {"res_r": 0.1},
+                             {"t63": (None, 1.1e-6)})
+    assert out["n"] == 64
+    assert 0.0 <= out["yield"] <= 1.0
+    lo, hi = out["ci95"]
+    assert lo <= out["yield"] <= hi
+    # the spec passes iff tau = R*C is below ~1.08us: cross-check against
+    # the perturbed R values
+    r = np.asarray(out["params"]["res_r"])[:, 0]
+    expect = r * 1e-9 * (-math.log(1 - 0.632)) <= 1.1e-6
+    agree = (expect == out["pass"]).mean()
+    assert agree > 0.9          # BE-grid slop near the boundary only
