@@ -430,6 +430,7 @@ def lower(ckt: Circuit, dtype=jnp.float64) -> LoweredCircuit:
         "mos_af": jnp.asarray([e.af for e in mos], dtype),
         "mos_p": jnp.asarray([-1.0 if e.is_p else 1.0 for e in mos], dtype),
         "dio_is": jnp.asarray([e.i_sat for e in dio], dtype),
+        "dio_cjo": jnp.asarray([e.cj0 for e in dio], dtype),
         "dio_n": jnp.asarray([e.n_ideal for e in dio], dtype),
         "bjt_is": jnp.asarray([e.i_sat for e in bjt], dtype),
         "bjt_bf": jnp.asarray([e.bf for e in bjt], dtype),

@@ -282,6 +282,7 @@ def parse_netlist_text_native(text: str) -> Tuple[Circuit, SimulationConfig]:
                 rec.kf, rec.af = e.kf, e.af
             elif kind == KIND_D:
                 rec.i_sat, rec.n_ideal = e.i_sat, e.n_ideal
+                rec.cj0 = e.cj0
             elif kind == KIND_Q:
                 rec.is_p = bool(e.is_p)
                 rec.i_sat, rec.bf, rec.br = e.i_sat, e.bf, e.br

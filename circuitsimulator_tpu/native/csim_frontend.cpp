@@ -1376,6 +1376,7 @@ public:
             }
             if (key == "is") e.i_sat = v;
             else if (key == "n") e.n_ideal = v;
+            else if (key == "cjo" || key == "cj0") e.cj0 = v;
         }
         e.nodes[0] = node(t[1]);
         e.nodes[1] = node(t[2]);

@@ -415,9 +415,12 @@ class Circuit:
         self.elements.append(ElementRec(KIND_K, name, [], value=k,
                                         ctrl_name=l1, ctrl2_name=l2))
 
-    def add_diode(self, name, np_, nm, i_sat, n_ideal):
+    def add_diode(self, name, np_, nm, i_sat, n_ideal, cj0=0.0):
+        """CJO (extension): a constant junction capacitance across the
+        diode, lumped into the cap-like class like the MOS junction caps."""
         ids = [self.get_or_create_node(np_), self.get_or_create_node(nm)]
-        self.elements.append(ElementRec(KIND_D, name, ids, i_sat=i_sat, n_ideal=n_ideal))
+        self.elements.append(ElementRec(KIND_D, name, ids, i_sat=i_sat,
+                                        n_ideal=n_ideal, cj0=cj0))
 
     def add_bjt(self, name, nc, nb, ne, model_id):
         m = self.bjt_models.get(model_id)

@@ -767,7 +767,7 @@ class NetlistParser:
         if len(t) < 3:
             _warn(st.line_no, f"invalid diode: {st.raw}")
             return
-        i_sat, n_ideal = 1e-14, 1.0
+        i_sat, n_ideal, cj0 = 1e-14, 1.0, 0.0
         for tok in t[3:]:
             key, _, val = tok.partition("=")
             try:
@@ -775,10 +775,12 @@ class NetlistParser:
                     i_sat = parse_spice_number(val)
                 elif key.lower() == "n" and val:
                     n_ideal = parse_spice_number(val)
+                elif key.lower() in ("cjo", "cj0") and val:
+                    cj0 = parse_spice_number(val)
             except ValueError as e:
                 _warn(st.line_no, f"cannot parse diode param: {e} in '{st.raw}'")
                 return
-        self.ckt.add_diode(t[0], t[1], t[2], i_sat, n_ideal)
+        self.ckt.add_diode(t[0], t[1], t[2], i_sat, n_ideal, cj0)
 
     # ---- dot cards ----
     def _parse_dot_card(self, st: Statement) -> None:

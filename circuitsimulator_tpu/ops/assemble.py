@@ -87,8 +87,11 @@ class Engine:
         # (tanalisis.cpp:321-353); state vector shares this layout.
         mc_a = np.stack([t.mos_eg, t.mos_eg, t.mos_es, t.mos_ed], 1).ravel()
         mc_b = np.stack([t.mos_es, t.mos_ed, t.mos_eb, t.mos_eb], 1).ravel()
-        self.cap_a = np.concatenate([t.cap_e1, mc_a]).astype(np.int32)
-        self.cap_b = np.concatenate([t.cap_e2, mc_b]).astype(np.int32)
+        # diode junction caps (CJO, extension) follow the MOS caps
+        self.cap_a = np.concatenate([t.cap_e1, mc_a,
+                                     t.dio_ep]).astype(np.int32)
+        self.cap_b = np.concatenate([t.cap_e2, mc_b,
+                                     t.dio_em]).astype(np.int32)
         self.cap_rows, self.cap_cols = _two_terminal_pattern(self.cap_a, self.cap_b)
         self.n_caplike = len(self.cap_a)
 
@@ -339,7 +342,8 @@ class Engine:
         cj0 = params["mos_cj0"]
         mc = jnp.stack([0.5 * cj0, 0.5 * cj0, cj0, cj0], axis=-1)
         mc = mc.reshape(*cj0.shape[:-1], -1)
-        return jnp.concatenate([params["cap_c"], mc], axis=-1)
+        return jnp.concatenate([params["cap_c"], mc, params["dio_cjo"]],
+                               axis=-1)
 
     def tl_ticks(self, dt) -> np.ndarray:
         """Per-line delay in timesteps (>=1); static — the ring length is a
