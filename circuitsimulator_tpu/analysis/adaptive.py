@@ -188,7 +188,8 @@ def run_transient_adaptive(engine: Engine, params, tstep, tstop,
                 xn, y = bordered_solve(
                     mats["sub"], mats["diag"], mats["sup"],
                     mats["U"], mats["W"], mats["D"],
-                    I[..., :n], I[..., n:N])
+                    I[..., :n], I[..., n:N],
+                    algo=opts.tridiag_algo)
                 x_raw = jnp.concatenate([xn, y], axis=-1)
             else:
                 G, I = engine.assemble_tran_iter(G_static, I_s, params,

@@ -145,7 +145,11 @@ def dc_newton(engine: Engine, params, with_stats: bool = False,
                 xn, y = bordered_solve(
                     mats["sub"], diag, mats["sup"],
                     mats["U"], mats["W"], mats["D"],
-                    I[..., :n], I[..., n:N])
+                    I[..., :n], I[..., n:N],
+                    algo="cr")  # DC can be near-singular (gmin-only
+                                # grounding); CR is the stable choice —
+                                # PCR is reserved for the C/dt-dominant
+                                # transient systems
                 x_raw = jnp.concatenate([xn, y], axis=-1)
             elif use_gs:
                 G, I = engine.assemble_dc_iter(G_s, I_s, params, x, gmin)
@@ -247,7 +251,8 @@ def dc_linear_tridiag(engine: Engine, params):
     I = engine.dc_rhs(params, one)
     xn, y = bordered_solve(mats["sub"], mats["diag"], mats["sup"],
                            mats["U"], mats["W"], mats["D"],
-                           I[..., :n], I[..., n:N])
+                           I[..., :n], I[..., n:N],
+                           algo="cr")  # see note above: DC stays on CR
     return jnp.concatenate([xn, y], axis=-1)
 
 

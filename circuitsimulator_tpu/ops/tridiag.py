@@ -122,20 +122,57 @@ def cr_solve(a, b, c, d, cutoff: int = CR_DENSE_CUTOFF):
     return x[..., :N]
 
 
-def bordered_solve(a, b, c, U, W, D, f, g):
+def pcr_solve(a, b, c, d):
+    """Parallel cyclic reduction: same system as cr_solve, but BOTH
+    neighbors are eliminated from every equation at every level, so there
+    is no back-substitution sweep — ~log2(N) sequential stages instead of
+    CR's 2*log2(N), each a fixed-size elementwise pass.  O(N log N) work
+    (vs CR's O(N)), which is irrelevant on the VPU at these sizes; what
+    matters on TPU is the halved sequential-dispatch depth.  Same
+    diagonal-dominance caveat as cr_solve."""
+    a, b, c, d, N = _pad_pow2(jnp.asarray(a), jnp.asarray(b),
+                              jnp.asarray(c), jnp.asarray(d))
+    M = a.shape[-1]
+
+    def shift_r(x, s, fill):      # value of neighbor i-s, at position i
+        pad = jnp.full(x.shape[:-1] + (s,), fill, x.dtype)
+        return jnp.concatenate([pad, x[..., :-s]], -1)
+
+    def shift_l(x, s, fill):      # value of neighbor i+s, at position i
+        pad = jnp.full(x.shape[:-1] + (s,), fill, x.dtype)
+        return jnp.concatenate([x[..., s:], pad], -1)
+
+    s = 1
+    while s < M:
+        am, bm, cm, dm = (shift_r(a, s, 0.0), shift_r(b, s, 1.0),
+                          shift_r(c, s, 0.0), shift_r(d, s, 0.0))
+        ap, bp, cp, dp = (shift_l(a, s, 0.0), shift_l(b, s, 1.0),
+                          shift_l(c, s, 0.0), shift_l(d, s, 0.0))
+        alpha = -a / bm
+        gamma = -c / bp
+        b = b + alpha * cm + gamma * ap
+        d = d + alpha * dm + gamma * dp
+        a = alpha * am
+        c = gamma * cp
+        s *= 2
+    return (d / b)[..., :N]
+
+
+def bordered_solve(a, b, c, U, W, D, f, g, algo: str = "cr"):
     """Solve the bordered system [[T, U], [W, D]] [x; y] = [f; g].
 
     T tridiagonal via (a, b, c) of length N; U: (N, m), W: (m, N),
     D: (m, m), f: (N,), g: (m,).  m is expected to be tiny (V/L branches).
     Returns (x, y).
     """
+    solve = pcr_solve if algo == "pcr" else cr_solve
     m = D.shape[-1]
     if m == 0:
-        return cr_solve(a, b, c, f), g[..., :0]
+        return solve(a, b, c, f), g[..., :0]
     # solve T [z0 | Z] = [f | U]  with m+1 stacked CR solves
     rhs = jnp.concatenate([f[..., None], U], axis=-1)      # (N, m+1)
-    sols = cr_solve(a[..., None, :], b[..., None, :], c[..., None, :],
-                    jnp.moveaxis(rhs, -1, -2))             # (m+1, N)
+    sols = solve(a[..., None, :], b[..., None, :], c[..., None, :],
+                 jnp.moveaxis(rhs, -1, -2))                # (m+1, N)
     z0 = sols[..., 0, :]
     Z = jnp.moveaxis(sols[..., 1:, :], -2, -1)             # (N, m)
     S = D - W @ Z                                          # (m, m)

@@ -87,6 +87,15 @@ class SolverOptions:
     # longer pays for the slowest lane's trip count.  No convergence
     # guarantee: benchmarks validate accuracy against the f64 oracle.
     tran_unrolled_iters: int = 0
+    # tridiag TRANSIENT algorithm: "pcr" (parallel cyclic reduction,
+    # O(N log N) work, log2(N) sequential stages) or "cr" (classic CR,
+    # O(N) work, 2*log2(N) stages).  PCR measured 2.9x faster on the v5e
+    # 10k-node ladder (0.47 vs 1.39 ms/step): the stage count, not the
+    # flop count, is what the hot loop pays for.  The transient system is
+    # C/dt-diagonally-dominant, where PCR is stable; the DC path always
+    # uses CR (a gmin-grounded ladder is near-singular and PCR loses
+    # digits there).
+    tridiag_algo: str = "pcr"
     # per-iteration Newton update clamp in volts (0 = off).  SPICE-style
     # limiting: full (quadratic) steps near the solution, bounded steps far
     # away — kills the region-switching oscillation that otherwise makes a

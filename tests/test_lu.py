@@ -78,3 +78,23 @@ def test_gauss_seidel_warm_start():
     x0 = jnp.asarray(np.full(n, 0.5))
     x = np.asarray(gauss_seidel_solve(jnp.asarray(A), jnp.asarray(b), x0=x0))
     np.testing.assert_allclose(x, 0.5 * np.ones(n), rtol=1e-12)
+
+
+def test_pcr_matches_cr():
+    import numpy as np
+    import jax.numpy as jnp
+    from circuitsimulator_tpu.ops.tridiag import cr_solve, pcr_solve
+    rng = np.random.default_rng(7)
+    for n in (1, 2, 3, 17, 100, 1000):
+        b = 4.0 + rng.random(n)
+        a = rng.random(n) * 0.5
+        c = rng.random(n) * 0.5
+        a[0] = c[-1] = 0.0
+        d = rng.standard_normal(n)
+        x_cr = np.asarray(cr_solve(a, b, c, d))
+        x_pcr = np.asarray(pcr_solve(a, b, c, d))
+        np.testing.assert_allclose(x_pcr, x_cr, rtol=1e-10, atol=1e-12)
+        # and against the dense ground truth
+        A = np.diag(b) + np.diag(a[1:], -1) + np.diag(c[:-1], 1)
+        np.testing.assert_allclose(x_pcr, np.linalg.solve(A, d),
+                                   rtol=1e-9, atol=1e-11)
