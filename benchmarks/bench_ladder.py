@@ -61,7 +61,7 @@ def main():
     print(json.dumps({
         "metric": "rc_ladder_10k_timesteps_per_sec",
         "value": round(steps / wall, 1),
-        "unit": f"steps/s ({n} nodes, tridiag CR, float32)",
+        "unit": f"steps/s ({n} nodes, tridiag PCR, float32)",
     }))
 
 
