@@ -36,9 +36,11 @@ from ..netlist.parser import EventSpec, MeasureSpec
 from ..ops.assemble import Engine
 
 
-def _probe_pair(topo: Topology, probe) -> Optional[Tuple[int, int]]:
-    """(a, b) extended-vector indices with value = xe[a] - xe[b]
-    (dump slot = 0 handles ground/absent); None if unresolvable."""
+def _probe_pair(topo: Topology, probe) -> Optional[Tuple[int, int, str]]:
+    """(a, b, mod) with value = xe[a] - xe[b] then the modifier applied
+    (dump slot = 0 handles ground/absent); None if unresolvable.  Transient
+    data is real, so only the "db" modifier acts (matching
+    measure._apply_mod); VP/VR/VI pass the raw value through."""
     v_by = dict(zip(topo.volt_col_names, [int(e) for e in topo.volt_col_eqs]))
     i_by = dict(zip(topo.branch_col_names,
                     [int(e) for e in topo.branch_col_eqs]))
@@ -49,14 +51,15 @@ def _probe_pair(topo: Topology, probe) -> Optional[Tuple[int, int]]:
             return v_by[name]
         return dump if name.lower() in ("0", "gnd") else None
 
+    mod = getattr(probe, "mod", "")
     if probe.kind == "nv":
         a = veq(probe.node1)
-        return None if a is None else (a, dump)
+        return None if a is None else (a, dump, mod)
     if probe.kind == "dv":
         a, b = veq(probe.node1), veq(probe.node2)
-        return None if a is None or b is None else (a, b)
+        return None if a is None or b is None else (a, b, mod)
     if probe.kind == "br" and probe.ele_name in i_by:
-        return (i_by[probe.ele_name], dump)
+        return (i_by[probe.ele_name], dump, mod)
     return None
 
 
@@ -135,7 +138,10 @@ class StreamingMeasures:
 
     @staticmethod
     def _val(x_ext, pair):
-        return x_ext[..., pair[0]] - x_ext[..., pair[1]]
+        y = x_ext[..., pair[0]] - x_ext[..., pair[1]]
+        if pair[2] == "db":
+            y = 20.0 * jnp.log10(jnp.maximum(jnp.abs(y), 1e-300))
+        return y
 
     def init(self, engine: Engine, x0):
         xe = engine.x_ext(x0)

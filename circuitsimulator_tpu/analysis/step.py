@@ -35,55 +35,6 @@ class StepResult:
     measures: Optional[List] = None   # [(measure_name, (B,) values)]
 
 
-def stacked_step_params(sim, name: str, values) -> Any:
-    """Params pytree with a leading step axis: one lowered instance per
-    value of `.PARAM name`, stacked leaf-wise."""
-    from ..netlist.parser import parse_netlist_text
-    from ..ir.lower import lower
-    if sim.netlist_text is None:
-        raise ValueError(".STEP PARAM needs the original netlist text "
-                         "(construct the Simulator via from_file/from_text)")
-    plist = []
-    for v in values:
-        ckt2, _ = parse_netlist_text(sim.netlist_text,
-                                     param_overrides={name: float(v)})
-        ckt2.assign_equation_indices()
-        low2 = lower(ckt2, dtype=sim.opts.dtype)
-        plist.append(low2.params)
-    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *plist)
-    # preserve Simulator-level param post-processing (.TEMP thermal voltage)
-    if "vt_thermal" in sim.params:
-        stacked["vt_thermal"] = jnp.broadcast_to(
-            jnp.asarray(sim.params["vt_thermal"]),
-            (len(values),) + jnp.shape(sim.params["vt_thermal"]))
-    return stacked
-
-
-def stacked_source_params(sim, name: str, values) -> Any:
-    """Params pytree with vs_dc/is_dc of `name` swept along the step axis."""
-    from ..analysis.sweep import find_source
-    from ..netlist.circuit import KIND_V
-    from ..parallel.montecarlo import broadcast_params
-    kind, idx = find_source(sim.circuit, name)
-    key = "vs_dc" if kind == KIND_V else "is_dc"
-    B = len(values)
-    bparams = dict(broadcast_params(sim.params, B))
-    vals = jnp.asarray(np.asarray(values), bparams[key].dtype)
-    bparams[key] = bparams[key].at[:, idx].set(vals)
-    return bparams
-
-
-def stacked_temp_params(sim, values) -> Any:
-    """Params with the thermal voltage kT/q swept (.STEP TEMP, Celsius)."""
-    from ..parallel.montecarlo import broadcast_params
-    k_b, q_e = 1.380649e-23, 1.602176634e-19
-    bparams = dict(broadcast_params(sim.params, len(values)))
-    vt = jnp.asarray([k_b * (273.15 + float(c)) / q_e for c in values],
-                     sim.engine.dtype)
-    bparams["vt_thermal"] = vt
-    return bparams
-
-
 def _combo_params(sim, cfgs, combo):
     """One unbatched params pytree with every .STEP card's value bound."""
     from ..analysis.sweep import find_source

@@ -38,7 +38,7 @@ from ..netlist.parser import (
 _SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                     "csim_frontend.cpp")
 _LIB_NAME = "libcsim_frontend.so"
-_ABI_VERSION = 2
+_ABI_VERSION = 3   # bump on ANY packed-struct change (CLAUDE.md)
 
 _lib = None
 _lib_error: Optional[str] = None
@@ -167,6 +167,8 @@ def _load() -> Optional[ct.CDLL]:
         return _lib
     lib_dir = os.path.dirname(_SRC)
     lib_path = os.path.join(lib_dir, _LIB_NAME)
+    tmp_path = os.path.join(tempfile.gettempdir(),
+                            f"csim_frontend_{os.getuid()}.so")
     try:
         if (not os.path.exists(lib_path)
                 or os.path.getmtime(lib_path) < os.path.getmtime(_SRC)):
@@ -174,13 +176,34 @@ def _load() -> Optional[ct.CDLL]:
                 _build_lib(lib_path)
             except (OSError, subprocess.CalledProcessError):
                 # source dir may be read-only: build into a temp dir
-                lib_path = os.path.join(tempfile.gettempdir(),
-                                        f"csim_frontend_{os.getuid()}.so")
+                lib_path = tmp_path
                 _build_lib(lib_path)
         lib = ct.CDLL(lib_path)
     except (OSError, subprocess.CalledProcessError) as e:
         _lib_error = str(e)
         return None
+    try:
+        lib = _register(lib)
+    except AttributeError:           # old library missing new symbols
+        global_err = "ABI mismatch (missing symbols)"
+        _lib_error = global_err
+        lib = None
+    if lib is None and lib_path != tmp_path:
+        # stale prebuilt library whose mtime postdates the source (the
+        # rebuild check above cannot catch it): rebuild into the temp
+        # path once and retry before declaring the tier unavailable
+        try:
+            _build_lib(tmp_path)
+            lib = _register(ct.CDLL(tmp_path))
+        except (OSError, subprocess.CalledProcessError, AttributeError):
+            lib = None
+    _lib = lib
+    return _lib
+
+
+def _register(lib) -> Optional[ct.CDLL]:
+    """Set ctypes signatures; None (with _lib_error) on ABI mismatch."""
+    global _lib_error
     lib.csim_parse.restype = ct.c_void_p
     lib.csim_parse.argtypes = [ct.c_char_p]
     lib.csim_free.argtypes = [ct.c_void_p]
@@ -207,11 +230,15 @@ def _load() -> Optional[ct.CDLL]:
     lib.csim_strpool.argtypes = [ct.c_void_p]
     lib.csim_diagnostics.restype = ct.c_char_p
     lib.csim_diagnostics.argtypes = [ct.c_void_p]
-    if lib.csim_abi_version() != _ABI_VERSION:
-        _lib_error = "ABI version mismatch"
+    try:
+        got = lib.csim_abi_version()
+    except AttributeError:
+        got = -1
+    if got != _ABI_VERSION:
+        _lib_error = f"ABI version mismatch (lib {got}, want {_ABI_VERSION})"
         return None
-    _lib = lib
-    return _lib
+    _lib_error = None
+    return lib
 
 
 def available() -> bool:

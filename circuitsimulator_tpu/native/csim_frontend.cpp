@@ -125,6 +125,11 @@ struct ExprEval {
     size_t pos = 0;
     const std::unordered_map<std::string, double>* bindings;
     bool ok = true;
+    // lenient = SYNTAX validation mode for behavioral expressions: bare
+    // names and v()/i() probes are accepted (value 0), math failures
+    // (division by zero, overflow) do not fail — mirrors Python
+    // parse_expr(probes=True), which parses without evaluating
+    bool lenient = false;
 
     bool fail() { ok = false; return false; }
 
@@ -208,10 +213,16 @@ struct ExprEval {
                 (t->text == "*" || t->text == "/" || t->text == "%")) {
                 ++pos;
                 double r = unary();
-                if (t->text == "*") v = v * r;
-                else if (r == 0.0) { fail(); return 0.0; }  // py raises
-                else if (t->text == "/") v = v / r;
-                else v = std::fmod(v, r);
+                if (t->text == "*") {
+                    v = v * r;
+                } else if (r == 0.0) {
+                    if (!lenient) { fail(); return 0.0; }   // py raises
+                    v = 0.0;
+                } else if (t->text == "/") {
+                    v = v / r;
+                } else {
+                    v = std::fmod(v, r);
+                }
             } else {
                 break;
             }
@@ -250,6 +261,28 @@ struct ExprEval {
         if (t->kind == 1) {
             std::string name = lower(t->text);
             const Tok* nx = peek();
+            if (lenient && nx && nx->kind == 3 &&
+                (name == "v" || name == "i")) {
+                // probe syntax v(node[,ref]) / i(elem): args are raw
+                // name/number tokens (mirror of _Parser._probe)
+                ++pos;                        // consume '('
+                const Tok* a2 = next();
+                if (!a2 || (a2->kind != 0 && a2->kind != 1)) {
+                    fail();
+                    return 0.0;
+                }
+                if (name == "v" && peek() && peek()->kind == 5) {
+                    ++pos;
+                    const Tok* b2 = next();
+                    if (!b2 || (b2->kind != 0 && b2->kind != 1)) {
+                        fail();
+                        return 0.0;
+                    }
+                }
+                const Tok* rp2 = next();
+                if (!rp2 || rp2->kind != 4) fail();
+                return 0.0;
+            }
             if (nx && nx->kind == 3) {       // function call
                 ++pos;
                 std::vector<double> args{additive()};
@@ -265,6 +298,7 @@ struct ExprEval {
             if (it != bindings->end()) return it->second;
             if (name == "pi") return M_PI;
             if (name == "e") return M_E;
+            if (lenient) return 0.0;    // bare names resolve at lowering
             fail();
             return 0.0;
         }
@@ -320,6 +354,18 @@ bool eval_expr(const std::string& s,
     if (!std::isfinite(v)) return false;    // py: ZeroDivision/Overflow/domain
     *out = v;
     return true;
+}
+
+// SYNTAX-only validation of a behavioral expression (probes + bare names
+// allowed) — mirror of parse_expr(expr, probes=True) succeeding
+bool validate_behavioral_expr(const std::string& s) {
+    static const std::unordered_map<std::string, double> kEmpty;
+    ExprEval p;
+    p.bindings = &kEmpty;
+    p.lenient = true;
+    if (!p.tokenize(s)) return false;
+    p.additive();
+    return p.ok && p.peek() == nullptr;
 }
 
 // ----------------------------------------------------------------------
@@ -1200,6 +1246,13 @@ public:
             expr.pop_back();
         if (expr.empty()) {
             warn(st.line_no, "empty behavioral expression: " + st.raw);
+            return;
+        }
+        if (!validate_behavioral_expr(expr)) {
+            // same outcome as the Python frontend: warn and drop, so both
+            // frontends build the same circuit from a broken expression
+            warn(st.line_no,
+                 "cannot parse behavioral expression: " + st.raw);
             return;
         }
         ElementRec e = blank(17, t[0]);
@@ -2470,5 +2523,5 @@ const char* csim_strpool(void* h) { return FE.str_pool.c_str(); }
 const void* csim_config(void* h) { return &FE.config; }
 const char* csim_diagnostics(void* h) { return FE.diagnostics.c_str(); }
 
-int32_t csim_abi_version(void) { return 2; }
+int32_t csim_abi_version(void) { return 3; }
 }

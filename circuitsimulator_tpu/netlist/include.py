@@ -32,11 +32,19 @@ def _warn(msg: str) -> None:
     print(msg, file=sys.stderr)
 
 
-def _strip_path(tok: str) -> str:
-    tok = tok.strip()
-    if len(tok) >= 2 and tok[0] == tok[-1] and tok[0] in "'\"":
-        return tok[1:-1]
-    return tok
+def _split_path(rest: str):
+    """(path, remainder) from the text after the directive keyword.
+    Quoted paths may contain spaces; bare paths end at whitespace."""
+    rest = rest.strip()
+    if rest and rest[0] in "'\"":
+        q = rest[0]
+        end = rest.find(q, 1)
+        if end > 0:
+            return rest[1:end], rest[end + 1:].strip()
+    parts = rest.split(None, 1)
+    if not parts:
+        return "", ""
+    return parts[0], parts[1].strip() if len(parts) > 1 else ""
 
 
 def _extract_section(lines: List[str], section: str,
@@ -83,11 +91,19 @@ def expand_includes(text: str, base_dir: str = ".",
         if _depth >= MAX_DEPTH:
             _warn(f"{head.upper()}: max include depth exceeded; skipped")
             continue
-        path = _strip_path(line.split(None, 2)[1])
+        path, remainder = _split_path(line.split(None, 1)[1])
+        if not path:
+            _warn(f"invalid {head.upper()} line: {line.strip()!r}")
+            continue
         full = path if os.path.isabs(path) else os.path.join(base_dir, path)
         full = os.path.normpath(full)
-        section = toks[2] if head == ".lib" and len(toks) >= 3 else None
+        section = (remainder.split()[0]
+                   if head == ".lib" and remainder else None)
         key = (full, section)
+        # `seen` is the stack of the CURRENT include chain only: the key is
+        # removed after the recursive expansion, so diamond includes (two
+        # siblings pulling the same library) splice twice like SPICE does,
+        # while true cycles are still cut
         if key in seen:
             _warn(f"{head.upper()}: circular include of {full}; skipped")
             continue
@@ -98,9 +114,12 @@ def expand_includes(text: str, base_dir: str = ".",
             _warn(f"cannot open {head.upper()} file {full}")
             continue
         seen.add(key)
-        if section is not None:
-            sub = "\n".join(_extract_section(sub.splitlines(), section,
-                                             full))
-        out.append(expand_includes(sub, os.path.dirname(full),
-                                   _depth + 1, seen))
+        try:
+            if section is not None:
+                sub = "\n".join(_extract_section(sub.splitlines(), section,
+                                                 full))
+            out.append(expand_includes(sub, os.path.dirname(full),
+                                       _depth + 1, seen))
+        finally:
+            seen.discard(key)
     return "\n".join(out)

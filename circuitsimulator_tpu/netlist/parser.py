@@ -662,12 +662,12 @@ class NetlistParser:
         DC state follows from the controlling quantity alone."""
         t = st.tokens
         need = 6 if c0 == "S" else 5
-        toks = list(t)
-        if len(toks) > need and toks[need].lower() in ("on", "off"):
-            pass                      # accepted, ignored
-        if len(toks) < need:
+        if len(t) < need:
             _warn(st.line_no, f"invalid {c0}-switch: {st.raw}")
             return
+        if len(t) > need and t[need].lower() not in ("on", "off"):
+            _warn(st.line_no,
+                  f"unexpected trailing token {t[need]!r} on {c0}-switch")
         if c0 == "S":
             self.ckt.add_switch(t[0], t[1], t[2], t[3], t[4], t[5])
         else:

@@ -168,7 +168,10 @@ class _Parser:
     def atom(self):
         t = self.next()
         if t[0] == "num":
-            return ("num", parse_spice_number(t[1]))
+            try:
+                return ("num", parse_spice_number(t[1]))
+            except ValueError as err:
+                raise ExprError(f"bad number {t[1]!r}: {err}")
         if t[0] == "name":
             name = t[1].lower()
             nxt = self.peek()

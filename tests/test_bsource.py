@@ -146,3 +146,13 @@ R1 out 0 1k
     eq = node_eq(sim, "out")
     np.testing.assert_allclose(np.asarray(sres.result)[:, eq],
                                [3.0, 6.0, 12.0], rtol=1e-6)
+
+
+def test_invalid_expression_dropped_by_both_frontends():
+    from circuitsimulator_tpu import native
+    text = "B1 a 0 V=2**\nR1 a 0 1k\nV1 a 0 1\n.op\n"
+    ckt_py, _ = parse_netlist_text(text)
+    assert [e.name for e in ckt_py.elements] == ["R1", "V1"]
+    if native.available():
+        ckt_nat, _ = native.parse_netlist_text_native(text)
+        assert [e.name for e in ckt_nat.elements] == ["R1", "V1"]

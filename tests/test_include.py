@@ -90,3 +90,19 @@ def test_step_temp_native_parity():
     assert ([dataclasses.asdict(s) for s in sn.steps]
             == [dataclasses.asdict(s) for s in sp.steps])
     assert sp.steps[0].kind == "temp"
+
+
+def test_quoted_include_path_with_spaces(tmp_path):
+    (tmp_path / "my lib.inc").write_text("R1 a 0 1k\n")
+    (tmp_path / "top.sp").write_text(
+        '* top\n.INCLUDE "my lib.inc"\nV1 a 0 DC 1\n.op\n')
+    sim = Simulator.from_file(str(tmp_path / "top.sp"))
+    assert [e.name for e in sim.circuit.elements] == ["R1", "V1"]
+
+
+def test_diamond_include_splices_twice(tmp_path):
+    (tmp_path / "common.inc").write_text("* common marker\n")
+    (tmp_path / "a.inc").write_text(".include common.inc\n")
+    (tmp_path / "b.inc").write_text(".include common.inc\n")
+    out = expand_includes(".include a.inc\n.include b.inc\n", str(tmp_path))
+    assert out.count("common marker") == 2

@@ -116,3 +116,17 @@ C1 out 0 1n
     expect = r * 1e-9 * (-math.log(1 - 0.632)) <= 1.1e-6
     agree = (expect == out["pass"]).mean()
     assert agree > 0.9          # BE-grid slop near the boundary only
+
+
+def test_streaming_vdb_modifier_matches_host():
+    sim = Simulator.from_text(
+        "V1 a 0 SIN 0 2 1e6\nR1 a 0 1k\n.TRAN 2n 2u\n"
+        ".MEASURE TRAN peakdb MAX VDB(a) FROM=0 TO=2u\n")
+    res = sim.transient()
+    host = dict(sim.measure(res))
+    sm = StreamingMeasures(sim.config.measures, sim.topo, sim.engine.dtype)
+    _, vals = run_transient_streaming(
+        sim.engine, sim.params, sim.config.tran.tstep,
+        sim.config.tran.tstop, sm)
+    assert float(vals["peakdb"]) == pytest.approx(host["peakdb"], abs=1e-9)
+    assert host["peakdb"] == pytest.approx(20 * np.log10(2), abs=1e-3)
