@@ -1,0 +1,91 @@
+"""N-port S-parameter extraction (extension; no reference equivalent).
+
+Method: the open-circuit impedance matrix Z(f) comes from n AC solves per
+frequency — inject a unit AC current into each port pair and read all port
+voltages (no topology edit needed; ports are just node pairs of the
+as-lowered circuit).  Then the scattering matrix w.r.t. the reference
+impedances Z0_i is the standard bilinear map
+
+    S = F (Z - Z0) (Z + Z0)^{-1} F^{-1},   Z0 = diag(Z0_i),
+    F  = diag( 1 / (2 sqrt(Re Z0_i)) )
+
+This is a cold path: the per-frequency systems are assembled with the same
+engine machinery as `.AC` (linearized at the DC operating point) and the
+tiny complex solves run on the host.
+
+Caveat: a port with no AC path to the rest of the circuit (fully floating
+at that frequency) makes Z singular — S-parameters of such a network are
+ill-defined anyway.  The circuit should NOT contain the port terminations;
+matched loading is implicit in the S-parameter definition.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops.assemble import Engine
+
+
+@dataclasses.dataclass
+class SParamResult:
+    freqs: np.ndarray        # (F,)
+    s: np.ndarray            # (F, n, n) complex
+    z: np.ndarray            # (F, n, n) complex open-circuit impedances
+    z0: np.ndarray           # (n,) reference impedances
+
+
+def s_parameters(engine: Engine, params, port_eqs: Sequence[Tuple[int, int]],
+                 z0s: Sequence[float], freqs, x_op) -> SParamResult:
+    """port_eqs: (eq_p, eq_m) per port with the dump-slot convention
+    (ground = engine.N); z0s: reference impedance per port."""
+    from .ac import ac_system_real
+    N = engine.N
+    n = len(port_eqs)
+    freqs = np.asarray(freqs, float)
+    z0 = np.asarray(z0s, float)
+    Z0 = np.diag(z0.astype(complex))
+    F = np.diag(1.0 / (2.0 * np.sqrt(z0)))
+    Finv = np.diag(2.0 * np.sqrt(z0))
+
+    rhs = np.zeros((N, n), complex)
+    for j, (p, m) in enumerate(port_eqs):
+        if p < N:
+            rhs[p, j] += 1.0
+        if m < N:
+            rhs[m, j] -= 1.0
+
+    S = np.zeros((len(freqs), n, n), complex)
+    Z = np.zeros((len(freqs), n, n), complex)
+    for k, f in enumerate(freqs):
+        G, B, _, _ = ac_system_real(engine, params, x_op,
+                                    2.0 * np.pi * float(f))
+        Y = np.asarray(G, float) + 1j * np.asarray(B, float)
+        V = np.linalg.solve(Y, rhs)                     # (N, n)
+        Ve = np.concatenate([V, np.zeros((1, n), complex)], axis=0)
+        Zk = np.stack([Ve[p] - Ve[m] for (p, m) in port_eqs])  # (n, n)
+        Z[k] = Zk
+        S[k] = F @ (Zk - Z0) @ np.linalg.inv(Zk + Z0) @ Finv
+    return SParamResult(freqs=freqs, s=S, z=Z, z0=z0)
+
+
+def write_sparams_csv(path: str, res: SParamResult) -> None:
+    """Touchstone-flavored CSV: freq, then Sij magnitude/phase(deg) pairs
+    in row-major port order."""
+    n = res.s.shape[-1]
+    cols = ["freq"]
+    for i in range(n):
+        for j in range(n):
+            cols += [f"|S{i+1}{j+1}|", f"argS{i+1}{j+1}(deg)"]
+    with open(path, "w") as fh:
+        fh.write(",".join(cols) + "\n")
+        for k, f in enumerate(res.freqs):
+            row = [f]
+            for i in range(n):
+                for j in range(n):
+                    row += [abs(res.s[k, i, j]),
+                            np.degrees(np.angle(res.s[k, i, j]))]
+            fh.write(",".join(f"{v:.9e}" for v in row) + "\n")

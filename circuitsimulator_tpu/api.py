@@ -444,6 +444,39 @@ class Simulator:
                 else self.config.steps[step_index])
         return run_step(self, cfgs, save_xs=save_xs)
 
+    def sparams(self, ports, freqs=None, params: Optional[Any] = None,
+                x_op: Optional[Any] = None):
+        """N-port S-parameters (analysis/sparams.py) of the circuit
+        linearized at the DC operating point.  `ports` is a list of
+        (node_p, node_m_or_None, z0) tuples (None = ground); `freqs`
+        defaults to the .AC card's sweep.  Port terminations must NOT be
+        in the netlist — matched loading is implicit."""
+        from .analysis.ac import sweep_frequencies
+        from .analysis.sparams import s_parameters
+        if freqs is None:
+            ac = self.config.ac
+            if not ac.enabled:
+                raise ValueError("no frequency sweep: give freqs or a "
+                                 ".AC card")
+            freqs = sweep_frequencies(ac.sweep_type, ac.n_points,
+                                      ac.fstart, ac.fstop)
+        dump = self.topo.n_unknowns
+
+        def node_eq(name):
+            if name is None or str(name).lower() in ("0", "gnd"):
+                return dump
+            nid = self.circuit.node_name_to_id.get(name)
+            if nid is None:
+                raise KeyError(f"unknown node {name!r}")
+            eqi = self.circuit.nodes[nid].eq_index
+            return eqi if eqi >= 0 else dump
+        port_eqs = [(node_eq(p), node_eq(m)) for (p, m, _) in ports]
+        z0s = [z for (_, _, z) in ports]
+        p = params if params is not None else self.params
+        if x_op is None:
+            x_op = self.dc(params=params)
+        return s_parameters(self.engine, p, port_eqs, z0s, freqs, x_op)
+
     def yield_analysis(self, key, batch: int, rel_sigma, specs,
                        params: Optional[Any] = None):
         """Monte-Carlo yield over the .TRAN card with streaming .MEASURE
