@@ -1,0 +1,116 @@
+"""Periodic AC (PAC) analysis — small-signal transfer functions of a
+periodically driven circuit (extension; no reference equivalent — this is
+the classic RF conversion-gain analysis the reference's empty steady-state
+module could never have reached).
+
+Math: linearize the MNA system around the periodic steady state x*(t)
+(period T = 1/f0).  A small-signal drive u e^{j delta t} produces a
+response y(t) = Y(t) e^{j delta t} with Y T-periodic, satisfying the
+linear periodically-time-varying system
+
+    G(t) Y + C (dY/dt + j delta Y) = U
+
+with G(t) = conduction Jacobian at x*(t) and C the constant reactive
+structure matrix.  On the K = 2H+1 uniform HB samples with the spectral
+differentiation matrix D this is one (K*N) x (K*N) complex solve per
+offset frequency:
+
+    [ blockdiag(G_t) + kron(D, C) + j delta kron(I, C) ] Y = 1_K (x) U
+
+The output spectrum is the FFT of the envelope: y contains sidebands at
+m*f0 + delta with coefficients Y_m — conversion gain from the input to
+the m-th sideband is Y_m[out] / |U|.
+
+Cold path: the PSS comes from the existing HB/shooting solvers; the
+per-offset complex solves run on the host (K*N is a few hundred for
+mixer-class circuits).  The small-signal inputs are the sources' AC specs
+(`AC mag [phase]`), exactly like `.AC`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.assemble import Engine
+from .hb import _reactive_structure, spectral_diff_matrix
+
+
+@dataclasses.dataclass
+class PACResult:
+    f0: float
+    deltas: np.ndarray        # (F,) offset frequencies
+    harmonics: np.ndarray     # (M,) sideband indices m (response at m*f0+delta)
+    spectrum: np.ndarray      # (F, M, N) complex envelope coefficients Y_m
+    xs_pss: Any               # (K, N) the PSS samples used
+
+
+def pac(engine: Engine, params, f0: float, xs_pss, deltas,
+        n_sidebands: Optional[int] = None) -> PACResult:
+    """xs_pss: (K, N) periodic-steady-state samples on the uniform grid
+    (K odd = 2H+1, e.g. HBResult.xs).  deltas: offset frequencies."""
+    N = engine.N
+    xs_pss = jnp.asarray(xs_pss)
+    K = xs_pss.shape[0]
+    T = 1.0 / f0
+    D = spectral_diff_matrix(K, T)                      # (K, K)
+    C = np.asarray(_reactive_structure(engine, params), float)
+
+    # conduction Jacobian at each PSS sample: static entries + nonlinear
+    # linearization (same split the HB Newton uses)
+    rows, cols, svals = engine.dc_static_entries(params)
+    A_res = np.zeros((N + 1, N + 1))
+    np.add.at(A_res, (np.asarray(rows), np.asarray(cols)),
+              np.asarray(svals, float))
+    ts = np.arange(K) * (T / K)
+
+    def a_t(x_t, t_t):
+        gvals, _ = engine._nl_vals(params, x_t, t_t)
+        A = jnp.zeros((N + 1, N + 1), engine.dtype)
+        A = A.at[engine.nl_rows, engine.nl_cols].add(gvals)
+        return A
+
+    A_nl = np.asarray(jax.vmap(a_t)(xs_pss, jnp.asarray(ts, engine.dtype)),
+                      float)
+    G_t = A_res[None, :N, :N] + A_nl[:, :N, :N]         # (K, N, N)
+
+    # small-signal input vector from the sources' AC specs (like .AC)
+    deg = np.pi / 180.0
+    U = np.zeros(N + 1, complex)
+    vph = np.asarray(params["vs_ac_phase"], float) * deg
+    vmag = np.asarray(params["vs_ac_mag"], float)
+    np.add.at(U, np.asarray(engine.topo.vs_k), vmag * np.exp(1j * vph))
+    iph = np.asarray(params["is_ac_phase"], float) * deg
+    imag = np.asarray(params["is_ac_mag"], float)
+    ivals = imag * np.exp(1j * iph)
+    np.add.at(U, np.asarray(engine.topo.is_ep), -ivals)
+    np.add.at(U, np.asarray(engine.topo.is_em), ivals)
+    U = U[:N]
+
+    # assemble the LPTV operator: blockdiag(G_t) + kron(D, C)
+    J0 = np.zeros((K, N, K, N))
+    kk = np.arange(K)
+    J0[kk, :, kk, :] += G_t
+    J0 += D[:, None, :, None] * C[None, :, None, :]
+    J0 = J0.reshape(K * N, K * N).astype(complex)
+    CI = np.kron(np.eye(K), C)
+
+    rhs = np.tile(U, K)
+    H = (K - 1) // 2
+    M = int(n_sidebands) if n_sidebands is not None else H
+    M = min(M, H)
+    harmonics = np.arange(-M, M + 1)
+
+    spec = np.zeros((len(deltas), len(harmonics), N), complex)
+    for i, d in enumerate(np.asarray(deltas, float)):
+        J = J0 + (2j * np.pi * d) * CI
+        Y = np.linalg.solve(J, rhs).reshape(K, N)       # envelope samples
+        coeff = np.fft.fft(Y, axis=0) / K               # e^{+j m w0 t} basis
+        for j, m in enumerate(harmonics):
+            spec[i, j] = coeff[m % K]
+    return PACResult(f0=f0, deltas=np.asarray(deltas, float),
+                     harmonics=harmonics, spectrum=spec, xs_pss=xs_pss)

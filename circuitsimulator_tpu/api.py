@@ -444,6 +444,29 @@ class Simulator:
                 else self.config.steps[step_index])
         return run_step(self, cfgs, save_xs=save_xs)
 
+    def pac(self, deltas, f0: Optional[float] = None,
+            n_harm: Optional[int] = None,
+            n_sidebands: Optional[int] = None,
+            pss_xs=None, params: Optional[Any] = None, **hb_kw):
+        """Periodic AC analysis (analysis/pac.py): small-signal transfer
+        functions of the circuit linearized around its periodic steady
+        state — conversion gains from the sources' AC specs to every
+        sideband m*f0 + delta.  The PSS defaults to the frequency-domain
+        harmonic balance on the .hb card; pass pss_xs (K, N uniform
+        samples, K odd) to reuse one."""
+        from .analysis.pac import pac
+        hb = self.config.hb
+        f0 = f0 if f0 is not None else (hb.f0 if hb.enabled else None)
+        if not f0 or f0 <= 0:
+            raise ValueError("pac needs f0 (or a .hb card)")
+        p = params if params is not None else self.params
+        if pss_xs is None:
+            hbres = self.harmonic_balance(params=p, f0=f0, n_harm=n_harm,
+                                          **hb_kw)
+            pss_xs = hbres.xs
+        return pac(self.engine, p, f0, pss_xs, deltas,
+                   n_sidebands=n_sidebands)
+
     def sparams(self, ports, freqs=None, params: Optional[Any] = None,
                 x_op: Optional[Any] = None):
         """N-port S-parameters (analysis/sparams.py) of the circuit
