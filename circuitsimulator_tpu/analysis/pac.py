@@ -49,10 +49,10 @@ class PACResult:
     xs_pss: Any               # (K, N) the PSS samples used
 
 
-def pac(engine: Engine, params, f0: float, xs_pss, deltas,
-        n_sidebands: Optional[int] = None) -> PACResult:
-    """xs_pss: (K, N) periodic-steady-state samples on the uniform grid
-    (K odd = 2H+1, e.g. HBResult.xs).  deltas: offset frequencies."""
+def lptv_operator(engine: Engine, params, f0: float, xs_pss):
+    """(J0, CI, K): the real part of the LPTV frequency-domain operator —
+    J(delta) = J0 + j*2*pi*delta * CI — built from the PSS samples.
+    Shared by PAC and PNOISE."""
     N = engine.N
     xs_pss = jnp.asarray(xs_pss)
     K = xs_pss.shape[0]
@@ -77,6 +77,21 @@ def pac(engine: Engine, params, f0: float, xs_pss, deltas,
     A_nl = np.asarray(jax.vmap(a_t)(xs_pss, jnp.asarray(ts, engine.dtype)),
                       float)
     G_t = A_res[None, :N, :N] + A_nl[:, :N, :N]         # (K, N, N)
+    J0 = np.zeros((K, N, K, N))
+    kk = np.arange(K)
+    J0[kk, :, kk, :] += G_t
+    J0 += D[:, None, :, None] * C[None, :, None, :]
+    J0 = J0.reshape(K * N, K * N).astype(complex)
+    CI = np.kron(np.eye(K), C)
+    return J0, CI, K
+
+
+def pac(engine: Engine, params, f0: float, xs_pss, deltas,
+        n_sidebands: Optional[int] = None) -> PACResult:
+    """xs_pss: (K, N) periodic-steady-state samples on the uniform grid
+    (K odd = 2H+1, e.g. HBResult.xs).  deltas: offset frequencies."""
+    N = engine.N
+    J0, CI, K = lptv_operator(engine, params, f0, xs_pss)
 
     # small-signal input vector from the sources' AC specs (like .AC)
     deg = np.pi / 180.0
@@ -90,14 +105,6 @@ def pac(engine: Engine, params, f0: float, xs_pss, deltas,
     np.add.at(U, np.asarray(engine.topo.is_ep), -ivals)
     np.add.at(U, np.asarray(engine.topo.is_em), ivals)
     U = U[:N]
-
-    # assemble the LPTV operator: blockdiag(G_t) + kron(D, C)
-    J0 = np.zeros((K, N, K, N))
-    kk = np.arange(K)
-    J0[kk, :, kk, :] += G_t
-    J0 += D[:, None, :, None] * C[None, :, None, :]
-    J0 = J0.reshape(K * N, K * N).astype(complex)
-    CI = np.kron(np.eye(K), C)
 
     rhs = np.tile(U, K)
     H = (K - 1) // 2
@@ -114,3 +121,65 @@ def pac(engine: Engine, params, f0: float, xs_pss, deltas,
             spec[i, j] = coeff[m % K]
     return PACResult(f0=f0, deltas=np.asarray(deltas, float),
                      harmonics=harmonics, spectrum=spec, xs_pss=xs_pss)
+
+
+@dataclasses.dataclass
+class PNoiseResult:
+    f0: float
+    deltas: np.ndarray        # (F,) offset frequencies
+    onoise: np.ndarray        # (F,) output noise PSD, V^2/Hz
+    by_kind: dict             # device-kind -> (F,) PSD contribution
+
+
+def pnoise(engine: Engine, params, f0: float, xs_pss, deltas,
+           out_eq: int, ref_eq: int = -1,
+           x_op: Optional[Any] = None) -> PNoiseResult:
+    """Periodic (cyclostationary) noise at the output V(out[,ref]) for
+    offsets `deltas` from DC — i.e. the time-averaged output noise PSD of
+    the periodically driven circuit, including noise FOLDING from every
+    sideband.
+
+    Method: one adjoint LPTV solve per offset, J(delta)^H Psi = 1_K (x)
+    e_out.  The adjoint envelope Psi_t picks up the transfer from every
+    source at every sideband at once; a white source with (possibly
+    time-varying) intensity s_j(t) contributes
+
+        (1/K) sum_t |Psi_t . u_j|^2 s_j(t)
+
+    — the operating-point modulation of shot noise (diodes/BJTs at their
+    instantaneous current) is therefore handled exactly.  Flicker terms
+    are approximated as stationary at the time-averaged intensity with
+    the 1/delta envelope (their sideband folding is not modeled)."""
+    from .noise import _device_noise_currents
+    J0, CI, K = lptv_operator(engine, params, f0, xs_pss)
+    N = engine.N
+    xs_pss = jnp.asarray(xs_pss)
+
+    # per-sample (cyclostationary) device noise intensities
+    per_t = jax.vmap(
+        lambda x: _device_noise_currents(engine, params, x)[1:3])(xs_pss)
+    s_white_t = np.asarray(per_t[0], float)             # (K, nS)
+    s_flick_t = np.asarray(per_t[1], float)             # (K, nS)
+    pairs, _, _, kinds = _device_noise_currents(engine, params, xs_pss[0])
+
+    c = np.zeros(N, complex)
+    c[out_eq] = 1.0
+    if ref_eq >= 0:
+        c[ref_eq] -= 1.0
+    rhs = np.tile(c, K)
+
+    onoise = np.zeros(len(deltas))
+    by_kind = {k: np.zeros(len(deltas)) for k in set(kinds)}
+    for i, d in enumerate(np.asarray(deltas, float)):
+        J = J0 + (2j * np.pi * d) * CI
+        psi = np.linalg.solve(J.conj().T, rhs).reshape(K, N)
+        psi_e = np.concatenate([psi, np.zeros((K, 1), complex)], axis=1)
+        # adjoint gain of each source pair at each sample
+        g = psi_e[:, pairs[:, 0]] - psi_e[:, pairs[:, 1]]   # (K, nS)
+        s_t = s_white_t + s_flick_t / max(d, 1e-300)
+        contrib = np.mean(np.abs(g) ** 2 * s_t, axis=0)     # (nS,)
+        onoise[i] = contrib.sum()
+        for j, k in enumerate(kinds):
+            by_kind[k][i] += contrib[j]
+    return PNoiseResult(f0=f0, deltas=np.asarray(deltas, float),
+                        onoise=onoise, by_kind=by_kind)

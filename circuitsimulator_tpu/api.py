@@ -467,6 +467,36 @@ class Simulator:
         return pac(self.engine, p, f0, pss_xs, deltas,
                    n_sidebands=n_sidebands)
 
+    def pnoise(self, deltas, out_node: str, ref_node: Optional[str] = None,
+               f0: Optional[float] = None, n_harm: Optional[int] = None,
+               pss_xs=None, params: Optional[Any] = None, **hb_kw):
+        """Periodic (cyclostationary) noise at V(out[,ref]) around the
+        periodic steady state (analysis/pac.py pnoise): time-averaged
+        output PSD including sideband folding; shot noise is modulated by
+        the instantaneous operating point."""
+        from .analysis.pac import pnoise
+        hb = self.config.hb
+        f0 = f0 if f0 is not None else (hb.f0 if hb.enabled else None)
+        if not f0 or f0 <= 0:
+            raise ValueError("pnoise needs f0 (or a .hb card)")
+        p = params if params is not None else self.params
+
+        def node_eq(name):
+            nid = self.circuit.node_name_to_id.get(name)
+            if nid is None:
+                raise KeyError(f"unknown node {name!r}")
+            return self.circuit.nodes[nid].eq_index
+
+        out_eq = node_eq(out_node)
+        if out_eq < 0:
+            raise ValueError(f"output node {out_node!r} is ground")
+        ref_eq = node_eq(ref_node) if ref_node else -1
+        if pss_xs is None:
+            hbres = self.harmonic_balance(params=p, f0=f0, n_harm=n_harm,
+                                          **hb_kw)
+            pss_xs = hbres.xs
+        return pnoise(self.engine, p, f0, pss_xs, deltas, out_eq, ref_eq)
+
     def sparams(self, ports, freqs=None, params: Optional[Any] = None,
                 x_op: Optional[Any] = None):
         """N-port S-parameters (analysis/sparams.py) of the circuit
