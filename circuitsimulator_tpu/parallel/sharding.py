@@ -54,6 +54,24 @@ def sharded_transient(engine: Engine, mesh: Mesh, bparams,
     return fn(bparams)
 
 
+def sharded_transient_measures(engine: Engine, mesh: Mesh, bparams,
+                               tstep, tstop, measures, topo,
+                               axis_name: str = BATCH_AXIS):
+    """Multi-chip streaming-measure sweep: the lane axis shards over the
+    mesh, each chip runs its shard's transient with the O(1)-memory
+    measure accumulators, and only the per-lane measurement results (and
+    final states) come home — waveforms never exist anywhere.  This is
+    the full deployment shape: lanes x chips, measured in flight."""
+    from ..analysis.measure_stream import (StreamingMeasures,
+                                           run_transient_streaming)
+    from .montecarlo import batched_transient_measures
+    bparams = shard_batch(mesh, bparams, axis_name)
+    sm = StreamingMeasures(measures, topo, engine.dtype)
+    fn = jax.jit(jax.vmap(
+        lambda p: run_transient_streaming(engine, p, tstep, tstop, sm)))
+    return fn(bparams)
+
+
 def sweep_statistics(xs_final, mesh: Optional[Mesh] = None):
     """Cross-lane summary statistics of a sweep result (B, N): mean/std/min/
     max per unknown.  Under a sharded input this lowers to ICI all-reduces."""

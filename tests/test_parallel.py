@@ -108,3 +108,28 @@ def test_checkpoint_resume_bitwise(tmp_path):
     carry3, _ = r3.run()
     np.testing.assert_array_equal(np.asarray(carry3[0]),
                                   np.asarray(carry1[0]))
+
+
+def test_sharded_streaming_measures_on_mesh():
+    from circuitsimulator_tpu.parallel.sharding import (
+        sharded_transient_measures)
+    assert len(jax.devices()) == 8
+    sim = Simulator.from_text("""* rc sweep
+V1 in 0 PULSE(0 1 0 1n 1n 1 2)
+R1 in out 1k
+C1 out 0 1n
+.TRAN 20n 4u
+.MEASURE TRAN t63 WHEN V(out)=0.632 RISE=1
+""")
+    mesh = make_mesh()
+    B = 16
+    bp = perturb_params(sim.params, jax.random.key(3), B, {"res_r": 0.1})
+    res, vals = sharded_transient_measures(
+        sim.engine, mesh, bp, sim.config.tran.tstep, sim.config.tran.tstop,
+        sim.config.measures, sim.topo)
+    t63 = vals["t63"]
+    assert t63.shape == (B,)
+    assert not t63.sharding.is_fully_replicated   # computed where the lanes live
+    r = np.asarray(bp["res_r"])[:, 0]
+    np.testing.assert_allclose(np.asarray(t63),
+                               r * 1e-9 * (-np.log(1 - 0.632)), rtol=8e-2)
