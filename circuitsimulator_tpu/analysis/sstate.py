@@ -178,6 +178,181 @@ def steady_state(engine: Engine, params, f0: float,
     )
 
 
+@dataclasses.dataclass
+class OscillatorResult:
+    f0: Any          # solved oscillation frequency
+    times: Any       # (K+1,) one period
+    xs: Any          # (K+1, N)
+    residual: Any
+    newton_iters: int
+    converged: Any
+
+
+def oscillator_steady_state(engine: Engine, params, f0_guess: float,
+                            anchor_eq: int,
+                            steps_per_period: int = 256,
+                            warmup_periods: int = 30,
+                            max_newton: int = 25,
+                            tol: float = 1e-9,
+                            fd_eps: float = 1e-7,
+                            damping: float = 1.0,
+                            kick: float = 0.5):
+    """Periodic steady state of an AUTONOMOUS circuit (extension): the
+    period is a Newton unknown alongside the state.
+
+    Free-running oscillators have no drive to pin the period, and any time
+    shift of a solution is another solution, so the shooting system is
+    augmented the standard way: unknowns u = [s, T], equations
+    Phi_T(s) - s = 0 plus a phase anchor pinning one state coordinate to
+    its warmed-up value (removing the time-shift null direction).
+
+    The propagator integrates a FIXED number of BE steps with dt = T/K, so
+    T flows through the companion conductances as a traced value — the
+    whole augmented Newton system stays one jitted program; the (n_s+1)
+    finite-difference Jacobian columns run as one vmapped batch of
+    propagations (the same fan-out the driven shooting uses).  The LU
+    transient backend is forced (a per-T Woodbury refactor would buy
+    nothing here).
+
+    Warmup: run `warmup_periods` of the guessed period so the trajectory
+    settles onto the limit cycle, then refine the period estimate from
+    the anchor node's last two upward mean-crossings.
+    """
+    from .transient import transient_step_fn
+    if engine.n_tl:
+        raise NotImplementedError("oscillator shooting does not support "
+                                  "transmission lines (dt-dependent ring)")
+    opts = engine.opts
+    if opts.tran_solver != "lu" or opts.tran_method != "trap":
+        import copy
+        engine = copy.copy(engine)       # shared patterns
+        # lu backend (a per-T Woodbury refactor buys nothing) and
+        # TRAPEZOIDAL integration: BE's numerical damping acts like a
+        # parasitic conductance g ~ C*w^2*dt across every tank — at 256
+        # steps/period that is ~0.8 mS against a 1.5 mS negative
+        # conductance, visibly shrinking the limit cycle.  Trapezoidal
+        # has no amplitude damping.
+        engine.opts = opts.replace(tran_solver="lu", tran_method="trap")
+    dtype = engine.dtype
+    K = int(steps_per_period)
+
+    # ---- warmup on the guessed period ----
+    dt_w = jnp.asarray(1.0 / (f0_guess * K), dtype)
+    step_w = transient_step_fn(engine, params, dt_w)
+    x0 = dc_operating_point(engine, params)
+    # an asymmetric kick so the trajectory leaves the unstable equilibrium
+    # within the warmup budget: startup growth is slow (the envelope rate
+    # g/(2C) fights BE's numerical damping ~ w^2 dt / 2), so a volt-scale
+    # kick beats waiting out e-folding from microvolts
+    x0 = x0.at[anchor_eq].add(jnp.asarray(kick, dtype))
+    state = engine.init_state(x0, params, dt_w)
+    carry = (x0, state, jnp.zeros(x0.shape[:-1], bool))
+    n_w = warmup_periods * K
+    tw = jnp.arange(1, n_w + 1, dtype=dtype) * dt_w
+
+    def wbody(c, t):
+        c, (xo, _) = step_w(c, t)
+        return c, xo
+
+    carry, xs_w = jax.jit(lambda c, t: lax.scan(wbody, c, t))(carry, tw)
+    xs_w = np.asarray(xs_w)
+    ya = xs_w[:, anchor_eq]
+    mean = ya[-4 * K:].mean()
+    up = np.nonzero((ya[:-1] < mean) & (ya[1:] >= mean))[0]
+    if len(up) >= 2:
+        T0 = float((up[-1] - up[-2]) * float(dt_w))
+    else:
+        T0 = 1.0 / f0_guess
+
+    # restart the shooting state AT an upward mean-crossing so the phase
+    # anchor is transversal (anchoring at a waveform extremum makes the
+    # augmented Jacobian singular in the phase direction)
+    def cbody(c, t):
+        c, (xo, _) = step_w(c, t)
+        return c, (c[0], c[1])
+
+    carry2, (xs_c, st_c) = jax.jit(
+        lambda c, t: lax.scan(cbody, c, t))(
+            carry, tw[-1] + jnp.arange(1, 2 * K + 1, dtype=dtype) * dt_w)
+    yc = np.asarray(xs_c)[:, anchor_eq]
+    upc = np.nonzero((yc[:-1] < mean) & (yc[1:] >= mean))[0]
+    idx = int(upc[0] + 1) if len(upc) else 0
+    x_start = xs_c[idx]
+    state_start = jax.tree.map(lambda a: a[idx], st_c)
+    anchor_val = jnp.asarray(np.asarray(xs_c)[idx, anchor_eq], dtype)
+    s0 = _join(x_start, state_start)
+    n_s = s0.shape[-1]
+
+    # ---- augmented shooting: unknowns [s, T] ----
+    def propagate(s, T):
+        dt = T / K
+        step = transient_step_fn(engine, params, dt)
+        x, state = _split(engine, s)
+        failed = jnp.zeros(x.shape[:-1], dtype=bool)
+        ts = jnp.arange(1, K + 1, dtype=dtype) * dt
+
+        def body(c, t):
+            c, _ = step(c, t)
+            return c, None
+
+        (xf, st, _), _ = lax.scan(body, (x, state, failed), ts)
+        return _join(xf, st)
+
+    def residual(u):
+        s, T = u[:-1], u[-1]
+        r = propagate(s, T) - s
+        return jnp.concatenate([r, (s[anchor_eq] - anchor_val)[None]])
+
+    @jax.jit
+    def newton_step(u):
+        r0 = residual(u)
+        eps = jnp.asarray(fd_eps, dtype)
+        # per-column FD scales: O(1) for the state entries (volts/amps),
+        # RELATIVE for the period — T is ~1e-7 s, an absolute 1e-7
+        # perturbation would be a ~full-period kick
+        scale = jnp.concatenate(
+            [jnp.maximum(jnp.abs(u[:-1]), 1.0), jnp.abs(u[-1:])])
+        pert = u[None, :] + eps * scale[None, :] * jnp.eye(n_s + 1, dtype=dtype)
+        rs = jax.vmap(residual)(pert)
+        J = (rs - r0[None, :]).T / (eps * scale[None, :])
+        du = lu_solve(J, -r0, engine.opts.lu_pivot_floor)
+        return u + damping * du, jnp.linalg.norm(r0)
+
+    u = jnp.concatenate([s0, jnp.asarray([T0], dtype)])
+    res = jnp.asarray(jnp.inf, dtype)
+    iters = 0
+    for i in range(max_newton):
+        u_new, res = newton_step(u)
+        iters = i + 1
+        if not bool(jnp.isfinite(res)):
+            break
+        # keep T positive and sane
+        u_new = u_new.at[-1].set(jnp.clip(u_new[-1], 0.2 * T0, 5.0 * T0))
+        u = u_new
+        if float(res) < tol:
+            break
+
+    s_fin, T_fin = u[:-1], u[-1]
+    dt = T_fin / K
+    step = transient_step_fn(engine, params, dt)
+    x, state = _split(engine, s_fin)
+    failed = jnp.zeros(x.shape[:-1], dtype=bool)
+    ts = jnp.arange(1, K + 1, dtype=dtype) * dt
+
+    def sbody(c, t):
+        c, (xo, _) = step(c, t)
+        return c, xo
+
+    (xf, _, _), xs = jax.jit(
+        lambda c, t: lax.scan(sbody, c, t))((x, state, failed), ts)
+    xs_all = jnp.concatenate([x[None], xs], axis=0)
+    times = jnp.concatenate([jnp.zeros((1,), dtype), ts])
+    final = jnp.linalg.norm(residual(u))
+    return OscillatorResult(
+        f0=1.0 / float(T_fin), times=times, xs=xs_all, residual=final,
+        newton_iters=iters, converged=float(final) < tol * 100)
+
+
 def harmonic_table(topo, result: SteadyStateResult, node_names=None) -> str:
     """Text table of harmonic magnitudes per node voltage column."""
     names = list(topo.volt_col_names)

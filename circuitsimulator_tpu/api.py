@@ -467,6 +467,22 @@ class Simulator:
         return pac(self.engine, p, f0, pss_xs, deltas,
                    n_sidebands=n_sidebands)
 
+    def oscillator(self, f0_guess: float, anchor_node: str,
+                   params: Optional[Any] = None, **kw):
+        """Autonomous-oscillator periodic steady state
+        (analysis/sstate.py oscillator_steady_state): shooting with the
+        period as a Newton unknown and a phase anchor on `anchor_node`.
+        Returns an OscillatorResult with the solved f0."""
+        from .analysis.sstate import oscillator_steady_state
+        nid = self.circuit.node_name_to_id.get(anchor_node)
+        if nid is None:
+            raise KeyError(f"unknown node {anchor_node!r}")
+        eq = self.circuit.nodes[nid].eq_index
+        if eq < 0:
+            raise ValueError("anchor node is ground")
+        p = params if params is not None else self.params
+        return oscillator_steady_state(self.engine, p, f0_guess, eq, **kw)
+
     def pnoise(self, deltas, out_node: str, ref_node: Optional[str] = None,
                f0: Optional[float] = None, n_harm: Optional[int] = None,
                pss_xs=None, params: Optional[Any] = None, **hb_kw):
