@@ -140,7 +140,10 @@ class StreamingMeasures:
     def _val(x_ext, pair):
         y = x_ext[..., pair[0]] - x_ext[..., pair[1]]
         if pair[2] == "db":
-            y = 20.0 * jnp.log10(jnp.maximum(jnp.abs(y), 1e-300))
+            # dtype-aware floor: 1e-300 underflows to 0 in float32 and
+            # log10 would poison the accumulators with -inf
+            tiny = jnp.finfo(y.dtype).tiny
+            y = 20.0 * jnp.log10(jnp.maximum(jnp.abs(y), tiny))
         return y
 
     def init(self, engine: Engine, x0):

@@ -132,8 +132,7 @@ class PNoiseResult:
 
 
 def pnoise(engine: Engine, params, f0: float, xs_pss, deltas,
-           out_eq: int, ref_eq: int = -1,
-           x_op: Optional[Any] = None) -> PNoiseResult:
+           out_eq: int, ref_eq: int = -1) -> PNoiseResult:
     """Periodic (cyclostationary) noise at the output V(out[,ref]) for
     offsets `deltas` from DC — i.e. the time-averaged output noise PSD of
     the periodically driven circuit, including noise FOLDING from every
@@ -151,6 +150,10 @@ def pnoise(engine: Engine, params, f0: float, xs_pss, deltas,
     are approximated as stationary at the time-averaged intensity with
     the 1/delta envelope (their sideband folding is not modeled)."""
     from .noise import _device_noise_currents
+    deltas = np.asarray(deltas, float)
+    if np.any(deltas <= 0):
+        raise ValueError("pnoise offsets must be > 0 (the flicker 1/delta "
+                         "envelope diverges at DC), like the .NOISE sweep")
     J0, CI, K = lptv_operator(engine, params, f0, xs_pss)
     N = engine.N
     xs_pss = jnp.asarray(xs_pss)
@@ -176,7 +179,7 @@ def pnoise(engine: Engine, params, f0: float, xs_pss, deltas,
         psi_e = np.concatenate([psi, np.zeros((K, 1), complex)], axis=1)
         # adjoint gain of each source pair at each sample
         g = psi_e[:, pairs[:, 0]] - psi_e[:, pairs[:, 1]]   # (K, nS)
-        s_t = s_white_t + s_flick_t / max(d, 1e-300)
+        s_t = s_white_t + s_flick_t / d
         contrib = np.mean(np.abs(g) ** 2 * s_t, axis=0)     # (nS,)
         onoise[i] = contrib.sum()
         for j, k in enumerate(kinds):

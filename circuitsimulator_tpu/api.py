@@ -461,11 +461,25 @@ class Simulator:
             raise ValueError("pac needs f0 (or a .hb card)")
         p = params if params is not None else self.params
         if pss_xs is None:
-            hbres = self.harmonic_balance(params=p, f0=f0, n_harm=n_harm,
-                                          **hb_kw)
-            pss_xs = hbres.xs
+            pss_xs = self._pss_samples(p, f0, n_harm, **hb_kw)
         return pac(self.engine, p, f0, pss_xs, deltas,
                    n_sidebands=n_sidebands)
+
+    def _pss_samples(self, p, f0, n_harm, **hb_kw):
+        """Converged single-tone HB samples for the LPTV analyses; a
+        non-converged PSS would silently produce plausible-looking garbage
+        gains/noise, so it is an error here."""
+        if self.config.hb.extra_tones:
+            print("warning: multi-tone .hb card — PAC/PNOISE linearize "
+                  "around the single-tone PSS at f0 only", file=sys.stderr)
+        hbres = self.harmonic_balance(params=p, f0=f0, n_harm=n_harm,
+                                      **hb_kw)
+        if not bool(hbres.converged):
+            raise RuntimeError(
+                "periodic steady state did not converge (residual "
+                f"{float(hbres.residual):.3e}); pass pss_xs= from a solver "
+                "run you trust, or raise n_harm/warmup_periods")
+        return hbres.xs
 
     def oscillator(self, f0_guess: float, anchor_node: str,
                    params: Optional[Any] = None, **kw):
@@ -508,9 +522,7 @@ class Simulator:
             raise ValueError(f"output node {out_node!r} is ground")
         ref_eq = node_eq(ref_node) if ref_node else -1
         if pss_xs is None:
-            hbres = self.harmonic_balance(params=p, f0=f0, n_harm=n_harm,
-                                          **hb_kw)
-            pss_xs = hbres.xs
+            pss_xs = self._pss_samples(p, f0, n_harm, **hb_kw)
         return pnoise(self.engine, p, f0, pss_xs, deltas, out_eq, ref_eq)
 
     def sparams(self, ports, freqs=None, params: Optional[Any] = None,

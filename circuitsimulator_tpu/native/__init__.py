@@ -185,18 +185,24 @@ def _load() -> Optional[ct.CDLL]:
     try:
         lib = _register(lib)
     except AttributeError:           # old library missing new symbols
-        global_err = "ABI mismatch (missing symbols)"
-        _lib_error = global_err
+        _lib_error = "ABI mismatch (missing symbols)"
         lib = None
     if lib is None and lib_path != tmp_path:
         # stale prebuilt library whose mtime postdates the source (the
-        # rebuild check above cannot catch it): rebuild into the temp
-        # path once and retry before declaring the tier unavailable
-        try:
-            _build_lib(tmp_path)
-            lib = _register(ct.CDLL(tmp_path))
-        except (OSError, subprocess.CalledProcessError, AttributeError):
-            lib = None
+        # rebuild check above cannot catch it): try an existing good temp
+        # build first (instant for every process after the first), then
+        # rebuild into the temp path before declaring the tier unavailable
+        for attempt in ("load", "build"):
+            try:
+                if attempt == "build":
+                    _build_lib(tmp_path)
+                elif not os.path.exists(tmp_path):
+                    continue
+                lib = _register(ct.CDLL(tmp_path))
+            except (OSError, subprocess.CalledProcessError, AttributeError):
+                lib = None
+            if lib is not None:
+                break
     _lib = lib
     return _lib
 

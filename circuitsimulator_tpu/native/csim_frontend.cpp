@@ -1360,6 +1360,12 @@ public:
                                  + st.raw);
             return;
         }
+        if (t.size() > need) {
+            std::string trail = lower(t[need]);
+            if (trail != "on" && trail != "off")
+                warn(st.line_no, std::string("unexpected trailing token '") +
+                                     t[need] + "' on " + c0 + "-switch");
+        }
         const std::string& model_id = t[need - 1];
         auto it = sw_models.find(model_id);
         if (it == sw_models.end()) {

@@ -62,14 +62,10 @@ def sharded_transient_measures(engine: Engine, mesh: Mesh, bparams,
     measure accumulators, and only the per-lane measurement results (and
     final states) come home — waveforms never exist anywhere.  This is
     the full deployment shape: lanes x chips, measured in flight."""
-    from ..analysis.measure_stream import (StreamingMeasures,
-                                           run_transient_streaming)
     from .montecarlo import batched_transient_measures
     bparams = shard_batch(mesh, bparams, axis_name)
-    sm = StreamingMeasures(measures, topo, engine.dtype)
-    fn = jax.jit(jax.vmap(
-        lambda p: run_transient_streaming(engine, p, tstep, tstop, sm)))
-    return fn(bparams)
+    return jax.jit(lambda bp: batched_transient_measures(
+        engine, bp, tstep, tstop, measures, topo))(bparams)
 
 
 def sweep_statistics(xs_final, mesh: Optional[Mesh] = None):
