@@ -1031,16 +1031,52 @@ public:
 
     void dev_mosfet(const Statement& st) {
         const auto& t = st.tokens;
-        // 7-token: M name d g s model W L; 8-token: the p/n token is ignored
-        // and the trailing token is the model id
-        if (t.size() != 7 && t.size() != 8) {
-            warn(st.line_no, "invalid MOSFET: " + st.raw);
-            return;
+        // standard-SPICE form (extension): `M d g s b model W=.. L=..` —
+        // detected by any KEY=VALUE token (mirror of _parse_mosfet)
+        bool kv = false;
+        for (size_t i = 4; i < t.size(); ++i)
+            kv = kv || t[i].find('=') != std::string::npos;
+        std::string model_id;
+        double w = 0, l = 0;
+        if (kv) {
+            if (t.size() < 6) {
+                warn(st.line_no, "invalid MOSFET: " + st.raw);
+                return;
+            }
+            model_id = t[5];              // after the bulk node
+            bool has_w = false, has_l = false;
+            for (size_t i = 6; i < t.size(); ++i) {
+                size_t eq = t[i].find('=');
+                std::string key = eq == std::string::npos
+                                      ? t[i] : lower(t[i].substr(0, eq));
+                std::string val = eq == std::string::npos
+                                      ? "" : t[i].substr(eq + 1);
+                if (key == "w" && !val.empty()) {
+                    if (!parse_or_warn(st, val, "MOS param", &w)) return;
+                    has_w = true;
+                } else if (key == "l" && !val.empty()) {
+                    if (!parse_or_warn(st, val, "MOS param", &l)) return;
+                    has_l = true;
+                } else {
+                    warn(st.line_no, "unknown MOS param '" + t[i] +
+                                         "' (W=/L= supported)");
+                }
+            }
+            if (!has_w || !has_l) {
+                warn(st.line_no, "MOS W=/L= missing: " + st.raw);
+                return;
+            }
+        } else {
+            // 7-token: M name d g s model W L; 8-token: the p/n token is
+            // ignored and the trailing token is the model id
+            if (t.size() != 7 && t.size() != 8) {
+                warn(st.line_no, "invalid MOSFET: " + st.raw);
+                return;
+            }
+            model_id = (t.size() == 7) ? t[4] : t.back();
+            if (!parse_or_warn(st, t[5], "MOS W", &w)) return;
+            if (!parse_or_warn(st, t[6], "MOS L", &l)) return;
         }
-        std::string model_id = (t.size() == 7) ? t[4] : t.back();
-        double w, l;
-        if (!parse_or_warn(st, t[5], "MOS W", &w)) return;
-        if (!parse_or_warn(st, t[6], "MOS L", &l)) return;
         auto it = models.find(model_id);
         if (it == models.end()) {
             diag << "Unknown MOS model: " << model_id << "\n";

@@ -534,6 +534,37 @@ class NetlistParser:
 
     def _parse_mosfet(self, st: Statement) -> None:
         t = st.tokens
+        # standard-SPICE form (extension): `M d g s b model W=.. L=..` —
+        # detected by any KEY=VALUE token.  The bulk node is accepted but
+        # (like the reference, circuit.cpp:142) conduction ignores it; the
+        # junction caps still tie to node "0".
+        if any("=" in tok for tok in t[4:]):
+            if len(t) < 6:
+                _warn(st.line_no, f"invalid MOSFET: {st.raw}")
+                return
+            name, nd, ng, ns = t[0], t[1], t[2], t[3]
+            model_id = t[5]           # after the bulk node
+            w = l = None
+            for tok in t[6:]:
+                key, _, val = tok.partition("=")
+                try:
+                    if key.lower() == "w" and val:
+                        w = parse_spice_number(val)
+                    elif key.lower() == "l" and val:
+                        l = parse_spice_number(val)
+                    else:
+                        _warn(st.line_no,
+                              f"unknown MOS param {tok!r} (W=/L= supported)")
+                except ValueError as e:
+                    _warn(st.line_no,
+                          f"cannot parse MOS param {tok}: {e}")
+                    return
+            if w is None or l is None:
+                _warn(st.line_no,
+                      f"MOS W=/L= missing: {st.raw}")
+                return
+            self.ckt.add_mosfet(name, nd, ng, ns, model_id, w, l)
+            return
         if len(t) not in (7, 8):
             _warn(st.line_no, f"invalid MOSFET: {st.raw}")
             return

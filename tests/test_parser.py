@@ -150,3 +150,39 @@ def test_bundled_netlists_counts():
     assert len(ckt2.nodes) == 22
     assert len(ckt2.elements) == 26
     assert ckt2.num_unknowns() == 31
+
+
+def test_mosfet_standard_kv_form():
+    """`M d g s b model W=.. L=..` (extension) next to the reference's
+    positional forms; the bulk token is accepted and ignored (the
+    reference ties bulk to ground, circuit.cpp:142)."""
+    from circuitsimulator_tpu.netlist.parser import parse_netlist_text
+    text = (".MODEL nm vt 0.7 mu 350u cox 2.3m\n"
+            "M1 d g 0 0 nm W=10u L=1u\n"
+            "M2 d g 0 nm 10u 1u\n"
+            "Vd d 0 1\nVg g 0 1\n.op\n")
+    ckt, _ = parse_netlist_text(text)
+    mos = [e for e in ckt.elements if e.kind == "M"]
+    assert len(mos) == 2
+    assert mos[0].k == mos[1].k         # same W/L -> same K
+    assert mos[0].node_ids == mos[1].node_ids
+
+
+def test_mosfet_kv_form_native_parity():
+    from circuitsimulator_tpu import native
+    if not native.available():
+        import pytest
+        pytest.skip("native frontend not built")
+    import dataclasses
+    from circuitsimulator_tpu.netlist.parser import parse_netlist_text
+    text = (".MODEL nm vt 0.7 mu 350u cox 2.3m\n"
+            "M1 d g s vdd nm W=2.5u L=0.18u\n"
+            "Rs s 0 1k\nVd d 0 1\nVg g 0 1\nVdd vdd 0 1\n.op\n")
+    ckt_py, _ = parse_netlist_text(text)
+    ckt_nat, _ = native.parse_netlist_text_native(text)
+    ckt_py.assign_equation_indices()
+    ckt_nat.assign_equation_indices()
+    assert ([n.name for n in ckt_nat.nodes]
+            == [n.name for n in ckt_py.nodes])
+    for a, b in zip(ckt_nat.elements, ckt_py.elements):
+        assert dataclasses.asdict(a) == dataclasses.asdict(b), (a, b)
