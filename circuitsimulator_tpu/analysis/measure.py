@@ -193,11 +193,28 @@ def evaluate_measure(m: MeasureSpec, topo: Topology, times, xs) -> float:
 
 
 def run_measures(measures: List[MeasureSpec], topo: Topology, times, xs,
-                 analysis: str = "tran") -> List[Tuple[str, float]]:
+                 analysis: str = "tran", bindings=None
+                 ) -> List[Tuple[str, float]]:
     """Evaluate every .MEASURE of the given analysis ("tran", "ac", "dc")
-    over (axis, waveforms)."""
-    return [(m.name, evaluate_measure(m, topo, times, xs))
-            for m in measures if m.analysis == analysis]
+    over (axis, waveforms).  kind == "param" measures are derived: their
+    expression is evaluated over the measures computed so far (plus the
+    .PARAM `bindings`), in card order."""
+    from ..utils.expr import eval_expr, ExprError
+    env = dict(bindings or {})
+    out = []
+    for m in measures:
+        if m.analysis != analysis:
+            continue
+        if m.kind == "param":
+            try:
+                val = eval_expr(m.expr, env)
+            except ExprError:
+                val = math.nan
+        else:
+            val = evaluate_measure(m, topo, times, xs)
+        env[m.name] = val
+        out.append((m.name, val))
+    return out
 
 
 def measure_report(results: List[Tuple[str, float]]) -> str:

@@ -119,7 +119,9 @@ class StreamingMeasures:
         self.dtype = dtype
         self.specs = []
         for m in measures:
-            if m.analysis != "tran":
+            if m.analysis != "tran" or m.kind == "param":
+                # derived (PARAM=) measures are evaluated on the host from
+                # the finished results — apply_derived_measures
                 continue
             entry = {"m": m}
             if m.kind == "stat":
@@ -309,3 +311,32 @@ def run_transient_streaming(engine: Engine, params, tstep, tstop,
                           newton_iters=iters, failed=carry[-1],
                           n_steps=n_steps)
     return res, sm.finalize(acc)
+
+
+def apply_derived_measures(measures, vals, bindings=None):
+    """Evaluate kind == "param" derived measures over concrete per-lane
+    result arrays (host-side; call AFTER the device computation).  Returns
+    vals with the derived names added, preserving card order semantics."""
+    from ..utils.expr import eval_expr, ExprError
+    derived = [m for m in measures
+               if m.analysis == "tran" and m.kind == "param"]
+    if not derived:
+        return vals
+    vals = dict(vals)
+    names = [m.name for m in measures if m.analysis == "tran"]
+    some = next(iter(vals.values()))
+    shape = np.shape(some)
+    for m in derived:
+        outv = np.empty(shape)
+        it = np.ndindex(shape) if shape else [()]
+        for idx in it:
+            env = dict(bindings or {})
+            for n in names:
+                if n in vals:
+                    env[n] = float(np.asarray(vals[n])[idx]) if shape                         else float(vals[n])
+            try:
+                outv[idx] = eval_expr(m.expr, env)
+            except ExprError:
+                outv[idx] = np.nan
+        vals[m.name] = outv if shape else float(outv)
+    return vals

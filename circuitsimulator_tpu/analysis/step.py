@@ -93,7 +93,8 @@ def run_step(sim, cfgs, save_xs: bool = True) -> StepResult:
             from ..parallel.montecarlo import batched_transient_measures
             res, vals = batched_transient_measures(
                 sim.engine, bparams, tran.tstep, tran.tstop,
-                tran_measures, sim.topo)
+                tran_measures, sim.topo,
+                bindings=sim.config.param_values)
             measures = [(m.name, np.asarray(vals[m.name]))
                         for m in tran_measures]
             return StepResult(name=name, kind=kind, values=values,
@@ -108,8 +109,9 @@ def run_step(sim, cfgs, save_xs: bool = True) -> StepResult:
             times = np.asarray(res.times)
             t_rows = times[0] if times.ndim == 2 else times
             for b in range(len(values)):
-                per_step.append(run_measures(sim.config.measures, sim.topo,
-                                             t_rows, xs[b]))
+                per_step.append(run_measures(
+                    sim.config.measures, sim.topo, t_rows, xs[b],
+                    bindings=sim.config.param_values))
             if per_step:
                 measures = [(nm, np.array([row[i][1] for row in per_step]))
                             for i, (nm, _) in enumerate(per_step[0])]

@@ -595,7 +595,8 @@ class Simulator:
         else:
             axis = result.times
         return run_measures(self.config.measures, self.topo,
-                            axis, result.xs, analysis=analysis)
+                            axis, result.xs, analysis=analysis,
+                            bindings=self.config.param_values)
 
     def tf(self, params: Optional[Any] = None, x_op: Optional[Any] = None):
         """.TF DC transfer function (analysis/tf.py): small-signal DC

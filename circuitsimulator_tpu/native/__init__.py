@@ -38,7 +38,7 @@ from ..netlist.parser import (
 _SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                     "csim_frontend.cpp")
 _LIB_NAME = "libcsim_frontend.so"
-_ABI_VERSION = 3   # bump on ANY packed-struct change (CLAUDE.md)
+_ABI_VERSION = 4   # bump on ANY packed-struct change (CLAUDE.md)
 
 _lib = None
 _lib_error: Optional[str] = None
@@ -95,7 +95,7 @@ class _CMeasure(ct.Structure):
                 ("n1", ct.c_int32), ("n2", ct.c_int32),
                 ("td1", ct.c_double), ("td2", ct.c_double),
                 ("t_from", ct.c_double), ("t_to", ct.c_double),
-                ("at", ct.c_double)]
+                ("at", ct.c_double), ("expr_off", ct.c_int32)]
 
 
 class _CParam(ct.Structure):
@@ -401,7 +401,7 @@ def parse_netlist_text_native(text: str) -> Tuple[Circuit, SimulationConfig]:
 
         _EDGE = {0: "cross", 1: "rise", 2: "fall"}
         _MKIND = {0: "stat", 1: "trig_targ", 2: "when", 3: "find_when",
-                  4: "find_at"}
+                  4: "find_at", 5: "param"}
         nme = lib.csim_n_measures(h)
         cme = ct.cast(lib.csim_measures(h), ct.POINTER(_CMeasure))
         for i in range(nme):
@@ -415,7 +415,8 @@ def parse_netlist_text_native(text: str) -> Tuple[Circuit, SimulationConfig]:
                               edge=_EDGE[cm.edge1], n=cm.n1, td=cm.td1),
                 ev2=EventSpec(probe=probe(cm.p3), val=cm.val2,
                               edge=_EDGE[cm.edge2], n=cm.n2, td=cm.td2),
-                t_from=cm.t_from, t_to=cm.t_to, at=cm.at))
+                t_from=cm.t_from, t_to=cm.t_to, at=cm.at,
+                expr=s(cm.expr_off) if cm.expr_off >= 0 else ""))
         sim.ac = AcConfig(enabled=bool(cfg.ac_enabled),
                           sweep_type=["lin", "dec", "oct"][cfg.ac_sweep],
                           n_points=cfg.ac_npoints, fstart=cfg.fstart,

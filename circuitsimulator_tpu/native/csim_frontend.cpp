@@ -130,6 +130,7 @@ struct ExprEval {
     // (division by zero, overflow) do not fail — mirrors Python
     // parse_expr(probes=True), which parses without evaluating
     bool lenient = false;
+    bool allow_probes = true;   // lenient sub-mode: v()/i() accepted
 
     bool fail() { ok = false; return false; }
 
@@ -261,7 +262,7 @@ struct ExprEval {
         if (t->kind == 1) {
             std::string name = lower(t->text);
             const Tok* nx = peek();
-            if (lenient && nx && nx->kind == 3 &&
+            if (lenient && allow_probes && nx && nx->kind == 3 &&
                 (name == "v" || name == "i")) {
                 // probe syntax v(node[,ref]) / i(elem): args are raw
                 // name/number tokens (mirror of _Parser._probe)
@@ -356,16 +357,21 @@ bool eval_expr(const std::string& s,
     return true;
 }
 
-// SYNTAX-only validation of a behavioral expression (probes + bare names
-// allowed) — mirror of parse_expr(expr, probes=True) succeeding
-bool validate_behavioral_expr(const std::string& s) {
+// SYNTAX-only validation of an expression; probes=true additionally
+// accepts v()/i() — mirror of parse_expr(expr, probes=...) succeeding
+bool validate_expr_syntax(const std::string& s, bool probes) {
     static const std::unordered_map<std::string, double> kEmpty;
     ExprEval p;
     p.bindings = &kEmpty;
     p.lenient = true;
+    p.allow_probes = probes;
     if (!p.tokenize(s)) return false;
     p.additive();
     return p.ok && p.peek() == nullptr;
+}
+
+bool validate_behavioral_expr(const std::string& s) {
+    return validate_expr_syntax(s, true);
 }
 
 // ----------------------------------------------------------------------
@@ -435,6 +441,7 @@ struct MeasureRec {     // .MEASURE card (extension)
     double td1, td2;
     double t_from, t_to;    // window; t_to = +inf when unset
     double at;
+    int32_t expr_off;       // kind 5 (PARAM=): derived expression, -1 else
 };
 
 struct IcRec {          // .IC V(node)=value (extension)
@@ -1951,6 +1958,7 @@ public:
         m.analysis = av;
         m.name_off = intern(toks[1]);
         m.stat_off = -1;
+        m.expr_off = -1;
         m.p1 = parse_probe_token("");
         m.p2 = parse_probe_token("");
         m.p3 = parse_probe_token("");
@@ -2071,6 +2079,39 @@ public:
                      "invalid .MEASURE: unparsed tokens in '" + st.raw + "'");
                 return;
             }
+        } else if (h2.rfind("param=", 0) == 0) {
+            m.kind = 5;
+            std::string text2;
+            for (const auto& rtok : rest) {
+                if (!text2.empty()) text2 += " ";
+                text2 += rtok;
+            }
+            text2 = text2.substr(6);
+            while (!text2.empty() &&
+                   std::isspace((unsigned char)text2.front()))
+                text2.erase(text2.begin());
+            while (!text2.empty() &&
+                   std::isspace((unsigned char)text2.back()))
+                text2.pop_back();
+            if (text2.size() >= 2 && text2.front() == text2.back() &&
+                (text2.front() == '\'' || text2.front() == '"'))
+                text2 = text2.substr(1, text2.size() - 2);
+            else if (text2.size() >= 2 && text2.front() == '{' &&
+                     text2.back() == '}')
+                text2 = text2.substr(1, text2.size() - 2);
+            if (text2.empty()) {
+                warn(st.line_no,
+                     "invalid .MEASURE: empty PARAM expression in '" +
+                         st.raw + "'");
+                return;
+            }
+            if (!validate_expr_syntax(text2, false)) {
+                warn(st.line_no,
+                     "invalid .MEASURE: bad PARAM expression in '" +
+                         st.raw + "'");
+                return;
+            }
+            m.expr_off = intern(text2);
         } else if (h2 == "find") {
             if (rest.size() < 3) {
                 warn(st.line_no,
@@ -2565,5 +2606,5 @@ const char* csim_strpool(void* h) { return FE.str_pool.c_str(); }
 const void* csim_config(void* h) { return &FE.config; }
 const char* csim_diagnostics(void* h) { return FE.diagnostics.c_str(); }
 
-int32_t csim_abi_version(void) { return 3; }
+int32_t csim_abi_version(void) { return 4; }
 }

@@ -201,6 +201,9 @@ class MeasureSpec:
     t_from: float = 0.0
     t_to: float = float("inf")
     at: float = 0.0
+    # kind == "param": derived measurement — an expression over previously
+    # defined measure names (and .PARAM values), evaluated after them
+    expr: str = ""
 
 
 @dataclasses.dataclass
@@ -1150,6 +1153,22 @@ class NetlistParser:
                 m.ev1, extra = parse_event(rest[1:])
                 if extra:
                     raise ValueError(f"unparsed WHEN tokens {extra}")
+            elif head.startswith("param="):
+                m.kind = "param"
+                text2 = " ".join(rest)[len("param="):].strip()
+                if (len(text2) >= 2 and text2[0] == text2[-1]
+                        and text2[0] in "'\""):
+                    text2 = text2[1:-1]
+                elif text2.startswith("{") and text2.endswith("}"):
+                    text2 = text2[1:-1]
+                if not text2:
+                    raise ValueError("empty PARAM expression")
+                from ..utils.expr import parse_expr, ExprError
+                try:
+                    parse_expr(text2)
+                except ExprError as e2:
+                    raise ValueError(f"bad PARAM expression: {e2}")
+                m.expr = text2
             elif head == "find":
                 if len(rest) < 3:
                     raise ValueError("FIND needs a probe and AT=/WHEN")

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, Mapping, Optional
 
+import numpy as np_mod
 import jax
 import jax.numpy as jnp
 
@@ -69,18 +70,23 @@ def batched_dc_fast(engine: Engine, bparams):
 
 
 def batched_transient_measures(engine: Engine, bparams, tstep, tstop,
-                               measures, topo):
+                               measures, topo, bindings=None):
     """vmap'd transient with STREAMING .MEASURE evaluation: per-lane
     measurement results with O(1) waveform memory — the whole sweep's
     statistics without ever materializing (B, T, N) waveforms
     (analysis/measure_stream.py).  Returns (TransientResult-without-xs,
     {measure_name: (B,) values})."""
     from ..analysis.measure_stream import (StreamingMeasures,
+                                           apply_derived_measures,
                                            run_transient_streaming)
     sm = StreamingMeasures(measures, topo, engine.dtype)
-    return jax.vmap(
+    res, vals = jax.vmap(
         lambda p: run_transient_streaming(engine, p, tstep, tstop, sm)
     )(bparams)
+    vals = apply_derived_measures(
+        measures, {k: np_mod.asarray(v) for k, v in vals.items()},
+        bindings=bindings)
+    return res, vals
 
 
 def yield_analysis(engine: Engine, topo, params, key, batch: int,

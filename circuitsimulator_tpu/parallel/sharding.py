@@ -64,8 +64,10 @@ def sharded_transient_measures(engine: Engine, mesh: Mesh, bparams,
     the full deployment shape: lanes x chips, measured in flight."""
     from .montecarlo import batched_transient_measures
     bparams = shard_batch(mesh, bparams, axis_name)
-    return jax.jit(lambda bp: batched_transient_measures(
-        engine, bp, tstep, tstop, measures, topo))(bparams)
+    # batched_transient_measures jits the device part internally and
+    # evaluates derived (PARAM=) measures on the host afterwards
+    return batched_transient_measures(engine, bparams, tstep, tstop,
+                                      measures, topo)
 
 
 def sweep_statistics(xs_final, mesh: Optional[Mesh] = None):

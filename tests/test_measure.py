@@ -190,3 +190,54 @@ def test_measure_report_smoke():
     from circuitsimulator_tpu.analysis.measure import measure_report
     out = measure_report([("a", 1.0), ("b", math.nan)])
     assert "FAILED" in out and "a" in out
+
+
+def test_derived_param_measure():
+    sim = Simulator.from_text("""* derived measures
+.PARAM scalefac=2
+V1 in 0 PULSE(0 1 0 1n 1n 1 2)
+R1 in out 1k
+C1 out 0 1n
+.TRAN 10n 8u
+.MEASURE TRAN t63 WHEN V(out)=0.632 RISE=1
+.MEASURE TRAN t90 WHEN V(out)=0.9 RISE=1
+.MEASURE TRAN spread PARAM='t90 - t63'
+.MEASURE TRAN scaled PARAM='scalefac * t63'
+""")
+    res = sim.transient()
+    vals = dict(sim.measure(res))
+    assert vals["spread"] == pytest.approx(vals["t90"] - vals["t63"],
+                                           rel=1e-12)
+    assert vals["scaled"] == pytest.approx(2 * vals["t63"], rel=1e-12)
+
+
+def test_derived_param_measure_streaming():
+    sim = Simulator.from_text("""* derived in a step sweep
+.PARAM rr=1k
+V1 in 0 PULSE(0 1 0 1n 1n 1 2)
+R1 in out {rr}
+C1 out 0 1n
+.TRAN 20n 8u
+.STEP PARAM rr LIST 1k 2k
+.MEASURE TRAN t63 WHEN V(out)=0.632 RISE=1
+.MEASURE TRAN t63us PARAM='t63 * 1e6'
+""")
+    sres = sim.step(save_xs=False)
+    vals = dict(sres.measures)
+    np.testing.assert_allclose(vals["t63us"], vals["t63"] * 1e6, rtol=1e-12)
+
+
+def test_derived_param_native_parity():
+    from circuitsimulator_tpu import native
+    if not native.available():
+        pytest.skip("native frontend not built")
+    import dataclasses
+    text = ("V1 a 0 1\nR1 a 0 1k\n.TRAN 1n 10n\n"
+            ".MEASURE TRAN m1 MAX V(a)\n"
+            ".MEASURE TRAN m2 PARAM='2*m1 + 1'\n"
+            ".MEASURE TRAN bad PARAM='v(a)'\n")   # probes invalid here
+    _, sp = parse_netlist_text(text)
+    _, sn = native.parse_netlist_text_native(text)
+    assert len(sp.measures) == len(sn.measures) == 2
+    assert sp.measures[1].kind == sn.measures[1].kind == "param"
+    assert sp.measures[1].expr == sn.measures[1].expr == "2*m1 + 1"
