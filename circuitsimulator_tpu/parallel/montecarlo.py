@@ -83,9 +83,17 @@ def batched_transient_measures(engine: Engine, bparams, tstep, tstop,
     res, vals = jax.vmap(
         lambda p: run_transient_streaming(engine, p, tstep, tstop, sm)
     )(bparams)
-    vals = apply_derived_measures(
-        measures, {k: np_mod.asarray(v) for k, v in vals.items()},
-        bindings=bindings)
+    derived = [m for m in measures
+               if m.analysis == "tran" and m.kind == "param"]
+    if derived:
+        # derived expressions evaluate on the host; the direct results
+        # stay as (possibly sharded) device arrays
+        host_vals = apply_derived_measures(
+            measures, {k: np_mod.asarray(v) for k, v in vals.items()},
+            bindings=bindings)
+        vals = dict(vals)
+        for m in derived:
+            vals[m.name] = host_vals[m.name]
     return res, vals
 
 
