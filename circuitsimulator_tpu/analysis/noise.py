@@ -87,7 +87,9 @@ def _device_noise_currents(engine: Engine, params, x_op):
         gd, gg, gs, cst = mos_linearize(
             params["mos_vth"], params["mos_k"], params["mos_lam"],
             params["mos_p"], vd, vg, vs, engine.opts.mos_off_gds,
-            engine.opts.mos_reverse_region)
+            engine.opts.mos_reverse_region,
+            gamma=params["mos_gamma"] if engine.mos_body else None,
+            phi=params["mos_phi"] if engine.mos_body else None)
         i_d = gd * vd + gg * vg + gs * vs + cst
         gm = jnp.abs(gg)
         pairs.append(np.stack([t.mos_ed, t.mos_es], 1))

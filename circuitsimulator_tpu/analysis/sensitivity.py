@@ -90,7 +90,7 @@ _PARAM_LABELS = {
     "sw_ron": ("S", "RON"), "sw_roff": ("S", "ROFF"), "sw_vt": ("S", "VT"),
     "vs_dc": ("V", "DC"), "is_dc": ("I", "DC"),
     "mos_vth": ("M", "VT"), "mos_k": ("M", "K"), "mos_lam": ("M", "LAMBDA"),
-    "mos_cj0": ("M", "CJ0"),
+    "mos_cj0": ("M", "CJ0"), "mos_gamma": ("M", "GAMMA"),
     "dio_is": ("D", "IS"), "dio_n": ("D", "N"),
     "bjt_is": ("Q", "IS"), "bjt_bf": ("Q", "BF"), "bjt_br": ("Q", "BR"),
     "vcvs_gain": ("E", "GAIN"), "vccs_g": ("G", "GM"),

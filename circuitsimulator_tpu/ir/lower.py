@@ -427,6 +427,8 @@ def lower(ckt: Circuit, dtype=jnp.float64) -> LoweredCircuit:
         "mos_lam": jnp.asarray([e.lam for e in mos], dtype),
         "mos_cj0": jnp.asarray([e.cj0 for e in mos], dtype),
         "mos_kf": jnp.asarray([e.kf for e in mos], dtype),
+        "mos_gamma": jnp.asarray([e.gamma for e in mos], dtype),
+        "mos_phi": jnp.asarray([e.phi for e in mos], dtype),
         "mos_af": jnp.asarray([e.af for e in mos], dtype),
         "mos_p": jnp.asarray([-1.0 if e.is_p else 1.0 for e in mos], dtype),
         "dio_is": jnp.asarray([e.i_sat for e in dio], dtype),

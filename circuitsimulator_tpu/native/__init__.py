@@ -38,7 +38,7 @@ from ..netlist.parser import (
 _SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                     "csim_frontend.cpp")
 _LIB_NAME = "libcsim_frontend.so"
-_ABI_VERSION = 4   # bump on ANY packed-struct change (CLAUDE.md)
+_ABI_VERSION = 5   # bump on ANY packed-struct change (CLAUDE.md)
 
 _lib = None
 _lib_error: Optional[str] = None
@@ -66,6 +66,7 @@ class _CElement(ct.Structure):
         ("z0", ct.c_double), ("td", ct.c_double),
         ("branch_eq2", ct.c_int32),
         ("bexpr_off", ct.c_int32), ("b_is_v", ct.c_int32),
+        ("gamma", ct.c_double), ("phi", ct.c_double),
     ]
 
 
@@ -313,6 +314,7 @@ def parse_netlist_text_native(text: str) -> Tuple[Circuit, SimulationConfig]:
                 rec.is_p = bool(e.is_p)
                 rec.vth, rec.k, rec.lam, rec.cj0 = e.vth, e.k, e.lam, e.cj0
                 rec.kf, rec.af = e.kf, e.af
+                rec.gamma, rec.phi = e.gamma, e.phi
             elif kind == KIND_D:
                 rec.i_sat, rec.n_ideal = e.i_sat, e.n_ideal
                 rec.cj0 = e.cj0

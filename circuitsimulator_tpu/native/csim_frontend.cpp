@@ -408,6 +408,8 @@ struct ElementRec {
     // behavioral source (kind 17=B): expression text + V/I form flag
     int32_t bexpr_off;
     int32_t b_is_v;
+    // MOS body effect (extension, default off)
+    double gamma, phi;
 };
 
 struct NodeRec {
@@ -524,6 +526,7 @@ struct MosModel {
     bool is_p = false;
     double vt = 0.7, mu = 1e-3, cox = 1e-3, lambda_ = 0.0, cj0 = 0.0;
     double kf = 0.0, af = 1.0;  // flicker-noise coefficients (extension)
+    double gamma = 0.0, phi = 0.6;  // body effect (extension, default off)
 };
 
 struct BjtModel {
@@ -843,6 +846,7 @@ public:
         e.ron = 1.0;
         e.roff = 1e12;
         e.z0 = 50.0;
+        e.phi = 0.6;
         e.branch_eq2 = -1;
         e.bexpr_off = -1;
         e.b_is_v = 1;
@@ -1102,6 +1106,8 @@ public:
         e.cj0 = m.cj0;
         e.kf = m.kf;
         e.af = m.af;
+        e.gamma = m.gamma;
+        e.phi = m.phi;
         out.elements.push_back(e);
     }
 
@@ -1641,6 +1647,8 @@ public:
             else if (key == "cj0" || key == "cjo") m.cj0 = v;
             else if (key == "kf") m.kf = v;
             else if (key == "af") m.af = v;
+            else if (key == "gamma") m.gamma = v;
+            else if (key == "phi") m.phi = v;
         }
         if (m.vt < 0) { m.is_p = true; m.vt = -m.vt; }
         models[t[1]] = m;
@@ -2606,5 +2614,5 @@ const char* csim_strpool(void* h) { return FE.str_pool.c_str(); }
 const void* csim_config(void* h) { return &FE.config; }
 const char* csim_diagnostics(void* h) { return FE.diagnostics.c_str(); }
 
-int32_t csim_abi_version(void) { return 4; }
+int32_t csim_abi_version(void) { return 5; }
 }

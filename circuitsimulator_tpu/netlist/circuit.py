@@ -134,6 +134,10 @@ class MosModel:
     # flicker-noise coefficients (extension; used by analysis/noise.py only)
     kf: float = 0.0
     af: float = 1.0
+    # body effect (extension, default off): GAMMA/PHI with bulk at the
+    # reference-forced ground
+    gamma: float = 0.0
+    phi: float = 0.6
 
 
 @dataclasses.dataclass
@@ -208,6 +212,8 @@ class ElementRec:
     cj0: float = 0.0
     kf: float = 0.0
     af: float = 1.0
+    gamma: float = 0.0
+    phi: float = 0.6
     # Diode parameters
     i_sat: float = 0.0
     n_ideal: float = 1.0
@@ -334,6 +340,7 @@ class Circuit:
             KIND_M, name, ids,
             is_p=m.is_p, vth=abs(m.vt), k=m.mu * m.cox * (w / l),
             lam=m.lam, cj0=m.cj0, kf=m.kf, af=m.af,
+            gamma=m.gamma, phi=m.phi,
         ))
 
     def add_vcvs(self, name, np_, nm, ncp, ncm, gain):

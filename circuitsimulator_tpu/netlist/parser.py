@@ -1480,6 +1480,10 @@ class NetlistParser:
                 m.kf = val
             elif key == "af":
                 m.af = val
+            elif key == "gamma":
+                m.gamma = val
+            elif key == "phi":
+                m.phi = val
             i += 2
         if m.vt < 0.0:
             m.is_p = True

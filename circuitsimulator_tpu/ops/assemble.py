@@ -183,6 +183,10 @@ class Engine:
         self.b_nl_cols = np.asarray(b_nl_cols, np.int32)
         self.b_rhs_rows = np.asarray(b_rhs_rows, np.int32)
         self.b_uses_time = any(bs.uses_time for bs in self.b_sources)
+        # static body-effect flag: when every GAMMA is 0 the stamp math is
+        # kept STRUCTURALLY identical to the reference path so batched
+        # lanes stay bit-identical to unbatched runs (a tested invariant)
+        self.mos_body = bool(np.any(np.asarray(low.params["mos_gamma"])))
 
         # ---- linear controlled sources (extension; static stamps) ----
         # VCCS: rows [p,p,m,m] x cols [cp,cm,cp,cm], vals [+g,-g,-g,+g]
@@ -410,7 +414,11 @@ class Engine:
             g, r = mos_stamp_vals(params["mos_vth"], params["mos_k"],
                                   params["mos_lam"], params["mos_p"],
                                   vd, vg, vs, self.opts.mos_off_gds,
-                                  self.opts.mos_reverse_region)
+                                  self.opts.mos_reverse_region,
+                                  gamma=(params["mos_gamma"]
+                                         if self.mos_body else None),
+                                  phi=(params["mos_phi"]
+                                       if self.mos_body else None))
             gv.append(g)
             rv.append(r)
         if len(t.jf_ed):

@@ -160,7 +160,11 @@ class WoodburySolver:
                 params["mos_vth"], params["mos_k"], params["mos_lam"],
                 params["mos_p"], vm[..., 0], vm[..., 1], vm[..., 2],
                 self.engine.opts.mos_off_gds,
-                self.engine.opts.mos_reverse_region)
+                self.engine.opts.mos_reverse_region,
+                gamma=(params["mos_gamma"]
+                       if self.engine.mos_body else None),
+                phi=(params["mos_phi"]
+                     if self.engine.mos_body else None))
             parts_v.append(jnp.stack([gd, gg, gs], axis=-1))
             parts_c.append(cst)
         if plan.nJ:
