@@ -113,11 +113,26 @@ class _Crossing:
 
 
 class StreamingMeasures:
-    """Compiled accumulator set for a list of TRAN MeasureSpecs."""
+    """Compiled accumulator set for a list of TRAN MeasureSpecs.
+
+    All probe reads funnel through ONE one-hot matmul per step: dynamic
+    gathers inside a TPU scan body cost ~0.1 ms each at batch scale (see
+    ops/assemble.py hot-path notes), so the probes are compiled into a
+    (nP, N) selection matrix and each accumulator reads its value by a
+    static index into the tiny result vector."""
 
     def __init__(self, measures: List[MeasureSpec], topo: Topology, dtype):
         self.dtype = dtype
         self.specs = []
+        self._pairs: List[Tuple[int, int, str]] = []
+
+        def intern(pair):
+            if pair is None:
+                return None
+            if pair not in self._pairs:
+                self._pairs.append(pair)
+            return self._pairs.index(pair)
+
         for m in measures:
             if m.analysis != "tran" or m.kind == "param":
                 # derived (PARAM=) measures are evaluated on the host from
@@ -125,31 +140,48 @@ class StreamingMeasures:
                 continue
             entry = {"m": m}
             if m.kind == "stat":
-                entry["p"] = _probe_pair(topo, m.probe)
+                entry["p"] = intern(_probe_pair(topo, m.probe))
             elif m.kind == "when":
-                entry["c1"] = _Crossing(m.ev1, _probe_pair(topo, m.ev1.probe))
+                entry["c1"] = _Crossing(
+                    m.ev1, intern(_probe_pair(topo, m.ev1.probe)))
             elif m.kind == "trig_targ":
-                entry["c1"] = _Crossing(m.ev1, _probe_pair(topo, m.ev1.probe))
-                entry["c2"] = _Crossing(m.ev2, _probe_pair(topo, m.ev2.probe))
+                entry["c1"] = _Crossing(
+                    m.ev1, intern(_probe_pair(topo, m.ev1.probe)))
+                entry["c2"] = _Crossing(
+                    m.ev2, intern(_probe_pair(topo, m.ev2.probe)))
             elif m.kind == "find_at":
-                entry["p"] = _probe_pair(topo, m.probe)
+                entry["p"] = intern(_probe_pair(topo, m.probe))
             elif m.kind == "find_when":
-                entry["p"] = _probe_pair(topo, m.probe)
-                entry["c1"] = _Crossing(m.ev1, _probe_pair(topo, m.ev1.probe))
+                entry["p"] = intern(_probe_pair(topo, m.probe))
+                entry["c1"] = _Crossing(
+                    m.ev1, intern(_probe_pair(topo, m.ev1.probe)))
             self.specs.append(entry)
+        N = topo.n_unknowns
+        P = np.zeros((max(len(self._pairs), 1), N))
+        for j, (a, b, _) in enumerate(self._pairs):
+            if a < N:
+                P[j, a] += 1.0
+            if b < N:
+                P[j, b] -= 1.0
+        self._P = jnp.asarray(P, dtype)
+        self._db = [mod == "db" for (_, _, mod) in self._pairs]
+
+    def _probe_vals(self, x):
+        """(..., nP) probe values via the one-hot matmul."""
+        ys = jnp.einsum("...n,pn->...p", x, self._P)
+        if any(self._db):
+            tiny = jnp.finfo(ys.dtype).tiny
+            db = 20.0 * jnp.log10(jnp.maximum(jnp.abs(ys), tiny))
+            mask = jnp.asarray(self._db)
+            ys = jnp.where(mask, db, ys)
+        return ys
 
     @staticmethod
-    def _val(x_ext, pair):
-        y = x_ext[..., pair[0]] - x_ext[..., pair[1]]
-        if pair[2] == "db":
-            # dtype-aware floor: 1e-300 underflows to 0 in float32 and
-            # log10 would poison the accumulators with -inf
-            tiny = jnp.finfo(y.dtype).tiny
-            y = 20.0 * jnp.log10(jnp.maximum(jnp.abs(y), tiny))
-        return y
+    def _val(ys, idx):
+        return ys[..., idx]
 
     def init(self, engine: Engine, x0):
-        xe = engine.x_ext(x0)
+        ys = self._probe_vals(x0)
         accs = []
         nan = jnp.asarray(jnp.nan, self.dtype)
         for e in self.specs:
@@ -159,7 +191,7 @@ class StreamingMeasures:
                 if e["p"] is None:
                     accs.append({"bad": lane})
                     continue
-                y0 = self._val(xe, e["p"])
+                y0 = self._val(ys, e["p"])
                 in_w = m.t_from <= 0.0
                 big = jnp.asarray(jnp.inf, self.dtype)
                 accs.append({
@@ -173,30 +205,30 @@ class StreamingMeasures:
                 if e["c1"].pair is None:
                     accs.append({"bad": lane})
                     continue
-                accs.append(e["c1"].init(self._val(xe, e["c1"].pair)))
+                accs.append(e["c1"].init(self._val(ys, e["c1"].pair)))
             elif m.kind == "trig_targ":
                 if e["c1"].pair is None or e["c2"].pair is None:
                     accs.append({"bad": lane})
                     continue
-                accs.append({"a": e["c1"].init(self._val(xe, e["c1"].pair)),
-                             "b": e["c2"].init(self._val(xe, e["c2"].pair))})
+                accs.append({"a": e["c1"].init(self._val(ys, e["c1"].pair)),
+                             "b": e["c2"].init(self._val(ys, e["c2"].pair))})
             elif m.kind == "find_at":
                 if e["p"] is None:
                     accs.append({"bad": lane})
                     continue
-                y0 = self._val(xe, e["p"])
+                y0 = self._val(ys, e["p"])
                 accs.append({"prev": y0,
                              "y": jnp.where(m.at <= 0.0, y0, nan)})
             elif m.kind == "find_when":
                 if e["p"] is None or e["c1"].pair is None:
                     accs.append({"bad": lane})
                     continue
-                c = e["c1"].init(self._val(xe, e["c1"].pair))
-                accs.append({"c": c, "prev_main": self._val(xe, e["p"])})
+                c = e["c1"].init(self._val(ys, e["c1"].pair))
+                accs.append({"c": c, "prev_main": self._val(ys, e["p"])})
         return tuple(accs)
 
     def update(self, engine: Engine, accs, x, t, dt):
-        xe = engine.x_ext(x)
+        ys = self._probe_vals(x)
         out = []
         for e, a in zip(self.specs, accs):
             m = e["m"]
@@ -204,7 +236,7 @@ class StreamingMeasures:
                 out.append(a)
                 continue
             if m.kind == "stat":
-                y = self._val(xe, e["p"])
+                y = self._val(ys, e["p"])
                 in_pt = (t >= m.t_from) & (t <= m.t_to)
                 seg = (t - dt >= m.t_from) & (t <= m.t_to)
                 mn = jnp.where(in_pt & (y < a["min"]), y, a["min"])
@@ -223,25 +255,25 @@ class StreamingMeasures:
                     "span": a["span"] + jnp.where(seg, dt, 0.0),
                 })
             elif m.kind == "when":
-                out.append(e["c1"].update(a, self._val(xe, e["c1"].pair),
+                out.append(e["c1"].update(a, self._val(ys, e["c1"].pair),
                                           t, dt))
             elif m.kind == "trig_targ":
                 out.append({
                     "a": e["c1"].update(a["a"],
-                                        self._val(xe, e["c1"].pair), t, dt),
+                                        self._val(ys, e["c1"].pair), t, dt),
                     "b": e["c2"].update(a["b"],
-                                        self._val(xe, e["c2"].pair), t, dt),
+                                        self._val(ys, e["c2"].pair), t, dt),
                 })
             elif m.kind == "find_at":
-                y = self._val(xe, e["p"])
+                y = self._val(ys, e["p"])
                 inside = (t - dt < m.at) & (m.at <= t)
                 frac = jnp.clip((m.at - (t - dt)) / dt, 0.0, 1.0)
                 y_at = a["prev"] + frac * (y - a["prev"])
                 out.append({"prev": y,
                             "y": jnp.where(inside, y_at, a["y"])})
             elif m.kind == "find_when":
-                y_main = self._val(xe, e["p"])
-                c = e["c1"].update(a["c"], self._val(xe, e["c1"].pair),
+                y_main = self._val(ys, e["p"])
+                c = e["c1"].update(a["c"], self._val(ys, e["c1"].pair),
                                    t, dt, aux_prev=a["prev_main"],
                                    aux=y_main)
                 out.append({"c": c, "prev_main": y_main})

@@ -80,9 +80,13 @@ def batched_transient_measures(engine: Engine, bparams, tstep, tstop,
                                            apply_derived_measures,
                                            run_transient_streaming)
     sm = StreamingMeasures(measures, topo, engine.dtype)
+    # natively-batched DC init: the vmapped per-lane ramp would pay the
+    # max iteration count over all lanes at every ramp step (see bench.py)
+    x0 = batched_dc_fast(engine, bparams)
     res, vals = jax.vmap(
-        lambda p: run_transient_streaming(engine, p, tstep, tstop, sm)
-    )(bparams)
+        lambda p, x0row: run_transient_streaming(engine, p, tstep, tstop,
+                                                 sm, x0=x0row)
+    )(bparams, x0)
     derived = [m for m in measures
                if m.analysis == "tran" and m.kind == "param"]
     if derived:
