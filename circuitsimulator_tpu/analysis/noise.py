@@ -9,6 +9,7 @@ with a known power spectral density:
 - resistor thermal:      S = 4kT/R                    (across the R)
 - diode shot:            S = 2q|Id|                   (across the junction)
 - MOS channel thermal:   S = (8/3)kT*gm               (drain-source)
+- JFET channel thermal:  S = (8/3)kT*gm               (drain-source)
 - MOS flicker:           S = KF*|Id|^AF / f           (drain-source;
                           KF/AF from the .MODEL card, default 0/1)
 - BJT collector shot:    S = 2q|Ic|                   (collector-emitter)
@@ -97,6 +98,21 @@ def _device_noise_currents(engine: Engine, params, x_op):
         s_flick.append(params["mos_kf"]
                        * jnp.abs(i_d) ** params["mos_af"])
         kinds += ["M"] * len(t.mos_ed)
+
+    if len(t.jf_ed):
+        from ..models.mosfet import mos_linearize
+        vd = xe[..., t.jf_ed]
+        vg = xe[..., t.jf_eg]
+        vs = xe[..., t.jf_es]
+        _, gg, _, _ = mos_linearize(
+            params["jf_vto"], 2.0 * params["jf_beta"], params["jf_lam"],
+            params["jf_p"], vd, vg, vs, engine.opts.mos_off_gds,
+            engine.opts.mos_reverse_region)
+        gm = jnp.abs(gg)
+        pairs.append(np.stack([t.jf_ed, t.jf_es], 1))
+        s_white.append((2.0 / 3.0) * four_kt * gm)     # channel thermal
+        s_flick.append(jnp.zeros_like(gm))
+        kinds += ["J"] * len(t.jf_ed)
 
     if len(t.dio_ep):
         from ..models.diode import diode_linearize

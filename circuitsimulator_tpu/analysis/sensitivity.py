@@ -93,6 +93,7 @@ _PARAM_LABELS = {
     "mos_cj0": ("M", "CJ0"), "mos_gamma": ("M", "GAMMA"),
     "dio_is": ("D", "IS"), "dio_n": ("D", "N"),
     "bjt_is": ("Q", "IS"), "bjt_bf": ("Q", "BF"), "bjt_br": ("Q", "BR"),
+    "bjt_vaf": ("Q", "VAF"),
     "vcvs_gain": ("E", "GAIN"), "vccs_g": ("G", "GM"),
     "cccs_gain": ("F", "GAIN"), "ccvs_r": ("H", "R"),
 }

@@ -437,6 +437,7 @@ def lower(ckt: Circuit, dtype=jnp.float64) -> LoweredCircuit:
         "bjt_is": jnp.asarray([e.i_sat for e in bjt], dtype),
         "bjt_bf": jnp.asarray([e.bf for e in bjt], dtype),
         "bjt_br": jnp.asarray([e.br for e in bjt], dtype),
+        "bjt_vaf": jnp.asarray([e.vaf for e in bjt], dtype),
         "mut_k": jnp.asarray([m[2] for m in mut_ok], dtype),
         # referenced .PARAM values of behavioral expressions, flattened
         # in (device, first-appearance) order; see BSourceInfo.const_off

@@ -30,11 +30,18 @@ def _exp_lim(u, u_max=EXP_LIMIT):
         jnp.where(u <= u_max, e, jnp.exp(u_max))
 
 
-def bjt_linearize(i_sat, bf, br, p, vc, vb, ve, vt=VT_THERMAL):
+def bjt_linearize(i_sat, bf, br, p, vc, vb, ve, vt=VT_THERMAL, vaf=None):
     """Linearize (Ic, Ib) around the physical terminal voltages.
 
     p = +1 NPN, -1 PNP.  Returns per-current gradients wrt (Vc, Vb, Ve) and
     constants:  I ~= g_c*Vc + g_b*Vb + g_e*Ve + cst  for I in {Ic, Ib}.
+
+    vaf (extension, Gummel-Poon-style Early voltage; None/0 = off): the
+    TRANSPORT current If - Ir is scaled by kq = 1 - Vbc_eff/VAF (the
+    Gummel-Poon 1/qb with VAR = inf, clamped away from zero for large
+    forward Vbc), giving the finite output conductance
+    gce ~ Ic/(VAF - Vbc) ~ Ic/(VAF + Vce) real BJTs show; base currents
+    are unscaled.
     """
     vbe = p * (vb - ve)
     vbc = p * (vb - vc)
@@ -45,12 +52,24 @@ def bjt_linearize(i_sat, bf, br, p, vc, vb, ve, vt=VT_THERMAL):
     gf = i_sat * def_ / vt          # dIf/dVbe
     gr = i_sat * der_ / vt          # dIr/dVbc
 
-    ic_eff = i_f - i_r - i_r / br
+    if vaf is not None:
+        on = vaf > 0.0
+        raw = 1.0 - vbc / jnp.where(on, vaf, 1.0)
+        kq = jnp.where(on, jnp.maximum(raw, 0.05), 1.0)
+        # d kq / d vbc = -1/vaf inside the unclamped region
+        dkq = jnp.where(on & (raw > 0.05),
+                        -1.0 / jnp.where(on, vaf, 1.0), 0.0)
+    else:
+        kq = 1.0
+        dkq = 0.0
+
+    ict = (i_f - i_r) * kq
+    ic_eff = ict - i_r / br
     ib_eff = i_f / bf + i_r / br
 
     # effective-voltage gradients
-    dic_dvbe = gf
-    dic_dvbc = -gr * (1.0 + 1.0 / br)
+    dic_dvbe = gf * kq
+    dic_dvbc = -gr * kq + (i_f - i_r) * dkq - gr / br
     dib_dvbe = gf / bf
     dib_dvbc = gr / br
 
@@ -70,7 +89,7 @@ def bjt_linearize(i_sat, bf, br, p, vc, vb, ve, vt=VT_THERMAL):
     return (gc_c, gc_b, gc_e, cst_c), (gb_c, gb_b, gb_e, cst_b)
 
 
-def bjt_stamp_vals(i_sat, bf, br, p, vc, vb, ve, vt=VT_THERMAL):
+def bjt_stamp_vals(i_sat, bf, br, p, vc, vb, ve, vt=VT_THERMAL, vaf=None):
     """COO values for the Newton stamp.
 
     G entry order per device (18 entries) matches ir/lower.py's pattern:
@@ -79,7 +98,7 @@ def bjt_stamp_vals(i_sat, bf, br, p, vc, vb, ve, vt=VT_THERMAL):
     [-cst_c, -cst_b, +cst_c+cst_b].
     """
     (gcc, gcb, gce, cc), (gbc, gbb, gbe, cb) = bjt_linearize(
-        i_sat, bf, br, p, vc, vb, ve, vt)
+        i_sat, bf, br, p, vc, vb, ve, vt, vaf=vaf)
     ge_c, ge_b, ge_e = -(gcc + gbc), -(gcb + gbb), -(gce + gbe)
     gvals = jnp.stack([gcc, gcb, gce,
                        gbc, gbb, gbe,

@@ -38,7 +38,7 @@ from ..netlist.parser import (
 _SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                     "csim_frontend.cpp")
 _LIB_NAME = "libcsim_frontend.so"
-_ABI_VERSION = 5   # bump on ANY packed-struct change (CLAUDE.md)
+_ABI_VERSION = 6   # bump on ANY packed-struct change (CLAUDE.md)
 
 _lib = None
 _lib_error: Optional[str] = None
@@ -67,6 +67,7 @@ class _CElement(ct.Structure):
         ("branch_eq2", ct.c_int32),
         ("bexpr_off", ct.c_int32), ("b_is_v", ct.c_int32),
         ("gamma", ct.c_double), ("phi", ct.c_double),
+        ("vaf", ct.c_double),
     ]
 
 
@@ -321,6 +322,7 @@ def parse_netlist_text_native(text: str) -> Tuple[Circuit, SimulationConfig]:
             elif kind == KIND_Q:
                 rec.is_p = bool(e.is_p)
                 rec.i_sat, rec.bf, rec.br = e.i_sat, e.bf, e.br
+                rec.vaf = e.vaf
             elif kind in (KIND_F, KIND_H):
                 rec.ctrl_name = s(e.ctrl_off)
             elif kind == KIND_K:

@@ -410,6 +410,7 @@ struct ElementRec {
     int32_t b_is_v;
     // MOS body effect (extension, default off)
     double gamma, phi;
+    double vaf;         // BJT Early voltage (extension); 0 = off
 };
 
 struct NodeRec {
@@ -532,6 +533,7 @@ struct MosModel {
 struct BjtModel {
     bool is_pnp = false;
     double i_sat = 1e-16, bf = 100.0, br = 1.0;
+    double vaf = 0.0;   // Early voltage (extension); 0 = off
 };
 
 struct SwModel {    // switch model card (extension)
@@ -1132,6 +1134,7 @@ public:
         e.i_sat = m.i_sat;
         e.bf = m.bf;
         e.br = m.br;
+        e.vaf = m.vaf;
         out.elements.push_back(e);
     }
 
@@ -1517,6 +1520,7 @@ public:
             if (key == "is") m.i_sat = v;
             else if (key == "bf") m.bf = v;
             else if (key == "br") m.br = v;
+            else if (key == "vaf") m.vaf = v;
         }
         bjt_models[t[1]] = m;
     }
@@ -2614,5 +2618,5 @@ const char* csim_strpool(void* h) { return FE.str_pool.c_str(); }
 const void* csim_config(void* h) { return &FE.config; }
 const char* csim_diagnostics(void* h) { return FE.diagnostics.c_str(); }
 
-int32_t csim_abi_version(void) { return 5; }
+int32_t csim_abi_version(void) { return 6; }
 }

@@ -173,6 +173,7 @@ class BjtModel:
     i_sat: float = 1e-16
     bf: float = 100.0
     br: float = 1.0
+    vaf: float = 0.0      # Early voltage (extension); 0 = off
 
 
 # Element kinds
@@ -220,6 +221,7 @@ class ElementRec:
     # BJT parameters (kind Q; node_ids = [C, B, E])
     bf: float = 0.0
     br: float = 0.0
+    vaf: float = 0.0
     # controlled sources: gain/gm/r in `value`; F/H controlling V source
     ctrl_name: str = ""
     # mutual inductance (kind K): the two coupled inductors by name,
@@ -437,7 +439,8 @@ class Circuit:
         ids = [self.get_or_create_node(nc), self.get_or_create_node(nb),
                self.get_or_create_node(ne)]
         self.elements.append(ElementRec(
-            KIND_Q, name, ids, is_p=m.is_pnp, i_sat=m.i_sat, bf=m.bf, br=m.br))
+            KIND_Q, name, ids, is_p=m.is_pnp, i_sat=m.i_sat, bf=m.bf,
+            br=m.br, vaf=m.vaf))
 
     def add_mos_model(self, m: MosModel):
         self.mos_models[m.name] = m

@@ -1439,6 +1439,8 @@ class NetlistParser:
                 m.bf = val
             elif key == "br":
                 m.br = val
+            elif key == "vaf":
+                m.vaf = val
             i += 2
         self.ckt.add_bjt_model(m)
 

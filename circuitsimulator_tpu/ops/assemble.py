@@ -187,6 +187,7 @@ class Engine:
         # kept STRUCTURALLY identical to the reference path so batched
         # lanes stay bit-identical to unbatched runs (a tested invariant)
         self.mos_body = bool(np.any(np.asarray(low.params["mos_gamma"])))
+        self.bjt_early = bool(np.any(np.asarray(low.params["bjt_vaf"])))
 
         # ---- linear controlled sources (extension; static stamps) ----
         # VCCS: rows [p,p,m,m] x cols [cp,cm,cp,cm], vals [+g,-g,-g,+g]
@@ -445,7 +446,9 @@ class Engine:
             ve = xe[..., t.bjt_ee]
             g, r = bjt_stamp_vals(params["bjt_is"], params["bjt_bf"],
                                   params["bjt_br"], params["bjt_p"],
-                                  vc, vb, ve, vt=params["vt_thermal"])
+                                  vc, vb, ve, vt=params["vt_thermal"],
+                                  vaf=(params["bjt_vaf"]
+                                       if self.bjt_early else None))
             gv.append(g)
             rv.append(r)
         if len(t.sw_ep):

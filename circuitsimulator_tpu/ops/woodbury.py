@@ -194,7 +194,9 @@ class WoodburySolver:
             rc, rb = _bjt(params["bjt_is"], params["bjt_bf"],
                           params["bjt_br"], params["bjt_p"],
                           vq[..., 0], vq[..., 1], vq[..., 2],
-                          vt=params["vt_thermal"])
+                          vt=params["vt_thermal"],
+                          vaf=(params["bjt_vaf"]
+                               if self.engine.bjt_early else None))
             # interleave (Ic row, Ib row) per device: (..., 2nQ, 3) / (..., 2nQ)
             vrows = jnp.stack(
                 [jnp.stack(rc[:3], axis=-1), jnp.stack(rb[:3], axis=-1)],
