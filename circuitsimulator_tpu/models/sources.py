@@ -16,7 +16,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..netlist.circuit import WAVE_PULSE, WAVE_SIN, WAVE_PWL
+from ..netlist.circuit import (WAVE_PULSE, WAVE_SIN, WAVE_PWL, WAVE_EXP,
+                               WAVE_SFFM)
 
 
 def _clamp01(x):
@@ -94,18 +95,47 @@ def eval_pwl(pwl_t, pwl_v, pwl_n, t):
     return jnp.where(pwl_n == 0, jnp.zeros_like(out), out)
 
 
+def eval_exp(pulse, t):
+    """EXP(v1 v2 td1 tau1 td2 tau2) packed into the 7-slot PULSE block
+    [v1, v2, td1, tau1, td2, tau2, -] (see netlist/circuit.py WAVE_EXP)."""
+    v1, v2, td1, tau1, td2, tau2 = [pulse[..., i] for i in range(6)]
+    dv = v2 - v1
+
+    def seg(td, tau, amp):
+        full = jnp.where(t > td, amp, 0.0)
+        decay = amp * (1.0 - jnp.exp(-jnp.maximum(t - td, 0.0)
+                                     / jnp.where(tau > 0.0, tau, 1.0)))
+        return jnp.where(tau > 0.0, jnp.where(t > td, decay, 0.0), full)
+
+    return v1 + seg(td1, tau1, dv) + seg(td2, tau2, -dv)
+
+
+def eval_sffm(sin, t):
+    """SFFM(vo va fc mdi fs) packed into the 5-slot SIN block
+    [vo, va, fc, mdi, fs] (see netlist/circuit.py WAVE_SFFM)."""
+    vo, va, fc, mdi, fs = [sin[..., i] for i in range(5)]
+    two_pi = 2.0 * jnp.pi
+    return vo + va * jnp.sin(two_pi * fc * t + mdi * jnp.sin(two_pi * fs * t))
+
+
 def eval_waveform(kind, pulse, sin, pwl_t, pwl_v, pwl_n, t):
     out = jnp.zeros(kind.shape, dtype=pulse.dtype)
     out = jnp.where(kind == WAVE_PULSE, eval_pulse(pulse, t), out)
     out = jnp.where(kind == WAVE_SIN, eval_sin(sin, t), out)
     if pwl_t.shape[-1] > 0:
         out = jnp.where(kind == WAVE_PWL, eval_pwl(pwl_t, pwl_v, pwl_n, t), out)
+    out = jnp.where(kind == WAVE_EXP, eval_exp(pulse, t), out)
+    out = jnp.where(kind == WAVE_SFFM, eval_sffm(sin, t), out)
     return out
 
 
-def eval_dc(dc, kind, sin, scale):
-    """SourceSpec::evalDC (sim.hpp:152-158): SIN folds its v0 offset in."""
-    base = dc + jnp.where(kind == WAVE_SIN, sin[..., 0], 0.0)
+def eval_dc(dc, kind, sin, scale, pulse=None):
+    """SourceSpec::evalDC (sim.hpp:152-158): SIN folds its v0 offset in;
+    EXP folds v1 (its t<=td1 value) and SFFM its carrier offset vo."""
+    base = dc + jnp.where((kind == WAVE_SIN) | (kind == WAVE_SFFM),
+                          sin[..., 0], 0.0)
+    if pulse is not None:
+        base = base + jnp.where(kind == WAVE_EXP, pulse[..., 0], 0.0)
     return base * scale
 
 
@@ -130,4 +160,10 @@ def eval_tran_static_kinds(kinds_np, dc, pulse, sin, pwl_t, pwl_v, pwl_n, t):
     if (kinds_np == WAVE_PWL).any() and pwl_t.shape[-1] > 0:
         mask = jnp.asarray(kinds_np == WAVE_PWL)
         out = out + jnp.where(mask, eval_pwl(pwl_t, pwl_v, pwl_n, t), 0.0)
+    if (kinds_np == WAVE_EXP).any():
+        mask = jnp.asarray(kinds_np == WAVE_EXP)
+        out = out + jnp.where(mask, eval_exp(pulse, t), 0.0)
+    if (kinds_np == WAVE_SFFM).any():
+        mask = jnp.asarray(kinds_np == WAVE_SFFM)
+        out = out + jnp.where(mask, eval_sffm(sin, t), 0.0)
     return out

@@ -309,6 +309,10 @@ def parse_netlist_text_native(text: str) -> Tuple[Circuit, SimulationConfig]:
                     pts = pwl[e.pwl_off:e.pwl_off + 2 * e.pwl_n]
                     w.pwl_t = pts[0::2]
                     w.pwl_v = pts[1::2]
+                elif e.wave_kind == 4:     # EXP packed in the PULSE block
+                    (w.v1, w.v2, w.ptd, w.tr, w.tf, w.ton) = list(e.pulse)[:6]
+                elif e.wave_kind == 5:     # SFFM packed in the SIN block
+                    (w.v0, w.va, w.freq, w.std, w.phi) = list(e.sin5)
                 rec.spec = SourceSpec(dc=e.dc, ac_mag=e.ac_mag,
                                       ac_phase_deg=e.ac_phase, wave=w)
             elif kind == KIND_M:

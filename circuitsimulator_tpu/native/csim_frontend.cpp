@@ -395,7 +395,7 @@ struct ElementRec {
     int32_t ctrl_off;   // str offset of the controlling V source, -1 none
     // source spec
     double dc, ac_mag, ac_phase;
-    int32_t wave_kind;  // 0 none 1 pulse 2 sin 3 pwl
+    int32_t wave_kind;  // 0 none 1 pulse 2 sin 3 pwl 4 exp 5 sffm
     double pulse[7];    // v1 v2 td tr tf ton per
     double sin5[5];     // v0 va freq td phi
     int32_t pwl_off, pwl_n;  // into pwl pool (pairs t,v interleaved)
@@ -964,6 +964,54 @@ public:
                                     vals.end());
                 return;
             }
+            // EXP(v1 v2 [td1 tau1 td2 tau2]) / SFFM(vo va fc [mdi fs]) —
+            // extensions, packed into the PULSE / SIN field blocks exactly
+            // as in the Python frontend (netlist/circuit.py WAVE_EXP/SFFM)
+            bool is_exp = head.rfind("exp", 0) == 0;
+            bool is_sffm = head.rfind("sffm", 0) == 0;
+            if (is_exp || is_sffm) {
+                size_t kwlen = is_exp ? 3 : 4;
+                std::vector<double> vals;
+                std::string first =
+                    head.size() > kwlen ? head.substr(kwlen) : "";
+                auto push_tok = [&](std::string a) {
+                    a.erase(std::remove_if(a.begin(), a.end(),
+                                           [](char c) {
+                                               return c == '(' || c == ')';
+                                           }),
+                            a.end());
+                    if (a.empty()) return true;
+                    double v;
+                    if (!parse_spice(a, &v)) return false;
+                    vals.push_back(v);
+                    return true;
+                };
+                push_tok(first);
+                for (size_t i = j + 1; i < t.size(); ++i)
+                    if (!push_tok(t[i])) break;
+                if (is_exp) {
+                    if (vals.size() < 2) {
+                        warn(st.line_no,
+                             "EXP needs at least v1 v2: " + st.raw);
+                        return;
+                    }
+                    e.wave_kind = 4;
+                    // no td2 given => no decay segment (td2 = +inf)
+                    e.pulse[4] = std::numeric_limits<double>::infinity();
+                    for (size_t i = 0; i < vals.size() && i < 6; ++i)
+                        e.pulse[i] = vals[i];
+                } else {
+                    if (vals.size() < 3) {
+                        warn(st.line_no,
+                             "SFFM needs at least vo va fc: " + st.raw);
+                        return;
+                    }
+                    e.wave_kind = 5;
+                    for (size_t i = 0; i < vals.size() && i < 5; ++i)
+                        e.sin5[i] = vals[i];
+                }
+                return;
+            }
         }
     }
 
@@ -999,7 +1047,8 @@ public:
             if (!parse_or_warn(st, t[4], "V DC value", &e.dc)) return;
             idx = 5;
         } else if (low3 == "sin" || low3 == "ac" ||
-                   low3.rfind("pulse", 0) == 0 || low3.rfind("pwl", 0) == 0) {
+                   low3.rfind("pulse", 0) == 0 || low3.rfind("pwl", 0) == 0 ||
+                   low3.rfind("exp", 0) == 0 || low3.rfind("sffm", 0) == 0) {
             e.dc = 0.0;
             idx = 3;
         } else {
@@ -1028,7 +1077,8 @@ public:
             if (!parse_or_warn(st, t[4], "I value", &e.dc)) return;
             idx = 5;
         } else if (low3 == "sin" || low3 == "ac" ||
-                   low3.rfind("pulse", 0) == 0 || low3.rfind("pwl", 0) == 0) {
+                   low3.rfind("pulse", 0) == 0 || low3.rfind("pwl", 0) == 0 ||
+                   low3.rfind("exp", 0) == 0 || low3.rfind("sffm", 0) == 0) {
             e.dc = 0.0;
             idx = 3;
         } else {
@@ -2475,7 +2525,8 @@ public:
                 }
                 out.probes.push_back(p);
             }
-        } else if (head != ".model") {
+        } else if (head != ".model" && head != ".end") {
+            // .end terminates a deck (standard SPICE); nothing to do
             warn(st.line_no, "unsupported control card: " + st.raw);
         }
     }

@@ -22,6 +22,12 @@ WAVE_NONE = 0
 WAVE_PULSE = 1
 WAVE_SIN = 2
 WAVE_PWL = 3
+# extensions (the reference parses SIN only; PULSE/PWL above are already
+# extensions).  EXP reuses the PULSE field block as
+# [v1, v2, td1, tau1, td2, tau2] -> (v1, v2, ptd, tr, tf, ton); SFFM reuses
+# the SIN block as [vo, va, fc, mdi, fs] -> (v0, va, freq, std, phi).
+WAVE_EXP = 4
+WAVE_SFFM = 5
 
 
 @dataclasses.dataclass
@@ -59,6 +65,10 @@ class SourceSpec:
         base = self.dc
         if self.wave.kind == WAVE_SIN:
             base += self.wave.v0
+        elif self.wave.kind == WAVE_EXP:
+            base += self.wave.v1          # EXP starts at v1 (t <= td1)
+        elif self.wave.kind == WAVE_SFFM:
+            base += self.wave.v0          # SFFM carrier offset vo
         return base * scale
 
     def eval_tran(self, t: float) -> float:
@@ -119,6 +129,25 @@ def eval_waveform(w: Waveform, t: float) -> float:
                 k = (t - tt[i]) / (tt[i + 1] - tt[i])
                 return vv[i] + (vv[i + 1] - vv[i]) * k
         return vv[-1]
+    if w.kind == WAVE_EXP:
+        # EXP(v1 v2 td1 tau1 td2 tau2), standard SPICE semantics: rise
+        # exponential from td1, decay exponential superposed from td2
+        v1, v2, td1, tau1, td2, tau2 = w.v1, w.v2, w.ptd, w.tr, w.tf, w.ton
+        out = v1
+        if t > td1 and tau1 > 0.0:
+            out += (v2 - v1) * (1.0 - math.exp(-(t - td1) / tau1))
+        elif t > td1:
+            out += v2 - v1
+        if t > td2 and tau2 > 0.0:
+            out += (v1 - v2) * (1.0 - math.exp(-(t - td2) / tau2))
+        elif t > td2:
+            out += v1 - v2
+        return out
+    if w.kind == WAVE_SFFM:
+        # SFFM(vo va fc mdi fs): single-frequency FM
+        vo, va, fc, mdi, fs = w.v0, w.va, w.freq, w.std, w.phi
+        return vo + va * math.sin(2.0 * math.pi * fc * t
+                                  + mdi * math.sin(2.0 * math.pi * fs * t))
     return 0.0
 
 

@@ -25,13 +25,14 @@ asks for one).
 from __future__ import annotations
 
 import dataclasses
+import math
 import sys
 from typing import Any, List, Optional
 
 from ..utils.numbers import parse_spice_number
 from .circuit import (
     Circuit, MosModel, BjtModel, SourceSpec, Waveform,
-    WAVE_PULSE, WAVE_SIN, WAVE_PWL,
+    WAVE_PULSE, WAVE_SIN, WAVE_PWL, WAVE_EXP, WAVE_SFFM,
 )
 from .lexer import Statement, lex_file, lex_text
 
@@ -412,6 +413,52 @@ class NetlistParser:
             setattr(w, f, v)
         spec.wave = w
 
+    def _wave_args(self, t, idx: int, kw: str):
+        """Collect the numeric arguments of `KW(a b c)` / `KW a b c` forms
+        starting at token idx (same tolerant style as _parse_pulse)."""
+        args = [tok.strip("()") for tok in t[idx + 1:]]
+        head = t[idx]
+        if head.lower().startswith(kw + "(") and len(head) > len(kw) + 1:
+            args = [head[len(kw) + 1:].strip("()")] + args
+        vals = []
+        for a in args:
+            if not a:
+                continue
+            try:
+                vals.append(parse_spice_number(a))
+            except ValueError:
+                break
+        return vals
+
+    def _parse_exp(self, st: Statement, spec: SourceSpec, idx: int) -> None:
+        # EXP(v1 v2 [td1 tau1 td2 tau2]) — extension (standard SPICE
+        # waveform; the reference parses only SIN).  Omitted taus default to
+        # 0, which the evaluators treat as an instantaneous step.
+        vals = self._wave_args(st.tokens, idx, "exp")
+        if len(vals) < 2:
+            _warn(st.line_no, f"EXP needs at least v1 v2: {st.raw}")
+            return
+        w = Waveform(kind=WAVE_EXP)
+        # packed into the PULSE field block: [v1 v2 td1 tau1 td2 tau2];
+        # with no td2 given there is no decay segment (td2 = +inf)
+        w.tf = math.inf
+        for f, v in zip(["v1", "v2", "ptd", "tr", "tf", "ton"], vals):
+            setattr(w, f, v)
+        spec.wave = w
+
+    def _parse_sffm(self, st: Statement, spec: SourceSpec, idx: int) -> None:
+        # SFFM(vo va fc [mdi fs]) — extension (standard SPICE single-
+        # frequency FM waveform).
+        vals = self._wave_args(st.tokens, idx, "sffm")
+        if len(vals) < 3:
+            _warn(st.line_no, f"SFFM needs at least vo va fc: {st.raw}")
+            return
+        w = Waveform(kind=WAVE_SFFM)
+        # packed into the SIN field block: [vo va fc mdi fs]
+        for f, v in zip(["v0", "va", "freq", "std", "phi"], vals):
+            setattr(w, f, v)
+        spec.wave = w
+
     def _parse_pwl(self, st: Statement, spec: SourceSpec, idx: int) -> None:
         # PWL(t1 v1 t2 v2 ...) — same extension note as PULSE.
         t = st.tokens
@@ -469,7 +516,8 @@ class NetlistParser:
                 spec.dc = parse_spice_number(t[4])
                 idx = 5
             elif (low3 == "sin" or low3 == "ac"
-                  or low3.startswith("pulse") or low3.startswith("pwl")):
+                  or low3.startswith("pulse") or low3.startswith("pwl")
+                  or low3.startswith("exp") or low3.startswith("sffm")):
                 spec.dc = 0.0
                 idx = 3
             else:
@@ -492,6 +540,12 @@ class NetlistParser:
             if head.startswith("pwl"):
                 self._parse_pwl(st, spec, j)
                 break
+            if head.startswith("exp"):
+                self._parse_exp(st, spec, j)
+                break
+            if head.startswith("sffm"):
+                self._parse_sffm(st, spec, j)
+                break
         self._parse_ac_spec(st, spec)
         self.ckt.add_voltage_source(t[0], t[1], t[2], spec)
 
@@ -512,7 +566,8 @@ class NetlistParser:
                 spec.dc = parse_spice_number(t[4])
                 idx = 5
             elif (low3 == "sin" or low3 == "ac"
-                  or low3.startswith("pulse") or low3.startswith("pwl")):
+                  or low3.startswith("pulse") or low3.startswith("pwl")
+                  or low3.startswith("exp") or low3.startswith("sffm")):
                 spec.dc = 0.0
                 idx = 3
             else:
@@ -531,6 +586,12 @@ class NetlistParser:
                 break
             if head.startswith("pwl"):
                 self._parse_pwl(st, spec, j)
+                break
+            if head.startswith("exp"):
+                self._parse_exp(st, spec, j)
+                break
+            if head.startswith("sffm"):
+                self._parse_sffm(st, spec, j)
                 break
         self._parse_ac_spec(st, spec)
         self.ckt.add_current_source(t[0], t[1], t[2], spec)
@@ -910,6 +971,8 @@ class NetlistParser:
             self._parse_plotnv_card(st)
         elif head == ".plotnc":
             self._parse_plotnc_card(st)
+        elif head == ".end":
+            pass                      # deck terminator (standard SPICE)
         else:
             _warn(st.line_no, f"unsupported control card: {st.raw}")
 

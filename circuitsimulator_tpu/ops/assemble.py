@@ -517,11 +517,13 @@ class Engine:
     def dc_rhs(self, params, scale):
         """DC RHS vector: V/I source values at the given ramp scale."""
         vval = srcmod.eval_dc(params["vs_dc"], params["vs_kind"],
-                              params["vs_sin"], scale)
+                              params["vs_sin"], scale,
+                              pulse=params["vs_pulse"])
         I = self._zeros_I(vval)
         I = I.at[..., self.topo.vs_k].add(vval)
         ival = srcmod.eval_dc(params["is_dc"], params["is_kind"],
-                              params["is_sin"], scale)
+                              params["is_sin"], scale,
+                              pulse=params["is_pulse"])
         irhs = jnp.stack([-ival, ival], axis=-1).reshape(*ival.shape[:-1], -1)
         I = I.at[..., self.is_rhs_rows].add(irhs)
         return I
