@@ -25,8 +25,13 @@ from .dc import dc_operating_point
 @dataclasses.dataclass
 class DCSweepResult:
     source: str
-    values: Any   # (S,) swept DC values
-    xs: Any       # (S, N) operating points
+    values: Any        # (S,) inner swept DC values (flattened grid order)
+    xs: Any            # (S, N) operating points
+    # nested sweep (`.DC s1 ... s2 ...`, extension): outer source name and
+    # its per-row values; rows run outer-major (s2 slowest), matching the
+    # classic SPICE print order.  Empty/None for single sweeps.
+    source2: str = ""
+    values2: Any = None
 
 
 def sweep_values(start: float, stop: float, step: float) -> np.ndarray:
@@ -58,10 +63,30 @@ def find_source(circuit, name: str):
 
 
 def dc_sweep(engine: Engine, params, circuit, source_name: str,
-             values) -> DCSweepResult:
+             values, source2: str = "", values2=None) -> DCSweepResult:
+    """Batched operating-point sweep.  With `source2`/`values2` the full
+    cartesian grid (outer-major) solves in ONE vmapped batch — every grid
+    point is an independent Newton solve, the natural TPU shape."""
     kind, idx = find_source(circuit, source_name)
     key = "vs_dc" if kind == KIND_V else "is_dc"
     values = jnp.asarray(values, engine.dtype)
+
+    if source2 and values2 is not None:
+        kind2, idx2 = find_source(circuit, source2)
+        key2 = "vs_dc" if kind2 == KIND_V else "is_dc"
+        values2 = jnp.asarray(values2, engine.dtype)
+        v2g, v1g = jnp.meshgrid(values2, values, indexing="ij")
+        v1f, v2f = v1g.ravel(), v2g.ravel()
+
+        def solve_point2(v1, v2):
+            p2 = dict(params)
+            p2[key] = params[key].at[idx].set(v1)
+            p2[key2] = p2[key2].at[idx2].set(v2)
+            return dc_operating_point(engine, p2)
+
+        xs = jax.jit(jax.vmap(solve_point2))(v1f, v2f)
+        return DCSweepResult(source=source_name, values=v1f, xs=xs,
+                             source2=source2, values2=v2f)
 
     def solve_point(v):
         p2 = dict(params)
@@ -81,7 +106,14 @@ def write_sweep_csv(path: str, topo, result: DCSweepResult) -> None:
                               topo.branch_col_eqs]).astype(int)
     cols = [f"V({n})" for n in topo.volt_col_names]
     cols += [f"I({n})" for n in topo.branch_col_names]
+    v2 = np.asarray(result.values2) if result.values2 is not None else None
     with open(path, "w") as f:
-        f.write(f"{result.source}," + ",".join(cols) + "\n")
-        for v, row in zip(values, xs[:, col_eqs]):
-            f.write(f"{v:.9e}," + ",".join(f"{x:.9e}" for x in row) + "\n")
+        head = f"{result.source}," + ",".join(cols)
+        if v2 is not None:
+            head = f"{result.source2}," + head
+        f.write(head + "\n")
+        for i, (v, row) in enumerate(zip(values, xs[:, col_eqs])):
+            line = f"{v:.9e}," + ",".join(f"{x:.9e}" for x in row)
+            if v2 is not None:
+                line = f"{v2[i]:.9e}," + line
+            f.write(line + "\n")

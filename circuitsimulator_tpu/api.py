@@ -702,6 +702,7 @@ class Simulator:
         """DC sweep (analysis/sweep.py).  Defaults to the netlist's .DC
         card(s); `source`+`values` override."""
         from .analysis.sweep import dc_sweep, sweep_values
+        source2, values2 = "", None
         if source is None:
             if not self.config.dc_sweeps:
                 raise ValueError(".DC card missing")
@@ -709,10 +710,14 @@ class Simulator:
             source = cfg.source_name
             if values is None:
                 values = sweep_values(cfg.start, cfg.stop, cfg.step)
+                if cfg.source2:
+                    source2 = cfg.source2
+                    values2 = sweep_values(cfg.start2, cfg.stop2, cfg.step2)
         elif values is None:
             raise ValueError("explicit `source` requires `values`")
         p = params if params is not None else self.params
-        return dc_sweep(self.engine, p, self.circuit, source, values)
+        return dc_sweep(self.engine, p, self.circuit, source, values,
+                        source2=source2, values2=values2)
 
     # ---- output ----
     def write_transient_csv(self, path: str, result: TransientResult,

@@ -38,7 +38,7 @@ from ..netlist.parser import (
 _SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                     "csim_frontend.cpp")
 _LIB_NAME = "libcsim_frontend.so"
-_ABI_VERSION = 6   # bump on ANY packed-struct change (CLAUDE.md)
+_ABI_VERSION = 7   # bump on ANY packed-struct change (CLAUDE.md)
 
 _lib = None
 _lib_error: Optional[str] = None
@@ -114,7 +114,10 @@ class _CStep(ct.Structure):
 class _CSweep(ct.Structure):
     _pack_ = 1
     _fields_ = [("source_off", ct.c_int32), ("start", ct.c_double),
-                ("stop", ct.c_double), ("step", ct.c_double)]
+                ("stop", ct.c_double), ("step", ct.c_double),
+                # nested outer sweep (ABI v7); source2_off < 0 when absent
+                ("source2_off", ct.c_int32), ("start2", ct.c_double),
+                ("stop2", ct.c_double), ("step2", ct.c_double)]
 
 
 class _CIc(ct.Structure):
@@ -449,7 +452,12 @@ def parse_netlist_text_native(text: str) -> Tuple[Circuit, SimulationConfig]:
         for i in range(nsw):
             sim.dc_sweeps.append(DCSweepConfig(
                 source_name=s(csw[i].source_off), start=csw[i].start,
-                stop=csw[i].stop, step=csw[i].step))
+                stop=csw[i].stop, step=csw[i].step,
+                source2=(s(csw[i].source2_off)
+                         if csw[i].source2_off >= 0 else ""),
+                start2=csw[i].start2 if csw[i].source2_off >= 0 else 0.0,
+                stop2=csw[i].stop2 if csw[i].source2_off >= 0 else 0.0,
+                step2=csw[i].step2 if csw[i].source2_off >= 0 else 0.0))
         npr = lib.csim_n_probes(h)
         cpr = ct.cast(lib.csim_probes(h), ct.POINTER(_CProbe))
         # group consecutive probes with the same analysis into PrintCommands

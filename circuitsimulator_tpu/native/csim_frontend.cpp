@@ -428,6 +428,9 @@ struct ProbeRec {
 struct SweepRec {
     int32_t source_off;
     double start, stop, step;
+    // nested outer sweep (extension; ABI v7) — source2_off < 0 when absent
+    int32_t source2_off;
+    double start2, stop2, step2;
 };
 
 struct MeasureRec {     // .MEASURE card (extension)
@@ -2221,10 +2224,22 @@ public:
             }
             SweepRec s{};
             s.source_off = intern(t[1]);
+            s.source2_off = -1;
             if (!parse_spice(t[2], &s.start) || !parse_spice(t[3], &s.stop) ||
                 !parse_spice(t[4], &s.step)) {
                 warn(st.line_no, "cannot parse .DC numbers: " + st.raw);
                 return;
+            }
+            if (t.size() >= 9) {
+                // nested outer sweep: `.DC s1 a1 b1 d1 s2 a2 b2 d2`
+                if (parse_spice(t[6], &s.start2) &&
+                    parse_spice(t[7], &s.stop2) &&
+                    parse_spice(t[8], &s.step2)) {
+                    s.source2_off = intern(t[5]);
+                } else {
+                    warn(st.line_no,
+                         "cannot parse .DC second-sweep numbers: " + st.raw);
+                }
             }
             out.sweeps.push_back(s);
         } else if (head == ".tran") {
@@ -2669,5 +2684,5 @@ const char* csim_strpool(void* h) { return FE.str_pool.c_str(); }
 const void* csim_config(void* h) { return &FE.config; }
 const char* csim_diagnostics(void* h) { return FE.diagnostics.c_str(); }
 
-int32_t csim_abi_version(void) { return 6; }
+int32_t csim_abi_version(void) { return 7; }
 }

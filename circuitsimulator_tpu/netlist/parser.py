@@ -51,6 +51,12 @@ class DCSweepConfig:
     start: float = 0.0
     stop: float = 0.0
     step: float = 0.0
+    # optional nested OUTER sweep (standard SPICE `.DC s1 ... s2 ...` form;
+    # extension — the reference parses only the single-source card)
+    source2: str = ""
+    start2: float = 0.0
+    stop2: float = 0.0
+    step2: float = 0.0
 
 
 @dataclasses.dataclass
@@ -1267,6 +1273,18 @@ class NetlistParser:
         except ValueError as e:
             _warn(st.line_no, f"cannot parse .DC numbers: {e} in '{st.raw}'")
             return
+        if len(t) >= 9:
+            # nested outer sweep: `.DC s1 a1 b1 d1 s2 a2 b2 d2`
+            try:
+                dc.source2 = t[5]
+                dc.start2 = parse_spice_number(t[6])
+                dc.stop2 = parse_spice_number(t[7])
+                dc.step2 = parse_spice_number(t[8])
+            except ValueError as e:
+                _warn(st.line_no,
+                      f"cannot parse .DC second-sweep numbers: {e} "
+                      f"in '{st.raw}'")
+                dc.source2 = ""
         self.sim.dc_sweeps.append(dc)
 
     def _parse_tran_card(self, st: Statement) -> None:
