@@ -73,6 +73,10 @@ def _device_noise_currents(engine: Engine, params, x_op):
     kinds = []
 
     r = params["res_r"]
+    if engine.res_tc:
+        dt_ = params["temp_delta_c"]
+        r = r * (1.0 + params["res_tc1"] * dt_
+                 + params["res_tc2"] * dt_ * dt_)
     if r.shape[-1]:
         g = jnp.where(r > 0.0, 1.0 / jnp.where(r > 0.0, r, 1.0), 0.0)
         pairs.append(np.stack([t.res_e1, t.res_e2], 1))

@@ -53,6 +53,7 @@ def _combo_params(sim, cfgs, combo):
         p = dict(lower(ckt2, dtype=sim.opts.dtype).params)
         if "vt_thermal" in sim.params:
             p["vt_thermal"] = jnp.asarray(sim.params["vt_thermal"])
+            p["temp_delta_c"] = jnp.asarray(sim.params["temp_delta_c"])
     else:
         p = dict(sim.params)
     k_b, q_e = 1.380649e-23, 1.602176634e-19
@@ -64,6 +65,8 @@ def _combo_params(sim, cfgs, combo):
         elif cfg.kind == "temp":
             p["vt_thermal"] = jnp.asarray(
                 k_b * (273.15 + float(v)) / q_e, sim.engine.dtype)
+            p["temp_delta_c"] = jnp.asarray(float(v) - 27.0,
+                                            sim.engine.dtype)
     return p
 
 

@@ -55,6 +55,8 @@ class Simulator:
             self.params = dict(self.params)
             self.params["vt_thermal"] = jnp.asarray(
                 k_b * (273.15 + float(sim_config.temp_c)) / q_e, opts.dtype)
+            self.params["temp_delta_c"] = jnp.asarray(
+                float(sim_config.temp_c) - 27.0, opts.dtype)
         self.engine = Engine(self.lowered, opts)
         # large ladder circuits (RC lines etc.): dense O(N^2) assembly and
         # O(N^3) LU are unusable — switch to the bordered-tridiagonal

@@ -420,6 +420,12 @@ def lower(ckt: Circuit, dtype=jnp.float64) -> LoweredCircuit:
     isp = _pack_sources([e.spec for e in isrc], dtype)
     params = {
         "res_r": jnp.asarray([e.value for e in res], dtype),
+        # resistor temperature coefficients (extension; engine.res_tc gates
+        # the scaling structurally so TC-free circuits compile identically)
+        "res_tc1": jnp.asarray([e.tc1 for e in res], dtype),
+        "res_tc2": jnp.asarray([e.tc2 for e in res], dtype),
+        # T - 27 C (scalar; set by .TEMP / .STEP TEMP alongside vt_thermal)
+        "temp_delta_c": jnp.asarray(0.0, dtype),
         "cap_c": jnp.asarray([e.value for e in cap], dtype),
         "ind_l": jnp.asarray([e.value for e in ind], dtype),
         "mos_vth": jnp.asarray([e.vth for e in mos], dtype),

@@ -38,7 +38,7 @@ from ..netlist.parser import (
 _SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                     "csim_frontend.cpp")
 _LIB_NAME = "libcsim_frontend.so"
-_ABI_VERSION = 7   # bump on ANY packed-struct change (CLAUDE.md)
+_ABI_VERSION = 8   # bump on ANY packed-struct change (CLAUDE.md)
 
 _lib = None
 _lib_error: Optional[str] = None
@@ -68,6 +68,8 @@ class _CElement(ct.Structure):
         ("bexpr_off", ct.c_int32), ("b_is_v", ct.c_int32),
         ("gamma", ct.c_double), ("phi", ct.c_double),
         ("vaf", ct.c_double),
+        # resistor temperature coefficients (ABI v8)
+        ("tc1", ct.c_double), ("tc2", ct.c_double),
     ]
 
 
@@ -302,6 +304,8 @@ def parse_netlist_text_native(text: str) -> Tuple[Circuit, SimulationConfig]:
             node_ids = [e.nodes[j] for j in range(4) if e.nodes[j] >= 0]
             rec = ElementRec(kind=kind, name=s(e.name_off), node_ids=node_ids,
                              value=e.value, branch_eq=e.branch_eq)
+            if kind == KIND_R:
+                rec.tc1, rec.tc2 = e.tc1, e.tc2
             if kind in (KIND_V, KIND_I):
                 w = Waveform(kind=e.wave_kind)
                 if e.wave_kind == 1:

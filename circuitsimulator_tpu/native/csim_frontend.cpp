@@ -411,6 +411,7 @@ struct ElementRec {
     // MOS body effect (extension, default off)
     double gamma, phi;
     double vaf;         // BJT Early voltage (extension); 0 = off
+    double tc1, tc2;    // resistor temperature coefficients (ABI v8)
 };
 
 struct NodeRec {
@@ -878,6 +879,32 @@ public:
         e.nodes[0] = node(st.tokens[1]);
         e.nodes[1] = node(st.tokens[2]);
         e.value = v;
+        if (kind == 0) {
+            // resistor TC=tc1[,tc2] / TC1= / TC2= (extension)
+            bool bad = false;
+            for (size_t i = 4; i < st.tokens.size(); ++i) {
+                std::string low = lower(st.tokens[i]);
+                if (low.rfind("tc=", 0) == 0) {
+                    std::string rest = low.substr(3);
+                    size_t comma = rest.find(',');
+                    std::string a = rest.substr(0, comma);
+                    if (!parse_spice(a, &e.tc1)) bad = true;
+                    if (comma != std::string::npos &&
+                        comma + 1 < rest.size()) {
+                        if (!parse_spice(rest.substr(comma + 1), &e.tc2))
+                            bad = true;
+                    }
+                } else if (low.rfind("tc1=", 0) == 0) {
+                    if (!parse_spice(low.substr(4), &e.tc1)) bad = true;
+                } else if (low.rfind("tc2=", 0) == 0) {
+                    if (!parse_spice(low.substr(4), &e.tc2)) bad = true;
+                }
+            }
+            if (bad) {
+                warn(st.line_no, "cannot parse R TC spec: '" + st.raw + "'");
+                e.tc1 = e.tc2 = 0.0;
+            }
+        }
         out.elements.push_back(e);
     }
 
@@ -2684,5 +2711,5 @@ const char* csim_strpool(void* h) { return FE.str_pool.c_str(); }
 const void* csim_config(void* h) { return &FE.config; }
 const char* csim_diagnostics(void* h) { return FE.diagnostics.c_str(); }
 
-int32_t csim_abi_version(void) { return 7; }
+int32_t csim_abi_version(void) { return 8; }
 }

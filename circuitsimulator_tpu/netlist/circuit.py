@@ -270,6 +270,10 @@ class ElementRec:
     b_expr: str = ""
     b_is_v: bool = True
     branch_eq: int = -1                 # V / L / E / H branch-current eq
+    # resistor temperature coefficients (extension):
+    # R(T) = value * (1 + tc1*(T-27) + tc2*(T-27)^2)
+    tc1: float = 0.0
+    tc2: float = 0.0
 
 
 @dataclasses.dataclass
@@ -333,9 +337,10 @@ class Circuit:
                 eq += 2
 
     # --- element factories ------------------------------------------------
-    def add_resistor(self, name, n1, n2, value):
+    def add_resistor(self, name, n1, n2, value, tc1=0.0, tc2=0.0):
         ids = [self.get_or_create_node(n1), self.get_or_create_node(n2)]
-        self.elements.append(ElementRec(KIND_R, name, ids, value=value))
+        self.elements.append(ElementRec(KIND_R, name, ids, value=value,
+                                        tc1=tc1, tc2=tc2))
 
     def add_capacitor(self, name, n1, n2, value):
         ids = [self.get_or_create_node(n1), self.get_or_create_node(n2)]

@@ -366,7 +366,25 @@ class NetlistParser:
             _warn(st.line_no, f"cannot parse {kind} value: {e} in '{st.raw}'")
             return
         if kind == "R":
-            self.ckt.add_resistor(t[0], t[1], t[2], val)
+            # optional temperature coefficients (extension):
+            # `TC=tc1[,tc2]` or `TC1=x [TC2=y]` after the value
+            tc1 = tc2 = 0.0
+            try:
+                for tok in t[4:]:
+                    low = tok.lower()
+                    if low.startswith("tc=") :
+                        parts = low[3:].split(",")
+                        tc1 = parse_spice_number(parts[0])
+                        if len(parts) > 1 and parts[1]:
+                            tc2 = parse_spice_number(parts[1])
+                    elif low.startswith("tc1="):
+                        tc1 = parse_spice_number(low[4:])
+                    elif low.startswith("tc2="):
+                        tc2 = parse_spice_number(low[4:])
+            except ValueError as e:
+                _warn(st.line_no, f"cannot parse R TC spec: {e} in '{st.raw}'")
+                tc1 = tc2 = 0.0
+            self.ckt.add_resistor(t[0], t[1], t[2], val, tc1=tc1, tc2=tc2)
         elif kind == "C":
             self.ckt.add_capacitor(t[0], t[1], t[2], val)
         else:

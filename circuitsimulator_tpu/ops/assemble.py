@@ -188,6 +188,8 @@ class Engine:
         # lanes stay bit-identical to unbatched runs (a tested invariant)
         self.mos_body = bool(np.any(np.asarray(low.params["mos_gamma"])))
         self.bjt_early = bool(np.any(np.asarray(low.params["bjt_vaf"])))
+        self.res_tc = bool(np.any(np.asarray(low.params["res_tc1"]))
+                           or np.any(np.asarray(low.params["res_tc2"])))
 
         # ---- linear controlled sources (extension; static stamps) ----
         # VCCS: rows [p,p,m,m] x cols [cp,cm,cp,cm], vals [+g,-g,-g,+g]
@@ -376,6 +378,12 @@ class Engine:
 
     def _res_vals(self, params):
         r = params["res_r"]
+        if self.res_tc:
+            # R(T) = R * (1 + tc1*dT + tc2*dT^2) — structurally absent when
+            # no resistor carries a TC (keeps the bitwise batch invariant)
+            dt_ = params["temp_delta_c"]
+            r = r * (1.0 + params["res_tc1"] * dt_
+                     + params["res_tc2"] * dt_ * dt_)
         g = jnp.where(r != 0.0, 1.0 / jnp.where(r != 0.0, r, 1.0), 0.0)
         return _two_terminal_vals(g)
 
