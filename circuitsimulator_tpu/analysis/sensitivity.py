@@ -93,7 +93,9 @@ _PARAM_LABELS = {
     "mos_cj0": ("M", "CJ0"), "mos_gamma": ("M", "GAMMA"),
     "dio_is": ("D", "IS"), "dio_n": ("D", "N"),
     "bjt_is": ("Q", "IS"), "bjt_bf": ("Q", "BF"), "bjt_br": ("Q", "BR"),
-    "bjt_vaf": ("Q", "VAF"),
+    "bjt_vaf": ("Q", "VAF"), "bjt_cje": ("Q", "CJE"),
+    "bjt_cjc": ("Q", "CJC"),
+    "res_tc1": ("R", "TC1"), "res_tc2": ("R", "TC2"),
     "vcvs_gain": ("E", "GAIN"), "vccs_g": ("G", "GM"),
     "cccs_gain": ("F", "GAIN"), "ccvs_r": ("H", "R"),
 }

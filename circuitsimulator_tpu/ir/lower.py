@@ -439,6 +439,9 @@ def lower(ckt: Circuit, dtype=jnp.float64) -> LoweredCircuit:
         "mos_p": jnp.asarray([-1.0 if e.is_p else 1.0 for e in mos], dtype),
         "dio_is": jnp.asarray([e.i_sat for e in dio], dtype),
         "dio_cjo": jnp.asarray([e.cj0 for e in dio], dtype),
+        # BJT junction capacitances (extension; cap-like class members)
+        "bjt_cje": jnp.asarray([e.cje for e in bjt], dtype),
+        "bjt_cjc": jnp.asarray([e.cjc for e in bjt], dtype),
         "dio_n": jnp.asarray([e.n_ideal for e in dio], dtype),
         "bjt_is": jnp.asarray([e.i_sat for e in bjt], dtype),
         "bjt_bf": jnp.asarray([e.bf for e in bjt], dtype),

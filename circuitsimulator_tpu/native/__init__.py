@@ -38,7 +38,7 @@ from ..netlist.parser import (
 _SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                     "csim_frontend.cpp")
 _LIB_NAME = "libcsim_frontend.so"
-_ABI_VERSION = 8   # bump on ANY packed-struct change (CLAUDE.md)
+_ABI_VERSION = 9   # bump on ANY packed-struct change (CLAUDE.md)
 
 _lib = None
 _lib_error: Optional[str] = None
@@ -70,6 +70,8 @@ class _CElement(ct.Structure):
         ("vaf", ct.c_double),
         # resistor temperature coefficients (ABI v8)
         ("tc1", ct.c_double), ("tc2", ct.c_double),
+        # BJT junction capacitances (ABI v9)
+        ("cje", ct.c_double), ("cjc", ct.c_double),
     ]
 
 
@@ -334,6 +336,7 @@ def parse_netlist_text_native(text: str) -> Tuple[Circuit, SimulationConfig]:
                 rec.is_p = bool(e.is_p)
                 rec.i_sat, rec.bf, rec.br = e.i_sat, e.bf, e.br
                 rec.vaf = e.vaf
+                rec.cje, rec.cjc = e.cje, e.cjc
             elif kind in (KIND_F, KIND_H):
                 rec.ctrl_name = s(e.ctrl_off)
             elif kind == KIND_K:

@@ -412,6 +412,7 @@ struct ElementRec {
     double gamma, phi;
     double vaf;         // BJT Early voltage (extension); 0 = off
     double tc1, tc2;    // resistor temperature coefficients (ABI v8)
+    double cje, cjc;    // BJT junction capacitances (ABI v9); 0 = off
 };
 
 struct NodeRec {
@@ -538,6 +539,7 @@ struct BjtModel {
     bool is_pnp = false;
     double i_sat = 1e-16, bf = 100.0, br = 1.0;
     double vaf = 0.0;   // Early voltage (extension); 0 = off
+    double cje = 0.0, cjc = 0.0;  // junction capacitances (extension)
 };
 
 struct SwModel {    // switch model card (extension)
@@ -1215,6 +1217,8 @@ public:
         e.bf = m.bf;
         e.br = m.br;
         e.vaf = m.vaf;
+        e.cje = m.cje;
+        e.cjc = m.cjc;
         out.elements.push_back(e);
     }
 
@@ -1601,6 +1605,8 @@ public:
             else if (key == "bf") m.bf = v;
             else if (key == "br") m.br = v;
             else if (key == "vaf") m.vaf = v;
+            else if (key == "cje") m.cje = v;
+            else if (key == "cjc") m.cjc = v;
         }
         bjt_models[t[1]] = m;
     }
@@ -2711,5 +2717,5 @@ const char* csim_strpool(void* h) { return FE.str_pool.c_str(); }
 const void* csim_config(void* h) { return &FE.config; }
 const char* csim_diagnostics(void* h) { return FE.diagnostics.c_str(); }
 
-int32_t csim_abi_version(void) { return 8; }
+int32_t csim_abi_version(void) { return 9; }
 }

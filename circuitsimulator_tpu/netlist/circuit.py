@@ -203,6 +203,8 @@ class BjtModel:
     bf: float = 100.0
     br: float = 1.0
     vaf: float = 0.0      # Early voltage (extension); 0 = off
+    cje: float = 0.0      # B-E junction capacitance (extension); 0 = off
+    cjc: float = 0.0      # B-C junction capacitance (extension); 0 = off
 
 
 # Element kinds
@@ -251,6 +253,8 @@ class ElementRec:
     bf: float = 0.0
     br: float = 0.0
     vaf: float = 0.0
+    cje: float = 0.0
+    cjc: float = 0.0
     # controlled sources: gain/gm/r in `value`; F/H controlling V source
     ctrl_name: str = ""
     # mutual inductance (kind K): the two coupled inductors by name,
@@ -474,7 +478,7 @@ class Circuit:
                self.get_or_create_node(ne)]
         self.elements.append(ElementRec(
             KIND_Q, name, ids, is_p=m.is_pnp, i_sat=m.i_sat, bf=m.bf,
-            br=m.br, vaf=m.vaf))
+            br=m.br, vaf=m.vaf, cje=m.cje, cjc=m.cjc))
 
     def add_mos_model(self, m: MosModel):
         self.mos_models[m.name] = m

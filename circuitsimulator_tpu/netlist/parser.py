@@ -1540,6 +1540,10 @@ class NetlistParser:
                 m.br = val
             elif key == "vaf":
                 m.vaf = val
+            elif key == "cje":
+                m.cje = val
+            elif key == "cjc":
+                m.cjc = val
             i += 2
         self.ckt.add_bjt_model(m)
 

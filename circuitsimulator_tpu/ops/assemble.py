@@ -87,11 +87,17 @@ class Engine:
         # (tanalisis.cpp:321-353); state vector shares this layout.
         mc_a = np.stack([t.mos_eg, t.mos_eg, t.mos_es, t.mos_ed], 1).ravel()
         mc_b = np.stack([t.mos_es, t.mos_ed, t.mos_eb, t.mos_eb], 1).ravel()
-        # diode junction caps (CJO, extension) follow the MOS caps
-        self.cap_a = np.concatenate([t.cap_e1, mc_a,
-                                     t.dio_ep]).astype(np.int32)
-        self.cap_b = np.concatenate([t.cap_e2, mc_b,
-                                     t.dio_em]).astype(np.int32)
+        # diode junction caps (CJO, extension) follow the MOS caps, then the
+        # BJT junction caps CJE (B-E) and CJC (B-C), interleaved per device
+        nQ = len(t.bjt_ec)
+        qc_a = np.stack([t.bjt_eb, t.bjt_eb], 1).ravel() if nQ \
+            else np.zeros((0,), np.int32)
+        qc_b = np.stack([t.bjt_ee, t.bjt_ec], 1).ravel() if nQ \
+            else np.zeros((0,), np.int32)
+        self.cap_a = np.concatenate([t.cap_e1, mc_a, t.dio_ep,
+                                     qc_a]).astype(np.int32)
+        self.cap_b = np.concatenate([t.cap_e2, mc_b, t.dio_em,
+                                     qc_b]).astype(np.int32)
         self.cap_rows, self.cap_cols = _two_terminal_pattern(self.cap_a, self.cap_b)
         self.n_caplike = len(self.cap_a)
 
@@ -349,7 +355,9 @@ class Engine:
         cj0 = params["mos_cj0"]
         mc = jnp.stack([0.5 * cj0, 0.5 * cj0, cj0, cj0], axis=-1)
         mc = mc.reshape(*cj0.shape[:-1], -1)
-        return jnp.concatenate([params["cap_c"], mc, params["dio_cjo"]],
+        cje, cjc = params["bjt_cje"], params["bjt_cjc"]
+        qc = jnp.stack([cje, cjc], axis=-1).reshape(*cje.shape[:-1], -1)
+        return jnp.concatenate([params["cap_c"], mc, params["dio_cjo"], qc],
                                axis=-1)
 
     def tl_ticks(self, dt) -> np.ndarray:
