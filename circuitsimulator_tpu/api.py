@@ -139,7 +139,9 @@ class Simulator:
             print(f"cannot open netlist file {path}", file=sys.stderr)
             raise FileNotFoundError(path)
         from .netlist.include import expand_includes
-        text = expand_includes(text, os.path.dirname(os.path.abspath(path)))
+        from .netlist.funcs import expand_funcs
+        text = expand_funcs(
+            expand_includes(text, os.path.dirname(os.path.abspath(path))))
         ckt, sim = cls._parse(text, None, frontend)
         inst = cls(ckt, sim, opts)
         inst.netlist_text = text
@@ -149,7 +151,8 @@ class Simulator:
     def from_text(cls, text: str, opts: Optional[SolverOptions] = None,
                   frontend: str = "python"):
         from .netlist.include import expand_includes
-        text = expand_includes(text)
+        from .netlist.funcs import expand_funcs
+        text = expand_funcs(expand_includes(text))
         ckt, sim = cls._parse(text, None, frontend)
         inst = cls(ckt, sim, opts)
         inst.netlist_text = text
