@@ -725,6 +725,31 @@ class Simulator:
                         source2=source2, values2=values2)
 
     # ---- output ----
+    def write_raw(self, path: str, result, mode: str = "w",
+                  title: Optional[str] = None) -> None:
+        """ngspice/SPICE3 ASCII rawfile output (io/rawfile.py, extension).
+        Accepts a TransientResult, ACResult, or DCSweepResult; pass
+        mode="a" to append further plots to the same file (multi-plot
+        rawfiles are standard)."""
+        from .io import rawfile
+        t = title if title is not None else "circuitsimulator_tpu"
+        if hasattr(result, "times"):
+            if bool(result.failed):
+                raise RuntimeError("Transient: LU produced NaN/Inf.")
+            rawfile.write_raw_transient(
+                path, self.topo, result.times, result.xs, title=t,
+                tstart=self.config.tran.tstart or 0.0, mode=mode)
+        elif hasattr(result, "freqs"):
+            rawfile.write_raw_ac(path, self.topo, result.freqs, result.xs,
+                                 title=t, mode=mode)
+        elif hasattr(result, "values"):
+            rawfile.write_raw_dc_sweep(path, self.topo, result.values,
+                                       result.xs, result.source, title=t,
+                                       mode=mode)
+        else:
+            raise TypeError(f"cannot write {type(result).__name__} "
+                            "as a rawfile")
+
     def write_transient_csv(self, path: str, result: TransientResult,
                             tstart: Optional[float] = None,
                             probes_only: bool = False) -> None:

@@ -42,6 +42,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--method", choices=["be", "trap"], default="be",
                    help="transient integration: Backward Euler (reference "
                         "behavior, default) or trapezoidal (2nd order)")
+    p.add_argument("--raw", metavar="RAWFILE", default=None,
+                   help="also write results as an ngspice ASCII rawfile "
+                        "(transient/AC/DC-sweep plots appended in order)")
     p.add_argument("--profile", metavar="DIR", default=None,
                    help="capture a jax.profiler trace of the transient "
                         "into DIR (view with TensorBoard / Perfetto)")
@@ -76,6 +79,14 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="steady-state algorithm: time-domain Newton "
                         "shooting or frequency-domain harmonic balance")
     return p
+
+
+def _raw_mode(args) -> str:
+    """First --raw write truncates, later plots append (multi-plot
+    rawfiles are standard ngspice)."""
+    mode = "a" if getattr(args, "_raw_written", False) else "w"
+    args._raw_written = True
+    return mode
 
 
 def main(argv=None) -> int:
@@ -144,6 +155,8 @@ def main(argv=None) -> int:
                 print(f"Profiler trace written to '{args.profile}'.")
             sim.write_transient_csv(args.tran_out, res,
                                     probes_only=args.probes_only)
+            if args.raw:
+                sim.write_raw(args.raw, res, mode=_raw_mode(args))
         except Exception as e:  # noqa: BLE001
             print(f"Transient failed: {e}", file=sys.stderr)
             return 1
@@ -183,6 +196,8 @@ def main(argv=None) -> int:
                 ac_sel = probe_selection(sim.topo, sim.config.print_commands,
                                          analysis="ac") or None
             write_ac_csv(args.run_ac, sim.topo, acres, selection=ac_sel)
+            if args.raw:
+                sim.write_raw(args.raw, acres, mode=_raw_mode(args))
             print(f"AC sweep finished ({len(acres.freqs)} points). "
                   f"Results written to '{args.run_ac}'.")
             if any(m.analysis == "ac" for m in sim.config.measures):
@@ -245,6 +260,8 @@ def main(argv=None) -> int:
         try:
             swres = sim.dc_sweep()
             write_sweep_csv(args.run_dc_sweep, sim.topo, swres)
+            if args.raw:
+                sim.write_raw(args.raw, swres, mode=_raw_mode(args))
             print(f"DC sweep of {swres.source} finished "
                   f"({len(swres.values)} points). "
                   f"Results written to '{args.run_dc_sweep}'.")
