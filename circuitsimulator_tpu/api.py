@@ -563,6 +563,33 @@ class Simulator:
             x_op = self.dc(params=params)
         return s_parameters(self.engine, p, port_eqs, z0s, freqs, x_op)
 
+    def monte_carlo(self, n: int, seed: int = 0,
+                    params: Optional[Any] = None):
+        """Netlist-driven Monte Carlo from `DEV=`/`LOT=` tolerances on
+        R/C/L cards (parallel/montecarlo.perturb_params_netlist).
+
+        Runs the deck's primary analysis over n perturbed lanes in ONE
+        batched solve: with .TRAN + .MEASURE cards, returns (bparams,
+        {measure: (n,) values}); otherwise (bparams, (n, N) DC operating
+        points)."""
+        from .parallel.montecarlo import (
+            perturb_params_netlist, batched_transient_measures,
+            batched_dc_fast)
+        if not self.lowered.mc_tols:
+            raise ValueError("no DEV=/LOT= tolerances in the netlist")
+        p = params if params is not None else self.params
+        bp = perturb_params_netlist(p, jax.random.key(seed), n,
+                                    self.lowered.mc_tols)
+        tran = self.config.tran
+        if tran.enabled and any(m.analysis == "tran"
+                                for m in self.config.measures):
+            _, vals = batched_transient_measures(
+                self.engine, bp, tran.tstep, tran.tstop,
+                [m for m in self.config.measures if m.analysis == "tran"],
+                self.topo)
+            return bp, vals
+        return bp, batched_dc_fast(self.engine, bp)
+
     def yield_analysis(self, key, batch: int, rel_sigma, specs,
                        params: Optional[Any] = None):
         """Monte-Carlo yield over the .TRAN card with streaming .MEASURE

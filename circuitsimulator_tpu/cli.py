@@ -42,6 +42,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--method", choices=["be", "trap"], default="be",
                    help="transient integration: Backward Euler (reference "
                         "behavior, default) or trapezoidal (2nd order)")
+    p.add_argument("--run-mc", metavar="N", type=int, default=None,
+                   help="Monte-Carlo over the netlist's DEV=/LOT= "
+                        "tolerances: N lanes, one batched solve")
+    p.add_argument("--run-mc-out", metavar="CSV", default="mc_out.csv",
+                   help="per-lane Monte-Carlo results CSV "
+                        "(default mc_out.csv)")
     p.add_argument("--raw", metavar="RAWFILE", default=None,
                    help="also write results as an ngspice ASCII rawfile "
                         "(transient/AC/DC-sweep plots appended in order)")
@@ -271,6 +277,45 @@ def main(argv=None) -> int:
                 print(measure_report(sim.measure(swres, analysis="dc")))
         except Exception as e:  # noqa: BLE001
             print(f"DC sweep failed: {e}", file=sys.stderr)
+            return 1
+
+    if args.run_mc:
+        import numpy as _np
+        n = args.run_mc
+        print(f"\nRunning Monte-Carlo ({n} lanes, one batched solve)...")
+        try:
+            _, out = sim.monte_carlo(n)
+            if isinstance(out, dict):
+                names = list(out)
+                cols = [_np.asarray(out[k]).ravel() for k in names]
+                with open(args.run_mc_out, "w") as f:
+                    f.write("lane," + ",".join(names) + "\n")
+                    for i in range(n):
+                        f.write(f"{i}," + ",".join(f"{c[i]:.9e}"
+                                                   for c in cols) + "\n")
+                print("\n==== Monte-Carlo measure statistics ====")
+                for k, c in zip(names, cols):
+                    print(f"  {k:>16s}: mean={c.mean():.6g} "
+                          f"std={c.std():.6g} min={c.min():.6g} "
+                          f"max={c.max():.6g}")
+            else:
+                xs = _np.asarray(out)
+                eqs = _np.asarray(sim.topo.volt_col_eqs, int)
+                names = [f"V({nm})" for nm in sim.topo.volt_col_names]
+                with open(args.run_mc_out, "w") as f:
+                    f.write("lane," + ",".join(names) + "\n")
+                    for i in range(n):
+                        f.write(f"{i}," + ",".join(
+                            f"{v:.9e}" for v in xs[i, eqs]) + "\n")
+                print("\n==== Monte-Carlo DC statistics ====")
+                for j, nm in enumerate(names):
+                    c = xs[:, eqs[j]]
+                    print(f"  {nm:>16s}: mean={c.mean():.6g} "
+                          f"std={c.std():.6g}")
+            print(f"Monte-Carlo finished. Per-lane results written to "
+                  f"'{args.run_mc_out}'.")
+        except Exception as e:  # noqa: BLE001
+            print(f"Monte-Carlo failed: {e}", file=sys.stderr)
             return 1
 
     if args.run_step:

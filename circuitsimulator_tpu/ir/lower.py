@@ -153,6 +153,9 @@ class LoweredCircuit:
     params: Dict[str, Any]        # jnp arrays; the batchable pytree
     circuit: Circuit
     b_sources: List[BSourceInfo] = dataclasses.field(default_factory=list)
+    # netlist DEV=/LOT= Monte-Carlo tolerances: params key -> (dev, lot)
+    # per-element relative-sigma numpy arrays; empty when the deck has none
+    mc_tols: Dict[str, Any] = dataclasses.field(default_factory=dict)
 
 
 def _np_i32(xs) -> np.ndarray:
@@ -475,5 +478,11 @@ def lower(ckt: Circuit, dtype=jnp.float64) -> LoweredCircuit:
         for f, arr in pack.items():
             params[f"{key}_{f}"] = arr
 
+    mc_tols = {}
+    for key, els in (("res_r", res), ("cap_c", cap), ("ind_l", ind)):
+        if any(e.dev_tol or e.lot_tol for e in els):
+            mc_tols[key] = (np.asarray([e.dev_tol for e in els]),
+                            np.asarray([e.lot_tol for e in els]))
+
     return LoweredCircuit(topo=topo, params=params, circuit=ckt,
-                          b_sources=b_infos)
+                          b_sources=b_infos, mc_tols=mc_tols)

@@ -38,7 +38,7 @@ from ..netlist.parser import (
 _SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                     "csim_frontend.cpp")
 _LIB_NAME = "libcsim_frontend.so"
-_ABI_VERSION = 9   # bump on ANY packed-struct change (CLAUDE.md)
+_ABI_VERSION = 10  # bump on ANY packed-struct change (CLAUDE.md)
 
 _lib = None
 _lib_error: Optional[str] = None
@@ -72,6 +72,8 @@ class _CElement(ct.Structure):
         ("tc1", ct.c_double), ("tc2", ct.c_double),
         # BJT junction capacitances (ABI v9)
         ("cje", ct.c_double), ("cjc", ct.c_double),
+        # R/C/L Monte-Carlo tolerances (ABI v10)
+        ("dev_tol", ct.c_double), ("lot_tol", ct.c_double),
     ]
 
 
@@ -308,6 +310,8 @@ def parse_netlist_text_native(text: str) -> Tuple[Circuit, SimulationConfig]:
                              value=e.value, branch_eq=e.branch_eq)
             if kind == KIND_R:
                 rec.tc1, rec.tc2 = e.tc1, e.tc2
+            if kind in (KIND_R, KIND_C, KIND_L):
+                rec.dev_tol, rec.lot_tol = e.dev_tol, e.lot_tol
             if kind in (KIND_V, KIND_I):
                 w = Waveform(kind=e.wave_kind)
                 if e.wave_kind == 1:

@@ -413,6 +413,7 @@ struct ElementRec {
     double vaf;         // BJT Early voltage (extension); 0 = off
     double tc1, tc2;    // resistor temperature coefficients (ABI v8)
     double cje, cjc;    // BJT junction capacitances (ABI v9); 0 = off
+    double dev_tol, lot_tol;  // R/C/L Monte-Carlo tolerances (ABI v10)
 };
 
 struct NodeRec {
@@ -881,12 +882,22 @@ public:
         e.nodes[0] = node(st.tokens[1]);
         e.nodes[1] = node(st.tokens[2]);
         e.value = v;
-        if (kind == 0) {
-            // resistor TC=tc1[,tc2] / TC1= / TC2= (extension)
+        {
+            // trailing key=value specs: TC (R only), DEV=/LOT= Monte-Carlo
+            // tolerances (R/C/L; `5%` or bare fraction) — extensions
             bool bad = false;
+            auto tolv = [&](std::string s, double* out_v) {
+                if (!s.empty() && s.back() == '%') {
+                    if (!parse_spice(s.substr(0, s.size() - 1), out_v))
+                        return false;
+                    *out_v /= 100.0;
+                    return true;
+                }
+                return parse_spice(s, out_v);
+            };
             for (size_t i = 4; i < st.tokens.size(); ++i) {
                 std::string low = lower(st.tokens[i]);
-                if (low.rfind("tc=", 0) == 0) {
+                if (kind == 0 && low.rfind("tc=", 0) == 0) {
                     std::string rest = low.substr(3);
                     size_t comma = rest.find(',');
                     std::string a = rest.substr(0, comma);
@@ -896,15 +907,21 @@ public:
                         if (!parse_spice(rest.substr(comma + 1), &e.tc2))
                             bad = true;
                     }
-                } else if (low.rfind("tc1=", 0) == 0) {
+                } else if (kind == 0 && low.rfind("tc1=", 0) == 0) {
                     if (!parse_spice(low.substr(4), &e.tc1)) bad = true;
-                } else if (low.rfind("tc2=", 0) == 0) {
+                } else if (kind == 0 && low.rfind("tc2=", 0) == 0) {
                     if (!parse_spice(low.substr(4), &e.tc2)) bad = true;
+                } else if (low.rfind("dev=", 0) == 0) {
+                    if (!tolv(low.substr(4), &e.dev_tol)) bad = true;
+                } else if (low.rfind("lot=", 0) == 0) {
+                    if (!tolv(low.substr(4), &e.lot_tol)) bad = true;
                 }
             }
             if (bad) {
-                warn(st.line_no, "cannot parse R TC spec: '" + st.raw + "'");
-                e.tc1 = e.tc2 = 0.0;
+                warn(st.line_no, std::string("cannot parse ") +
+                                     "RCL"[kind] + " key=value spec: '" +
+                                     st.raw + "'");
+                e.tc1 = e.tc2 = e.dev_tol = e.lot_tol = 0.0;
             }
         }
         out.elements.push_back(e);
@@ -2717,5 +2734,5 @@ const char* csim_strpool(void* h) { return FE.str_pool.c_str(); }
 const void* csim_config(void* h) { return &FE.config; }
 const char* csim_diagnostics(void* h) { return FE.diagnostics.c_str(); }
 
-int32_t csim_abi_version(void) { return 9; }
+int32_t csim_abi_version(void) { return 10; }
 }

@@ -278,6 +278,10 @@ class ElementRec:
     # R(T) = value * (1 + tc1*(T-27) + tc2*(T-27)^2)
     tc1: float = 0.0
     tc2: float = 0.0
+    # Monte-Carlo tolerances (extension, R/C/L): relative sigmas applied
+    # as value * exp(dev*N_device + lot*N_lane) by parallel/montecarlo.py
+    dev_tol: float = 0.0
+    lot_tol: float = 0.0
 
 
 @dataclasses.dataclass
@@ -341,18 +345,22 @@ class Circuit:
                 eq += 2
 
     # --- element factories ------------------------------------------------
-    def add_resistor(self, name, n1, n2, value, tc1=0.0, tc2=0.0):
+    def add_resistor(self, name, n1, n2, value, tc1=0.0, tc2=0.0,
+                     dev_tol=0.0, lot_tol=0.0):
         ids = [self.get_or_create_node(n1), self.get_or_create_node(n2)]
         self.elements.append(ElementRec(KIND_R, name, ids, value=value,
-                                        tc1=tc1, tc2=tc2))
+                                        tc1=tc1, tc2=tc2,
+                                        dev_tol=dev_tol, lot_tol=lot_tol))
 
-    def add_capacitor(self, name, n1, n2, value):
+    def add_capacitor(self, name, n1, n2, value, dev_tol=0.0, lot_tol=0.0):
         ids = [self.get_or_create_node(n1), self.get_or_create_node(n2)]
-        self.elements.append(ElementRec(KIND_C, name, ids, value=value))
+        self.elements.append(ElementRec(KIND_C, name, ids, value=value,
+                                        dev_tol=dev_tol, lot_tol=lot_tol))
 
-    def add_inductor(self, name, n1, n2, value):
+    def add_inductor(self, name, n1, n2, value, dev_tol=0.0, lot_tol=0.0):
         ids = [self.get_or_create_node(n1), self.get_or_create_node(n2)]
-        self.elements.append(ElementRec(KIND_L, name, ids, value=value))
+        self.elements.append(ElementRec(KIND_L, name, ids, value=value,
+                                        dev_tol=dev_tol, lot_tol=lot_tol))
 
     def add_current_source(self, name, np_, nm, spec):
         ids = [self.get_or_create_node(np_), self.get_or_create_node(nm)]

@@ -365,30 +365,43 @@ class NetlistParser:
         except (ValueError, Exception) as e:
             _warn(st.line_no, f"cannot parse {kind} value: {e} in '{st.raw}'")
             return
+        # optional trailing key=value specs (extensions): TC (R only),
+        # DEV/LOT Monte-Carlo tolerances (all of R/C/L, `5%` or `0.05`)
+        tc1 = tc2 = dev = lot = 0.0
+
+        def tolval(s):
+            return parse_spice_number(s[:-1]) / 100.0 if s.endswith("%") \
+                else parse_spice_number(s)
+
+        try:
+            for tok in t[4:]:
+                low = tok.lower()
+                if kind == "R" and low.startswith("tc="):
+                    parts = low[3:].split(",")
+                    tc1 = parse_spice_number(parts[0])
+                    if len(parts) > 1 and parts[1]:
+                        tc2 = parse_spice_number(parts[1])
+                elif kind == "R" and low.startswith("tc1="):
+                    tc1 = parse_spice_number(low[4:])
+                elif kind == "R" and low.startswith("tc2="):
+                    tc2 = parse_spice_number(low[4:])
+                elif low.startswith("dev="):
+                    dev = tolval(low[4:])
+                elif low.startswith("lot="):
+                    lot = tolval(low[4:])
+        except ValueError as e:
+            _warn(st.line_no,
+                  f"cannot parse {kind} key=value spec: {e} in '{st.raw}'")
+            tc1 = tc2 = dev = lot = 0.0
         if kind == "R":
-            # optional temperature coefficients (extension):
-            # `TC=tc1[,tc2]` or `TC1=x [TC2=y]` after the value
-            tc1 = tc2 = 0.0
-            try:
-                for tok in t[4:]:
-                    low = tok.lower()
-                    if low.startswith("tc=") :
-                        parts = low[3:].split(",")
-                        tc1 = parse_spice_number(parts[0])
-                        if len(parts) > 1 and parts[1]:
-                            tc2 = parse_spice_number(parts[1])
-                    elif low.startswith("tc1="):
-                        tc1 = parse_spice_number(low[4:])
-                    elif low.startswith("tc2="):
-                        tc2 = parse_spice_number(low[4:])
-            except ValueError as e:
-                _warn(st.line_no, f"cannot parse R TC spec: {e} in '{st.raw}'")
-                tc1 = tc2 = 0.0
-            self.ckt.add_resistor(t[0], t[1], t[2], val, tc1=tc1, tc2=tc2)
+            self.ckt.add_resistor(t[0], t[1], t[2], val, tc1=tc1, tc2=tc2,
+                                  dev_tol=dev, lot_tol=lot)
         elif kind == "C":
-            self.ckt.add_capacitor(t[0], t[1], t[2], val)
+            self.ckt.add_capacitor(t[0], t[1], t[2], val,
+                                   dev_tol=dev, lot_tol=lot)
         else:
-            self.ckt.add_inductor(t[0], t[1], t[2], val)
+            self.ckt.add_inductor(t[0], t[1], t[2], val,
+                                  dev_tol=dev, lot_tol=lot)
 
     def _parse_sin(self, st: Statement, spec: SourceSpec, sin_idx: int) -> None:
         t = st.tokens

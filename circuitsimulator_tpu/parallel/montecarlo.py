@@ -50,6 +50,32 @@ def perturb_params(params: Dict[str, Any], key, batch: int,
     return out
 
 
+def perturb_params_netlist(params: Dict[str, Any], key, batch: int,
+                           mc_tols: Mapping[str, Any]) -> Dict[str, Any]:
+    """Batched perturbation from netlist `DEV=`/`LOT=` tolerances
+    (LoweredCircuit.mc_tols): value * exp(dev*N_dev + lot*N_lot), where
+    N_dev is drawn independently per device per lane and N_lot is ONE
+    draw per lane shared by every element carrying a LOT tolerance (the
+    classic same-production-lot correlation).  Lognormal keeps physical
+    positivity, matching perturb_params."""
+    out = {}
+    keys = jax.random.split(key, len(mc_tols) + 1)
+    lot_noise = jax.random.normal(keys[0], (batch, 1))
+    key_for = dict(zip(sorted(mc_tols), keys[1:]))
+    for name, arr in params.items():
+        if name in mc_tols and arr.dtype.kind == "f" and arr.size:
+            dev, lot = mc_tols[name]
+            dev = jnp.asarray(dev, arr.dtype)
+            lot = jnp.asarray(lot, arr.dtype)
+            noise = jax.random.normal(
+                key_for[name], (batch,) + arr.shape, dtype=arr.dtype)
+            sig = dev * noise + lot * lot_noise.astype(arr.dtype)
+            out[name] = arr[None] * jnp.exp(sig)
+        else:
+            out[name] = jnp.broadcast_to(arr, (batch,) + arr.shape)
+    return out
+
+
 def batched_dc(engine: Engine, bparams):
     """vmap'd DC operating point: params with leading batch axis -> (B, N)."""
     return jax.vmap(lambda p: dc_operating_point(engine, p))(bparams)
