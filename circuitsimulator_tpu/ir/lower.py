@@ -442,6 +442,9 @@ def lower(ckt: Circuit, dtype=jnp.float64) -> LoweredCircuit:
         "mos_p": jnp.asarray([-1.0 if e.is_p else 1.0 for e in mos], dtype),
         "dio_is": jnp.asarray([e.i_sat for e in dio], dtype),
         "dio_cjo": jnp.asarray([e.cj0 for e in dio], dtype),
+        # reverse breakdown (extension; engine.dio_bv gates structurally)
+        "dio_bv": jnp.asarray([e.d_bv for e in dio], dtype),
+        "dio_ibv": jnp.asarray([e.d_ibv for e in dio], dtype),
         # BJT junction capacitances (extension; cap-like class members)
         "bjt_cje": jnp.asarray([e.cje for e in bjt], dtype),
         "bjt_cjc": jnp.asarray([e.cjc for e in bjt], dtype),

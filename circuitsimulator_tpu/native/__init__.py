@@ -38,7 +38,7 @@ from ..netlist.parser import (
 _SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                     "csim_frontend.cpp")
 _LIB_NAME = "libcsim_frontend.so"
-_ABI_VERSION = 10  # bump on ANY packed-struct change (CLAUDE.md)
+_ABI_VERSION = 11  # bump on ANY packed-struct change (CLAUDE.md)
 
 _lib = None
 _lib_error: Optional[str] = None
@@ -74,6 +74,8 @@ class _CElement(ct.Structure):
         ("cje", ct.c_double), ("cjc", ct.c_double),
         # R/C/L Monte-Carlo tolerances (ABI v10)
         ("dev_tol", ct.c_double), ("lot_tol", ct.c_double),
+        # diode reverse breakdown (ABI v11)
+        ("d_bv", ct.c_double), ("d_ibv", ct.c_double),
     ]
 
 
@@ -336,6 +338,7 @@ def parse_netlist_text_native(text: str) -> Tuple[Circuit, SimulationConfig]:
             elif kind == KIND_D:
                 rec.i_sat, rec.n_ideal = e.i_sat, e.n_ideal
                 rec.cj0 = e.cj0
+                rec.d_bv, rec.d_ibv = e.d_bv, e.d_ibv
             elif kind == KIND_Q:
                 rec.is_p = bool(e.is_p)
                 rec.i_sat, rec.bf, rec.br = e.i_sat, e.bf, e.br

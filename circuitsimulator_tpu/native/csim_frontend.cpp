@@ -414,6 +414,7 @@ struct ElementRec {
     double tc1, tc2;    // resistor temperature coefficients (ABI v8)
     double cje, cjc;    // BJT junction capacitances (ABI v9); 0 = off
     double dev_tol, lot_tol;  // R/C/L Monte-Carlo tolerances (ABI v10)
+    double d_bv, d_ibv;       // diode reverse breakdown (ABI v11)
 };
 
 struct NodeRec {
@@ -1576,6 +1577,7 @@ public:
         ElementRec e = blank(6, t[0]);
         e.i_sat = 1e-14;
         e.n_ideal = 1.0;
+        e.d_ibv = 1e-3;
         for (size_t i = 3; i < t.size(); ++i) {
             std::string tok = t[i];
             size_t eq = tok.find('=');
@@ -1589,6 +1591,8 @@ public:
             if (key == "is") e.i_sat = v;
             else if (key == "n") e.n_ideal = v;
             else if (key == "cjo" || key == "cj0") e.cj0 = v;
+            else if (key == "bv") e.d_bv = v;
+            else if (key == "ibv") e.d_ibv = v;
         }
         e.nodes[0] = node(t[1]);
         e.nodes[1] = node(t[2]);
@@ -2734,5 +2738,5 @@ const char* csim_strpool(void* h) { return FE.str_pool.c_str(); }
 const void* csim_config(void* h) { return &FE.config; }
 const char* csim_diagnostics(void* h) { return FE.diagnostics.c_str(); }
 
-int32_t csim_abi_version(void) { return 10; }
+int32_t csim_abi_version(void) { return 11; }
 }

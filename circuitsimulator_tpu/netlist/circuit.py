@@ -249,6 +249,9 @@ class ElementRec:
     # Diode parameters
     i_sat: float = 0.0
     n_ideal: float = 1.0
+    # reverse breakdown (extension): BV=0 means off; IBV = |I| at -BV
+    d_bv: float = 0.0
+    d_ibv: float = 1e-3
     # BJT parameters (kind Q; node_ids = [C, B, E])
     bf: float = 0.0
     br: float = 0.0
@@ -470,12 +473,15 @@ class Circuit:
         self.elements.append(ElementRec(KIND_K, name, [], value=k,
                                         ctrl_name=l1, ctrl2_name=l2))
 
-    def add_diode(self, name, np_, nm, i_sat, n_ideal, cj0=0.0):
+    def add_diode(self, name, np_, nm, i_sat, n_ideal, cj0=0.0,
+                  bv=0.0, ibv=1e-3):
         """CJO (extension): a constant junction capacitance across the
-        diode, lumped into the cap-like class like the MOS junction caps."""
+        diode, lumped into the cap-like class like the MOS junction caps.
+        BV/IBV (extension): reverse breakdown; BV=0 disables it."""
         ids = [self.get_or_create_node(np_), self.get_or_create_node(nm)]
         self.elements.append(ElementRec(KIND_D, name, ids, i_sat=i_sat,
-                                        n_ideal=n_ideal, cj0=cj0))
+                                        n_ideal=n_ideal, cj0=cj0,
+                                        d_bv=bv, d_ibv=ibv))
 
     def add_bjt(self, name, nc, nb, ne, model_id):
         m = self.bjt_models.get(model_id)

@@ -900,6 +900,7 @@ class NetlistParser:
             _warn(st.line_no, f"invalid diode: {st.raw}")
             return
         i_sat, n_ideal, cj0 = 1e-14, 1.0, 0.0
+        bv, ibv = 0.0, 1e-3
         for tok in t[3:]:
             key, _, val = tok.partition("=")
             try:
@@ -909,10 +910,15 @@ class NetlistParser:
                     n_ideal = parse_spice_number(val)
                 elif key.lower() in ("cjo", "cj0") and val:
                     cj0 = parse_spice_number(val)
+                elif key.lower() == "bv" and val:
+                    bv = parse_spice_number(val)
+                elif key.lower() == "ibv" and val:
+                    ibv = parse_spice_number(val)
             except ValueError as e:
                 _warn(st.line_no, f"cannot parse diode param: {e} in '{st.raw}'")
                 return
-        self.ckt.add_diode(t[0], t[1], t[2], i_sat, n_ideal, cj0)
+        self.ckt.add_diode(t[0], t[1], t[2], i_sat, n_ideal, cj0,
+                           bv=bv, ibv=ibv)
 
     # ---- dot cards ----
     def _parse_dot_card(self, st: Statement) -> None:

@@ -196,6 +196,7 @@ class Engine:
         self.bjt_early = bool(np.any(np.asarray(low.params["bjt_vaf"])))
         self.res_tc = bool(np.any(np.asarray(low.params["res_tc1"]))
                            or np.any(np.asarray(low.params["res_tc2"])))
+        self.dio_bv = bool(np.any(np.asarray(low.params["dio_bv"])))
 
         # ---- linear controlled sources (extension; static stamps) ----
         # VCCS: rows [p,p,m,m] x cols [cp,cm,cp,cm], vals [+g,-g,-g,+g]
@@ -452,7 +453,11 @@ class Engine:
             vp = xe[..., t.dio_ep]
             vm = xe[..., t.dio_em]
             g, r = diode_stamp_vals(params["dio_is"], params["dio_n"], vp,
-                                    vm, vt=params["vt_thermal"])
+                                    vm, vt=params["vt_thermal"],
+                                    bv=(params["dio_bv"]
+                                        if self.dio_bv else None),
+                                    ibv=(params["dio_ibv"]
+                                         if self.dio_bv else None))
             gv.append(g)
             rv.append(r)
         if len(t.bjt_ec):

@@ -183,7 +183,11 @@ class WoodburySolver:
             vd2 = vd2.reshape(*vd2.shape[:-1], plan.nD, 2)
             g, cst = _dio(params["dio_is"], params["dio_n"],
                           vd2[..., 0], vd2[..., 1],
-                          vt=params["vt_thermal"])
+                          vt=params["vt_thermal"],
+                          bv=(params["dio_bv"]
+                              if self.engine.dio_bv else None),
+                          ibv=(params["dio_ibv"]
+                               if self.engine.dio_bv else None))
             zeros = jnp.zeros_like(g)
             parts_v.append(jnp.stack([g, -g, zeros], axis=-1))
             parts_c.append(cst)
