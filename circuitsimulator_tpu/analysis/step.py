@@ -54,6 +54,11 @@ def _combo_params(sim, cfgs, combo):
         if "vt_thermal" in sim.params:
             p["vt_thermal"] = jnp.asarray(sim.params["vt_thermal"])
             p["temp_delta_c"] = jnp.asarray(sim.params["temp_delta_c"])
+            from ..utils.temp import has_is_temp, apply_is_temp
+            if has_is_temp(p) and not any(c.kind == "temp" for c in cfgs):
+                # apply the .TEMP card's IS(T); when a .STEP TEMP is also
+                # present, the temp branch below does the (re)scaling
+                p = apply_is_temp(p)
     else:
         p = dict(sim.params)
     k_b, q_e = 1.380649e-23, 1.602176634e-19
@@ -67,6 +72,16 @@ def _combo_params(sim, cfgs, combo):
                 k_b * (273.15 + float(v)) / q_e, sim.engine.dtype)
             p["temp_delta_c"] = jnp.asarray(float(v) - 27.0,
                                             sim.engine.dtype)
+            from ..utils.temp import has_is_temp, apply_is_temp
+            if has_is_temp(p):
+                # rescale from NOMINAL saturation currents — p's may
+                # already carry a .TEMP-card scaling (no double-scaling)
+                if not overrides:
+                    p["dio_is"] = jnp.asarray(
+                        sim.lowered.params["dio_is"], sim.engine.dtype)
+                    p["bjt_is"] = jnp.asarray(
+                        sim.lowered.params["bjt_is"], sim.engine.dtype)
+                p = apply_is_temp(p)
     return p
 
 

@@ -57,6 +57,10 @@ class Simulator:
                 k_b * (273.15 + float(sim_config.temp_c)) / q_e, opts.dtype)
             self.params["temp_delta_c"] = jnp.asarray(
                 float(sim_config.temp_c) - 27.0, opts.dtype)
+            from .utils.temp import has_is_temp, apply_is_temp
+            if has_is_temp(self.params):
+                # EG/XTI given: scale diode/BJT saturation currents too
+                self.params = apply_is_temp(self.params)
         self.engine = Engine(self.lowered, opts)
         # large ladder circuits (RC lines etc.): dense O(N^2) assembly and
         # O(N^3) LU are unusable — switch to the bordered-tridiagonal

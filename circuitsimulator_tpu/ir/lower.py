@@ -445,6 +445,11 @@ def lower(ckt: Circuit, dtype=jnp.float64) -> LoweredCircuit:
         # reverse breakdown (extension; engine.dio_bv gates structurally)
         "dio_bv": jnp.asarray([e.d_bv for e in dio], dtype),
         "dio_ibv": jnp.asarray([e.d_ibv for e in dio], dtype),
+        # IS(T) scaling exponents (extension; applied by utils/temp.py)
+        "dio_eg": jnp.asarray([e.eg for e in dio], dtype),
+        "dio_xti": jnp.asarray([e.xti for e in dio], dtype),
+        "bjt_eg": jnp.asarray([e.eg for e in bjt], dtype),
+        "bjt_xti": jnp.asarray([e.xti for e in bjt], dtype),
         # BJT junction capacitances (extension; cap-like class members)
         "bjt_cje": jnp.asarray([e.cje for e in bjt], dtype),
         "bjt_cjc": jnp.asarray([e.cjc for e in bjt], dtype),

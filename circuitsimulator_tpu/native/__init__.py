@@ -38,7 +38,7 @@ from ..netlist.parser import (
 _SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                     "csim_frontend.cpp")
 _LIB_NAME = "libcsim_frontend.so"
-_ABI_VERSION = 11  # bump on ANY packed-struct change (CLAUDE.md)
+_ABI_VERSION = 12  # bump on ANY packed-struct change (CLAUDE.md)
 
 _lib = None
 _lib_error: Optional[str] = None
@@ -76,6 +76,8 @@ class _CElement(ct.Structure):
         ("dev_tol", ct.c_double), ("lot_tol", ct.c_double),
         # diode reverse breakdown (ABI v11)
         ("d_bv", ct.c_double), ("d_ibv", ct.c_double),
+        # IS(T) scaling, diode + BJT (ABI v12)
+        ("eg", ct.c_double), ("xti", ct.c_double),
     ]
 
 
@@ -339,11 +341,13 @@ def parse_netlist_text_native(text: str) -> Tuple[Circuit, SimulationConfig]:
                 rec.i_sat, rec.n_ideal = e.i_sat, e.n_ideal
                 rec.cj0 = e.cj0
                 rec.d_bv, rec.d_ibv = e.d_bv, e.d_ibv
+                rec.eg, rec.xti = e.eg, e.xti
             elif kind == KIND_Q:
                 rec.is_p = bool(e.is_p)
                 rec.i_sat, rec.bf, rec.br = e.i_sat, e.bf, e.br
                 rec.vaf = e.vaf
                 rec.cje, rec.cjc = e.cje, e.cjc
+                rec.eg, rec.xti = e.eg, e.xti
             elif kind in (KIND_F, KIND_H):
                 rec.ctrl_name = s(e.ctrl_off)
             elif kind == KIND_K:

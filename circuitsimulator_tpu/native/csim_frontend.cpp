@@ -415,6 +415,7 @@ struct ElementRec {
     double cje, cjc;    // BJT junction capacitances (ABI v9); 0 = off
     double dev_tol, lot_tol;  // R/C/L Monte-Carlo tolerances (ABI v10)
     double d_bv, d_ibv;       // diode reverse breakdown (ABI v11)
+    double eg, xti;           // IS(T) scaling, diode + BJT (ABI v12)
 };
 
 struct NodeRec {
@@ -542,6 +543,7 @@ struct BjtModel {
     double i_sat = 1e-16, bf = 100.0, br = 1.0;
     double vaf = 0.0;   // Early voltage (extension); 0 = off
     double cje = 0.0, cjc = 0.0;  // junction capacitances (extension)
+    double eg = 0.0, xti = 0.0;   // IS(T) scaling (extension)
 };
 
 struct SwModel {    // switch model card (extension)
@@ -1237,6 +1239,8 @@ public:
         e.vaf = m.vaf;
         e.cje = m.cje;
         e.cjc = m.cjc;
+        e.eg = m.eg;
+        e.xti = m.xti;
         out.elements.push_back(e);
     }
 
@@ -1593,6 +1597,8 @@ public:
             else if (key == "cjo" || key == "cj0") e.cj0 = v;
             else if (key == "bv") e.d_bv = v;
             else if (key == "ibv") e.d_ibv = v;
+            else if (key == "eg") e.eg = v;
+            else if (key == "xti") e.xti = v;
         }
         e.nodes[0] = node(t[1]);
         e.nodes[1] = node(t[2]);
@@ -1628,6 +1634,8 @@ public:
             else if (key == "vaf") m.vaf = v;
             else if (key == "cje") m.cje = v;
             else if (key == "cjc") m.cjc = v;
+            else if (key == "eg") m.eg = v;
+            else if (key == "xti") m.xti = v;
         }
         bjt_models[t[1]] = m;
     }
@@ -2738,5 +2746,5 @@ const char* csim_strpool(void* h) { return FE.str_pool.c_str(); }
 const void* csim_config(void* h) { return &FE.config; }
 const char* csim_diagnostics(void* h) { return FE.diagnostics.c_str(); }
 
-int32_t csim_abi_version(void) { return 11; }
+int32_t csim_abi_version(void) { return 12; }
 }

@@ -205,6 +205,8 @@ class BjtModel:
     vaf: float = 0.0      # Early voltage (extension); 0 = off
     cje: float = 0.0      # B-E junction capacitance (extension); 0 = off
     cjc: float = 0.0      # B-C junction capacitance (extension); 0 = off
+    eg: float = 0.0       # IS(T) activation energy, eV (extension); 0 = off
+    xti: float = 0.0      # IS(T) temperature exponent (extension)
 
 
 # Element kinds
@@ -252,6 +254,10 @@ class ElementRec:
     # reverse breakdown (extension): BV=0 means off; IBV = |I| at -BV
     d_bv: float = 0.0
     d_ibv: float = 1e-3
+    # IS(T) scaling (extension, diode + BJT; 0 = off): IS(T) = IS *
+    # (T/Tnom)^(xti/n) * exp(eg/(n) * (1/vt_nom - 1/vt))
+    eg: float = 0.0
+    xti: float = 0.0
     # BJT parameters (kind Q; node_ids = [C, B, E])
     bf: float = 0.0
     br: float = 0.0
@@ -474,14 +480,15 @@ class Circuit:
                                         ctrl_name=l1, ctrl2_name=l2))
 
     def add_diode(self, name, np_, nm, i_sat, n_ideal, cj0=0.0,
-                  bv=0.0, ibv=1e-3):
+                  bv=0.0, ibv=1e-3, eg=0.0, xti=0.0):
         """CJO (extension): a constant junction capacitance across the
         diode, lumped into the cap-like class like the MOS junction caps.
         BV/IBV (extension): reverse breakdown; BV=0 disables it."""
         ids = [self.get_or_create_node(np_), self.get_or_create_node(nm)]
         self.elements.append(ElementRec(KIND_D, name, ids, i_sat=i_sat,
                                         n_ideal=n_ideal, cj0=cj0,
-                                        d_bv=bv, d_ibv=ibv))
+                                        d_bv=bv, d_ibv=ibv,
+                                        eg=eg, xti=xti))
 
     def add_bjt(self, name, nc, nb, ne, model_id):
         m = self.bjt_models.get(model_id)
@@ -492,7 +499,7 @@ class Circuit:
                self.get_or_create_node(ne)]
         self.elements.append(ElementRec(
             KIND_Q, name, ids, is_p=m.is_pnp, i_sat=m.i_sat, bf=m.bf,
-            br=m.br, vaf=m.vaf, cje=m.cje, cjc=m.cjc))
+            br=m.br, vaf=m.vaf, cje=m.cje, cjc=m.cjc, eg=m.eg, xti=m.xti))
 
     def add_mos_model(self, m: MosModel):
         self.mos_models[m.name] = m

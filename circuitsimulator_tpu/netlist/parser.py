@@ -900,7 +900,7 @@ class NetlistParser:
             _warn(st.line_no, f"invalid diode: {st.raw}")
             return
         i_sat, n_ideal, cj0 = 1e-14, 1.0, 0.0
-        bv, ibv = 0.0, 1e-3
+        bv, ibv, eg, xti = 0.0, 1e-3, 0.0, 0.0
         for tok in t[3:]:
             key, _, val = tok.partition("=")
             try:
@@ -914,11 +914,15 @@ class NetlistParser:
                     bv = parse_spice_number(val)
                 elif key.lower() == "ibv" and val:
                     ibv = parse_spice_number(val)
+                elif key.lower() == "eg" and val:
+                    eg = parse_spice_number(val)
+                elif key.lower() == "xti" and val:
+                    xti = parse_spice_number(val)
             except ValueError as e:
                 _warn(st.line_no, f"cannot parse diode param: {e} in '{st.raw}'")
                 return
         self.ckt.add_diode(t[0], t[1], t[2], i_sat, n_ideal, cj0,
-                           bv=bv, ibv=ibv)
+                           bv=bv, ibv=ibv, eg=eg, xti=xti)
 
     # ---- dot cards ----
     def _parse_dot_card(self, st: Statement) -> None:
@@ -1563,6 +1567,10 @@ class NetlistParser:
                 m.cje = val
             elif key == "cjc":
                 m.cjc = val
+            elif key == "eg":
+                m.eg = val
+            elif key == "xti":
+                m.xti = val
             i += 2
         self.ckt.add_bjt_model(m)
 
