@@ -2376,19 +2376,28 @@ public:
                 out.config.hb_extra_f[j] = fx;
                 out.config.hb_extra_n[j] = (int32_t)nx;
             }
-        } else if (head == ".print") {
-            if (t.size() < 3) {
-                warn(st.line_no, "invalid .PRINT: " + st.raw);
+        } else if (head == ".print" || head == ".save" || head == ".probe") {
+            bool bare = head != ".print";   // .SAVE/.PROBE: analysis optional
+            if (t.size() < (bare ? 2u : 3u)) {
+                std::string label = head;
+                for (auto& ch : label) ch = (char)std::toupper(
+                    (unsigned char)ch);
+                warn(st.line_no, "invalid " + label + ": " + st.raw);
                 return;
             }
-            std::string an = lower(t[1]);
+            std::string an = t.size() > 1 ? lower(t[1]) : "";
             int av = an == "op" ? 1 : an == "dc" ? 2 : an == "ac" ? 3
                      : an == "tran" ? 4 : an == "hb" ? 5 : 0;
+            size_t start = 2;
             if (!av) {
-                warn(st.line_no, "unknown analysis type in .PRINT: " + st.raw);
-                return;
+                if (!bare) {
+                    warn(st.line_no,
+                         "unknown analysis type in .PRINT: " + st.raw);
+                    return;
+                }
+                start = 1;             // analysis-less probes (AN_NONE)
             }
-            for (size_t i = 2; i < t.size(); ++i) {
+            for (size_t i = start; i < t.size(); ++i) {
                 ProbeRec p = parse_probe_token(t[i]);
                 p.analysis = av;
                 out.probes.push_back(p);

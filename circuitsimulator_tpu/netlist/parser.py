@@ -1018,6 +1018,10 @@ class NetlistParser:
             self._parse_plotnv_card(st)
         elif head == ".plotnc":
             self._parse_plotnc_card(st)
+        elif head in (".save", ".probe"):
+            # ngspice/PSpice-style output selection (extension): same probe
+            # grammar as .PRINT, analysis keyword optional
+            self._parse_print_card(st, allow_bare=True)
         elif head == ".end":
             pass                      # deck terminator (standard SPICE)
         else:
@@ -1487,19 +1491,28 @@ class NetlistParser:
                 p.ele_name = token[l + 1:r].strip()
         return p
 
-    def _parse_print_card(self, st: Statement) -> None:
+    def _parse_print_card(self, st: Statement, allow_bare=False) -> None:
         t = st.tokens
-        if len(t) < 3:
-            _warn(st.line_no, f"invalid .PRINT: {st.raw}")
+        if len(t) < (2 if allow_bare else 3):
+            _warn(st.line_no, f"invalid {t[0].upper()}: {st.raw}")
             return
         pc = PrintCommand()
         low = t[1].lower()
+        probe_start = 2
         if low not in (AN_OP, AN_DC, AN_AC, AN_TRAN, AN_HB):
-            _warn(st.line_no,
-                  f"unknown analysis type in .PRINT: {t[1]} in '{st.raw}'")
-            return
-        pc.analysis = low
-        for tok in t[2:]:
+            if allow_bare:
+                # `.SAVE V(out) ...` — analysis-less probes (apply to every
+                # analysis under --probes-only, like .PLOTNV)
+                pc.analysis = AN_NONE
+                probe_start = 1
+            else:
+                _warn(st.line_no,
+                      f"unknown analysis type in .PRINT: {t[1]} "
+                      f"in '{st.raw}'")
+                return
+        else:
+            pc.analysis = low
+        for tok in t[probe_start:]:
             pc.probes.append(self._parse_probe_token(tok))
         self.sim.print_commands.append(pc)
 
