@@ -144,8 +144,9 @@ class Simulator:
             raise FileNotFoundError(path)
         from .netlist.include import expand_includes
         from .netlist.funcs import expand_funcs
-        text = expand_funcs(
-            expand_includes(text, os.path.dirname(os.path.abspath(path))))
+        from .netlist.urc import expand_urc
+        text = expand_urc(expand_funcs(
+            expand_includes(text, os.path.dirname(os.path.abspath(path)))))
         ckt, sim = cls._parse(text, None, frontend)
         inst = cls(ckt, sim, opts)
         inst.netlist_text = text
@@ -156,7 +157,8 @@ class Simulator:
                   frontend: str = "python"):
         from .netlist.include import expand_includes
         from .netlist.funcs import expand_funcs
-        text = expand_funcs(expand_includes(text))
+        from .netlist.urc import expand_urc
+        text = expand_urc(expand_funcs(expand_includes(text)))
         ckt, sim = cls._parse(text, None, frontend)
         inst = cls(ckt, sim, opts)
         inst.netlist_text = text

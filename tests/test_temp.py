@@ -55,7 +55,8 @@ def test_noise_scales_with_temperature():
     on = {}
     for tc in (27.0, 127.0):
         sim = Simulator.from_text(net + f".TEMP {tc}\n", opts=F64)
-        on[tc] = float(np.asarray(sim.noise(freqs=f, out_node="out").onoise))
+        on[tc] = float(np.asarray(
+            sim.noise(freqs=f, out_node="out").onoise).ravel()[0])
     np.testing.assert_allclose(on[127.0] / on[27.0],
                                (273.15 + 127) / (273.15 + 27), rtol=1e-9)
 
