@@ -26,14 +26,13 @@ from ..analysis.dc import dc_operating_point
 from ..analysis.transient import transient_step_fn, n_steps_for
 from ..ops.assemble import Engine
 
-_STATE_KEYS = ("vc", "ic", "il", "vl")
-
-
 def save_carry(path: str, carry, step_done: int) -> None:
+    """Serialize whatever state keys the engine produced (vc/ic/il/vl,
+    plus e.g. the transmission-line delay ring 'tlw' when present)."""
     x, state, failed = carry
     arrs = {"x": np.asarray(x), "failed": np.asarray(failed),
             "step_done": np.asarray(step_done)}
-    for k in _STATE_KEYS:
+    for k in state:
         arrs[f"s_{k}"] = np.asarray(state[k])
     tmp = path + ".tmp.npz"
     with open(tmp, "wb") as f:
@@ -43,7 +42,8 @@ def save_carry(path: str, carry, step_done: int) -> None:
 
 def load_carry(path: str):
     with np.load(path) as z:
-        state = {k: jnp.asarray(z[f"s_{k}"]) for k in _STATE_KEYS}
+        state = {k[2:]: jnp.asarray(z[k]) for k in z.files
+                 if k.startswith("s_")}
         carry = (jnp.asarray(z["x"]), state, jnp.asarray(z["failed"]))
         return carry, int(z["step_done"])
 

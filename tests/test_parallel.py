@@ -133,3 +133,34 @@ C1 out 0 1n
     r = np.asarray(bp["res_r"])[:, 0]
     np.testing.assert_allclose(np.asarray(t63),
                                r * 1e-9 * (-np.log(1 - 0.632)), rtol=8e-2)
+
+
+def test_checkpoint_resume_with_tline_state(tmp_path):
+    # the delay-ring state 'tlw' must survive the checkpoint round-trip
+    import jax.numpy as jnp
+    from circuitsimulator_tpu.parallel.checkpoint import (
+        save_carry, load_carry)
+    sim = Simulator.from_text("""* tline ckpt
+V1 in 0 PULSE(0 1 0 1n 1n 1 2)
+Rs in a 50
+T1 a 0 b 0 Z0=50 TD=2n
+Rl b 0 200
+.TRAN 2e-10 4e-8
+""")
+    tstep, tstop = sim.config.tran.tstep, sim.config.tran.tstop
+    ref = sim.transient()
+    r = ChunkedTransient(sim.engine, sim.params, tstep, tstop,
+                         ckpt_path=None, chunk_steps=37)
+    carry_full, _ = r.run()
+    assert "tlw" in carry_full[1]
+    np.testing.assert_allclose(np.asarray(carry_full[0]),
+                               np.asarray(ref.x_final), rtol=0, atol=1e-12)
+    # save/load round-trip preserves every state key bit-for-bit
+    ck = str(tmp_path / "tl.npz")
+    save_carry(ck, jax.device_get(carry_full), 123)
+    carry2, step = load_carry(ck)
+    assert step == 123
+    assert set(carry2[1]) == set(carry_full[1])
+    for k in carry_full[1]:
+        np.testing.assert_array_equal(np.asarray(carry2[1][k]),
+                                      np.asarray(carry_full[1][k]))
