@@ -105,6 +105,12 @@ class Simulator:
                     kw["tran_max_newton_iters"] = int(_num(v))
                 elif k == "temp":
                     sim_config.temp_c = _num(v)
+                elif k == "mossym":
+                    # symmetric MOS/JFET: drain/source roles swap for
+                    # Vds_eff < 0 (transmission gates, pass switches) —
+                    # the reference deliberately treats reverse bias as
+                    # "off" (element.cpp:223), so this is opt-in
+                    kw["mos_reverse_region"] = bool(int(_num(v)))
                 else:
                     print(f".OPTIONS: unknown option {k.upper()}; ignored",
                           file=sys.stderr)
