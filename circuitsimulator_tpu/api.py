@@ -151,8 +151,9 @@ class Simulator:
         from .netlist.include import expand_includes
         from .netlist.funcs import expand_funcs
         from .netlist.urc import expand_urc
-        text = expand_urc(expand_funcs(
-            expand_includes(text, os.path.dirname(os.path.abspath(path)))))
+        from .netlist.laplace import expand_laplace
+        text = expand_laplace(expand_urc(expand_funcs(
+            expand_includes(text, os.path.dirname(os.path.abspath(path))))))
         ckt, sim = cls._parse(text, None, frontend)
         inst = cls(ckt, sim, opts)
         inst.netlist_text = text
@@ -164,7 +165,9 @@ class Simulator:
         from .netlist.include import expand_includes
         from .netlist.funcs import expand_funcs
         from .netlist.urc import expand_urc
-        text = expand_urc(expand_funcs(expand_includes(text)))
+        from .netlist.laplace import expand_laplace
+        text = expand_laplace(expand_urc(expand_funcs(
+            expand_includes(text))))
         ckt, sim = cls._parse(text, None, frontend)
         inst = cls(ckt, sim, opts)
         inst.netlist_text = text

@@ -76,8 +76,10 @@ def _tokenize(s: str) -> List[Tuple[str, str]]:
             toks.append(("num", s[i:j]))
             i = j
         elif c.isalpha() or c == "_":
+            # '.' allowed inside names: hierarchical node names from
+            # subcircuit flattening / macro expansion (X1.n, E1.x1)
             j = i
-            while j < n and (s[j].isalnum() or s[j] == "_"):
+            while j < n and (s[j].isalnum() or s[j] in "_."):
                 j += 1
             toks.append(("name", s[i:j]))
             i = j
