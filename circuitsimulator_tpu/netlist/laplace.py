@@ -4,8 +4,10 @@ Text-level macro expansion (same tier as `.FUNC`/URC, shared by both
 frontends):
 
     Ename out ref LAPLACE nc+ nc- b0 [b1 ...] / a0 [a1 ...]
+    Gname out ref LAPLACE nc+ nc- b0 [b1 ...] / a0 [a1 ...]
 
-realizes  V(out,ref) = H(s) * V(nc+,nc-)  with
+realizes  V(out,ref) = H(s) * V(nc+,nc-)  (E form; the G form drives a
+current  I(out->ref) = H(s) * V(nc+,nc-) through a POLY VCCS)  with
 H(s) = (b0 + b1 s + ... + bm s^m)/(a0 + a1 s + ... + an s^n), m <= n,
 as the controllable-canonical integrator chain built ONLY from existing
 primitives — per state k a 1 F capacitor node `Ename.x<k>` plus VCCS
@@ -142,10 +144,11 @@ def _expand_one(tokens: List[str], raw: str, values=None) -> List[str]:
     d = beta[n]
     c = [beta[i] - alpha[i] * d for i in range(n)]  # c for x_1 .. x_n
 
+    kind = name[0].upper()          # 'E' (VCVS out) or 'G' (VCCS out)
     if n == 0:
         # pure gain b0/a0
         return [f"* {raw}  (LAPLACE expanded: gain {d:.6g})",
-                f"E{name}.y {out_p} {out_m} {ncp} {ncm} {d:.9e}"]
+                f"{kind}{name}.y {out_p} {out_m} {ncp} {ncm} {d:.9e}"]
 
     xs = [f"{name}.x{k}" for k in range(1, n + 1)]
     out = [f"* {raw}  (LAPLACE expanded: order {n})"]
@@ -160,7 +163,8 @@ def _expand_one(tokens: List[str], raw: str, values=None) -> List[str]:
     out.append(f"G{name}.u 0 {xs[-1]} {ncp} {ncm} 1")
     ctrl = " ".join(f"{x} 0" for x in xs) + f" {ncp} {ncm}"
     cvals = " ".join(f"{v:.9e}" for v in c + [d])
-    out.append(f"E{name}.y {out_p} {out_m} POLY({n + 1}) {ctrl} 0 {cvals}")
+    out.append(f"{kind}{name}.y {out_p} {out_m} POLY({n + 1}) "
+               f"{ctrl} 0 {cvals}")
     return out
 
 
@@ -173,7 +177,7 @@ def expand_laplace(text: str) -> str:
     out = []
     for line in lines:
         t = line.split()
-        if (len(t) >= 7 and t[0][:1].lower() == "e"
+        if (len(t) >= 7 and t[0][:1].lower() in ("e", "g")
                 and t[3].lower() == "laplace"):
             out.extend(_expand_one(t, line, values))
         else:

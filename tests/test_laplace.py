@@ -131,3 +131,45 @@ def test_leading_number_expr_not_truncated():
     assert _coeff("{1/(4*2)}", {}) == pytest.approx(0.125)
     assert _coeff("10k", {}) == pytest.approx(10000.0)
     assert _coeff("2meg", {}) == pytest.approx(2e6)
+
+
+def test_g_form_current_output():
+    # G LAPLACE follows the plain-VCCS convention: gm(s)*V(in) flows from
+    # n+ through the source to n-, so with a load at n+ the voltage is
+    # -H(s)*R*V(in).  Pure gain: V(out) = -gm*R*V(in)
+    sim = Simulator.from_text("""* transimpedance
+V1 in 0 DC 0.5
+G1 out 0 LAPLACE in 0 2m / 1
+Rl out 0 1k
+.op
+""")
+    x = sim.dc(polish=True)
+    ref = Simulator.from_text("""* plain vccs
+V1 in 0 DC 0.5
+G1 out 0 in 0 2m
+Rl out 0 1k
+.op
+""")
+    xr = ref.dc(polish=True)
+    vo = float(x[node_eq(sim, "out")])
+    vr = float(xr[node_eq(ref, "out")])
+    assert vo == pytest.approx(vr, abs=1e-12)
+    assert abs(vo) == pytest.approx(1.0, rel=1e-9)   # |gm*R*V| = 2m*1k*0.5
+
+
+def test_g_form_dynamic():
+    # first-order gm rolloff: at dc, |V(out)| = gm*R*V; well above the pole
+    # the magnitude falls 20 dB/dec
+    sim = Simulator.from_text("""* gm with pole
+V1 in 0 AC 1
+G1 out 0 LAPLACE in 0 1m / 1 1.59155e-5
+Rl out 0 1k
+.AC lin 1 1e5 1e5
+.end
+""")
+    res = sim.ac(freqs=np.asarray([1e4, 1e5]))
+    h4 = abs(np.asarray(res.xs)[0, node_eq(sim, "out")])
+    h5 = abs(np.asarray(res.xs)[1, node_eq(sim, "out")])
+    # pole at 10 kHz: |H(1e4)| = 1/sqrt(2), |H(1e5)| ~ 1/10.05 of gm*R
+    assert h4 == pytest.approx(1.0 / np.sqrt(2.0), rel=1e-6)
+    assert h5 == pytest.approx(1.0 / np.hypot(1, 10), rel=1e-6)
