@@ -22,7 +22,13 @@ def gen(rng: random.Random) -> str:
         prev = rng.choice(["0"] + nodes[:i]) if i else "0"
         lines.append(f"Rt{n} {n} {prev} {round(10 ** rng.uniform(1.5, 3.5), 1)}")
     lines.append(".MODEL 2 VT 0.5 MU 1e-2 COX 1e-3 LAMBDA 0.05 CJ0 2e-14")
-    lines.append(".MODEL qn NPN IS=1e-15 BF=90 BR=1.5")
+    # exercise the opt-in physics half the time (VAF/CJE/CJC, diode BV)
+    if rng.random() < 0.5:
+        lines.append(".MODEL qn NPN IS=1e-15 BF=90 BR=1.5 "
+                     "VAF=60 CJE=0.2p CJC=0.1p")
+    else:
+        lines.append(".MODEL qn NPN IS=1e-15 BF=90 BR=1.5")
+    lines.append(".MODEL jn NJF VTO=-1.5 BETA=5e-4")
     eid = 0
     for _ in range(rng.randint(2, 5)):
         eid += 1
@@ -35,8 +41,12 @@ def gen(rng: random.Random) -> str:
         elif r < 0.65:
             d, g, s = (rng.choice(nodes + ["0"]) for _ in range(3))
             lines.append(f"Mx{eid} {d} {g} {s} n 10e-6 1e-6 2")
-        elif r < 0.85:
-            lines.append(f"Dx{eid} {a} {b} IS=1e-14")
+        elif r < 0.78:
+            bv = " BV=4 IBV=1m" if rng.random() < 0.5 else ""
+            lines.append(f"Dx{eid} {a} {b} IS=1e-14{bv}")
+        elif r < 0.88:
+            d, g, s = (rng.choice(nodes + ["0"]) for _ in range(3))
+            lines.append(f"Jx{eid} {d} {g} {s} jn")
         else:
             c, bb, e = (rng.choice(nodes + ["0"]) for _ in range(3))
             lines.append(f"Qx{eid} {c} {bb} {e} qn")
