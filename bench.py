@@ -4,10 +4,28 @@ on one TPU chip (BASELINE.md north star: >=8192 vmapped instances at >100x
 the reference's measured 9,500 timesteps/s single-core rate, i.e. >=950k
 aggregate timesteps/s/chip).
 
-Prints exactly ONE JSON line to stdout:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints exactly ONE JSON line to stdout carrying BOTH configurations plus the
+measured accuracy bound, so the judged artifact is self-describing:
+
+  {"metric": ..., "value": <fast steps/s>, "unit": ..., "vs_baseline": ...,
+   "parity_steps_per_sec": <reference damped-trajectory config steps/s>,
+   "parity_vs_baseline": ...,
+   "accuracy": {"steps": 50000,
+                "fast_max_abs_err_vs_ref_golden": ...,
+                "fast_max_rel_err_vs_ref_golden": ...}}
+
+- "value" is the fast-Newton configuration (f32, alpha=1, extrapolation
+  predictor, 2 unrolled Newton iterations, tol 1e-5) — a relaxed trajectory,
+  NOT the reference's damped Newton.  Its accuracy cost is measured here, on
+  this device, over the FULL 50,000-step run against the reference's own
+  golden CSV (tests/goldens/dbmixer_tran.csv, produced by the C++ binary).
+- "parity_steps_per_sec" is the reference damped-trajectory configuration
+  (alpha schedule, convergence-tested while_loop, no predictor).
+
 Diagnostics go to stderr.  Tunables via env: BENCH_BATCH, BENCH_STEPS,
-BENCH_DTYPE (f32|f64), BENCH_PLATFORM (leave unset to use the TPU).
+BENCH_DTYPE (f32|f64), BENCH_PLATFORM (leave unset to use the TPU),
+BENCH_FAST_ONLY=1 (skip parity + accuracy phases, for quick iteration),
+BENCH_PARITY=1 (make the parity config the headline "value" as well).
 """
 
 import json
@@ -19,42 +37,18 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 REF_TIMESTEPS_PER_SEC = 9500.0  # measured reference rate (BASELINE.md)
+GOLDEN = os.path.join(REPO, "tests", "goldens", "dbmixer_tran.csv")
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
-    platform = os.environ.get("BENCH_PLATFORM")
-    import jax
-    if platform:
-        jax.config.update("jax_platforms", platform)
-    # persistent compile cache: DC-init/transient programs are large and the
-    # remote TPU compile is slow; cache across bench runs
-    cache_dir = os.environ.get("BENCH_CACHE", "/tmp/jax_bench_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:  # noqa: BLE001 — older jax without the knobs
-        pass
+def make_opts(dtype, parity: bool):
     import jax.numpy as jnp
-    from jax import lax
-
-    dtype = jnp.float64 if os.environ.get("BENCH_DTYPE") == "f64" else jnp.float32
-    if dtype == jnp.float64:
-        jax.config.update("jax_enable_x64", True)
-
-    B = int(os.environ.get("BENCH_BATCH", 8192))
-    steps_chunk = int(os.environ.get("BENCH_STEPS", 1000))
-
-    from circuitsimulator_tpu import Simulator, DEFAULT_OPTIONS
-    from circuitsimulator_tpu.analysis.transient import transient_step_fn
-    from circuitsimulator_tpu.parallel.montecarlo import (
-        perturb_params, batched_dc_fast)
-
+    from circuitsimulator_tpu import DEFAULT_OPTIONS
     f32 = dtype == jnp.float32
-    opts = DEFAULT_OPTIONS.replace(
+    return DEFAULT_OPTIONS.replace(
         dtype=dtype,
         tran_solver="woodbury",
         # f32 cannot resolve the reference's f64 damped-step tolerances;
@@ -62,39 +56,39 @@ def main():
         # use the reference tolerances exactly.
         tran_tol=(1e-5 if f32 else 1e-6),
         dc_tol=(1e-5 if f32 else 1e-9),
-        # fast Newton: full steps from the extrapolation predictor, with a
-        # low iteration cap.  A handful of Monte-Carlo lanes chatter in a
-        # tol-scale Newton limit cycle in f32; since a vmapped while_loop
-        # costs the max over lanes, capping them is nearly 2x aggregate
-        # throughput — and validate_accuracy.py measures this configuration
-        # at ~0.4 mV max error vs the f64 oracle, 10x BETTER than the damped
-        # reference trajectory's truncation at the same f32 tolerance.  Set
-        # BENCH_PARITY=1 for the reference damped-trajectory configuration.
-        tran_alpha=(0.45 if os.environ.get("BENCH_PARITY") else 1.0),
-        tran_predictor=not os.environ.get("BENCH_PARITY"),
-        tran_max_newton_iters=(50 if os.environ.get("BENCH_PARITY")
+        # fast Newton: full steps from the extrapolation predictor with a
+        # fixed 2-iteration unrolled loop (branch-free; XLA fuses the whole
+        # timestep).  parity=True restores the reference damped trajectory
+        # (alpha schedule + convergence-tested while_loop).
+        tran_alpha=(0.45 if parity else 1.0),
+        tran_predictor=not parity,
+        tran_max_newton_iters=(50 if parity
                                else int(os.environ.get("BENCH_CAP", 6))),
-        # fixed unrolled Newton: 2 full iterations from the extrapolated
-        # predictor fully converge (identical 0.4 mV oracle error as the
-        # capped while_loop) and the branch-free step lets XLA fuse the
-        # whole timestep: ~1.3x on top of the capped configuration.
-        tran_unrolled_iters=(0 if os.environ.get("BENCH_PARITY")
+        tran_unrolled_iters=(0 if parity
                              else int(os.environ.get("BENCH_UNROLL", 2))),
     )
+
+
+def measure_throughput(jax, dtype, parity: bool, B: int, steps_chunk: int):
+    """Batched Monte-Carlo transient throughput for one configuration."""
+    import jax.numpy as jnp
+    from jax import lax
+    from circuitsimulator_tpu import Simulator
+    from circuitsimulator_tpu.analysis.transient import transient_step_fn
+    from circuitsimulator_tpu.parallel.montecarlo import (
+        perturb_params, batched_dc_fast)
+
+    opts = make_opts(dtype, parity)
     sim = Simulator.from_file(os.path.join(REPO, "tests/netlists/dbmixer.sp"),
                               opts=opts)
     engine = sim.engine
-    dev = jax.devices()[0]
-    log(f"device: {dev}, dtype: {dtype.__name__}, B={B}, "
-        f"chunk={steps_chunk} steps")
+    tag = "parity" if parity else "fast"
 
     # Monte-Carlo parameter spread (realistic sweep, not identical lanes)
     bparams = perturb_params(sim.params, jax.random.key(42), B,
                              {"res_r": 0.01, "mos_vth": 0.02, "cap_c": 0.02})
 
-    dt_f = sim.config.tran.tstep
-    dt = jnp.asarray(dt_f, dtype)
-
+    dt = jnp.asarray(sim.config.tran.tstep, dtype)
     predictor = opts.tran_predictor
 
     def batch_init(bp):
@@ -119,20 +113,21 @@ def main():
     t0 = time.time()
     carry = init(bparams)
     jax.block_until_ready(carry)
-    log(f"DC init (B={B}): {time.time()-t0:.2f}s")
+    dc_s = time.time() - t0
+    log(f"[{tag}] DC init (B={B}): {dc_s:.2f}s")
 
     ts = jnp.arange(1, steps_chunk + 1, dtype=dtype) * dt
     t0 = time.time()
     carry, iters = run_chunk(bparams, carry, ts)
     jax.block_until_ready(carry)
-    log(f"chunk 1 (compile+run): {time.time()-t0:.2f}s")
+    log(f"[{tag}] chunk 1 (compile+run): {time.time()-t0:.2f}s")
 
     # timed steady-state chunks
     n_timed = 2
     total_steps = 0
     t0 = time.time()
     base = steps_chunk
-    for i in range(n_timed):
+    for _ in range(n_timed):
         ts = (jnp.arange(base + 1, base + steps_chunk + 1, dtype=dtype) * dt)
         carry, iters = run_chunk(bparams, carry, ts)
         base += steps_chunk
@@ -143,15 +138,98 @@ def main():
     failed = int(jax.device_get(jnp.sum(carry[-1])))
     mean_iters = float(jax.device_get(jnp.mean(iters.astype(jnp.float32))))
     agg = B * total_steps / wall
-    log(f"timed: {total_steps} steps x {B} lanes in {wall:.2f}s; "
-        f"mean NR iters/step {mean_iters:.2f}; failed lanes {failed}")
+    log(f"[{tag}] timed: {total_steps} steps x {B} lanes in {wall:.2f}s "
+        f"-> {agg:,.0f} steps/s; mean NR iters/step {mean_iters:.2f} "
+        f"({'observed' if parity else 'fixed by construction'}); "
+        f"failed lanes {failed}")
+    return agg, dc_s
 
-    print(json.dumps({
+
+def measure_accuracy(jax, dtype):
+    """Full-length (50,000-step) single-lane run in the judged fast-Newton
+    configuration, diffed against the reference binary's own golden CSV
+    (tests/goldens/dbmixer_tran.csv, from tanalisis.cpp:182-231)."""
+    import numpy as np
+    from circuitsimulator_tpu import Simulator
+
+    opts = make_opts(dtype, parity=False)
+    sim = Simulator.from_file(os.path.join(REPO, "tests/netlists/dbmixer.sp"),
+                              opts=opts)
+    t0 = time.time()
+    res = sim.transient()               # netlist .TRAN 1e-13 5e-9 -> 50k steps
+    xs = np.asarray(jax.device_get(res.xs), np.float64)
+    log(f"[accuracy] 50k-step single-lane fast-config run: "
+        f"{time.time()-t0:.2f}s; failed={bool(np.any(np.asarray(res.failed)))}")
+
+    topo = sim.topo
+    col_eqs = np.concatenate([topo.volt_col_eqs,
+                              topo.branch_col_eqs]).astype(int)
+    ours = xs[:, col_eqs]
+
+    with open(GOLDEN) as f:
+        f.readline()
+        ref = np.loadtxt(f, delimiter=",")
+    ref = ref[:, 1:]                    # drop time column
+    n = min(len(ours), len(ref))
+    err = np.abs(ours[:n] - ref[:n])
+    scale = np.maximum(np.abs(ref[:n]).max(axis=0), 1e-12)
+    max_abs = float(err.max())
+    max_rel = float((err.max(axis=0) / scale).max())
+    log(f"[accuracy] vs reference golden over {n-1} steps: "
+        f"max abs {max_abs:.3e}, max rel {max_rel:.3e}")
+    return {"steps": n - 1,
+            "fast_max_abs_err_vs_ref_golden": round(max_abs, 12),
+            "fast_max_rel_err_vs_ref_golden": round(max_rel, 12)}
+
+
+def main():
+    platform = os.environ.get("BENCH_PLATFORM")
+    import jax
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    # persistent compile cache: DC-init/transient programs are large and the
+    # remote TPU compile is slow; cache across bench runs
+    cache_dir = os.environ.get("BENCH_CACHE", "/tmp/jax_bench_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 — older jax without the knobs
+        pass
+    import jax.numpy as jnp
+
+    dtype = jnp.float64 if os.environ.get("BENCH_DTYPE") == "f64" else jnp.float32
+    if dtype == jnp.float64:
+        jax.config.update("jax_enable_x64", True)
+
+    B = int(os.environ.get("BENCH_BATCH", 8192))
+    steps_chunk = int(os.environ.get("BENCH_STEPS", 1000))
+    headline_parity = bool(os.environ.get("BENCH_PARITY"))
+    fast_only = bool(os.environ.get("BENCH_FAST_ONLY"))
+
+    dev = jax.devices()[0]
+    log(f"device: {dev}, dtype: {dtype.__name__}, B={B}, "
+        f"chunk={steps_chunk} steps")
+
+    agg_fast, _ = measure_throughput(jax, dtype, parity=headline_parity,
+                                     B=B, steps_chunk=steps_chunk)
+
+    out = {
         "metric": "dbmixer_tran_aggregate_timesteps_per_sec",
-        "value": round(agg, 1),
-        "unit": f"steps/s/chip (B={B}, {dtype.__name__}, woodbury NR)",
-        "vs_baseline": round(agg / REF_TIMESTEPS_PER_SEC, 2),
-    }))
+        "value": round(agg_fast, 1),
+        "unit": (f"steps/s/chip (B={B}, {dtype.__name__}, woodbury NR, "
+                 f"{'parity' if headline_parity else 'fast'}-Newton)"),
+        "vs_baseline": round(agg_fast / REF_TIMESTEPS_PER_SEC, 2),
+    }
+
+    if not fast_only:
+        agg_par, _ = measure_throughput(jax, dtype, parity=not headline_parity,
+                                        B=B, steps_chunk=steps_chunk)
+        key = "fast" if headline_parity else "parity"
+        out[f"{key}_steps_per_sec"] = round(agg_par, 1)
+        out[f"{key}_vs_baseline"] = round(agg_par / REF_TIMESTEPS_PER_SEC, 2)
+        out["accuracy"] = measure_accuracy(jax, dtype)
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1,13 +1,23 @@
 #!/usr/bin/env python
 """Accuracy validation for the f32 benchmark configuration.
 
-Runs the dbmixer transient for VSTEPS steps twice —
+Runs the FULL dbmixer transient (50,000 steps by default — the complete
+.TRAN 1e-13 5e-9 card) twice —
   (a) float64, exact reference tolerances, CPU (the parity-tested oracle);
-  (b) float32, bench tolerances (tran_tol=1e-4), on the default platform —
-and reports per-column maximum / RMS waveform error.  This quantifies what
-the throughput benchmark's relaxed Newton stop costs in accuracy.
+  (b) float32, bench tolerances, on the default platform —
+and reports per-column maximum / RMS waveform error for
+  - f32 vs the f64 oracle, and
+  - f32 vs the reference binary's own golden CSV
+    (tests/goldens/dbmixer_tran.csv, from tanalisis.cpp:182-231).
 
-Usage: python benchmarks/validate_accuracy.py [VSTEPS=5000]
+This quantifies what the throughput benchmark's relaxed Newton stop costs in
+accuracy, against the reference itself, over the whole judged run.  bench.py
+independently measures the same golden diff on-device and embeds it in its
+JSON line; this script is the detailed breakdown.
+
+Usage: python benchmarks/validate_accuracy.py [VSTEPS=50000]
+Env: VAL_FAST=1 validates the bench fast-Newton config (default here),
+     VAL_FAST=0 the damped parity config; VAL_TOL / VAL_CAP / VAL_UNROLL.
 """
 
 import os
@@ -16,10 +26,13 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+GOLDEN = os.path.join(REPO, "tests", "goldens", "dbmixer_tran.csv")
+
 
 def run(dtype_name: str, platform: str, steps: int):
     import subprocess
     import json
+    fast = os.environ.get("VAL_FAST", "1") != "0"
     code = f"""
 import json, sys
 sys.path.insert(0, {REPO!r})
@@ -34,15 +47,17 @@ import os as _os
 opts = DEFAULT_OPTIONS.replace(dtype=dtype, tran_solver='woodbury',
                                tran_tol=(float(_os.environ.get('VAL_TOL', '1e-5')) if dtype == jnp.float32 else 1e-6),
                                dc_tol=(1e-5 if dtype == jnp.float32 else 1e-9))
-# VAL_FAST: validate the bench's fast-Newton configuration (f32 side only)
-if dtype == jnp.float32 and _os.environ.get('VAL_FAST'):
+# fast-Newton bench configuration (f32 side only; VAL_FAST=0 for damped parity)
+if dtype == jnp.float32 and {fast!r}:
     opts = opts.replace(tran_alpha=1.0, tran_predictor=True,
                         tran_max_newton_iters=int(_os.environ.get('VAL_CAP', '6')),
-                        tran_unrolled_iters=int(_os.environ.get('VAL_UNROLL', '0')))
+                        tran_unrolled_iters=int(_os.environ.get('VAL_UNROLL', '2')))
 sim = Simulator.from_file({os.path.join(REPO, 'tests/netlists/dbmixer.sp')!r}, opts=opts)
 res = sim.transient(tstep=1e-13, tstop={steps}e-13)
-xs = np.asarray(res.xs, dtype=np.float64)
-np.save('/tmp/val_{dtype_name}.npy', xs)
+xs = np.asarray(jax.device_get(res.xs), dtype=np.float64)
+# map to the reference CSV column order (V columns then I columns)
+col_eqs = np.concatenate([sim.topo.volt_col_eqs, sim.topo.branch_col_eqs]).astype(int)
+np.save('/tmp/val_{dtype_name}.npy', xs[:, col_eqs])
 print(json.dumps({{'iters': int(np.asarray(res.newton_iters).sum()),
                    'failed': bool(np.any(np.asarray(res.failed)))}}))
 """
@@ -51,23 +66,53 @@ print(json.dumps({{'iters': int(np.asarray(res.newton_iters).sum()),
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
-def main():
+def report(tag, ref, ours):
     import numpy as np
-    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
-    print(f"validating {steps} dbmixer steps: f32 (bench config) vs f64 oracle")
-    a = run("float64", "cpu", steps)
-    b = run("float32", "default", steps)
-    ref = np.load("/tmp/val_float64.npy")
-    f32 = np.load("/tmp/val_float32.npy")
-    err = np.abs(ref - f32)
-    scale = np.maximum(np.abs(ref).max(axis=0), 1e-12)
-    print(f"f64 Newton iters: {a['iters']}   f32 Newton iters: {b['iters']}")
+    n = min(len(ref), len(ours))
+    err = np.abs(ref[:n] - ours[:n])
+    scale = np.maximum(np.abs(ref[:n]).max(axis=0), 1e-12)
+    print(f"--- f32 vs {tag} ({n - 1} steps) ---")
     print(f"max abs error:  {err.max():.3e}")
     print(f"max rel error:  {(err.max(axis=0) / scale).max():.3e}")
     print(f"rms abs error:  {np.sqrt((err ** 2).mean()):.3e}")
     worst = int(np.argmax(err.max(axis=0)))
     print(f"worst column index {worst}: max {err[:, worst].max():.3e} "
           f"(signal amplitude {scale[worst]:.3e})")
+    return {"steps": n - 1, "max_abs": float(err.max()),
+            "max_rel": float((err.max(axis=0) / scale).max()),
+            "rms_abs": float(np.sqrt((err ** 2).mean()))}
+
+
+def main():
+    import json
+    import numpy as np
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 50000
+    fast = os.environ.get("VAL_FAST", "1") != "0"
+    cfg = "fast-Newton bench" if fast else "damped parity"
+    print(f"validating {steps} dbmixer steps: f32 ({cfg} config) "
+          f"vs f64 oracle AND vs reference golden")
+    a = run("float64", "cpu", steps)
+    b = run("float32", "default", steps)
+    oracle = np.load("/tmp/val_float64.npy")
+    f32 = np.load("/tmp/val_float32.npy")
+    print(f"f64 Newton iters: {a['iters']}   f32 Newton iters: {b['iters']}")
+    summary = {"config": cfg, "steps": steps,
+               "vs_f64_oracle": report("f64 oracle", oracle, f32)}
+
+    with open(GOLDEN) as f:
+        f.readline()
+        golden = np.loadtxt(f, delimiter=",")[:, 1:]   # drop time column
+    summary["vs_ref_golden"] = report("reference golden", golden, f32)
+    # oracle-vs-golden closes the triangle: shows the f64 path itself matches
+    # the C++ binary to print precision, so the f32 deltas are f32's alone.
+    summary["oracle_vs_ref_golden"] = report("(oracle vs golden)",
+                                             golden, oracle)
+
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "accuracy_dbmixer.json")
+    with open(out, "w") as f:
+        json.dump(summary, f, indent=1)
+    print(f"wrote {out}")
 
 
 if __name__ == "__main__":
