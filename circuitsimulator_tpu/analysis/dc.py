@@ -98,6 +98,18 @@ def dc_newton(engine: Engine, params, with_stats: bool = False,
         if not (static_plan.ok and nl_plan.ok):
             raise ValueError("circuit is not ladder-structured; "
                              "tridiag DC solver not applicable")
+    use_blockband = linear_solver == "blockband"
+    if use_blockband:
+        if batch:
+            raise ValueError("batched DC supports the LU solver only")
+        from ..ops.blockband import get_layout, BlockScatter
+        from ..ops.blockcr import bordered_block_solve
+        bb_layout = get_layout(engine)
+        srows, scols, _ = engine.dc_static_entries(params)
+        bb_static_plan = BlockScatter(bb_layout, srows, scols)
+        bb_nl_plan = BlockScatter(bb_layout, engine.nl_rows, engine.nl_cols)
+        bb_ns_map = (bb_layout.diag_map(nodeset[0])
+                     if nodeset is not None else None)
 
     def ramp_body(step, carry):
         x0, total_iters = carry
@@ -106,12 +118,16 @@ def dc_newton(engine: Engine, params, with_stats: bool = False,
             _, _, svals = engine.dc_static_entries(params)
             banded_s = static_plan.scatter(svals)
             I_s = engine.dc_rhs(params, scale)
+        elif use_blockband:
+            _, _, svals = engine.dc_static_entries(params)
+            bb_s = bb_static_plan.scatter(svals)
+            I_s = engine.dc_rhs(params, scale)
         else:
             G_s, I_s = engine.dc_static(params, scale)
         if nodeset is not None:
             ns_eqs, ns_vals = nodeset
             hold = jnp.where(step < ramp - 1, 1.0, 0.0)
-            if use_tridiag:
+            if use_tridiag or use_blockband:
                 I_s = I_s.at[..., ns_eqs].add(hold * ns_vals)
             else:
                 G_s = G_s.at[..., ns_eqs, ns_eqs].add(hold)
@@ -151,6 +167,36 @@ def dc_newton(engine: Engine, params, with_stats: bool = False,
                                 # PCR is reserved for the C/dt-dominant
                                 # transient systems
                 x_raw = jnp.concatenate([xn, y], axis=-1)
+            elif use_blockband:
+                gvals, rvals = engine._nl_vals(params, x)
+                mats = bb_nl_plan.scatter(gvals, base=bb_s)
+                # adaptive gmin on every node-equation diagonal (interior
+                # slots are all node eqs; hub border nodes get it too)
+                Df = mats["D"].reshape(mats["D"].shape[:-3] + (-1,))
+                Df = Df.at[..., bb_layout.gmin_int_flat].add(gmin)
+                mats["D"] = Df.reshape(mats["D"].shape)
+                if len(bb_layout.gmin_bor_flat):
+                    Dbf = mats["Db"].reshape(mats["Db"].shape[:-2] + (-1,))
+                    Dbf = Dbf.at[..., bb_layout.gmin_bor_flat].add(gmin)
+                    mats["Db"] = Dbf.reshape(mats["Db"].shape)
+                if nodeset is not None:
+                    hold = jnp.where(step < ramp - 1, 1.0, 0.0)
+                    sel_i, flat_i, sel_b, flat_b = bb_ns_map
+                    if len(flat_i):
+                        Df = mats["D"].reshape(mats["D"].shape[:-3] + (-1,))
+                        mats["D"] = Df.at[..., flat_i].add(hold).reshape(
+                            mats["D"].shape)
+                    if len(flat_b):
+                        Dbf = mats["Db"].reshape(mats["Db"].shape[:-2] + (-1,))
+                        mats["Db"] = Dbf.at[..., flat_b].add(hold).reshape(
+                            mats["Db"].shape)
+                I = I_s.at[..., engine.nl_rhs_rows].add(rvals)
+                f, g = bb_layout.gather_rhs(I)
+                xi, yb = bordered_block_solve(
+                    mats["L"], mats["D"], mats["U"],
+                    mats["Ub"], mats["Wb"], mats["Db"], f, g,
+                    opts.lu_pivot_floor)
+                x_raw = bb_layout.gather_solution(xi, yb)
             elif use_gs:
                 G, I = engine.assemble_dc_iter(G_s, I_s, params, x, gmin)
                 x_raw = gauss_seidel_solve(
@@ -256,6 +302,23 @@ def dc_linear_tridiag(engine: Engine, params):
     return jnp.concatenate([xn, y], axis=-1)
 
 
+def dc_linear_blockband(engine: Engine, params):
+    """Linear DC via the bordered block-tridiagonal solve (general large
+    circuits; ops/blockband.py)."""
+    from ..ops.blockband import get_layout, BlockScatter
+    from ..ops.blockcr import bordered_block_solve
+    layout = get_layout(engine)
+    rows, cols, vals = engine.dc_static_entries(params)
+    mats = BlockScatter(layout, rows, cols).scatter(vals)
+    one = jnp.asarray(1.0, engine.dtype)
+    I = engine.dc_rhs(params, one)
+    f, g = layout.gather_rhs(I)
+    xi, y = bordered_block_solve(mats["L"], mats["D"], mats["U"],
+                                 mats["Ub"], mats["Wb"], mats["Db"], f, g,
+                                 engine.opts.lu_pivot_floor)
+    return layout.gather_solution(xi, y)
+
+
 def dc_operating_point(engine: Engine, params, with_stats: bool = False,
                        linear_solver: str = None, nodeset=None):
     """computeDcOperatingPoint (tanalisis.cpp:44-47 -> dcSolve -> dcSolveLU).
@@ -267,8 +330,8 @@ def dc_operating_point(engine: Engine, params, with_stats: bool = False,
     if engine.topo.has_nonlinear:
         return dc_newton(engine, params, with_stats=with_stats,
                          linear_solver=linear_solver, nodeset=nodeset)
-    fn = {"gs": dc_linear_gs, "tridiag": dc_linear_tridiag}.get(
-        linear_solver, dc_linear)
+    fn = {"gs": dc_linear_gs, "tridiag": dc_linear_tridiag,
+          "blockband": dc_linear_blockband}.get(linear_solver, dc_linear)
     x = fn(engine, params)
     if with_stats:
         return x, {"newton_iters": jnp.asarray(0, jnp.int32)}

@@ -53,6 +53,9 @@ jax.tree_util.register_dataclass(
     meta_fields=["n_steps"])
 
 
+_warned_wb_fallback = False  # one stderr line per process (VERDICT weak #6)
+
+
 def n_steps_for(tstep: float, tstop: float) -> int:
     """nSteps = floor(tstop/dt + 1e-12) (tanalisis.cpp:238)."""
     import math
@@ -78,7 +81,9 @@ def transient_step_fn(engine: Engine, params, dt, predictor: bool = False):
                   Newton iteration is a rank-k update solve
                   (ops/woodbury.py) — algebraically the same x_raw,
                   ~20x fewer flops per iteration at dbmixer size;
-    - "tridiag":  bordered cyclic reduction for ladder circuits.
+    - "tridiag":  bordered cyclic reduction for ladder circuits;
+    - "blockband": RCM-reordered bordered block-tridiagonal solve for
+                  large non-ladder topologies (ops/blockband.py).
     """
     opts = engine.opts
     N = engine.N
@@ -88,11 +93,19 @@ def transient_step_fn(engine: Engine, params, dt, predictor: bool = False):
     update_state = engine.make_update_state(dt, method)
     use_woodbury = opts.tran_solver == "woodbury"
     use_tridiag = opts.tran_solver == "tridiag"
+    use_blockband = opts.tran_solver == "blockband"
     if use_woodbury and (len(engine.topo.sw_ep) or engine.b_sources):
         # switch stamps couple a node pair to a *different* control pair —
         # a width-4 V^T row the current rank-k plan does not carry; fall
         # back to the full LU per iteration (still batched/fused)
         use_woodbury = False
+        global _warned_wb_fallback
+        if not _warned_wb_fallback:
+            _warned_wb_fallback = True
+            import sys
+            print("circuitsimulator_tpu: switch/B-source stamps are outside "
+                  "the Woodbury rank-k plan; transient falls back to "
+                  "per-iteration LU (slower)", file=sys.stderr)
     if use_tridiag:
         # O(n) bordered-tridiagonal path for ladder circuits (no dense G)
         from ..ops.banded import BandedPlan
@@ -107,6 +120,16 @@ def transient_step_fn(engine: Engine, params, dt, predictor: bool = False):
             raise ValueError("circuit is not ladder-structured; "
                              "tridiag transient solver not applicable")
         banded_static = static_plan.scatter(svals)
+    elif use_blockband:
+        # general large-circuit path: RCM-reordered bordered block-tridiag
+        from ..ops.blockband import get_layout, BlockScatter
+        from ..ops.blockcr import bordered_block_solve
+        bb_layout = get_layout(engine)
+        srows, scols, svals = engine.tran_static_entries(
+            params, dt, opts.tran_gmin, method)
+        bb_static_plan = BlockScatter(bb_layout, srows, scols)
+        bb_nl_plan = BlockScatter(bb_layout, engine.nl_rows, engine.nl_cols)
+        bb_static = bb_static_plan.scatter(svals)
     else:
         G_static = engine.tran_static_G(params, dt, opts.tran_gmin, method)
     if use_woodbury:
@@ -142,6 +165,16 @@ def transient_step_fn(engine: Engine, params, dt, predictor: bool = False):
                     I[..., :n], I[..., n:N],
                     algo=opts.tridiag_algo)
                 x_raw = jnp.concatenate([xn, y], axis=-1)
+            elif use_blockband:
+                gvals, rvals = engine._nl_vals(params, c["x"], t)
+                mats = bb_nl_plan.scatter(gvals, base=bb_static)
+                I = I_s.at[..., engine.nl_rhs_rows].add(rvals)
+                f, g = bb_layout.gather_rhs(I)
+                xi, y = bordered_block_solve(
+                    mats["L"], mats["D"], mats["U"],
+                    mats["Ub"], mats["Wb"], mats["Db"], f, g,
+                    opts.lu_pivot_floor)
+                x_raw = bb_layout.gather_solution(xi, y)
             else:
                 G, I = engine.assemble_tran_iter(G_static, I_s, params,
                                                  c["x"], t)

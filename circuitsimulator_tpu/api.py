@@ -62,15 +62,25 @@ class Simulator:
                 # EG/XTI given: scale diode/BJT saturation currents too
                 self.params = apply_is_temp(self.params)
         self.engine = Engine(self.lowered, opts)
-        # large ladder circuits (RC lines etc.): dense O(N^2) assembly and
-        # O(N^3) LU are unusable — switch to the bordered-tridiagonal
-        # cyclic-reduction backend when the topology allows it
+        # large circuits: dense O(N^2) assembly and O(N^3) LU are unusable —
+        # switch to a structure-exploiting backend when the topology allows:
+        # bordered-tridiagonal cyclic reduction for strict ladders, else
+        # RCM-reordered bordered block-tridiagonal (ops/blockband.py) for
+        # general banded-after-reordering topologies (grids, trees, meshes)
         if opts.auto_backend and self.topo.n_node_eq > 128:
             from .ops.banded import is_ladder
             if is_ladder(self.engine):
                 self.opts = opts = opts.replace(tran_solver="tridiag",
                                                 dc_solver="tridiag")
                 self.engine = Engine(self.lowered, opts)
+            else:
+                from .ops.blockband import try_layout
+                layout = try_layout(self.engine)
+                if layout is not None:
+                    self.opts = opts = opts.replace(tran_solver="blockband",
+                                                    dc_solver="blockband")
+                    self.engine = Engine(self.lowered, opts)
+                    self.engine._blockband_layout = layout
 
     @staticmethod
     def _apply_netlist_options(opts: SolverOptions, sim_config):

@@ -96,14 +96,6 @@ def is_ladder(engine) -> bool:
     t = engine.topo
     n = t.n_node_eq
     m = t.n_unknowns - n
-    rows = np.concatenate([engine.res_rows, engine.dc_const_rows,
-                           engine.ind_rows, engine.mut_rows, engine.cap_rows,
-                           engine.nl_rows, t.node_eqs,
-                           engine.tl_kcl_rows, engine.tl_tran_rows,
-                           engine.tl_dc_rows])
-    cols = np.concatenate([engine.res_cols, engine.dc_const_cols,
-                           engine.ind_cols, engine.mut_cols, engine.cap_cols,
-                           engine.nl_cols, t.node_eqs,
-                           engine.tl_kcl_cols, engine.tl_tran_cols,
-                           engine.tl_dc_cols])
+    from .blockband import union_pattern
+    rows, cols = union_pattern(engine)
     return BandedPlan(n, m, rows, cols).ok

@@ -60,9 +60,12 @@ class SolverOptions:
     # reference goldens with identical Newton trajectories; woodbury is
     # the default because it is strictly faster.  "tridiag" = bordered
     # cyclic-reduction solve for ladder circuits (O(n) per iteration,
-    # required beyond a few hundred nodes).
+    # required beyond a few hundred nodes).  "blockband" = RCM-reordered
+    # bordered block-tridiagonal solve (ops/blockband.py) for large
+    # NON-ladder topologies (grids, trees, meshes).
     tran_solver: str = "woodbury"
-    # DC linear solver: "lu" (reference), "gs", or "tridiag" (ladder)
+    # DC linear solver: "lu" (reference), "gs", "tridiag" (ladder), or
+    # "blockband" (general large circuits)
     dc_solver: str = "lu"
     # --- Adaptive transient (extension; analysis/adaptive.py) ---
     # max dyadic refinement: internal dt ranges over tstep/2**[0..levels]
