@@ -62,7 +62,8 @@ def n_steps_for(tstep: float, tstop: float) -> int:
     return int(math.floor(tstop / tstep + 1e-12))
 
 
-def transient_step_fn(engine: Engine, params, dt, predictor: bool = False):
+def transient_step_fn(engine: Engine, params, dt, predictor: bool = False,
+                      mesh=None):
     """Build the single-timestep function (carry, t) -> (carry, (x, iters)).
 
     carry = (x, state, failed) with state the TranState dict
@@ -84,6 +85,11 @@ def transient_step_fn(engine: Engine, params, dt, predictor: bool = False):
     - "tridiag":  bordered cyclic reduction for ladder circuits;
     - "blockband": RCM-reordered bordered block-tridiagonal solve for
                   large non-ladder topologies (ops/blockband.py).
+
+    mesh (giant-circuit multi-chip): a single-axis jax.sharding.Mesh named
+    parallel.spike.PART_AXIS — the blockband solve is then domain-
+    decomposed across devices with the SPIKE algorithm
+    (parallel/spike.py); single circuit instance only (no batch lanes).
     """
     opts = engine.opts
     N = engine.N
@@ -130,6 +136,10 @@ def transient_step_fn(engine: Engine, params, dt, predictor: bool = False):
         bb_static_plan = BlockScatter(bb_layout, srows, scols)
         bb_nl_plan = BlockScatter(bb_layout, engine.nl_rows, engine.nl_cols)
         bb_static = bb_static_plan.scatter(svals)
+        if mesh is not None:
+            from ..parallel.spike import bordered_spike_solve
+            from functools import partial as _partial
+            bordered_block_solve = _partial(bordered_spike_solve, mesh)
     else:
         G_static = engine.tran_static_G(params, dt, opts.tran_gmin, method)
     if use_woodbury:
@@ -213,8 +223,11 @@ def transient_step_fn(engine: Engine, params, dt, predictor: bool = False):
 
 
 def run_transient(engine: Engine, params, tstep, tstop,
-                  x0: Optional[Any] = None, save_xs: bool = True):
-    """Full transient run.  x0 defaults to the DC operating point."""
+                  x0: Optional[Any] = None, save_xs: bool = True,
+                  mesh=None):
+    """Full transient run.  x0 defaults to the DC operating point.
+    mesh: domain-decompose the (blockband) solve across devices — see
+    transient_step_fn."""
     dtype = engine.dtype
     # concrete even while tracing under jit: tstep is a bound static and
     # the transmission-line ring length must be a compile-time constant
@@ -230,7 +243,8 @@ def run_transient(engine: Engine, params, tstep, tstop,
     carry0 = (x0, x0, state0, failed0) if predictor else (x0, state0, failed0)
 
     ts = (jnp.arange(1, n_steps + 1, dtype=dtype)) * dt
-    step = transient_step_fn(engine, params, dt, predictor=predictor)
+    step = transient_step_fn(engine, params, dt, predictor=predictor,
+                             mesh=mesh)
 
     if save_xs:
         carry, (xs, iters) = lax.scan(step, carry0, ts)
