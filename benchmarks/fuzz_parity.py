@@ -91,7 +91,7 @@ def build_reference():
                    check=True, capture_output=True, text=True)
 
 
-def gen_netlist(rng: random.Random) -> str:
+def gen_netlist(rng: random.Random, step_range=(80, 250)) -> str:
     """A random well-posed circuit: V source at node 1, resistor spanning
     tree for DC paths, sprinkles of R/C/L/I/MOS."""
     n_nodes = rng.randint(3, 9)
@@ -132,7 +132,7 @@ def gen_netlist(rng: random.Random) -> str:
         w = rng.choice(["10e-6", "30e-6", "50e-6"])
         lines.append(f"M{q+1} {d} {g} {s} x {w} 0.35e-6 {model}")
     tstep = rng.choice(["1e-9", "2e-9"])
-    nsteps = rng.randint(80, 250)
+    nsteps = rng.randint(*step_range)
     lines.append(f".TRAN {tstep} {float(tstep) * nsteps:.3e}")
     return "\n".join(lines) + "\n"
 
@@ -178,7 +178,11 @@ def compare_case(ref_stdout, my_stdout, ref_csv, my_csv):
         err = np.abs(d1 - d2)
         scale = np.maximum(np.abs(d1).max(axis=0), 1e-9)
         rel = (err.max(axis=0) / scale).max()
-        if rel > 1e-4:
+        # both CSVs carry 9 significant digits; agreement should sit at
+        # print precision (~5e-10 column-relative).  1e-7 leaves margin
+        # for ill-conditioned random circuits while still catching any
+        # real trajectory divergence.
+        if rel > 1e-7:
             problems.append(f"CSV max rel err {rel:.2e}")
         return problems, rel
     return problems, float("inf")
@@ -193,11 +197,17 @@ def main():
     if "--save-goldens" in sys.argv:
         save_dir = sys.argv[sys.argv.index("--save-goldens") + 1]
         os.makedirs(save_dir, exist_ok=True)
+    # --long: 500-1500-step transients (golden prefix caseL) so parity
+    # drift over long integrations can't hide behind short runs
+    long_mode = "--long" in sys.argv
+    prefix = "caseL" if long_mode else "case"
+    step_range = (500, 1500) if long_mode else (80, 250)
+    seed_base = 5000 if long_mode else 1000
     build_reference()
     failures = 0
     for i in range(n_cases):
-        rng = random.Random(1000 + i)
-        text = gen_netlist(rng)
+        rng = random.Random(seed_base + i)
+        text = gen_netlist(rng, step_range=step_range)
         base = f"/tmp/fuzz_{i:03d}"
         with open(base + ".sp", "w") as f:
             f.write(text)
@@ -216,10 +226,12 @@ def main():
             failures += 1
         if save_dir and not problems:
             import shutil
-            shutil.copy(base + ".sp", os.path.join(save_dir, f"case{i:02d}.sp"))
+            shutil.copy(base + ".sp",
+                        os.path.join(save_dir, f"{prefix}{i:02d}.sp"))
             shutil.copy(base + "_ref.csv",
-                        os.path.join(save_dir, f"case{i:02d}_tran.csv"))
-            with open(os.path.join(save_dir, f"case{i:02d}_dc.txt"), "w") as f:
+                        os.path.join(save_dir, f"{prefix}{i:02d}_tran.csv"))
+            with open(os.path.join(save_dir,
+                                   f"{prefix}{i:02d}_dc.txt"), "w") as f:
                 f.write(ref_out)
     print(f"{'FAIL' if failures else 'PASS'}: {failures} mismatching checks")
     return 1 if failures else 0

@@ -55,7 +55,8 @@ def dc_linear_gs(engine: Engine, params):
 
 
 def dc_newton(engine: Engine, params, with_stats: bool = False,
-              linear_solver: str = "lu", batch: int = 0, nodeset=None):
+              linear_solver: str = "lu", batch: int = 0, nodeset=None,
+              x_init=None, final_only: bool = False):
     """dcSolveNewtonLU / dcSolveNewtonGS: source ramp + damped Newton with
     the ConvController schedule.  The GS variant warm-starts Gauss-Seidel
     from the current x, allows 60 Newton iterations per ramp step and 120 on
@@ -66,7 +67,14 @@ def dc_newton(engine: Engine, params, with_stats: bool = False,
     masks) with the per-iteration solves dispatched to the Pallas batched
     LU kernel — far faster than vmapping the scalar path, because the
     factorization keeps each lane block resident in VMEM
-    (ops/pallas_lu.py)."""
+    (ops/pallas_lu.py).
+
+    x_init / final_only (extension, no reference counterpart): warm-start
+    the Newton from x_init; with final_only=True the source ramp is
+    skipped entirely and only the scale=1 step runs — the Monte-Carlo
+    fast path (perturbed lanes start from the nominal operating point and
+    converge in a handful of iterations instead of paying the 10-step
+    ramp; see parallel/montecarlo.batched_dc_warm)."""
     opts = engine.opts
     N = engine.N
     dtype = engine.dtype
@@ -77,7 +85,9 @@ def dc_newton(engine: Engine, params, with_stats: bool = False,
         raise ValueError("batched DC supports the LU solver only")
     if batch:
         import jax
-        if jax.default_backend() == "tpu":
+        # the Pallas kernel is f32-only (Mosaic reductions); f64 lanes use
+        # the portable batched LU
+        if jax.default_backend() == "tpu" and dtype == jnp.float32:
             from ..ops.pallas_lu import lu_solve_pallas_batched
             batched_solve = lambda G, I: lu_solve_pallas_batched(
                 G, I, opts.lu_pivot_floor)
@@ -272,10 +282,17 @@ def dc_newton(engine: Engine, params, with_stats: bool = False,
         out = lax.while_loop(cond, body, init)
         return out["x"], total_iters + out["iter"]
 
-    x0 = jnp.zeros(((batch,) if batch else ()) + (N,), dtype=dtype)
+    if x_init is not None:
+        x0 = jnp.broadcast_to(
+            jnp.asarray(x_init, dtype),
+            ((batch,) if batch else ()) + (N,))
+    else:
+        x0 = jnp.zeros(((batch,) if batch else ()) + (N,), dtype=dtype)
     if nodeset is not None:
         x0 = x0.at[..., nodeset[0]].set(nodeset[1])
-    x, iters = lax.fori_loop(0, ramp, ramp_body, (x0, jnp.asarray(0, jnp.int32)))
+    lo = ramp - 1 if final_only else 0
+    x, iters = lax.fori_loop(lo, ramp, ramp_body,
+                             (x0, jnp.asarray(0, jnp.int32)))
     if with_stats:
         return x, {"newton_iters": iters}
     return x
@@ -317,6 +334,56 @@ def dc_linear_blockband(engine: Engine, params):
                                  mats["Ub"], mats["Wb"], mats["Db"], f, g,
                                  engine.opts.lu_pivot_floor)
     return layout.gather_solution(xi, y)
+
+
+def dc_refine(engine: Engine, params, x, n_iter: int = 2, gmin=0.0,
+              batch: int = 0):
+    """Mixed-precision iterative refinement of a DC operating point:
+    residuals evaluated in the engine's (high) precision — float64 on the
+    host, or x64-enabled TPU — with the Jacobian factored and solved in
+    float32 (the Pallas batched LU when batched on TPU).
+
+    TPUs have no native f64 ALU; XLA's emulated f64 LU is ~20x slower than
+    f32 (measured, benchmarks/precision_table.py).  Classic refinement
+    recovers f64-grade solutions at f32 factorization cost: each sweep is
+    a damped-free Newton step x += J32^{-1} r64, converging to the true
+    gmin-free operating point (so it also removes the ramped solve's
+    "gmin leak").  No reference equivalent (its solver is f64-only dense
+    LU, solver.hpp:30-80); this covers SURVEY.md §7 hard-part 4."""
+    import jax
+    N = engine.N
+    f32 = jnp.float32
+    use_pallas = bool(batch) and jax.default_backend() == "tpu"
+    one = jnp.asarray(1.0, engine.dtype)
+    gmin = jnp.asarray(gmin, engine.dtype)
+    for _ in range(int(n_iter)):
+        G_s, I_s = engine.dc_static(params, one)
+        G, I = engine.assemble_dc_iter(G_s, I_s, params, x, gmin)
+        r = I[..., :N] - jnp.einsum("...ij,...j->...i", G[..., :N, :N], x)
+        G32 = G[..., :N, :N].astype(f32)
+        r32 = r.astype(f32)
+        if use_pallas:
+            from ..ops.pallas_lu import lu_solve_pallas_batched
+            d = lu_solve_pallas_batched(G32, r32, engine.opts.lu_pivot_floor)
+        elif batch:
+            from ..ops.lu import lu_solve_batched
+            d = lu_solve_batched(G32, r32, engine.opts.lu_pivot_floor)
+        else:
+            d = lu_solve(G32, r32, engine.opts.lu_pivot_floor)
+        x = x + d.astype(engine.dtype)
+    return x
+
+
+def dc_residual(engine: Engine, params, x, gmin=0.0):
+    """Infinity-norm residual ||I(x) - G(x) x||_inf of the (gmin-free by
+    default) nonlinear DC system, in the engine's precision."""
+    N = engine.N
+    one = jnp.asarray(1.0, engine.dtype)
+    G_s, I_s = engine.dc_static(params, one)
+    G, I = engine.assemble_dc_iter(G_s, I_s, params, x,
+                                   jnp.asarray(gmin, engine.dtype))
+    r = I[..., :N] - jnp.einsum("...ij,...j->...i", G[..., :N, :N], x)
+    return jnp.max(jnp.abs(r), axis=-1)
 
 
 def dc_operating_point(engine: Engine, params, with_stats: bool = False,

@@ -44,7 +44,9 @@ def _lu_kernel(a_ref, b_ref, x_ref, *, n: int, pivot_floor: float):
         col = A[:, k, :]                                   # (n, TB)
         abscol = jnp.where(row_ids >= k, jnp.abs(col),
                            jnp.asarray(-1.0, dtype))
-        p = jnp.argmax(abscol, axis=0)                     # (TB,)
+        # explicit int32 index dtype: under jax_enable_x64 jnp.argmax would
+        # pick int64, which Mosaic's reduce-index lowering rejects
+        p = jax.lax.argmax(abscol, 0, jnp.int32)           # (TB,)
         maxabs = jnp.max(abscol, axis=0)                   # (TB,)
         ok = ok & (maxabs >= pivot_floor)
         onehot_p = (row_ids == p[None, :]).astype(dtype)   # (n, TB)
@@ -104,10 +106,13 @@ def lu_solve_pallas_batched(A, b, pivot_floor: float = 1e-15,
         out_shape=jax.ShapeDtypeStruct((n, Bp), A.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((n, n, tb), lambda i: (0, 0, i)),
-            pl.BlockSpec((n, tb), lambda i: (0, i)),
+            # jnp.int32 zeros: Python ints trace as i64 under
+            # jax_enable_x64 and Mosaic rejects i64 index maps
+            pl.BlockSpec((n, n, tb),
+                         lambda i: (jnp.int32(0), jnp.int32(0), i)),
+            pl.BlockSpec((n, tb), lambda i: (jnp.int32(0), i)),
         ],
-        out_specs=pl.BlockSpec((n, tb), lambda i: (0, i)),
+        out_specs=pl.BlockSpec((n, tb), lambda i: (jnp.int32(0), i)),
         interpret=interpret,
     )(At, bt)
     x = jnp.moveaxis(x, -1, 0)         # (Bp, n)

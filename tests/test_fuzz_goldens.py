@@ -1,7 +1,10 @@
 """Extra golden parity cases minted by differential fuzzing against the
 reference binary (benchmarks/fuzz_parity.py): random R/C/L/V/I/MOS circuits
-whose DC tables and transient CSVs the reference produced.  Most agree with
-this engine at zero printed-digit difference."""
+whose DC tables and transient CSVs the reference produced — including the
+caseL* family with 500-1500-step transients.  The transient bar is print
+precision: the CSVs carry 9 significant digits (%.9e, tanalisis.cpp:229),
+so column-relative quantization is ~5e-10; measured engine-vs-reference
+error across the corpus is <= ~2e-10 rel and the assert pins 2e-9."""
 
 import glob
 import os
@@ -41,4 +44,4 @@ def test_fuzz_golden(case, tmp_path):
     assert d_ref.shape == d_my.shape
     scale = np.maximum(np.abs(d_ref).max(axis=0), 1e-9)
     rel = (np.abs(d_ref - d_my).max(axis=0) / scale).max()
-    assert rel < 1e-4, rel
+    assert rel < 2e-9, rel
