@@ -118,6 +118,7 @@ def run_transient_adaptive(engine: Engine, params, tstep, tstop,
     solver = opts.tran_solver
     use_woodbury = solver == "woodbury"
     use_tridiag = solver == "tridiag"
+    use_blockband = solver == "blockband"
     if use_woodbury and (len(engine.topo.sw_ep) or engine.b_sources):
         use_woodbury = False    # see analysis/transient.py: switch stamps
 
@@ -140,6 +141,19 @@ def run_transient_adaptive(engine: Engine, params, tstep, tstop,
         banded_stack = jax.tree_util.tree_map(
             lambda *leaves: jnp.stack(leaves),
             *[static_plan.scatter(sv) for _, _, sv in plans])
+        Gs = None
+    elif use_blockband:
+        # general large-circuit path, per-level statics (mirrors tridiag)
+        from ..ops.blockband import get_layout, BlockScatter
+        from ..ops.blockcr import bordered_block_solve
+        bb_layout = get_layout(engine)
+        plans = [engine.tran_static_entries(params, d, opts.tran_gmin,
+                                            method) for d in dts]
+        bb_static_plan = BlockScatter(bb_layout, plans[0][0], plans[0][1])
+        bb_nl_plan = BlockScatter(bb_layout, engine.nl_rows, engine.nl_cols)
+        bb_stack = jax.tree_util.tree_map(
+            lambda *leaves: jnp.stack(leaves),
+            *[bb_static_plan.scatter(sv) for _, _, sv in plans])
         Gs = None
     else:
         Gs = jnp.stack([engine.tran_static_G(params, d, opts.tran_gmin,
@@ -172,6 +186,11 @@ def run_transient_adaptive(engine: Engine, params, tstep, tstop,
                 lambda a: lax.dynamic_index_in_dim(a, lvl, 0,
                                                    keepdims=False),
                 banded_stack)
+        elif use_blockband:
+            bb_static = jax.tree_util.tree_map(
+                lambda a: lax.dynamic_index_in_dim(a, lvl, 0,
+                                                   keepdims=False),
+                bb_stack)
         else:
             G_static = lax.dynamic_index_in_dim(Gs, lvl, 0, keepdims=False)
 
@@ -191,6 +210,16 @@ def run_transient_adaptive(engine: Engine, params, tstep, tstop,
                     I[..., :n], I[..., n:N],
                     algo=opts.tridiag_algo)
                 x_raw = jnp.concatenate([xn, y], axis=-1)
+            elif use_blockband:
+                gvals, rvals = engine._nl_vals(params, c["x"])
+                mats = bb_nl_plan.scatter(gvals, base=bb_static)
+                I = I_s.at[..., engine.nl_rhs_rows].add(rvals)
+                f, g = bb_layout.gather_rhs(I)
+                xi, y = bordered_block_solve(
+                    mats["L"], mats["D"], mats["U"],
+                    mats["Ub"], mats["Wb"], mats["Db"], f, g,
+                    opts.lu_pivot_floor)
+                x_raw = bb_layout.gather_solution(xi, y)
             else:
                 G, I = engine.assemble_tran_iter(G_static, I_s, params,
                                                  c["x"])
