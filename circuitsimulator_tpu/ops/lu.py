@@ -30,7 +30,14 @@ UNROLL_LIMIT = 16
 
 
 def _lu_solve_unrolled(A, b, pivot_floor):
-    """Static-index elimination; A: (N, N), b: (N,)."""
+    """Static-index elimination; A: (N, N), b: (N,).
+
+    NO dynamic-update-slices anywhere: row writes at the static index k use
+    constant-mask where-selects, and the traced pivot row is extracted with
+    a masked reduction.  Profiling the transient hot loop (B=8192 dbmixer)
+    showed the former `.at[k].set` writes lowering to dynamic-update-slice
+    + copy pairs that cost ~47% of the whole timestep; constant-predicate
+    selects fuse into the surrounding elementwise work instead."""
     N = A.shape[-1]
     rdt = jnp.real(A).dtype
     idx = jnp.arange(N)
@@ -42,28 +49,29 @@ def _lu_solve_unrolled(A, b, pivot_floor):
         minpiv = jnp.minimum(minpiv, jnp.max(abscol))
         # swap rows k <-> p.  p is traced, so row p is extracted with a
         # masked reduction instead of a dynamic gather (gathers are slow
-        # inside TPU loop bodies); the write side is a where-select.
+        # inside TPU loop bodies); both write sides are where-selects.
         onehot_p = (idx == p)
+        is_k = idx == k                       # compile-time constant mask
         rowk = A[k]
         rowp = jnp.sum(A * onehot_p[:, None].astype(A.dtype), axis=0)
         A = jnp.where(onehot_p[:, None], rowk[None, :], A)
-        A = A.at[k].set(rowp)
+        A = jnp.where(is_k[:, None], rowp[None, :], A)
         bk = b[k]
         bp = jnp.sum(b * onehot_p.astype(b.dtype))
         b = jnp.where(onehot_p, bk, b)
-        b = b.at[k].set(bp)
-        pivot = A[k, k]
+        b = jnp.where(is_k, bp, b)
+        pivot = rowp[k]                       # == A[k, k] after the swap
         safe = jnp.where(pivot != 0.0, pivot, 1.0)
         factors = jnp.where(idx > k, A[:, k] / safe, 0.0)
-        A = A - factors[:, None] * A[k][None, :]
-        b = b - factors * b[k]
+        A = A - factors[:, None] * rowp[None, :]
+        b = b - factors * bp
     x = jnp.zeros_like(b)
     for j in range(N - 1, -1, -1):
         s = b[j] - jnp.dot(A[j], x)
         d = A[j, j]
         xj = jnp.where(jnp.abs(d) < pivot_floor, 0.0,
                        s / jnp.where(d != 0.0, d, 1.0))
-        x = x.at[j].set(xj)
+        x = jnp.where(idx == j, xj, x)
     return jnp.where(minpiv < pivot_floor, jnp.zeros_like(x), x)
 
 
@@ -115,3 +123,50 @@ def lu_solve(A, b, pivot_floor=1e-15):
 
 
 lu_solve_batched = jax.vmap(lu_solve, in_axes=(0, 0, None))
+
+
+def _solve_batched_dispatch(A, b, pivot_floor):
+    """(B..., N, N) x (B..., N): route big f32 TPU batches to the Pallas
+    VMEM-resident kernel, everything else to the vmapped XLA solver."""
+    lead = A.shape[:-2]
+    N = A.shape[-1]
+    Af = A.reshape((-1,) + A.shape[-2:])
+    bf = jnp.broadcast_to(b, lead + (N,)).reshape(-1, N)
+    if (jax.default_backend() == "tpu" and A.dtype == jnp.float32
+            and Af.shape[0] >= 256 and N > 0):
+        from .pallas_lu import lu_solve_pallas_batched
+        x = lu_solve_pallas_batched(Af, bf, pivot_floor)
+    else:
+        x = jax.vmap(lu_solve, in_axes=(0, 0, None))(Af, bf, pivot_floor)
+    return x.reshape(lead + (N,))
+
+
+def make_lu_solve_auto(pivot_floor: float):
+    """A drop-in lu_solve(A, b) whose VMAPPED form dispatches the whole
+    batch to the Pallas kernel (ops/pallas_lu.py) on TPU.
+
+    Motivation (profiled on the B=8192 dbmixer hot loop): under plain vmap
+    the unrolled elimination streams the (B, k, k) matrix through HBM ~3
+    times per column step — the dominant cost of the whole timestep.  The
+    Pallas kernel keeps each 128-lane block resident in VMEM for the full
+    factorization, reading A from HBM exactly once."""
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def solve(A, b):
+        return lu_solve(A, b, pivot_floor)
+
+    @solve.def_vmap
+    def _rule(axis_size, in_batched, A, b):  # noqa: ANN001
+        a_b, b_b = in_batched
+        if not a_b:
+            A2 = jnp.broadcast_to(A, (axis_size,) + A.shape)
+        else:
+            A2 = A
+        if not b_b:
+            b2 = jnp.broadcast_to(b, (axis_size,) + b.shape)
+        else:
+            b2 = b
+        return _solve_batched_dispatch(A2, b2, pivot_floor), True
+
+    return solve

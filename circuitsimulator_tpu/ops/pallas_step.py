@@ -19,6 +19,19 @@ Kept as a documented experiment (with its correctness test) so the next
 optimization round starts from a working kernel rather than from scratch;
 the production Pallas win is the batched LU (ops/pallas_lu.py, 42x).
 
+Round-2 follow-up on the two blockers, measured on the v5e (B=8192):
+- replacing the `.at[k].set` row writes in ops/lu.py's unrolled
+  elimination (profiled at ~47% of step time as dynamic-update-slice +
+  copy pairs) with constant-mask where-selects: 21.4M -> 22.4M steps/s;
+- dispatching the vmapped k x k Woodbury solve to the VMEM-resident
+  Pallas LU kernel via jax.custom_batching.custom_vmap
+  (ops/lu.py make_lu_solve_auto): 22.4M -> 28.1M steps/s fast-Newton,
+  and 7.0M -> 12.3M in the damped reference-parity while_loop config —
+  i.e. the hybrid "XLA orchestrates, Pallas solves" split beats both the
+  all-XLA path and this all-Pallas fused step.  The remaining gap to a
+  fused chunk kernel is the per-step z0 matvec + state update, < 40% of
+  the step; revisit only if Mosaic gains strided middle-axis slices.
+
 Scope: Backward Euler + Woodbury, MOSFET nonlinearities only, V sources
 with NONE/SIN waveforms, DC-only I sources (the dbmixer class).  Layout is
 lane-minor; all writes are where-masked (Mosaic cannot lower scatter, and

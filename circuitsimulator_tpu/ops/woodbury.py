@@ -29,7 +29,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from .lu import lu_solve
+from .lu import lu_solve, make_lu_solve_auto
 
 
 def lu_inverse(A, pivot_floor=1e-15):
@@ -141,6 +141,11 @@ class WoodburySolver:
         self.M_dio = onehot(dio_terms)                # (N, 2nD)
         self.M_bjt = onehot(bjt_terms)                # (N, 3nQ)
         self.M_cols = onehot(cols.ravel())            # (N, 3k)
+        # k x k solver whose VMAPPED form routes the whole Monte-Carlo
+        # batch to the VMEM-resident Pallas LU kernel on TPU (profiled:
+        # under plain vmap this solve re-streams S through HBM every
+        # elimination column — the dominant cost of the whole timestep)
+        self._ksolve = make_lu_solve_auto(opts.lu_pivot_floor)
 
     def z0(self, b0):
         """G0^{-1} b0 — once per timestep (b0 = sources + history)."""
@@ -226,5 +231,5 @@ class WoodburySolver:
         zc = jnp.einsum("...n,nj->...j", z, self.M_cols)
         zc = zc.reshape(*zc.shape[:-1], plan.k, 3)
         vz = jnp.einsum("...js,...js->...j", vcoef, zc)
-        w = lu_solve(S, vz, self.engine.opts.lu_pivot_floor)
+        w = self._ksolve(S, vz)
         return z - jnp.einsum("...nk,...k->...n", self.Y, w)

@@ -98,3 +98,53 @@ def test_pcr_matches_cr():
         A = np.diag(b) + np.diag(a[1:], -1) + np.diag(c[:-1], 1)
         np.testing.assert_allclose(x_pcr, np.linalg.solve(A, d),
                                    rtol=1e-9, atol=1e-11)
+
+
+def test_lu_auto_vmap_rule():
+    """make_lu_solve_auto: the custom_vmap rule must match per-lane
+    lu_solve for every in_axes combination (batched/broadcast A and b)."""
+    from circuitsimulator_tpu.ops.lu import make_lu_solve_auto
+    solve = make_lu_solve_auto(1e-15)
+    B, n = 13, 7
+    rng = np.random.default_rng(11)
+    A = jnp.asarray(rng.standard_normal((B, n, n)))
+    b = jnp.asarray(rng.standard_normal((B, n)))
+    ref = lu_solve_batched(A, b, 1e-15)
+    # both batched
+    np.testing.assert_allclose(np.asarray(jax.vmap(solve)(A, b)),
+                               np.asarray(ref), rtol=1e-12, atol=1e-13)
+    # unbatched call == plain lu_solve
+    np.testing.assert_allclose(np.asarray(solve(A[0], b[0])),
+                               np.asarray(lu_solve(A[0], b[0], 1e-15)),
+                               rtol=1e-12)
+    # broadcast A, batched b
+    xa = jax.vmap(solve, in_axes=(None, 0))(A[0], b)
+    refa = lu_solve_batched(jnp.broadcast_to(A[0], (B, n, n)), b, 1e-15)
+    np.testing.assert_allclose(np.asarray(xa), np.asarray(refa), rtol=1e-12,
+                               atol=1e-13)
+    # batched A, broadcast b
+    xb = jax.vmap(solve, in_axes=(0, None))(A, b[0])
+    refb = lu_solve_batched(A, jnp.broadcast_to(b[0], (B, n)), 1e-15)
+    np.testing.assert_allclose(np.asarray(xb), np.asarray(refb), rtol=1e-12,
+                               atol=1e-13)
+    # under jit + nested in a scan body (the transient hot-loop shape)
+    f = jax.jit(lambda A, b: jax.vmap(solve)(A, b))
+    np.testing.assert_allclose(np.asarray(f(A, b)), np.asarray(ref),
+                               rtol=1e-12, atol=1e-13)
+
+
+def test_lu_auto_singular_lane():
+    """A singular lane must zero out, matching reference solver.hpp:94-97,
+    through the custom_vmap path."""
+    from circuitsimulator_tpu.ops.lu import make_lu_solve_auto
+    solve = make_lu_solve_auto(1e-15)
+    n = 5
+    rng = np.random.default_rng(3)
+    A = rng.standard_normal((4, n, n))
+    A[2] = 0.0
+    b = rng.standard_normal((4, n))
+    x = np.asarray(jax.vmap(solve)(jnp.asarray(A), jnp.asarray(b)))
+    np.testing.assert_array_equal(x[2], np.zeros(n))
+    for i in (0, 1, 3):
+        np.testing.assert_allclose(x[i], np.linalg.solve(A[i], b[i]),
+                                   rtol=1e-9, atol=1e-10)
