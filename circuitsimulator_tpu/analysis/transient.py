@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ops.assemble import Engine
-from ..ops.lu import lu_solve
+from ..ops.lu import lu_solve, make_lu_solve_auto
 from .dc import dc_operating_point
 
 
@@ -142,6 +142,10 @@ def transient_step_fn(engine: Engine, params, dt, predictor: bool = False,
             bordered_block_solve = _partial(bordered_spike_solve, mesh)
     else:
         G_static = engine.tran_static_G(params, dt, opts.tran_gmin, method)
+        # Monte-Carlo batches (vmap over lanes) dispatch the per-iteration
+        # dense solve to the Pallas VMEM-resident LU on TPU; single-lane
+        # and CPU runs are bitwise-unchanged (plain lu_solve).
+        dense_solve = make_lu_solve_auto(opts.lu_pivot_floor)
     if use_woodbury:
         from ..ops.woodbury import WoodburySolver
         wb = WoodburySolver(engine, params, G_static[..., :N, :N])
@@ -188,8 +192,7 @@ def transient_step_fn(engine: Engine, params, dt, predictor: bool = False,
             else:
                 G, I = engine.assemble_tran_iter(G_static, I_s, params,
                                                  c["x"], t)
-                x_raw = lu_solve(G[..., :N, :N], I[..., :N],
-                                 opts.lu_pivot_floor)
+                x_raw = dense_solve(G[..., :N, :N], I[..., :N])
             finite = jnp.all(jnp.isfinite(x_raw), axis=-1)
             upd_vec = x_raw - c["x"]
             if opts.tran_newton_clamp > 0.0:

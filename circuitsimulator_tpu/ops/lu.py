@@ -132,8 +132,10 @@ def _solve_batched_dispatch(A, b, pivot_floor):
     N = A.shape[-1]
     Af = A.reshape((-1,) + A.shape[-2:])
     bf = jnp.broadcast_to(b, lead + (N,)).reshape(-1, N)
+    # N cap: the Pallas kernel unrolls the elimination statically — compile
+    # time and VMEM both scale with N, so only small MNA systems qualify.
     if (jax.default_backend() == "tpu" and A.dtype == jnp.float32
-            and Af.shape[0] >= 256 and N > 0):
+            and Af.shape[0] >= 256 and 0 < N <= 64):
         from .pallas_lu import lu_solve_pallas_batched
         x = lu_solve_pallas_batched(Af, bf, pivot_floor)
     else:
