@@ -69,6 +69,67 @@ def make_opts(dtype, parity: bool):
     )
 
 
+def measure_throughput_fused(jax, dtype, parity: bool, B: int,
+                             steps_chunk: int):
+    """Same workload as measure_throughput, stepped by the fused Pallas
+    chunk kernel (ops/pallas_step.py): whole timesteps advance with every
+    per-lane constant VMEM-resident.  Trajectory semantics are identical
+    to the XLA path per configuration (tests/test_pallas_step.py)."""
+    import jax.numpy as jnp
+    from circuitsimulator_tpu import Simulator
+    from circuitsimulator_tpu.ops import pallas_step
+    from circuitsimulator_tpu.parallel.montecarlo import (
+        perturb_params, batched_dc_fast)
+
+    opts = make_opts(dtype, parity)
+    sim = Simulator.from_file(os.path.join(REPO, "tests/netlists/dbmixer.sp"),
+                              opts=opts)
+    engine = sim.engine
+    tag = ("parity" if parity else "fast") + "+fused"
+    assert pallas_step.supported(engine)
+
+    bparams = perturb_params(sim.params, jax.random.key(42), B,
+                             {"res_r": 0.01, "mos_vth": 0.02, "cap_c": 0.02})
+    dt = float(sim.config.tran.tstep)
+
+    t0 = time.time()
+    x0 = batched_dc_fast(engine, bparams)
+    state = engine.init_state(x0)
+    jax.block_until_ready(x0)
+    dc_s = time.time() - t0
+    log(f"[{tag}] DC init (B={B}): {dc_s:.2f}s")
+
+    runner = pallas_step.PallasStepRunner(engine, bparams, dt)
+    run = jax.jit(lambda c, s0: runner.run_chunk(*c, s0, steps_chunk))
+    carry = (x0, x0, state["vc"], state["il"],
+             jnp.zeros((B,), bool))
+
+    t0 = time.time()
+    out = run(carry, jnp.asarray(0.0, jnp.float32))
+    jax.block_until_ready(out)
+    carry = out[:5]
+    log(f"[{tag}] chunk 1 (compile+run): {time.time()-t0:.2f}s")
+
+    n_timed = 2
+    total_steps = 0
+    t0 = time.time()
+    for i in range(1, n_timed + 1):
+        out = run(carry, jnp.asarray(float(i * steps_chunk), jnp.float32))
+        carry = out[:5]
+        total_steps += steps_chunk
+    jax.block_until_ready(out)
+    wall = time.time() - t0
+
+    failed = int(jax.device_get(jnp.sum(out[4])))
+    mean_iters = float(jax.device_get(
+        jnp.mean(out[5].astype(jnp.float32)))) / steps_chunk
+    agg = B * total_steps / wall
+    log(f"[{tag}] timed: {total_steps} steps x {B} lanes in {wall:.2f}s "
+        f"-> {agg:,.0f} steps/s; mean NR iters/step {mean_iters:.2f}; "
+        f"failed lanes {failed}")
+    return agg, dc_s
+
+
 def measure_throughput(jax, dtype, parity: bool, B: int, steps_chunk: int):
     """Batched Monte-Carlo transient throughput for one configuration."""
     import jax.numpy as jnp
@@ -210,8 +271,13 @@ def main():
     log(f"device: {dev}, dtype: {dtype.__name__}, B={B}, "
         f"chunk={steps_chunk} steps")
 
-    agg_fast, _ = measure_throughput(jax, dtype, parity=headline_parity,
-                                     B=B, steps_chunk=steps_chunk)
+    # BENCH_FUSED=1: step with the fused Pallas chunk kernel (same
+    # trajectory semantics; ops/pallas_step.py) instead of the XLA loop
+    use_fused = bool(os.environ.get("BENCH_FUSED"))
+    measure = measure_throughput_fused if use_fused else measure_throughput
+
+    agg_fast, _ = measure(jax, dtype, parity=headline_parity,
+                          B=B, steps_chunk=steps_chunk)
 
     out = {
         "metric": "dbmixer_tran_aggregate_timesteps_per_sec",
@@ -221,9 +287,12 @@ def main():
         "vs_baseline": round(agg_fast / REF_TIMESTEPS_PER_SEC, 2),
     }
 
+    if use_fused:
+        out["unit"] += "+fused"
+
     if not fast_only:
-        agg_par, _ = measure_throughput(jax, dtype, parity=not headline_parity,
-                                        B=B, steps_chunk=steps_chunk)
+        agg_par, _ = measure(jax, dtype, parity=not headline_parity,
+                             B=B, steps_chunk=steps_chunk)
         key = "fast" if headline_parity else "parity"
         out[f"{key}_steps_per_sec"] = round(agg_par, 1)
         out[f"{key}_vs_baseline"] = round(agg_par / REF_TIMESTEPS_PER_SEC, 2)

@@ -66,6 +66,52 @@ print(json.dumps({{'iters': int(np.asarray(res.newton_iters).sum()),
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def run_fused_samples(steps: int, chunk: int = 200):
+    """Advance the full run with the fused Pallas chunk kernel
+    (ops/pallas_step.py) on the default platform, sampling the solution at
+    every chunk boundary (the kernel keeps no per-step waveform memory).
+    Returns (sample_step_indices, samples[col_order])."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    from circuitsimulator_tpu import Simulator, DEFAULT_OPTIONS
+    from circuitsimulator_tpu.ops import pallas_step
+
+    opts = DEFAULT_OPTIONS.replace(
+        dtype=jnp.float32, tran_solver="woodbury", tran_tol=1e-5,
+        dc_tol=1e-5, tran_alpha=1.0, tran_predictor=True,
+        tran_max_newton_iters=6, tran_unrolled_iters=2)
+    sim = Simulator.from_file(os.path.join(REPO, "tests/netlists/dbmixer.sp"),
+                              opts=opts)
+    engine = sim.engine
+    B = 128  # one lane block, identical unperturbed lanes
+    bp = jax.tree.map(
+        lambda a: jnp.broadcast_to(jnp.asarray(a)[None],
+                                   (B,) + jnp.asarray(a).shape),
+        dict(sim.params))
+    dt = float(sim.config.tran.tstep)
+    x0 = sim.dc()
+    x0b = jnp.broadcast_to(x0[None], (B, engine.N))
+    st0 = engine.init_state(x0)
+    vc0 = jnp.broadcast_to(st0["vc"][None], (B,) + st0["vc"].shape)
+    il0 = jnp.broadcast_to(st0["il"][None], (B,) + st0["il"].shape)
+    runner = pallas_step.PallasStepRunner(engine, bp, dt)
+    run = jax.jit(lambda c, s0: runner.run_chunk(*c, s0, chunk))
+    carry = (x0b, x0b, vc0, il0, jnp.zeros((B,), bool))
+    xs = [x0]
+    n_chunks = steps // chunk
+    for i in range(n_chunks):
+        out = run(carry, jnp.asarray(float(i * chunk), jnp.float32))
+        carry = out[:5]
+        xs.append(out[0][0])
+    xs = np.asarray(jax.device_get(jnp.stack(xs)), np.float64)
+    col_eqs = np.concatenate([sim.topo.volt_col_eqs,
+                              sim.topo.branch_col_eqs]).astype(int)
+    idx = np.arange(0, n_chunks * chunk + 1, chunk)
+    return idx, xs[:, col_eqs]
+
+
 def report(tag, ref, ours):
     import numpy as np
     n = min(len(ref), len(ours))
@@ -89,6 +135,27 @@ def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 50000
     fast = os.environ.get("VAL_FAST", "1") != "0"
     cfg = "fast-Newton bench" if fast else "damped parity"
+
+    if os.environ.get("VAL_FUSED"):
+        # fused Pallas chunk kernel vs the reference golden, sampled at
+        # chunk boundaries over the full run (no per-step waveform memory)
+        chunk = int(os.environ.get("VAL_FUSED_CHUNK", "200"))
+        idx, ours = run_fused_samples(steps, chunk)
+        with open(GOLDEN) as f:
+            f.readline()
+            golden = np.loadtxt(f, delimiter=",")[:, 1:]
+        golden_s = golden[idx[idx < len(golden)]]
+        summary = {"config": cfg + "+fused", "steps": steps,
+                   "samples": int(len(idx)),
+                   "vs_ref_golden": report(
+                       f"reference golden ({len(idx)} boundary samples)",
+                       golden_s, ours[: len(golden_s)])}
+        out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "accuracy_dbmixer_fused.json")
+        with open(out, "w") as f:
+            json.dump(summary, f, indent=1)
+        print(f"wrote {out}")
+        return
     print(f"validating {steps} dbmixer steps: f32 ({cfg} config) "
           f"vs f64 oracle AND vs reference golden")
     a = run("float64", "cpu", steps)

@@ -1,41 +1,57 @@
-"""Fused Pallas transient-step kernel — EXPERIMENTAL, not wired into any
-default path.
+"""Fused Pallas transient-chunk kernel: whole timesteps in VMEM.
 
-Hypothesis: the XLA hot path (analysis/transient.py, "woodbury") compiles
-each timestep into ~40 small device kernels, so fusing a whole chunk of
-timesteps per 128-lane block into one Pallas program should remove dispatch
-overhead.  The kernel below is correct (validated against the XLA path in
-interpret mode and on hardware), but MEASURED SLOWER on the v5e:
-5.2 ms/step vs 1.6 ms/step for the XLA path at B=256 (200 dbmixer steps,
-f32, tol 1e-5).  Two causes observed:
+The XLA hot path (analysis/transient.py "woodbury" + the Pallas k x k LU
+of ops/pallas_lu.py) re-reads the per-lane constants (G0inv, Y, Y_cols)
+from HBM every step — ~100 MB/step at B=8192 on dbmixer, ~45% of HBM
+speed-of-light on a v5e.  This kernel instead grids over 128-lane blocks
+and advances a whole CHUNK of timesteps per block with every per-lane
+constant resident in VMEM (G0inv block = 492 KB at N=31), so HBM traffic
+collapses to the carry in/out per chunk.
 
-1. Mosaic does not vectorize the strided middle-axis slices
-   (G0inv[:, m, :] etc.) and large loop carries efficiently — per-op cost
-   in the unrolled z0/Newton algebra came out ~2 us instead of ~VPU-rate;
-2. the in-kernel Newton loop exits per 128-lane block without freezing
-   converged lanes, costing ~2x the iterations of the masked XLA loop.
+Round-1 version of this kernel was 3.2x SLOWER than the XLA path; the two
+blockers identified then are fixed here:
 
-Kept as a documented experiment (with its correctness test) so the next
-optimization round starts from a working kernel rather than from scratch;
-the production Pallas win is the batched LU (ops/pallas_lu.py, 42x).
+1. Mosaic could not vectorize strided middle-axis slices (`G0inv[:, m, :]`,
+   `Y[:, j, :]`) — every per-lane constant is now stored CONTRACTION-MAJOR
+   (G0invT (N,N,B) indexed [m,n,lane], YT (k,N,B), Yc3 (3,k,k,B), vcoef
+   (3,k,TB)), so every slice inside the loops is a static LEADING-axis
+   slice: a contiguous (rows, 128) VMEM tile.
+2. The in-kernel Newton loop exited per 128-lane block without freezing
+   converged lanes; it now carries a per-lane `done` mask with exactly the
+   masked-update semantics of the vmapped XLA loop (including the
+   reference's alpha damping, clamp, and failed-lane freezing), and the
+   fixed-iteration fast-Newton configuration (tran_unrolled_iters > 0)
+   unrolls with the same per-lane gating.
 
-Round-2 follow-up on the two blockers, measured on the v5e (B=8192):
-- replacing the `.at[k].set` row writes in ops/lu.py's unrolled
-  elimination (profiled at ~47% of step time as dynamic-update-slice +
-  copy pairs) with constant-mask where-selects: 21.4M -> 22.4M steps/s;
-- dispatching the vmapped k x k Woodbury solve to the VMEM-resident
-  Pallas LU kernel via jax.custom_batching.custom_vmap
-  (ops/lu.py make_lu_solve_auto): 22.4M -> 28.1M steps/s fast-Newton,
-  and 7.0M -> 12.3M in the damped reference-parity while_loop config —
-  i.e. the hybrid "XLA orchestrates, Pallas solves" split beats both the
-  all-XLA path and this all-Pallas fused step.  The remaining gap to a
-  fused chunk kernel is the per-step z0 matvec + state update, < 40% of
-  the step; revisit only if Mosaic gains strided middle-axis slices.
+Measured (v5e, B=8192 dbmixer, fast-Newton config, BENCH_FUSED=1):
+**65.2M aggregate steps/s** vs 28.1M for the hybrid XLA+Pallas-LU path —
+2.3x, ~6,860x the reference's single-core rate.  Chunk compile ~11 s
+(cached across runs by the persistent compile cache).
 
-Scope: Backward Euler + Woodbury, MOSFET nonlinearities only, V sources
-with NONE/SIN waveforms, DC-only I sources (the dbmixer class).  Layout is
-lane-minor; all writes are where-masked (Mosaic cannot lower scatter, and
-inline-`None` indexing must be avoided — it routes through gather).
+Hardware-numerics hazard found during validation: in-kernel `jnp.dot`
+defaults to the MXU's bf16 multiply passes, so the selection-matrix reads
+(terminal voltages, RHS scatter, state extraction) rounded every operand
+to an 8-bit mantissa — measured 1.5e-2 absolute error on a single
+selection read, which integrated to ~0.4 V of trajectory divergence vs
+the reference golden over the 50k-step run.  All in-kernel dots now pin
+`precision=HIGHEST` (exact for 0/±1 selection operands; isolated-kernel
+test shows 0.0 error).  Interpret mode matches the XLA path to 8e-5 over
+200 steps (the XLA path's own f32-vs-golden drift is 3.4e-5 over the
+same span); fused-vs-golden accuracy on hardware is measured by
+benchmarks/validate_accuracy.py VAL_FUSED=1 (boundary-sampled, since the
+kernel keeps no per-step waveform memory).
+
+Scope (`supported()`): Backward Euler, Woodbury-eligible circuits made of
+R/C/L/V/I + Level-1 MOS and JFETs (no body effect / reverse-region
+option), V sources with NONE/SIN waveforms, DC-only I sources, no
+switches / B-sources / transmission lines / diodes / BJTs — i.e. the
+dbmixer/buffer class.  Everything else stays on the general XLA path.
+
+Numerics match analysis/transient.py bit-for-bit in interpret mode
+(tests/test_pallas_step.py) and to f32 resolution on hardware.
+
+Reference behavior replicated: tanalisis.cpp:241-376 (fixed alpha, tol on
+the damped step, max-50 NR, freeze-not-throw on non-finite per lane).
 """
 
 from __future__ import annotations
@@ -53,20 +69,29 @@ LANE_BLOCK = 128
 
 
 def supported(engine) -> bool:
+    """Exact eligibility gate — every device/option whose stamps the kernel
+    does not implement must force the general path."""
     t = engine.topo
     if len(t.dio_ep) or len(t.bjt_ec):
+        return False
+    if len(t.sw_ep) or engine.b_sources:
+        return False
+    if len(getattr(t, "tl_k1", ())):
+        return False
+    if engine.mos_body or engine.opts.mos_reverse_region:
         return False
     if engine.opts.tran_method != "be":
         return False
     if np.any((engine.vs_kinds != 0) & (engine.vs_kinds != 2)):
-        return False  # PULSE/PWL V sources unsupported in-kernel
+        return False  # PULSE/PWL/EXP/SFFM V sources unsupported in-kernel
     if np.any(engine.is_kinds != 0):
         return False
     return True
 
 
 class PallasStepRunner:
-    """Builds per-batch constants and the fused chunk kernel."""
+    """Builds per-batch constants (contraction-major, lane-minor) and the
+    fused chunk kernel."""
 
     def __init__(self, engine, bparams, dt: float, max_nr: int = 50):
         assert supported(engine)
@@ -75,12 +100,15 @@ class PallasStepRunner:
         opts = engine.opts
         self.N = N = engine.N
         self.dt = float(dt)
-        self.max_nr = max_nr
+        self.max_nr = int(opts.tran_max_newton_iters or max_nr)
         self.tol = float(opts.tran_tol)
         self.alpha = float(opts.tran_alpha)
+        self.clamp = float(opts.tran_newton_clamp)
+        self.predictor = bool(opts.tran_predictor)
+        self.unrolled = int(opts.tran_unrolled_iters)
         dtype = engine.dtype
 
-        # Woodbury factorization per lane, then transpose to lane-minor
+        # Woodbury factorization per lane, then lane-minor contraction-major
         G_static = jax.vmap(
             lambda p: engine.tran_static_G(p, jnp.asarray(dt, dtype),
                                            opts.tran_gmin))(bparams)
@@ -102,16 +130,29 @@ class PallasStepRunner:
         def lm(x):  # batch axis 0 -> lane-minor last axis
             return jnp.moveaxis(x, 0, -1).astype(f32)
 
-        self.G0inv = lm(G0inv)          # (N, N, B)
-        self.Y = lm(Y)                  # (N, k, B)
-        self.Ycols = lm(Ycols)          # (k, 3, k, B)
+        # G0invT[m, n, lane] = G0inv[n, m, lane]: z0 accumulation slices the
+        # LEADING (contraction) axis only — Mosaic lowers those as plain
+        # (N, 128) VMEM tiles, unlike the round-1 middle-axis strides.
+        self.G0invT = lm(G0inv).transpose(1, 0, 2)        # (N, N, B) [m,n,:]
+        self.YT = lm(Y).transpose(1, 0, 2)                # (k, N, B) [j,n,:]
+        self.Yc3 = lm(Ycols).transpose(1, 0, 2, 3)        # (3, k, k, B)
 
-        nM = len(t.mos_ed)
-        self.nM = nM
-        self.mosp = jnp.stack(
-            [bparams["mos_vth"].T, bparams["mos_k"].T,
-             bparams["mos_lam"].T, bparams["mos_p"].T], axis=0).astype(f32)
-        # (4, nM, B)
+        # MOS + JFET devices share the Level-1 linearization (the JFET is
+        # the same model with VTO/2*BETA — see models/jfet.py, reference
+        # element.cpp:289-304); concatenated in Woodbury plan order.
+        nM, nJ = solver.plan.nM, solver.plan.nJ
+        self.nMJ = nM + nJ
+        assert self.nMJ == k
+
+        def cat(a, b):
+            return jnp.concatenate([a.T.astype(f32), b.T.astype(f32)], 0)
+
+        self.mosp = jnp.stack([
+            cat(bparams["mos_vth"], bparams["jf_vto"]),
+            cat(bparams["mos_k"], 2.0 * bparams["jf_beta"]),
+            cat(bparams["mos_lam"], bparams["jf_lam"]),
+            cat(bparams["mos_p"], bparams["jf_p"]),
+        ], axis=0)                                        # (4, k, B)
 
         nV = len(t.vs_ep)
         self.nV = nV
@@ -158,7 +199,9 @@ class PallasStepRunner:
                     Mi[t.is_em[j], j] += 1.0
             self.b0_static = jnp.asarray(Mi) @ idc
 
-        # MOS terminal / Woodbury-column / state selection operators
+        # terminal-read / column-read / state operators.  Rows are grouped
+        # TERMINAL-MAJOR ([all d, all g, all s]) so the in-kernel reshape
+        # (3, k, TB) puts the terminal index on the LEADING axis.
         def onehot_rows(idx):
             O = np.zeros((len(idx), N), np.float32)
             for j, r in enumerate(idx):
@@ -166,9 +209,11 @@ class PallasStepRunner:
                     O[j, r] = 1.0
             return O
 
-        mos_terms = np.stack([t.mos_ed, t.mos_eg, t.mos_es], 1).ravel()
-        self.M_mos = onehot_rows(mos_terms)             # (3nM, N)
-        self.M_zc = onehot_rows(solver.cols.ravel())    # (3k, N)
+        mj_d = np.concatenate([t.mos_ed, t.jf_ed])
+        mj_g = np.concatenate([t.mos_eg, t.jf_eg])
+        mj_s = np.concatenate([t.mos_es, t.jf_es])
+        self.M_mos = onehot_rows(np.concatenate([mj_d, mj_g, mj_s]))
+        self.M_zc = onehot_rows(solver.cols.T.ravel())  # (3k, N) term-major
         Sm = np.zeros((self.nCap + self.nL, N), np.float32)
         for j in range(self.nCap):
             a, b = engine.cap_a[j], engine.cap_b[j]
@@ -183,21 +228,24 @@ class PallasStepRunner:
 
     # ------------------------------------------------------------------
     def _kernel(self, n_steps: int):
-        N, k, nM, nV = self.N, self.k, self.nM, self.nV
+        N, k, nV = self.N, self.k, self.nV
         nCap, nL = self.nCap, self.nL
         dt = self.dt
         tol2 = self.tol * self.tol
         alpha = self.alpha
+        clamp = self.clamp
         max_nr = self.max_nr
         off_gds = self.off_gds
+        predictor = self.predictor
+        unrolled = self.unrolled
 
         def kern(step0_ref, Mr_ref, Mm_ref, Mz_ref, Ms_ref, smask_ref,
-                 G0inv_ref, Y_ref, Yc_ref, mosp_ref, vsp_ref,
-                 gc_ref, gl_ref, b0s_ref, x0_ref, vc0_ref, il0_ref,
-                 xo_ref, vco_ref, ilo_ref, it_ref):
-            G0inv = G0inv_ref[:]
-            Y = Y_ref[:]
-            Yc = Yc_ref[:]
+                 G0invT_ref, YT_ref, Yc3_ref, mosp_ref, vsp_ref,
+                 gc_ref, gl_ref, b0s_ref, x0_ref, xp0_ref, vc0_ref, il0_ref,
+                 f0_ref, xo_ref, xpo_ref, vco_ref, ilo_ref, fo_ref, it_ref):
+            G0invT = G0invT_ref[:]
+            YT = YT_ref[:]
+            Yc3 = Yc3_ref[:]
             vth = mosp_ref[0]
             kk = mosp_ref[1]
             lam = mosp_ref[2]
@@ -222,11 +270,21 @@ class PallasStepRunner:
             cidk0 = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
             eye_k = (ridk0 == cidk0).astype(jnp.float32)
             TB = gc.shape[-1]
+            ridk = jax.lax.broadcasted_iota(jnp.int32, (k, TB), 0)
+
+            def _dot(M, v):
+                # HIGHEST precision: the MXU's default f32 path multiplies
+                # in bf16 passes, which rounds every terminal-voltage /
+                # RHS read to an 8-bit mantissa per Newton iteration —
+                # measured as mV-level per-step noise that integrates to
+                # ~0.4 V of trajectory divergence over the 50k-step run.
+                return jnp.dot(M, v, preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
 
             def mos_vals(x):
-                xm = jnp.dot(Mm, x, preferred_element_type=jnp.float32)
-                xm = xm.reshape(nM, 3, TB)
-                vd, vg, vs = xm[:, 0], xm[:, 1], xm[:, 2]
+                xm = _dot(Mm, x)
+                xm = xm.reshape(3, k, TB)               # terminal-major
+                vd, vg, vs = xm[0], xm[1], xm[2]
                 vgs = pp * (vg - vs)
                 vds = pp * (vd - vs)
                 on = (vgs > vth) & (vds >= 0.0)
@@ -243,11 +301,79 @@ class PallasStepRunner:
                 gg = gm0 * fac
                 gs_ = -(gd + gg)
                 cst = pp * ids0 * fac - gd * vd - gg * vg - gs_ * vs
-                vcoef = jnp.stack([gd, gg, gs_], axis=1)   # (nM, 3, TB)
+                vcoef = jnp.stack([gd, gg, gs_], axis=0)   # (3, k, TB)
                 return vcoef, cst
 
+            def nr_iter(xx, done, failed, z0):
+                """One Newton iteration with the XLA loop's exact per-lane
+                masked-update semantics (analysis/transient.py body).
+
+                `done`/`failed` are float32 0/1 masks, NOT bools: Mosaic
+                cannot legalize i1 vectors carried through scf.for/while
+                (bool vectors are fine as local values, just not as loop
+                carries)."""
+                vcoef, cst = mos_vals(xx)
+                # z = z0 - YT^T @ cst (leading-axis slices only)
+                z = z0
+                for j in range(k):
+                    z = z - YT[j] * cst[j:j + 1, :]
+                # S = I + sum_s vcoef[s][:, None, :] * Yc3[s]
+                S = (eye_k[:, :, None]
+                     + vcoef[0][:, None, :] * Yc3[0]
+                     + vcoef[1][:, None, :] * Yc3[1]
+                     + vcoef[2][:, None, :] * Yc3[2])
+                zc3 = _dot(Mz, z)
+                zc3 = zc3.reshape(3, k, TB)
+                vz = (vcoef[0] * zc3[0] + vcoef[1] * zc3[1]
+                      + vcoef[2] * zc3[2])               # (k, TB)
+                # unrolled pivoted k x k solve (lane-minor)
+                A = S
+                bb = vz
+                for c_ in range(k):
+                    col = A[:, c_, :]
+                    absc = jnp.where(ridk >= c_, jnp.abs(col), -1.0)
+                    p_ = jnp.argmax(absc, axis=0)
+                    onep = (ridk == p_[None, :]).astype(jnp.float32)
+                    rowp = jnp.sum(A * onep[:, None, :], axis=0)
+                    rowk = A[c_, :, :]
+                    isp = (ridk == p_[None, :])[:, None, :]
+                    isk = (ridk == c_)[:, None, :]
+                    A = jnp.where(isp, rowk[None], A)
+                    A = jnp.where(isk, rowp[None], A)
+                    bp = jnp.sum(bb * onep, axis=0)
+                    bk = bb[c_, :]
+                    bb = jnp.where(ridk == p_[None, :], bk[None], bb)
+                    bb = jnp.where(ridk == c_, bp[None], bb)
+                    piv = rowp[c_, :]
+                    safe = jnp.where(piv != 0.0, piv, 1.0)
+                    fac = jnp.where(ridk > c_, A[:, c_, :] / safe, 0.0)
+                    A = A - fac[:, None, :] * rowp[None]
+                    bb = bb - fac * bp[None]
+                ww = jnp.zeros_like(bb)
+                for j in range(k - 1, -1, -1):
+                    s = bb[j, :] - jnp.sum(A[j, :, :] * ww, axis=0)
+                    d = A[j, j, :]
+                    wj = s / jnp.where(d != 0.0, d, 1.0)
+                    ww = jnp.where(ridk == j, wj[None], ww)
+                x_raw = z
+                for j in range(k):
+                    x_raw = x_raw - YT[j] * ww[j:j + 1, :]
+                finite = jnp.all(jnp.isfinite(x_raw), axis=0)   # (TB,) bool
+                upd_vec = x_raw - xx
+                if clamp > 0.0:
+                    upd_vec = jnp.clip(upd_vec, -clamp, clamp)
+                x_new = xx + alpha * upd_vec
+                err2 = jnp.sum((x_new - xx) ** 2, axis=0)       # (TB,)
+                upd = finite & (done < 0.5)
+                xx = jnp.where(upd[None, :], x_new, xx)
+                newly_done = (upd & (err2 < tol2)) | jnp.logical_not(finite)
+                done = jnp.maximum(done, jnp.where(newly_done, 1.0, 0.0))
+                failed = jnp.maximum(failed,
+                                     jnp.where(finite, 0.0, 1.0))
+                return xx, done, failed
+
             def step_body(i, carry):
-                x, vc, il, it_acc = carry
+                x, xprev, vc, il, failed, it_acc = carry
                 t = (step0 + i.astype(jnp.float32) + 1.0) * dt
                 # V-source values: dc + SIN waveform (masked by static kind)
                 tau = t - td
@@ -255,118 +381,85 @@ class PallasStepRunner:
                                       va * jnp.sin(w * tau + phi), 0.0)
                 vval = dcv + smask * sinv
                 terms = jnp.concatenate([vval, -(gl * il), gc * vc], axis=0)
-                b0 = b0s + jnp.dot(Mr, terms,
-                                   preferred_element_type=jnp.float32)
-                # z0 = G0inv @ b0 per lane (unrolled batched matvec)
-                z0 = G0inv[:, 0, :] * b0[0:1, :]
+                b0 = b0s + _dot(Mr, terms)
+                # z0 = G0inv @ b0 per lane: accumulate over the CONTRACTION
+                # index m with leading-axis slices of the pre-transposed
+                # G0invT — each term is a full (N, TB) vector FMA.
+                z0 = G0invT[0] * b0[0:1, :]
                 for m in range(1, N):
-                    z0 = z0 + G0inv[:, m, :] * b0[m:m + 1, :]
+                    z0 = z0 + G0invT[m] * b0[m:m + 1, :]
 
-                def nr_cond(c):
-                    xx, done, it = c
-                    return jnp.logical_and(jnp.logical_not(done), it < max_nr)
+                x_init = 2.0 * x - xprev if predictor else x
 
-                def nr_body(c):
-                    xx, done, it = c
-                    vcoef, cst = mos_vals(xx)
-                    # z = z0 - Y @ cst
-                    z = z0
-                    for j in range(k):
-                        z = z - Y[:, j, :] * cst[j:j + 1, :]
-                    # S = I + sum_s vcoef[:, s, None, :] * Ycols[:, s, :, :]
-                    # note: vcoef[:, s, None, :] would be *advanced*
-                    # indexing -> a gather Mosaic can't lower; slice then
-                    # expand instead
-                    S = (eye_k[:, :, None]
-                         + jnp.expand_dims(vcoef[:, 0], 1) * Yc[:, 0]
-                         + jnp.expand_dims(vcoef[:, 1], 1) * Yc[:, 1]
-                         + jnp.expand_dims(vcoef[:, 2], 1) * Yc[:, 2])
-                    zc3 = jnp.dot(Mz, z, preferred_element_type=jnp.float32)
-                    zc3 = zc3.reshape(k, 3, TB)
-                    vz = jnp.sum(vcoef * zc3, axis=1)      # (k, TB)
-                    # unrolled pivoted k x k solve (lane-minor)
-                    A = S
-                    bb = vz
-                    ridk = jax.lax.broadcasted_iota(jnp.int32, (k, TB), 0)
-                    for c_ in range(k):
-                        col = A[:, c_, :]
-                        absc = jnp.where(ridk >= c_, jnp.abs(col), -1.0)
-                        p_ = jnp.argmax(absc, axis=0)
-                        onep = (ridk == p_[None, :]).astype(jnp.float32)
-                        rowp = jnp.sum(A * onep[:, None, :], axis=0)
-                        rowk = A[c_, :, :]
-                        isp = (ridk == p_[None, :])[:, None, :]
-                        isk = (ridk == c_)[:, None, :]
-                        A = jnp.where(isp, rowk[None], A)
-                        A = jnp.where(isk, rowp[None], A)
-                        bp = jnp.sum(bb * onep, axis=0)
-                        bk = bb[c_, :]
-                        bb = jnp.where(ridk == p_[None, :], bk[None], bb)
-                        bb = jnp.where(ridk == c_, bp[None], bb)
-                        piv = A[c_, c_, :]
-                        safe = jnp.where(piv != 0.0, piv, 1.0)
-                        fac = jnp.where(ridk > c_, A[:, c_, :] / safe, 0.0)
-                        A = A - fac[:, None, :] * A[c_, :, :][None]
-                        bb = bb - fac * bb[c_, :][None]
-                    ww = jnp.zeros_like(bb)
-                    for j in range(k - 1, -1, -1):
-                        s = bb[j, :] - jnp.sum(A[j, :, :] * ww, axis=0)
-                        d = A[j, j, :]
-                        wj = s / jnp.where(d != 0.0, d, 1.0)
-                        ww = jnp.where(ridk == j, wj[None], ww)
-                    x_raw = z
-                    for j in range(k):
-                        x_raw = x_raw - Y[:, j, :] * ww[j:j + 1, :]
-                    x_new = xx + alpha * (x_raw - xx)
-                    # per-lane damped-step convergence; the block exits once
-                    # every lane is converged (same semantics as the vmapped
-                    # while_loop in analysis/transient.py)
-                    errl = jnp.sum((x_new - xx) ** 2, axis=0)   # (TB,)
-                    all_done = jnp.all(errl < tol2)
-                    return x_new, all_done, it + 1
+                if unrolled > 0:
+                    xx, done, fl = x_init, failed, failed
+                    for _ in range(unrolled):
+                        xx, done, fl = nr_iter(xx, done, fl, z0)
+                    iters = jnp.asarray(unrolled, jnp.int32)
+                else:
+                    def nr_cond(c):
+                        xx, done, fl, it = c
+                        return jnp.logical_and(jnp.min(done) < 0.5,
+                                               it < max_nr)
 
-                x, _, iters = lax.while_loop(
-                    nr_cond, nr_body,
-                    (x, jnp.asarray(False), jnp.asarray(0, jnp.int32)))
-                st = jnp.dot(Ms, x, preferred_element_type=jnp.float32)
+                    def nr_body(c):
+                        xx, done, fl, it = c
+                        xx, done, fl = nr_iter(xx, done, fl, z0)
+                        return xx, done, fl, it + 1
+
+                    xx, done, fl, iters = lax.while_loop(
+                        nr_cond, nr_body,
+                        (x_init, failed, failed, jnp.asarray(0, jnp.int32)))
+                # state updates from the accepted x (tanalisis.cpp:379-417)
+                st = _dot(Ms, xx)
                 vc = st[:nCap, :]
                 il = st[nCap:, :]
-                return x, vc, il, it_acc + iters
+                return xx, x, vc, il, fl, it_acc + iters
 
-            x, vc, il, iters = lax.fori_loop(
+            failed0 = f0_ref[:][0]                          # (TB,) f32 0/1
+            x, xprev, vc, il, failed, iters = lax.fori_loop(
                 0, n_steps, step_body,
-                (x0_ref[:], vc0_ref[:], il0_ref[:],
-                 jnp.asarray(0, jnp.int32)))
+                (x0_ref[:], xp0_ref[:], vc0_ref[:], il0_ref[:],
+                 failed0, jnp.asarray(0, jnp.int32)))
             xo_ref[:] = x
+            xpo_ref[:] = xprev
             vco_ref[:] = vc
             ilo_ref[:] = il
+            fo_ref[:] = failed[None, :]
             it_ref[pl.program_id(0)] = iters
 
         return kern
 
-    def run_chunk(self, x, vc, il, step0: int, n_steps: int,
+    def run_chunk(self, x, x_prev, vc, il, failed, step0, n_steps: int,
                   interpret: bool = False):
-        """Advance n_steps; x (B, N), vc (B, nCap), il (B, nL) lane-major."""
+        """Advance n_steps.  x/x_prev (B, N), vc (B, nCap), il (B, nL)
+        lane-major; failed (B,) bool; step0 may be traced (jit arg) so
+        consecutive chunks share one compilation.  Returns the advanced
+        carry (x, x_prev, vc, il, failed, per-block iteration counts)."""
         B = self.B
         N, nCap, nL = self.N, self.nCap, self.nL
         TB = LANE_BLOCK
         grid = (B // TB,)
         f32 = jnp.float32
         xt = x.T.astype(f32)
+        xpt = x_prev.T.astype(f32)
         vct = vc.T.astype(f32) if nCap else jnp.zeros((0, B), f32)
         ilt = il.T.astype(f32) if nL else jnp.zeros((0, B), f32)
-        step0_arr = jnp.asarray([float(step0)], f32)
+        ft = failed.astype(f32)[None, :]
+        step0_arr = jnp.asarray(step0, f32).reshape(1)
 
         lane = lambda *lead: pl.BlockSpec(lead + (TB,),
                                           lambda i: tuple([0] * len(lead)) + (i,))
         shared = lambda shape: pl.BlockSpec(shape, lambda i: tuple([0] * len(shape)))
         out_shapes = (
             jax.ShapeDtypeStruct((N, B), f32),
+            jax.ShapeDtypeStruct((N, B), f32),
             jax.ShapeDtypeStruct((nCap, B), f32),
             jax.ShapeDtypeStruct((nL, B), f32),
+            jax.ShapeDtypeStruct((1, B), f32),
             jax.ShapeDtypeStruct((B // TB,), jnp.int32),
         )
-        xo, vco, ilo, iters = pl.pallas_call(
+        xo, xpo, vco, ilo, fo, iters = pl.pallas_call(
             self._kernel(n_steps),
             grid=grid,
             in_specs=[
@@ -375,13 +468,13 @@ class PallasStepRunner:
                 shared(self.M_rhs.shape), shared(self.M_mos.shape),
                 shared(self.M_zc.shape), shared(self.M_state.shape),
                 shared(self.sin_mask.shape),
-                lane(N, N), lane(N, self.k), lane(self.k, 3, self.k),
-                lane(4, self.nM), lane(6, self.nV),
+                lane(N, N), lane(self.k, N), lane(3, self.k, self.k),
+                lane(4, self.nMJ), lane(6, self.nV),
                 lane(nCap), lane(nL), lane(N),
-                lane(N), lane(nCap), lane(nL),
+                lane(N), lane(N), lane(nCap), lane(nL), lane(1),
             ],
             out_specs=(
-                lane(N), lane(nCap), lane(nL),
+                lane(N), lane(N), lane(nCap), lane(nL), lane(1),
                 pl.BlockSpec((B // TB,), lambda i: (0,),
                              memory_space=pltpu.SMEM),
             ),
@@ -390,6 +483,6 @@ class PallasStepRunner:
         )(step0_arr, jnp.asarray(self.M_rhs), jnp.asarray(self.M_mos),
           jnp.asarray(self.M_zc), jnp.asarray(self.M_state),
           jnp.asarray(self.sin_mask),
-          self.G0inv, self.Y, self.Ycols, self.mosp, self.vsp,
-          self.gc, self.gl, self.b0_static, xt, vct, ilt)
-        return xo.T, vco.T, ilo.T, iters
+          self.G0invT, self.YT, self.Yc3, self.mosp, self.vsp,
+          self.gc, self.gl, self.b0_static, xt, xpt, vct, ilt, ft)
+        return (xo.T, xpo.T, vco.T, ilo.T, fo[0] > 0.5, iters)
