@@ -4,28 +4,38 @@ on one TPU chip (BASELINE.md north star: >=8192 vmapped instances at >100x
 the reference's measured 9,500 timesteps/s single-core rate, i.e. >=950k
 aggregate timesteps/s/chip).
 
-Prints exactly ONE JSON line to stdout carrying BOTH configurations plus the
+Prints exactly ONE JSON line to stdout carrying every configuration plus the
 measured accuracy bound, so the judged artifact is self-describing:
 
-  {"metric": ..., "value": <fast steps/s>, "unit": ..., "vs_baseline": ...,
+  {"metric": ..., "value": <headline steps/s>, "unit": ..., "vs_baseline": ...,
+   "xla_steps_per_sec": <same trajectory, XLA+Pallas-LU hybrid loop>,
    "parity_steps_per_sec": <reference damped-trajectory config steps/s>,
    "parity_vs_baseline": ...,
    "accuracy": {"steps": 50000,
                 "fast_max_abs_err_vs_ref_golden": ...,
-                "fast_max_rel_err_vs_ref_golden": ...}}
+                "fast_max_rel_err_vs_ref_golden": ...,
+                "fused_max_abs_err_vs_ref_golden": ...}}
 
 - "value" is the fast-Newton configuration (f32, alpha=1, extrapolation
   predictor, 2 unrolled Newton iterations, tol 1e-5) — a relaxed trajectory,
-  NOT the reference's damped Newton.  Its accuracy cost is measured here, on
-  this device, over the FULL 50,000-step run against the reference's own
-  golden CSV (tests/goldens/dbmixer_tran.csv, produced by the C++ binary).
+  NOT the reference's damped Newton — stepped by the fused Pallas chunk
+  kernel (ops/pallas_step.py) when the circuit is in its scope, else by the
+  XLA loop.  The trajectory's accuracy cost is measured here, on this
+  device, over the FULL 50,000-step run against the reference's own golden
+  CSV (tests/goldens/dbmixer_tran.csv, produced by the C++ binary); the
+  fused kernel's own full-run golden diff (boundary-sampled — the kernel
+  keeps no per-step waveform memory) is refreshed by
+  benchmarks/validate_accuracy.py VAL_FUSED=1 and embedded verbatim.
 - "parity_steps_per_sec" is the reference damped-trajectory configuration
-  (alpha schedule, convergence-tested while_loop, no predictor).
+  (alpha schedule, convergence-tested while_loop, no predictor), on the
+  XLA loop whose trajectory is the exactly-tested one.
 
 Diagnostics go to stderr.  Tunables via env: BENCH_BATCH, BENCH_STEPS,
 BENCH_DTYPE (f32|f64), BENCH_PLATFORM (leave unset to use the TPU),
 BENCH_FAST_ONLY=1 (skip parity + accuracy phases, for quick iteration),
-BENCH_PARITY=1 (make the parity config the headline "value" as well).
+BENCH_PARITY=1 (make the parity config the headline "value" as well),
+BENCH_FUSED=0 (force the XLA loop for the headline) / BENCH_FUSED=1
+(fused only, skip the XLA fast phase).
 """
 
 import json
@@ -271,32 +281,65 @@ def main():
     log(f"device: {dev}, dtype: {dtype.__name__}, B={B}, "
         f"chunk={steps_chunk} steps")
 
-    # BENCH_FUSED=1: step with the fused Pallas chunk kernel (same
-    # trajectory semantics; ops/pallas_step.py) instead of the XLA loop
-    use_fused = bool(os.environ.get("BENCH_FUSED"))
-    measure = measure_throughput_fused if use_fused else measure_throughput
+    # Headline path: the fused Pallas chunk kernel (same trajectory
+    # semantics as the XLA loop per configuration; ops/pallas_step.py)
+    # whenever the circuit is in its scope.  BENCH_FUSED=0 forces the XLA
+    # loop; BENCH_FUSED=1 skips the XLA fast comparison phase.  The parity
+    # headline (BENCH_PARITY=1) always uses the XLA loop, whose damped
+    # trajectory is the exactly-tested one.
+    fused_env = os.environ.get("BENCH_FUSED")
+    want_fused = fused_env != "0" and not headline_parity
 
-    agg_fast, _ = measure(jax, dtype, parity=headline_parity,
-                          B=B, steps_chunk=steps_chunk)
+    agg_fused = None
+    if want_fused:
+        try:
+            agg_fused, _ = measure_throughput_fused(
+                jax, dtype, parity=False, B=B, steps_chunk=steps_chunk)
+        except Exception as e:  # noqa: BLE001 — any failure falls back
+            log(f"[fused] unavailable ({type(e).__name__}: {e}); "
+                f"falling back to the XLA loop")
 
+    agg_xla = None
+    if agg_fused is None or (fused_env is None and not fast_only):
+        agg_xla, _ = measure_throughput(jax, dtype, parity=headline_parity,
+                                        B=B, steps_chunk=steps_chunk)
+
+    agg_fast = agg_fused if agg_fused is not None else agg_xla
     out = {
         "metric": "dbmixer_tran_aggregate_timesteps_per_sec",
         "value": round(agg_fast, 1),
         "unit": (f"steps/s/chip (B={B}, {dtype.__name__}, woodbury NR, "
-                 f"{'parity' if headline_parity else 'fast'}-Newton)"),
+                 f"{'parity' if headline_parity else 'fast'}-Newton"
+                 f"{', fused Pallas' if agg_fused is not None else ''})"),
         "vs_baseline": round(agg_fast / REF_TIMESTEPS_PER_SEC, 2),
     }
-
-    if use_fused:
-        out["unit"] += "+fused"
+    if agg_fused is not None and agg_xla is not None:
+        out["xla_steps_per_sec"] = round(agg_xla, 1)
+        out["xla_vs_baseline"] = round(agg_xla / REF_TIMESTEPS_PER_SEC, 2)
 
     if not fast_only:
-        agg_par, _ = measure(jax, dtype, parity=not headline_parity,
-                             B=B, steps_chunk=steps_chunk)
+        agg_par, _ = measure_throughput(jax, dtype,
+                                        parity=not headline_parity,
+                                        B=B, steps_chunk=steps_chunk)
         key = "fast" if headline_parity else "parity"
         out[f"{key}_steps_per_sec"] = round(agg_par, 1)
         out[f"{key}_vs_baseline"] = round(agg_par / REF_TIMESTEPS_PER_SEC, 2)
         out["accuracy"] = measure_accuracy(jax, dtype)
+        if agg_fused is not None:
+            # fused kernel's own full-run golden diff (boundary-sampled;
+            # regenerated by benchmarks/validate_accuracy.py VAL_FUSED=1)
+            fpath = os.path.join(REPO, "benchmarks",
+                                 "accuracy_dbmixer_fused.json")
+            try:
+                with open(fpath) as f:
+                    fa = json.load(f)
+                out["accuracy"]["fused_max_abs_err_vs_ref_golden"] = \
+                    fa["vs_ref_golden"]["max_abs"]
+                out["accuracy"]["fused_max_rel_err_vs_ref_golden"] = \
+                    fa["vs_ref_golden"]["max_rel"]
+                out["accuracy"]["fused_samples"] = fa["samples"]
+            except Exception:  # noqa: BLE001 — artifact optional
+                pass
 
     print(json.dumps(out))
 
