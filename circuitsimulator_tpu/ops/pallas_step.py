@@ -42,10 +42,23 @@ benchmarks/validate_accuracy.py VAL_FUSED=1 (boundary-sampled, since the
 kernel keeps no per-step waveform memory).
 
 Scope (`supported()`): Backward Euler, Woodbury-eligible circuits made of
-R/C/L/V/I + Level-1 MOS and JFETs (no body effect / reverse-region
-option), V sources with NONE/SIN waveforms, DC-only I sources, no
-switches / B-sources / transmission lines / diodes / BJTs — i.e. the
-dbmixer/buffer class.  Everything else stays on the general XLA path.
+R/C/L/V/I + ALL FOUR nonlinear classes — Level-1 MOS and JFETs (no body
+effect / reverse-region option), diodes (Shockley + linearized-exp
+continuation + reverse breakdown), and Ebers-Moll BJTs (optional Early
+voltage, two interleaved V^T rows per device, parity-mask selected so no
+strided slices) — V sources with NONE/SIN waveforms, DC-only I sources,
+N <= 64 and rank k <= 16 (VMEM / static-unroll budget), no switches /
+B-sources / transmission lines.  Everything else stays on the general
+XLA path.
+
+Validation note (tests/test_pallas_step.py): exponential-device decks
+must be compared from the DC operating point — from x = 0 with full
+rails the damped Newton hits the 50-iteration cap on some lanes, and a
+non-converged junction iterate at ~1e5 S is chaotic, so any f32 ULP
+difference between two algebraically identical implementations amplifies
+to O(volts).  Every kernel piece (nl_vals per segment, the unrolled
+pivoted solve, RHS/z0 assembly) was verified bitwise against the XLA
+path in isolation.
 
 Numerics match analysis/transient.py bit-for-bit in interpret mode
 (tests/test_pallas_step.py) and to f32 resolution on hardware.
@@ -63,6 +76,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..models.diode import EXP_LIMIT
 from .woodbury import WoodburySolver
 
 LANE_BLOCK = 128
@@ -72,8 +86,6 @@ def supported(engine) -> bool:
     """Exact eligibility gate — every device/option whose stamps the kernel
     does not implement must force the general path."""
     t = engine.topo
-    if len(t.dio_ep) or len(t.bjt_ec):
-        return False
     if len(t.sw_ep) or engine.b_sources:
         return False
     if len(getattr(t, "tl_k1", ())):
@@ -85,6 +97,14 @@ def supported(engine) -> bool:
     if np.any((engine.vs_kinds != 0) & (engine.vs_kinds != 2)):
         return False  # PULSE/PWL/EXP/SFFM V sources unsupported in-kernel
     if np.any(engine.is_kinds != 0):
+        return False
+    # Woodbury rank (1 per MOS/JFET/diode, 2 per BJT — ops/woodbury.py)
+    k = (len(t.mos_ed) + len(t.jf_ed) + len(t.dio_ep) + 2 * len(t.bjt_ec))
+    if k == 0:
+        return False   # linear transient: the XLA path is already one matmul
+    # VMEM budget (G0inv block = 4*N^2*128 bytes) and static-unroll budget
+    # for the in-kernel k x k pivoted solve
+    if engine.N > 64 or k > 16:
         return False
     return True
 
@@ -137,54 +157,101 @@ class PallasStepRunner:
         self.YT = lm(Y).transpose(1, 0, 2)                # (k, N, B) [j,n,:]
         self.Yc3 = lm(Ycols).transpose(1, 0, 2, 3)        # (3, k, k, B)
 
-        # MOS + JFET devices share the Level-1 linearization (the JFET is
-        # the same model with VTO/2*BETA — see models/jfet.py, reference
-        # element.cpp:289-304); concatenated in Woodbury plan order.
+        # Nonlinear-row parameters in Woodbury plan order
+        # [mos..., jfet..., diode..., bjt interleaved (Ic row, Ib row)].
+        # MOS + JFET share the Level-1 linearization (the JFET is the same
+        # model with VTO/2*BETA — see models/jfet.py, reference
+        # element.cpp:289-304); diodes are the Shockley model with
+        # linearized-exponential continuation and optional reverse
+        # breakdown (models/diode.py); BJTs are Ebers-Moll with optional
+        # Early voltage (models/bjt.py), two V^T rows per device.
         nM, nJ = solver.plan.nM, solver.plan.nJ
+        nD, nQ = solver.plan.nD, solver.plan.nQ
         self.nMJ = nM + nJ
-        assert self.nMJ == k
+        self.nD, self.nQ = nD, nQ
+        assert self.nMJ + nD + 2 * nQ == k
 
         def cat(a, b):
             return jnp.concatenate([a.T.astype(f32), b.T.astype(f32)], 0)
 
-        self.mosp = jnp.stack([
+        def pad1(arr, rows):
+            # zero-size parameter blocks would make degenerate VMEM tiles;
+            # pad the row axis to 1 (sliced away statically in-kernel)
+            if arr.shape[1]:
+                return arr
+            return jnp.zeros((rows, 1, arr.shape[2]), f32)
+
+        vt = jnp.asarray(bparams["vt_thermal"], f32).reshape(-1)   # (B,)
+        self.mosp = pad1(jnp.stack([
             cat(bparams["mos_vth"], bparams["jf_vto"]),
             cat(bparams["mos_k"], 2.0 * bparams["jf_beta"]),
             cat(bparams["mos_lam"], bparams["jf_lam"]),
             cat(bparams["mos_p"], bparams["jf_p"]),
-        ], axis=0)                                        # (4, k, B)
+        ], axis=0), 4)                                    # (4, nMJ|1, B)
 
+        self.diop = pad1(jnp.stack([
+            bparams["dio_is"].T.astype(f32),
+            (bparams["dio_n"] * vt[:, None]).T.astype(f32),
+            bparams["dio_bv"].T.astype(f32),
+            bparams["dio_ibv"].T.astype(f32),
+            jnp.broadcast_to(vt[None, :], (nD, B)).astype(f32),
+        ], axis=0) if nD else jnp.zeros((5, 0, B), f32), 5)  # (5, nD|1, B)
+
+        def rep2(a):                                      # (B, nQ) -> (2nQ, B)
+            return jnp.repeat(a.T.astype(f32), 2, axis=0)
+
+        self.bjtp = pad1(jnp.stack([
+            rep2(bparams["bjt_is"]), rep2(bparams["bjt_bf"]),
+            rep2(bparams["bjt_br"]), rep2(bparams["bjt_p"]),
+            rep2(bparams["bjt_vaf"]),   # all-zero when bjt_early is off
+
+            jnp.broadcast_to(vt[None, :], (2 * nQ, B)),
+        ], axis=0) if nQ else jnp.zeros((6, 0, B), f32), 6)  # (6, 2nQ|1, B)
+
+        # Zero-size device classes (no V sources / caps / inductors) would
+        # make degenerate VMEM tiles and zero-width block shapes; every
+        # such block is padded to ONE all-zero dummy row (a zero gc/gl and
+        # an all-zero M_rhs column / M_state row contribute exactly
+        # nothing), and run_chunk slices the dummy rows back off.
         nV = len(t.vs_ep)
         self.nV = nV
+        self.nVP = nVP = max(nV, 1)
         sin5 = bparams["vs_sin"]        # (B, nV, 5): v0 va freq td phi
-        self.vsp = jnp.stack([
+        vsp = jnp.stack([
             bparams["vs_dc"].T,
             sin5[..., 0].T, sin5[..., 1].T,
             (2.0 * jnp.pi) * sin5[..., 2].T,
             sin5[..., 3].T, sin5[..., 4].T], axis=0).astype(f32)
-        # (6, nV, B): dc, v0, va, w, td, phi
-        self.sin_mask = (engine.vs_kinds == 2).astype(np.float32)[:, None]
+        self.vsp = pad1(vsp, 6)
+        # (6, nVP, B): dc, v0, va, w, td, phi
+        smask = (engine.vs_kinds == 2).astype(np.float32)[:, None]
+        self.sin_mask = (smask if nV
+                         else np.zeros((1, 1), np.float32))
 
         # cap-like conductances and inductor R, lane-minor
         C = jax.vmap(engine._caplike_C)(bparams)       # (B, nCap)
-        self.gc = jnp.where(C > 0, C / dt, 0.0).T.astype(f32)   # (nCap, B)
+        gc = jnp.where(C > 0, C / dt, 0.0).T.astype(f32)   # (nCap, B)
         L = bparams["ind_l"]
-        self.gl = jnp.where(L > 0, L / dt, 0.0).T.astype(f32)   # (nL, B)
-        self.nCap = self.gc.shape[0]
-        self.nL = self.gl.shape[0]
+        gl = jnp.where(L > 0, L / dt, 0.0).T.astype(f32)   # (nL, B)
+        self.nCap = nCap = gc.shape[0]
+        self.nL = nL = gl.shape[0]
+        self.nCapP = nCapP = max(nCap, 1)
+        self.nLP = nLP = max(nL, 1)
+        self.gc = gc if nCap else jnp.zeros((1, B), f32)
+        self.gl = gl if nL else jnp.zeros((1, B), f32)
 
         # static one-hot operators (constants baked into the kernel)
-        M = np.zeros((N, nV + self.nL + self.nCap), np.float32)
+        M = np.zeros((N, nVP + nLP + nCapP), np.float32)
         for j in range(nV):
             M[t.vs_k[j], j] = 1.0
-        for j in range(self.nL):
-            M[t.ind_k[j], nV + j] = 1.0
-        for j in range(self.nCap):
+        for j in range(nL):
+            M[t.ind_k[j], nVP + j] = 1.0
+        for j in range(nCap):
             a, b = engine.cap_a[j], engine.cap_b[j]
             if a < N:
-                M[a, nV + self.nL + j] += 1.0
+                M[a, nVP + nLP + j] += 1.0
             if b < N:
-                M[b, nV + self.nL + j] -= 1.0
+                M[b, nVP + nLP + j] -= 1.0
         self.M_rhs = M                                  # (N, nterms)
 
         # DC-only I sources: constant RHS, precomputed lane-minor
@@ -209,12 +276,12 @@ class PallasStepRunner:
                     O[j, r] = 1.0
             return O
 
-        mj_d = np.concatenate([t.mos_ed, t.jf_ed])
-        mj_g = np.concatenate([t.mos_eg, t.jf_eg])
-        mj_s = np.concatenate([t.mos_es, t.jf_es])
-        self.M_mos = onehot_rows(np.concatenate([mj_d, mj_g, mj_s]))
+        # one matrix serves both the terminal-voltage reads (x at each
+        # row's width-3 column layout — exactly the voltages every device
+        # linearization needs: (d,g,s) MOS/JFET, (p,m,·) diode, (c,b,e)
+        # BJT rows) and the V^T z reads of the Woodbury solve
         self.M_zc = onehot_rows(solver.cols.T.ravel())  # (3k, N) term-major
-        Sm = np.zeros((self.nCap + self.nL, N), np.float32)
+        Sm = np.zeros((self.nCapP + self.nLP, N), np.float32)
         for j in range(self.nCap):
             a, b = engine.cap_a[j], engine.cap_b[j]
             if a < N:
@@ -222,14 +289,15 @@ class PallasStepRunner:
             if b < N:
                 Sm[j, b] -= 1.0
         for j in range(self.nL):
-            Sm[self.nCap + j, t.ind_k[j]] = 1.0
-        self.M_state = Sm                               # (nCap+nL, N)
+            Sm[self.nCapP + j, t.ind_k[j]] = 1.0
+        self.M_state = Sm                               # (nCapP+nLP, N)
         self.off_gds = float(opts.mos_off_gds)
 
     # ------------------------------------------------------------------
     def _kernel(self, n_steps: int):
-        N, k, nV = self.N, self.k, self.nV
-        nCap, nL = self.nCap, self.nL
+        N, k = self.N, self.k
+        nMJ, nD, nQ = self.nMJ, self.nD, self.nQ
+        nCapP = self.nCapP
         dt = self.dt
         tol2 = self.tol * self.tol
         alpha = self.alpha
@@ -239,8 +307,9 @@ class PallasStepRunner:
         predictor = self.predictor
         unrolled = self.unrolled
 
-        def kern(step0_ref, Mr_ref, Mm_ref, Mz_ref, Ms_ref, smask_ref,
-                 G0invT_ref, YT_ref, Yc3_ref, mosp_ref, vsp_ref,
+        def kern(step0_ref, Mr_ref, Mz_ref, Ms_ref, smask_ref,
+                 G0invT_ref, YT_ref, Yc3_ref, mosp_ref, diop_ref, bjtp_ref,
+                 vsp_ref,
                  gc_ref, gl_ref, b0s_ref, x0_ref, xp0_ref, vc0_ref, il0_ref,
                  f0_ref, xo_ref, xpo_ref, vco_ref, ilo_ref, fo_ref, it_ref):
             G0invT = G0invT_ref[:]
@@ -262,7 +331,6 @@ class PallasStepRunner:
             step0 = step0_ref[0]
 
             Mr = Mr_ref[:]
-            Mm = Mm_ref[:]
             Mz = Mz_ref[:]
             Ms = Ms_ref[:]
             smask = smask_ref[:]
@@ -281,28 +349,133 @@ class PallasStepRunner:
                 return jnp.dot(M, v, preferred_element_type=jnp.float32,
                                precision=jax.lax.Precision.HIGHEST)
 
-            def mos_vals(x):
-                xm = _dot(Mm, x)
+            u_max = jnp.asarray(EXP_LIMIT, jnp.float32)
+            exp_umax = jnp.exp(u_max)
+
+            def _exp_lim(u):
+                """Linearized-exponential continuation (models/diode.py):
+                value and derivative, continuous at u = EXP_LIMIT."""
+                e = jnp.exp(jnp.minimum(u, u_max))
+                val = jnp.where(u <= u_max, e,
+                                exp_umax * (1.0 + (u - u_max)))
+                der = jnp.where(u <= u_max, e, exp_umax)
+                return val, der
+
+            def nl_vals(x):
+                """Per-V^T-row linearization coefficients at x — MOS/JFET,
+                diode, and BJT segments in Woodbury plan order.  Mirrors
+                WoodburySolver.nl_coeffs (ops/woodbury.py) formula-for-
+                formula so trajectories match the XLA path bitwise in
+                interpret mode.  All slices are static leading-axis slices
+                of (k, TB) tiles."""
+                xm = _dot(Mz, x)
                 xm = xm.reshape(3, k, TB)               # terminal-major
-                vd, vg, vs = xm[0], xm[1], xm[2]
-                vgs = pp * (vg - vs)
-                vds = pp * (vd - vs)
-                on = (vgs > vth) & (vds >= 0.0)
-                vov = vgs - vth
-                tri = vds < vov
-                ids0 = jnp.where(
-                    on, jnp.where(tri, kk * (vov * vds - 0.5 * vds * vds),
-                                  0.5 * kk * vov * vov), 0.0)
-                gds0 = jnp.where(on, jnp.where(tri, kk * (vov - vds), 0.0),
-                                 off_gds)
-                gm0 = jnp.where(on, jnp.where(tri, kk * vds, kk * vov), 0.0)
-                fac = jnp.maximum(1.0 + lam * vds, 0.0)
-                gd = gds0 * fac + ids0 * lam
-                gg = gm0 * fac
-                gs_ = -(gd + gg)
-                cst = pp * ids0 * fac - gd * vd - gg * vg - gs_ * vs
-                vcoef = jnp.stack([gd, gg, gs_], axis=0)   # (3, k, TB)
-                return vcoef, cst
+                vparts, cparts = [], []
+                if nMJ:
+                    vd = xm[0][:nMJ]
+                    vg = xm[1][:nMJ]
+                    vs = xm[2][:nMJ]
+                    vgs = pp * (vg - vs)
+                    vds = pp * (vd - vs)
+                    on = (vgs > vth) & (vds >= 0.0)
+                    vov = vgs - vth
+                    tri = vds < vov
+                    ids0 = jnp.where(
+                        on, jnp.where(tri,
+                                      kk * (vov * vds - 0.5 * vds * vds),
+                                      0.5 * kk * vov * vov), 0.0)
+                    gds0 = jnp.where(on,
+                                     jnp.where(tri, kk * (vov - vds), 0.0),
+                                     off_gds)
+                    gm0 = jnp.where(on, jnp.where(tri, kk * vds, kk * vov),
+                                    0.0)
+                    fac = jnp.maximum(1.0 + lam * vds, 0.0)
+                    gd = gds0 * fac + ids0 * lam
+                    gg = gm0 * fac
+                    gs_ = -(gd + gg)
+                    cst = pp * ids0 * fac - gd * vd - gg * vg - gs_ * vs
+                    vparts.append(jnp.stack([gd, gg, gs_], axis=0))
+                    cparts.append(cst)
+                if nD:
+                    vp = xm[0][nMJ:nMJ + nD]
+                    vm_ = xm[1][nMJ:nMJ + nD]
+                    isat = diop_ref[0]
+                    nvt = diop_ref[1]
+                    bv = diop_ref[2]
+                    ibv = diop_ref[3]
+                    vt_d = diop_ref[4]
+                    v = vp - vm_
+                    u = v / nvt
+                    exp_u, dexp_u = _exp_lim(u)
+                    i = isat * (exp_u - 1.0)
+                    g = isat * dexp_u / nvt
+                    # reverse breakdown (zener; no-op at bv == 0)
+                    bd_on = bv > 0.0
+                    ub = jnp.where(bd_on, -(v + bv) / vt_d,
+                                   jnp.asarray(-jnp.inf, jnp.float32))
+                    exp_b, dexp_b = _exp_lim(ub)
+                    i = i - jnp.where(bd_on, ibv * exp_b, 0.0)
+                    g = g + jnp.where(bd_on, ibv * dexp_b / vt_d, 0.0)
+                    cst = i - g * v
+                    vparts.append(jnp.stack([g, -g, jnp.zeros_like(g)],
+                                            axis=0))
+                    cparts.append(cst)
+                if nQ:
+                    # both Ebers-Moll current rows evaluated on all 2nQ
+                    # (row-duplicated) lanes, then parity-selected — no
+                    # strided slices (even rows = Ic, odd rows = Ib)
+                    vc_ = xm[0][nMJ + nD:]
+                    vb_ = xm[1][nMJ + nD:]
+                    ve_ = xm[2][nMJ + nD:]
+                    isat = bjtp_ref[0]
+                    bf = bjtp_ref[1]
+                    br = bjtp_ref[2]
+                    pq = bjtp_ref[3]
+                    vaf = bjtp_ref[4]
+                    vt_q = bjtp_ref[5]
+                    vbe = pq * (vb_ - ve_)
+                    vbc = pq * (vb_ - vc_)
+                    ef, def_ = _exp_lim(vbe / vt_q)
+                    er, der_ = _exp_lim(vbc / vt_q)
+                    i_f = isat * (ef - 1.0)
+                    i_r = isat * (er - 1.0)
+                    gf = isat * def_ / vt_q
+                    gr = isat * der_ / vt_q
+                    # Early voltage (models/bjt.py; kq == 1 at vaf == 0)
+                    ea_on = vaf > 0.0
+                    safe_vaf = jnp.where(ea_on, vaf, 1.0)
+                    raw = 1.0 - vbc / safe_vaf
+                    kq = jnp.where(ea_on, jnp.maximum(raw, 0.05), 1.0)
+                    dkq = jnp.where(ea_on & (raw > 0.05),
+                                    -1.0 / safe_vaf, 0.0)
+                    ic_eff = (i_f - i_r) * kq - i_r / br
+                    ib_eff = i_f / bf + i_r / br
+                    dic_dvbe = gf * kq
+                    dic_dvbc = -gr * kq + (i_f - i_r) * dkq - gr / br
+                    dib_dvbe = gf / bf
+                    dib_dvbc = gr / br
+                    gc_b = dic_dvbe + dic_dvbc
+                    gc_e = -dic_dvbe
+                    gc_c = -dic_dvbc
+                    gb_b = dib_dvbe + dib_dvbc
+                    gb_e = -dib_dvbe
+                    gb_c = -dib_dvbc
+                    ic = pq * ic_eff
+                    ib = pq * ib_eff
+                    cst_c = ic - gc_c * vc_ - gc_b * vb_ - gc_e * ve_
+                    cst_b = ib - gb_c * vc_ - gb_b * vb_ - gb_e * ve_
+                    par = (jax.lax.broadcasted_iota(jnp.int32,
+                                                    (2 * nQ, TB), 0)
+                           % 2) == 0                      # even -> Ic row
+                    g0 = jnp.where(par, gc_c, gb_c)
+                    g1 = jnp.where(par, gc_b, gb_b)
+                    g2 = jnp.where(par, gc_e, gb_e)
+                    vparts.append(jnp.stack([g0, g1, g2], axis=0))
+                    cparts.append(jnp.where(par, cst_c, cst_b))
+                if len(vparts) == 1:
+                    return vparts[0], cparts[0]
+                return (jnp.concatenate(vparts, axis=1),
+                        jnp.concatenate(cparts, axis=0))
 
             def nr_iter(xx, done, failed, z0):
                 """One Newton iteration with the XLA loop's exact per-lane
@@ -312,7 +485,7 @@ class PallasStepRunner:
                 cannot legalize i1 vectors carried through scf.for/while
                 (bool vectors are fine as local values, just not as loop
                 carries)."""
-                vcoef, cst = mos_vals(xx)
+                vcoef, cst = nl_vals(xx)
                 # z = z0 - YT^T @ cst (leading-axis slices only)
                 z = z0
                 for j in range(k):
@@ -412,8 +585,8 @@ class PallasStepRunner:
                         (x_init, failed, failed, jnp.asarray(0, jnp.int32)))
                 # state updates from the accepted x (tanalisis.cpp:379-417)
                 st = _dot(Ms, xx)
-                vc = st[:nCap, :]
-                il = st[nCap:, :]
+                vc = st[:nCapP, :]
+                il = st[nCapP:, :]
                 return xx, x, vc, il, fl, it_acc + iters
 
             failed0 = f0_ref[:][0]                          # (TB,) f32 0/1
@@ -438,13 +611,14 @@ class PallasStepRunner:
         carry (x, x_prev, vc, il, failed, per-block iteration counts)."""
         B = self.B
         N, nCap, nL = self.N, self.nCap, self.nL
+        nCapP, nLP = self.nCapP, self.nLP
         TB = LANE_BLOCK
         grid = (B // TB,)
         f32 = jnp.float32
         xt = x.T.astype(f32)
         xpt = x_prev.T.astype(f32)
-        vct = vc.T.astype(f32) if nCap else jnp.zeros((0, B), f32)
-        ilt = il.T.astype(f32) if nL else jnp.zeros((0, B), f32)
+        vct = vc.T.astype(f32) if nCap else jnp.zeros((1, B), f32)
+        ilt = il.T.astype(f32) if nL else jnp.zeros((1, B), f32)
         ft = failed.astype(f32)[None, :]
         step0_arr = jnp.asarray(step0, f32).reshape(1)
 
@@ -454,8 +628,8 @@ class PallasStepRunner:
         out_shapes = (
             jax.ShapeDtypeStruct((N, B), f32),
             jax.ShapeDtypeStruct((N, B), f32),
-            jax.ShapeDtypeStruct((nCap, B), f32),
-            jax.ShapeDtypeStruct((nL, B), f32),
+            jax.ShapeDtypeStruct((nCapP, B), f32),
+            jax.ShapeDtypeStruct((nLP, B), f32),
             jax.ShapeDtypeStruct((1, B), f32),
             jax.ShapeDtypeStruct((B // TB,), jnp.int32),
         )
@@ -465,24 +639,27 @@ class PallasStepRunner:
             in_specs=[
                 pl.BlockSpec((1,), lambda i: (0,),
                              memory_space=pltpu.SMEM),
-                shared(self.M_rhs.shape), shared(self.M_mos.shape),
+                shared(self.M_rhs.shape),
                 shared(self.M_zc.shape), shared(self.M_state.shape),
                 shared(self.sin_mask.shape),
                 lane(N, N), lane(self.k, N), lane(3, self.k, self.k),
-                lane(4, self.nMJ), lane(6, self.nV),
-                lane(nCap), lane(nL), lane(N),
-                lane(N), lane(N), lane(nCap), lane(nL), lane(1),
+                lane(*self.mosp.shape[:2]), lane(*self.diop.shape[:2]),
+                lane(*self.bjtp.shape[:2]), lane(6, self.nVP),
+                lane(nCapP), lane(nLP), lane(N),
+                lane(N), lane(N), lane(nCapP), lane(nLP), lane(1),
             ],
             out_specs=(
-                lane(N), lane(N), lane(nCap), lane(nL), lane(1),
+                lane(N), lane(N), lane(nCapP), lane(nLP), lane(1),
                 pl.BlockSpec((B // TB,), lambda i: (0,),
                              memory_space=pltpu.SMEM),
             ),
             out_shape=out_shapes,
             interpret=interpret,
-        )(step0_arr, jnp.asarray(self.M_rhs), jnp.asarray(self.M_mos),
+        )(step0_arr, jnp.asarray(self.M_rhs),
           jnp.asarray(self.M_zc), jnp.asarray(self.M_state),
           jnp.asarray(self.sin_mask),
-          self.G0invT, self.YT, self.Yc3, self.mosp, self.vsp,
+          self.G0invT, self.YT, self.Yc3, self.mosp, self.diop, self.bjtp,
+          self.vsp,
           self.gc, self.gl, self.b0_static, xt, xpt, vct, ilt, ft)
-        return (xo.T, xpo.T, vco.T, ilo.T, fo[0] > 0.5, iters)
+        return (xo.T, xpo.T, vco.T[:, :nCap], ilo.T[:, :nL],
+                fo[0] > 0.5, iters)

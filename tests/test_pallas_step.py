@@ -17,20 +17,91 @@ from circuitsimulator_tpu.ops import pallas_step
 def test_supported_predicate():
     sim = Simulator.from_file("tests/netlists/dbmixer.sp")
     assert pallas_step.supported(sim.engine)
-    s2 = Simulator.from_text(
+    s2 = Simulator.from_text(   # PULSE waveform -> general path
         "V1 1 0 PULSE(0 1 0 0 0 1 0)\nR1 1 0 1k\nD1 1 0\n.op\n")
     assert not pallas_step.supported(s2.engine)
     s3 = Simulator.from_text(   # behavioral source -> general path
         "V1 1 0 1\nR1 1 2 1k\nB1 2 0 V=V(1)*V(1)\n.op\n")
     assert not pallas_step.supported(s3.engine)
+    s4 = Simulator.from_text(   # diode deck with SIN drive -> in scope
+        "V1 1 0 SIN 0 2 1e6\nR1 1 2 100\nD1 2 0\n.op\n")
+    assert pallas_step.supported(s4.engine)
+    s5 = Simulator.from_text(   # linear transient -> general path
+        "V1 1 0 SIN 0 2 1e6\nR1 1 2 100\nC1 2 0 1n\n.op\n")
+    assert not pallas_step.supported(s5.engine)
 
 
-def _run_both(opts, B=128, steps=10, dt=1e-13):
-    sim = Simulator.from_file("tests/netlists/dbmixer.sp", opts=opts)
+# rectifier with a forward diode and a zener in breakdown
+DIODE_DECK = """* diode rectifier + zener
+V1 in 0 SIN 0 4 5e6
+R1 in a 100
+D1 a out
+C1 out 0 1n
+R2 out 0 10k
+RBD in bd 500
+D2 0 bd BV=3 IBV=1e-3
+.op
+"""
+
+# NPN common-emitter stage + PNP follower off the same rail (p = -1 path)
+BJT_DECK = """* npn + pnp stages
+.MODEL qn NPN IS=1e-15 BF=120 BR=2 VAF=50
+.MODEL qp PNP IS=1e-15 BF=80 BR=1
+VCC 1 0 5
+Vin 2 0 SIN 0.65 0.01 1e6
+RB 2 3 10k
+RC 1 4 2k
+Q1 4 3 0 qn
+VB2 5 0 DC 4.3
+RB2 5 6 10k
+RC2 7 0 2k
+Q2 7 6 1 qp
+CL 4 0 1p
+.op
+"""
+
+# all four nonlinear classes in one plan (mos, jfet, diode, bjt order)
+MIXED_DECK = """* mixed nonlinear classes
+.MODEL 2 VT 0.386 MU 3.0238e-2 COX 6.058e-3 LAMBDA 0.05 CJ0 4.0e-14
+.MODEL j1 NJF VTO=-2 BETA=1e-3 LAMBDA=0.01
+.MODEL qn NPN IS=1e-15 BF=120 BR=2
+VDD 1 0 DC 3
+Vin 2 0 SIN 0.8 0.2 5e6
+M1 3 2 0 n 10e-6 0.35e-6 2
+RL1 1 3 2k
+J1 4 2 0 j1
+RL2 1 4 2k
+RB 2 7 20k
+Q1 5 7 0 qn
+RL3 1 5 2k
+D1 6 0
+RD 1 6 1k
+C1 3 0 1p
+.op
+"""
+
+
+def _run_both(opts, B=128, steps=10, dt=1e-13, text=None, from_dc=False):
+    if text is not None:
+        sim = Simulator.from_text(text, opts=opts)
+    else:
+        sim = Simulator.from_file("tests/netlists/dbmixer.sp", opts=opts)
     engine = sim.engine
     bp = perturb_params(sim.params, jax.random.key(0), B,
                         {"res_r": 0.01, "mos_vth": 0.02})
-    x0 = jnp.zeros((B, engine.N), jnp.float32)
+    if from_dc:
+        # exponential-device decks (diode/BJT) MUST start from the DC
+        # operating point, as run_transient does: from x=0 with full rails
+        # the damped Newton hits the 50-iteration cap on some lanes, and a
+        # non-converged iterate of a junction at ~9e4 S is chaotic — any
+        # f32 ULP difference between two algebraically identical
+        # implementations amplifies to O(volts) (verified: every per-piece
+        # comparison of the kernel vs the XLA path is bitwise at x0=0).
+        from circuitsimulator_tpu.analysis.dc import dc_operating_point
+        x0 = jax.vmap(lambda p: dc_operating_point(engine, p))(bp)
+        x0 = x0.astype(jnp.float32)
+    else:
+        x0 = jnp.zeros((B, engine.N), jnp.float32)
     state0 = jax.vmap(engine.init_state)(x0)
     predictor = opts.tran_predictor
 
@@ -87,3 +158,40 @@ def test_fused_step_matches_xla_fast_config():
     np.testing.assert_allclose(np.asarray(ilo), np.asarray(cstate["il"]),
                                atol=5e-6)
     np.testing.assert_array_equal(np.asarray(fo), np.asarray(cfail))
+
+
+def _parity_opts():
+    return DEFAULT_OPTIONS.replace(dtype=jnp.float32, tran_solver="woodbury",
+                                   tran_tol=1e-5, dc_tol=1e-5)
+
+
+def _check(pair, atol=5e-6):
+    # Exponential-device decks (diode/BJT) carry junction conductances of
+    # ~1e3 S, so ULP-order differences between the kernel's unrolled
+    # pivoted elimination and the XLA path's LU amplify to a few 1e-5 in
+    # the damped-Newton trajectory; the MOS decks above match at 5e-6.
+    (cx, cstate, cfail), (xo, vco, ilo, fo, iters) = pair
+    np.testing.assert_allclose(np.asarray(xo), np.asarray(cx), atol=atol)
+    np.testing.assert_allclose(np.asarray(vco), np.asarray(cstate["vc"]),
+                               atol=atol)
+    np.testing.assert_allclose(np.asarray(ilo), np.asarray(cstate["il"]),
+                               atol=atol)
+    np.testing.assert_array_equal(np.asarray(fo), np.asarray(cfail))
+
+
+def test_fused_step_diode_deck():
+    """Shockley + reverse-breakdown rows (plan has nMJ == 0)."""
+    _check(_run_both(_parity_opts(), steps=6, dt=1e-9, text=DIODE_DECK,
+                     from_dc=True))
+
+
+def test_fused_step_bjt_deck():
+    """Ebers-Moll rank-2 rows, NPN + PNP, Early voltage on."""
+    _check(_run_both(_parity_opts(), steps=6, dt=1e-9, text=BJT_DECK,
+                     from_dc=True), atol=1e-4)
+
+
+def test_fused_step_mixed_deck():
+    """All four nonlinear segments in one Woodbury plan."""
+    _check(_run_both(_parity_opts(), steps=6, dt=1e-9, text=MIXED_DECK,
+                     from_dc=True), atol=1e-4)
