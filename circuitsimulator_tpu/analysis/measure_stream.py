@@ -166,27 +166,41 @@ class StreamingMeasures:
         self._P = jnp.asarray(P, dtype)
         self._db = [mod == "db" for (_, _, mod) in self._pairs]
 
+    @property
+    def probe_matrix(self):
+        """(nP, N) one-hot probe-selection matrix — external steppers
+        (e.g. the fused Pallas chunk kernel, ops/pallas_step.py) read raw
+        probe values with it and feed them back via vals_from_raw /
+        init_vals / update_vals."""
+        return self._P
+
+    def vals_from_raw(self, raw):
+        """Apply the probe modifiers (db) to raw (..., nP) matmul reads."""
+        if any(self._db):
+            tiny = jnp.finfo(raw.dtype).tiny
+            db = 20.0 * jnp.log10(jnp.maximum(jnp.abs(raw), tiny))
+            mask = jnp.asarray(self._db)
+            raw = jnp.where(mask, db, raw)
+        return raw
+
     def _probe_vals(self, x):
         """(..., nP) probe values via the one-hot matmul."""
-        ys = jnp.einsum("...n,pn->...p", x, self._P)
-        if any(self._db):
-            tiny = jnp.finfo(ys.dtype).tiny
-            db = 20.0 * jnp.log10(jnp.maximum(jnp.abs(ys), tiny))
-            mask = jnp.asarray(self._db)
-            ys = jnp.where(mask, db, ys)
-        return ys
+        return self.vals_from_raw(jnp.einsum("...n,pn->...p", x, self._P))
 
     @staticmethod
     def _val(ys, idx):
         return ys[..., idx]
 
     def init(self, engine: Engine, x0):
-        ys = self._probe_vals(x0)
+        return self.init_vals(self._probe_vals(x0))
+
+    def init_vals(self, ys):
+        """Accumulator init from probe VALUES (..., nP) at t = 0."""
         accs = []
         nan = jnp.asarray(jnp.nan, self.dtype)
         for e in self.specs:
             m = e["m"]
-            lane = x0[..., 0] * 0.0       # (lanes,) zeros of the right shape
+            lane = ys[..., 0] * 0.0       # (lanes,) zeros of the right shape
             if m.kind == "stat":
                 if e["p"] is None:
                     accs.append({"bad": lane})
@@ -228,7 +242,10 @@ class StreamingMeasures:
         return tuple(accs)
 
     def update(self, engine: Engine, accs, x, t, dt):
-        ys = self._probe_vals(x)
+        return self.update_vals(accs, self._probe_vals(x), t, dt)
+
+    def update_vals(self, accs, ys, t, dt):
+        """Accumulator update from probe VALUES (..., nP) at time t."""
         out = []
         for e, a in zip(self.specs, accs):
             m = e["m"]

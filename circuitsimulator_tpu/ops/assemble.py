@@ -298,6 +298,8 @@ class Engine:
             self.state_mat = None
             self.vs_kinds = np.asarray(low.params["vs_kind"])
             self.is_kinds = np.asarray(low.params["is_kind"])
+            self.pwl_width = max(low.params["vs_pwl_t"].shape[-1],
+                                 low.params["is_pwl_t"].shape[-1])
             return
         M = np.zeros((N, nterms))
         for j in range(nV):
@@ -340,6 +342,8 @@ class Engine:
         # netlist), so absent waveform formulas compile away entirely
         self.vs_kinds = np.asarray(low.params["vs_kind"])
         self.is_kinds = np.asarray(low.params["is_kind"])
+        self.pwl_width = max(low.params["vs_pwl_t"].shape[-1],
+                             low.params["is_pwl_t"].shape[-1])
 
     # ------------------------------------------------------------------
     # helpers
@@ -452,8 +456,14 @@ class Engine:
         if len(t.dio_ep):
             vp = xe[..., t.dio_ep]
             vm = xe[..., t.dio_em]
+            # vt_thermal is per-LANE (scalar, or (B,) in the natively
+            # batched dc_newton path) while the other params are
+            # (..., nD); expand so n*vt broadcasts per-device, not
+            # outer-product over the batch
             g, r = diode_stamp_vals(params["dio_is"], params["dio_n"], vp,
-                                    vm, vt=params["vt_thermal"],
+                                    vm,
+                                    vt=jnp.expand_dims(
+                                        params["vt_thermal"], -1),
                                     bv=(params["dio_bv"]
                                         if self.dio_bv else None),
                                     ibv=(params["dio_ibv"]
@@ -467,7 +477,9 @@ class Engine:
             ve = xe[..., t.bjt_ee]
             g, r = bjt_stamp_vals(params["bjt_is"], params["bjt_bf"],
                                   params["bjt_br"], params["bjt_p"],
-                                  vc, vb, ve, vt=params["vt_thermal"],
+                                  vc, vb, ve,
+                                  vt=jnp.expand_dims(
+                                      params["vt_thermal"], -1),
                                   vaf=(params["bjt_vaf"]
                                        if self.bjt_early else None))
             gv.append(g)

@@ -94,9 +94,10 @@ def supported(engine) -> bool:
         return False
     if engine.opts.tran_method != "be":
         return False
-    if np.any((engine.vs_kinds != 0) & (engine.vs_kinds != 2)):
-        return False  # PULSE/PWL/EXP/SFFM V sources unsupported in-kernel
-    if np.any(engine.is_kinds != 0):
+    # all waveform kinds evaluate in-kernel (PULSE/SIN/PWL/EXP/SFFM, V
+    # and I sources); PWL tables are unrolled statically, so bound them
+    if (np.any(engine.vs_kinds == 3) or np.any(engine.is_kinds == 3)) \
+            and engine.pwl_width > 8:
         return False
     # Woodbury rank (1 per MOS/JFET/diode, 2 per BJT — ops/woodbury.py)
     k = (len(t.mos_ed) + len(t.jf_ed) + len(t.dio_ep) + 2 * len(t.bjt_ec))
@@ -113,7 +114,13 @@ class PallasStepRunner:
     """Builds per-batch constants (contraction-major, lane-minor) and the
     fused chunk kernel."""
 
-    def __init__(self, engine, bparams, dt: float, max_nr: int = 50):
+    def __init__(self, engine, bparams, dt: float, max_nr: int = 50,
+                 probe_mat=None):
+        """probe_mat: optional (P, N) selection matrix — when given, every
+        step ALSO writes the P probe values (probe_mat @ x) to a
+        (n_steps, P, B) output, so the fused path yields streaming
+        waveforms (measure accumulation, yield analysis) without ever
+        materializing the (B, T, N) state history."""
         assert supported(engine)
         self.engine = engine
         t = engine.topo
@@ -293,6 +300,15 @@ class PallasStepRunner:
         self.M_state = Sm                               # (nCapP+nLP, N)
         self.off_gds = float(opts.mos_off_gds)
 
+        if probe_mat is not None:
+            pm = np.asarray(probe_mat, np.float32)
+            assert pm.ndim == 2 and pm.shape[1] == N
+            self.nProbe = pm.shape[0]
+            self.M_probe = pm if self.nProbe else np.zeros((1, N), np.float32)
+        else:
+            self.nProbe = None
+            self.M_probe = None
+
     # ------------------------------------------------------------------
     def _kernel(self, n_steps: int):
         N, k = self.N, self.k
@@ -306,12 +322,14 @@ class PallasStepRunner:
         off_gds = self.off_gds
         predictor = self.predictor
         unrolled = self.unrolled
+        probe = self.nProbe is not None
 
-        def kern(step0_ref, Mr_ref, Mz_ref, Ms_ref, smask_ref,
+        def kern(step0_ref, Mr_ref, Mz_ref, Ms_ref, Mp_ref, smask_ref,
                  G0invT_ref, YT_ref, Yc3_ref, mosp_ref, diop_ref, bjtp_ref,
                  vsp_ref,
                  gc_ref, gl_ref, b0s_ref, x0_ref, xp0_ref, vc0_ref, il0_ref,
-                 f0_ref, xo_ref, xpo_ref, vco_ref, ilo_ref, fo_ref, it_ref):
+                 f0_ref, xo_ref, xpo_ref, vco_ref, ilo_ref, fo_ref, it_ref,
+                 *maybe_yo_ref):
             G0invT = G0invT_ref[:]
             YT = YT_ref[:]
             Yc3 = Yc3_ref[:]
@@ -587,6 +605,9 @@ class PallasStepRunner:
                 st = _dot(Ms, xx)
                 vc = st[:nCapP, :]
                 il = st[nCapP:, :]
+                if probe:
+                    # streaming probe write: one (P, TB) tile per step
+                    maybe_yo_ref[0][pl.ds(i, 1)] = _dot(Mp_ref[:], xx)[None]
                 return xx, x, vc, il, fl, it_acc + iters
 
             failed0 = f0_ref[:][0]                          # (TB,) f32 0/1
@@ -608,13 +629,16 @@ class PallasStepRunner:
         """Advance n_steps.  x/x_prev (B, N), vc (B, nCap), il (B, nL)
         lane-major; failed (B,) bool; step0 may be traced (jit arg) so
         consecutive chunks share one compilation.  Returns the advanced
-        carry (x, x_prev, vc, il, failed, per-block iteration counts)."""
+        carry (x, x_prev, vc, il, failed, per-block iteration counts);
+        with probe_mat set, also the (n_steps, P, B) raw probe waveform
+        block as a trailing element."""
         B = self.B
         N, nCap, nL = self.N, self.nCap, self.nL
         nCapP, nLP = self.nCapP, self.nLP
         TB = LANE_BLOCK
         grid = (B // TB,)
         f32 = jnp.float32
+        probe = self.nProbe is not None
         xt = x.T.astype(f32)
         xpt = x_prev.T.astype(f32)
         vct = vc.T.astype(f32) if nCap else jnp.zeros((1, B), f32)
@@ -625,15 +649,26 @@ class PallasStepRunner:
         lane = lambda *lead: pl.BlockSpec(lead + (TB,),
                                           lambda i: tuple([0] * len(lead)) + (i,))
         shared = lambda shape: pl.BlockSpec(shape, lambda i: tuple([0] * len(shape)))
-        out_shapes = (
+        out_shapes = [
             jax.ShapeDtypeStruct((N, B), f32),
             jax.ShapeDtypeStruct((N, B), f32),
             jax.ShapeDtypeStruct((nCapP, B), f32),
             jax.ShapeDtypeStruct((nLP, B), f32),
             jax.ShapeDtypeStruct((1, B), f32),
             jax.ShapeDtypeStruct((B // TB,), jnp.int32),
-        )
-        xo, xpo, vco, ilo, fo, iters = pl.pallas_call(
+        ]
+        out_specs = [
+            lane(N), lane(N), lane(nCapP), lane(nLP), lane(1),
+            pl.BlockSpec((B // TB,), lambda i: (0,),
+                         memory_space=pltpu.SMEM),
+        ]
+        Mp = self.M_probe if probe else np.zeros((1, N), np.float32)
+        if probe:
+            PP = Mp.shape[0]
+            out_shapes.append(jax.ShapeDtypeStruct((n_steps, PP, B), f32))
+            out_specs.append(pl.BlockSpec((n_steps, PP, TB),
+                                          lambda i: (0, 0, i)))
+        outs = pl.pallas_call(
             self._kernel(n_steps),
             grid=grid,
             in_specs=[
@@ -641,6 +676,7 @@ class PallasStepRunner:
                              memory_space=pltpu.SMEM),
                 shared(self.M_rhs.shape),
                 shared(self.M_zc.shape), shared(self.M_state.shape),
+                shared(Mp.shape),
                 shared(self.sin_mask.shape),
                 lane(N, N), lane(self.k, N), lane(3, self.k, self.k),
                 lane(*self.mosp.shape[:2]), lane(*self.diop.shape[:2]),
@@ -648,18 +684,19 @@ class PallasStepRunner:
                 lane(nCapP), lane(nLP), lane(N),
                 lane(N), lane(N), lane(nCapP), lane(nLP), lane(1),
             ],
-            out_specs=(
-                lane(N), lane(N), lane(nCapP), lane(nLP), lane(1),
-                pl.BlockSpec((B // TB,), lambda i: (0,),
-                             memory_space=pltpu.SMEM),
-            ),
-            out_shape=out_shapes,
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shapes),
             interpret=interpret,
         )(step0_arr, jnp.asarray(self.M_rhs),
           jnp.asarray(self.M_zc), jnp.asarray(self.M_state),
+          jnp.asarray(Mp),
           jnp.asarray(self.sin_mask),
           self.G0invT, self.YT, self.Yc3, self.mosp, self.diop, self.bjtp,
           self.vsp,
           self.gc, self.gl, self.b0_static, xt, xpt, vct, ilt, ft)
-        return (xo.T, xpo.T, vco.T[:, :nCap], ilo.T[:, :nL],
+        xo, xpo, vco, ilo, fo, iters = outs[:6]
+        base = (xo.T, xpo.T, vco.T[:, :nCap], ilo.T[:, :nL],
                 fo[0] > 0.5, iters)
+        if probe:
+            return base + (outs[6],)
+        return base

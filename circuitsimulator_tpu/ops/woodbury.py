@@ -188,7 +188,7 @@ class WoodburySolver:
             vd2 = vd2.reshape(*vd2.shape[:-1], plan.nD, 2)
             g, cst = _dio(params["dio_is"], params["dio_n"],
                           vd2[..., 0], vd2[..., 1],
-                          vt=params["vt_thermal"],
+                          vt=jnp.expand_dims(params["vt_thermal"], -1),
                           bv=(params["dio_bv"]
                               if self.engine.dio_bv else None),
                           ibv=(params["dio_ibv"]
@@ -203,7 +203,7 @@ class WoodburySolver:
             rc, rb = _bjt(params["bjt_is"], params["bjt_bf"],
                           params["bjt_br"], params["bjt_p"],
                           vq[..., 0], vq[..., 1], vq[..., 2],
-                          vt=params["vt_thermal"],
+                          vt=jnp.expand_dims(params["vt_thermal"], -1),
                           vaf=(params["bjt_vaf"]
                                if self.engine.bjt_early else None))
             # interleave (Ic row, Ib row) per device: (..., 2nQ, 3) / (..., 2nQ)

@@ -15,6 +15,7 @@ from typing import Any, Dict, Mapping, Optional
 import numpy as np_mod
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..analysis.dc import dc_operating_point
 from ..analysis.transient import run_transient
@@ -110,24 +111,108 @@ def batched_dc_warm(engine: Engine, bparams, x_nom):
     return dc_newton(engine, bparams, batch=B, x_init=x_nom, final_only=True)
 
 
+def fused_transient_measures(engine: Engine, bparams, tstep, tstop, sm,
+                             x0=None, chunk: int = 512,
+                             interpret: bool = False):
+    """Streaming-measures transient stepped by the fused Pallas chunk
+    kernel (ops/pallas_step.py): whole timesteps advance in VMEM, and the
+    kernel's in-kernel probe output feeds the measure accumulators per
+    chunk — O(chunk * P * B) waveform memory, none of the (B, T, N) state
+    history ever leaves the chip.  Caller must have checked
+    pallas_step.supported(engine) and B % 128 == 0.
+    Returns (TransientResult-without-xs, accs-finalized values)."""
+    from ..analysis.transient import TransientResult, n_steps_for
+    from ..ops import pallas_step
+
+    f32 = jnp.float32
+    with jax.ensure_compile_time_eval():
+        dt = float(tstep)
+    n_steps = n_steps_for(float(tstep), float(tstop))
+    if x0 is None:
+        x0 = batched_dc_fast(engine, bparams)
+    x0 = x0.astype(f32)
+    B = x0.shape[0]
+    state0 = engine.init_state(x0)
+    nP = sm.probe_matrix.shape[0]
+    runner = pallas_step.PallasStepRunner(engine, bparams, dt,
+                                          probe_mat=sm.probe_matrix)
+    acc0 = sm.init(engine, x0)
+
+    def advance(carry, acc, step0, n):
+        out = runner.run_chunk(*carry, step0, n, interpret=interpret)
+        carry = out[:5]
+        iters = out[5]
+        raw = jnp.moveaxis(out[6][:, :nP, :], 1, 2)     # (n, B, nP)
+        ys_all = sm.vals_from_raw(raw)
+        ts = (step0 + jnp.arange(1, n + 1, dtype=f32)) * dt
+
+        def body(a, inp):
+            ys, t = inp
+            return sm.update_vals(a, ys, t, jnp.asarray(dt, f32)), None
+
+        acc, _ = lax.scan(body, acc, (ys_all, ts))
+        return carry, acc, iters
+
+    n_full, rem = divmod(n_steps, chunk)
+    if n_full == 0:
+        chunk, n_full, rem = n_steps, 1, 0
+    jit_full = jax.jit(lambda c, a, s0: advance(c, a, s0, chunk))
+    carry = (x0, x0, state0["vc"], state0["il"], jnp.zeros((B,), bool))
+    total_iters = jnp.zeros((B // 128,), jnp.int32)
+    for i in range(n_full):
+        carry, acc0, iters = jit_full(carry, acc0,
+                                      jnp.asarray(i * chunk, f32))
+        total_iters = total_iters + iters
+    if rem:
+        carry, acc0, iters = jax.jit(
+            lambda c, a, s0: advance(c, a, s0, rem))(
+            carry, acc0, jnp.asarray(n_full * chunk, f32))
+        total_iters = total_iters + iters
+
+    ts_all = jnp.arange(1, n_steps + 1, dtype=f32) * dt
+    res = TransientResult(times=ts_all, xs=None, x_final=carry[0],
+                          newton_iters=total_iters, failed=carry[4],
+                          n_steps=n_steps)
+    return res, sm.finalize(acc0)
+
+
 def batched_transient_measures(engine: Engine, bparams, tstep, tstop,
-                               measures, topo, bindings=None):
+                               measures, topo, bindings=None,
+                               fused="auto"):
     """vmap'd transient with STREAMING .MEASURE evaluation: per-lane
     measurement results with O(1) waveform memory — the whole sweep's
     statistics without ever materializing (B, T, N) waveforms
     (analysis/measure_stream.py).  Returns (TransientResult-without-xs,
-    {measure_name: (B,) values})."""
+    {measure_name: (B,) values}).
+
+    fused: "auto" steps the run with the fused Pallas chunk kernel
+    (ops/pallas_step.py, in-kernel probe streaming) when the circuit is
+    in its scope, the batch is a multiple of 128, f32, and a TPU backend
+    is active; True forces it (interpret mode off-TPU — tests); False
+    keeps the vmapped XLA loop."""
     from ..analysis.measure_stream import (StreamingMeasures,
                                            apply_derived_measures,
                                            run_transient_streaming)
+    from ..ops import pallas_step
     sm = StreamingMeasures(measures, topo, engine.dtype)
     # natively-batched DC init: the vmapped per-lane ramp would pay the
     # max iteration count over all lanes at every ramp step (see bench.py)
     x0 = batched_dc_fast(engine, bparams)
-    res, vals = jax.vmap(
-        lambda p, x0row: run_transient_streaming(engine, p, tstep, tstop,
-                                                 sm, x0=x0row)
-    )(bparams, x0)
+    B = x0.shape[0]
+    eligible = (pallas_step.supported(engine) and B % 128 == 0
+                and engine.dtype == jnp.float32)
+    if fused == "auto":
+        fused = eligible and jax.default_backend() != "cpu"
+    if fused:
+        assert eligible
+        res, vals = fused_transient_measures(
+            engine, bparams, tstep, tstop, sm, x0=x0,
+            interpret=jax.default_backend() == "cpu")
+    else:
+        res, vals = jax.vmap(
+            lambda p, x0row: run_transient_streaming(engine, p, tstep,
+                                                     tstop, sm, x0=x0row)
+        )(bparams, x0)
     derived = [m for m in measures
                if m.analysis == "tran" and m.kind == "param"]
     if derived:

@@ -195,3 +195,48 @@ def test_fused_step_mixed_deck():
     """All four nonlinear segments in one Woodbury plan."""
     _check(_run_both(_parity_opts(), steps=6, dt=1e-9, text=MIXED_DECK,
                      from_dc=True), atol=1e-4)
+
+
+# SIN-driven rectifier with .MEASURE cards — in the fused kernel's scope
+MEASURE_DECK = """* fused streaming measures
+V1 in 0 SIN 0 3 1e6
+R1 in a 100
+D1 a out
+C1 out 0 10n
+R2 out 0 10k
+.TRAN 2n 3u
+.MEASURE TRAN vmax MAX V(out)
+.MEASURE TRAN vavg AVG V(out) FROM=1u TO=3u
+.MEASURE TRAN t1 WHEN V(out)=1.0 RISE=1
+.MEASURE TRAN irms RMS V(in) FROM=0 TO=3u
+"""
+
+
+def test_fused_streaming_measures_matches_xla():
+    """The fused kernel's in-kernel probe output must drive the streaming
+    .MEASURE accumulators to the same per-lane values as the vmapped XLA
+    loop (parallel/montecarlo.fused_transient_measures)."""
+    from circuitsimulator_tpu.parallel.montecarlo import (
+        batched_transient_measures)
+    opts = DEFAULT_OPTIONS.replace(dtype=jnp.float32, tran_solver="woodbury",
+                                   tran_tol=1e-5, dc_tol=1e-5)
+    sim = Simulator.from_text(MEASURE_DECK, opts=opts)
+    assert pallas_step.supported(sim.engine)
+    B = 128
+    bp = perturb_params(sim.params, jax.random.key(3), B, {"res_r": 0.05})
+    tstep, tstop = sim.config.tran.tstep, sim.config.tran.tstop
+    res_x, vals_x = batched_transient_measures(
+        sim.engine, bp, tstep, tstop, sim.config.measures, sim.topo,
+        fused=False)
+    res_f, vals_f = batched_transient_measures(
+        sim.engine, bp, tstep, tstop, sim.config.measures, sim.topo,
+        fused=True)
+    assert res_f.xs is None
+    np.testing.assert_array_equal(np.asarray(res_f.failed),
+                                  np.asarray(res_x.failed))
+    for name in vals_x:
+        a = np.asarray(vals_x[name])
+        b = np.asarray(vals_f[name])
+        assert a.shape == b.shape == (B,)
+        np.testing.assert_allclose(b, a, rtol=2e-4, atol=2e-6,
+                                   err_msg=name)
