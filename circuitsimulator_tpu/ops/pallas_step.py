@@ -46,10 +46,12 @@ R/C/L/V/I + ALL FOUR nonlinear classes — Level-1 MOS and JFETs (no body
 effect / reverse-region option), diodes (Shockley + linearized-exp
 continuation + reverse breakdown), and Ebers-Moll BJTs (optional Early
 voltage, two interleaved V^T rows per device, parity-mask selected so no
-strided slices) — V sources with NONE/SIN waveforms, DC-only I sources,
-N <= 64 and rank k <= 16 (VMEM / static-unroll budget), no switches /
-B-sources / transmission lines.  Everything else stays on the general
-XLA path.
+strided slices) — V AND I sources with every waveform kind
+(PULSE/SIN/PWL/EXP/SFFM, mirrored formula-for-formula from
+models/sources.py with static per-kind masks; PWL tables unroll
+statically, <= 8 breakpoints), N <= 64 and rank k <= 16 (VMEM /
+static-unroll budget), no switches / B-sources / transmission lines.
+Everything else stays on the general XLA path.
 
 Validation note (tests/test_pallas_step.py): exponential-device decks
 must be compared from the DC operating point — from x = 0 with full
@@ -220,20 +222,46 @@ class PallasStepRunner:
         # such block is padded to ONE all-zero dummy row (a zero gc/gl and
         # an all-zero M_rhs column / M_state row contribute exactly
         # nothing), and run_chunk slices the dummy rows back off.
-        nV = len(t.vs_ep)
-        self.nV = nV
-        self.nVP = nVP = max(nV, 1)
-        sin5 = bparams["vs_sin"]        # (B, nV, 5): v0 va freq td phi
-        vsp = jnp.stack([
-            bparams["vs_dc"].T,
-            sin5[..., 0].T, sin5[..., 1].T,
-            (2.0 * jnp.pi) * sin5[..., 2].T,
-            sin5[..., 3].T, sin5[..., 4].T], axis=0).astype(f32)
-        self.vsp = pad1(vsp, 6)
-        # (6, nVP, B): dc, v0, va, w, td, phi
-        smask = (engine.vs_kinds == 2).astype(np.float32)[:, None]
-        self.sin_mask = (smask if nV
-                         else np.zeros((1, 1), np.float32))
+        #
+        # Independent sources — V then I in ONE combined block so the
+        # waveform formulas (models/sources.py eval_tran_static_kinds)
+        # evaluate every source of the circuit in one (nS, TB) tile pass.
+        # PULSE/SIN/PWL/EXP/SFFM all supported; static per-kind masks let
+        # unused formulas compile away, and the PWL table (<= 8
+        # breakpoints, supported() gate) unrolls statically.
+        nV, nI = len(t.vs_ep), len(t.is_ep)
+        self.nV, self.nI = nV, nI
+        nS = nV + nI
+        self.nSP = nSP = max(nS, 1)
+
+        def catsrc(key):                              # (R, nSP, B)
+            a, b = bparams["vs_" + key], bparams["is_" + key]
+            if a.ndim == 2:                           # (B, n) scalar packs
+                a, b = a[..., None], b[..., None]
+            P = max(a.shape[-1], b.shape[-1], 1)
+
+            def padP(x):
+                if x.shape[-1] < P:
+                    x = jnp.concatenate(
+                        [x, jnp.zeros(x.shape[:-1] + (P - x.shape[-1],),
+                                      x.dtype)], axis=-1)
+                return x
+            cat = jnp.concatenate([padP(a), padP(b)], axis=1)  # (B, nS, P)
+            out = jnp.moveaxis(cat, 0, -1).transpose(1, 0, 2)  # (P, nS, B)
+            return pad1(out.astype(f32), P)
+
+        self.src_dc = catsrc("dc")[0]                 # (nSP, B)
+        self.src_pulse = catsrc("pulse")              # (7, nSP, B)
+        self.src_sin = catsrc("sin")                  # (5, nSP, B)
+        self.src_pwlt = catsrc("pwl_t")               # (Pp, nSP, B)
+        self.src_pwlv = catsrc("pwl_v")
+        self.src_pwln = catsrc("pwl_n")[0]            # (nSP, B)
+        kinds = (np.concatenate([engine.vs_kinds, engine.is_kinds])
+                 if nS else np.zeros((1,), np.int64))
+        self.src_kinds = kinds                        # static (nSP,)
+        self.kind_masks = np.stack(
+            [(kinds == w).astype(np.float32) for w in (1, 2, 3, 4, 5)],
+            axis=0)[:, :, None]                       # (5, nSP, 1)
 
         # cap-like conductances and inductor R, lane-minor
         C = jax.vmap(engine._caplike_C)(bparams)       # (B, nCap)
@@ -247,31 +275,26 @@ class PallasStepRunner:
         self.gc = gc if nCap else jnp.zeros((1, B), f32)
         self.gl = gl if nL else jnp.zeros((1, B), f32)
 
-        # static one-hot operators (constants baked into the kernel)
-        M = np.zeros((N, nVP + nLP + nCapP), np.float32)
+        # static one-hot operators (constants baked into the kernel).
+        # RHS columns: [sources (V rows +1 at vs_k, I rows -/+1 at the
+        # terminals) | inductor history | cap history]
+        M = np.zeros((N, nSP + nLP + nCapP), np.float32)
         for j in range(nV):
             M[t.vs_k[j], j] = 1.0
+        for j in range(nI):
+            if t.is_ep[j] < N:
+                M[t.is_ep[j], nV + j] -= 1.0
+            if t.is_em[j] < N:
+                M[t.is_em[j], nV + j] += 1.0
         for j in range(nL):
-            M[t.ind_k[j], nVP + j] = 1.0
+            M[t.ind_k[j], nSP + j] = 1.0
         for j in range(nCap):
             a, b = engine.cap_a[j], engine.cap_b[j]
             if a < N:
-                M[a, nVP + nLP + j] += 1.0
+                M[a, nSP + nLP + j] += 1.0
             if b < N:
-                M[b, nVP + nLP + j] -= 1.0
+                M[b, nSP + nLP + j] -= 1.0
         self.M_rhs = M                                  # (N, nterms)
-
-        # DC-only I sources: constant RHS, precomputed lane-minor
-        self.b0_static = jnp.zeros((N, B), f32)
-        if len(t.is_ep):
-            idc = bparams["is_dc"].T.astype(f32)        # (nI, B)
-            Mi = np.zeros((N, len(t.is_ep)), np.float32)
-            for j in range(len(t.is_ep)):
-                if t.is_ep[j] < N:
-                    Mi[t.is_ep[j], j] -= 1.0
-                if t.is_em[j] < N:
-                    Mi[t.is_em[j], j] += 1.0
-            self.b0_static = jnp.asarray(Mi) @ idc
 
         # terminal-read / column-read / state operators.  Rows are grouped
         # TERMINAL-MAJOR ([all d, all g, all s]) so the in-kernel reshape
@@ -323,11 +346,18 @@ class PallasStepRunner:
         predictor = self.predictor
         unrolled = self.unrolled
         probe = self.nProbe is not None
+        kinds = self.src_kinds                         # static (nSP,)
+        has_pulse = bool((kinds == 1).any())
+        has_sin = bool((kinds == 2).any())
+        has_pwl = bool((kinds == 3).any())
+        has_exp = bool((kinds == 4).any())
+        has_sffm = bool((kinds == 5).any())
+        nPwl = self.src_pwlt.shape[0]
 
-        def kern(step0_ref, Mr_ref, Mz_ref, Ms_ref, Mp_ref, smask_ref,
+        def kern(step0_ref, Mr_ref, Mz_ref, Ms_ref, Mp_ref, kmask_ref,
                  G0invT_ref, YT_ref, Yc3_ref, mosp_ref, diop_ref, bjtp_ref,
-                 vsp_ref,
-                 gc_ref, gl_ref, b0s_ref, x0_ref, xp0_ref, vc0_ref, il0_ref,
+                 dc_ref, pulse_ref, sin_ref, pwlt_ref, pwlv_ref, pwln_ref,
+                 gc_ref, gl_ref, x0_ref, xp0_ref, vc0_ref, il0_ref,
                  f0_ref, xo_ref, xpo_ref, vco_ref, ilo_ref, fo_ref, it_ref,
                  *maybe_yo_ref):
             G0invT = G0invT_ref[:]
@@ -337,21 +367,13 @@ class PallasStepRunner:
             kk = mosp_ref[1]
             lam = mosp_ref[2]
             pp = mosp_ref[3]
-            dcv = vsp_ref[0]
-            v0 = vsp_ref[1]
-            va = vsp_ref[2]
-            w = vsp_ref[3]
-            td = vsp_ref[4]
-            phi = vsp_ref[5]
             gc = gc_ref[:]
             gl = gl_ref[:]
-            b0s = b0s_ref[:]
             step0 = step0_ref[0]
 
             Mr = Mr_ref[:]
             Mz = Mz_ref[:]
             Ms = Ms_ref[:]
-            smask = smask_ref[:]
             ridk0 = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
             cidk0 = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
             eye_k = (ridk0 == cidk0).astype(jnp.float32)
@@ -378,6 +400,131 @@ class PallasStepRunner:
                                 exp_umax * (1.0 + (u - u_max)))
                 der = jnp.where(u <= u_max, e, exp_umax)
                 return val, der
+
+            def _clamp01(x):
+                return jnp.clip(x, 0.0, 1.0)
+
+            def _safe_div(num, den):
+                """models/sources.py _safe_div: IEEE x/0 -> +/-inf by the
+                sign of num (0/0 -> +inf, NaN-free for the clamps)."""
+                inf = jnp.asarray(jnp.inf, jnp.float32)
+                zero_den = jnp.where(num < 0.0, -inf, inf)
+                return jnp.where(den != 0.0,
+                                 num / jnp.where(den != 0.0, den, 1.0),
+                                 zero_den)
+
+            def src_val(tt):
+                """All independent sources (V then I) at time tt: dc +
+                waveform, mirroring models/sources.py
+                eval_tran_static_kinds formula-for-formula.  Static
+                per-kind masks; unused kinds compile away."""
+                out = dc_ref[:]                       # (nSP, TB)
+                if has_pulse:
+                    v1 = pulse_ref[0]
+                    v2 = pulse_ref[1]
+                    ptd = pulse_ref[2]
+                    tr = pulse_ref[3]
+                    tf = pulse_ref[4]
+                    ton = pulse_ref[5]
+                    per = pulse_ref[6]
+                    tau1 = tt - ptd
+                    rise1 = v1 + _clamp01(_safe_div(tau1, tr)) * (v2 - v1)
+                    tfall1 = tau1 - (tr + ton)
+                    fall1 = v2 + _clamp01(_safe_div(tfall1, tf)) * (v1 - v2)
+                    single = jnp.where(
+                        tau1 <= 0.0, v1,
+                        jnp.where(tau1 < tr, rise1,
+                                  jnp.where(tau1 < tr + ton, v2, fall1)))
+                    safe_per = jnp.where(per > 0.0, per, 1.0)
+                    tau2 = jnp.mod(tt - ptd, safe_per)
+                    rise2 = v1 + (v2 - v1) * _clamp01(_safe_div(tau2, tr))
+                    tfall2 = tau2 - (tr + ton)
+                    fall2 = v2 + (v1 - v2) * _clamp01(_safe_div(tfall2, tf))
+                    periodic = jnp.where(
+                        tt < ptd, v1,
+                        jnp.where(tau2 < tr, rise2,
+                                  jnp.where(tau2 < tr + ton, v2,
+                                            jnp.where(tau2 < tr + ton + tf,
+                                                      fall2, v1))))
+                    out = out + kmask_ref[0] * jnp.where(per <= 0.0, single,
+                                                         periodic)
+                if has_sin:
+                    v0 = sin_ref[0]
+                    va = sin_ref[1]
+                    w = (2.0 * jnp.pi) * sin_ref[2]
+                    std = sin_ref[3]
+                    phi = sin_ref[4]
+                    tau = tt - std
+                    sv = jnp.where(tt < std, v0,
+                                   v0 + va * jnp.sin(w * tau + phi))
+                    out = out + kmask_ref[1] * sv
+                if has_pwl:
+                    pwln = pwln_ref[:]                 # (nSP, TB) f32 count
+                    big = jnp.asarray(3.0e38, jnp.float32)
+                    cnt = jnp.zeros_like(out)
+                    for j in range(nPwl):
+                        valid = jnp.asarray(float(j), jnp.float32) < pwln
+                        ttj = jnp.where(valid, pwlt_ref[j], big)
+                        cnt = cnt + jnp.where((ttj < tt) & valid, 1.0, 0.0)
+                    i0 = jnp.clip(cnt - 1.0, 0.0, float(nPwl - 1))
+                    i1 = jnp.clip(cnt, 0.0, float(nPwl - 1))
+                    lastidx = jnp.clip(pwln - 1.0, 0.0, float(nPwl - 1))
+                    t_i = jnp.zeros_like(out)
+                    t_i1 = jnp.zeros_like(out)
+                    v_i = jnp.zeros_like(out)
+                    v_i1 = jnp.zeros_like(out)
+                    last_t = jnp.zeros_like(out)
+                    last_v = jnp.zeros_like(out)
+                    for j in range(nPwl):
+                        jj = jnp.asarray(float(j), jnp.float32)
+                        s0 = jnp.where(i0 == jj, 1.0, 0.0)
+                        s1 = jnp.where(i1 == jj, 1.0, 0.0)
+                        sl = jnp.where(lastidx == jj, 1.0, 0.0)
+                        t_i = t_i + s0 * pwlt_ref[j]
+                        v_i = v_i + s0 * pwlv_ref[j]
+                        t_i1 = t_i1 + s1 * pwlt_ref[j]
+                        v_i1 = v_i1 + s1 * pwlv_ref[j]
+                        last_t = last_t + sl * pwlt_ref[j]
+                        last_v = last_v + sl * pwlv_ref[j]
+                    kfr = _safe_div(tt - t_i, t_i1 - t_i)
+                    mid = v_i + (v_i1 - v_i) * kfr
+                    first_t = pwlt_ref[0]
+                    first_v = pwlv_ref[0]
+                    pv = jnp.where(tt <= first_t, first_v,
+                                   jnp.where(tt >= last_t, last_v, mid))
+                    pv = jnp.where(pwln == 0.0, 0.0, pv)
+                    out = out + kmask_ref[2] * pv
+                if has_exp:
+                    v1 = pulse_ref[0]
+                    v2 = pulse_ref[1]
+                    td1 = pulse_ref[2]
+                    tau1_ = pulse_ref[3]
+                    td2 = pulse_ref[4]
+                    tau2_ = pulse_ref[5]
+                    dv = v2 - v1
+
+                    def seg(td_, tau_, amp):
+                        full = jnp.where(tt > td_, amp, 0.0)
+                        decay = amp * (1.0 - jnp.exp(
+                            -jnp.maximum(tt - td_, 0.0)
+                            / jnp.where(tau_ > 0.0, tau_, 1.0)))
+                        return jnp.where(tau_ > 0.0,
+                                         jnp.where(tt > td_, decay, 0.0),
+                                         full)
+
+                    out = out + kmask_ref[3] * (v1 + seg(td1, tau1_, dv)
+                                                + seg(td2, tau2_, -dv))
+                if has_sffm:
+                    vo = sin_ref[0]
+                    va = sin_ref[1]
+                    fc = sin_ref[2]
+                    mdi = sin_ref[3]
+                    fs = sin_ref[4]
+                    two_pi = 2.0 * jnp.pi
+                    sv = vo + va * jnp.sin(two_pi * fc * tt
+                                           + mdi * jnp.sin(two_pi * fs * tt))
+                    out = out + kmask_ref[4] * sv
+                return out
 
             def nl_vals(x):
                 """Per-V^T-row linearization coefficients at x — MOS/JFET,
@@ -566,13 +713,10 @@ class PallasStepRunner:
             def step_body(i, carry):
                 x, xprev, vc, il, failed, it_acc = carry
                 t = (step0 + i.astype(jnp.float32) + 1.0) * dt
-                # V-source values: dc + SIN waveform (masked by static kind)
-                tau = t - td
-                sinv = v0 + jnp.where(tau >= 0.0,
-                                      va * jnp.sin(w * tau + phi), 0.0)
-                vval = dcv + smask * sinv
-                terms = jnp.concatenate([vval, -(gl * il), gc * vc], axis=0)
-                b0 = b0s + _dot(Mr, terms)
+                # source values at t (V rows then I rows) + history terms
+                terms = jnp.concatenate([src_val(t), -(gl * il), gc * vc],
+                                        axis=0)
+                b0 = _dot(Mr, terms)
                 # z0 = G0inv @ b0 per lane: accumulate over the CONTRACTION
                 # index m with leading-axis slices of the pre-transposed
                 # G0invT — each term is a full (N, TB) vector FMA.
@@ -677,11 +821,14 @@ class PallasStepRunner:
                 shared(self.M_rhs.shape),
                 shared(self.M_zc.shape), shared(self.M_state.shape),
                 shared(Mp.shape),
-                shared(self.sin_mask.shape),
+                shared(self.kind_masks.shape),
                 lane(N, N), lane(self.k, N), lane(3, self.k, self.k),
                 lane(*self.mosp.shape[:2]), lane(*self.diop.shape[:2]),
-                lane(*self.bjtp.shape[:2]), lane(6, self.nVP),
-                lane(nCapP), lane(nLP), lane(N),
+                lane(*self.bjtp.shape[:2]),
+                lane(self.nSP), lane(7, self.nSP), lane(5, self.nSP),
+                lane(*self.src_pwlt.shape[:2]),
+                lane(*self.src_pwlv.shape[:2]), lane(self.nSP),
+                lane(nCapP), lane(nLP),
                 lane(N), lane(N), lane(nCapP), lane(nLP), lane(1),
             ],
             out_specs=tuple(out_specs),
@@ -690,10 +837,11 @@ class PallasStepRunner:
         )(step0_arr, jnp.asarray(self.M_rhs),
           jnp.asarray(self.M_zc), jnp.asarray(self.M_state),
           jnp.asarray(Mp),
-          jnp.asarray(self.sin_mask),
+          jnp.asarray(self.kind_masks),
           self.G0invT, self.YT, self.Yc3, self.mosp, self.diop, self.bjtp,
-          self.vsp,
-          self.gc, self.gl, self.b0_static, xt, xpt, vct, ilt, ft)
+          self.src_dc, self.src_pulse, self.src_sin,
+          self.src_pwlt, self.src_pwlv, self.src_pwln,
+          self.gc, self.gl, xt, xpt, vct, ilt, ft)
         xo, xpo, vco, ilo, fo, iters = outs[:6]
         base = (xo.T, xpo.T, vco.T[:, :nCap], ilo.T[:, :nL],
                 fo[0] > 0.5, iters)

@@ -17,9 +17,9 @@ from circuitsimulator_tpu.ops import pallas_step
 def test_supported_predicate():
     sim = Simulator.from_file("tests/netlists/dbmixer.sp")
     assert pallas_step.supported(sim.engine)
-    s2 = Simulator.from_text(   # PULSE waveform -> general path
+    s2 = Simulator.from_text(   # PULSE waveform -> in scope
         "V1 1 0 PULSE(0 1 0 0 0 1 0)\nR1 1 0 1k\nD1 1 0\n.op\n")
-    assert not pallas_step.supported(s2.engine)
+    assert pallas_step.supported(s2.engine)
     s3 = Simulator.from_text(   # behavioral source -> general path
         "V1 1 0 1\nR1 1 2 1k\nB1 2 0 V=V(1)*V(1)\n.op\n")
     assert not pallas_step.supported(s3.engine)
@@ -29,6 +29,13 @@ def test_supported_predicate():
     s5 = Simulator.from_text(   # linear transient -> general path
         "V1 1 0 SIN 0 2 1e6\nR1 1 2 100\nC1 2 0 1n\n.op\n")
     assert not pallas_step.supported(s5.engine)
+    s6 = Simulator.from_text(   # PWL with <= 8 breakpoints -> in scope
+        "V1 1 0 PWL(0 0 1u 1 2u 0)\nR1 1 2 1k\nD1 2 0\n.op\n")
+    assert pallas_step.supported(s6.engine)
+    s7 = Simulator.from_text(   # PWL with > 8 breakpoints -> general path
+        "V1 1 0 PWL(0 0 1u 1 2u 0 3u 1 4u 0 5u 1 6u 0 7u 1 8u 0)\n"
+        "R1 1 2 1k\nD1 2 0\n.op\n")
+    assert not pallas_step.supported(s7.engine)
 
 
 # rectifier with a forward diode and a zener in breakdown
@@ -194,6 +201,34 @@ def test_fused_step_bjt_deck():
 def test_fused_step_mixed_deck():
     """All four nonlinear segments in one Woodbury plan."""
     _check(_run_both(_parity_opts(), steps=6, dt=1e-9, text=MIXED_DECK,
+                     from_dc=True), atol=1e-4)
+
+
+# every waveform kind in one deck (V-PULSE, V-PWL, V-EXP, I-SFFM,
+# I-PULSE), MOS load so the plan is nonlinear
+WAVEFORM_DECK = """* all source kinds
+.MODEL 2 VT 0.386 MU 3.0238e-2 COX 6.058e-3 LAMBDA 0.05 CJ0 4.0e-14
+VDD 1 0 DC 3
+Vp 2 0 PULSE(0 1.5 10n 5n 5n 40n 100n)
+Vw 3 0 PWL(0 0 20n 1 50n 0.4 80n 1.2)
+Ve 4 0 EXP(0 2 5n 10n 60n 15n)
+Rp 2 5 1k
+Rw 3 5 2k
+Re 4 5 2k
+Is 0 5 SFFM(1m 0.5m 2e7 2 3e6)
+Ip 0 6 PULSE(0 1m 0 0 0 50n 120n)
+R6 6 0 1k
+M1 7 5 0 n 10e-6 0.35e-6 2
+RL 1 7 2k
+C1 7 0 1p
+.op
+"""
+
+
+def test_fused_step_all_waveform_kinds():
+    """PULSE/PWL/EXP/SFFM V and I sources evaluate in-kernel, matching
+    the XLA path's eval_tran_static_kinds trajectories."""
+    _check(_run_both(_parity_opts(), steps=12, dt=2e-9, text=WAVEFORM_DECK,
                      from_dc=True), atol=1e-4)
 
 
