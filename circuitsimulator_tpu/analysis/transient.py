@@ -151,6 +151,19 @@ def transient_step_fn(engine: Engine, params, dt, predictor: bool = False,
         wb = WoodburySolver(engine, params, G_static[..., :N, :N])
 
     def step(carry, t):
+        # Pin full-f32 matmul passes for everything traced in the step
+        # (assembly one-hot matmuls, Woodbury reads, history updates): the
+        # TPU MXU's default bf16 passes round the RHS of every step, an
+        # error that INTEGRATES over the transient instead of being
+        # corrected by Newton (measured: 5.8e-2 final-state error on a
+        # resonant RLC over 8k steps vs 1.2e-4 pinned, at a 3.5%
+        # throughput cost on dbmixer; benchmarks/bench_filter.py).  The
+        # fused Pallas kernel (ops/pallas_step.py) already pins HIGHEST.
+        # No-op on CPU and for f64.
+        with jax.default_matmul_precision("highest"):
+            return _step_inner(carry, t)
+
+    def _step_inner(carry, t):
         if predictor:
             x, x_prev, state, failed = carry
             x_init = 2.0 * x - x_prev

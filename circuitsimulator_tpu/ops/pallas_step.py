@@ -46,7 +46,9 @@ R/C/L/V/I + ALL FOUR nonlinear classes — Level-1 MOS and JFETs (no body
 effect / reverse-region option), diodes (Shockley + linearized-exp
 continuation + reverse breakdown), and Ebers-Moll BJTs (optional Early
 voltage, two interleaved V^T rows per device, parity-mask selected so no
-strided slices) — V AND I sources with every waveform kind
+strided slices) — INCLUDING fully linear decks (k == 0: the step is the
+exact solve x = G0inv @ b(t), no Newton machinery compiled at all) —
+V AND I sources with every waveform kind
 (PULSE/SIN/PWL/EXP/SFFM, mirrored formula-for-formula from
 models/sources.py with static per-kind masks; PWL tables unroll
 statically, <= 8 breakpoints), N <= 64 and rank k <= 16 (VMEM /
@@ -101,10 +103,10 @@ def supported(engine) -> bool:
     if (np.any(engine.vs_kinds == 3) or np.any(engine.is_kinds == 3)) \
             and engine.pwl_width > 8:
         return False
-    # Woodbury rank (1 per MOS/JFET/diode, 2 per BJT — ops/woodbury.py)
+    # Woodbury rank (1 per MOS/JFET/diode, 2 per BJT — ops/woodbury.py).
+    # k == 0 (fully linear deck) is IN scope: the step degenerates to the
+    # exact solve x = G0inv @ b(t) and the kernel skips Newton entirely.
     k = (len(t.mos_ed) + len(t.jf_ed) + len(t.dio_ep) + 2 * len(t.bjt_ec))
-    if k == 0:
-        return False   # linear transient: the XLA path is already one matmul
     # VMEM budget (G0inv block = 4*N^2*128 bytes) and static-unroll budget
     # for the in-kernel k x k pivoted solve
     if engine.N > 64 or k > 16:
@@ -165,6 +167,12 @@ class PallasStepRunner:
         self.G0invT = lm(G0inv).transpose(1, 0, 2)        # (N, N, B) [m,n,:]
         self.YT = lm(Y).transpose(1, 0, 2)                # (k, N, B) [j,n,:]
         self.Yc3 = lm(Ycols).transpose(1, 0, 2, 3)        # (3, k, k, B)
+        self.kP = max(k, 1)
+        if k == 0:
+            # linear deck: dummy one-row tiles (never read in-kernel —
+            # the k == 0 nr_iter accepts z0 directly)
+            self.YT = jnp.zeros((1, N, B), f32)
+            self.Yc3 = jnp.zeros((3, 1, 1, B), f32)
 
         # Nonlinear-row parameters in Woodbury plan order
         # [mos..., jfet..., diode..., bjt interleaved (Ic row, Ib row)].
@@ -310,7 +318,8 @@ class PallasStepRunner:
         # row's width-3 column layout — exactly the voltages every device
         # linearization needs: (d,g,s) MOS/JFET, (p,m,·) diode, (c,b,e)
         # BJT rows) and the V^T z reads of the Woodbury solve
-        self.M_zc = onehot_rows(solver.cols.T.ravel())  # (3k, N) term-major
+        Mzc = onehot_rows(solver.cols.T.ravel())        # (3k, N) term-major
+        self.M_zc = Mzc if Mzc.shape[0] else np.zeros((1, N), np.float32)
         Sm = np.zeros((self.nCapP + self.nLP, N), np.float32)
         for j in range(self.nCap):
             a, b = engine.cap_a[j], engine.cap_b[j]
@@ -374,11 +383,12 @@ class PallasStepRunner:
             Mr = Mr_ref[:]
             Mz = Mz_ref[:]
             Ms = Ms_ref[:]
-            ridk0 = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
-            cidk0 = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
-            eye_k = (ridk0 == cidk0).astype(jnp.float32)
             TB = gc.shape[-1]
-            ridk = jax.lax.broadcasted_iota(jnp.int32, (k, TB), 0)
+            if k:
+                ridk0 = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+                cidk0 = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+                eye_k = (ridk0 == cidk0).astype(jnp.float32)
+                ridk = jax.lax.broadcasted_iota(jnp.int32, (k, TB), 0)
 
             def _dot(M, v):
                 # HIGHEST precision: the MXU's default f32 path multiplies
@@ -642,14 +652,40 @@ class PallasStepRunner:
                 return (jnp.concatenate(vparts, axis=1),
                         jnp.concatenate(cparts, axis=0))
 
-            def nr_iter(xx, done, failed, z0):
-                """One Newton iteration with the XLA loop's exact per-lane
-                masked-update semantics (analysis/transient.py body).
+            def accept(xx, done, failed, x_raw):
+                """The XLA loop's exact per-lane masked-update semantics
+                (analysis/transient.py body): clamp, damping, tolerance
+                test, freeze of done/failed lanes.
 
                 `done`/`failed` are float32 0/1 masks, NOT bools: Mosaic
                 cannot legalize i1 vectors carried through scf.for/while
                 (bool vectors are fine as local values, just not as loop
                 carries)."""
+                finite = jnp.all(jnp.isfinite(x_raw), axis=0)   # (TB,) bool
+                upd_vec = x_raw - xx
+                if clamp > 0.0:
+                    upd_vec = jnp.clip(upd_vec, -clamp, clamp)
+                x_new = xx + alpha * upd_vec
+                err2 = jnp.sum((x_new - xx) ** 2, axis=0)       # (TB,)
+                upd = finite & (done < 0.5)
+                xx = jnp.where(upd[None, :], x_new, xx)
+                newly_done = (upd & (err2 < tol2)) | jnp.logical_not(finite)
+                done = jnp.maximum(done, jnp.where(newly_done, 1.0, 0.0))
+                failed = jnp.maximum(failed,
+                                     jnp.where(finite, 0.0, 1.0))
+                return xx, done, failed
+
+            def nr_iter_linear(xx, done, failed, z0):
+                """k == 0 (no nonlinear V^T rows): G x = b is already
+                solved by z0 = G0inv @ b — each 'iteration' just runs the
+                shared accept semantics, matching the XLA loop's
+                trajectory (WoodburySolver.solve returns z0 at k == 0)
+                under every alpha/clamp/tolerance configuration."""
+                return accept(xx, done, failed, z0)
+
+            def nr_iter(xx, done, failed, z0):
+                """One Newton iteration: rank-k Woodbury correction of z0
+                followed by the shared accept semantics."""
                 vcoef, cst = nl_vals(xx)
                 # z = z0 - YT^T @ cst (leading-axis slices only)
                 z = z0
@@ -696,19 +732,10 @@ class PallasStepRunner:
                 x_raw = z
                 for j in range(k):
                     x_raw = x_raw - YT[j] * ww[j:j + 1, :]
-                finite = jnp.all(jnp.isfinite(x_raw), axis=0)   # (TB,) bool
-                upd_vec = x_raw - xx
-                if clamp > 0.0:
-                    upd_vec = jnp.clip(upd_vec, -clamp, clamp)
-                x_new = xx + alpha * upd_vec
-                err2 = jnp.sum((x_new - xx) ** 2, axis=0)       # (TB,)
-                upd = finite & (done < 0.5)
-                xx = jnp.where(upd[None, :], x_new, xx)
-                newly_done = (upd & (err2 < tol2)) | jnp.logical_not(finite)
-                done = jnp.maximum(done, jnp.where(newly_done, 1.0, 0.0))
-                failed = jnp.maximum(failed,
-                                     jnp.where(finite, 0.0, 1.0))
-                return xx, done, failed
+                return accept(xx, done, failed, x_raw)
+
+            if k == 0:
+                nr_iter = nr_iter_linear
 
             def step_body(i, carry):
                 x, xprev, vc, il, failed, it_acc = carry
@@ -822,7 +849,7 @@ class PallasStepRunner:
                 shared(self.M_zc.shape), shared(self.M_state.shape),
                 shared(Mp.shape),
                 shared(self.kind_masks.shape),
-                lane(N, N), lane(self.k, N), lane(3, self.k, self.k),
+                lane(N, N), lane(self.kP, N), lane(3, self.kP, self.kP),
                 lane(*self.mosp.shape[:2]), lane(*self.diop.shape[:2]),
                 lane(*self.bjtp.shape[:2]),
                 lane(self.nSP), lane(7, self.nSP), lane(5, self.nSP),

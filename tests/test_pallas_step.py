@@ -26,9 +26,9 @@ def test_supported_predicate():
     s4 = Simulator.from_text(   # diode deck with SIN drive -> in scope
         "V1 1 0 SIN 0 2 1e6\nR1 1 2 100\nD1 2 0\n.op\n")
     assert pallas_step.supported(s4.engine)
-    s5 = Simulator.from_text(   # linear transient -> general path
+    s5 = Simulator.from_text(   # linear transient -> in scope (k == 0)
         "V1 1 0 SIN 0 2 1e6\nR1 1 2 100\nC1 2 0 1n\n.op\n")
-    assert not pallas_step.supported(s5.engine)
+    assert pallas_step.supported(s5.engine)
     s6 = Simulator.from_text(   # PWL with <= 8 breakpoints -> in scope
         "V1 1 0 PWL(0 0 1u 1 2u 0)\nR1 1 2 1k\nD1 2 0\n.op\n")
     assert pallas_step.supported(s6.engine)
@@ -223,6 +223,27 @@ RL 1 7 2k
 C1 7 0 1p
 .op
 """
+
+
+# fully linear deck (k == 0): RLC filter + RC divider, mixed waveforms
+LINEAR_DECK = """* linear RLC filter
+V1 in 0 SIN 0 1 2e6
+I1 0 mid PULSE(0 1m 0 0 0 100n 250n)
+R1 in a 1k
+L1 a mid 10u
+C1 mid 0 100p
+R2 mid out 2k
+C2 out 0 50p
+RL out 0 10k
+.op
+"""
+
+
+def test_fused_step_linear_deck():
+    """k == 0 decks run in-kernel as the exact solve x = G0inv @ b(t);
+    trajectory matches the XLA Woodbury path (which returns z0 at k=0)."""
+    _check(_run_both(_parity_opts(), steps=12, dt=2e-9, text=LINEAR_DECK),
+           atol=1e-5)
 
 
 def test_fused_step_all_waveform_kinds():
