@@ -270,13 +270,68 @@ def yield_analysis(engine: Engine, topo, params, key, batch: int,
 
 
 def batched_transient(engine: Engine, bparams, tstep, tstop,
-                      save_xs: bool = False):
+                      save_xs: bool = False, fused: str = "auto"):
     """vmap'd Backward-Euler transient over a params batch.
 
     With save_xs=False only final state / iteration counts / failure flags
     are kept — the right mode for large sweeps (a 8192-lane dbmixer sweep
     would otherwise materialize ~50 G waveform samples).
-    """
+
+    fused: "auto" steps a save_xs=False run with the fused Pallas chunk
+    kernel (ops/pallas_step.py) when the circuit is in its scope, the
+    batch is a multiple of 128, f32, and a TPU backend is active (same
+    dispatch rule as batched_transient_measures); newton_iters is then
+    per-128-lane-block chunk totals rather than per-lane per-step."""
+    from ..ops import pallas_step
+    B = jax.tree.leaves(bparams)[0].shape[0]
+    eligible = (not save_xs and pallas_step.supported(engine)
+                and B % 128 == 0 and engine.dtype == jnp.float32)
+    if fused == "auto":
+        fused = eligible and jax.default_backend() != "cpu"
+    if fused:
+        assert eligible
+        return _fused_batched_transient(
+            engine, bparams, tstep, tstop,
+            interpret=jax.default_backend() == "cpu")
     return jax.vmap(
         lambda p: run_transient(engine, p, tstep, tstop, save_xs=save_xs)
     )(bparams)
+
+
+def _fused_batched_transient(engine: Engine, bparams, tstep, tstop,
+                             chunk: int = 2000, interpret: bool = False):
+    """Waveform-free batched transient on the fused Pallas chunk kernel:
+    natively-batched DC init, then whole timesteps advance in VMEM."""
+    from ..analysis.transient import TransientResult, n_steps_for
+    from ..ops import pallas_step
+
+    f32 = jnp.float32
+    with jax.ensure_compile_time_eval():
+        dt = float(tstep)
+    n_steps = n_steps_for(float(tstep), float(tstop))
+    x0 = batched_dc_fast(engine, bparams).astype(f32)
+    B = x0.shape[0]
+    state0 = engine.init_state(x0)
+    runner = pallas_step.PallasStepRunner(engine, bparams, dt)
+
+    def advance(carry, step0, n):
+        out = runner.run_chunk(*carry, step0, n, interpret=interpret)
+        return out[:5], out[5]
+
+    n_full, rem = divmod(n_steps, chunk)
+    if n_full == 0:
+        chunk, n_full, rem = n_steps, 1, 0
+    jit_full = jax.jit(lambda c, s0: advance(c, s0, chunk))
+    carry = (x0, x0, state0["vc"], state0["il"], jnp.zeros((B,), bool))
+    total_iters = jnp.zeros((B // 128,), jnp.int32)
+    for i in range(n_full):
+        carry, iters = jit_full(carry, jnp.asarray(i * chunk, f32))
+        total_iters = total_iters + iters
+    if rem:
+        carry, iters = jax.jit(lambda c, s0: advance(c, s0, rem))(
+            carry, jnp.asarray(n_full * chunk, f32))
+        total_iters = total_iters + iters
+    ts_all = jnp.arange(1, n_steps + 1, dtype=f32) * dt
+    return TransientResult(times=ts_all, xs=None, x_final=carry[0],
+                           newton_iters=total_iters, failed=carry[4],
+                           n_steps=n_steps)

@@ -55,6 +55,26 @@ def test_batched_transient_short():
                                rtol=0, atol=1e-12)
 
 
+def test_batched_transient_fused_dispatch():
+    """fused=True routes the sweep through the Pallas chunk kernel
+    (interpret mode on CPU); final state matches the vmapped XLA loop.
+    Engine tolerances are relaxed to the fused kernel's f32 scope."""
+    from circuitsimulator_tpu.utils.options import DEFAULT_OPTIONS
+    opts = DEFAULT_OPTIONS.replace(dtype=jnp.float32, tran_solver="woodbury",
+                                   tran_tol=1e-5, dc_tol=1e-5)
+    sim = Simulator.from_file(MIXER, opts=opts)
+    B = 128
+    bp = broadcast_params(sim.params, B)
+    res_f = batched_transient(sim.engine, bp, 1e-13, 1e-11, save_xs=False,
+                              fused=True)
+    res_x = batched_transient(sim.engine, bp, 1e-13, 1e-11, save_xs=False,
+                              fused=False)
+    assert res_f.xs is None and res_f.x_final.shape == (B, 31)
+    assert not np.any(np.asarray(res_f.failed))
+    np.testing.assert_allclose(np.asarray(res_f.x_final),
+                               np.asarray(res_x.x_final), atol=5e-5)
+
+
 def test_sharded_transient_on_8_device_mesh():
     assert len(jax.devices()) == 8, "conftest should give 8 virtual devices"
     sim = Simulator.from_file(MIXER)
