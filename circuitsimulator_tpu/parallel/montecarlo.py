@@ -158,7 +158,7 @@ def fused_transient_measures(engine: Engine, bparams, tstep, tstop, sm,
         chunk, n_full, rem = n_steps, 1, 0
     jit_full = jax.jit(lambda c, a, s0: advance(c, a, s0, chunk))
     carry = (x0, x0, state0["vc"], state0["il"], jnp.zeros((B,), bool))
-    total_iters = jnp.zeros((B // 128,), jnp.int32)
+    total_iters = jnp.zeros((runner.n_blocks,), jnp.int32)
     for i in range(n_full):
         carry, acc0, iters = jit_full(carry, acc0,
                                       jnp.asarray(i * chunk, f32))
@@ -323,7 +323,7 @@ def _fused_batched_transient(engine: Engine, bparams, tstep, tstop,
         chunk, n_full, rem = n_steps, 1, 0
     jit_full = jax.jit(lambda c, s0: advance(c, s0, chunk))
     carry = (x0, x0, state0["vc"], state0["il"], jnp.zeros((B,), bool))
-    total_iters = jnp.zeros((B // 128,), jnp.int32)
+    total_iters = jnp.zeros((runner.n_blocks,), jnp.int32)
     for i in range(n_full):
         carry, iters = jit_full(carry, jnp.asarray(i * chunk, f32))
         total_iters = total_iters + iters
