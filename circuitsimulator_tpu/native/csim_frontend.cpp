@@ -374,6 +374,60 @@ bool validate_behavioral_expr(const std::string& s) {
     return validate_expr_syntax(s, true);
 }
 
+// re-join tokens so each {...} group (which may contain spaces) becomes
+// part of a single token — shared by the .PARAM machinery and the
+// subcircuit flattener (mirror of netlist/subckt.py:_merge_brace_groups)
+std::vector<std::string> merge_brace_groups(
+        const std::vector<std::string>& tokens) {
+    std::vector<std::string> out;
+    std::string buf;
+    bool open = false;
+    long depth = 0;
+    auto delta = [](const std::string& t) {
+        long d = 0;
+        for (char c : t) d += c == '{' ? 1 : c == '}' ? -1 : 0;
+        return d;
+    };
+    for (const auto& tok : tokens) {
+        if (!open) {
+            long d = delta(tok);
+            if (tok.find('{') == std::string::npos || d == 0) {
+                out.push_back(tok);
+                continue;
+            }
+            buf = tok;
+            depth = d;
+            open = true;
+        } else {
+            buf += " " + tok;
+            depth += delta(tok);
+        }
+        if (depth <= 0) {
+            out.push_back(buf);
+            open = false;
+        }
+    }
+    if (open) out.push_back(buf);
+    return out;
+}
+
+// 'a = b' -> 'a=b' across a joined token tail
+std::string normalize_eq(const std::vector<std::string>& tokens) {
+    std::string text;
+    for (size_t i = 0; i < tokens.size(); ++i) {
+        if (!text.empty()) text += " ";
+        text += tokens[i];
+    }
+    std::string norm;
+    for (size_t i = 0; i < text.size(); ++i) {
+        if (text[i] == ' ' &&
+            ((i + 1 < text.size() && text[i + 1] == '=') ||
+             (!norm.empty() && norm.back() == '='))) continue;
+        norm += text[i];
+    }
+    return norm;
+}
+
 // ----------------------------------------------------------------------
 // flat output records (mirrored by ctypes structs on the Python side)
 // ----------------------------------------------------------------------
@@ -568,6 +622,8 @@ struct Statement {
 // ----------------------------------------------------------------------
 struct SubcktDef {
     std::vector<std::string> ports;
+    // `PARAMS:` defaults, in declaration order (netlist/subckt.py)
+    std::vector<std::pair<std::string, std::string>> defaults;
     std::vector<Statement> body;
 };
 
@@ -580,8 +636,124 @@ public:
 
     explicit SubcktFlattener(std::ostringstream& d) : diag(d) {}
 
+    // global `.PARAM` table (resolved in run(); the parser re-resolves
+    // it later for its own substitution pass — same algorithm, same
+    // values, so early substitution inside subckt bodies is consistent)
+    std::unordered_map<std::string, double> global_values;
+
     void warn(int line_no, const std::string& msg) {
         diag << "Line " << line_no << ": " << msg << "\n";
+    }
+
+    // partition a token tail into plain tokens + name=expr assignments
+    // (mirror of netlist/subckt.py:_split_assignments)
+    void split_assignments(
+            const std::vector<std::string>& tokens, int line_no,
+            std::vector<std::string>* plain,
+            std::vector<std::pair<std::string, std::string>>* assigns,
+            std::vector<std::string>* raw) {
+        std::string norm = normalize_eq(tokens);
+        std::vector<std::string> toks;
+        {
+            std::istringstream iss(norm);
+            std::string tok;
+            while (iss >> tok) toks.push_back(tok);
+        }
+        bool in_assigns = false;
+        for (const auto& tok : merge_brace_groups(toks)) {
+            std::string lo = lower(tok);
+            if (lo == "params:" || lo == "param:") {
+                in_assigns = true;
+                continue;
+            }
+            size_t eq = tok.find('=');
+            if (eq != std::string::npos) {
+                in_assigns = true;
+                std::string name = tok.substr(0, eq);
+                std::string expr = trim(tok.substr(eq + 1));
+                if (expr.size() >= 2 && expr.front() == '{' &&
+                    expr.back() == '}')
+                    expr = expr.substr(1, expr.size() - 2);
+                if (name.empty() || expr.empty()) {
+                    warn(line_no,
+                         "invalid parameter assignment: '" + tok + "'");
+                    continue;
+                }
+                assigns->emplace_back(lower(name), expr);
+                if (raw) raw->push_back(tok);
+            } else if (in_assigns) {
+                warn(line_no, "stray token '" + tok +
+                              "' after parameter assignments; ignored");
+            } else {
+                plain->push_back(tok);
+            }
+        }
+    }
+
+    // `Xn net... subname [PARAMS:] [name=expr ...]`; false if malformed
+    bool split_instance(
+            const std::vector<std::string>& toks, int line_no,
+            std::vector<std::string>* nets, std::string* subname,
+            std::vector<std::pair<std::string, std::string>>* assigns,
+            std::vector<std::string>* raw) {
+        std::vector<std::string> plain;
+        std::vector<std::string> tail(toks.begin() + 1, toks.end());
+        split_assignments(tail, line_no, &plain, assigns, raw);
+        if (plain.empty()) return false;
+        *subname = plain.back();
+        nets->assign(plain.begin(), plain.end() - 1);
+        return true;
+    }
+
+    // replace each {expr} group that evaluates under `scope`; groups
+    // that do not evaluate keep their token verbatim for the parser's
+    // global substitution pass (mirror of _substitute_scoped)
+    Statement substitute_scoped(
+            const Statement& st,
+            const std::unordered_map<std::string, double>& scope) {
+        bool braced = false;
+        for (const auto& tok : st.tokens)
+            braced = braced || tok.find('{') != std::string::npos;
+        if (!braced) return st;
+        Statement r = st;
+        std::vector<std::string> outv;
+        for (const auto& tok : merge_brace_groups(st.tokens)) {
+            if (tok.find('{') == std::string::npos) {
+                outv.push_back(tok);
+                continue;
+            }
+            std::string res;
+            bool failed = false;
+            size_t i = 0;
+            while (i < tok.size()) {
+                if (tok[i] == '{') {
+                    size_t j = tok.find('}', i);
+                    double v;
+                    if (j == std::string::npos ||
+                        !eval_expr(tok.substr(i + 1, j - i - 1),
+                                   scope, &v)) {
+                        failed = true;
+                        break;
+                    }
+                    char buf[40];
+                    std::snprintf(buf, sizeof buf, "%.17g", v);
+                    res += buf;
+                    i = j + 1;
+                } else {
+                    res += tok[i];
+                    ++i;
+                }
+            }
+            outv.push_back(failed ? tok : res);
+        }
+        r.tokens = std::move(outv);
+        std::string raw;
+        for (const auto& t : r.tokens) {
+            if (!raw.empty()) raw += " ";
+            raw += t;
+        }
+        r.raw = raw;
+        return r;
     }
 
     static void node_range(char c0, size_t* lo, size_t* hi) {
@@ -618,8 +790,22 @@ public:
             }
         }
         if (c0 == 'X') {
-            for (size_t j = 1; j + 1 < r.tokens.size(); ++j)
-                map_node(r.tokens[j]);
+            // only the net tokens are renamed; the subckt name and any
+            // parameter assignments pass through untouched
+            std::vector<std::string> nets, raw_assigns;
+            std::string subname;
+            std::vector<std::pair<std::string, std::string>> assigns;
+            if (split_instance(r.tokens, r.line_no, &nets, &subname,
+                               &assigns, &raw_assigns)) {
+                std::vector<std::string> toks2{r.tokens[0]};
+                for (auto& n : nets) {
+                    map_node(n);
+                    toks2.push_back(n);
+                }
+                toks2.push_back(subname);
+                for (const auto& a : raw_assigns) toks2.push_back(a);
+                r.tokens = std::move(toks2);
+            }
         } else if (n_poly >= 0) {
             // POLY(n): output nodes + n control node pairs (E/G) or n
             // controlling element names (F/H); coefficients untouched
@@ -688,8 +874,12 @@ public:
                     warn(st.line_no, ".SUBCKT " + name + " missing .ENDS");
                 ++i;  // skip the .ends
                 SubcktDef def;
-                if (st.tokens.size() > 2)
-                    def.ports.assign(st.tokens.begin() + 2, st.tokens.end());
+                if (st.tokens.size() > 2) {
+                    std::vector<std::string> tail(st.tokens.begin() + 2,
+                                                  st.tokens.end());
+                    split_assignments(tail, st.line_no, &def.ports,
+                                      &def.defaults, nullptr);
+                }
                 collect(body, def.body, true);
                 if (!name.empty()) defs[name] = std::move(def);
             } else if (head == ".ends") {
@@ -706,6 +896,7 @@ public:
     }
 
     void expand(const Statement& st, int depth,
+                const std::unordered_map<std::string, double>& caller_scope,
                 std::vector<Statement>& result) {
         if (st.tokens.empty() ||
             std::toupper((unsigned char)st.tokens[0][0]) != 'X') {
@@ -721,26 +912,119 @@ public:
             warn(st.line_no, "invalid instance: " + st.raw);
             return;
         }
-        std::string subname = lower(st.tokens.back());
+        std::vector<std::string> nets;
+        std::string subtok;
+        std::vector<std::pair<std::string, std::string>> overrides;
+        if (!split_instance(st.tokens, st.line_no, &nets, &subtok,
+                            &overrides, nullptr)) {
+            warn(st.line_no, "invalid instance: " + st.raw);
+            return;
+        }
+        std::string subname = lower(subtok);
         auto it = defs.find(subname);
         if (it == defs.end()) {
-            warn(st.line_no, "unknown subcircuit '" + st.tokens.back() +
+            warn(st.line_no, "unknown subcircuit '" + subtok +
                              "'; dropping " + st.tokens[0]);
             return;
         }
         const SubcktDef& def = it->second;
-        size_t n_nets = st.tokens.size() - 2;
-        if (n_nets != def.ports.size()) {
-            warn(st.line_no, st.tokens[0] + ": " + std::to_string(n_nets) +
+        if (nets.size() != def.ports.size()) {
+            warn(st.line_no, st.tokens[0] + ": " +
+                 std::to_string(nets.size()) +
                  " nets for " + std::to_string(def.ports.size()) +
                  " ports of " + subname + "; dropping instance");
             return;
         }
         std::unordered_map<std::string, std::string> map;
-        for (size_t j = 0; j < n_nets; ++j)
-            map[def.ports[j]] = st.tokens[1 + j];
-        for (const auto& bst : def.body)
-            expand(rename(bst, map, st.tokens[0]), depth + 1, result);
+        for (size_t j = 0; j < nets.size(); ++j)
+            map[def.ports[j]] = nets[j];
+        // bind parameters: defaults left-to-right (may reference globals
+        // and earlier defaults), then instance overrides evaluated in
+        // the CALLER's scope (mirror of netlist/subckt.py)
+        std::unordered_map<std::string, double> scope = global_values;
+        std::unordered_map<std::string, double> bindings;
+        for (const auto& d : def.defaults) {
+            std::unordered_map<std::string, double> env = global_values;
+            for (const auto& b : bindings) env[b.first] = b.second;
+            double v;
+            if (eval_expr(d.second, env, &v)) {
+                bindings[d.first] = v;
+            } else {
+                warn(st.line_no, st.tokens[0] + ": cannot resolve default "
+                     + d.first + "='" + d.second + "' of " + subname);
+            }
+        }
+        for (const auto& o : overrides) {
+            bool declared = false;
+            for (const auto& d : def.defaults)
+                declared = declared || d.first == o.first;
+            if (!declared)
+                warn(st.line_no, st.tokens[0] + ": '" + o.first +
+                     "' is not a parameter of " + subname +
+                     "; binding anyway");
+            double v;
+            if (eval_expr(o.second, caller_scope, &v)) {
+                bindings[o.first] = v;
+            } else {
+                warn(st.line_no, st.tokens[0] + ": cannot resolve "
+                     "parameter " + o.first + "='" + o.second + "'");
+            }
+        }
+        for (const auto& b : bindings) scope[b.first] = b.second;
+        // instance-local `.PARAM` cards: order-independent within the
+        // body (same forward-reference iteration as the global table)
+        std::vector<std::pair<std::string, std::string>> ldefs;
+        std::vector<int> ldef_lines;
+        for (const auto& bst : def.body) {
+            if (!bst.tokens.empty() && lower(bst.tokens[0]) == ".param") {
+                std::vector<std::string> plain;
+                std::vector<std::string> tail(bst.tokens.begin() + 1,
+                                              bst.tokens.end());
+                std::vector<std::pair<std::string, std::string>> assigns;
+                split_assignments(tail, bst.line_no, &plain, &assigns,
+                                  nullptr);
+                for (const auto& a : assigns) {
+                    ldefs.push_back(a);
+                    ldef_lines.push_back(bst.line_no);
+                }
+            }
+        }
+        std::unordered_map<std::string, std::string> ltable;
+        std::vector<std::string> lorder;
+        for (const auto& d : ldefs) {
+            if (!ltable.count(d.first)) lorder.push_back(d.first);
+            ltable[d.first] = d.second;
+        }
+        std::unordered_map<std::string, double> resolved;
+        for (size_t pass = 0; pass <= ltable.size(); ++pass) {
+            bool progress = false, missing = false;
+            for (const auto& n : lorder) {
+                if (resolved.count(n)) continue;
+                std::unordered_map<std::string, double> env = scope;
+                for (const auto& r2 : resolved) env[r2.first] = r2.second;
+                double v;
+                if (eval_expr(ltable[n], env, &v)) {
+                    resolved[n] = v;
+                    progress = true;
+                } else {
+                    missing = true;
+                }
+            }
+            if (!missing || !progress) break;
+        }
+        for (size_t j = 0; j < ldefs.size(); ++j) {
+            if (!resolved.count(ldefs[j].first))
+                warn(ldef_lines[j], st.tokens[0] + ": cannot resolve "
+                     "local .PARAM " + ldefs[j].first + "='" +
+                     ldefs[j].second + "'");
+        }
+        for (const auto& r2 : resolved) scope[r2.first] = r2.second;
+        for (const auto& bst : def.body) {
+            if (!bst.tokens.empty() && lower(bst.tokens[0]) == ".param")
+                continue;
+            expand(substitute_scoped(rename(bst, map, st.tokens[0]), scope),
+                   depth + 1, scope, result);
+        }
     }
 
     std::vector<Statement> run(const std::vector<Statement>& stmts) {
@@ -755,8 +1039,41 @@ public:
             for (auto& st : top) out.push_back(std::move(st));
             return std::move(out);
         }
+        // global `.PARAM` table (mirror of resolve_params: last
+        // definition wins, forward references by iteration) so instance
+        // bindings and body braces see the values the parser will
+        std::vector<std::pair<std::string, std::string>> gdefs;
+        std::vector<std::string> gorder;
+        std::unordered_map<std::string, std::string> gtable;
+        for (const auto& st : top) {
+            if (st.tokens.empty() || lower(st.tokens[0]) != ".param")
+                continue;
+            std::vector<std::string> plain;
+            std::vector<std::string> tail(st.tokens.begin() + 1,
+                                          st.tokens.end());
+            std::vector<std::pair<std::string, std::string>> assigns;
+            split_assignments(tail, st.line_no, &plain, &assigns, nullptr);
+            for (const auto& a : assigns) {
+                if (!gtable.count(a.first)) gorder.push_back(a.first);
+                gtable[a.first] = a.second;
+            }
+        }
+        for (size_t pass = 0; pass <= gtable.size(); ++pass) {
+            bool progress = false, missing = false;
+            for (const auto& n : gorder) {
+                if (global_values.count(n)) continue;
+                double v;
+                if (eval_expr(gtable[n], global_values, &v)) {
+                    global_values[n] = v;
+                    progress = true;
+                } else {
+                    missing = true;
+                }
+            }
+            if (!missing || !progress) break;
+        }
         std::vector<Statement> result(std::move(out));
-        for (const auto& st : top) expand(st, 0, result);
+        for (const auto& st : top) expand(st, 0, global_values, result);
         return result;
     }
 };
@@ -1816,55 +2133,8 @@ public:
     // ---- .PARAM machinery (mirror of NetlistParser in netlist/parser.py)
     std::unordered_map<std::string, double> param_values;
 
-    static std::vector<std::string> merge_brace_groups(
-            const std::vector<std::string>& tokens) {
-        std::vector<std::string> out;
-        std::string buf;
-        bool open = false;
-        long depth = 0;
-        auto delta = [](const std::string& t) {
-            long d = 0;
-            for (char c : t) d += c == '{' ? 1 : c == '}' ? -1 : 0;
-            return d;
-        };
-        for (const auto& tok : tokens) {
-            if (!open) {
-                long d = delta(tok);
-                if (tok.find('{') == std::string::npos || d == 0) {
-                    out.push_back(tok);
-                    continue;
-                }
-                buf = tok;
-                depth = d;
-                open = true;
-            } else {
-                buf += " " + tok;
-                depth += delta(tok);
-            }
-            if (depth <= 0) {
-                out.push_back(buf);
-                open = false;
-            }
-        }
-        if (open) out.push_back(buf);
-        return out;
-    }
-
-    static std::string normalize_eq(const std::vector<std::string>& tokens) {
-        std::string text;
-        for (size_t i = 0; i < tokens.size(); ++i) {
-            if (!text.empty()) text += " ";
-            text += tokens[i];
-        }
-        std::string norm;   // 'a = b' -> 'a=b'
-        for (size_t i = 0; i < text.size(); ++i) {
-            if (text[i] == ' ' &&
-                ((i + 1 < text.size() && text[i + 1] == '=') ||
-                 (!norm.empty() && norm.back() == '='))) continue;
-            norm += text[i];
-        }
-        return norm;
-    }
+    // merge_brace_groups / normalize_eq are now file-scope free
+    // functions (shared with SubcktFlattener)
 
     void collect_param_card(const Statement& st,
                             std::vector<std::pair<std::string,

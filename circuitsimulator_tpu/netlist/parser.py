@@ -286,7 +286,7 @@ class NetlistParser:
     # ---- driver ----
     def _parse_statements(self, stmts: List[Statement]) -> None:
         from .subckt import flatten_subcircuits
-        stmts = flatten_subcircuits(stmts)
+        stmts = flatten_subcircuits(stmts, self.param_overrides)
         # .PARAM pre-pass (extension): collect definitions, resolve (with
         # forward references), then substitute {expr} groups everywhere
         # so the rest of the grammar only ever sees literal numbers
