@@ -591,7 +591,8 @@ class Simulator:
     def monte_carlo(self, n: int, seed: int = 0,
                     params: Optional[Any] = None):
         """Netlist-driven Monte Carlo from `DEV=`/`LOT=` tolerances on
-        R/C/L cards (parallel/montecarlo.perturb_params_netlist).
+        R/C/L cards (the value) and M/J/D/Q instance cards (VT/VTO, IS,
+        BF mismatch) — parallel/montecarlo.perturb_params_netlist.
 
         Runs the deck's primary analysis over n perturbed lanes in ONE
         batched solve: with .TRAN + .MEASURE cards, returns (bparams,

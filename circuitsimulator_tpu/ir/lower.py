@@ -487,7 +487,13 @@ def lower(ckt: Circuit, dtype=jnp.float64) -> LoweredCircuit:
             params[f"{key}_{f}"] = arr
 
     mc_tols = {}
-    for key, els in (("res_r", res), ("cap_c", cap), ("ind_l", ind)):
+    # DEV=/LOT= tolerance -> the param leaf it perturbs: R/C/L values,
+    # plus the dominant per-device mismatch knobs (MOS/JFET threshold,
+    # diode saturation current, BJT forward beta) — extension; the
+    # perturbation itself is parallel/montecarlo.perturb_params_netlist
+    for key, els in (("res_r", res), ("cap_c", cap), ("ind_l", ind),
+                     ("mos_vth", mos), ("jf_vto", jf),
+                     ("dio_is", dio), ("bjt_bf", bjt)):
         if any(e.dev_tol or e.lot_tol for e in els):
             mc_tols[key] = (np.asarray([e.dev_tol for e in els]),
                             np.asarray([e.lot_tol for e in els]))

@@ -314,7 +314,10 @@ def parse_netlist_text_native(text: str) -> Tuple[Circuit, SimulationConfig]:
                              value=e.value, branch_eq=e.branch_eq)
             if kind == KIND_R:
                 rec.tc1, rec.tc2 = e.tc1, e.tc2
-            if kind in (KIND_R, KIND_C, KIND_L):
+            if kind in (KIND_R, KIND_C, KIND_L, KIND_M, KIND_D, KIND_Q,
+                        KIND_J):
+                # Monte-Carlo DEV=/LOT= tolerances (M/J: VT mismatch,
+                # D: IS, Q: BF — mirror of mc_tols in ir/lower.py)
                 rec.dev_tol, rec.lot_tol = e.dev_tol, e.lot_tol
             if kind in (KIND_V, KIND_I):
                 w = Waveform(kind=e.wave_kind)

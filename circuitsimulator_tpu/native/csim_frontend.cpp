@@ -374,6 +374,16 @@ bool validate_behavioral_expr(const std::string& s) {
     return validate_expr_syntax(s, true);
 }
 
+// DEV=/LOT= tolerance value; `5%` means 0.05 (mirror of parser._tolval)
+bool tol_value(const std::string& s, double* out_v) {
+    if (!s.empty() && s.back() == '%') {
+        if (!parse_spice(s.substr(0, s.size() - 1), out_v)) return false;
+        *out_v /= 100.0;
+        return true;
+    }
+    return parse_spice(s, out_v);
+}
+
 // re-join tokens so each {...} group (which may contain spaces) becomes
 // part of a single token — shared by the .PARAM machinery and the
 // subcircuit flattener (mirror of netlist/subckt.py:_merge_brace_groups)
@@ -1469,7 +1479,7 @@ public:
         for (size_t i = 4; i < t.size(); ++i)
             kv = kv || t[i].find('=') != std::string::npos;
         std::string model_id;
-        double w = 0, l = 0;
+        double w = 0, l = 0, mc_dev = 0, mc_lot = 0;
         if (kv) {
             if (t.size() < 6) {
                 warn(st.line_no, "invalid MOSFET: " + st.raw);
@@ -1489,6 +1499,19 @@ public:
                 } else if (key == "l" && !val.empty()) {
                     if (!parse_or_warn(st, val, "MOS param", &l)) return;
                     has_l = true;
+                } else if (key == "dev" && !val.empty()) {
+                    // VT mismatch tolerance (netlist Monte-Carlo)
+                    if (!tol_value(val, &mc_dev)) {
+                        warn(st.line_no,
+                             "cannot parse MOS param " + t[i]);
+                        return;
+                    }
+                } else if (key == "lot" && !val.empty()) {
+                    if (!tol_value(val, &mc_lot)) {
+                        warn(st.line_no,
+                             "cannot parse MOS param " + t[i]);
+                        return;
+                    }
                 } else {
                     warn(st.line_no, "unknown MOS param '" + t[i] +
                                          "' (W=/L= supported)");
@@ -1529,11 +1552,40 @@ public:
         e.af = m.af;
         e.gamma = m.gamma;
         e.phi = m.phi;
+        e.dev_tol = mc_dev;
+        e.lot_tol = mc_lot;
         out.elements.push_back(e);
     }
 
+    // optional trailing DEV=/LOT= Monte-Carlo tolerances (mirror of
+    // NetlistParser._tail_tols)
+    void tail_tols(const Statement& st, size_t from,
+                   const std::string& label, double* dev, double* lot) {
+        const auto& t = st.tokens;
+        for (size_t i = from; i < t.size(); ++i) {
+            size_t eq = t[i].find('=');
+            std::string key = eq == std::string::npos
+                                  ? t[i] : lower(t[i].substr(0, eq));
+            std::string val = eq == std::string::npos
+                                  ? "" : t[i].substr(eq + 1);
+            if (key == "dev" && !val.empty()) {
+                if (!tol_value(val, dev))
+                    warn(st.line_no,
+                         "cannot parse " + label + " param " + t[i]);
+            } else if (key == "lot" && !val.empty()) {
+                if (!tol_value(val, lot))
+                    warn(st.line_no,
+                         "cannot parse " + label + " param " + t[i]);
+            } else {
+                warn(st.line_no,
+                     "unknown " + label + " param '" + t[i] + "'");
+            }
+        }
+    }
+
     void dev_bjt(const Statement& st) {
-        // Q name nc nb ne model (extension; no BJT in the reference)
+        // Q name nc nb ne model [DEV=|LOT=] (extension; no BJT in the
+        // reference; DEV/LOT = BF mismatch for Monte-Carlo)
         const auto& t = st.tokens;
         if (t.size() < 5) {
             warn(st.line_no, "invalid BJT: " + st.raw);
@@ -1558,6 +1610,7 @@ public:
         e.cjc = m.cjc;
         e.eg = m.eg;
         e.xti = m.xti;
+        tail_tols(st, 5, "BJT", &e.dev_tol, &e.lot_tol);
         out.elements.push_back(e);
     }
 
@@ -1822,6 +1875,7 @@ public:
         e.vth = m.vto;
         e.k = m.beta;
         e.lam = m.lambda_;
+        tail_tols(st, 5, "JFET", &e.dev_tol, &e.lot_tol);
         out.elements.push_back(e);
     }
 
@@ -1904,6 +1958,16 @@ public:
             size_t eq = tok.find('=');
             if (eq == std::string::npos) continue;
             std::string key = lower(tok.substr(0, eq));
+            if (key == "dev" || key == "lot") {
+                // IS mismatch tolerance (netlist Monte-Carlo; `5%` ok)
+                double tv;
+                if (!tol_value(tok.substr(eq + 1), &tv)) {
+                    warn(st.line_no, "cannot parse diode param: " + st.raw);
+                    return;
+                }
+                (key == "dev" ? e.dev_tol : e.lot_tol) = tv;
+                continue;
+            }
             double v;
             if (!parse_spice(tok.substr(eq + 1), &v)) {
                 warn(st.line_no, "cannot parse diode param: " + st.raw);

@@ -379,10 +379,12 @@ class Circuit:
         ids = [self.get_or_create_node(np_), self.get_or_create_node(nm)]
         self.elements.append(ElementRec(KIND_V, name, ids, spec=spec))
 
-    def add_mosfet(self, name, nd, ng, ns, model_id, w, l):
+    def add_mosfet(self, name, nd, ng, ns, model_id, w, l,
+                   dev_tol=0.0, lot_tol=0.0):
         """Mirrors src/circuit.cpp:128-168: the model must exist *before* any
         node is created, bulk is forced to node "0", and K = MU*COX*(W/L) is
-        resolved immediately."""
+        resolved immediately.  DEV/LOT (extension): per-instance VT
+        mismatch tolerances for netlist Monte-Carlo."""
         m = self.mos_models.get(model_id)
         if m is None:
             print(f"Unknown MOS model: {model_id}", file=sys.stderr)
@@ -398,6 +400,7 @@ class Circuit:
             is_p=m.is_p, vth=abs(m.vt), k=m.mu * m.cox * (w / l),
             lam=m.lam, cj0=m.cj0, kf=m.kf, af=m.af,
             gamma=m.gamma, phi=m.phi,
+            dev_tol=dev_tol, lot_tol=lot_tol,
         ))
 
     def add_vcvs(self, name, np_, nm, ncp, ncm, gain):
@@ -421,16 +424,19 @@ class Circuit:
     def add_jfet_model(self, m: JfetModel) -> None:
         self.jfet_models[m.name] = m
 
-    def add_jfet(self, name, nd, ng, ns, model_id):
+    def add_jfet(self, name, nd, ng, ns, model_id,
+                 dev_tol=0.0, lot_tol=0.0):
         """J nd ng ns model (extension): signed VTO kept in `vth`,
-        BETA in `k`, LAMBDA in `lam` (MOS field reuse)."""
+        BETA in `k`, LAMBDA in `lam` (MOS field reuse).  DEV/LOT: VTO
+        mismatch tolerances for netlist Monte-Carlo."""
         m = self.jfet_models.get(model_id)
         if m is None:
             print(f"Unknown JFET model: {model_id}", file=sys.stderr)
             return
         ids = [self.get_or_create_node(n) for n in (nd, ng, ns)]
         self.elements.append(ElementRec(
-            KIND_J, name, ids, is_p=m.is_p, vth=m.vto, k=m.beta, lam=m.lam))
+            KIND_J, name, ids, is_p=m.is_p, vth=m.vto, k=m.beta, lam=m.lam,
+            dev_tol=dev_tol, lot_tol=lot_tol))
 
     def add_bsource(self, name, np_, nm, is_v, expr):
         """B np nm V=expr | I=expr (extension): behavioral source; the
@@ -480,17 +486,22 @@ class Circuit:
                                         ctrl_name=l1, ctrl2_name=l2))
 
     def add_diode(self, name, np_, nm, i_sat, n_ideal, cj0=0.0,
-                  bv=0.0, ibv=1e-3, eg=0.0, xti=0.0):
+                  bv=0.0, ibv=1e-3, eg=0.0, xti=0.0,
+                  dev_tol=0.0, lot_tol=0.0):
         """CJO (extension): a constant junction capacitance across the
         diode, lumped into the cap-like class like the MOS junction caps.
-        BV/IBV (extension): reverse breakdown; BV=0 disables it."""
+        BV/IBV (extension): reverse breakdown; BV=0 disables it.
+        DEV/LOT: IS mismatch tolerances for netlist Monte-Carlo."""
         ids = [self.get_or_create_node(np_), self.get_or_create_node(nm)]
         self.elements.append(ElementRec(KIND_D, name, ids, i_sat=i_sat,
                                         n_ideal=n_ideal, cj0=cj0,
                                         d_bv=bv, d_ibv=ibv,
-                                        eg=eg, xti=xti))
+                                        eg=eg, xti=xti,
+                                        dev_tol=dev_tol, lot_tol=lot_tol))
 
-    def add_bjt(self, name, nc, nb, ne, model_id):
+    def add_bjt(self, name, nc, nb, ne, model_id,
+                dev_tol=0.0, lot_tol=0.0):
+        """DEV/LOT (extension): BF mismatch tolerances for Monte-Carlo."""
         m = self.bjt_models.get(model_id)
         if m is None:
             print(f"Unknown BJT model: {model_id}", file=sys.stderr)
@@ -499,7 +510,8 @@ class Circuit:
                self.get_or_create_node(ne)]
         self.elements.append(ElementRec(
             KIND_Q, name, ids, is_p=m.is_pnp, i_sat=m.i_sat, bf=m.bf,
-            br=m.br, vaf=m.vaf, cje=m.cje, cjc=m.cjc, eg=m.eg, xti=m.xti))
+            br=m.br, vaf=m.vaf, cje=m.cje, cjc=m.cjc, eg=m.eg, xti=m.xti,
+            dev_tol=dev_tol, lot_tol=lot_tol))
 
     def add_mos_model(self, m: MosModel):
         self.mos_models[m.name] = m

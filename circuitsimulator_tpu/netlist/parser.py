@@ -259,6 +259,12 @@ def _warn(line_no: int, msg: str) -> None:
     print(f"Line {line_no}: {msg}", file=sys.stderr)
 
 
+def _tolval(s: str) -> float:
+    """DEV=/LOT= tolerance value; `5%` means 0.05."""
+    return parse_spice_number(s[:-1]) / 100.0 if s.endswith("%") \
+        else parse_spice_number(s)
+
+
 class NetlistParser:
     def __init__(self, circuit: Circuit, sim: SimulationConfig,
                  param_overrides: Optional[dict] = None):
@@ -345,8 +351,10 @@ class NetlistParser:
             if len(st.tokens) < 5:
                 _warn(st.line_no, f"invalid JFET: {st.raw}")
             else:
+                dev, lot = self._tail_tols(st, st.tokens[5:], "JFET")
                 self.ckt.add_jfet(st.tokens[0], st.tokens[1], st.tokens[2],
-                                  st.tokens[3], st.tokens[4])
+                                  st.tokens[3], st.tokens[4],
+                                  dev_tol=dev, lot_tol=lot)
         elif c0 == "T":
             self._parse_tline(st)
         elif c0 == "B":
@@ -368,11 +376,7 @@ class NetlistParser:
         # optional trailing key=value specs (extensions): TC (R only),
         # DEV/LOT Monte-Carlo tolerances (all of R/C/L, `5%` or `0.05`)
         tc1 = tc2 = dev = lot = 0.0
-
-        def tolval(s):
-            return parse_spice_number(s[:-1]) / 100.0 if s.endswith("%") \
-                else parse_spice_number(s)
-
+        tolval = _tolval
         try:
             for tok in t[4:]:
                 low = tok.lower()
@@ -646,6 +650,7 @@ class NetlistParser:
             name, nd, ng, ns = t[0], t[1], t[2], t[3]
             model_id = t[5]           # after the bulk node
             w = l = None
+            dev = lot = 0.0
             for tok in t[6:]:
                 key, _, val = tok.partition("=")
                 try:
@@ -653,6 +658,10 @@ class NetlistParser:
                         w = parse_spice_number(val)
                     elif key.lower() == "l" and val:
                         l = parse_spice_number(val)
+                    elif key.lower() == "dev" and val:
+                        dev = _tolval(val)     # VT mismatch (Monte-Carlo)
+                    elif key.lower() == "lot" and val:
+                        lot = _tolval(val)
                     else:
                         _warn(st.line_no,
                               f"unknown MOS param {tok!r} (W=/L= supported)")
@@ -664,7 +673,8 @@ class NetlistParser:
                 _warn(st.line_no,
                       f"MOS W=/L= missing: {st.raw}")
                 return
-            self.ckt.add_mosfet(name, nd, ng, ns, model_id, w, l)
+            self.ckt.add_mosfet(name, nd, ng, ns, model_id, w, l,
+                                dev_tol=dev, lot_tol=lot)
             return
         if len(t) not in (7, 8):
             _warn(st.line_no, f"invalid MOSFET: {st.raw}")
@@ -682,12 +692,32 @@ class NetlistParser:
         self.ckt.add_mosfet(name, nd, ng, ns, model_id, w, l)
 
     def _parse_bjt(self, st: Statement) -> None:
-        # Q name nc nb ne model  (extension; no BJT in the reference)
+        # Q name nc nb ne model [DEV=|LOT=]  (extension; no BJT in the
+        # reference; DEV/LOT = BF mismatch for Monte-Carlo)
         t = st.tokens
         if len(t) < 5:
             _warn(st.line_no, f"invalid BJT: {st.raw}")
             return
-        self.ckt.add_bjt(t[0], t[1], t[2], t[3], t[4])
+        dev, lot = self._tail_tols(st, t[5:], "BJT")
+        self.ckt.add_bjt(t[0], t[1], t[2], t[3], t[4],
+                         dev_tol=dev, lot_tol=lot)
+
+    def _tail_tols(self, st: Statement, toks, label: str):
+        """Optional trailing DEV=/LOT= Monte-Carlo tolerances."""
+        dev = lot = 0.0
+        for tok in toks:
+            key, _, val = tok.partition("=")
+            try:
+                if key.lower() == "dev" and val:
+                    dev = _tolval(val)
+                elif key.lower() == "lot" and val:
+                    lot = _tolval(val)
+                else:
+                    _warn(st.line_no,
+                          f"unknown {label} param {tok!r}")
+            except ValueError as e:
+                _warn(st.line_no, f"cannot parse {label} param {tok}: {e}")
+        return dev, lot
 
     @staticmethod
     def _poly_expr(variables: List[str], coeffs: List[str]) -> str:
@@ -901,6 +931,7 @@ class NetlistParser:
             return
         i_sat, n_ideal, cj0 = 1e-14, 1.0, 0.0
         bv, ibv, eg, xti = 0.0, 1e-3, 0.0, 0.0
+        dev = lot = 0.0
         for tok in t[3:]:
             key, _, val = tok.partition("=")
             try:
@@ -918,11 +949,16 @@ class NetlistParser:
                     eg = parse_spice_number(val)
                 elif key.lower() == "xti" and val:
                     xti = parse_spice_number(val)
+                elif key.lower() == "dev" and val:
+                    dev = _tolval(val)      # IS mismatch (Monte-Carlo)
+                elif key.lower() == "lot" and val:
+                    lot = _tolval(val)
             except ValueError as e:
                 _warn(st.line_no, f"cannot parse diode param: {e} in '{st.raw}'")
                 return
         self.ckt.add_diode(t[0], t[1], t[2], i_sat, n_ideal, cj0,
-                           bv=bv, ibv=ibv, eg=eg, xti=xti)
+                           bv=bv, ibv=ibv, eg=eg, xti=xti,
+                           dev_tol=dev, lot_tol=lot)
 
     # ---- dot cards ----
     def _parse_dot_card(self, st: Statement) -> None:

@@ -112,3 +112,61 @@ def test_cli_run_mc(tmp_path, capsys):
     assert lines[0].startswith("lane,")
     assert len(lines) == 33
     assert "Monte-Carlo" in capsys.readouterr().out
+
+
+# ---- device-model tolerances (MOS VT / JFET VTO / diode IS / BJT BF) ----
+
+DEVICE_DECK = """* device mismatch MC
+.MODEL mn VT 0.6 MU 2e-2 COX 1e-3
+.MODEL qn NPN IS=1e-15 BF=120
+.MODEL jn NJF VTO=-2 BETA=1m
+VDD vdd 0 3
+VIN g 0 1.2
+RD vdd d 10k
+M1 d g 0 b mn W=10u L=1u DEV=5%
+D1 d 0 IS=1e-14 DEV=0.1 LOT=0.2
+Q1 vdd g e qn DEV=0.08
+RE e 0 1k
+J1 vdd g s jn LOT=3%
+RS s 0 1k
+.op
+"""
+
+
+def test_device_tols_lowered():
+    sim = Simulator.from_text(DEVICE_DECK)
+    tols = {k: (v[0].tolist(), v[1].tolist())
+            for k, v in sim.lowered.mc_tols.items()}
+    assert tols["mos_vth"] == ([0.05], [0.0])
+    assert tols["dio_is"] == ([0.1], [0.2])
+    assert tols["bjt_bf"] == ([0.08], [0.0])
+    assert tols["jf_vto"] == ([0.0], [0.03])
+
+
+def test_device_mc_perturbs_right_leaves():
+    sim = Simulator.from_text(DEVICE_DECK)
+    bp, xs = sim.monte_carlo(128, seed=3)
+    vth = np.asarray(bp["mos_vth"])[:, 0]
+    assert 0.01 < vth.std() / vth.mean() < 0.10       # ~5% lognormal
+    bf = np.asarray(bp["bjt_bf"])[:, 0]
+    assert 0.03 < bf.std() / bf.mean() < 0.15
+    # untol'd leaves stay uniform across lanes
+    k = np.asarray(bp["mos_k"])
+    assert np.all(k == k[0])
+    assert np.asarray(xs).shape[0] == 128
+    # JFET VTO is negative; lognormal keeps the sign
+    vto = np.asarray(bp["jf_vto"])[:, 0]
+    assert np.all(vto < 0)
+
+
+def test_device_tols_native_parity():
+    from circuitsimulator_tpu import native
+    if not native.available():
+        pytest.skip("native frontend not built")
+    import dataclasses
+    ckt_py, _ = parse_netlist_text(DEVICE_DECK)
+    ckt_nat, _ = native.parse_netlist_text_native(DEVICE_DECK)
+    ckt_py.assign_equation_indices()
+    ckt_nat.assign_equation_indices()
+    for a, b in zip(ckt_nat.elements, ckt_py.elements):
+        assert dataclasses.asdict(a) == dataclasses.asdict(b), (a, b)
