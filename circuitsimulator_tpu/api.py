@@ -249,11 +249,28 @@ class Simulator:
         DC solution with .IC-constrained nodes overridden.  Returns None
         when the default DC-op start applies (no .IC, no UIC)."""
         ics = self.config.ics
+        elem_ics = [e for e in self.circuit.elements if e.has_ic]
         if not ics and not uic:
             return None
         import numpy as np
         if uic:
             x0 = jnp.zeros((self.topo.n_unknowns,), self.opts.dtype)
+            # element `IC=` values (C/L cards, extension): set the cap's
+            # terminal-difference / the inductor's branch unknown so
+            # Engine.init_state derives vc/il = IC.  Applied before the
+            # .IC cards, which override node voltages.
+            from .netlist.circuit import KIND_C, KIND_L
+            for e in elem_ics:
+                if e.kind == KIND_L and e.branch_eq >= 0:
+                    x0 = x0.at[e.branch_eq].set(e.ic)
+                elif e.kind == KIND_C:
+                    eqs = [self.circuit.nodes[nid].eq_index
+                           for nid in e.node_ids[:2]]
+                    if eqs[0] >= 0:
+                        base = x0[eqs[1]] if eqs[1] >= 0 else 0.0
+                        x0 = x0.at[eqs[0]].set(base + e.ic)
+                    elif eqs[1] >= 0:   # n+ grounded: v(n-) = -IC
+                        x0 = x0.at[eqs[1]].set(-e.ic)
         else:
             x0 = self.dc()
         for node, val in ics:

@@ -38,7 +38,7 @@ from ..netlist.parser import (
 _SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                     "csim_frontend.cpp")
 _LIB_NAME = "libcsim_frontend.so"
-_ABI_VERSION = 12  # bump on ANY packed-struct change (CLAUDE.md)
+_ABI_VERSION = 13  # bump on ANY packed-struct change (CLAUDE.md)
 
 _lib = None
 _lib_error: Optional[str] = None
@@ -78,6 +78,8 @@ class _CElement(ct.Structure):
         ("d_bv", ct.c_double), ("d_ibv", ct.c_double),
         # IS(T) scaling, diode + BJT (ABI v12)
         ("eg", ct.c_double), ("xti", ct.c_double),
+        # C/L IC= initial conditions (ABI v13)
+        ("ic", ct.c_double), ("has_ic", ct.c_int32),
     ]
 
 
@@ -319,6 +321,8 @@ def parse_netlist_text_native(text: str) -> Tuple[Circuit, SimulationConfig]:
                 # Monte-Carlo DEV=/LOT= tolerances (M/J: VT mismatch,
                 # D: IS, Q: BF — mirror of mc_tols in ir/lower.py)
                 rec.dev_tol, rec.lot_tol = e.dev_tol, e.lot_tol
+            if kind in (KIND_C, KIND_L):
+                rec.ic, rec.has_ic = e.ic, bool(e.has_ic)
             if kind in (KIND_V, KIND_I):
                 w = Waveform(kind=e.wave_kind)
                 if e.wave_kind == 1:

@@ -480,6 +480,8 @@ struct ElementRec {
     double dev_tol, lot_tol;  // R/C/L Monte-Carlo tolerances (ABI v10)
     double d_bv, d_ibv;       // diode reverse breakdown (ABI v11)
     double eg, xti;           // IS(T) scaling, diode + BJT (ABI v12)
+    double ic;                // C/L IC= initial condition (ABI v13)
+    int32_t has_ic;           // 1 when an IC= was given (UIC only)
 };
 
 struct NodeRec {
@@ -1245,6 +1247,10 @@ public:
                     if (!tolv(low.substr(4), &e.dev_tol)) bad = true;
                 } else if (low.rfind("lot=", 0) == 0) {
                     if (!tolv(low.substr(4), &e.lot_tol)) bad = true;
+                } else if (kind != 0 && low.rfind("ic=", 0) == 0) {
+                    // initial cap voltage / inductor current (UIC only)
+                    if (!parse_spice(low.substr(3), &e.ic)) bad = true;
+                    else e.has_ic = 1;
                 }
             }
             if (bad) {
@@ -1252,6 +1258,8 @@ public:
                                      "RCL"[kind] + " key=value spec: '" +
                                      st.raw + "'");
                 e.tc1 = e.tc2 = e.dev_tol = e.lot_tol = 0.0;
+                e.ic = 0.0;
+                e.has_ic = 0;
             }
         }
         out.elements.push_back(e);
@@ -3089,5 +3097,5 @@ const char* csim_strpool(void* h) { return FE.str_pool.c_str(); }
 const void* csim_config(void* h) { return &FE.config; }
 const char* csim_diagnostics(void* h) { return FE.diagnostics.c_str(); }
 
-int32_t csim_abi_version(void) { return 12; }
+int32_t csim_abi_version(void) { return 13; }
 }

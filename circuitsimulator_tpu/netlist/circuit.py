@@ -291,6 +291,10 @@ class ElementRec:
     # as value * exp(dev*N_device + lot*N_lane) by parallel/montecarlo.py
     dev_tol: float = 0.0
     lot_tol: float = 0.0
+    # C/L `IC=` initial conditions (extension, honored under .TRAN UIC:
+    # cap voltage / inductor current at t=0 — api._initial_conditions_x0)
+    ic: float = 0.0
+    has_ic: bool = False
 
 
 @dataclasses.dataclass
@@ -361,15 +365,19 @@ class Circuit:
                                         tc1=tc1, tc2=tc2,
                                         dev_tol=dev_tol, lot_tol=lot_tol))
 
-    def add_capacitor(self, name, n1, n2, value, dev_tol=0.0, lot_tol=0.0):
+    def add_capacitor(self, name, n1, n2, value, dev_tol=0.0, lot_tol=0.0,
+                      ic=None):
         ids = [self.get_or_create_node(n1), self.get_or_create_node(n2)]
         self.elements.append(ElementRec(KIND_C, name, ids, value=value,
-                                        dev_tol=dev_tol, lot_tol=lot_tol))
+                                        dev_tol=dev_tol, lot_tol=lot_tol,
+                                        ic=ic or 0.0, has_ic=ic is not None))
 
-    def add_inductor(self, name, n1, n2, value, dev_tol=0.0, lot_tol=0.0):
+    def add_inductor(self, name, n1, n2, value, dev_tol=0.0, lot_tol=0.0,
+                     ic=None):
         ids = [self.get_or_create_node(n1), self.get_or_create_node(n2)]
         self.elements.append(ElementRec(KIND_L, name, ids, value=value,
-                                        dev_tol=dev_tol, lot_tol=lot_tol))
+                                        dev_tol=dev_tol, lot_tol=lot_tol,
+                                        ic=ic or 0.0, has_ic=ic is not None))
 
     def add_current_source(self, name, np_, nm, spec):
         ids = [self.get_or_create_node(np_), self.get_or_create_node(nm)]

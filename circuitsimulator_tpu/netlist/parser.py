@@ -376,6 +376,7 @@ class NetlistParser:
         # optional trailing key=value specs (extensions): TC (R only),
         # DEV/LOT Monte-Carlo tolerances (all of R/C/L, `5%` or `0.05`)
         tc1 = tc2 = dev = lot = 0.0
+        ic = None
         tolval = _tolval
         try:
             for tok in t[4:]:
@@ -393,19 +394,23 @@ class NetlistParser:
                     dev = tolval(low[4:])
                 elif low.startswith("lot="):
                     lot = tolval(low[4:])
+                elif kind in ("C", "L") and low.startswith("ic="):
+                    # initial cap voltage / inductor current (UIC only)
+                    ic = parse_spice_number(low[3:])
         except ValueError as e:
             _warn(st.line_no,
                   f"cannot parse {kind} key=value spec: {e} in '{st.raw}'")
             tc1 = tc2 = dev = lot = 0.0
+            ic = None
         if kind == "R":
             self.ckt.add_resistor(t[0], t[1], t[2], val, tc1=tc1, tc2=tc2,
                                   dev_tol=dev, lot_tol=lot)
         elif kind == "C":
             self.ckt.add_capacitor(t[0], t[1], t[2], val,
-                                   dev_tol=dev, lot_tol=lot)
+                                   dev_tol=dev, lot_tol=lot, ic=ic)
         else:
             self.ckt.add_inductor(t[0], t[1], t[2], val,
-                                  dev_tol=dev, lot_tol=lot)
+                                  dev_tol=dev, lot_tol=lot, ic=ic)
 
     def _parse_sin(self, st: Statement, spec: SourceSpec, sin_idx: int) -> None:
         t = st.tokens
