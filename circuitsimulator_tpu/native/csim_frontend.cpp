@@ -1214,6 +1214,7 @@ public:
         e.nodes[0] = node(st.tokens[1]);
         e.nodes[1] = node(st.tokens[2]);
         e.value = v;
+        double mult = 1.0;
         {
             // trailing key=value specs: TC (R only), DEV=/LOT= Monte-Carlo
             // tolerances (R/C/L; `5%` or bare fraction) — extensions
@@ -1251,6 +1252,9 @@ public:
                     // initial cap voltage / inductor current (UIC only)
                     if (!parse_spice(low.substr(3), &e.ic)) bad = true;
                     else e.has_ic = 1;
+                } else if (low.rfind("m=", 0) == 0) {
+                    // parallel-multiplicity factor (extension)
+                    if (!parse_spice(low.substr(2), &mult)) bad = true;
                 }
             }
             if (bad) {
@@ -1260,8 +1264,15 @@ public:
                 e.tc1 = e.tc2 = e.dev_tol = e.lot_tol = 0.0;
                 e.ic = 0.0;
                 e.has_ic = 0;
+                mult = 1.0;
             }
         }
+        if (mult <= 0) {
+            warn(st.line_no, "M= multiplier must be > 0: " + st.raw);
+            mult = 1.0;
+        }
+        // R/L divide (parallel), C multiplies — mirror of _parse_rcl
+        e.value = (kind == 1) ? v * mult : v / mult;
         out.elements.push_back(e);
     }
 
@@ -1487,7 +1498,7 @@ public:
         for (size_t i = 4; i < t.size(); ++i)
             kv = kv || t[i].find('=') != std::string::npos;
         std::string model_id;
-        double w = 0, l = 0, mc_dev = 0, mc_lot = 0;
+        double w = 0, l = 0, mc_dev = 0, mc_lot = 0, mult = 1.0;
         if (kv) {
             if (t.size() < 6) {
                 warn(st.line_no, "invalid MOSFET: " + st.raw);
@@ -1520,6 +1531,13 @@ public:
                              "cannot parse MOS param " + t[i]);
                         return;
                     }
+                } else if (key == "m" && !val.empty()) {
+                    // parallel devices (extension)
+                    if (!parse_spice(val, &mult)) {
+                        warn(st.line_no,
+                             "cannot parse MOS param " + t[i]);
+                        return;
+                    }
                 } else {
                     warn(st.line_no, "unknown MOS param '" + t[i] +
                                          "' (W=/L= supported)");
@@ -1545,6 +1563,10 @@ public:
             diag << "Unknown MOS model: " << model_id << "\n";
             return;  // model check precedes node creation (circuit.cpp:133-137)
         }
+        if (mult <= 0) {
+            warn(st.line_no, "M= multiplier must be > 0: " + st.raw);
+            mult = 1.0;
+        }
         const MosModel& m = it->second;
         ElementRec e = blank(5, t[0]);
         e.nodes[0] = node(t[1]);
@@ -1553,9 +1575,9 @@ public:
         e.nodes[3] = node("0");  // bulk forced to ground (circuit.cpp:142)
         e.is_p = m.is_p ? 1 : 0;
         e.vth = std::fabs(m.vt);
-        e.k = m.mu * m.cox * (w / l);
+        e.k = m.mu * m.cox * (w / l) * mult;
         e.lam = m.lambda_;
-        e.cj0 = m.cj0;
+        e.cj0 = m.cj0 * mult;
         e.kf = m.kf;
         e.af = m.af;
         e.gamma = m.gamma;
@@ -1565,11 +1587,13 @@ public:
         out.elements.push_back(e);
     }
 
-    // optional trailing DEV=/LOT= Monte-Carlo tolerances (mirror of
-    // NetlistParser._tail_tols)
+    // optional trailing DEV=/LOT= Monte-Carlo tolerances and M= parallel
+    // multiplicity (mirror of NetlistParser._tail_tols)
     void tail_tols(const Statement& st, size_t from,
-                   const std::string& label, double* dev, double* lot) {
+                   const std::string& label, double* dev, double* lot,
+                   double* mult) {
         const auto& t = st.tokens;
+        *mult = 1.0;
         for (size_t i = from; i < t.size(); ++i) {
             size_t eq = t[i].find('=');
             std::string key = eq == std::string::npos
@@ -1584,10 +1608,18 @@ public:
                 if (!tol_value(val, lot))
                     warn(st.line_no,
                          "cannot parse " + label + " param " + t[i]);
+            } else if (key == "m" && !val.empty()) {
+                if (!parse_spice(val, mult))
+                    warn(st.line_no,
+                         "cannot parse " + label + " param " + t[i]);
             } else {
                 warn(st.line_no,
                      "unknown " + label + " param '" + t[i] + "'");
             }
+        }
+        if (*mult <= 0) {
+            warn(st.line_no, "M= multiplier must be > 0: " + st.raw);
+            *mult = 1.0;
         }
     }
 
@@ -1609,16 +1641,17 @@ public:
         e.nodes[0] = node(t[1]);
         e.nodes[1] = node(t[2]);
         e.nodes[2] = node(t[3]);
+        double mult;
+        tail_tols(st, 5, "BJT", &e.dev_tol, &e.lot_tol, &mult);
         e.is_p = m.is_pnp ? 1 : 0;
-        e.i_sat = m.i_sat;
+        e.i_sat = m.i_sat * mult;   // M parallel devices (extension)
         e.bf = m.bf;
         e.br = m.br;
         e.vaf = m.vaf;
-        e.cje = m.cje;
-        e.cjc = m.cjc;
+        e.cje = m.cje * mult;
+        e.cjc = m.cjc * mult;
         e.eg = m.eg;
         e.xti = m.xti;
-        tail_tols(st, 5, "BJT", &e.dev_tol, &e.lot_tol);
         out.elements.push_back(e);
     }
 
@@ -1879,11 +1912,12 @@ public:
         e.nodes[0] = node(t[1]);
         e.nodes[1] = node(t[2]);
         e.nodes[2] = node(t[3]);
+        double mult;
+        tail_tols(st, 5, "JFET", &e.dev_tol, &e.lot_tol, &mult);
         e.is_p = m.is_p ? 1 : 0;
         e.vth = m.vto;
-        e.k = m.beta;
+        e.k = m.beta * mult;        // M parallel devices (extension)
         e.lam = m.lambda_;
-        tail_tols(st, 5, "JFET", &e.dev_tol, &e.lot_tol);
         out.elements.push_back(e);
     }
 
@@ -1961,11 +1995,20 @@ public:
         e.i_sat = 1e-14;
         e.n_ideal = 1.0;
         e.d_ibv = 1e-3;
+        double mult = 1.0;
         for (size_t i = 3; i < t.size(); ++i) {
             std::string tok = t[i];
             size_t eq = tok.find('=');
             if (eq == std::string::npos) continue;
             std::string key = lower(tok.substr(0, eq));
+            if (key == "m") {
+                // parallel diodes (extension)
+                if (!parse_spice(tok.substr(eq + 1), &mult)) {
+                    warn(st.line_no, "cannot parse diode param: " + st.raw);
+                    return;
+                }
+                continue;
+            }
             if (key == "dev" || key == "lot") {
                 // IS mismatch tolerance (netlist Monte-Carlo; `5%` ok)
                 double tv;
@@ -1989,6 +2032,15 @@ public:
             else if (key == "eg") e.eg = v;
             else if (key == "xti") e.xti = v;
         }
+        if (mult <= 0) {
+            warn(st.line_no, "M= multiplier must be > 0: " + st.raw);
+            mult = 1.0;
+        }
+        // M parallel diodes: current-carrying params scale (mirror of
+        // _parse_diode — IS, CJO, IBV)
+        e.i_sat *= mult;
+        e.cj0 *= mult;
+        e.d_ibv *= mult;
         e.nodes[0] = node(t[1]);
         e.nodes[1] = node(t[2]);
         out.elements.push_back(e);

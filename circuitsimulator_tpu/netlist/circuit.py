@@ -388,7 +388,7 @@ class Circuit:
         self.elements.append(ElementRec(KIND_V, name, ids, spec=spec))
 
     def add_mosfet(self, name, nd, ng, ns, model_id, w, l,
-                   dev_tol=0.0, lot_tol=0.0):
+                   dev_tol=0.0, lot_tol=0.0, m_mult=1.0):
         """Mirrors src/circuit.cpp:128-168: the model must exist *before* any
         node is created, bulk is forced to node "0", and K = MU*COX*(W/L) is
         resolved immediately.  DEV/LOT (extension): per-instance VT
@@ -403,10 +403,12 @@ class Circuit:
             self.get_or_create_node(ns),
             self.get_or_create_node("0"),
         ]
+        # M= parallel multiplicity (extension): K and the junction cap
+        # scale with the number of parallel devices
         self.elements.append(ElementRec(
             KIND_M, name, ids,
-            is_p=m.is_p, vth=abs(m.vt), k=m.mu * m.cox * (w / l),
-            lam=m.lam, cj0=m.cj0, kf=m.kf, af=m.af,
+            is_p=m.is_p, vth=abs(m.vt), k=m.mu * m.cox * (w / l) * m_mult,
+            lam=m.lam, cj0=m.cj0 * m_mult, kf=m.kf, af=m.af,
             gamma=m.gamma, phi=m.phi,
             dev_tol=dev_tol, lot_tol=lot_tol,
         ))
@@ -433,17 +435,19 @@ class Circuit:
         self.jfet_models[m.name] = m
 
     def add_jfet(self, name, nd, ng, ns, model_id,
-                 dev_tol=0.0, lot_tol=0.0):
+                 dev_tol=0.0, lot_tol=0.0, m_mult=1.0):
         """J nd ng ns model (extension): signed VTO kept in `vth`,
         BETA in `k`, LAMBDA in `lam` (MOS field reuse).  DEV/LOT: VTO
-        mismatch tolerances for netlist Monte-Carlo."""
+        mismatch tolerances for netlist Monte-Carlo.  M: parallel
+        multiplicity (BETA scales)."""
         m = self.jfet_models.get(model_id)
         if m is None:
             print(f"Unknown JFET model: {model_id}", file=sys.stderr)
             return
         ids = [self.get_or_create_node(n) for n in (nd, ng, ns)]
         self.elements.append(ElementRec(
-            KIND_J, name, ids, is_p=m.is_p, vth=m.vto, k=m.beta, lam=m.lam,
+            KIND_J, name, ids, is_p=m.is_p, vth=m.vto,
+            k=m.beta * m_mult, lam=m.lam,
             dev_tol=dev_tol, lot_tol=lot_tol))
 
     def add_bsource(self, name, np_, nm, is_v, expr):
@@ -508,8 +512,9 @@ class Circuit:
                                         dev_tol=dev_tol, lot_tol=lot_tol))
 
     def add_bjt(self, name, nc, nb, ne, model_id,
-                dev_tol=0.0, lot_tol=0.0):
-        """DEV/LOT (extension): BF mismatch tolerances for Monte-Carlo."""
+                dev_tol=0.0, lot_tol=0.0, m_mult=1.0):
+        """DEV/LOT (extension): BF mismatch tolerances for Monte-Carlo.
+        M: parallel multiplicity (IS and junction caps scale)."""
         m = self.bjt_models.get(model_id)
         if m is None:
             print(f"Unknown BJT model: {model_id}", file=sys.stderr)
@@ -517,8 +522,9 @@ class Circuit:
         ids = [self.get_or_create_node(nc), self.get_or_create_node(nb),
                self.get_or_create_node(ne)]
         self.elements.append(ElementRec(
-            KIND_Q, name, ids, is_p=m.is_pnp, i_sat=m.i_sat, bf=m.bf,
-            br=m.br, vaf=m.vaf, cje=m.cje, cjc=m.cjc, eg=m.eg, xti=m.xti,
+            KIND_Q, name, ids, is_p=m.is_pnp, i_sat=m.i_sat * m_mult,
+            bf=m.bf, br=m.br, vaf=m.vaf,
+            cje=m.cje * m_mult, cjc=m.cjc * m_mult, eg=m.eg, xti=m.xti,
             dev_tol=dev_tol, lot_tol=lot_tol))
 
     def add_mos_model(self, m: MosModel):

@@ -351,10 +351,10 @@ class NetlistParser:
             if len(st.tokens) < 5:
                 _warn(st.line_no, f"invalid JFET: {st.raw}")
             else:
-                dev, lot = self._tail_tols(st, st.tokens[5:], "JFET")
+                dev, lot, mult = self._tail_tols(st, st.tokens[5:], "JFET")
                 self.ckt.add_jfet(st.tokens[0], st.tokens[1], st.tokens[2],
                                   st.tokens[3], st.tokens[4],
-                                  dev_tol=dev, lot_tol=lot)
+                                  dev_tol=dev, lot_tol=lot, m_mult=mult)
         elif c0 == "T":
             self._parse_tline(st)
         elif c0 == "B":
@@ -377,6 +377,7 @@ class NetlistParser:
         # DEV/LOT Monte-Carlo tolerances (all of R/C/L, `5%` or `0.05`)
         tc1 = tc2 = dev = lot = 0.0
         ic = None
+        mult = 1.0
         tolval = _tolval
         try:
             for tok in t[4:]:
@@ -397,19 +398,27 @@ class NetlistParser:
                 elif kind in ("C", "L") and low.startswith("ic="):
                     # initial cap voltage / inductor current (UIC only)
                     ic = parse_spice_number(low[3:])
+                elif low.startswith("m="):
+                    # parallel-multiplicity factor (extension)
+                    mult = parse_spice_number(low[2:])
         except ValueError as e:
             _warn(st.line_no,
                   f"cannot parse {kind} key=value spec: {e} in '{st.raw}'")
             tc1 = tc2 = dev = lot = 0.0
             ic = None
+            mult = 1.0
+        if mult <= 0:
+            _warn(st.line_no, f"M= multiplier must be > 0: {st.raw}")
+            mult = 1.0
         if kind == "R":
-            self.ckt.add_resistor(t[0], t[1], t[2], val, tc1=tc1, tc2=tc2,
+            self.ckt.add_resistor(t[0], t[1], t[2], val / mult,
+                                  tc1=tc1, tc2=tc2,
                                   dev_tol=dev, lot_tol=lot)
         elif kind == "C":
-            self.ckt.add_capacitor(t[0], t[1], t[2], val,
+            self.ckt.add_capacitor(t[0], t[1], t[2], val * mult,
                                    dev_tol=dev, lot_tol=lot, ic=ic)
         else:
-            self.ckt.add_inductor(t[0], t[1], t[2], val,
+            self.ckt.add_inductor(t[0], t[1], t[2], val / mult,
                                   dev_tol=dev, lot_tol=lot, ic=ic)
 
     def _parse_sin(self, st: Statement, spec: SourceSpec, sin_idx: int) -> None:
@@ -656,6 +665,7 @@ class NetlistParser:
             model_id = t[5]           # after the bulk node
             w = l = None
             dev = lot = 0.0
+            mult = 1.0
             for tok in t[6:]:
                 key, _, val = tok.partition("=")
                 try:
@@ -667,6 +677,8 @@ class NetlistParser:
                         dev = _tolval(val)     # VT mismatch (Monte-Carlo)
                     elif key.lower() == "lot" and val:
                         lot = _tolval(val)
+                    elif key.lower() == "m" and val:
+                        mult = parse_spice_number(val)  # parallel devices
                     else:
                         _warn(st.line_no,
                               f"unknown MOS param {tok!r} (W=/L= supported)")
@@ -678,8 +690,11 @@ class NetlistParser:
                 _warn(st.line_no,
                       f"MOS W=/L= missing: {st.raw}")
                 return
+            if mult <= 0:
+                _warn(st.line_no, f"M= multiplier must be > 0: {st.raw}")
+                mult = 1.0
             self.ckt.add_mosfet(name, nd, ng, ns, model_id, w, l,
-                                dev_tol=dev, lot_tol=lot)
+                                dev_tol=dev, lot_tol=lot, m_mult=mult)
             return
         if len(t) not in (7, 8):
             _warn(st.line_no, f"invalid MOSFET: {st.raw}")
@@ -703,13 +718,15 @@ class NetlistParser:
         if len(t) < 5:
             _warn(st.line_no, f"invalid BJT: {st.raw}")
             return
-        dev, lot = self._tail_tols(st, t[5:], "BJT")
+        dev, lot, mult = self._tail_tols(st, t[5:], "BJT")
         self.ckt.add_bjt(t[0], t[1], t[2], t[3], t[4],
-                         dev_tol=dev, lot_tol=lot)
+                         dev_tol=dev, lot_tol=lot, m_mult=mult)
 
     def _tail_tols(self, st: Statement, toks, label: str):
-        """Optional trailing DEV=/LOT= Monte-Carlo tolerances."""
+        """Optional trailing DEV=/LOT= Monte-Carlo tolerances and M=
+        parallel-multiplicity factor."""
         dev = lot = 0.0
+        mult = 1.0
         for tok in toks:
             key, _, val = tok.partition("=")
             try:
@@ -717,12 +734,17 @@ class NetlistParser:
                     dev = _tolval(val)
                 elif key.lower() == "lot" and val:
                     lot = _tolval(val)
+                elif key.lower() == "m" and val:
+                    mult = parse_spice_number(val)
                 else:
                     _warn(st.line_no,
                           f"unknown {label} param {tok!r}")
             except ValueError as e:
                 _warn(st.line_no, f"cannot parse {label} param {tok}: {e}")
-        return dev, lot
+        if mult <= 0:
+            _warn(st.line_no, f"M= multiplier must be > 0: {st.raw}")
+            mult = 1.0
+        return dev, lot, mult
 
     @staticmethod
     def _poly_expr(variables: List[str], coeffs: List[str]) -> str:
@@ -937,10 +959,13 @@ class NetlistParser:
         i_sat, n_ideal, cj0 = 1e-14, 1.0, 0.0
         bv, ibv, eg, xti = 0.0, 1e-3, 0.0, 0.0
         dev = lot = 0.0
+        mult = 1.0
         for tok in t[3:]:
             key, _, val = tok.partition("=")
             try:
-                if key.lower() == "is" and val:
+                if key.lower() == "m" and val:
+                    mult = parse_spice_number(val)  # parallel diodes
+                elif key.lower() == "is" and val:
                     i_sat = parse_spice_number(val)
                 elif key.lower() == "n" and val:
                     n_ideal = parse_spice_number(val)
@@ -961,9 +986,14 @@ class NetlistParser:
             except ValueError as e:
                 _warn(st.line_no, f"cannot parse diode param: {e} in '{st.raw}'")
                 return
-        self.ckt.add_diode(t[0], t[1], t[2], i_sat, n_ideal, cj0,
-                           bv=bv, ibv=ibv, eg=eg, xti=xti,
-                           dev_tol=dev, lot_tol=lot)
+        if mult <= 0:
+            _warn(st.line_no, f"M= multiplier must be > 0: {st.raw}")
+            mult = 1.0
+        # M parallel diodes: current-carrying params scale (ngspice area
+        # semantics applied to the multiplier)
+        self.ckt.add_diode(t[0], t[1], t[2], i_sat * mult, n_ideal,
+                           cj0 * mult, bv=bv, ibv=ibv * mult,
+                           eg=eg, xti=xti, dev_tol=dev, lot_tol=lot)
 
     # ---- dot cards ----
     def _parse_dot_card(self, st: Statement) -> None:
