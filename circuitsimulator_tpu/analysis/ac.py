@@ -181,6 +181,30 @@ def ac_analysis(engine: Engine, params, freqs, x_op: Optional[Any] = None):
     return ACResult(freqs=freqs, xs=xs)
 
 
+def ac_analysis_batched(engine: Engine, bparams, freqs,
+                        x_ops: Optional[Any] = None) -> ACResult:
+    """Monte-Carlo AC: the whole (lanes x frequencies) sweep solves as
+    one batched program — vmap over lanes around the vmapped frequency
+    sweep, complex-free on device (see ac_analysis).  `bparams` carries a
+    leading batch axis; x_ops (B, N) defaults to the natively-batched DC
+    operating points.  Returns ACResult with xs of shape (B, F, N)."""
+    if x_ops is None:
+        from ..parallel.montecarlo import batched_dc_fast
+        x_ops = batched_dc_fast(engine, bparams)
+    freqs = jnp.asarray(freqs, engine.dtype)
+
+    def one_lane(p, x_op):
+        def solve_one(f):
+            G, B, br, bi = ac_system_real(engine, p, x_op,
+                                          2.0 * jnp.pi * f)
+            return solve_ac_real(engine, G, B, br, bi)
+        return jax.vmap(solve_one)(freqs)
+
+    xr, xi = jax.jit(jax.vmap(one_lane))(bparams, x_ops)
+    xs = np.asarray(xr) + 1j * np.asarray(xi)
+    return ACResult(freqs=freqs, xs=xs)
+
+
 def write_ac_csv(path: str, topo, result: ACResult, selection=None) -> None:
     """CSV schema: freq, then VM(node)/VP(node) (magnitude, phase in deg) for
     every node-voltage column, then IM/IP for branch currents.  `selection`

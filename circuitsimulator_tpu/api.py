@@ -612,9 +612,10 @@ class Simulator:
         BF mismatch) — parallel/montecarlo.perturb_params_netlist.
 
         Runs the deck's primary analysis over n perturbed lanes in ONE
-        batched solve: with .TRAN + .MEASURE cards, returns (bparams,
-        {measure: (n,) values}); otherwise (bparams, (n, N) DC operating
-        points)."""
+        batched solve: with .TRAN + .MEASURE TRAN cards, returns
+        (bparams, {measure: (n,) values}); with .AC + .MEASURE AC cards,
+        one batched lanes x frequencies sweep with per-lane measures;
+        otherwise (bparams, (n, N) DC operating points)."""
         from .parallel.montecarlo import (
             perturb_params_netlist, batched_transient_measures,
             batched_dc_fast)
@@ -630,6 +631,24 @@ class Simulator:
                 self.engine, bp, tran.tstep, tran.tstop,
                 [m for m in self.config.measures if m.analysis == "tran"],
                 self.topo)
+            return bp, vals
+        ac = self.config.ac
+        if ac.enabled and any(m.analysis == "ac"
+                              for m in self.config.measures):
+            # Monte-Carlo AC: one batched (lanes x frequencies) solve,
+            # then the .MEASURE AC cards per lane on the host
+            import numpy as np
+            from .analysis.ac import ac_analysis_batched, sweep_frequencies
+            from .analysis.measure import run_measures
+            freqs = sweep_frequencies(ac.sweep_type, ac.n_points,
+                                      ac.fstart, ac.fstop)
+            res = ac_analysis_batched(self.engine, bp, freqs)
+            ms = [m for m in self.config.measures if m.analysis == "ac"]
+            rows = [dict(run_measures(ms, self.topo, freqs, lane_xs, "ac",
+                                      bindings=self.config.param_values))
+                    for lane_xs in res.xs]
+            vals = {m.name: np.asarray([r[m.name] for r in rows])
+                    for m in ms}
             return bp, vals
         return bp, batched_dc_fast(self.engine, bp)
 

@@ -170,3 +170,26 @@ def test_device_tols_native_parity():
     ckt_nat.assign_equation_indices()
     for a, b in zip(ckt_nat.elements, ckt_py.elements):
         assert dataclasses.asdict(a) == dataclasses.asdict(b), (a, b)
+
+
+# ---- Monte-Carlo AC (batched lanes x frequencies) ----
+
+def test_monte_carlo_ac_measures():
+    net = """\
+V1 in 0 DC 0 AC 1
+R1 in out 1k DEV=5%
+C1 out 0 159.155n DEV=5%
+.AC DEC 20 10 100k
+.MEASURE AC bw WHEN VDB(out)=-3 FALL=1
+.MEASURE AC g0 FIND VM(out) AT=10
+.MEASURE AC margin PARAM='bw/1000'
+"""
+    sim = Simulator.from_text(net)
+    bp, vals = sim.monte_carlo(64, seed=5)
+    bw = vals["bw"]
+    assert bw.shape == (64,)
+    # nominal corner 1 kHz; two 5% lognormal tolerances -> ~7% spread
+    assert abs(bw.mean() - 1000) < 80
+    assert 20 < bw.std() < 200
+    np.testing.assert_allclose(vals["g0"], 1.0, atol=1e-3)
+    np.testing.assert_allclose(vals["margin"], bw / 1000, rtol=1e-12)
