@@ -119,8 +119,8 @@ def run_transient_adaptive(engine: Engine, params, tstep, tstop,
     use_woodbury = solver == "woodbury"
     use_tridiag = solver == "tridiag"
     use_blockband = solver == "blockband"
-    if use_woodbury and (len(engine.topo.sw_ep) or engine.b_sources):
-        use_woodbury = False    # see analysis/transient.py: switch stamps
+    if use_woodbury and engine.b_sources:
+        use_woodbury = False    # see analysis/transient.py: B-source stamps
 
     # --- per-level static precompute (all dts known at trace time) ---
     dts = [tstep_f / (1 << l) for l in range(L + 1)]

@@ -100,16 +100,17 @@ def transient_step_fn(engine: Engine, params, dt, predictor: bool = False,
     use_woodbury = opts.tran_solver == "woodbury"
     use_tridiag = opts.tran_solver == "tridiag"
     use_blockband = opts.tran_solver == "blockband"
-    if use_woodbury and (len(engine.topo.sw_ep) or engine.b_sources):
-        # switch stamps couple a node pair to a *different* control pair —
-        # a width-4 V^T row the current rank-k plan does not carry; fall
-        # back to the full LU per iteration (still batched/fused)
+    if use_woodbury and engine.b_sources:
+        # behavioral expressions produce arbitrary-width Jacobian rows the
+        # rank-k plan cannot carry; fall back to the full LU per iteration
+        # (still batched/fused).  Switches ARE carried: their width-4 row
+        # (node pair x control pair) rides the W=4 plan (ops/woodbury.py)
         use_woodbury = False
         global _warned_wb_fallback
         if not _warned_wb_fallback:
             _warned_wb_fallback = True
             import sys
-            print("circuitsimulator_tpu: switch/B-source stamps are outside "
+            print("circuitsimulator_tpu: B-source stamps are outside "
                   "the Woodbury rank-k plan; transient falls back to "
                   "per-iteration LU (slower)", file=sys.stderr)
     if use_tridiag:

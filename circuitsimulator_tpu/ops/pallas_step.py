@@ -42,17 +42,20 @@ benchmarks/validate_accuracy.py VAL_FUSED=1 (boundary-sampled, since the
 kernel keeps no per-step waveform memory).
 
 Scope (`supported()`): Backward Euler, Woodbury-eligible circuits made of
-R/C/L/V/I + ALL FOUR nonlinear classes — Level-1 MOS and JFETs (no body
+R/C/L/V/I + ALL FIVE nonlinear classes — Level-1 MOS and JFETs (no body
 effect / reverse-region option), diodes (Shockley + linearized-exp
-continuation + reverse breakdown), and Ebers-Moll BJTs (optional Early
+continuation + reverse breakdown), Ebers-Moll BJTs (optional Early
 voltage, two interleaved V^T rows per device, parity-mask selected so no
-strided slices) — INCLUDING fully linear decks (k == 0: the step is the
+strided slices), and smooth-transition switches (S/W elements: the
+width-4 V^T row (node pair x control pair) rides the W=4 plan of
+ops/woodbury.py; the log-smoothstep conductance evaluates in-kernel) —
+INCLUDING fully linear decks (k == 0: the step is the
 exact solve x = G0inv @ b(t), no Newton machinery compiled at all) —
 V AND I sources with every waveform kind
 (PULSE/SIN/PWL/EXP/SFFM, mirrored formula-for-formula from
 models/sources.py with static per-kind masks; PWL tables unroll
 statically, <= 8 breakpoints), N <= 64 and rank k <= 16 (VMEM /
-static-unroll budget), no switches / B-sources / transmission lines.
+static-unroll budget), no B-sources / transmission lines.
 Everything else stays on the general XLA path.
 
 Validation note (tests/test_pallas_step.py): exponential-device decks
@@ -106,7 +109,7 @@ def supported(engine) -> bool:
     """Exact eligibility gate — every device/option whose stamps the kernel
     does not implement must force the general path."""
     t = engine.topo
-    if len(t.sw_ep) or engine.b_sources:
+    if engine.b_sources:
         return False
     if len(getattr(t, "tl_k1", ())):
         return False
@@ -119,10 +122,11 @@ def supported(engine) -> bool:
     if (np.any(engine.vs_kinds == 3) or np.any(engine.is_kinds == 3)) \
             and engine.pwl_width > 8:
         return False
-    # Woodbury rank (1 per MOS/JFET/diode, 2 per BJT — ops/woodbury.py).
-    # k == 0 (fully linear deck) is IN scope: the step degenerates to the
-    # exact solve x = G0inv @ b(t) and the kernel skips Newton entirely.
-    k = (len(t.mos_ed) + len(t.jf_ed) + len(t.dio_ep) + 2 * len(t.bjt_ec))
+    # Woodbury rank (1 per MOS/JFET/diode/switch, 2 per BJT —
+    # ops/woodbury.py).  k == 0 (fully linear deck) is IN scope: the step
+    # degenerates to the exact solve x = G0inv @ b(t), no Newton compiled.
+    k = (len(t.mos_ed) + len(t.jf_ed) + len(t.dio_ep) + 2 * len(t.bjt_ec)
+         + len(t.sw_ep))
     # VMEM budget (G0inv block = 4*N^2*128 bytes) and static-unroll budget
     # for the in-kernel k x k pivoted solve
     if engine.N > 64 or k > 16:
@@ -182,15 +186,16 @@ class PallasStepRunner:
         # G0invT[m, n, lane] = G0inv[n, m, lane]: z0 accumulation slices the
         # LEADING (contraction) axis only — Mosaic lowers those as plain
         # (N, 128) VMEM tiles, unlike the round-1 middle-axis strides.
+        self.W = W = solver.plan.W                        # V^T row width
         self.G0invT = lm(G0inv).transpose(1, 0, 2)        # (N, N, B) [m,n,:]
         self.YT = lm(Y).transpose(1, 0, 2)                # (k, N, B) [j,n,:]
-        self.Yc3 = lm(Ycols).transpose(1, 0, 2, 3)        # (3, k, k, B)
+        self.Yc3 = lm(Ycols).transpose(1, 0, 2, 3)        # (W, k, k, B)
         self.kP = max(k, 1)
         if k == 0:
             # linear deck: dummy one-row tiles (never read in-kernel —
             # the k == 0 nr_iter accepts z0 directly)
             self.YT = jnp.zeros((1, N, B), f32)
-            self.Yc3 = jnp.zeros((3, 1, 1, B), f32)
+            self.Yc3 = jnp.zeros((W, 1, 1, B), f32)
 
         # Nonlinear-row parameters in Woodbury plan order
         # [mos..., jfet..., diode..., bjt interleaved (Ic row, Ib row)].
@@ -202,9 +207,10 @@ class PallasStepRunner:
         # Early voltage (models/bjt.py), two V^T rows per device.
         nM, nJ = solver.plan.nM, solver.plan.nJ
         nD, nQ = solver.plan.nD, solver.plan.nQ
+        nSw = solver.plan.nS
         self.nMJ = nM + nJ
-        self.nD, self.nQ = nD, nQ
-        assert self.nMJ + nD + 2 * nQ == k
+        self.nD, self.nQ, self.nSw = nD, nQ, nSw
+        assert self.nMJ + nD + 2 * nQ + nSw == k
 
         def cat(a, b):
             return jnp.concatenate([a.T.astype(f32), b.T.astype(f32)], 0)
@@ -242,6 +248,15 @@ class PallasStepRunner:
 
             jnp.broadcast_to(vt[None, :], (2 * nQ, B)),
         ], axis=0) if nQ else jnp.zeros((6, 0, B), f32), 6)  # (6, 2nQ|1, B)
+
+        # smooth-transition switches (models/switch.py): per-lane RON/
+        # ROFF/VT/VH — the log-smoothstep conductance evaluates in-kernel
+        self.swp = pad1(jnp.stack([
+            bparams["sw_ron"].T.astype(f32),
+            bparams["sw_roff"].T.astype(f32),
+            bparams["sw_vt"].T.astype(f32),
+            bparams["sw_vh"].T.astype(f32),
+        ], axis=0) if nSw else jnp.zeros((4, 0, B), f32), 4)  # (4, nSw|1, B)
 
         # Zero-size device classes (no V sources / caps / inductors) would
         # make degenerate VMEM tiles and zero-width block shapes; every
@@ -363,6 +378,7 @@ class PallasStepRunner:
     def _kernel(self, n_steps: int):
         N, k = self.N, self.k
         nMJ, nD, nQ = self.nMJ, self.nD, self.nQ
+        nSw, W = self.nSw, self.W
         nCapP = self.nCapP
         dt = self.dt
         tol2 = self.tol * self.tol
@@ -383,6 +399,7 @@ class PallasStepRunner:
 
         def kern(step0_ref, Mr_ref, Mz_ref, Ms_ref, Mp_ref, kmask_ref,
                  G0invT_ref, YT_ref, Yc3_ref, mosp_ref, diop_ref, bjtp_ref,
+                 swp_ref,
                  dc_ref, pulse_ref, sin_ref, pwlt_ref, pwlv_ref, pwln_ref,
                  gc_ref, gl_ref, x0_ref, xp0_ref, vc0_ref, il0_ref,
                  f0_ref, xo_ref, xpo_ref, vco_ref, ilo_ref, fo_ref, it_ref,
@@ -562,7 +579,16 @@ class PallasStepRunner:
                 interpret mode.  All slices are static leading-axis slices
                 of (k, TB) tiles."""
                 xm = _dot(Mz, x)
-                xm = xm.reshape(3, k, TB)               # terminal-major
+                xm = xm.reshape(W, k, TB)               # terminal-major
+
+                def stackW(rows):
+                    """Width-3 coefficient rows padded to plan width W
+                    (the padded slot maps to the dump column)."""
+                    if W > len(rows):
+                        rows = list(rows) + [jnp.zeros_like(rows[0])] \
+                            * (W - len(rows))
+                    return jnp.stack(rows, axis=0)
+
                 vparts, cparts = [], []
                 if nMJ:
                     vd = xm[0][:nMJ]
@@ -587,7 +613,7 @@ class PallasStepRunner:
                     gg = gm0 * fac
                     gs_ = -(gd + gg)
                     cst = pp * ids0 * fac - gd * vd - gg * vg - gs_ * vs
-                    vparts.append(jnp.stack([gd, gg, gs_], axis=0))
+                    vparts.append(stackW([gd, gg, gs_]))
                     cparts.append(cst)
                 if nD:
                     vp = xm[0][nMJ:nMJ + nD]
@@ -610,16 +636,15 @@ class PallasStepRunner:
                     i = i - jnp.where(bd_on, ibv * exp_b, 0.0)
                     g = g + jnp.where(bd_on, ibv * dexp_b / vt_d, 0.0)
                     cst = i - g * v
-                    vparts.append(jnp.stack([g, -g, jnp.zeros_like(g)],
-                                            axis=0))
+                    vparts.append(stackW([g, -g, jnp.zeros_like(g)]))
                     cparts.append(cst)
                 if nQ:
                     # both Ebers-Moll current rows evaluated on all 2nQ
                     # (row-duplicated) lanes, then parity-selected — no
                     # strided slices (even rows = Ic, odd rows = Ib)
-                    vc_ = xm[0][nMJ + nD:]
-                    vb_ = xm[1][nMJ + nD:]
-                    ve_ = xm[2][nMJ + nD:]
+                    vc_ = xm[0][nMJ + nD:nMJ + nD + 2 * nQ]
+                    vb_ = xm[1][nMJ + nD:nMJ + nD + 2 * nQ]
+                    ve_ = xm[2][nMJ + nD:nMJ + nD + 2 * nQ]
                     isat = bjtp_ref[0]
                     bf = bjtp_ref[1]
                     br = bjtp_ref[2]
@@ -663,8 +688,46 @@ class PallasStepRunner:
                     g0 = jnp.where(par, gc_c, gb_c)
                     g1 = jnp.where(par, gc_b, gb_b)
                     g2 = jnp.where(par, gc_e, gb_e)
-                    vparts.append(jnp.stack([g0, g1, g2], axis=0))
+                    vparts.append(stackW([g0, g1, g2]))
                     cparts.append(jnp.where(par, cst_c, cst_b))
+                if nSw:
+                    # smooth-transition switch (models/switch.py
+                    # switch_conductance, mirrored formula-for-formula):
+                    # i = G(vc)*vd, width-4 row [gd, -gd, gc, -gc] at
+                    # columns (p, m, cp, cm)
+                    o = nMJ + nD + 2 * nQ
+                    vp_s = xm[0][o:]
+                    vm_s = xm[1][o:]
+                    vcp_s = xm[2][o:]
+                    vcm_s = xm[3][o:]
+                    ron = swp_ref[0]
+                    roff = swp_ref[1]
+                    svt = swp_ref[2]
+                    svh = swp_ref[3]
+                    vd_s = vp_s - vm_s
+                    vc_s = vcp_s - vcm_s
+                    g_on = 1.0 / ron
+                    g_off = 1.0 / roff
+                    l_on = jnp.log(g_on)
+                    l_off = jnp.log(g_off)
+                    has_win = svh > 0.0
+                    width_s = jnp.where(has_win, 2.0 * svh, 1.0)
+                    u_s = jnp.clip((vc_s - (svt - svh)) / width_s, 0.0, 1.0)
+                    u_s = jnp.where(has_win, u_s,
+                                    (vc_s > svt).astype(jnp.float32))
+                    s_s = u_s * u_s * (3.0 - 2.0 * u_s)
+                    Gs = jnp.exp(l_off + (l_on - l_off) * s_s)
+                    dsdu = 6.0 * u_s * (1.0 - u_s)
+                    dGs = jnp.where(has_win,
+                                    Gs * (l_on - l_off) * dsdu / width_s,
+                                    0.0)
+                    gd_s = Gs
+                    gc_s = dGs * vd_s
+                    i0_s = Gs * vd_s
+                    cst_s = i0_s - gd_s * vd_s - gc_s * vc_s
+                    vparts.append(jnp.stack([gd_s, -gd_s, gc_s, -gc_s],
+                                            axis=0))
+                    cparts.append(cst_s)
                 if len(vparts) == 1:
                     return vparts[0], cparts[0]
                 return (jnp.concatenate(vparts, axis=1),
@@ -710,14 +773,14 @@ class PallasStepRunner:
                 for j in range(k):
                     z = z - YT[j] * cst[j:j + 1, :]
                 # S = I + sum_s vcoef[s][:, None, :] * Yc3[s]
-                S = (eye_k[:, :, None]
-                     + vcoef[0][:, None, :] * Yc3[0]
-                     + vcoef[1][:, None, :] * Yc3[1]
-                     + vcoef[2][:, None, :] * Yc3[2])
+                S = eye_k[:, :, None]
+                for s_ in range(W):
+                    S = S + vcoef[s_][:, None, :] * Yc3[s_]
                 zc3 = _dot(Mz, z)
-                zc3 = zc3.reshape(3, k, TB)
-                vz = (vcoef[0] * zc3[0] + vcoef[1] * zc3[1]
-                      + vcoef[2] * zc3[2])               # (k, TB)
+                zc3 = zc3.reshape(W, k, TB)
+                vz = vcoef[0] * zc3[0]
+                for s_ in range(1, W):
+                    vz = vz + vcoef[s_] * zc3[s_]        # (k, TB)
                 # unrolled pivoted k x k solve (lane-minor)
                 A = S
                 bb = vz
@@ -867,9 +930,10 @@ class PallasStepRunner:
                 shared(self.M_zc.shape), shared(self.M_state.shape),
                 shared(Mp.shape),
                 shared(self.kind_masks.shape),
-                lane(N, N), lane(self.kP, N), lane(3, self.kP, self.kP),
+                lane(N, N), lane(self.kP, N),
+                lane(self.W, self.kP, self.kP),
                 lane(*self.mosp.shape[:2]), lane(*self.diop.shape[:2]),
-                lane(*self.bjtp.shape[:2]),
+                lane(*self.bjtp.shape[:2]), lane(*self.swp.shape[:2]),
                 lane(self.nSP), lane(7, self.nSP), lane(5, self.nSP),
                 lane(*self.src_pwlt.shape[:2]),
                 lane(*self.src_pwlv.shape[:2]), lane(self.nSP),
@@ -884,6 +948,7 @@ class PallasStepRunner:
           jnp.asarray(Mp),
           jnp.asarray(self.kind_masks),
           self.G0invT, self.YT, self.Yc3, self.mosp, self.diop, self.bjtp,
+          self.swp,
           self.src_dc, self.src_pulse, self.src_sin,
           self.src_pwlt, self.src_pwlv, self.src_pwln,
           self.gc, self.gl, xt, xpt, vct, ilt, ft)

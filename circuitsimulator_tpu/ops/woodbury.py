@@ -43,7 +43,13 @@ def lu_inverse(A, pivot_floor=1e-15):
 
 
 class WoodburyPlan:
-    """Static index plan for the low-rank nonlinear update of one circuit."""
+    """Static index plan for the low-rank nonlinear update of one circuit.
+
+    V^T row width W is 3 (MOS/JFET d,g,s; diode p,m,·; BJT c,b,e) unless
+    switches are present: the switch Jacobian row couples its node pair to
+    a DIFFERENT control pair (p, m, cp, cm) — a width-4 row, so every
+    class pads to W = 4 with the dump column (zero coefficient).  Decks
+    without switches keep the exact width-3 layout (bitwise-unchanged)."""
 
     def __init__(self, engine):
         t = engine.topo
@@ -51,9 +57,12 @@ class WoodburyPlan:
         self.N = engine.N
         nM, nD, nQ = len(t.mos_ed), len(t.dio_ep), len(t.bjt_ec)
         nJ = len(t.jf_ed)
+        nS = len(t.sw_ep)
         self.nM, self.nD, self.nQ, self.nJ = nM, nD, nQ, nJ
-        # rank: 1 per MOS/JFET/diode, 2 per BJT (Ic and Ib row patterns)
-        self.k = nM + nJ + nD + 2 * nQ
+        self.nS = nS
+        # rank: 1 per MOS/JFET/diode/switch, 2 per BJT (Ic and Ib rows)
+        self.k = nM + nJ + nD + 2 * nQ + nS
+        self.W = 4 if nS else 3
         # U column j = e_pos[j] - e_neg[j] (dump-mapped entries vanish);
         # BJT contributes (e_C - e_E) then (e_B - e_E), interleaved per device
         bjt_pos = np.stack([t.bjt_ec, t.bjt_eb], 1).ravel() if nQ \
@@ -61,9 +70,9 @@ class WoodburyPlan:
         bjt_neg = np.stack([t.bjt_ee, t.bjt_ee], 1).ravel() if nQ \
             else np.zeros((0,), np.int32)
         self.u_pos = np.concatenate([t.mos_ed, t.jf_ed, t.dio_ep,
-                                     bjt_pos]).astype(np.int32)
+                                     bjt_pos, t.sw_ep]).astype(np.int32)
         self.u_neg = np.concatenate([t.mos_es, t.jf_es, t.dio_em,
-                                     bjt_neg]).astype(np.int32)
+                                     bjt_neg, t.sw_em]).astype(np.int32)
         # V^T row j has entries at these columns (width-3 layout; diodes pad
         # the third slot with the dump index)
         self.mos_cols = np.stack([t.mos_ed, t.mos_eg, t.mos_es], 1) \
@@ -77,6 +86,8 @@ class WoodburyPlan:
         cbe = np.stack([t.bjt_ec, t.bjt_eb, t.bjt_ee], 1) if nQ \
             else np.zeros((0, 3), np.int32)
         self.bjt_cols = np.repeat(cbe, 2, axis=0)  # Ic row, Ib row per device
+        self.sw_cols = np.stack([t.sw_ep, t.sw_em, t.sw_ecp, t.sw_ecm], 1) \
+            if nS else np.zeros((0, 4), np.int32)
 
     def build_U(self, dtype):
         """(N, k) dense U (tiny; built once per compile)."""
@@ -86,9 +97,15 @@ class WoodburyPlan:
         return U[: self.N]
 
     def col_idx(self) -> np.ndarray:
-        """(k, 3) column indices for the V^T coefficient rows."""
-        return np.concatenate([self.mos_cols, self.jf_cols, self.dio_cols,
-                               self.bjt_cols], axis=0).astype(np.int32)
+        """(k, W) column indices for the V^T coefficient rows."""
+        cols3 = np.concatenate([self.mos_cols, self.jf_cols, self.dio_cols,
+                                self.bjt_cols], axis=0).astype(np.int32)
+        if self.W == 3:
+            return cols3
+        pad = np.full((cols3.shape[0], 1), self.N, np.int32)
+        return np.concatenate(
+            [np.concatenate([cols3, pad], axis=1),
+             self.sw_cols.astype(np.int32)], axis=0)
 
 
 class WoodburySolver:
@@ -136,11 +153,15 @@ class WoodburySolver:
         nQ = self.plan.nQ
         bjt_terms = np.stack([t.bjt_ec, t.bjt_eb, t.bjt_ee], 1).ravel() \
             if nQ else np.zeros((0,), np.int32)
+        nS = self.plan.nS
+        sw_terms = np.stack([t.sw_ep, t.sw_em, t.sw_ecp, t.sw_ecm],
+                            1).ravel() if nS else np.zeros((0,), np.int32)
         self.M_mos = onehot(mos_terms)                # (N, 3nM)
         self.M_jf = onehot(jf_terms)                  # (N, 3nJ)
         self.M_dio = onehot(dio_terms)                # (N, 2nD)
         self.M_bjt = onehot(bjt_terms)                # (N, 3nQ)
-        self.M_cols = onehot(cols.ravel())            # (N, 3k)
+        self.M_sw = onehot(sw_terms)                  # (N, 4nS)
+        self.M_cols = onehot(cols.ravel())            # (N, W*k)
         # k x k solver whose VMAPPED form routes the whole Monte-Carlo
         # batch to the VMEM-resident Pallas LU kernel on TPU (profiled:
         # under plain vmap this solve re-streams S through HBM every
@@ -158,6 +179,14 @@ class WoodburySolver:
         from ..models.diode import diode_linearize as _dio
         plan = self.plan
         parts_v, parts_c = [], []
+
+        def padW(v3):
+            """Width-3 coefficient rows padded to the plan width (the
+            4th slot maps to the dump column — zero coefficient)."""
+            if plan.W == 3:
+                return v3
+            return jnp.concatenate(
+                [v3, jnp.zeros_like(v3[..., :1])], axis=-1)
         if plan.nM:
             vm = jnp.einsum("...n,nj->...j", x, self.M_mos)
             vm = vm.reshape(*vm.shape[:-1], plan.nM, 3)
@@ -170,7 +199,7 @@ class WoodburySolver:
                        if self.engine.mos_body else None),
                 phi=(params["mos_phi"]
                      if self.engine.mos_body else None))
-            parts_v.append(jnp.stack([gd, gg, gs], axis=-1))
+            parts_v.append(padW(jnp.stack([gd, gg, gs], axis=-1)))
             parts_c.append(cst)
         if plan.nJ:
             vj = jnp.einsum("...n,nj->...j", x, self.M_jf)
@@ -181,7 +210,7 @@ class WoodburySolver:
                 vj[..., 0], vj[..., 1], vj[..., 2],
                 self.engine.opts.mos_off_gds,
                 self.engine.opts.mos_reverse_region)
-            parts_v.append(jnp.stack([gd, gg, gs], axis=-1))
+            parts_v.append(padW(jnp.stack([gd, gg, gs], axis=-1)))
             parts_c.append(cst)
         if plan.nD:
             vd2 = jnp.einsum("...n,nj->...j", x, self.M_dio)
@@ -194,7 +223,7 @@ class WoodburySolver:
                           ibv=(params["dio_ibv"]
                                if self.engine.dio_bv else None))
             zeros = jnp.zeros_like(g)
-            parts_v.append(jnp.stack([g, -g, zeros], axis=-1))
+            parts_v.append(padW(jnp.stack([g, -g, zeros], axis=-1)))
             parts_c.append(cst)
         if plan.nQ:
             from ..models.bjt import bjt_linearize as _bjt
@@ -212,8 +241,24 @@ class WoodburySolver:
                 axis=-2).reshape(*vq.shape[:-2], 2 * plan.nQ, 3)
             crows = jnp.stack([rc[3], rb[3]],
                               axis=-1).reshape(*vq.shape[:-2], 2 * plan.nQ)
-            parts_v.append(vrows)
+            parts_v.append(padW(vrows))
             parts_c.append(crows)
+        if plan.nS:
+            # smooth-transition switch (models/switch.py): i = G(vc)*vd,
+            # width-4 row [gd, -gd, gc, -gc] at columns (p, m, cp, cm)
+            from ..models.switch import switch_conductance as _swc
+            vsw = jnp.einsum("...n,nj->...j", x, self.M_sw)
+            vsw = vsw.reshape(*vsw.shape[:-1], plan.nS, 4)
+            vd = vsw[..., 0] - vsw[..., 1]
+            vc = vsw[..., 2] - vsw[..., 3]
+            G, dG = _swc(params["sw_ron"], params["sw_roff"],
+                         params["sw_vt"], params["sw_vh"], vc)
+            gd = G
+            gcc = dG * vd
+            i0 = G * vd
+            cst = i0 - gd * vd - gcc * vc
+            parts_v.append(jnp.stack([gd, -gd, gcc, -gcc], axis=-1))
+            parts_c.append(cst)
         vcoef = jnp.concatenate(parts_v, axis=-2)
         c = jnp.concatenate(parts_c, axis=-1)
         return vcoef, c
@@ -223,13 +268,13 @@ class WoodburySolver:
         plan = self.plan
         if plan.k == 0:
             return z0
-        vcoef, c = self.nl_coeffs(params, x)           # (...,k,3), (...,k)
+        vcoef, c = self.nl_coeffs(params, x)           # (...,k,W), (...,k)
         z = z0 - jnp.einsum("...nk,...k->...n", self.Y, c)
         # S = I + V^T Y : S[j,l] = sum_s vcoef[j,s] * Y[cols[j,s], l]
         S = self.eye_k + jnp.einsum("...js,...jsl->...jl", vcoef, self.Y_cols)
         # V^T z, with z at each device's columns read via one-hot matmul
         zc = jnp.einsum("...n,nj->...j", z, self.M_cols)
-        zc = zc.reshape(*zc.shape[:-1], plan.k, 3)
+        zc = zc.reshape(*zc.shape[:-1], plan.k, plan.W)
         vz = jnp.einsum("...js,...js->...j", vcoef, zc)
         w = self._ksolve(S, vz)
         return z - jnp.einsum("...nk,...k->...n", self.Y, w)

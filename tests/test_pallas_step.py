@@ -296,3 +296,47 @@ def test_fused_streaming_measures_matches_xla():
         assert a.shape == b.shape == (B,)
         np.testing.assert_allclose(b, a, rtol=2e-4, atol=2e-6,
                                    err_msg=name)
+
+
+# smooth-transition switch (width-4 V^T row) + MOS + diode in one plan
+SWITCH_DECK = """* switch chopper + mixed classes
+.MODEL swm SW RON=10 ROFF=1e8 VT=0.5 VH=0.1
+.MODEL mn VT 0.6 MU 2e-2 COX 1e-3
+VCTL c 0 PULSE 0 1 0 1u 1u 8u 20u
+VIN in 0 SIN 0 2 5e4
+S1 in mid c 0 swm
+RL mid 0 1k
+C1 mid 0 100n
+M1 mid g 0 b mn W=5u L=1u
+VG g 0 0.8
+D1 mid 0
+.op
+"""
+
+
+def test_supported_includes_switches():
+    sim = Simulator.from_text(SWITCH_DECK)
+    assert pallas_step.supported(sim.engine)
+    # width-4 plan
+    from circuitsimulator_tpu.ops.woodbury import WoodburyPlan
+    plan = WoodburyPlan(sim.engine)
+    assert plan.W == 4 and plan.nS == 1
+
+
+def test_fused_step_switch_deck():
+    """Width-4 V^T rows: switch + MOS + diode in one Woodbury plan."""
+    _check(_run_both(_parity_opts(), steps=12, dt=1e-7, text=SWITCH_DECK,
+                     from_dc=True), atol=1e-4)
+
+
+def test_woodbury_switch_matches_lu():
+    """XLA Woodbury path with a switch == per-iteration LU (f64)."""
+    import dataclasses
+    res = {}
+    for solver in ("lu", "woodbury"):
+        opts = dataclasses.replace(DEFAULT_OPTIONS, dtype=jnp.float64,
+                                   tran_solver=solver)
+        sim = Simulator.from_text(SWITCH_DECK.replace(".op", ".TRAN 1u 100u"),
+                                  opts=opts)
+        res[solver] = np.asarray(sim.transient().xs)
+    np.testing.assert_allclose(res["woodbury"], res["lu"], atol=1e-12)
