@@ -340,3 +340,17 @@ def test_woodbury_switch_matches_lu():
                                   opts=opts)
         res[solver] = np.asarray(sim.transient().xs)
     np.testing.assert_allclose(res["woodbury"], res["lu"], atol=1e-12)
+
+
+def test_adaptive_switch_woodbury_matches_lu():
+    """Adaptive-LTE integrator with a switch on the W=4 Woodbury plan."""
+    import dataclasses
+    net = SWITCH_DECK.replace(".op", ".TRAN 1u 100u").replace(
+        "M1 mid g 0 b mn W=5u L=1u\nVG g 0 0.8\n", "")
+    res = {}
+    for solver in ("lu", "woodbury"):
+        opts = dataclasses.replace(DEFAULT_OPTIONS, dtype=jnp.float64,
+                                   tran_solver=solver)
+        sim = Simulator.from_text(net, opts=opts)
+        res[solver] = np.asarray(sim.transient(adaptive=True).xs)
+    np.testing.assert_allclose(res["woodbury"], res["lu"], atol=1e-12)
