@@ -119,8 +119,8 @@ def run_transient_adaptive(engine: Engine, params, tstep, tstop,
     use_woodbury = solver == "woodbury"
     use_tridiag = solver == "tridiag"
     use_blockband = solver == "blockband"
-    if use_woodbury and engine.b_sources:
-        use_woodbury = False    # see analysis/transient.py: B-source stamps
+    # B-sources ride the rank-k plan too (time-dependent expressions were
+    # rejected above, so the t=0 default of WoodburySolver.solve is exact)
 
     # --- per-level static precompute (all dts known at trace time) ---
     dts = [tstep_f / (1 << l) for l in range(L + 1)]

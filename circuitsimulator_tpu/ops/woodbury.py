@@ -48,8 +48,12 @@ class WoodburyPlan:
     V^T row width W is 3 (MOS/JFET d,g,s; diode p,m,·; BJT c,b,e) unless
     switches are present: the switch Jacobian row couples its node pair to
     a DIFFERENT control pair (p, m, cp, cm) — a width-4 row, so every
-    class pads to W = 4 with the dump column (zero coefficient).  Decks
-    without switches keep the exact width-3 layout (bitwise-unchanged)."""
+    class pads to W = 4 with the dump column (zero coefficient).
+    Behavioral B-sources are rank-1 too: the I-form row is
+    sum_j grad_j (e_aj - e_bj) over its probe pairs (width 2m) applied at
+    (e_p - e_m); the V-form's -f linearization sits on the branch row
+    (U column = +e_k) with c = -cst, so W also covers 2*max(probe pairs).
+    Decks without switches/B keep the exact width-3 layout (bitwise)."""
 
     def __init__(self, engine):
         t = engine.topo
@@ -60,19 +64,31 @@ class WoodburyPlan:
         nS = len(t.sw_ep)
         self.nM, self.nD, self.nQ, self.nJ = nM, nD, nQ, nJ
         self.nS = nS
-        # rank: 1 per MOS/JFET/diode/switch, 2 per BJT (Ic and Ib rows)
-        self.k = nM + nJ + nD + 2 * nQ + nS
+        self.b_sources = list(getattr(engine, "b_sources", []))
+        nB = len(self.b_sources)
+        self.nB = nB
+        # rank: 1 per MOS/JFET/diode/switch/B-source, 2 per BJT
+        self.k = nM + nJ + nD + 2 * nQ + nS + nB
         self.W = 4 if nS else 3
+        if nB:
+            self.W = max(self.W,
+                         max(2 * len(bs.pairs) for bs in self.b_sources))
         # U column j = e_pos[j] - e_neg[j] (dump-mapped entries vanish);
         # BJT contributes (e_C - e_E) then (e_B - e_E), interleaved per device
         bjt_pos = np.stack([t.bjt_ec, t.bjt_eb], 1).ravel() if nQ \
             else np.zeros((0,), np.int32)
         bjt_neg = np.stack([t.bjt_ee, t.bjt_ee], 1).ravel() if nQ \
             else np.zeros((0,), np.int32)
+        b_pos = np.asarray([bs.k if bs.is_v else bs.ep
+                            for bs in self.b_sources], np.int32)
+        b_neg = np.asarray([self.N if bs.is_v else bs.em
+                            for bs in self.b_sources], np.int32)
         self.u_pos = np.concatenate([t.mos_ed, t.jf_ed, t.dio_ep,
-                                     bjt_pos, t.sw_ep]).astype(np.int32)
+                                     bjt_pos, t.sw_ep,
+                                     b_pos]).astype(np.int32)
         self.u_neg = np.concatenate([t.mos_es, t.jf_es, t.dio_em,
-                                     bjt_neg, t.sw_em]).astype(np.int32)
+                                     bjt_neg, t.sw_em,
+                                     b_neg]).astype(np.int32)
         # V^T row j has entries at these columns (width-3 layout; diodes pad
         # the third slot with the dump index)
         self.mos_cols = np.stack([t.mos_ed, t.mos_eg, t.mos_es], 1) \
@@ -98,14 +114,26 @@ class WoodburyPlan:
 
     def col_idx(self) -> np.ndarray:
         """(k, W) column indices for the V^T coefficient rows."""
+        W = self.W
         cols3 = np.concatenate([self.mos_cols, self.jf_cols, self.dio_cols,
                                 self.bjt_cols], axis=0).astype(np.int32)
-        if self.W == 3:
+        if W == 3 and not self.nB:
             return cols3
-        pad = np.full((cols3.shape[0], 1), self.N, np.int32)
-        return np.concatenate(
-            [np.concatenate([cols3, pad], axis=1),
-             self.sw_cols.astype(np.int32)], axis=0)
+
+        def padW(arr):
+            if arr.shape[1] == W:
+                return arr
+            pad = np.full((arr.shape[0], W - arr.shape[1]), self.N,
+                          np.int32)
+            return np.concatenate([arr, pad], axis=1)
+
+        b_rows = [np.asarray(bs.pairs, np.int32).reshape(1, -1)
+                  for bs in self.b_sources]
+        blocks = [padW(cols3)]
+        if self.nS:
+            blocks.append(padW(self.sw_cols.astype(np.int32)))
+        blocks += [padW(r) for r in b_rows]
+        return np.concatenate(blocks, axis=0)
 
 
 class WoodburySolver:
@@ -162,6 +190,16 @@ class WoodburySolver:
         self.M_bjt = onehot(bjt_terms)                # (N, 3nQ)
         self.M_sw = onehot(sw_terms)                  # (N, 4nS)
         self.M_cols = onehot(cols.ravel())            # (N, W*k)
+        # behavioral sources: probe-pair reads + value_and_grad of each
+        # compiled expression (mirror of Engine._nl_vals b segment)
+        if self.plan.nB:
+            import jax as _jax
+            b_terms = np.concatenate(
+                [np.asarray(bs.pairs, np.int64).ravel()
+                 for bs in self.plan.b_sources])
+            self.M_b = onehot(b_terms)                # (N, sum 2m_j)
+            self._b_vg = [_jax.value_and_grad(bs.fn)
+                          for bs in self.plan.b_sources]
         # k x k solver whose VMAPPED form routes the whole Monte-Carlo
         # batch to the VMEM-resident Pallas LU kernel on TPU (profiled:
         # under plain vmap this solve re-streams S through HBM every
@@ -172,21 +210,24 @@ class WoodburySolver:
         """G0^{-1} b0 — once per timestep (b0 = sources + history)."""
         return jnp.einsum("...ij,...j->...i", self.G0inv, b0)
 
-    def nl_coeffs(self, params, x):
+    def nl_coeffs(self, params, x, t=0.0):
         """Per-device V^T values and Newton constants at x, all terminal
-        voltages read via one-hot matmuls (no gathers in the hot loop)."""
+        voltages read via one-hot matmuls (no gathers in the hot loop).
+        `t` only matters for time-dependent behavioral expressions."""
         from ..models.mosfet import mos_linearize as _mos
         from ..models.diode import diode_linearize as _dio
         plan = self.plan
         parts_v, parts_c = [], []
 
         def padW(v3):
-            """Width-3 coefficient rows padded to the plan width (the
-            4th slot maps to the dump column — zero coefficient)."""
-            if plan.W == 3:
+            """Coefficient rows padded to the plan width (the padded
+            slots map to the dump column — zero coefficient)."""
+            short = plan.W - v3.shape[-1]
+            if short == 0:
                 return v3
             return jnp.concatenate(
-                [v3, jnp.zeros_like(v3[..., :1])], axis=-1)
+                [v3, jnp.zeros(v3.shape[:-1] + (short,), v3.dtype)],
+                axis=-1)
         if plan.nM:
             vm = jnp.einsum("...n,nj->...j", x, self.M_mos)
             vm = vm.reshape(*vm.shape[:-1], plan.nM, 3)
@@ -257,18 +298,53 @@ class WoodburySolver:
             gcc = dG * vd
             i0 = G * vd
             cst = i0 - gd * vd - gcc * vc
-            parts_v.append(jnp.stack([gd, -gd, gcc, -gcc], axis=-1))
+            parts_v.append(padW(jnp.stack([gd, -gd, gcc, -gcc], axis=-1)))
             parts_c.append(cst)
+        if plan.nB:
+            # behavioral sources: each is one rank-1 row over its probe
+            # pairs.  I-form: row [g, -g, ...] at (a, b, ...), c = cst;
+            # V-form (-f on the branch row, U column = +e_k):
+            # row [-g, g, ...], c = -cst (Engine._nl_vals sign convention)
+            import jax as _jax
+            xb = jnp.einsum("...n,nj->...j", x, self.M_b)
+            off = 0
+            for bs, vg in zip(plan.b_sources, self._b_vg):
+                m = len(bs.pairs)
+                seg = xb[..., off:off + 2 * m]
+                off += 2 * m
+                vals = seg[..., 0::2] - seg[..., 1::2]
+                consts = params["b_consts"][
+                    ..., bs.const_off:bs.const_off + bs.n_consts]
+                f_vg = vg
+                for _ in range(vals.ndim - 1):
+                    f_vg = _jax.vmap(f_vg, in_axes=(0, None, 0))
+                e0, grads = f_vg(vals, jnp.asarray(t, x.dtype), consts)
+                cst = e0 - jnp.sum(grads * vals, axis=-1)
+                if bs.is_v:
+                    row = jnp.stack([-grads, grads], axis=-1)
+                    cb = -cst
+                else:
+                    row = jnp.stack([grads, -grads], axis=-1)
+                    cb = cst
+                row = row.reshape(*grads.shape[:-1], 2 * m)
+                if 2 * m < plan.W:
+                    row = jnp.concatenate(
+                        [row, jnp.zeros(row.shape[:-1]
+                                        + (plan.W - 2 * m,), row.dtype)],
+                        axis=-1)
+                parts_v.append(row[..., None, :])
+                parts_c.append(cb[..., None])
         vcoef = jnp.concatenate(parts_v, axis=-2)
         c = jnp.concatenate(parts_c, axis=-1)
         return vcoef, c
 
-    def solve(self, params, x, z0):
-        """One Newton linear solve: returns x_raw solving A(x) x_raw = b(x)."""
+    def solve(self, params, x, z0, t=0.0):
+        """One Newton linear solve: returns x_raw solving A(x) x_raw = b(x).
+        `t` only matters for time-dependent behavioral expressions."""
         plan = self.plan
         if plan.k == 0:
             return z0
-        vcoef, c = self.nl_coeffs(params, x)           # (...,k,W), (...,k)
+        vcoef, c = self.nl_coeffs(params, x, t)        # (...,k,W), (...,k)
         z = z0 - jnp.einsum("...nk,...k->...n", self.Y, c)
         # S = I + V^T Y : S[j,l] = sum_s vcoef[j,s] * Y[cols[j,s], l]
         S = self.eye_k + jnp.einsum("...js,...jsl->...jl", vcoef, self.Y_cols)

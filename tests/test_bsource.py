@@ -156,3 +156,43 @@ def test_invalid_expression_dropped_by_both_frontends():
     if native.available():
         ckt_nat, _ = native.parse_netlist_text_native(text)
         assert [e.name for e in ckt_nat.elements] == ["R1", "V1"]
+
+
+def test_bsource_woodbury_matches_lu():
+    """B-source rank-1 rows on the Woodbury plan == per-iteration LU
+    (I-form multiplier + V-form limiter with a time term, f64)."""
+    import dataclasses
+    import jax.numpy as jnp
+    from circuitsimulator_tpu.utils.options import DEFAULT_OPTIONS
+    net = """\
+V1 a 0 SIN 0 1 1e4
+V2 b 0 SIN 0 1 1.3e4
+R1 a 0 1k
+R2 b 0 1k
+B1 p 0 I=v(a)*v(b)*1m
+RP p 0 1k
+B2 q 0 V=tanh(v(p)*2)+0.1*sin(6.28e4*time)
+RQ q 0 2k
+C1 q 0 10n
+D1 q 0 IS=1e-14
+.TRAN 1u 200u
+"""
+    res = {}
+    for solver in ("lu", "woodbury"):
+        opts = dataclasses.replace(DEFAULT_OPTIONS, dtype=jnp.float64,
+                                   tran_solver=solver)
+        sim = Simulator.from_text(net, opts=opts)
+        res[solver] = np.asarray(sim.transient().xs)
+    np.testing.assert_allclose(res["woodbury"], res["lu"], atol=1e-10)
+
+
+def test_bsource_woodbury_plan_shape():
+    from circuitsimulator_tpu.ops.woodbury import WoodburyPlan
+    sim = Simulator.from_text(
+        "V1 a 0 1\nR1 a 0 1k\nB1 p 0 I=v(a)*v(a)\nRP p 0 1k\n"
+        "S1 p q a 0 swm\nRQ q 0 1k\n.MODEL swm SW RON=1 ROFF=1e6 VT=0.5\n"
+        ".op\n")
+    plan = WoodburyPlan(sim.engine)
+    # switch forces W=4; the B row (one probe pair, width 2) pads to it
+    assert plan.nB == 1 and plan.nS == 1 and plan.W == 4
+    assert plan.k == 2
