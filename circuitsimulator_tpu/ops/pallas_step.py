@@ -49,13 +49,17 @@ voltage, two interleaved V^T rows per device, parity-mask selected so no
 strided slices), and smooth-transition switches (S/W elements: the
 width-4 V^T row (node pair x control pair) rides the W=4 plan of
 ops/woodbury.py; the log-smoothstep conductance evaluates in-kernel) —
-INCLUDING fully linear decks (k == 0: the step is the
-exact solve x = G0inv @ b(t), no Newton machinery compiled at all) —
+PLUS behavioral B-sources: the compiled jnp expression and its vjp trace
+INTO the kernel (per-lane gradients from a ones-cotangent pull; lanes
+are independent), each source one rank-1 row over its probe pairs
+(row width <= 8; CSIM_FUSED_B=0 is the safety hatch for expressions
+Mosaic cannot lower) — INCLUDING fully linear decks (k == 0: the step is
+the exact solve x = G0inv @ b(t), no Newton machinery compiled at all) —
 V AND I sources with every waveform kind
 (PULSE/SIN/PWL/EXP/SFFM, mirrored formula-for-formula from
 models/sources.py with static per-kind masks; PWL tables unroll
 statically, <= 8 breakpoints), N <= 64 and rank k <= 16 (VMEM /
-static-unroll budget), no B-sources / transmission lines.
+static-unroll budget), no transmission lines.
 Everything else stays on the general XLA path.
 
 Validation note (tests/test_pallas_step.py): exponential-device decks
@@ -109,8 +113,15 @@ def supported(engine) -> bool:
     """Exact eligibility gate — every device/option whose stamps the kernel
     does not implement must force the general path."""
     t = engine.topo
+    # behavioral B-sources trace their compiled jnp expression (and its
+    # vjp) INTO the kernel; bound the row width they contribute.
+    # CSIM_FUSED_B=0 falls back to the XLA Woodbury path (safety hatch
+    # for expressions Mosaic cannot lower).
     if engine.b_sources:
-        return False
+        if _os.environ.get("CSIM_FUSED_B", "1") == "0":
+            return False
+        if any(2 * len(bs.pairs) > 8 for bs in engine.b_sources):
+            return False
     if len(getattr(t, "tl_k1", ())):
         return False
     if engine.mos_body or engine.opts.mos_reverse_region:
@@ -122,11 +133,11 @@ def supported(engine) -> bool:
     if (np.any(engine.vs_kinds == 3) or np.any(engine.is_kinds == 3)) \
             and engine.pwl_width > 8:
         return False
-    # Woodbury rank (1 per MOS/JFET/diode/switch, 2 per BJT —
+    # Woodbury rank (1 per MOS/JFET/diode/switch/B-source, 2 per BJT —
     # ops/woodbury.py).  k == 0 (fully linear deck) is IN scope: the step
     # degenerates to the exact solve x = G0inv @ b(t), no Newton compiled.
     k = (len(t.mos_ed) + len(t.jf_ed) + len(t.dio_ep) + 2 * len(t.bjt_ec)
-         + len(t.sw_ep))
+         + len(t.sw_ep) + len(engine.b_sources))
     # VMEM budget (G0inv block = 4*N^2*128 bytes) and static-unroll budget
     # for the in-kernel k x k pivoted solve
     if engine.N > 64 or k > 16:
@@ -208,9 +219,13 @@ class PallasStepRunner:
         nM, nJ = solver.plan.nM, solver.plan.nJ
         nD, nQ = solver.plan.nD, solver.plan.nQ
         nSw = solver.plan.nS
+        nB = solver.plan.nB
         self.nMJ = nM + nJ
-        self.nD, self.nQ, self.nSw = nD, nQ, nSw
-        assert self.nMJ + nD + 2 * nQ + nSw == k
+        self.nD, self.nQ, self.nSw, self.nB = nD, nQ, nSw, nB
+        # static per-source metadata for the in-kernel expression trace
+        self.b_meta = [(bs.fn, len(bs.pairs), bs.const_off, bs.n_consts,
+                        bool(bs.is_v)) for bs in solver.plan.b_sources]
+        assert self.nMJ + nD + 2 * nQ + nSw + nB == k
 
         def cat(a, b):
             return jnp.concatenate([a.T.astype(f32), b.T.astype(f32)], 0)
@@ -257,6 +272,12 @@ class PallasStepRunner:
             bparams["sw_vt"].T.astype(f32),
             bparams["sw_vh"].T.astype(f32),
         ], axis=0) if nSw else jnp.zeros((4, 0, B), f32), 4)  # (4, nSw|1, B)
+
+        # behavioral-source referenced .PARAM values, lane-minor
+        # (Monte-Carlo / .STEP re-binding without recompiling the kernel)
+        bc = bparams["b_consts"]
+        self.bconsts = (bc.T.astype(f32) if bc.shape[-1]
+                        else jnp.zeros((1, B), f32))      # (nc|1, B)
 
         # Zero-size device classes (no V sources / caps / inductors) would
         # make degenerate VMEM tiles and zero-width block shapes; every
@@ -379,6 +400,8 @@ class PallasStepRunner:
         N, k = self.N, self.k
         nMJ, nD, nQ = self.nMJ, self.nD, self.nQ
         nSw, W = self.nSw, self.W
+        nB = self.nB
+        b_meta = self.b_meta
         nCapP = self.nCapP
         dt = self.dt
         tol2 = self.tol * self.tol
@@ -399,7 +422,7 @@ class PallasStepRunner:
 
         def kern(step0_ref, Mr_ref, Mz_ref, Ms_ref, Mp_ref, kmask_ref,
                  G0invT_ref, YT_ref, Yc3_ref, mosp_ref, diop_ref, bjtp_ref,
-                 swp_ref,
+                 swp_ref, bconsts_ref,
                  dc_ref, pulse_ref, sin_ref, pwlt_ref, pwlv_ref, pwln_ref,
                  gc_ref, gl_ref, x0_ref, xp0_ref, vc0_ref, il0_ref,
                  f0_ref, xo_ref, xpo_ref, vco_ref, ilo_ref, fo_ref, it_ref,
@@ -571,13 +594,14 @@ class PallasStepRunner:
                     out = out + kmask_ref[4] * sv
                 return out
 
-            def nl_vals(x):
+            def nl_vals(x, tt):
                 """Per-V^T-row linearization coefficients at x — MOS/JFET,
-                diode, and BJT segments in Woodbury plan order.  Mirrors
-                WoodburySolver.nl_coeffs (ops/woodbury.py) formula-for-
-                formula so trajectories match the XLA path bitwise in
-                interpret mode.  All slices are static leading-axis slices
-                of (k, TB) tiles."""
+                diode, BJT, switch, and behavioral segments in Woodbury
+                plan order.  Mirrors WoodburySolver.nl_coeffs
+                (ops/woodbury.py) formula-for-formula so trajectories
+                match the XLA path bitwise in interpret mode.  All slices
+                are static leading-axis slices of (k, TB) tiles.  `tt`
+                only matters for time-dependent behavioral expressions."""
                 xm = _dot(Mz, x)
                 xm = xm.reshape(W, k, TB)               # terminal-major
 
@@ -725,9 +749,37 @@ class PallasStepRunner:
                     gc_s = dGs * vd_s
                     i0_s = Gs * vd_s
                     cst_s = i0_s - gd_s * vd_s - gc_s * vc_s
-                    vparts.append(jnp.stack([gd_s, -gd_s, gc_s, -gc_s],
-                                            axis=0))
+                    sw_rows = jnp.stack([gd_s, -gd_s, gc_s, -gc_s], axis=0)
+                    if W > 4:
+                        sw_rows = jnp.concatenate(
+                            [sw_rows, jnp.zeros((W - 4,) + sw_rows.shape[1:],
+                                                sw_rows.dtype)], axis=0)
+                    vparts.append(sw_rows)
                     cparts.append(cst_s)
+                if nB:
+                    # behavioral sources: the compiled jnp expression (and
+                    # its vjp) trace INTO the kernel.  Each source is one
+                    # rank-1 row over its probe pairs; per-lane gradients
+                    # come from a vjp pull with a ones cotangent (lanes
+                    # are independent, so this IS the per-lane dfn/dvals).
+                    ob = nMJ + nD + 2 * nQ + nSw
+                    for j, (fn, m, coff, ncst, is_v) in enumerate(b_meta):
+                        row = ob + j
+                        vals = jnp.stack(
+                            [xm[2 * i][row] - xm[2 * i + 1][row]
+                             for i in range(m)], axis=0)      # (m, TB)
+                        consts = bconsts_ref[:][coff:coff + ncst]
+                        e0, pull = jax.vjp(
+                            lambda v: fn(v, tt, consts), vals)
+                        (grads,) = pull(jnp.ones_like(e0))
+                        cst = e0 - jnp.sum(grads * vals, axis=0)
+                        sig = -1.0 if is_v else 1.0
+                        rows = []
+                        for i in range(m):
+                            rows += [sig * grads[i], -sig * grads[i]]
+                        rows += [jnp.zeros_like(e0)] * (W - 2 * m)
+                        vparts.append(jnp.stack(rows, axis=0)[:, None, :])
+                        cparts.append((-cst if is_v else cst)[None, :])
                 if len(vparts) == 1:
                     return vparts[0], cparts[0]
                 return (jnp.concatenate(vparts, axis=1),
@@ -756,7 +808,7 @@ class PallasStepRunner:
                                      jnp.where(finite, 0.0, 1.0))
                 return xx, done, failed
 
-            def nr_iter_linear(xx, done, failed, z0):
+            def nr_iter_linear(xx, done, failed, z0, tt):
                 """k == 0 (no nonlinear V^T rows): G x = b is already
                 solved by z0 = G0inv @ b — each 'iteration' just runs the
                 shared accept semantics, matching the XLA loop's
@@ -764,10 +816,10 @@ class PallasStepRunner:
                 under every alpha/clamp/tolerance configuration."""
                 return accept(xx, done, failed, z0)
 
-            def nr_iter(xx, done, failed, z0):
+            def nr_iter(xx, done, failed, z0, tt):
                 """One Newton iteration: rank-k Woodbury correction of z0
                 followed by the shared accept semantics."""
-                vcoef, cst = nl_vals(xx)
+                vcoef, cst = nl_vals(xx, tt)
                 # z = z0 - YT^T @ cst (leading-axis slices only)
                 z = z0
                 for j in range(k):
@@ -837,7 +889,7 @@ class PallasStepRunner:
                 if unrolled > 0:
                     xx, done, fl = x_init, failed, failed
                     for _ in range(unrolled):
-                        xx, done, fl = nr_iter(xx, done, fl, z0)
+                        xx, done, fl = nr_iter(xx, done, fl, z0, t)
                     iters = jnp.asarray(unrolled, jnp.int32)
                 else:
                     def nr_cond(c):
@@ -847,7 +899,7 @@ class PallasStepRunner:
 
                     def nr_body(c):
                         xx, done, fl, it = c
-                        xx, done, fl = nr_iter(xx, done, fl, z0)
+                        xx, done, fl = nr_iter(xx, done, fl, z0, t)
                         return xx, done, fl, it + 1
 
                     xx, done, fl, iters = lax.while_loop(
@@ -934,6 +986,7 @@ class PallasStepRunner:
                 lane(self.W, self.kP, self.kP),
                 lane(*self.mosp.shape[:2]), lane(*self.diop.shape[:2]),
                 lane(*self.bjtp.shape[:2]), lane(*self.swp.shape[:2]),
+                lane(self.bconsts.shape[0]),
                 lane(self.nSP), lane(7, self.nSP), lane(5, self.nSP),
                 lane(*self.src_pwlt.shape[:2]),
                 lane(*self.src_pwlv.shape[:2]), lane(self.nSP),
@@ -948,7 +1001,7 @@ class PallasStepRunner:
           jnp.asarray(Mp),
           jnp.asarray(self.kind_masks),
           self.G0invT, self.YT, self.Yc3, self.mosp, self.diop, self.bjtp,
-          self.swp,
+          self.swp, self.bconsts,
           self.src_dc, self.src_pulse, self.src_sin,
           self.src_pwlt, self.src_pwlv, self.src_pwln,
           self.gc, self.gl, xt, xpt, vct, ilt, ft)

@@ -20,9 +20,9 @@ def test_supported_predicate():
     s2 = Simulator.from_text(   # PULSE waveform -> in scope
         "V1 1 0 PULSE(0 1 0 0 0 1 0)\nR1 1 0 1k\nD1 1 0\n.op\n")
     assert pallas_step.supported(s2.engine)
-    s3 = Simulator.from_text(   # behavioral source -> general path
+    s3 = Simulator.from_text(   # behavioral source -> in scope (vjp rows)
         "V1 1 0 1\nR1 1 2 1k\nB1 2 0 V=V(1)*V(1)\n.op\n")
-    assert not pallas_step.supported(s3.engine)
+    assert pallas_step.supported(s3.engine)
     s4 = Simulator.from_text(   # diode deck with SIN drive -> in scope
         "V1 1 0 SIN 0 2 1e6\nR1 1 2 100\nD1 2 0\n.op\n")
     assert pallas_step.supported(s4.engine)
@@ -354,3 +354,33 @@ def test_adaptive_switch_woodbury_matches_lu():
         sim = Simulator.from_text(net, opts=opts)
         res[solver] = np.asarray(sim.transient(adaptive=True).xs)
     np.testing.assert_allclose(res["woodbury"], res["lu"], atol=1e-12)
+
+
+# behavioral sources: compiled expressions trace INTO the kernel
+B_DECK = """* behavioral multiplier + limiter + diode
+.PARAM gain=1m
+V1 a 0 SIN 0 1 1e4
+V2 b 0 SIN 0 1 1.3e4
+R1 a 0 1k
+R2 b 0 1k
+B1 p 0 I=v(a)*v(b)*gain
+RP p 0 1k
+B2 q 0 V=tanh(v(p)*2)+0.1*sin(6.28e4*time)
+RQ q 0 2k
+C1 q 0 10n
+D1 q 0 IS=1e-14
+.op
+"""
+
+
+def test_supported_includes_bsources(monkeypatch):
+    sim = Simulator.from_text(B_DECK)
+    assert pallas_step.supported(sim.engine)
+    monkeypatch.setenv("CSIM_FUSED_B", "0")     # safety hatch
+    assert not pallas_step.supported(sim.engine)
+
+
+def test_fused_step_bsource_deck():
+    """B-source vjp rows in-kernel (I-form, V-form with a time term)."""
+    _check(_run_both(_parity_opts(), steps=10, dt=1e-6, text=B_DECK,
+                     from_dc=True), atol=1e-4)
