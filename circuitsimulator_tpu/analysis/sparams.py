@@ -72,6 +72,42 @@ def s_parameters(engine: Engine, params, port_eqs: Sequence[Tuple[int, int]],
     return SParamResult(freqs=freqs, s=S, z=Z, z0=z0)
 
 
+def write_touchstone(path: str, res: SParamResult) -> None:
+    """Touchstone v1 .sNp writer (`# Hz S MA R <z0>`): magnitude/angle
+    pairs, the 2-port S11 S21 S12 S22 column order quirk, row-major with
+    4 pairs per line otherwise.  Touchstone assumes one reference
+    impedance; per-port Z0s are noted in a comment and port 1's is
+    written in the option line."""
+    n = res.s.shape[-1]
+    with open(path, "w") as fh:
+        fh.write("! circuitsimulator_tpu S-parameters "
+                 f"({n}-port, {len(res.freqs)} points)\n")
+        if not np.allclose(res.z0, res.z0[0]):
+            fh.write("! per-port Z0: "
+                     + " ".join(f"{z:g}" for z in res.z0)
+                     + " (option line carries port 1's)\n")
+        fh.write(f"# Hz S MA R {res.z0[0]:g}\n")
+
+        def ma(i, j, k):
+            v = res.s[k, i, j]
+            return f"{abs(v):.9e} {np.degrees(np.angle(v)):.9e}"
+
+        for k, f in enumerate(res.freqs):
+            if n == 1:
+                fh.write(f"{f:.9e} {ma(0, 0, k)}\n")
+            elif n == 2:
+                fh.write(f"{f:.9e} {ma(0, 0, k)} {ma(1, 0, k)} "
+                         f"{ma(0, 1, k)} {ma(1, 1, k)}\n")
+            else:
+                # row-major, max 4 S-pairs per line, freq leads line 1
+                pairs = [(i, j) for i in range(n) for j in range(n)]
+                for off in range(0, len(pairs), 4):
+                    chunk = " ".join(ma(i, j, k)
+                                     for i, j in pairs[off:off + 4])
+                    lead = f"{f:.9e} " if off == 0 else "  "
+                    fh.write(lead + chunk + "\n")
+
+
 def write_sparams_csv(path: str, res: SParamResult) -> None:
     """Touchstone-flavored CSV: freq, then Sij magnitude/phase(deg) pairs
     in row-major port order."""

@@ -84,6 +84,13 @@ def build_argparser() -> argparse.ArgumentParser:
                    default="shooting",
                    help="steady-state algorithm: time-domain Newton "
                         "shooting or frequency-domain harmonic balance")
+    p.add_argument("--run-sparams", metavar="PORTS", default=None,
+                   help="S-parameter extraction over the .AC sweep: "
+                        "comma-separated ports 'p[:m][@z0]', e.g. "
+                        "'in,out' or 'in:0@50,out:0@75' (m defaults to "
+                        "ground, z0 to 50); writes Touchstone .sNp")
+    p.add_argument("--sparams-out", metavar="FILE", default=None,
+                   help="Touchstone output path (default sparams.s<N>p)")
     return p
 
 
@@ -366,6 +373,30 @@ def main(argv=None) -> int:
             print(f"One period written to '{args.run_hb}'.")
         except Exception as e:  # noqa: BLE001
             print(f"Steady state failed: {e}", file=sys.stderr)
+            return 1
+
+    if args.run_sparams:
+        from .analysis.sparams import write_touchstone
+        print("\nRunning S-parameter extraction...")
+        try:
+            ports = []
+            for spec in args.run_sparams.split(","):
+                spec = spec.strip()
+                z0 = 50.0
+                if "@" in spec:
+                    spec, z0txt = spec.split("@", 1)
+                    z0 = float(z0txt)
+                pm = spec.split(":", 1)
+                node_p = pm[0]
+                node_m = pm[1] if len(pm) > 1 else None
+                ports.append((node_p, node_m, z0))
+            sres = sim.sparams(ports, x_op=x)
+            out = args.sparams_out or f"sparams.s{len(ports)}p"
+            write_touchstone(out, sres)
+            print(f"S-parameters ({len(ports)} ports, "
+                  f"{len(sres.freqs)} points) written to '{out}'.")
+        except Exception as e:  # noqa: BLE001
+            print(f"S-parameter extraction failed: {e}", file=sys.stderr)
             return 1
     return 0
 

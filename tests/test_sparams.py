@@ -57,3 +57,29 @@ def test_sparams_csv(tmp_path):
     assert len(lines) == 3
     # 50-ohm into 50-ohm reference: S11 = 0
     assert float(lines[1].split(",")[1]) == pytest.approx(0.0, abs=1e-9)
+
+
+def test_touchstone_writer_and_cli(tmp_path, capsys):
+    """3 dB resistive pi pad: S21 = -3 dB, S11 ~ 0; Touchstone v1 layout
+    (option line + the 2-port S11 S21 S12 S22 order)."""
+    deck = tmp_path / "atten.sp"
+    deck.write_text("""* 3 dB pi pad
+R1 in 0 292
+R2 in out 17.6
+R3 out 0 292
+.AC DEC 2 1e3 1e5
+.op
+""")
+    from circuitsimulator_tpu.cli import main
+    out = tmp_path / "atten.s2p"
+    rc = main([str(deck), "--no-tran",
+               "--run-sparams", "in,out", "--sparams-out", str(out)])
+    assert rc == 0
+    lines = out.read_text().strip().split("\n")
+    assert lines[0].startswith("!")
+    assert lines[1] == "# Hz S MA R 50"
+    first = [float(v) for v in lines[2].split()]
+    assert len(first) == 9          # f + 4 MA pairs
+    s11_mag, s21_mag = first[1], first[3]
+    assert 20 * np.log10(s21_mag) == pytest.approx(-3.0, abs=0.02)
+    assert s11_mag < 1e-3
