@@ -16,10 +16,12 @@ def gen_netlist(rng: random.Random) -> str:
     nodes = [str(i) for i in range(1, rng.randint(4, 7) + 1)]
     pick = lambda: rng.choice(nodes + ["0"])
     lines = ["* fuzz netlist"]
-    lines.append(".SUBCKT blk p q")
-    lines.append(f"Rb1 p m {rng.randint(100, 9999)}")
+    lines.append(".SUBCKT blk p q PARAMS: rr=1k sc=1")
+    lines.append(".PARAM rleak={rr*100}")
+    lines.append(f"Rb1 p m {{rr*sc}}")
     lines.append(f"Rb2 m q {rng.randint(100, 9999)}")
     lines.append(f"Cb m 0 {rng.choice(['1p', '0.5p'])}")
+    lines.append("Rbl m 0 {rleak}")
     lines.append(".ENDS")
     lines.append(f"V1 1 0 SIN {round(rng.uniform(0.5, 2), 3)} "
                  f"{round(rng.uniform(0.05, 0.3), 3)} 5e6 AC 1 30")
@@ -38,17 +40,28 @@ def gen_netlist(rng: random.Random) -> str:
         a, b = rng.sample(nodes, 2)
         r = rng.random()
         if r < 0.25:
-            lines.append(f"R{eid} {a} {b} {round(10 ** rng.uniform(2, 4))}")
+            tail = rng.choice(["", " M=2", " DEV=5% LOT=2%", " M=3 DEV=0.1"])
+            lines.append(f"R{eid} {a} {b} {round(10 ** rng.uniform(2, 4))}"
+                         + tail)
         elif r < 0.35:
-            lines.append(f"C{eid} {a} {b} 1p")
+            tail = rng.choice(["", " IC=0.2", " M=2 IC = 0.1", " DEV=3%"])
+            lines.append(f"C{eid} {a} {b} 1p" + tail)
         elif r < 0.42:
-            lines.append(f"L{eid} {a} {b} 10n")
+            tail = rng.choice(["", " IC=1m", " M=4"])
+            lines.append(f"L{eid} {a} {b} 10n" + tail)
         elif r < 0.5:
-            lines.append(f"M{eid} {a} {pick()} {b} n 5e-6 1e-6 2")
+            if rng.random() < 0.5:
+                lines.append(f"M{eid} {a} {pick()} {b} n 5e-6 1e-6 2")
+            else:
+                tail = rng.choice(["", " DEV=4%", " M=2", " M=2 DEV=0.05"])
+                lines.append(f"M{eid} {a} {pick()} {b} bulk 2 "
+                             f"W=5e-6 L=1e-6" + tail)
         elif r < 0.56:
-            lines.append(f"D{eid} {a} {b} IS=1e-14 N=1.1")
+            tail = rng.choice(["", " DEV=0.1", " M=3", " LOT=5%"])
+            lines.append(f"D{eid} {a} {b} IS=1e-14 N=1.1" + tail)
         elif r < 0.62:
-            lines.append(f"Q{eid} {a} {pick()} {b} qq")
+            tail = rng.choice(["", " DEV=8%", " M=2"])
+            lines.append(f"Q{eid} {a} {pick()} {b} qq" + tail)
         elif r < 0.7:
             lines.append(f"E{eid} {a} {b} {pick()} {pick()} "
                          f"{round(rng.uniform(0.5, 5), 2)}")
@@ -64,7 +77,9 @@ def gen_netlist(rng: random.Random) -> str:
             lines.append(f"S{eid} {a} {b} {pick()} 0 ss"
                          + (" ON" if rng.random() < 0.3 else ""))
         else:
-            lines.append(f"X{eid} {a} {b} blk")
+            tail = rng.choice(["", " rr=2k", " PARAMS: rr={rbase} sc=2",
+                               " sc = 3"])
+            lines.append(f"X{eid} {a} {b} blk" + tail)
     # fixed instances of the remaining classes (well-posed by construction)
     lines.append("La 1 0 10n")
     lines.append("Lb 2 0 40n")
