@@ -26,6 +26,7 @@
 #include <sstream>
 #include <string>
 #include <unordered_map>
+#include <unordered_set>
 #include <vector>
 
 namespace {
@@ -652,6 +653,8 @@ public:
     // it later for its own substitution pass — same algorithm, same
     // values, so early substitution inside subckt bodies is consistent)
     std::unordered_map<std::string, double> global_values;
+    // `.GLOBAL` nodes: keep their name inside every definition
+    std::unordered_set<std::string> global_nodes;
 
     void warn(int line_no, const std::string& msg) {
         diag << "Line " << line_no << ": " << msg << "\n";
@@ -786,7 +789,7 @@ public:
         char c0 = (char)std::toupper((unsigned char)r.tokens[0][0]);
         r.tokens[0] += "@" + prefix;
         auto map_node = [&](std::string& t) {
-            if (is_ground(t)) return;
+            if (is_ground(t) || global_nodes.count(t)) return;
             auto it = map.find(t);
             t = (it != map.end()) ? it->second : prefix + "." + t;
         };
@@ -1040,8 +1043,19 @@ public:
     }
 
     std::vector<Statement> run(const std::vector<Statement>& stmts) {
+        std::vector<Statement> top0;
+        collect(stmts, top0, false);
+        // `.GLOBAL` cards (extension): collect the node set, drop the
+        // cards (mirror of netlist/subckt.py)
         std::vector<Statement> top;
-        collect(stmts, top, false);
+        for (auto& st : top0) {
+            if (!st.tokens.empty() && lower(st.tokens[0]) == ".global") {
+                for (size_t j = 1; j < st.tokens.size(); ++j)
+                    global_nodes.insert(st.tokens[j]);
+            } else {
+                top.push_back(std::move(st));
+            }
+        }
         bool any_x = false;
         for (const auto& st : top)
             if (!st.tokens.empty() &&

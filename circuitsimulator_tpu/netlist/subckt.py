@@ -13,6 +13,9 @@ analyses) sees an ordinary flat netlist:
   (`0`/`gnd`) are always global;
 - `.MODEL` cards found inside a definition are hoisted to the top level
   (the model registry is global, matching the two-pass prescan);
+- `.GLOBAL n1 [n2 ...]` declares nodes that keep their name inside every
+  definition (supply rails) instead of being instance-scoped; ground
+  (`0`/`gnd`) is always implicitly global;
 - other dot cards inside a definition are ignored with a warning —
   EXCEPT `.PARAM`, which defines instance-local parameters;
 - nested instances are supported to MAX_DEPTH; nested *definitions* are
@@ -181,14 +184,15 @@ def _substitute_scoped(st: Statement, scope: Dict[str, float]) -> Statement:
     return Statement(line_no=st.line_no, raw=" ".join(out), tokens=out)
 
 
-def _rename(st: Statement, mapping: Dict[str, str], prefix: str) -> Statement:
+def _rename(st: Statement, mapping: Dict[str, str], prefix: str,
+            global_nodes=frozenset()) -> Statement:
     """Apply instance-context renaming to one body statement."""
     toks = list(st.tokens)
     c0 = toks[0][0].upper()
     toks[0] = f"{toks[0]}@{prefix}"
 
     def map_node(t: str) -> str:
-        if is_ground_name(t):
+        if is_ground_name(t) or t in global_nodes:
             return t
         if t in mapping:
             return mapping[t]
@@ -285,6 +289,16 @@ def flatten_subcircuits(
                 i += 1
 
     collect(stmts, top, nested=False)
+    # `.GLOBAL` cards (extension): nodes that keep their name inside
+    # every definition (supply rails); the cards themselves are dropped
+    global_nodes = set()
+    kept = []
+    for st in top:
+        if st.tokens and st.tokens[0].lower() == ".global":
+            global_nodes.update(st.tokens[1:])
+        else:
+            kept.append(st)
+    top = kept
     if not defs and not any(
             st.tokens and st.tokens[0][0].upper() == "X" for st in top):
         return top
@@ -401,8 +415,10 @@ def flatten_subcircuits(
         for bst in body:
             if bst.tokens and bst.tokens[0].lower() == ".param":
                 continue
-            expand(_substitute_scoped(_rename(bst, mapping, toks[0]),
-                                      scope),
+            expand(_substitute_scoped(
+                       _rename(bst, mapping, toks[0],
+                               frozenset(global_nodes)),
+                       scope),
                    depth + 1, scope)
 
     for st in top:

@@ -165,3 +165,33 @@ RL out 0 1k
     assert "hn" in sims["python"].circuit.mos_models
     np.testing.assert_array_equal(np.asarray(sims["python"].dc()),
                                   np.asarray(sims["native"].dc()))
+
+
+def test_global_nodes_shared_across_instances():
+    """`.GLOBAL vdd`: the rail keeps its name inside every definition
+    (extension; both frontends)."""
+    net = """\
+.GLOBAL vdd
+.SUBCKT inv in out
+Rload vdd out 10k
+M1 out in 0 b mn W=10u L=1u
+.ENDS
+.MODEL mn VT 0.6 MU 2e-2 COX 1e-3
+VDD vdd 0 3
+VIN a 0 1.2
+X1 a b inv
+X2 b c inv
+RL c 0 1meg
+.op
+"""
+    xs = {}
+    for fe in ("python", "native"):
+        sim = Simulator.from_text(net, frontend=fe)
+        names = sim.circuit.node_name_to_id
+        assert "vdd" in names and "X1.vdd" not in names
+        xs[fe] = np.asarray(sim.dc())
+    np.testing.assert_array_equal(xs["python"], xs["native"])
+    # both inverters actually pull from the shared rail
+    sim = Simulator.from_text(net)
+    b = sim.circuit.nodes[sim.circuit.node_name_to_id["b"]].eq_index
+    assert 0.1 < float(xs["python"][b]) < 3.0
