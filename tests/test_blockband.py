@@ -122,3 +122,22 @@ def test_linear_grid_dc_blockband():
     sim_d = _dense_sim(txt)
     np.testing.assert_allclose(np.asarray(sim_b.dc()), np.asarray(sim_d.dc()),
                                atol=1e-10)
+
+
+def test_grid_scale_20k_smoke():
+    """Scale smoke: a 140x140 (19.6k-node) 2-D grid lowers, DC-solves,
+    and advances transient steps through the auto-selected RCM
+    block-banded backend — the general large-circuit path holds well
+    beyond the 10k-node benchmark config (50k verified manually; this
+    size keeps suite time sane)."""
+    import time
+    from circuitsimulator_tpu.synthetic import rc_grid_netlist
+    sim = Simulator.from_text(rc_grid_netlist(140, 140))
+    assert sim.topo.n_unknowns > 19_000
+    x = np.asarray(sim.dc())
+    assert np.isfinite(x).all()
+    # passive resistive grid driven by a single source: every node
+    # voltage is bounded by the drive amplitude
+    assert float(np.nanmax(np.abs(x))) <= 0.5 + 1e-6
+    res = sim.transient(tstep=1e-11, tstop=3e-11, save_xs=False)
+    assert not bool(np.asarray(res.failed).any())
