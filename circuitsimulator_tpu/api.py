@@ -606,7 +606,8 @@ class Simulator:
         return s_parameters(self.engine, p, port_eqs, z0s, freqs, x_op)
 
     def monte_carlo(self, n: int, seed: int = 0,
-                    params: Optional[Any] = None):
+                    params: Optional[Any] = None,
+                    warm_start: bool = True):
         """Netlist-driven Monte Carlo from `DEV=`/`LOT=` tolerances on
         R/C/L cards (the value) and M/J/D/Q instance cards (VT/VTO, IS,
         BF mismatch) — parallel/montecarlo.perturb_params_netlist.
@@ -615,22 +616,36 @@ class Simulator:
         batched solve: with .TRAN + .MEASURE TRAN cards, returns
         (bparams, {measure: (n,) values}); with .AC + .MEASURE AC cards,
         one batched lanes x frequencies sweep with per-lane measures;
-        otherwise (bparams, (n, N) DC operating points)."""
+        otherwise (bparams, (n, N) DC operating points).
+
+        warm_start (default True): every lane's DC init starts from the
+        NOMINAL operating point and runs only the final Newton stage —
+        perturbed lanes sit within a few percent of nominal, so this
+        skips the 10-step source ramp per lane (same fixpoint and
+        tolerance; see batched_dc_warm).  False restores the full ramp
+        (reference-schedule trajectories)."""
         from .parallel.montecarlo import (
             perturb_params_netlist, batched_transient_measures,
-            batched_dc_fast)
+            batched_dc_fast, batched_dc_warm)
         if not self.lowered.mc_tols:
             raise ValueError("no DEV=/LOT= tolerances in the netlist")
         p = params if params is not None else self.params
         bp = perturb_params_netlist(p, jax.random.key(seed), n,
                                     self.lowered.mc_tols)
+        warm = warm_start and self.topo.has_nonlinear
+
+        def dc_init():
+            if warm:
+                return batched_dc_warm(self.engine, bp, self.dc(params=p))
+            return batched_dc_fast(self.engine, bp)
+
         tran = self.config.tran
         if tran.enabled and any(m.analysis == "tran"
                                 for m in self.config.measures):
             _, vals = batched_transient_measures(
                 self.engine, bp, tran.tstep, tran.tstop,
                 [m for m in self.config.measures if m.analysis == "tran"],
-                self.topo)
+                self.topo, x0=dc_init())
             return bp, vals
         ac = self.config.ac
         if ac.enabled and any(m.analysis == "ac"
@@ -642,7 +657,8 @@ class Simulator:
             from .analysis.measure import run_measures
             freqs = sweep_frequencies(ac.sweep_type, ac.n_points,
                                       ac.fstart, ac.fstop)
-            res = ac_analysis_batched(self.engine, bp, freqs)
+            res = ac_analysis_batched(self.engine, bp, freqs,
+                                      x_ops=dc_init())
             ms = [m for m in self.config.measures if m.analysis == "ac"]
             rows = [dict(run_measures(ms, self.topo, freqs, lane_xs, "ac",
                                       bindings=self.config.param_values))
@@ -650,7 +666,7 @@ class Simulator:
             vals = {m.name: np.asarray([r[m.name] for r in rows])
                     for m in ms}
             return bp, vals
-        return bp, batched_dc_fast(self.engine, bp)
+        return bp, dc_init()
 
     def yield_analysis(self, key, batch: int, rel_sigma, specs,
                        params: Optional[Any] = None):

@@ -178,7 +178,7 @@ def fused_transient_measures(engine: Engine, bparams, tstep, tstop, sm,
 
 def batched_transient_measures(engine: Engine, bparams, tstep, tstop,
                                measures, topo, bindings=None,
-                               fused="auto"):
+                               fused="auto", x0=None):
     """vmap'd transient with STREAMING .MEASURE evaluation: per-lane
     measurement results with O(1) waveform memory — the whole sweep's
     statistics without ever materializing (B, T, N) waveforms
@@ -196,8 +196,11 @@ def batched_transient_measures(engine: Engine, bparams, tstep, tstop,
     from ..ops import pallas_step
     sm = StreamingMeasures(measures, topo, engine.dtype)
     # natively-batched DC init: the vmapped per-lane ramp would pay the
-    # max iteration count over all lanes at every ramp step (see bench.py)
-    x0 = batched_dc_fast(engine, bparams)
+    # max iteration count over all lanes at every ramp step (see bench.py).
+    # Callers with a nominal operating point pass x0 (warm start, e.g.
+    # Simulator.monte_carlo via batched_dc_warm — same fixpoint).
+    if x0 is None:
+        x0 = batched_dc_fast(engine, bparams)
     B = x0.shape[0]
     eligible = (pallas_step.supported(engine) and B % 128 == 0
                 and engine.dtype == jnp.float32)
