@@ -53,14 +53,19 @@ PLUS behavioral B-sources: the compiled jnp expression and its vjp trace
 INTO the kernel (per-lane gradients from a ones-cotangent pull; lanes
 are independent), each source one rank-1 row over its probe pairs
 (row width <= 8; CSIM_FUSED_B=0 is the safety hatch for expressions
-Mosaic cannot lower) — INCLUDING fully linear decks (k == 0: the step is
-the exact solve x = G0inv @ b(t), no Newton machinery compiled at all) —
-V AND I sources with every waveform kind
+Mosaic cannot lower) — PLUS transmission lines: the Branin delay ring
+lives in VMEM as part of the chunk carry, the per-step shift is a static
+leading-axis concatenate and the delayed-wave reads are STATIC slot
+indices (slot ticks-1 always holds the wave from `ticks` steps ago), so
+eligibility is dt-dependent (supported(engine, dt); ring block bounded
+at Dmax * 2nT <= 1024 rows) — INCLUDING fully linear decks (k == 0: the
+step is the exact solve x = G0inv @ b(t), no Newton machinery compiled
+at all) — V AND I sources with every waveform kind
 (PULSE/SIN/PWL/EXP/SFFM, mirrored formula-for-formula from
 models/sources.py with static per-kind masks; PWL tables unroll
 statically, <= 8 breakpoints), N <= 64 and rank k <= 16 (VMEM /
-static-unroll budget), no transmission lines.
-Everything else stays on the general XLA path.
+static-unroll budget).  EVERY device class of the engine is in scope;
+out-of-budget decks stay on the general XLA path.
 
 Validation note (tests/test_pallas_step.py): exponential-device decks
 must be compared from the DC operating point — from x = 0 with full
@@ -109,9 +114,14 @@ def _pick_tb(B: int, N: int) -> int:
     return tb
 
 
-def supported(engine) -> bool:
+def supported(engine, dt=None) -> bool:
     """Exact eligibility gate — every device/option whose stamps the kernel
-    does not implement must force the general path."""
+    does not implement must force the general path.
+
+    `dt` enables transmission lines: their delay ring length is
+    ticks = round(TD/dt) slots, carried in VMEM, so eligibility is
+    dt-dependent (without dt, T-line decks conservatively stay on the
+    general path)."""
     t = engine.topo
     # behavioral B-sources trace their compiled jnp expression (and its
     # vjp) INTO the kernel; bound the row width they contribute.
@@ -122,8 +132,14 @@ def supported(engine) -> bool:
             return False
         if any(2 * len(bs.pairs) > 8 for bs in engine.b_sources):
             return False
-    if len(getattr(t, "tl_k1", ())):
-        return False
+    nT = len(getattr(t, "tl_k1", ()))
+    if nT:
+        if dt is None or nT > 8:
+            return False
+        ticks = engine.tl_ticks(dt)
+        # ring block = Dmax * 2nT * TB * 4 bytes in VMEM; bound it
+        if int(ticks.max()) * 2 * nT > 1024:
+            return False
     if engine.mos_body or engine.opts.mos_reverse_region:
         return False
     if engine.opts.tran_method != "be":
@@ -156,7 +172,7 @@ class PallasStepRunner:
         (n_steps, P, B) output, so the fused path yields streaming
         waveforms (measure accumulation, yield analysis) without ever
         materializing the (B, T, N) state history."""
-        assert supported(engine)
+        assert supported(engine, dt)
         self.engine = engine
         t = engine.topo
         opts = engine.opts
@@ -279,6 +295,47 @@ class PallasStepRunner:
         self.bconsts = (bc.T.astype(f32) if bc.shape[-1]
                         else jnp.zeros((1, B), f32))      # (nc|1, B)
 
+        # transmission lines: Branin delay ring in VMEM.  Ring layout
+        # (Dmax, 2nT, TB), slot 0 = newest wave; the shift is a static
+        # leading-axis concatenate and the delayed reads are STATIC slot
+        # indices (ring shifts every step, so slot ticks-1 is always the
+        # wave from `ticks` steps ago).  Mirrors assemble.tl_emfs /
+        # make_update_state's ring push formula-for-formula.
+        self.nT = nT = engine.n_tl
+        if nT:
+            ticks = engine.tl_ticks(dt)
+            self.tl_read = np.asarray(ticks - 1, np.int32)   # per line
+            self.Dmax = int(ticks.max())
+            # wave build: w1 = (ep1 - em1) + z0 * x[k1] (and port 2);
+            # pm-difference and branch reads as one-hot matmuls
+            pm_rows, k_rows = [], []
+            for j in range(nT):
+                pm_rows.append((t.tl_ep1[j], t.tl_em1[j]))
+                k_rows.append(t.tl_k1[j])
+            for j in range(nT):
+                pm_rows.append((t.tl_ep2[j], t.tl_em2[j]))
+                k_rows.append(t.tl_k2[j])
+            Mpm = np.zeros((2 * nT, N), np.float32)
+            for r, (a, b) in enumerate(pm_rows):
+                if a < N:
+                    Mpm[r, a] += 1.0
+                if b < N:
+                    Mpm[r, b] -= 1.0
+            Mk = np.zeros((2 * nT, N), np.float32)
+            for r, kk_ in enumerate(k_rows):
+                Mk[r, kk_] = 1.0
+            self.M_tl_pm = Mpm
+            self.M_tl_k = Mk
+            z0v = bparams["tl_z0"].T.astype(f32)             # (nT, B)
+            self.tl_z0 = jnp.concatenate([z0v, z0v], axis=0)  # (2nT, B)
+        else:
+            self.Dmax = 1
+            self.tl_read = np.zeros((0,), np.int32)
+            self.M_tl_pm = np.zeros((1, N), np.float32)
+            self.M_tl_k = np.zeros((1, N), np.float32)
+            self.tl_z0 = jnp.zeros((1, B), f32)
+        self.nTP2 = max(2 * nT, 1)
+
         # Zero-size device classes (no V sources / caps / inductors) would
         # make degenerate VMEM tiles and zero-width block shapes; every
         # such block is padded to ONE all-zero dummy row (a zero gc/gl and
@@ -339,8 +396,8 @@ class PallasStepRunner:
 
         # static one-hot operators (constants baked into the kernel).
         # RHS columns: [sources (V rows +1 at vs_k, I rows -/+1 at the
-        # terminals) | inductor history | cap history]
-        M = np.zeros((N, nSP + nLP + nCapP), np.float32)
+        # terminals) | inductor history | cap history | T-line E1 | E2]
+        M = np.zeros((N, nSP + nLP + nCapP + 2 * nT), np.float32)
         for j in range(nV):
             M[t.vs_k[j], j] = 1.0
         for j in range(nI):
@@ -356,6 +413,9 @@ class PallasStepRunner:
                 M[a, nSP + nLP + j] += 1.0
             if b < N:
                 M[b, nSP + nLP + j] -= 1.0
+        for j in range(nT):
+            M[t.tl_k1[j], nSP + nLP + nCapP + j] += 1.0
+            M[t.tl_k2[j], nSP + nLP + nCapP + nT + j] += 1.0
         self.M_rhs = M                                  # (N, nterms)
 
         # terminal-read / column-read / state operators.  Rows are grouped
@@ -402,6 +462,7 @@ class PallasStepRunner:
         nSw, W = self.nSw, self.W
         nB = self.nB
         b_meta = self.b_meta
+        nT, Dmax, tl_read = self.nT, self.Dmax, self.tl_read
         nCapP = self.nCapP
         dt = self.dt
         tol2 = self.tol * self.tol
@@ -422,10 +483,12 @@ class PallasStepRunner:
 
         def kern(step0_ref, Mr_ref, Mz_ref, Ms_ref, Mp_ref, kmask_ref,
                  G0invT_ref, YT_ref, Yc3_ref, mosp_ref, diop_ref, bjtp_ref,
-                 swp_ref, bconsts_ref,
+                 swp_ref, bconsts_ref, Mtlpm_ref, Mtlk_ref, tlz0_ref,
                  dc_ref, pulse_ref, sin_ref, pwlt_ref, pwlv_ref, pwln_ref,
                  gc_ref, gl_ref, x0_ref, xp0_ref, vc0_ref, il0_ref,
-                 f0_ref, xo_ref, xpo_ref, vco_ref, ilo_ref, fo_ref, it_ref,
+                 tlw0_ref,
+                 f0_ref, xo_ref, xpo_ref, vco_ref, ilo_ref, tlwo_ref,
+                 fo_ref, it_ref,
                  *maybe_yo_ref):
             G0invT = G0invT_ref[:]
             YT = YT_ref[:]
@@ -871,11 +934,21 @@ class PallasStepRunner:
                 nr_iter = nr_iter_linear
 
             def step_body(i, carry):
-                x, xprev, vc, il, failed, it_acc = carry
+                x, xprev, vc, il, ring, failed, it_acc = carry
                 t = (step0 + i.astype(jnp.float32) + 1.0) * dt
                 # source values at t (V rows then I rows) + history terms
-                terms = jnp.concatenate([src_val(t), -(gl * il), gc * vc],
-                                        axis=0)
+                parts = [src_val(t), -(gl * il), gc * vc]
+                if nT:
+                    # delayed-wave Thevenin EMFs: slot ticks-1 is the wave
+                    # from `ticks` steps ago (ring shifts every step, so
+                    # the read indices are STATIC).  E1 <- w2, E2 <- w1
+                    # (assemble.tl_emfs)
+                    e1 = jnp.stack([ring[tl_read[j], nT + j]
+                                    for j in range(nT)], axis=0)
+                    e2 = jnp.stack([ring[tl_read[j], j]
+                                    for j in range(nT)], axis=0)
+                    parts += [e1, e2]
+                terms = jnp.concatenate(parts, axis=0)
                 b0 = _dot(Mr, terms)
                 # z0 = G0inv @ b0 per lane: accumulate over the CONTRACTION
                 # index m with leading-axis slices of the pre-transposed
@@ -909,33 +982,42 @@ class PallasStepRunner:
                 st = _dot(Ms, xx)
                 vc = st[:nCapP, :]
                 il = st[nCapP:, :]
+                if nT:
+                    # push this step's outgoing waves into slot 0
+                    # (make_update_state's ring shift)
+                    w = (_dot(Mtlpm_ref[:], xx)
+                         + tlz0_ref[:] * _dot(Mtlk_ref[:], xx))
+                    ring = jnp.concatenate([w[None], ring[:-1]], axis=0)
                 if probe:
                     # streaming probe write: one (P, TB) tile per step
                     maybe_yo_ref[0][pl.ds(i, 1)] = _dot(Mp_ref[:], xx)[None]
-                return xx, x, vc, il, fl, it_acc + iters
+                return xx, x, vc, il, ring, fl, it_acc + iters
 
             failed0 = f0_ref[:][0]                          # (TB,) f32 0/1
-            x, xprev, vc, il, failed, iters = lax.fori_loop(
+            x, xprev, vc, il, ring, failed, iters = lax.fori_loop(
                 0, n_steps, step_body,
                 (x0_ref[:], xp0_ref[:], vc0_ref[:], il0_ref[:],
-                 failed0, jnp.asarray(0, jnp.int32)))
+                 tlw0_ref[:], failed0, jnp.asarray(0, jnp.int32)))
             xo_ref[:] = x
             xpo_ref[:] = xprev
             vco_ref[:] = vc
             ilo_ref[:] = il
+            tlwo_ref[:] = ring
             fo_ref[:] = failed[None, :]
             it_ref[pl.program_id(0)] = iters
 
         return kern
 
     def run_chunk(self, x, x_prev, vc, il, failed, step0, n_steps: int,
-                  interpret: bool = False):
+                  interpret: bool = False, tlw=None):
         """Advance n_steps.  x/x_prev (B, N), vc (B, nCap), il (B, nL)
         lane-major; failed (B,) bool; step0 may be traced (jit arg) so
-        consecutive chunks share one compilation.  Returns the advanced
-        carry (x, x_prev, vc, il, failed, per-block iteration counts);
-        with probe_mat set, also the (n_steps, P, B) raw probe waveform
-        block as a trailing element."""
+        consecutive chunks share one compilation.  For T-line decks pass
+        tlw (B, Dmax, 2nT), the delay ring from Engine.init_state.
+        Returns the advanced carry (x, x_prev, vc, il, failed, per-block
+        iteration counts); with probe_mat set, also the (n_steps, P, B)
+        raw probe waveform block; for T-line decks the advanced ring
+        (B, Dmax, 2nT) is the LAST element."""
         B = self.B
         N, nCap, nL = self.N, self.nCap, self.nL
         nCapP, nLP = self.nCapP, self.nLP
@@ -947,22 +1029,35 @@ class PallasStepRunner:
         xpt = x_prev.T.astype(f32)
         vct = vc.T.astype(f32) if nCap else jnp.zeros((1, B), f32)
         ilt = il.T.astype(f32) if nL else jnp.zeros((1, B), f32)
+        nT = self.nT
+        if nT:
+            assert tlw is not None, "T-line deck needs the delay ring"
+            # (B, Dmax, 2nT) -> (Dmax, 2nT, B); Engine rings may be
+            # longer than Dmax (vmapped init pads to the batch max) —
+            # slots beyond Dmax are never read at this dt
+            tlt = jnp.moveaxis(tlw, 0, -1).astype(f32)[:self.Dmax]
+        else:
+            tlt = jnp.zeros((1, 1, B), f32)
         ft = failed.astype(f32)[None, :]
         step0_arr = jnp.asarray(step0, f32).reshape(1)
 
         lane = lambda *lead: pl.BlockSpec(lead + (TB,),
                                           lambda i: tuple([0] * len(lead)) + (i,))
         shared = lambda shape: pl.BlockSpec(shape, lambda i: tuple([0] * len(shape)))
+        DmaxP = self.Dmax if nT else 1
+        nTP2 = self.nTP2 if nT else 1
         out_shapes = [
             jax.ShapeDtypeStruct((N, B), f32),
             jax.ShapeDtypeStruct((N, B), f32),
             jax.ShapeDtypeStruct((nCapP, B), f32),
             jax.ShapeDtypeStruct((nLP, B), f32),
+            jax.ShapeDtypeStruct((DmaxP, nTP2, B), f32),
             jax.ShapeDtypeStruct((1, B), f32),
             jax.ShapeDtypeStruct((B // TB,), jnp.int32),
         ]
         out_specs = [
-            lane(N), lane(N), lane(nCapP), lane(nLP), lane(1),
+            lane(N), lane(N), lane(nCapP), lane(nLP),
+            lane(DmaxP, nTP2), lane(1),
             pl.BlockSpec((B // TB,), lambda i: (0,),
                          memory_space=pltpu.SMEM),
         ]
@@ -987,11 +1082,14 @@ class PallasStepRunner:
                 lane(*self.mosp.shape[:2]), lane(*self.diop.shape[:2]),
                 lane(*self.bjtp.shape[:2]), lane(*self.swp.shape[:2]),
                 lane(self.bconsts.shape[0]),
+                shared(self.M_tl_pm.shape), shared(self.M_tl_k.shape),
+                lane(self.tl_z0.shape[0]),
                 lane(self.nSP), lane(7, self.nSP), lane(5, self.nSP),
                 lane(*self.src_pwlt.shape[:2]),
                 lane(*self.src_pwlv.shape[:2]), lane(self.nSP),
                 lane(nCapP), lane(nLP),
-                lane(N), lane(N), lane(nCapP), lane(nLP), lane(1),
+                lane(N), lane(N), lane(nCapP), lane(nLP),
+                lane(DmaxP, nTP2), lane(1),
             ],
             out_specs=tuple(out_specs),
             out_shape=tuple(out_shapes),
@@ -1002,12 +1100,15 @@ class PallasStepRunner:
           jnp.asarray(self.kind_masks),
           self.G0invT, self.YT, self.Yc3, self.mosp, self.diop, self.bjtp,
           self.swp, self.bconsts,
+          jnp.asarray(self.M_tl_pm), jnp.asarray(self.M_tl_k), self.tl_z0,
           self.src_dc, self.src_pulse, self.src_sin,
           self.src_pwlt, self.src_pwlv, self.src_pwln,
-          self.gc, self.gl, xt, xpt, vct, ilt, ft)
-        xo, xpo, vco, ilo, fo, iters = outs[:6]
+          self.gc, self.gl, xt, xpt, vct, ilt, tlt, ft)
+        xo, xpo, vco, ilo, tlo, fo, iters = outs[:7]
         base = (xo.T, xpo.T, vco.T[:, :nCap], ilo.T[:, :nL],
                 fo[0] > 0.5, iters)
         if probe:
-            return base + (outs[6],)
+            base = base + (outs[7],)
+        if nT:
+            base = base + (jnp.moveaxis(tlo, -1, 0),)
         return base

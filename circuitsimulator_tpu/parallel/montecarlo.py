@@ -132,15 +132,19 @@ def fused_transient_measures(engine: Engine, bparams, tstep, tstop, sm,
         x0 = batched_dc_fast(engine, bparams)
     x0 = x0.astype(f32)
     B = x0.shape[0]
-    state0 = engine.init_state(x0)
+    state0 = (engine.init_state(x0, params=bparams, dt=dt)
+              if engine.n_tl else engine.init_state(x0))
     nP = sm.probe_matrix.shape[0]
     runner = pallas_step.PallasStepRunner(engine, bparams, dt,
                                           probe_mat=sm.probe_matrix)
     acc0 = sm.init(engine, x0)
+    nT = runner.nT
 
     def advance(carry, acc, step0, n):
-        out = runner.run_chunk(*carry, step0, n, interpret=interpret)
-        carry = out[:5]
+        core, tlw = carry
+        out = runner.run_chunk(*core, step0, n, interpret=interpret,
+                               tlw=tlw)
+        carry = (out[:5], out[-1] if nT else None)
         iters = out[5]
         raw = jnp.moveaxis(out[6][:, :nP, :], 1, 2)     # (n, B, nP)
         ys_all = sm.vals_from_raw(raw)
@@ -157,7 +161,9 @@ def fused_transient_measures(engine: Engine, bparams, tstep, tstop, sm,
     if n_full == 0:
         chunk, n_full, rem = n_steps, 1, 0
     jit_full = jax.jit(lambda c, a, s0: advance(c, a, s0, chunk))
-    carry = (x0, x0, state0["vc"], state0["il"], jnp.zeros((B,), bool))
+    carry = ((x0, x0, state0["vc"], state0["il"],
+              jnp.zeros((B,), bool)),
+             state0["tlw"] if nT else None)
     total_iters = jnp.zeros((runner.n_blocks,), jnp.int32)
     for i in range(n_full):
         carry, acc0, iters = jit_full(carry, acc0,
@@ -170,8 +176,9 @@ def fused_transient_measures(engine: Engine, bparams, tstep, tstop, sm,
         total_iters = total_iters + iters
 
     ts_all = jnp.arange(1, n_steps + 1, dtype=f32) * dt
-    res = TransientResult(times=ts_all, xs=None, x_final=carry[0],
-                          newton_iters=total_iters, failed=carry[4],
+    core = carry[0]
+    res = TransientResult(times=ts_all, xs=None, x_final=core[0],
+                          newton_iters=total_iters, failed=core[4],
                           n_steps=n_steps)
     return res, sm.finalize(acc0)
 
@@ -202,8 +209,8 @@ def batched_transient_measures(engine: Engine, bparams, tstep, tstop,
     if x0 is None:
         x0 = batched_dc_fast(engine, bparams)
     B = x0.shape[0]
-    eligible = (pallas_step.supported(engine) and B % 128 == 0
-                and engine.dtype == jnp.float32)
+    eligible = (pallas_step.supported(engine, float(tstep))
+                and B % 128 == 0 and engine.dtype == jnp.float32)
     if fused == "auto":
         fused = eligible and jax.default_backend() != "cpu"
     if fused:
@@ -287,7 +294,8 @@ def batched_transient(engine: Engine, bparams, tstep, tstop,
     per-128-lane-block chunk totals rather than per-lane per-step."""
     from ..ops import pallas_step
     B = jax.tree.leaves(bparams)[0].shape[0]
-    eligible = (not save_xs and pallas_step.supported(engine)
+    eligible = (not save_xs
+                and pallas_step.supported(engine, float(tstep))
                 and B % 128 == 0 and engine.dtype == jnp.float32)
     if fused == "auto":
         fused = eligible and jax.default_backend() != "cpu"
@@ -314,18 +322,24 @@ def _fused_batched_transient(engine: Engine, bparams, tstep, tstop,
     n_steps = n_steps_for(float(tstep), float(tstop))
     x0 = batched_dc_fast(engine, bparams).astype(f32)
     B = x0.shape[0]
-    state0 = engine.init_state(x0)
+    state0 = (engine.init_state(x0, params=bparams, dt=dt)
+              if engine.n_tl else engine.init_state(x0))
     runner = pallas_step.PallasStepRunner(engine, bparams, dt)
+    nT = runner.nT
 
     def advance(carry, step0, n):
-        out = runner.run_chunk(*carry, step0, n, interpret=interpret)
-        return out[:5], out[5]
+        core, tlw = carry
+        out = runner.run_chunk(*core, step0, n, interpret=interpret,
+                               tlw=tlw)
+        return (out[:5], out[-1] if nT else None), out[5]
 
     n_full, rem = divmod(n_steps, chunk)
     if n_full == 0:
         chunk, n_full, rem = n_steps, 1, 0
     jit_full = jax.jit(lambda c, s0: advance(c, s0, chunk))
-    carry = (x0, x0, state0["vc"], state0["il"], jnp.zeros((B,), bool))
+    carry = ((x0, x0, state0["vc"], state0["il"],
+              jnp.zeros((B,), bool)),
+             state0["tlw"] if nT else None)
     total_iters = jnp.zeros((runner.n_blocks,), jnp.int32)
     for i in range(n_full):
         carry, iters = jit_full(carry, jnp.asarray(i * chunk, f32))
@@ -335,6 +349,7 @@ def _fused_batched_transient(engine: Engine, bparams, tstep, tstop,
             carry, jnp.asarray(n_full * chunk, f32))
         total_iters = total_iters + iters
     ts_all = jnp.arange(1, n_steps + 1, dtype=f32) * dt
-    return TransientResult(times=ts_all, xs=None, x_final=carry[0],
-                           newton_iters=total_iters, failed=carry[4],
+    core = carry[0]
+    return TransientResult(times=ts_all, xs=None, x_final=core[0],
+                           newton_iters=total_iters, failed=core[4],
                            n_steps=n_steps)

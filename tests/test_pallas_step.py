@@ -384,3 +384,78 @@ def test_fused_step_bsource_deck():
     """B-source vjp rows in-kernel (I-form, V-form with a time term)."""
     _check(_run_both(_parity_opts(), steps=10, dt=1e-6, text=B_DECK,
                      from_dc=True), atol=1e-4)
+
+
+# transmission line: the Branin delay ring rides the VMEM chunk carry
+TL_DECK = """* T-line reflections + diode clamp at the far end
+V1 in 0 PULSE(0 1 1n 0.2n 0.2n 6n 0)
+RS in a 50
+T1 a 0 b 0 Z0=50 TD=2n
+RL b 0 200
+D1 b 0
+.op
+"""
+
+
+def test_supported_tline_dt_dependent():
+    sim = Simulator.from_text(TL_DECK)
+    assert not pallas_step.supported(sim.engine)          # no dt: general
+    assert pallas_step.supported(sim.engine, 0.25e-9)     # ticks = 8
+    assert not pallas_step.supported(sim.engine, 1e-12)   # ring too long
+
+
+def test_fused_step_tline_deck():
+    """Delay-ring carry: fused chunk vs XLA scan on a mismatched line."""
+    opts = _parity_opts()
+    sim = Simulator.from_text(TL_DECK, opts=opts)
+    engine = sim.engine
+    dt = 0.25e-9
+    B, steps = 128, 40
+    bp = perturb_params(sim.params, jax.random.key(0), B, {"res_r": 0.02})
+    from circuitsimulator_tpu.analysis.dc import dc_operating_point
+    x0 = jax.vmap(lambda p: dc_operating_point(engine, p))(bp)
+    x0 = x0.astype(jnp.float32)
+    state0 = jax.vmap(lambda p, xr: engine.init_state(xr, params=p, dt=dt),
+                      in_axes=(0, 0))(bp, x0)
+    predictor = opts.tran_predictor
+
+    def lane_fn(p, carry, ts):
+        st = transient_step_fn(engine, p, jnp.asarray(dt, jnp.float32),
+                               predictor=predictor)
+
+        def body(c, t):
+            c, (_, it) = st(c, t)
+            return c, it
+
+        return lax.scan(body, carry, ts)
+
+    ts = jnp.arange(1, steps + 1, dtype=jnp.float32) * dt
+    failed0 = jnp.zeros((B,), bool)
+    carry0 = ((x0, x0, state0, failed0) if predictor
+              else (x0, state0, failed0))
+    carry, _ = jax.vmap(lane_fn, in_axes=(0, 0, None))(bp, carry0, ts)
+    cx = np.asarray(carry[0])
+    cring = np.asarray(carry[-2]["tlw"])
+
+    runner = pallas_step.PallasStepRunner(engine, bp, dt)
+    out = runner.run_chunk(x0, x0, state0["vc"], state0["il"], failed0,
+                           0, steps, interpret=True, tlw=state0["tlw"])
+    np.testing.assert_allclose(np.asarray(out[0]), cx, atol=5e-6)
+    np.testing.assert_allclose(np.asarray(out[-1]),
+                               cring[:, :runner.Dmax], atol=5e-6)
+
+
+def test_fused_batched_transient_tline_dispatch():
+    """batched_transient auto path threads the ring through chunks."""
+    from circuitsimulator_tpu.parallel.montecarlo import batched_transient
+    opts = _parity_opts()
+    sim = Simulator.from_text(TL_DECK.replace(".op", ".TRAN 0.25n 20n"),
+                              opts=opts)
+    bp = perturb_params(sim.params, jax.random.key(1), 128,
+                        {"res_r": 0.02})
+    res = batched_transient(sim.engine, bp, 0.25e-9, 20e-9, fused=True)
+    assert not bool(np.asarray(res.failed).any())
+    # XLA reference (same trajectory family)
+    res_x = batched_transient(sim.engine, bp, 0.25e-9, 20e-9, fused=False)
+    np.testing.assert_allclose(np.asarray(res.x_final),
+                               np.asarray(res_x.x_final), atol=5e-5)
