@@ -607,7 +607,8 @@ class Simulator:
 
     def monte_carlo(self, n: int, seed: int = 0,
                     params: Optional[Any] = None,
-                    warm_start: bool = True):
+                    warm_start: bool = True,
+                    sampler: str = "mc"):
         """Netlist-driven Monte Carlo from `DEV=`/`LOT=` tolerances on
         R/C/L cards (the value) and M/J/D/Q instance cards (VT/VTO, IS,
         BF mismatch) — parallel/montecarlo.perturb_params_netlist.
@@ -623,7 +624,11 @@ class Simulator:
         perturbed lanes sit within a few percent of nominal, so this
         skips the 10-step source ramp per lane (same fixpoint and
         tolerance; see batched_dc_warm).  False restores the full ramp
-        (reference-schedule trajectories)."""
+        (reference-schedule trajectories).
+
+        sampler: "mc" (default, independent draws) | "lhs" | "sobol" |
+        "antithetic" — variance-reduction sampling plans for the same
+        lognormal tolerances (parallel/montecarlo.normal_draws)."""
         from .parallel.montecarlo import (
             perturb_params_netlist, batched_transient_measures,
             batched_dc_fast, batched_dc_warm)
@@ -631,7 +636,8 @@ class Simulator:
             raise ValueError("no DEV=/LOT= tolerances in the netlist")
         p = params if params is not None else self.params
         bp = perturb_params_netlist(p, jax.random.key(seed), n,
-                                    self.lowered.mc_tols)
+                                    self.lowered.mc_tols,
+                                    sampler=sampler)
         warm = warm_start and self.topo.has_nonlinear
 
         def dc_init():
@@ -669,11 +675,14 @@ class Simulator:
         return bp, dc_init()
 
     def yield_analysis(self, key, batch: int, rel_sigma, specs,
-                       params: Optional[Any] = None):
+                       params: Optional[Any] = None,
+                       sampler: str = "mc"):
         """Monte-Carlo yield over the .TRAN card with streaming .MEASURE
         scoring (parallel/montecarlo.yield_analysis): `rel_sigma` maps
         param names (e.g. "res_r", "mos_vth") to relative sigmas, `specs`
-        maps .MEASURE names to (low, high) acceptance bounds."""
+        maps .MEASURE names to (low, high) acceptance bounds.  sampler
+        selects the sampling plan ("mc" | "lhs" | "sobol" |
+        "antithetic")."""
         from .parallel.montecarlo import yield_analysis
         tran = self.config.tran
         if not tran.enabled:
@@ -685,7 +694,7 @@ class Simulator:
             params if params is not None else self.params,
             key, batch, rel_sigma,
             [m for m in self.config.measures if m.analysis == "tran"],
-            specs, tran.tstep, tran.tstop)
+            specs, tran.tstep, tran.tstop, sampler=sampler)
 
     def measure(self, result, analysis: str = "tran"):
         """.MEASURE evaluation (analysis/measure.py).  `result` matches

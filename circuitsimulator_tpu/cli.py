@@ -48,6 +48,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--run-mc-out", metavar="CSV", default="mc_out.csv",
                    help="per-lane Monte-Carlo results CSV "
                         "(default mc_out.csv)")
+    p.add_argument("--mc-sampler", default="mc",
+                   choices=["mc", "lhs", "sobol", "antithetic"],
+                   help="Monte-Carlo sampling plan: independent draws "
+                        "(mc, default), Latin hypercube, scrambled "
+                        "Sobol, or antithetic pairs — the stratified "
+                        "plans cut estimator variance at the same N")
     p.add_argument("--raw", metavar="RAWFILE", default=None,
                    help="also write results as an ngspice ASCII rawfile "
                         "(transient/AC/DC-sweep plots appended in order)")
@@ -291,7 +297,7 @@ def main(argv=None) -> int:
         n = args.run_mc
         print(f"\nRunning Monte-Carlo ({n} lanes, one batched solve)...")
         try:
-            _, out = sim.monte_carlo(n)
+            _, out = sim.monte_carlo(n, sampler=args.mc_sampler)
             if isinstance(out, dict):
                 names = list(out)
                 cols = [_np.asarray(out[k]).ravel() for k in names]

@@ -28,16 +28,97 @@ def broadcast_params(params: Dict[str, Any], batch: int) -> Dict[str, Any]:
         lambda a: jnp.broadcast_to(a, (batch,) + a.shape), params)
 
 
+def normal_draws(key, batch: int, dims: int, sampler: str = "mc"):
+    """(batch, dims) standard-normal draws under a sampling plan.
+
+    sampler:
+      "mc"         independent pseudo-random draws (plain Monte Carlo).
+      "lhs"        Latin-hypercube: each dimension's batch values fall in
+                   distinct equiprobable strata (one per lane, randomly
+                   permuted, jittered within the stratum), then mapped
+                   through the normal inverse CDF.  Same marginals as
+                   "mc", far lower variance of batch means.
+      "sobol"      scrambled Sobol low-discrepancy sequence (host-side
+                   scipy.stats.qmc, seeded from `key`) through the
+                   inverse CDF; best equidistribution when `batch` is a
+                   power of two.
+      "antithetic" mirrored pairs: lane i and lane batch//2 + i carry
+                   z and -z, cancelling the odd error component of any
+                   symmetric estimator.
+
+    All plans produce exactly-N(0,1) marginals; only the joint layout
+    across the batch differs, so downstream lognormal perturbation and
+    measure statistics are unchanged in expectation.
+    """
+    if sampler == "mc":
+        return jax.random.normal(key, (batch, dims))
+    if sampler == "antithetic":
+        half = (batch + 1) // 2
+        z = jax.random.normal(key, (half, dims))
+        return jnp.concatenate([z, -z], axis=0)[:batch]
+    if sampler == "lhs":
+        from jax.scipy.special import ndtri
+        k1, k2 = jax.random.split(key)
+        # one random permutation of the strata per dimension (argsort of
+        # iid uniforms), jittered uniformly inside each stratum
+        perm = jnp.argsort(jax.random.uniform(k1, (dims, batch)), axis=1)
+        u = jax.random.uniform(k2, (dims, batch))
+        return ndtri((perm.astype(jnp.float32) + u) / batch).T
+    if sampler == "sobol":
+        from jax.scipy.special import ndtri
+        try:
+            from scipy.stats import qmc
+        except ImportError as e:                      # pragma: no cover
+            raise ImportError(
+                "sampler='sobol' needs scipy; use 'lhs'") from e
+        import warnings
+        seed = int(np_mod.asarray(
+            jax.random.key_data(key)).ravel()[-1]) & 0x7FFFFFFF
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")           # non-2^k batch note
+            u = qmc.Sobol(d=dims, scramble=True, seed=seed).random(batch)
+        eps = np_mod.finfo(np_mod.float32).tiny
+        return ndtri(jnp.asarray(np_mod.clip(u, eps, 1.0 - eps),
+                                 jnp.float32))
+    raise ValueError(f"unknown sampler {sampler!r}; expected "
+                     "'mc' | 'lhs' | 'sobol' | 'antithetic'")
+
+
 def perturb_params(params: Dict[str, Any], key, batch: int,
                    rel_sigma: Mapping[str, float],
-                   dtype=None) -> Dict[str, Any]:
+                   dtype=None, sampler: str = "mc") -> Dict[str, Any]:
     """Batched lognormal perturbation: params[k] * exp(sigma * N(0,1)).
 
     `rel_sigma` maps param names (e.g. "mos_vth", "res_r") to relative
     sigmas; unlisted params are broadcast unperturbed.  Lognormal keeps
     physical positivity (R, C, K, ...).
+
+    sampler != "mc" selects a variance-reduction plan (normal_draws):
+    every scalar perturbation dimension across all named params becomes
+    one column of a joint (batch, dims) stratified draw.  "mc" keeps the
+    historical per-name independent draws bit-for-bit (stable seeds).
     """
     out = {}
+    if sampler != "mc":
+        names = [n for n in sorted(rel_sigma)
+                 if n in params and params[n].dtype.kind == "f"
+                 and params[n].size]
+        dims = sum(int(params[n].size) for n in names)
+        Z = normal_draws(key, batch, max(dims, 1), sampler)
+        off = 0
+        cols = {}
+        for n in names:
+            sz = int(params[n].size)
+            cols[n] = Z[:, off:off + sz].reshape(
+                (batch,) + params[n].shape)
+            off += sz
+        for name, arr in params.items():
+            if name in cols:
+                out[name] = arr[None] * jnp.exp(
+                    rel_sigma[name] * cols[name].astype(arr.dtype))
+            else:
+                out[name] = jnp.broadcast_to(arr, (batch,) + arr.shape)
+        return out
     keys = jax.random.split(key, len(rel_sigma))
     key_for = dict(zip(sorted(rel_sigma), keys))
     for name, arr in params.items():
@@ -52,14 +133,44 @@ def perturb_params(params: Dict[str, Any], key, batch: int,
 
 
 def perturb_params_netlist(params: Dict[str, Any], key, batch: int,
-                           mc_tols: Mapping[str, Any]) -> Dict[str, Any]:
+                           mc_tols: Mapping[str, Any],
+                           sampler: str = "mc") -> Dict[str, Any]:
     """Batched perturbation from netlist `DEV=`/`LOT=` tolerances
     (LoweredCircuit.mc_tols): value * exp(dev*N_dev + lot*N_lot), where
     N_dev is drawn independently per device per lane and N_lot is ONE
     draw per lane shared by every element carrying a LOT tolerance (the
     classic same-production-lot correlation).  Lognormal keeps physical
-    positivity, matching perturb_params."""
+    positivity, matching perturb_params.
+
+    sampler != "mc" stratifies the joint draw (normal_draws): the shared
+    lot dimension is column 0, per-device dev dimensions follow in
+    sorted-name order.  "mc" keeps the historical per-name draws
+    bit-for-bit."""
     out = {}
+    if sampler != "mc":
+        names = [n for n in sorted(mc_tols)
+                 if n in params and params[n].dtype.kind == "f"
+                 and params[n].size]
+        dims = 1 + sum(int(params[n].size) for n in names)
+        Z = normal_draws(key, batch, dims, sampler)
+        lot_noise = Z[:, :1]
+        off = 1
+        cols = {}
+        for n in names:
+            sz = int(params[n].size)
+            cols[n] = Z[:, off:off + sz].reshape(
+                (batch,) + params[n].shape)
+            off += sz
+        for name, arr in params.items():
+            if name in cols:
+                dev, lot = mc_tols[name]
+                sig = (jnp.asarray(dev, arr.dtype) * cols[name].astype(arr.dtype)
+                       + jnp.asarray(lot, arr.dtype)
+                       * lot_noise.astype(arr.dtype))
+                out[name] = arr[None] * jnp.exp(sig)
+            else:
+                out[name] = jnp.broadcast_to(arr, (batch,) + arr.shape)
+        return out
     keys = jax.random.split(key, len(mc_tols) + 1)
     lot_noise = jax.random.normal(keys[0], (batch, 1))
     key_for = dict(zip(sorted(mc_tols), keys[1:]))
@@ -239,7 +350,7 @@ def batched_transient_measures(engine: Engine, bparams, tstep, tstop,
 
 def yield_analysis(engine: Engine, topo, params, key, batch: int,
                    rel_sigma: Mapping[str, float], measures, specs,
-                   tstep, tstop):
+                   tstep, tstop, sampler: str = "mc"):
     """Monte-Carlo yield estimation, waveform-free.
 
     Perturb `batch` lanes (lognormal, rel_sigma), run the transient with
@@ -249,10 +360,15 @@ def yield_analysis(engine: Engine, topo, params, key, batch: int,
     the measurement arrays, the yield fraction, and its 95% Wilson
     confidence interval.  One compile, one batched run, O(1) waveform
     memory — this is the deployment shape of the engine: thousands of
-    corners scored per chip without materializing a single waveform."""
+    corners scored per chip without materializing a single waveform.
+
+    sampler: "mc" | "lhs" | "sobol" | "antithetic" (normal_draws) — the
+    stratified plans cut the run-to-run spread of the yield estimate for
+    the same batch size."""
     import math
     import numpy as np_
-    bparams = perturb_params(params, key, batch, rel_sigma)
+    bparams = perturb_params(params, key, batch, rel_sigma,
+                             sampler=sampler)
     res, vals = batched_transient_measures(engine, bparams, tstep, tstop,
                                            measures, topo)
     ok = np_.ones(batch, dtype=bool)
