@@ -676,13 +676,15 @@ class Simulator:
 
     def yield_analysis(self, key, batch: int, rel_sigma, specs,
                        params: Optional[Any] = None,
-                       sampler: str = "mc"):
+                       sampler: str = "mc", sigma_scale: float = 1.0):
         """Monte-Carlo yield over the .TRAN card with streaming .MEASURE
         scoring (parallel/montecarlo.yield_analysis): `rel_sigma` maps
         param names (e.g. "res_r", "mos_vth") to relative sigmas, `specs`
         maps .MEASURE names to (low, high) acceptance bounds.  sampler
         selects the sampling plan ("mc" | "lhs" | "sobol" |
-        "antithetic")."""
+        "antithetic"); sigma_scale > 1 enables scaled-sigma importance
+        sampling for high-sigma (rare-failure) yield with per-lane
+        likelihood-ratio weights."""
         from .parallel.montecarlo import yield_analysis
         tran = self.config.tran
         if not tran.enabled:
@@ -694,7 +696,8 @@ class Simulator:
             params if params is not None else self.params,
             key, batch, rel_sigma,
             [m for m in self.config.measures if m.analysis == "tran"],
-            specs, tran.tstep, tran.tstop, sampler=sampler)
+            specs, tran.tstep, tran.tstop, sampler=sampler,
+            sigma_scale=sigma_scale)
 
     def measure(self, result, analysis: str = "tran"):
         """.MEASURE evaluation (analysis/measure.py).  `result` matches

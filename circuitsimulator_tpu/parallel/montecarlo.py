@@ -350,7 +350,8 @@ def batched_transient_measures(engine: Engine, bparams, tstep, tstop,
 
 def yield_analysis(engine: Engine, topo, params, key, batch: int,
                    rel_sigma: Mapping[str, float], measures, specs,
-                   tstep, tstop, sampler: str = "mc"):
+                   tstep, tstop, sampler: str = "mc",
+                   sigma_scale: float = 1.0):
     """Monte-Carlo yield estimation, waveform-free.
 
     Perturb `batch` lanes (lognormal, rel_sigma), run the transient with
@@ -364,11 +365,53 @@ def yield_analysis(engine: Engine, topo, params, key, batch: int,
 
     sampler: "mc" | "lhs" | "sobol" | "antithetic" (normal_draws) — the
     stratified plans cut the run-to-run spread of the yield estimate for
-    the same batch size."""
+    the same batch size.
+
+    sigma_scale > 1 switches to scaled-sigma importance sampling for
+    HIGH-SIGMA yield (rare failures a plain batch would never hit): the
+    draws are inflated to N(0, sigma_scale²) so tail corners appear in
+    the batch, and each lane carries the exact lognormal likelihood
+    ratio w = prod_j s·exp(y_j²·(1/s² - 1)/2).  The failure probability
+    is then the weighted mean E[w·1{fail}] — unbiased for the NOMINAL
+    distribution — with a normal-approximation CI and the effective
+    sample size n_eff = (Σw)²/Σw² reported.  A 6-sigma spec measured
+    with a few thousand lanes at sigma_scale≈2-3 replaces the ~10⁹
+    plain-MC lanes the reference's one-lane-per-process flow would
+    need."""
     import math
     import numpy as np_
-    bparams = perturb_params(params, key, batch, rel_sigma,
-                             sampler=sampler)
+    if sigma_scale != 1.0:
+        names = [n for n in sorted(rel_sigma)
+                 if n in params and params[n].dtype.kind == "f"
+                 and params[n].size]
+        dims = sum(int(params[n].size) for n in names)
+        Z = normal_draws(key, batch, max(dims, 1), sampler)
+        Y = sigma_scale * Z
+        off = 0
+        bparams = {}
+        cols = {}
+        for nm in names:
+            sz = int(params[nm].size)
+            cols[nm] = Y[:, off:off + sz].reshape(
+                (batch,) + params[nm].shape)
+            off += sz
+        for nm, arr in params.items():
+            if nm in cols:
+                bparams[nm] = arr[None] * jnp.exp(
+                    rel_sigma[nm] * cols[nm].astype(arr.dtype))
+            else:
+                bparams[nm] = jnp.broadcast_to(arr, (batch,) + arr.shape)
+        # log-likelihood ratio of nominal N(0,1)^dims vs sampling
+        # N(0,s²)^dims at the drawn point y: sum_j [log s + y_j²(1/s²-1)/2]
+        s = sigma_scale
+        logw = (dims * math.log(s)
+                + np_.asarray(Y[:, :dims] ** 2).sum(axis=1)
+                * (1.0 / (s * s) - 1.0) / 2.0)
+        weights = np_.exp(logw)
+    else:
+        bparams = perturb_params(params, key, batch, rel_sigma,
+                                 sampler=sampler)
+        weights = None
     res, vals = batched_transient_measures(engine, bparams, tstep, tstop,
                                            measures, topo)
     ok = np_.ones(batch, dtype=bool)
@@ -382,17 +425,30 @@ def yield_analysis(engine: Engine, topo, params, key, batch: int,
         ok &= m
     ok &= ~np_.asarray(res.failed)
     n = batch
-    p = float(ok.mean())
     z = 1.959963984540054          # 95%
-    den = 1 + z * z / n
-    center = (p + z * z / (2 * n)) / den
-    half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / den
-    return {
+    out = {
         "pass": ok, "measures": {k: np_.asarray(v) for k, v in vals.items()},
-        "yield": p, "ci95": (max(0.0, center - half),
-                             min(1.0, center + half)),
         "n": n, "params": bparams, "failed": np_.asarray(res.failed),
     }
+    if weights is None:
+        p = float(ok.mean())
+        den = 1 + z * z / n
+        center = (p + z * z / (2 * n)) / den
+        half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / den
+        out["yield"] = p
+        out["ci95"] = (max(0.0, center - half), min(1.0, center + half))
+    else:
+        wf = weights * (~ok)                       # weighted failures
+        p_fail = float(wf.mean())
+        se = float(wf.std(ddof=1)) / math.sqrt(n)
+        out["yield"] = 1.0 - p_fail
+        out["p_fail"] = p_fail
+        out["p_fail_se"] = se
+        out["ci95"] = (max(0.0, 1.0 - (p_fail + z * se)),
+                       min(1.0, 1.0 - max(0.0, p_fail - z * se)))
+        out["weights"] = weights
+        out["n_eff"] = float(weights.sum() ** 2 / (weights ** 2).sum())
+    return out
 
 
 def batched_transient(engine: Engine, bparams, tstep, tstop,
