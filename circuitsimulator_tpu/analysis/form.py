@@ -1,0 +1,143 @@
+"""FORM worst-case analysis: most-probable-failure-point search.
+
+First-Order Reliability Method on top of the reverse-differentiable
+transient (analysis/adjoint.diff_transient) — a capability the
+reference's one-deck-per-process C++ flow (SURVEY.md §2) cannot
+express, enabled here by JAX end-to-end gradients.
+
+The lognormal Monte-Carlo model (parallel/montecarlo.perturb_params)
+maps a standard-normal vector z to parameters
+``p_j = nominal_j · exp(sigma_j · z_j)``.  Given a limit-state function
+``g(times, xs)`` with the convention **g < 0 = failure** (nominal must
+pass), the most probable failure point is
+
+    z* = argmin ||z||²  s.t.  g(z) = 0,
+
+found by the Hasofer-Lind / Rackwitz-Fiessler iteration
+
+    z_{k+1} = (∇g·z_k − g(z_k)) ∇g / ||∇g||²,
+
+each step costing ONE differentiable transient (forward + adjoint
+backward sweep, parameter-count independent).  The reliability index
+β = ||z*|| yields the FORM failure estimate Φ(−β) — exact when the
+failure boundary is linear in z, and the returned unit direction
+``alpha = z*/β`` is the canonical importance-sampling shift /
+design-centering direction for the parameters that matter.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Mapping
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.assemble import Engine
+from .adjoint import diff_transient
+
+
+def _phi_tail(beta: float) -> float:
+    return 0.5 * math.erfc(beta / math.sqrt(2.0))
+
+
+def mpp_search(engine: Engine, params, rel_sigma: Mapping[str, float],
+               tstep, tstop,
+               g_fn: Callable,
+               max_iter: int = 25, tol: float = 1e-6,
+               damping: float = 1.0):
+    """Most-probable-failure-point search (HL-RF).
+
+    rel_sigma maps param names to relative lognormal sigmas (the same
+    contract as perturb_params / yield_analysis); every scalar dimension
+    of each named leaf becomes one standard-normal coordinate.  g_fn
+    takes the differentiable transient's (times, xs) and returns the
+    scalar limit state (g < 0 = failure).
+
+    Returns a dict: beta (reliability index, sigmas-to-failure), p_fail
+    (FORM estimate Φ(−β)), z_star, alpha (unit importance direction),
+    params_star (the worst-case parameter set ON the failure boundary),
+    g_nominal, n_iter, converged.
+    """
+    dtype = engine.dtype
+    names = [n for n in sorted(rel_sigma)
+             if n in params and params[n].dtype.kind == "f"
+             and params[n].size]
+    if not names:
+        raise ValueError("rel_sigma names no perturbable parameter")
+    sizes = [int(params[n].size) for n in names]
+    dims = sum(sizes)
+
+    def params_of_z(z):
+        out = dict(params)
+        off = 0
+        for n, sz in zip(names, sizes):
+            col = z[off:off + sz].reshape(params[n].shape)
+            out[n] = params[n] * jnp.exp(rel_sigma[n]
+                                         * col.astype(params[n].dtype))
+            off += sz
+        return out
+
+    def g(z):
+        times, xs = diff_transient(engine, params_of_z(z), tstep, tstop)
+        return jnp.asarray(g_fn(times, xs), dtype)
+
+    g_grad = jax.jit(jax.value_and_grad(g))
+    z = jnp.zeros((dims,), dtype)
+    g0 = None
+    converged = False
+    it = 0
+    for it in range(1, max_iter + 1):
+        val, grad = g_grad(z)
+        if g0 is None:
+            g0 = float(val)
+            if g0 < 0:
+                raise ValueError(
+                    f"nominal design already fails (g(0) = {g0:.3g}); "
+                    "FORM needs a passing nominal")
+        gg = float(jnp.dot(grad, grad))
+        if not math.isfinite(gg) or gg == 0.0:
+            break
+        z_new = (jnp.dot(grad, z) - val) * grad / gg
+        if damping != 1.0:
+            z_new = z + damping * (z_new - z)
+        step = float(jnp.linalg.norm(z_new - z))
+        z = z_new
+        if step < tol * max(1.0, float(jnp.linalg.norm(z))):
+            converged = True
+            break
+    beta = float(jnp.linalg.norm(z))
+    alpha = z / beta if beta > 0 else z
+    return {
+        "beta": beta,
+        "p_fail": _phi_tail(beta),
+        "z_star": z,
+        "alpha": alpha,
+        "params_star": params_of_z(z),
+        "dims": dims,
+        "names": names,
+        "g_nominal": g0,
+        "n_iter": it,
+        "converged": converged,
+    }
+
+
+def limit_state_find_at(eq_index: int, t_at: float,
+                        low=None, high=None):
+    """Limit state for a `FIND V(node) AT=t` spec: linear interpolation
+    of xs[:, eq_index] at t_at, against a (low, high) acceptance window
+    (either bound may be None).  g < 0 = out of window."""
+    if low is None and high is None:
+        raise ValueError("need at least one bound")
+
+    def g_fn(times, xs):
+        v = jnp.interp(jnp.asarray(t_at, times.dtype), times,
+                       xs[:, eq_index])
+        gs = []
+        if low is not None:
+            gs.append(v - low)
+        if high is not None:
+            gs.append(high - v)
+        return gs[0] if len(gs) == 1 else jnp.minimum(*gs)
+
+    return g_fn

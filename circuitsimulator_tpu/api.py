@@ -699,6 +699,34 @@ class Simulator:
             specs, tran.tstep, tran.tstop, sampler=sampler,
             sigma_scale=sigma_scale)
 
+    def worst_case(self, rel_sigma, g_fn=None, probe: str = None,
+                   at: float = None, low=None, high=None,
+                   params: Optional[Any] = None, **kw):
+        """FORM worst-case analysis (analysis/form.mpp_search): find the
+        most probable failure point in the standard-normal mismatch
+        space of `rel_sigma`, via gradient (adjoint) HL-RF iterations.
+        Returns beta (sigmas-to-failure), the FORM p_fail = Φ(−β), the
+        worst-case parameter set, and the importance direction alpha.
+
+        Either pass `g_fn(times, xs) -> scalar` (g < 0 = failure) or the
+        shorthand probe/at/low/high for a `FIND V(probe) AT=at` window
+        spec.  Needs a .TRAN card."""
+        from .analysis.form import mpp_search, limit_state_find_at
+        tran = self.config.tran
+        if not tran.enabled:
+            raise ValueError("worst-case analysis needs a .TRAN card")
+        if g_fn is None:
+            if probe is None or at is None:
+                raise ValueError("pass g_fn or probe/at/low/high")
+            nid = self.circuit.node_name_to_id.get(probe)
+            if nid is None:
+                raise KeyError(f"unknown node {probe!r}")
+            eqi = self.circuit.nodes[nid].eq_index
+            g_fn = limit_state_find_at(eqi, at, low=low, high=high)
+        return mpp_search(self.engine,
+                          params if params is not None else self.params,
+                          rel_sigma, tran.tstep, tran.tstop, g_fn, **kw)
+
     def measure(self, result, analysis: str = "tran"):
         """.MEASURE evaluation (analysis/measure.py).  `result` matches
         the analysis: a TransientResult ("tran", axis = time), an ACResult

@@ -1,0 +1,122 @@
+"""FORM worst-case / most-probable-failure-point search (analysis/form.py).
+
+Both validation decks have CLOSED-FORM reliability indices: the
+lognormal map makes their failure boundaries exactly linear in z-space,
+where FORM is exact.
+"""
+
+import math
+
+import numpy as np
+import pytest
+import jax
+
+from circuitsimulator_tpu import Simulator
+
+
+def _phi_tail(b):
+    return 0.5 * math.erfc(b / math.sqrt(2.0))
+
+
+DIVIDER = """* divider worst case
+V1 in 0 DC 1
+R1 in out 1k
+R2 out 0 1k
+.TRAN 1e-6 4e-6
+.end
+"""
+
+SIG = 0.05
+
+
+def test_divider_beta_exact():
+    # V(out) = r2/(r1+r2); fail {V < Vc} ⟺ (z2-z1)/√2 < -c: beta = c.
+    # The engine keeps the reference's gmin shunt stamped through the
+    # transient (the documented "gmin leak", ~5e-4 on this divider), so
+    # the real boundary sits ~0.4% off the ideal closed form.
+    c = 3.5
+    L = -c * SIG * math.sqrt(2.0)
+    vc = math.exp(L) / (1.0 + math.exp(L))
+    sim = Simulator.from_text(DIVIDER)
+    out = sim.worst_case({"res_r": SIG}, probe="out", at=3e-6, low=vc)
+    assert out["converged"]
+    assert out["beta"] == pytest.approx(c, rel=5e-3)
+    assert out["p_fail"] == pytest.approx(_phi_tail(c), rel=0.1)
+    # importance direction: R1 up, R2 down, equal magnitude
+    a = np.asarray(out["alpha"])
+    assert a[0] == pytest.approx(1 / math.sqrt(2), rel=1e-2)
+    assert a[1] == pytest.approx(-1 / math.sqrt(2), rel=1e-2)
+    assert out["g_nominal"] > 0
+    # the worst-case parameter set sits ON the engine's real failure
+    # boundary: re-simulating at params_star gives g = 0
+    from circuitsimulator_tpu.analysis.form import limit_state_find_at
+    from circuitsimulator_tpu.analysis.adjoint import diff_transient
+    eqi = sim.circuit.nodes[sim.circuit.node_name_to_id["out"]].eq_index
+    g_fn = limit_state_find_at(eqi, 3e-6, low=vc)
+    times, xs = diff_transient(sim.engine, out["params_star"],
+                               1e-6, 4e-6)
+    assert abs(float(g_fn(times, xs))) < 1e-8 * out["g_nominal"]
+
+
+def test_form_matches_importance_sampling():
+    # cross-validate the two rare-event estimators on the same spec
+    c = 3.5
+    L = -c * SIG * math.sqrt(2.0)
+    vc = math.exp(L) / (1.0 + math.exp(L))
+    sim = Simulator.from_text("""* divider yield
+V1 in 0 DC 1
+R1 in out 1k
+R2 out 0 1k
+.TRAN 1e-6 4e-6
+.MEASURE TRAN vend FIND V(out) AT=3e-6
+.end
+""")
+    form = sim.worst_case({"res_r": SIG}, probe="out", at=3e-6, low=vc)
+    mc = sim.yield_analysis(jax.random.key(0), 4096, {"res_r": SIG},
+                            {"vend": (vc, None)}, sigma_scale=3.0)
+    assert form["p_fail"] == pytest.approx(mc["p_fail"],
+                                           abs=3 * mc["p_fail_se"])
+
+
+def test_rc_time_constant_beta():
+    # vend = 1 - exp(-t/RC) at t; fail {vend < Vc} ⟺ RC too big
+    # ⟺ z_R + z_C > |L|/sig: beta = |L|/(sig·√2)
+    sig = 0.1
+    L = 0.35
+    beta_true = L / (sig * math.sqrt(2.0))
+    t_at, tau0 = 1e-3, 1e-3
+    vc = 1.0 - math.exp(-t_at / (tau0 * math.exp(L)))
+    sim = Simulator.from_text("""* rc worst case
+V1 in 0 PULSE(0 1 0 1n 1n 1 1)
+R1 in out 1k
+C1 out 0 1u
+.TRAN 2e-5 2e-3
+.end
+""")
+    out = sim.worst_case({"res_r": sig, "cap_c": sig},
+                         probe="out", at=t_at, low=vc)
+    assert out["converged"]
+    # BE time discretization + the stamped gmin shift the boundary a
+    # few percent off the continuous-time closed form; FORM itself is
+    # exact on the engine's boundary (checked via alpha + g(z*) = 0)
+    assert out["beta"] == pytest.approx(beta_true, rel=0.05)
+    a = np.asarray(out["alpha"])
+    assert a[0] == pytest.approx(a[1], rel=1e-3)       # R and C symmetric
+
+def test_nominal_failure_raises():
+    sim = Simulator.from_text(DIVIDER)
+    with pytest.raises(ValueError):
+        sim.worst_case({"res_r": SIG}, probe="out", at=3e-6, low=0.9)
+
+
+def test_needs_bounds_and_tran():
+    sim = Simulator.from_text(DIVIDER)
+    with pytest.raises(ValueError):
+        sim.worst_case({"res_r": SIG}, probe="out", at=3e-6)
+    sim2 = Simulator.from_text("""* no tran
+V1 in 0 DC 1
+R1 in 0 1k
+.op
+""")
+    with pytest.raises(ValueError):
+        sim2.worst_case({"res_r": SIG}, probe="in", at=1e-6, low=0.5)
