@@ -676,7 +676,8 @@ class Simulator:
 
     def yield_analysis(self, key, batch: int, rel_sigma, specs,
                        params: Optional[Any] = None,
-                       sampler: str = "mc", sigma_scale: float = 1.0):
+                       sampler: str = "mc", sigma_scale: float = 1.0,
+                       shift=None):
         """Monte-Carlo yield over the .TRAN card with streaming .MEASURE
         scoring (parallel/montecarlo.yield_analysis): `rel_sigma` maps
         param names (e.g. "res_r", "mos_vth") to relative sigmas, `specs`
@@ -684,7 +685,9 @@ class Simulator:
         selects the sampling plan ("mc" | "lhs" | "sobol" |
         "antithetic"); sigma_scale > 1 enables scaled-sigma importance
         sampling for high-sigma (rare-failure) yield with per-lane
-        likelihood-ratio weights."""
+        likelihood-ratio weights; shift= (e.g. worst_case()'s z_star)
+        centers the draws on the most probable failure point —
+        MPP-centered IS, the classic second stage after FORM."""
         from .parallel.montecarlo import yield_analysis
         tran = self.config.tran
         if not tran.enabled:
@@ -697,7 +700,7 @@ class Simulator:
             key, batch, rel_sigma,
             [m for m in self.config.measures if m.analysis == "tran"],
             specs, tran.tstep, tran.tstop, sampler=sampler,
-            sigma_scale=sigma_scale)
+            sigma_scale=sigma_scale, shift=shift)
 
     def worst_case(self, rel_sigma, g_fn=None, probe: str = None,
                    at: float = None, low=None, high=None,

@@ -351,7 +351,7 @@ def batched_transient_measures(engine: Engine, bparams, tstep, tstop,
 def yield_analysis(engine: Engine, topo, params, key, batch: int,
                    rel_sigma: Mapping[str, float], measures, specs,
                    tstep, tstop, sampler: str = "mc",
-                   sigma_scale: float = 1.0):
+                   sigma_scale: float = 1.0, shift=None):
     """Monte-Carlo yield estimation, waveform-free.
 
     Perturb `batch` lanes (lognormal, rel_sigma), run the transient with
@@ -377,16 +377,24 @@ def yield_analysis(engine: Engine, topo, params, key, batch: int,
     sample size n_eff = (Σw)²/Σw² reported.  A 6-sigma spec measured
     with a few thousand lanes at sigma_scale≈2-3 replaces the ~10⁹
     plain-MC lanes the reference's one-lane-per-process flow would
-    need."""
+    need.
+
+    shift (dims-long vector in the sorted-name z layout, e.g.
+    worst_case()'s z_star) centers the sampling density on the most
+    probable failure point — MPP-centered mean-shift IS, the classic
+    second stage after a FORM search, with far lower estimator variance
+    than sigma_scale alone.  Both may combine: N(shift, sigma_scale²)."""
     import math
     import numpy as np_
-    if sigma_scale != 1.0:
+    if sigma_scale != 1.0 or shift is not None:
         names = [n for n in sorted(rel_sigma)
                  if n in params and params[n].dtype.kind == "f"
                  and params[n].size]
         dims = sum(int(params[n].size) for n in names)
-        Z = normal_draws(key, batch, max(dims, 1), sampler)
-        Y = sigma_scale * Z
+        Z = normal_draws(key, batch, max(dims, 1), sampler)[:, :dims]
+        mu = (jnp.zeros((dims,), Z.dtype) if shift is None
+              else jnp.asarray(shift, Z.dtype).reshape(dims))
+        Y = mu[None, :] + sigma_scale * Z
         off = 0
         bparams = {}
         cols = {}
@@ -401,12 +409,15 @@ def yield_analysis(engine: Engine, topo, params, key, batch: int,
                     rel_sigma[nm] * cols[nm].astype(arr.dtype))
             else:
                 bparams[nm] = jnp.broadcast_to(arr, (batch,) + arr.shape)
-        # log-likelihood ratio of nominal N(0,1)^dims vs sampling
-        # N(0,s²)^dims at the drawn point y: sum_j [log s + y_j²(1/s²-1)/2]
+        # log-likelihood ratio of nominal N(0,1)^dims vs the sampling
+        # density N(mu, s²)^dims at the drawn point y:
+        # sum_j [log s − y_j²/2 + (y_j − mu_j)²/(2s²)]
         s = sigma_scale
+        Yn = np_.asarray(Y)
+        mun = np_.asarray(mu)
         logw = (dims * math.log(s)
-                + np_.asarray(Y[:, :dims] ** 2).sum(axis=1)
-                * (1.0 / (s * s) - 1.0) / 2.0)
+                - (Yn ** 2).sum(axis=1) / 2.0
+                + ((Yn - mun[None, :]) ** 2).sum(axis=1) / (2.0 * s * s))
         weights = np_.exp(logw)
     else:
         bparams = perturb_params(params, key, batch, rel_sigma,

@@ -87,6 +87,30 @@ def test_is_composes_with_stratified_samplers():
         assert out["weights"].shape == (2048,)
 
 
+def test_mpp_centered_two_stage_flow():
+    # the textbook high-sigma flow: FORM search finds the most probable
+    # failure point, then mean-shift IS centered there gives an unbiased
+    # low-variance estimate — tighter than scaled-sigma IS at the same
+    # batch size
+    c = 3.5
+    vc = _vc_for(c)
+    p_true = _phi(-c)
+    sim = _deck()
+    form = sim.worst_case({"res_r": SIG}, probe="out", at=3e-6, low=vc)
+    assert form["converged"]
+    shifted = sim.yield_analysis(jax.random.key(7), 1024, {"res_r": SIG},
+                                 {"vend": (vc, None)},
+                                 shift=form["z_star"])
+    scaled = sim.yield_analysis(jax.random.key(7), 1024, {"res_r": SIG},
+                                {"vend": (vc, None)}, sigma_scale=3.0)
+    assert abs(shifted["p_fail"] - p_true) < 3.0 * shifted["p_fail_se"]
+    assert shifted["p_fail"] == pytest.approx(p_true, rel=0.25)
+    # MPP-centered IS is the lower-variance estimator
+    assert shifted["p_fail_se"] < scaled["p_fail_se"]
+    # mean-shift puts ~half the lanes in the failure region
+    assert 0.2 < float((~shifted["pass"]).mean()) < 0.8
+
+
 def test_plain_batch_cannot_see_the_tail():
     # documents WHY sigma_scale exists: at 3.5 sigma a 2048-lane plain
     # batch usually scores zero failures (yield exactly 1.0)
