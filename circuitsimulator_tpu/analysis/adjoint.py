@@ -74,10 +74,12 @@ def _make_diff_step(engine: Engine, dt, method: str):
     static_I_of = engine.make_tran_static_I(dt, method)
 
     def r_tran(x, params, state, t):
-        """Exact per-step KCL residual at fixed dt (pure assembly)."""
+        """Exact per-step KCL residual at fixed dt (pure assembly).  `t`
+        threads into the nonlinear tier so time-dependent behavioral
+        expressions linearize (and differentiate) at the right time."""
         G_s = engine.tran_static_G(params, dt, gmin, method)
         I_s = static_I_of(params, state, t)
-        G, I = engine.assemble_tran_iter(G_s, I_s, params, x)
+        G, I = engine.assemble_tran_iter(G_s, I_s, params, x, t)
         return (jnp.einsum("...ij,...j->...i", G[..., :N, :N], x)
                 - I[..., :N])
 
@@ -89,7 +91,7 @@ def _make_diff_step(engine: Engine, dt, method: str):
             return (~c["done"]) & (c["iter"] < opts.tran_max_newton_iters)
 
         def body(c):
-            G, I = engine.assemble_tran_iter(G_s, I_s, params, c["x"])
+            G, I = engine.assemble_tran_iter(G_s, I_s, params, c["x"], t)
             x_raw = lu_solve(G[..., :N, :N], I[..., :N],
                              opts.lu_pivot_floor)
             finite = jnp.all(jnp.isfinite(x_raw), axis=-1)
@@ -117,7 +119,7 @@ def _make_diff_step(engine: Engine, dt, method: str):
         params, state, t, x = res
         G_s = engine.tran_static_G(params, dt, gmin, method)
         I_s = static_I_of(params, state, t)
-        G, _ = engine.assemble_tran_iter(G_s, I_s, params, x)
+        G, _ = engine.assemble_tran_iter(G_s, I_s, params, x, t)
         lam = lu_solve(jnp.swapaxes(G[..., :N, :N], -1, -2), xbar,
                        engine.opts.lu_pivot_floor)
         _, vjp = jax.vjp(
@@ -165,19 +167,13 @@ def diff_transient(engine: Engine, params, tstep, tstop):
         ts = jnp.arange(1, n_steps + 1, dtype=dtype) * dt
     update_state = engine.make_update_state(dt, method)
 
-    if engine.b_uses_time:
-        raise NotImplementedError(
-            "reverse-mode transient adjoint does not thread time into "
-            "behavioral expressions; use forward-mode "
-            "transient_sensitivity")
-    if engine.n_tl:
-        raise NotImplementedError(
-            "reverse-mode transient adjoint does not support "
-            "transmission lines yet (delay state is excluded from the "
-            "implicit-differentiation carry); use forward-mode "
-            "transient_sensitivity")
     x0 = dc_solve(params)
-    state0 = engine.init_state(x0)
+    # T-line decks carry the Branin delay ring in the state pytree; the
+    # scan's reverse sweep differentiates the ring push (a concatenate)
+    # and the custom_vjp step pulls cotangents through the delayed-wave
+    # reads in make_tran_static_I automatically.
+    state0 = (engine.init_state(x0, params=params, dt=float(tstep))
+              if engine.n_tl else engine.init_state(x0))
 
     def step(carry, t):
         x, state = carry
