@@ -374,7 +374,8 @@ def yield_analysis(engine: Engine, topo, params, key, batch: int,
     ratio w = prod_j s·exp(y_j²·(1/s² - 1)/2).  The failure probability
     is then the weighted mean E[w·1{fail}] — unbiased for the NOMINAL
     distribution — with a normal-approximation CI and the effective
-    sample size n_eff = (Σw)²/Σw² reported.  A 6-sigma spec measured
+    number of failure samples n_eff = (Σw_fail)²/Σw_fail² reported (the
+    IS convergence diagnostic; aim for ≳50).  A 6-sigma spec measured
     with a few thousand lanes at sigma_scale≈2-3 replaces the ~10⁹
     plain-MC lanes the reference's one-lane-per-process flow would
     need.
@@ -458,7 +459,12 @@ def yield_analysis(engine: Engine, topo, params, key, batch: int,
         out["ci95"] = (max(0.0, 1.0 - (p_fail + z * se)),
                        min(1.0, 1.0 - max(0.0, p_fail - z * se)))
         out["weights"] = weights
-        out["n_eff"] = float(weights.sum() ** 2 / (weights ** 2).sum())
+        # IS convergence diagnostic: the effective number of FAILURE
+        # samples (the estimator only sums failing-lane weights; a huge
+        # bulk-lane weight is irrelevant to its variance)
+        wsum = float(wf.sum())
+        w2sum = float((wf ** 2).sum())
+        out["n_eff"] = wsum * wsum / w2sum if w2sum > 0 else 0.0
     return out
 
 

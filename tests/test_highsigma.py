@@ -49,7 +49,7 @@ def test_high_sigma_rare_failure():
     sim = _deck()
     out = sim.yield_analysis(jax.random.key(0), 4096, {"res_r": SIG},
                              {"vend": (vc, None)}, sigma_scale=3.0)
-    assert out["n_eff"] > 100
+    assert out["n_eff"] > 30        # effective FAILURE samples
     assert out["p_fail_se"] < 0.5 * out["p_fail"]
     assert abs(out["p_fail"] - p_true) < 3.0 * out["p_fail_se"]
     assert 0.3 * p_true < out["p_fail"] < 3.0 * p_true
