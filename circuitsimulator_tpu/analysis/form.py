@@ -122,6 +122,61 @@ def mpp_search(engine: Engine, params, rel_sigma: Mapping[str, float],
     }
 
 
+def mismatch_budget(engine: Engine, params, rel_sigma: Mapping[str, float],
+                    tstep, tstop, m_fn: Callable):
+    """Linearized variance decomposition of a scalar metric over the
+    mismatch space: ONE adjoint pass gives dM/dz_j for every dimension
+    at the nominal point, so Var[M] ≈ Σ_j (dM/dz_j)² and each
+    parameter's share is its squared sigma-weighted gradient — the
+    designer's variance budget ("which device eats my margin"), at the
+    cost of a single transient instead of a regression over a batch.
+
+    m_fn(times, xs) -> scalar metric.  Returns a dict: sigma_m (the
+    linearized metric sigma), m_nominal, and contributions — a list of
+    (param_name, index_within_leaf, variance_share) sorted descending.
+    """
+    dtype = engine.dtype
+    names = [n for n in sorted(rel_sigma)
+             if n in params and params[n].dtype.kind == "f"
+             and params[n].size]
+    if not names:
+        raise ValueError("rel_sigma names no perturbable parameter")
+    sizes = [int(params[n].size) for n in names]
+    dims = sum(sizes)
+
+    def params_of_z(z):
+        out = dict(params)
+        off = 0
+        for n, sz in zip(names, sizes):
+            col = z[off:off + sz].reshape(params[n].shape)
+            out[n] = params[n] * jnp.exp(rel_sigma[n]
+                                         * col.astype(params[n].dtype))
+            off += sz
+        return out
+
+    def m(z):
+        times, xs = diff_transient(engine, params_of_z(z), tstep, tstop)
+        return jnp.asarray(m_fn(times, xs), dtype)
+
+    m0, grad = jax.value_and_grad(m)(jnp.zeros((dims,), dtype))
+    g2 = jnp.asarray(grad) ** 2
+    var = float(g2.sum())
+    shares = (g2 / var) if var > 0 else g2
+    contributions = []
+    off = 0
+    for n, sz in zip(names, sizes):
+        for i in range(sz):
+            contributions.append((n, i, float(shares[off + i])))
+        off += sz
+    contributions.sort(key=lambda c: -c[2])
+    return {
+        "m_nominal": float(m0),
+        "sigma_m": math.sqrt(var),
+        "grad_z": grad,
+        "contributions": contributions,
+    }
+
+
 def limit_state_find_at(eq_index: int, t_at: float,
                         low=None, high=None):
     """Limit state for a `FIND V(node) AT=t` spec: linear interpolation

@@ -730,6 +730,33 @@ class Simulator:
                           params if params is not None else self.params,
                           rel_sigma, tran.tstep, tran.tstop, g_fn, **kw)
 
+    def mismatch_budget(self, rel_sigma, m_fn=None, probe: str = None,
+                        at: float = None, params: Optional[Any] = None):
+        """Linearized mismatch variance budget
+        (analysis/form.mismatch_budget): one adjoint pass ranks every
+        mismatch dimension's share of the metric variance.  Pass
+        `m_fn(times, xs) -> scalar`, or probe/at for the value of
+        V(probe) at time `at`.  Needs a .TRAN card."""
+        from .analysis.form import mismatch_budget
+        import jax.numpy as _jnp
+        tran = self.config.tran
+        if not tran.enabled:
+            raise ValueError("mismatch budget needs a .TRAN card")
+        if m_fn is None:
+            if probe is None or at is None:
+                raise ValueError("pass m_fn or probe/at")
+            nid = self.circuit.node_name_to_id.get(probe)
+            if nid is None:
+                raise KeyError(f"unknown node {probe!r}")
+            eqi = self.circuit.nodes[nid].eq_index
+
+            def m_fn(times, xs):
+                return _jnp.interp(_jnp.asarray(at, times.dtype), times,
+                                   xs[:, eqi])
+        return mismatch_budget(self.engine,
+                               params if params is not None else self.params,
+                               rel_sigma, tran.tstep, tran.tstop, m_fn)
+
     def measure(self, result, analysis: str = "tran"):
         """.MEASURE evaluation (analysis/measure.py).  `result` matches
         the analysis: a TransientResult ("tran", axis = time), an ACResult

@@ -103,6 +103,65 @@ C1 out 0 1u
     a = np.asarray(out["alpha"])
     assert a[0] == pytest.approx(a[1], rel=1e-3)       # R and C symmetric
 
+def test_mismatch_budget_divider():
+    # V(out) = r2/(r1+r2): dV/dz1 = -0.25*SIG, dV/dz2 = +0.25*SIG at
+    # nominal — equal shares, and sigma_m = 0.25*SIG*sqrt(2)
+    sim = Simulator.from_text(DIVIDER)
+    out = sim.mismatch_budget({"res_r": SIG}, probe="out", at=3e-6)
+    assert out["m_nominal"] == pytest.approx(0.5, abs=1e-3)
+    assert out["sigma_m"] == pytest.approx(0.25 * SIG * math.sqrt(2),
+                                           rel=5e-3)
+    (n1, i1, s1), (n2, i2, s2) = out["contributions"]
+    assert n1 == n2 == "res_r"
+    assert s1 == pytest.approx(0.5, rel=5e-3)
+    assert s2 == pytest.approx(0.5, rel=5e-3)
+    # gradient signs: R1 up pulls V(out) down, R2 up pushes it up
+    g = np.asarray(out["grad_z"])
+    assert g[0] < 0 < g[1]
+
+
+def test_mismatch_budget_unequal_sigmas():
+    # doubling one resistor's sigma quadruples its variance share:
+    # shares 4:1 -> 80% / 20%
+    sim = Simulator.from_text("""* unequal
+V1 in 0 DC 1
+R1 in out 1k
+R2 out 0 1k
+.TRAN 1e-6 4e-6
+.end
+""")
+    from circuitsimulator_tpu.analysis.form import mismatch_budget
+    import jax.numpy as jnp
+    eqi = sim.circuit.nodes[sim.circuit.node_name_to_id["out"]].eq_index
+
+    def m_fn(times, xs):
+        return xs[-1, eqi]
+
+    # per-dimension sigmas via two separate single-name budgets is not
+    # expressible (rel_sigma is per-leaf), so scale through params:
+    # equivalently, verify the scaling law on the divider by comparing
+    # sigma_m at SIG and 2*SIG
+    a = mismatch_budget(sim.engine, sim.params, {"res_r": SIG},
+                        1e-6, 4e-6, m_fn)
+    b = mismatch_budget(sim.engine, sim.params, {"res_r": 2 * SIG},
+                        1e-6, 4e-6, m_fn)
+    assert b["sigma_m"] == pytest.approx(2 * a["sigma_m"], rel=1e-6)
+
+
+def test_budget_matches_mc_spread():
+    # the linearized sigma_m must predict the actual batched MC spread
+    sim = Simulator.from_text(DIVIDER)
+    out = sim.mismatch_budget({"res_r": SIG}, probe="out", at=3e-6)
+    from circuitsimulator_tpu.parallel.montecarlo import (
+        perturb_params, batched_transient)
+    bp = perturb_params(sim.params, jax.random.key(0), 512,
+                        {"res_r": SIG}, sampler="lhs")
+    res = batched_transient(sim.engine, bp, 1e-6, 4e-6)
+    eqi = sim.circuit.nodes[sim.circuit.node_name_to_id["out"]].eq_index
+    v = np.asarray(res.x_final)[:, eqi]
+    assert v.std() == pytest.approx(out["sigma_m"], rel=0.05)
+
+
 def test_nominal_failure_raises():
     sim = Simulator.from_text(DIVIDER)
     with pytest.raises(ValueError):
