@@ -45,7 +45,8 @@ def mpp_search(engine: Engine, params, rel_sigma: Mapping[str, float],
                tstep, tstop,
                g_fn: Callable,
                max_iter: int = 25, tol: float = 1e-6,
-               damping: float = 1.0):
+               damping: float = 1.0,
+               design_grads=None):
     """Most-probable-failure-point search (HL-RF).
 
     rel_sigma maps param names to relative lognormal sigmas (the same
@@ -58,6 +59,13 @@ def mpp_search(engine: Engine, params, rel_sigma: Mapping[str, float],
     (FORM estimate Φ(−β)), z_star, alpha (unit importance direction),
     params_star (the worst-case parameter set ON the failure boundary),
     g_nominal, n_iter, converged.
+
+    design_grads: list of param names (e.g. ["res_r", "cap_c"]) to
+    return dβ/d(nominal) for — the DESIGN-CENTERING gradient.  The FORM
+    sensitivity identity dβ/dp = (∂g/∂p)/‖∇_z g‖ at the MPP makes this
+    one extra VJP: gradient-ascend the returned "dbeta" pytree to
+    maximize yield.  Names may overlap rel_sigma (the nominal inside
+    the lognormal map) or be any other float parameter.
     """
     dtype = engine.dtype
     names = [n for n in sorted(rel_sigma)
@@ -68,15 +76,18 @@ def mpp_search(engine: Engine, params, rel_sigma: Mapping[str, float],
     sizes = [int(params[n].size) for n in names]
     dims = sum(sizes)
 
-    def params_of_z(z):
-        out = dict(params)
+    def params_of_z_base(base, z):
+        out = dict(base)
         off = 0
         for n, sz in zip(names, sizes):
-            col = z[off:off + sz].reshape(params[n].shape)
-            out[n] = params[n] * jnp.exp(rel_sigma[n]
-                                         * col.astype(params[n].dtype))
+            col = z[off:off + sz].reshape(base[n].shape)
+            out[n] = base[n] * jnp.exp(rel_sigma[n]
+                                       * col.astype(base[n].dtype))
             off += sz
         return out
+
+    def params_of_z(z):
+        return params_of_z_base(params, z)
 
     def g(z):
         times, xs = diff_transient(engine, params_of_z(z), tstep, tstop)
@@ -108,7 +119,25 @@ def mpp_search(engine: Engine, params, rel_sigma: Mapping[str, float],
             break
     beta = float(jnp.linalg.norm(z))
     alpha = z / beta if beta > 0 else z
+    extras = {}
+    if design_grads:
+        # FORM design sensitivity at the MPP: dβ/dp = (∂g/∂p)/‖∇_z g‖
+        _, grad_z = g_grad(z)
+        gnorm = float(jnp.linalg.norm(grad_z))
+        pdes = {k: params[k] for k in design_grads}
+        rest = {k: v for k, v in params.items() if k not in design_grads}
+
+        def g_of_design(pd):
+            base = {**rest, **pd}
+            times, xs = diff_transient(engine, params_of_z_base(base, z),
+                                       tstep, tstop)
+            return jnp.asarray(g_fn(times, xs), dtype)
+
+        gp = jax.grad(g_of_design)(pdes)
+        extras["dbeta"] = {k: v / gnorm for k, v in gp.items()}
+        extras["grad_z_norm"] = gnorm
     return {
+        **extras,
         "beta": beta,
         "p_fail": _phi_tail(beta),
         "z_star": z,

@@ -103,6 +103,30 @@ C1 out 0 1u
     a = np.asarray(out["alpha"])
     assert a[0] == pytest.approx(a[1], rel=1e-3)       # R and C symmetric
 
+def test_design_centering_gradient():
+    # dβ/d(nominal) at the MPP: analytic for the divider
+    # (β = [ln(vc/(1−vc)) − ln(r2/r1)]/(−s√2)): dβ/dr2 = 1/(r2·s·√2);
+    # cross-checked by finite differences of two full FORM searches
+    c = 3.0
+    L = -c * SIG * math.sqrt(2.0)
+    vc = math.exp(L) / (1.0 + math.exp(L))
+    sim = Simulator.from_text(DIVIDER)
+    out = sim.worst_case({"res_r": SIG}, probe="out", at=3e-6, low=vc,
+                         design_grads=["res_r"])
+    db = np.asarray(out["dbeta"]["res_r"])
+    ana = 1.0 / (1e3 * SIG * math.sqrt(2.0))
+    assert db[1] == pytest.approx(ana, rel=0.02)       # R2 up -> safer
+    assert db[0] == pytest.approx(-ana, rel=0.02)      # R1 up -> riskier
+    # finite-difference cross-check on R2
+    h = 1e-3
+    p2 = dict(sim.params)
+    p2["res_r"] = sim.params["res_r"].at[1].add(h * 1e3)
+    out2 = sim.worst_case({"res_r": SIG}, probe="out", at=3e-6, low=vc,
+                          params=p2)
+    fd = (out2["beta"] - out["beta"]) / (h * 1e3)
+    assert db[1] == pytest.approx(fd, rel=1e-3)
+
+
 def test_mismatch_budget_divider():
     # V(out) = r2/(r1+r2): dV/dz1 = -0.25*SIG, dV/dz2 = +0.25*SIG at
     # nominal — equal shares, and sigma_m = 0.25*SIG*sqrt(2)
