@@ -730,6 +730,27 @@ class Simulator:
                           params if params is not None else self.params,
                           rel_sigma, tran.tstep, tran.tstop, g_fn, **kw)
 
+    def sobol_indices(self, key, n: int, rel_sigma,
+                      params: Optional[Any] = None, sampler: str = "lhs"):
+        """Global variance-based sensitivity of every `.MEASURE TRAN`
+        value: first-order (S1) and total-effect (ST) Sobol indices over
+        the mismatch space (parallel/montecarlo.sobol_indices).  All
+        (dims+2)·n Saltelli evaluations run as ONE batched transient;
+        ST−S1 > 0 exposes parameter interactions the linearized
+        mismatch_budget cannot see.  Needs .TRAN + .MEASURE cards."""
+        from .parallel.montecarlo import sobol_indices
+        tran = self.config.tran
+        if not tran.enabled:
+            raise ValueError("Sobol indices need a .TRAN card")
+        ms = [m for m in self.config.measures if m.analysis == "tran"]
+        if not ms:
+            raise ValueError("Sobol indices need .MEASURE TRAN cards")
+        return sobol_indices(
+            self.engine, self.topo,
+            params if params is not None else self.params,
+            key, n, rel_sigma, ms, tran.tstep, tran.tstop,
+            sampler=sampler)
+
     def mismatch_budget(self, rel_sigma, m_fn=None, probe: str = None,
                         at: float = None, params: Optional[Any] = None):
         """Linearized mismatch variance budget

@@ -84,6 +84,36 @@ def normal_draws(key, batch: int, dims: int, sampler: str = "mc"):
                      "'mc' | 'lhs' | 'sobol' | 'antithetic'")
 
 
+def _z_layout(params, rel_sigma):
+    """Column layout of the joint z-space: perturbable names in sorted
+    order, one column per scalar dimension of each leaf."""
+    names = [n for n in sorted(rel_sigma)
+             if n in params and params[n].dtype.kind == "f"
+             and params[n].size]
+    sizes = [int(params[n].size) for n in names]
+    return names, sizes, sum(sizes)
+
+
+def _params_from_Z(params, rel_sigma, Z):
+    """Apply the lognormal mismatch map to a (batch, dims) z matrix in
+    the _z_layout column order."""
+    names, sizes, _ = _z_layout(params, rel_sigma)
+    batch = Z.shape[0]
+    out = {}
+    off = 0
+    cols = {}
+    for n, sz in zip(names, sizes):
+        cols[n] = Z[:, off:off + sz].reshape((batch,) + params[n].shape)
+        off += sz
+    for name, arr in params.items():
+        if name in cols:
+            out[name] = arr[None] * jnp.exp(
+                rel_sigma[name] * cols[name].astype(arr.dtype))
+        else:
+            out[name] = jnp.broadcast_to(arr, (batch,) + arr.shape)
+    return out
+
+
 def perturb_params(params: Dict[str, Any], key, batch: int,
                    rel_sigma: Mapping[str, float],
                    dtype=None, sampler: str = "mc") -> Dict[str, Any]:
@@ -388,28 +418,12 @@ def yield_analysis(engine: Engine, topo, params, key, batch: int,
     import math
     import numpy as np_
     if sigma_scale != 1.0 or shift is not None:
-        names = [n for n in sorted(rel_sigma)
-                 if n in params and params[n].dtype.kind == "f"
-                 and params[n].size]
-        dims = sum(int(params[n].size) for n in names)
+        _, _, dims = _z_layout(params, rel_sigma)
         Z = normal_draws(key, batch, max(dims, 1), sampler)[:, :dims]
         mu = (jnp.zeros((dims,), Z.dtype) if shift is None
               else jnp.asarray(shift, Z.dtype).reshape(dims))
         Y = mu[None, :] + sigma_scale * Z
-        off = 0
-        bparams = {}
-        cols = {}
-        for nm in names:
-            sz = int(params[nm].size)
-            cols[nm] = Y[:, off:off + sz].reshape(
-                (batch,) + params[nm].shape)
-            off += sz
-        for nm, arr in params.items():
-            if nm in cols:
-                bparams[nm] = arr[None] * jnp.exp(
-                    rel_sigma[nm] * cols[nm].astype(arr.dtype))
-            else:
-                bparams[nm] = jnp.broadcast_to(arr, (batch,) + arr.shape)
+        bparams = _params_from_Z(params, rel_sigma, Y)
         # log-likelihood ratio of nominal N(0,1)^dims vs the sampling
         # density N(mu, s²)^dims at the drawn point y:
         # sum_j [log s − y_j²/2 + (y_j − mu_j)²/(2s²)]
@@ -465,6 +479,57 @@ def yield_analysis(engine: Engine, topo, params, key, batch: int,
         wsum = float(wf.sum())
         w2sum = float((wf ** 2).sum())
         out["n_eff"] = wsum * wsum / w2sum if w2sum > 0 else 0.0
+    return out
+
+
+def sobol_indices(engine: Engine, topo, params, key, n: int,
+                  rel_sigma: Mapping[str, float], measures,
+                  tstep, tstop, sampler: str = "lhs"):
+    """Global variance-based sensitivity: first-order and total-effect
+    Sobol indices of every .MEASURE value over the mismatch space.
+
+    Saltelli scheme: two independent draw matrices A, B (n lanes each)
+    plus d column-swapped hybrids AB_j — all (d+2)·n evaluations run as
+    ONE batched transient with streaming measures, the shape this
+    engine is built for.  Estimators (Saltelli 2010 / Jansen):
+
+        S_j = mean(f_B·(f_ABj − f_A)) / Var(f)        (first order)
+        T_j = mean((f_A − f_ABj)²) / (2·Var(f))       (total effect)
+
+    T_j − S_j > 0 exposes interactions the linearized mismatch_budget
+    cannot see.  Returns {measure: {"S1": (dims,), "ST": (dims,),
+    "dims": [(name, idx), ...], "var": float}}.
+    """
+    import numpy as np_
+    names, sizes, dims = _z_layout(params, rel_sigma)
+    if dims == 0:
+        raise ValueError("rel_sigma names no perturbable parameter")
+    kA, kB = jax.random.split(key)
+    A = normal_draws(kA, n, dims, sampler)
+    Bm = normal_draws(kB, n, dims, sampler)
+    blocks = [A, Bm]
+    for j in range(dims):
+        ABj = A.at[:, j].set(Bm[:, j])
+        blocks.append(ABj)
+    Z = jnp.concatenate(blocks, axis=0)           # ((d+2)·n, dims)
+    bparams = _params_from_Z(params, rel_sigma, Z)
+    _, vals = batched_transient_measures(engine, bparams, tstep, tstop,
+                                         measures, topo)
+    dim_labels = []
+    for nm, sz in zip(names, sizes):
+        dim_labels += [(nm, i) for i in range(sz)]
+    out = {}
+    for name, v in vals.items():
+        f = np_.asarray(v).reshape(dims + 2, n)
+        fA, fB = f[0], f[1]
+        var = float(np_.concatenate([fA, fB]).var())
+        S1 = np_.empty(dims)
+        ST = np_.empty(dims)
+        for j in range(dims):
+            fABj = f[2 + j]
+            S1[j] = float((fB * (fABj - fA)).mean()) / var
+            ST[j] = float(((fA - fABj) ** 2).mean()) / (2 * var)
+        out[name] = {"S1": S1, "ST": ST, "dims": dim_labels, "var": var}
     return out
 
 
