@@ -231,10 +231,15 @@ def transient_step_fn(engine: Engine, params, dt, predictor: bool = False,
 
 def run_transient(engine: Engine, params, tstep, tstop,
                   x0: Optional[Any] = None, save_xs: bool = True,
-                  mesh=None):
+                  mesh=None, noise_key=None):
     """Full transient run.  x0 defaults to the DC operating point.
     mesh: domain-decompose the (blockband) solve across devices — see
-    transient_step_fn."""
+    transient_step_fn.
+    noise_key: PRNG key activating TRNOISE sources (extension) — white
+    Gaussian noise values (per-source RMS na, hold interval nt) are
+    drawn per step inside the scan via counter-keyed fold_in (O(1)
+    memory, reproducible, per-lane distinct under vmap with split
+    keys); without a key the run is deterministic."""
     dtype = engine.dtype
     # concrete even while tracing under jit: tstep is a bound static and
     # the transmission-line ring length must be a compile-time constant
@@ -244,7 +249,7 @@ def run_transient(engine: Engine, params, tstep, tstop,
 
     if x0 is None:
         x0 = dc_operating_point(engine, params)
-    state0 = engine.init_state(x0, params, dt)
+    state0 = engine.init_state(x0, params, dt, noise_key=noise_key)
     failed0 = jnp.zeros(x0.shape[:-1], dtype=bool)
     predictor = engine.opts.tran_predictor
     carry0 = (x0, x0, state0, failed0) if predictor else (x0, state0, failed0)

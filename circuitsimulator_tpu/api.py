@@ -288,7 +288,8 @@ class Simulator:
                   tstop: Optional[float] = None,
                   save_xs: bool = True,
                   adaptive: bool = False,
-                  uic: Optional[bool] = None) -> TransientResult:
+                  uic: Optional[bool] = None,
+                  noise_seed: Optional[int] = 0) -> TransientResult:
         """Backward-Euler/trapezoidal transient; defaults to the netlist's
         .TRAN card.  Compiled executables are cached per (tstep, tstop,
         save_xs) so repeated calls (parameter sweeps) do not re-trace.
@@ -296,7 +297,12 @@ class Simulator:
         adaptive=True uses the LTE-controlled dyadic-refinement integrator
         (analysis/adaptive.py): output rows stay on the .TRAN grid but the
         internal dt refines down to tstep/2**opts.tran_max_refine_levels
-        where the local truncation error demands it."""
+        where the local truncation error demands it.
+
+        Decks with TRNOISE sources run with transient noise on, seeded
+        by noise_seed (default 0 — reproducible; change it for a fresh
+        realization); noise_seed=None disables the noise.  No effect on
+        noise-free decks."""
         cfg = self.config.tran
         tstep = cfg.tstep if tstep is None else tstep
         tstop = cfg.tstop if tstop is None else tstop
@@ -306,8 +312,10 @@ class Simulator:
         p = params if params is not None else self.params
         uic = self.config.tran.uic if uic is None else uic
         x0 = self._initial_conditions_x0(uic)
+        noisy = (noise_seed is not None and not adaptive
+                 and self.engine.has_trnoise)
         key = (float(tstep), float(tstop), bool(save_xs), bool(adaptive),
-               x0 is not None)
+               x0 is not None, noisy)
         if key not in self._tran_jit:
             # bounded: a timestep-sweep study would otherwise retain one
             # compiled executable per distinct (tstep, tstop)
@@ -321,9 +329,12 @@ class Simulator:
             self._tran_jit[key] = jax.jit(functools.partial(
                 run, self.engine,
                 tstep=tstep, tstop=tstop, save_xs=save_xs))
+        kw = {}
+        if noisy:
+            kw["noise_key"] = jax.random.key(noise_seed)
         if x0 is not None:
-            return self._tran_jit[key](p, x0=x0)
-        return self._tran_jit[key](p)
+            return self._tran_jit[key](p, x0=x0, **kw)
+        return self._tran_jit[key](p, **kw)
 
     def steady_state(self, params: Optional[Any] = None,
                      f0: Optional[float] = None,

@@ -180,6 +180,7 @@ def _pack_sources(specs, dtype):
     pwl_n = np.zeros(n, dtype=np.int32)
     ac_mag = np.zeros(n)
     ac_phase = np.zeros(n)
+    tn = np.zeros((n, 2))
     for i, s in enumerate(specs):
         w = s.wave
         dc[i] = s.dc
@@ -188,6 +189,7 @@ def _pack_sources(specs, dtype):
         sin[i] = [w.v0, w.va, w.freq, w.std, w.phi]
         ac_mag[i] = s.ac_mag
         ac_phase[i] = s.ac_phase_deg
+        tn[i] = [s.tn_na, s.tn_nt]
         m = len(w.pwl_t)
         pwl_n[i] = m
         if m:
@@ -200,6 +202,7 @@ def _pack_sources(specs, dtype):
         "pwl_n": jnp.asarray(pwl_n),
         "ac_mag": jnp.asarray(ac_mag, dtype),
         "ac_phase": jnp.asarray(ac_phase, dtype),
+        "tn": jnp.asarray(tn, dtype),
     }
 
 

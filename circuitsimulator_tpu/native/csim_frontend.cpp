@@ -483,6 +483,7 @@ struct ElementRec {
     double eg, xti;           // IS(T) scaling, diode + BJT (ABI v12)
     double ic;                // C/L IC= initial condition (ABI v13)
     int32_t has_ic;           // 1 when an IC= was given (UIC only)
+    double tn_na, tn_nt;      // TRNOISE(na nt) on V/I sources (ABI v14)
 };
 
 struct NodeRec {
@@ -1427,6 +1428,41 @@ public:
         }
     }
 
+    void parse_trnoise(const Statement& st, ElementRec& e, size_t from) {
+        // TRNOISE(na [nt]) anywhere after the source value (extension):
+        // white Gaussian transient noise, RMS na, hold interval nt
+        // (mirror of netlist/parser.py _parse_trnoise)
+        const auto& t = st.tokens;
+        for (size_t j = from; j < t.size(); ++j) {
+            std::string head = lower(t[j]);
+            if (head.rfind("trnoise", 0) != 0) continue;
+            std::vector<double> vals;
+            std::string first = head.size() > 7 ? head.substr(7) : "";
+            auto push_tok = [&](std::string a) {
+                a.erase(std::remove_if(a.begin(), a.end(),
+                                       [](char c) {
+                                           return c == '(' || c == ')';
+                                       }),
+                        a.end());
+                if (a.empty()) return true;
+                double v;
+                if (!parse_spice(a, &v)) return false;
+                vals.push_back(v);
+                return true;
+            };
+            push_tok(first);
+            for (size_t i = j + 1; i < t.size(); ++i)
+                if (!push_tok(t[i])) break;
+            if (vals.empty()) {
+                warn(st.line_no, "TRNOISE needs an amplitude: " + st.raw);
+                return;
+            }
+            e.tn_na = vals[0];
+            if (vals.size() > 1) e.tn_nt = vals[1];
+            return;
+        }
+    }
+
     void parse_ac_spec(const Statement& st, ElementRec& e) {
         const auto& t = st.tokens;
         for (size_t i = 3; i + 1 < t.size(); ++i) {
@@ -1460,7 +1496,8 @@ public:
             idx = 5;
         } else if (low3 == "sin" || low3 == "ac" ||
                    low3.rfind("pulse", 0) == 0 || low3.rfind("pwl", 0) == 0 ||
-                   low3.rfind("exp", 0) == 0 || low3.rfind("sffm", 0) == 0) {
+                   low3.rfind("exp", 0) == 0 || low3.rfind("sffm", 0) == 0 ||
+                   low3.rfind("trnoise", 0) == 0) {
             e.dc = 0.0;
             idx = 3;
         } else {
@@ -1469,6 +1506,7 @@ public:
         }
         parse_waveform(st, e, idx);
         parse_ac_spec(st, e);
+        parse_trnoise(st, e, idx);
         e.nodes[0] = node(t[1]);
         e.nodes[1] = node(t[2]);
         out.elements.push_back(e);
@@ -1490,7 +1528,8 @@ public:
             idx = 5;
         } else if (low3 == "sin" || low3 == "ac" ||
                    low3.rfind("pulse", 0) == 0 || low3.rfind("pwl", 0) == 0 ||
-                   low3.rfind("exp", 0) == 0 || low3.rfind("sffm", 0) == 0) {
+                   low3.rfind("exp", 0) == 0 || low3.rfind("sffm", 0) == 0 ||
+                   low3.rfind("trnoise", 0) == 0) {
             e.dc = 0.0;
             idx = 3;
         } else {
@@ -1499,6 +1538,7 @@ public:
         }
         parse_waveform(st, e, idx);
         parse_ac_spec(st, e);
+        parse_trnoise(st, e, idx);
         e.nodes[0] = node(t[1]);
         e.nodes[1] = node(t[2]);
         out.elements.push_back(e);
@@ -3163,5 +3203,5 @@ const char* csim_strpool(void* h) { return FE.str_pool.c_str(); }
 const void* csim_config(void* h) { return &FE.config; }
 const char* csim_diagnostics(void* h) { return FE.diagnostics.c_str(); }
 
-int32_t csim_abi_version(void) { return 13; }
+int32_t csim_abi_version(void) { return 14; }
 }

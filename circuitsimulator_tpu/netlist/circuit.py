@@ -58,6 +58,11 @@ class SourceSpec:
     ac_mag: float = 0.0
     ac_phase_deg: float = 0.0
     wave: Waveform = dataclasses.field(default_factory=Waveform)
+    # TRNOISE(na nt) extension: white Gaussian transient noise with RMS
+    # amplitude na, sample-and-hold interval nt (0 = redraw every step),
+    # ADDED to the deterministic waveform (superset of the ngspice form)
+    tn_na: float = 0.0
+    tn_nt: float = 0.0
 
     def eval_dc(self, scale: float) -> float:
         """Reference sim.hpp:152-158: SIN sources fold the sine's v0 offset

@@ -558,6 +558,24 @@ class NetlistParser:
                           f"cannot parse AC spec: {e} in '{st.raw}'")
                 return
 
+    def _parse_trnoise(self, st: Statement, spec: SourceSpec,
+                       start: int) -> None:
+        """TRNOISE(na [nt]) anywhere after the source value (extension):
+        white Gaussian transient noise, RMS na, sample-hold interval nt
+        (0 = redraw every solver step), added to the deterministic
+        waveform."""
+        for j in range(start, len(st.tokens)):
+            if st.tokens[j].lower().startswith("trnoise"):
+                vals = self._wave_args(st.tokens, j, "trnoise")
+                if not vals:
+                    _warn(st.line_no,
+                          f"TRNOISE needs an amplitude: {st.raw}")
+                    return
+                spec.tn_na = vals[0]
+                if len(vals) > 1:
+                    spec.tn_nt = vals[1]
+                return
+
     def _parse_vsource(self, st: Statement) -> None:
         t = st.tokens
         if len(t) < 4:
@@ -572,7 +590,8 @@ class NetlistParser:
                 idx = 5
             elif (low3 == "sin" or low3 == "ac"
                   or low3.startswith("pulse") or low3.startswith("pwl")
-                  or low3.startswith("exp") or low3.startswith("sffm")):
+                  or low3.startswith("exp") or low3.startswith("sffm")
+                  or low3.startswith("trnoise")):
                 spec.dc = 0.0
                 idx = 3
             else:
@@ -602,6 +621,7 @@ class NetlistParser:
                 self._parse_sffm(st, spec, j)
                 break
         self._parse_ac_spec(st, spec)
+        self._parse_trnoise(st, spec, idx)
         self.ckt.add_voltage_source(t[0], t[1], t[2], spec)
 
     def _parse_isource(self, st: Statement) -> None:
@@ -622,7 +642,8 @@ class NetlistParser:
                 idx = 5
             elif (low3 == "sin" or low3 == "ac"
                   or low3.startswith("pulse") or low3.startswith("pwl")
-                  or low3.startswith("exp") or low3.startswith("sffm")):
+                  or low3.startswith("exp") or low3.startswith("sffm")
+                  or low3.startswith("trnoise")):
                 spec.dc = 0.0
                 idx = 3
             else:
@@ -649,6 +670,7 @@ class NetlistParser:
                 self._parse_sffm(st, spec, j)
                 break
         self._parse_ac_spec(st, spec)
+        self._parse_trnoise(st, spec, idx)
         self.ckt.add_current_source(t[0], t[1], t[2], spec)
 
     def _parse_mosfet(self, st: Statement) -> None:

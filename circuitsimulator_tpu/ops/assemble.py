@@ -193,6 +193,10 @@ class Engine:
         # kept STRUCTURALLY identical to the reference path so batched
         # lanes stay bit-identical to unbatched runs (a tested invariant)
         self.mos_body = bool(np.any(np.asarray(low.params["mos_gamma"])))
+        # TRNOISE(na nt) sources present?  (static: na is not a MC knob)
+        self.has_trnoise = bool(
+            np.any(np.asarray(low.params["vs_tn"])[..., 0] > 0)
+            or np.any(np.asarray(low.params["is_tn"])[..., 0] > 0))
         self.bjt_early = bool(np.any(np.asarray(low.params["bjt_vaf"])))
         self.res_tc = bool(np.any(np.asarray(low.params["res_tc1"]))
                            or np.any(np.asarray(low.params["res_tc2"])))
@@ -701,6 +705,11 @@ class Engine:
                 params["is_dc"], params["is_pulse"],
                 params["is_sin"], params["is_pwl_t"], params["is_pwl_v"],
                 params["is_pwl_n"], t)
+            if "tn_v" in state:
+                # TRNOISE: this step's noise values ride the state (drawn
+                # by make_update_state; constant across Newton iterations)
+                vval = vval + state["tn_v"]
+                ival = ival + state["tn_i"]
 
             L = params["ind_l"]
             C = self._caplike_C(params)
@@ -785,14 +794,40 @@ class Engine:
         vl = xe[..., self.topo.ind_ep] - xe[..., self.topo.ind_em]
         return vc, il, vl
 
-    def init_state(self, x, params=None, dt=None):
+    def trnoise_draw(self, tn, key, salt: int, step, dt):
+        """Per-source white-noise values for solver step `step` (1-based,
+        t = step·dt): value_s = na_s · N(0,1) drawn at hold index
+        j_s = floor(t/nt_s) (nt = 0 → redraw every step), keyed by
+        (key, salt, source index, j) so the realization is reproducible,
+        vmap-batchable over lanes, and constant within a hold window."""
+        na = tn[..., 0]
+        nt = tn[..., 1]
+        step_f = jnp.asarray(step, self.dtype)
+        j = jnp.where(nt > 0,
+                      jnp.floor(step_f * dt / jnp.maximum(nt, 1e-30)),
+                      step_f).astype(jnp.int32)
+        base = jax.random.fold_in(key, salt)
+
+        def one(s, jv):
+            k = jax.random.fold_in(jax.random.fold_in(base, s), jv)
+            return jax.random.normal(k, (), self.dtype)
+
+        vals = jax.vmap(one)(jnp.arange(tn.shape[0], dtype=jnp.int32), j)
+        return na * vals
+
+    def init_state(self, x, params=None, dt=None, noise_key=None):
         """TranState from a DC solution (tanalisis.cpp:139-180): cap-like
         voltages and inductor currents; the trapezoidal extras start at the
         DC values i_C = 0, v_L = 0 (caps open / inductors shorted at DC).
 
         With transmission lines present, `params` and `dt` are required:
         the delay ring buffer (..., Dmax, 2*nT) starts filled with the DC
-        waves (the line begins in steady state)."""
+        waves (the line begins in steady state).
+
+        noise_key (TRNOISE decks): a jax PRNG key enabling transient
+        noise — the state then carries this step's per-source noise
+        values (tn_v/tn_i), the key, and the step counter; omit it for a
+        noise-free (deterministic) run."""
         vc, il, _ = self._state_parts(x)
         state = {"vc": vc, "ic": jnp.zeros_like(vc),
                  "il": il, "vl": jnp.zeros_like(il)}
@@ -805,6 +840,17 @@ class Engine:
             w = self._tl_wave_now(params, x)             # (..., 2nT)
             state["tlw"] = jnp.broadcast_to(
                 w[..., None, :], w.shape[:-1] + (dmax, 2 * self.n_tl))
+        if noise_key is not None and self.has_trnoise:
+            if params is None or dt is None:
+                raise ValueError("TRNOISE needs init_state(x, params, dt, "
+                                 "noise_key)")
+            dtv = jnp.asarray(dt, self.dtype)
+            state["tn_key"] = noise_key
+            state["tn_step"] = jnp.asarray(1, jnp.int32)
+            state["tn_v"] = self.trnoise_draw(params["vs_tn"], noise_key,
+                                              0, 1, dtv)
+            state["tn_i"] = self.trnoise_draw(params["is_tn"], noise_key,
+                                              1, 1, dtv)
         return state
 
     def make_update_state(self, dt, method: str = "be"):
@@ -830,6 +876,19 @@ class Engine:
                 ring = state["tlw"]
                 new["tlw"] = jnp.concatenate(
                     [w[..., None, :], ring[..., :-1, :]], axis=-2)
+            if "tn_key" in state:
+                # TRNOISE: draw the NEXT step's noise values (the draw is
+                # keyed by hold index, so lax.stop_gradient keeps reverse
+                # AD from trying to differentiate the PRNG)
+                key = state["tn_key"]
+                nstep = state["tn_step"] + 1
+                dtv = jnp.asarray(dt, self.dtype)
+                new["tn_key"] = key
+                new["tn_step"] = nstep
+                new["tn_v"] = jax.lax.stop_gradient(self.trnoise_draw(
+                    params["vs_tn"], key, 0, nstep, dtv))
+                new["tn_i"] = jax.lax.stop_gradient(self.trnoise_draw(
+                    params["is_tn"], key, 1, nstep, dtv))
             return new
 
         return f

@@ -534,7 +534,8 @@ def sobol_indices(engine: Engine, topo, params, key, n: int,
 
 
 def batched_transient(engine: Engine, bparams, tstep, tstop,
-                      save_xs: bool = False, fused: str = "auto"):
+                      save_xs: bool = False, fused: str = "auto",
+                      noise_key=None):
     """vmap'd Backward-Euler transient over a params batch.
 
     With save_xs=False only final state / iteration counts / failure flags
@@ -545,12 +546,16 @@ def batched_transient(engine: Engine, bparams, tstep, tstop,
     kernel (ops/pallas_step.py) when the circuit is in its scope, the
     batch is a multiple of 128, f32, and a TPU backend is active (same
     dispatch rule as batched_transient_measures); newton_iters is then
-    per-128-lane-block chunk totals rather than per-lane per-step."""
+    per-128-lane-block chunk totals rather than per-lane per-step.
+
+    noise_key (TRNOISE decks): one PRNG key, split so every lane gets an
+    INDEPENDENT noise realization; omitted, the batch runs noise-free."""
     from ..ops import pallas_step
     B = jax.tree.leaves(bparams)[0].shape[0]
     eligible = (not save_xs
                 and pallas_step.supported(engine, float(tstep))
-                and B % 128 == 0 and engine.dtype == jnp.float32)
+                and B % 128 == 0 and engine.dtype == jnp.float32
+                and noise_key is None)
     if fused == "auto":
         fused = eligible and jax.default_backend() != "cpu"
     if fused:
@@ -558,6 +563,12 @@ def batched_transient(engine: Engine, bparams, tstep, tstop,
         return _fused_batched_transient(
             engine, bparams, tstep, tstop,
             interpret=jax.default_backend() == "cpu")
+    if noise_key is not None and engine.has_trnoise:
+        keys = jax.random.split(noise_key, B)
+        return jax.vmap(
+            lambda p, k: run_transient(engine, p, tstep, tstop,
+                                       save_xs=save_xs, noise_key=k)
+        )(bparams, keys)
     return jax.vmap(
         lambda p: run_transient(engine, p, tstep, tstop, save_xs=save_xs)
     )(bparams)

@@ -1,0 +1,136 @@
+"""TRNOISE transient noise (extension): white Gaussian noise on V/I
+sources, drawn per solver step inside the scan via counter-keyed
+fold_in (O(1) memory, reproducible, per-lane independent under vmap)."""
+
+import numpy as np
+import pytest
+import jax
+
+from circuitsimulator_tpu import Simulator
+from circuitsimulator_tpu.netlist.parser import parse_netlist_text
+
+
+NA = 10e-3
+
+DECK = f"""* noisy source
+V1 in 0 DC 1 TRNOISE({NA} 0)
+R1 in out 1k
+R2 out 0 1k
+.TRAN 1e-6 2e-3
+.end
+"""
+
+
+def _veq(sim, name):
+    return sim.circuit.nodes[sim.circuit.node_name_to_id[name]].eq_index
+
+
+def test_parse_trnoise():
+    ckt, _ = parse_netlist_text(DECK)
+    e = next(e for e in ckt.elements if e.name == "V1")
+    assert e.spec.tn_na == pytest.approx(NA)
+    assert e.spec.tn_nt == 0.0
+    assert e.spec.dc == 1.0
+    ckt2, _ = parse_netlist_text(
+        "I1 0 a 1m TRNOISE(2u 5n)\nR1 a 0 1k\n.op\n")
+    e2 = ckt2.elements[0]
+    assert e2.spec.tn_na == pytest.approx(2e-6)
+    assert e2.spec.tn_nt == pytest.approx(5e-9)
+
+
+def test_native_parity_trnoise():
+    from circuitsimulator_tpu import native
+    if not native.available():
+        pytest.skip("native frontend not built")
+    import dataclasses
+    for deck in (DECK, "I1 0 a 1m TRNOISE(2u 5n)\nR1 a 0 1k\n.op\n",
+                 "V1 a 0 TRNOISE(1m)\nR1 a 0 1k\n.op\n"):
+        ckt_py, _ = parse_netlist_text(deck)
+        ckt_nat, _ = native.parse_netlist_text_native(deck)
+        ckt_py.assign_equation_indices()
+        ckt_nat.assign_equation_indices()
+        for a, b in zip(ckt_nat.elements, ckt_py.elements):
+            assert dataclasses.asdict(a) == dataclasses.asdict(b), deck
+
+
+def test_noise_statistics_and_reproducibility():
+    # resistive divider: V(in) = 1 + noise each step, so the waveform's
+    # per-step std equals the source RMS na
+    sim = Simulator.from_text(DECK)
+    assert sim.engine.has_trnoise
+    res = sim.transient()
+    v = np.asarray(res.xs)[1:, _veq(sim, "in")]
+    assert abs(v.mean() - 1.0) < 2e-3
+    assert NA * 0.9 < v.std() < NA * 1.1          # 2000 samples
+    # distinct consecutive values (nt=0 -> redraw every step)
+    assert np.count_nonzero(np.diff(v) == 0) < 5
+    # same seed reproduces bit-for-bit; another seed differs
+    res2 = sim.transient()
+    np.testing.assert_array_equal(np.asarray(res.xs), np.asarray(res2.xs))
+    res3 = sim.transient(noise_seed=1)
+    assert np.abs(np.asarray(res3.xs) - np.asarray(res.xs)).max() > 1e-4
+    # noise_seed=None disables the noise entirely
+    quiet = sim.transient(noise_seed=None)
+    vq = np.asarray(quiet.xs)[1:, _veq(sim, "in")]
+    assert np.abs(vq - 1.0).max() < 1e-9
+
+
+def test_sample_hold_interval():
+    # nt = 4*dt: the noise value holds for 4 consecutive steps
+    sim = Simulator.from_text("""* held noise
+V1 in 0 DC 0 TRNOISE(1m 4e-6)
+R1 in 0 1k
+.TRAN 1e-6 4e-4
+.end
+""")
+    res = sim.transient()
+    v = np.asarray(res.xs)[1:, _veq(sim, "in")]
+    # within a hold window the solution still creeps at tol level (the
+    # replicated step-size convergence quirk leaves ~1e-7 of the previous
+    # step in each iterate), so detect redraws by LARGE jumps only
+    changes = np.flatnonzero(np.abs(np.diff(v)) > 1e-4)
+    assert len(changes) > 50
+    gaps = np.diff(changes)
+    assert np.all(gaps % 4 == 0)                  # only on hold boundaries
+    assert np.median(gaps) == 4
+
+
+def test_rc_filters_noise():
+    # the RC lowpass must attenuate the white noise: output std well
+    # below input std, both nonzero
+    sim = Simulator.from_text("""* rc filtered noise
+V1 in 0 DC 0 TRNOISE(10m 0)
+R1 in out 10k
+C1 out 0 10n
+.TRAN 1e-6 2e-3
+.end
+""")
+    res = sim.transient()
+    vi = np.asarray(res.xs)[1:, _veq(sim, "in")]
+    vo = np.asarray(res.xs)[1:, _veq(sim, "out")]
+    assert vi.std() > 8e-3
+    assert 1e-4 < vo.std() < 0.5 * vi.std()
+
+
+def test_batched_lanes_independent():
+    from circuitsimulator_tpu.parallel.montecarlo import (
+        broadcast_params, batched_transient)
+    sim = Simulator.from_text(DECK)
+    bp = broadcast_params(sim.params, 4)
+    res = batched_transient(sim.engine, bp, 1e-6, 2e-4, save_xs=True,
+                            noise_key=jax.random.key(0))
+    xs = np.asarray(res.xs)                       # (4, T, N)
+    e = _veq(sim, "in")
+    for i in range(4):
+        for j in range(i + 1, 4):
+            assert np.abs(xs[i, 1:, e] - xs[j, 1:, e]).max() > 1e-4
+    # without a key the batch is noise-free and identical across lanes
+    res2 = batched_transient(sim.engine, bp, 1e-6, 2e-4, save_xs=True)
+    xs2 = np.asarray(res2.xs)
+    assert np.abs(xs2[0] - xs2[1]).max() < 1e-12
+
+
+def test_fused_kernel_gate():
+    from circuitsimulator_tpu.ops import pallas_step
+    sim = Simulator.from_text(DECK)
+    assert not pallas_step.supported(sim.engine, 1e-6)
