@@ -96,20 +96,26 @@ R1 in 0 1k
 
 
 def test_rc_filters_noise():
-    # the RC lowpass must attenuate the white noise: output std well
-    # below input std, both nonzero
-    sim = Simulator.from_text("""* rc filtered noise
-V1 in 0 DC 0 TRNOISE(10m 0)
-R1 in out 10k
-C1 out 0 10n
-.TRAN 1e-6 2e-3
+    # exact discrete-time physics: the BE-discretized RC driven by white
+    # noise is the AR(1) process y_k = b·y_{k-1} + (1−b)·u_k with
+    # b = 1/(1+dt/RC), so std_out = na·(1−b)/sqrt(1−b²)
+    import math
+    dt, R, C, na = 1e-6, 10e3, 10e-9, 10e-3
+    sim = Simulator.from_text(f"""* rc filtered noise
+V1 in 0 DC 0 TRNOISE({na} 0)
+R1 in out {R}
+C1 out 0 {C}
+.TRAN {dt} 20e-3
 .end
 """)
     res = sim.transient()
     vi = np.asarray(res.xs)[1:, _veq(sim, "in")]
     vo = np.asarray(res.xs)[1:, _veq(sim, "out")]
-    assert vi.std() > 8e-3
-    assert 1e-4 < vo.std() < 0.5 * vi.std()
+    assert na * 0.95 < vi.std() < na * 1.05       # 20k samples
+    b = 1.0 / (1.0 + dt / (R * C))
+    pred = na * (1.0 - b) / math.sqrt(1.0 - b * b)
+    # AR(1) std estimator converges slowly (correlated samples): 15%
+    assert vo.std() == pytest.approx(pred, rel=0.15)
 
 
 def test_batched_lanes_independent():
