@@ -180,7 +180,7 @@ def _pack_sources(specs, dtype):
     pwl_n = np.zeros(n, dtype=np.int32)
     ac_mag = np.zeros(n)
     ac_phase = np.zeros(n)
-    tn = np.zeros((n, 2))
+    tn = np.zeros((n, 4))
     for i, s in enumerate(specs):
         w = s.wave
         dc[i] = s.dc
@@ -189,7 +189,7 @@ def _pack_sources(specs, dtype):
         sin[i] = [w.v0, w.va, w.freq, w.std, w.phi]
         ac_mag[i] = s.ac_mag
         ac_phase[i] = s.ac_phase_deg
-        tn[i] = [s.tn_na, s.tn_nt]
+        tn[i] = [s.tn_na, s.tn_nt, s.tn_alpha, s.tn_namp]
         m = len(w.pwl_t)
         pwl_n[i] = m
         if m:

@@ -38,7 +38,7 @@ from ..netlist.parser import (
 _SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                     "csim_frontend.cpp")
 _LIB_NAME = "libcsim_frontend.so"
-_ABI_VERSION = 14  # bump on ANY packed-struct change (CLAUDE.md)
+_ABI_VERSION = 15  # bump on ANY packed-struct change (CLAUDE.md)
 
 _lib = None
 _lib_error: Optional[str] = None
@@ -82,6 +82,8 @@ class _CElement(ct.Structure):
         ("ic", ct.c_double), ("has_ic", ct.c_int32),
         # TRNOISE(na nt) transient noise on V/I sources (ABI v14)
         ("tn_na", ct.c_double), ("tn_nt", ct.c_double),
+        # 1/f^alpha flicker component (ABI v15)
+        ("tn_alpha", ct.c_double), ("tn_namp", ct.c_double),
     ]
 
 
@@ -341,7 +343,9 @@ def parse_netlist_text_native(text: str) -> Tuple[Circuit, SimulationConfig]:
                     (w.v0, w.va, w.freq, w.std, w.phi) = list(e.sin5)
                 rec.spec = SourceSpec(dc=e.dc, ac_mag=e.ac_mag,
                                       ac_phase_deg=e.ac_phase, wave=w,
-                                      tn_na=e.tn_na, tn_nt=e.tn_nt)
+                                      tn_na=e.tn_na, tn_nt=e.tn_nt,
+                                      tn_alpha=e.tn_alpha,
+                                      tn_namp=e.tn_namp)
             elif kind == KIND_M:
                 rec.is_p = bool(e.is_p)
                 rec.vth, rec.k, rec.lam, rec.cj0 = e.vth, e.k, e.lam, e.cj0

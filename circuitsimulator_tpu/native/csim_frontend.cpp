@@ -484,6 +484,7 @@ struct ElementRec {
     double ic;                // C/L IC= initial condition (ABI v13)
     int32_t has_ic;           // 1 when an IC= was given (UIC only)
     double tn_na, tn_nt;      // TRNOISE(na nt) on V/I sources (ABI v14)
+    double tn_alpha, tn_namp; // 1/f^alpha flicker component (ABI v15)
 };
 
 struct NodeRec {
@@ -1199,6 +1200,7 @@ public:
         e.ctrl_off = -1;
         e.ctrl2_off = -1;
         e.af = 1.0;
+        e.tn_alpha = 1.0;
         e.ron = 1.0;
         e.roff = 1e12;
         e.z0 = 50.0;
@@ -1459,6 +1461,8 @@ public:
             }
             e.tn_na = vals[0];
             if (vals.size() > 1) e.tn_nt = vals[1];
+            if (vals.size() > 2 && vals[2] > 0) e.tn_alpha = vals[2];
+            if (vals.size() > 3) e.tn_namp = vals[3];
             return;
         }
     }
@@ -3203,5 +3207,5 @@ const char* csim_strpool(void* h) { return FE.str_pool.c_str(); }
 const void* csim_config(void* h) { return &FE.config; }
 const char* csim_diagnostics(void* h) { return FE.diagnostics.c_str(); }
 
-int32_t csim_abi_version(void) { return 14; }
+int32_t csim_abi_version(void) { return 15; }
 }

@@ -58,11 +58,15 @@ class SourceSpec:
     ac_mag: float = 0.0
     ac_phase_deg: float = 0.0
     wave: Waveform = dataclasses.field(default_factory=Waveform)
-    # TRNOISE(na nt) extension: white Gaussian transient noise with RMS
-    # amplitude na, sample-and-hold interval nt (0 = redraw every step),
-    # ADDED to the deterministic waveform (superset of the ngspice form)
+    # TRNOISE(na nt [alpha namp]) extension: white Gaussian transient
+    # noise with RMS amplitude na, sample-and-hold interval nt (0 =
+    # redraw every step), plus an optional 1/f^alpha flicker component
+    # of total RMS namp (octave-spaced AR(1) bank) — all ADDED to the
+    # deterministic waveform (superset of the ngspice form)
     tn_na: float = 0.0
     tn_nt: float = 0.0
+    tn_alpha: float = 1.0
+    tn_namp: float = 0.0
 
     def eval_dc(self, scale: float) -> float:
         """Reference sim.hpp:152-158: SIN sources fold the sine's v0 offset

@@ -560,10 +560,11 @@ class NetlistParser:
 
     def _parse_trnoise(self, st: Statement, spec: SourceSpec,
                        start: int) -> None:
-        """TRNOISE(na [nt]) anywhere after the source value (extension):
-        white Gaussian transient noise, RMS na, sample-hold interval nt
-        (0 = redraw every solver step), added to the deterministic
-        waveform."""
+        """TRNOISE(na [nt [alpha namp]]) anywhere after the source value
+        (extension): white Gaussian transient noise, RMS na, sample-hold
+        interval nt (0 = redraw every solver step), plus an optional
+        1/f^alpha flicker component of total RMS namp — all added to
+        the deterministic waveform."""
         for j in range(start, len(st.tokens)):
             if st.tokens[j].lower().startswith("trnoise"):
                 vals = self._wave_args(st.tokens, j, "trnoise")
@@ -574,6 +575,10 @@ class NetlistParser:
                 spec.tn_na = vals[0]
                 if len(vals) > 1:
                     spec.tn_nt = vals[1]
+                if len(vals) > 2 and vals[2] > 0:
+                    spec.tn_alpha = vals[2]
+                if len(vals) > 3:
+                    spec.tn_namp = vals[3]
                 return
 
     def _parse_vsource(self, st: Statement) -> None:

@@ -193,10 +193,15 @@ class Engine:
         # kept STRUCTURALLY identical to the reference path so batched
         # lanes stay bit-identical to unbatched runs (a tested invariant)
         self.mos_body = bool(np.any(np.asarray(low.params["mos_gamma"])))
-        # TRNOISE(na nt) sources present?  (static: na is not a MC knob)
+        # TRNOISE(na nt [alpha namp]) sources present?  (static flags:
+        # noise amplitudes are not MC knobs)
+        _tnv = np.asarray(low.params["vs_tn"])
+        _tni = np.asarray(low.params["is_tn"])
+        self.vs_flicker = bool(np.any(_tnv[..., 3] > 0))
+        self.is_flicker = bool(np.any(_tni[..., 3] > 0))
         self.has_trnoise = bool(
-            np.any(np.asarray(low.params["vs_tn"])[..., 0] > 0)
-            or np.any(np.asarray(low.params["is_tn"])[..., 0] > 0))
+            np.any(_tnv[..., 0] > 0) or np.any(_tni[..., 0] > 0)
+            or self.vs_flicker or self.is_flicker)
         self.bjt_early = bool(np.any(np.asarray(low.params["bjt_vaf"])))
         self.res_tc = bool(np.any(np.asarray(low.params["res_tc1"]))
                            or np.any(np.asarray(low.params["res_tc2"])))
@@ -815,6 +820,41 @@ class Engine:
         vals = jax.vmap(one)(jnp.arange(tn.shape[0], dtype=jnp.int32), j)
         return na * vals
 
+    _FLICKER_M = 16    # octave-spaced AR(1) bank depth (covers 2^16 steps)
+
+    def _flicker_coefs(self, tn, dt):
+        """Sum-of-Lorentzians 1/f^alpha synthesis: M octave-spaced AR(1)
+        processes with corner rates f_m = f_Nyq/2^(m+1) and per-octave
+        variances w_m^2 ∝ f_m^(1-alpha) (equal-per-octave at alpha=1),
+        normalized so the summed process has total RMS namp.  Returns
+        (b (M,), g (nS, M)): per-step pole and stationary per-state std."""
+        alpha = tn[..., 2]
+        namp = tn[..., 3]
+        M = self._FLICKER_M
+        m = jnp.arange(M, dtype=self.dtype)
+        f = (1.0 / (2.0 * dt)) / (2.0 ** (m + 1.0))
+        b = jnp.exp(-2.0 * jnp.pi * f * dt)
+        w2 = f ** (1.0 - alpha[..., None])
+        w2 = w2 / w2.sum(-1, keepdims=True)
+        g = namp[..., None] * jnp.sqrt(w2)
+        return b, g
+
+    def flicker_init(self, tn, key, salt: int, dt):
+        """Stationary start for the AR(1) bank: x_m ~ N(0, g_m²)."""
+        b, g = self._flicker_coefs(tn, dt)
+        xi = jax.random.normal(jax.random.fold_in(key, salt), g.shape,
+                               self.dtype)
+        return g * xi
+
+    def flicker_step(self, tn, key, salt: int, step, dt, x):
+        """Advance the AR(1) bank one step: x' = b·x + g·√(1−b²)·ξ with
+        ξ keyed by (key, salt, step) — reproducible and scan-free."""
+        b, g = self._flicker_coefs(tn, dt)
+        base = jax.random.fold_in(key, salt)
+        xi = jax.random.normal(jax.random.fold_in(base, step), x.shape,
+                               self.dtype)
+        return b * x + g * jnp.sqrt(1.0 - b * b) * xi
+
     def init_state(self, x, params=None, dt=None, noise_key=None):
         """TranState from a DC solution (tanalisis.cpp:139-180): cap-like
         voltages and inductor currents; the trapezoidal extras start at the
@@ -851,6 +891,14 @@ class Engine:
                                               0, 1, dtv)
             state["tn_i"] = self.trnoise_draw(params["is_tn"], noise_key,
                                               1, 1, dtv)
+            if self.vs_flicker:
+                state["tn_fv"] = self.flicker_init(params["vs_tn"],
+                                                   noise_key, 4, dtv)
+                state["tn_v"] = state["tn_v"] + state["tn_fv"].sum(-1)
+            if self.is_flicker:
+                state["tn_fi"] = self.flicker_init(params["is_tn"],
+                                                   noise_key, 5, dtv)
+                state["tn_i"] = state["tn_i"] + state["tn_fi"].sum(-1)
         return state
 
     def make_update_state(self, dt, method: str = "be"):
@@ -889,6 +937,18 @@ class Engine:
                     params["vs_tn"], key, 0, nstep, dtv))
                 new["tn_i"] = jax.lax.stop_gradient(self.trnoise_draw(
                     params["is_tn"], key, 1, nstep, dtv))
+                if "tn_fv" in state:
+                    fv = jax.lax.stop_gradient(self.flicker_step(
+                        params["vs_tn"], key, 4, nstep, dtv,
+                        state["tn_fv"]))
+                    new["tn_fv"] = fv
+                    new["tn_v"] = new["tn_v"] + fv.sum(-1)
+                if "tn_fi" in state:
+                    fi = jax.lax.stop_gradient(self.flicker_step(
+                        params["is_tn"], key, 5, nstep, dtv,
+                        state["tn_fi"]))
+                    new["tn_fi"] = fi
+                    new["tn_i"] = new["tn_i"] + fi.sum(-1)
             return new
 
         return f

@@ -136,6 +136,76 @@ def test_batched_lanes_independent():
     assert np.abs(xs2[0] - xs2[1]).max() < 1e-12
 
 
+def test_parse_flicker_args():
+    ckt, _ = parse_netlist_text(
+        "V1 a 0 DC 0 TRNOISE(1m 0 1.5 2m)\nR1 a 0 1k\n.op\n")
+    e = ckt.elements[0]
+    assert e.spec.tn_alpha == pytest.approx(1.5)
+    assert e.spec.tn_namp == pytest.approx(2e-3)
+    # defaults: alpha=1, namp=0 (white only)
+    ckt2, _ = parse_netlist_text("V1 a 0 DC 0 TRNOISE(1m)\nR1 a 0 1k\n.op\n")
+    assert ckt2.elements[0].spec.tn_alpha == 1.0
+    assert ckt2.elements[0].spec.tn_namp == 0.0
+
+
+def test_native_parity_flicker():
+    from circuitsimulator_tpu import native
+    if not native.available():
+        pytest.skip("native frontend not built")
+    import dataclasses
+    deck = "V1 a 0 DC 0 TRNOISE(1m 2n 1.5 2m)\nI1 0 a TRNOISE(0 0 0.8 1u)\nR1 a 0 1k\n.op\n"
+    ckt_py, _ = parse_netlist_text(deck)
+    ckt_nat, _ = native.parse_netlist_text_native(deck)
+    ckt_py.assign_equation_indices()
+    ckt_nat.assign_equation_indices()
+    for a, b in zip(ckt_nat.elements, ckt_py.elements):
+        assert dataclasses.asdict(a) == dataclasses.asdict(b)
+
+
+def _psd_slope(v, dt, f_lo, f_hi, nseg=2048):
+    segs = v[:(len(v) // nseg) * nseg].reshape(-1, nseg)
+    w = np.hanning(nseg)
+    P = np.mean([np.abs(np.fft.rfft(s * w)) ** 2 for s in segs], axis=0)
+    f = np.fft.rfftfreq(nseg, dt)
+    m = (f > f_lo) & (f < f_hi)
+    return np.polyfit(np.log10(f[m]), np.log10(P[m]), 1)[0]
+
+
+@pytest.mark.parametrize("alpha", [0.5, 1.0, 1.8])
+def test_flicker_psd_slope(alpha):
+    # the octave-spaced AR(1) bank must reproduce the requested 1/f^alpha
+    # spectral slope across the mid-band
+    namp = 5e-3
+    sim = Simulator.from_text(f"""* flicker
+V1 in 0 DC 0 TRNOISE(0 0 {alpha} {namp})
+R1 in 0 1k
+.TRAN 1e-6 32768e-6
+.end
+""")
+    assert sim.engine.vs_flicker
+    res = sim.transient()
+    v = np.asarray(res.xs)[1:, _veq(sim, "in")]
+    slope = _psd_slope(v, 1e-6, 1e3, 1e5)
+    assert slope == pytest.approx(-alpha, abs=0.25)
+    # the bank is normalized to total RMS namp (long-run sample std
+    # underestimates for steep alpha: power hides below the window)
+    assert 0.5 * namp < v.std() < 1.3 * namp
+
+
+def test_flicker_composes_with_white():
+    # white + flicker: total variance adds
+    sim = Simulator.from_text("""* both
+V1 in 0 DC 0 TRNOISE(10m 0 1.0 10m)
+R1 in 0 1k
+.TRAN 1e-6 16e-3
+.end
+""")
+    res = sim.transient()
+    v = np.asarray(res.xs)[1:, _veq(sim, "in")]
+    total = np.hypot(10e-3, 10e-3)
+    assert 0.8 * total < v.std() < 1.2 * total
+
+
 def test_fused_kernel_gate():
     from circuitsimulator_tpu.ops import pallas_step
     sim = Simulator.from_text(DECK)
