@@ -28,12 +28,18 @@ from ..ops.assemble import Engine
 
 def save_carry(path: str, carry, step_done: int) -> None:
     """Serialize whatever state keys the engine produced (vc/ic/il/vl,
-    plus e.g. the transmission-line delay ring 'tlw' when present)."""
+    plus e.g. the transmission-line delay ring 'tlw' or the TRNOISE
+    noise state when present).  Typed PRNG keys (the 'tn_key' entry)
+    are stored as raw key data under a 'k_' prefix."""
     x, state, failed = carry
     arrs = {"x": np.asarray(x), "failed": np.asarray(failed),
             "step_done": np.asarray(step_done)}
     for k in state:
-        arrs[f"s_{k}"] = np.asarray(state[k])
+        v = state[k]
+        if jnp.issubdtype(getattr(v, "dtype", None), jax.dtypes.prng_key):
+            arrs[f"k_{k}"] = np.asarray(jax.random.key_data(v))
+        else:
+            arrs[f"s_{k}"] = np.asarray(v)
     tmp = path + ".tmp.npz"
     with open(tmp, "wb") as f:
         np.savez(f, **arrs)
@@ -44,19 +50,24 @@ def load_carry(path: str):
     with np.load(path) as z:
         state = {k[2:]: jnp.asarray(z[k]) for k in z.files
                  if k.startswith("s_")}
+        for k in z.files:
+            if k.startswith("k_"):
+                state[k[2:]] = jax.random.wrap_key_data(jnp.asarray(z[k]))
         carry = (jnp.asarray(z["x"]), state, jnp.asarray(z["failed"]))
         return carry, int(z["step_done"])
 
 
 class ChunkedTransient:
     def __init__(self, engine: Engine, params, tstep: float, tstop: float,
-                 ckpt_path: Optional[str] = None, chunk_steps: int = 10000):
+                 ckpt_path: Optional[str] = None, chunk_steps: int = 10000,
+                 noise_key=None):
         self.engine = engine
         self.params = params
         self.tstep = float(tstep)
         self.n_steps = n_steps_for(tstep, tstop)
         self.ckpt_path = ckpt_path
         self.chunk_steps = int(chunk_steps)
+        self.noise_key = noise_key
         dt = jnp.asarray(tstep, engine.dtype)
         step = transient_step_fn(engine, params, dt)
 
@@ -70,7 +81,8 @@ class ChunkedTransient:
 
     def initial_carry(self):
         x0 = dc_operating_point(self.engine, self.params)
-        state = self.engine.init_state(x0, self.params, self.tstep)
+        state = self.engine.init_state(x0, self.params, self.tstep,
+                                       noise_key=self.noise_key)
         failed = jnp.zeros(x0.shape[:-1], dtype=bool)
         return (x0, state, failed)
 

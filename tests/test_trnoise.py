@@ -206,6 +206,60 @@ R1 in 0 1k
     assert 0.8 * total < v.std() < 1.2 * total
 
 
+def test_noisy_checkpoint_resume_bitwise(tmp_path):
+    # counter-keyed draws make the noise realization state-free: a
+    # chunked run that checkpoints (serializing the PRNG key as raw key
+    # data) and resumes matches the uninterrupted run BITWISE
+    from circuitsimulator_tpu.parallel.checkpoint import (
+        ChunkedTransient, load_carry)
+    sim = Simulator.from_text("""* noisy ckpt
+V1 in 0 DC 0 TRNOISE(5m 0 1.0 5m)
+R1 in out 1k
+C1 out 0 1u
+.TRAN 1e-6 4e-4
+.end
+""")
+    key = jax.random.key(3)
+    ck = str(tmp_path / "run.npz")
+    r1 = ChunkedTransient(sim.engine, sim.params, 1e-6, 4e-4,
+                          ckpt_path=ck, chunk_steps=150, noise_key=key)
+    carry_a, _ = r1.run()
+    # single-shot reference agrees to float noise (different XLA
+    # compilations; the NOISE VALUES are identical by construction)
+    from circuitsimulator_tpu.analysis.transient import run_transient
+    ref = run_transient(sim.engine, sim.params, 1e-6, 4e-4,
+                        save_xs=False, noise_key=key)
+    np.testing.assert_allclose(np.asarray(carry_a[0]),
+                               np.asarray(ref.x_final),
+                               rtol=0, atol=1e-12)
+    # simulate a crash after the SECOND chunk: truncate to that
+    # checkpoint and resume — must match the uninterrupted chunked run
+    # BITWISE (counter-keyed draws are state-free)
+    carry_b, step_done = load_carry(ck)
+    assert step_done == 400
+    assert "tn_key" in carry_b[1]                  # key survived the npz
+    np.testing.assert_array_equal(np.asarray(carry_b[1]["tn_v"]),
+                                  np.asarray(carry_a[1]["tn_v"]))
+    r2 = ChunkedTransient(sim.engine, sim.params, 1e-6, 4e-4,
+                          ckpt_path=None, chunk_steps=150, noise_key=key)
+    mid = r2.initial_carry()
+    # drive r2 manually to step 300, checkpoint, reload, finish
+    import jax.numpy as jnp
+    from circuitsimulator_tpu.parallel.checkpoint import save_carry
+    dt = 1e-6
+    ts1 = jnp.arange(1, 301, dtype=sim.engine.dtype) * dt
+    mid, _ = r2._run_chunk(mid, ts1)
+    p = str(tmp_path / "mid.npz")
+    save_carry(p, jax.device_get(mid), 300)
+    mid2, sd = load_carry(p)
+    assert sd == 300
+    ts2 = jnp.arange(301, 401, dtype=sim.engine.dtype) * dt
+    fin_direct, _ = r2._run_chunk(mid, ts2)
+    fin_resumed, _ = r2._run_chunk(mid2, ts2)
+    np.testing.assert_array_equal(np.asarray(fin_direct[0]),
+                                  np.asarray(fin_resumed[0]))
+
+
 def test_fused_kernel_gate():
     from circuitsimulator_tpu.ops import pallas_step
     sim = Simulator.from_text(DECK)
