@@ -68,13 +68,10 @@ def mpp_search(engine: Engine, params, rel_sigma: Mapping[str, float],
     the lognormal map) or be any other float parameter.
     """
     dtype = engine.dtype
-    names = [n for n in sorted(rel_sigma)
-             if n in params and params[n].dtype.kind == "f"
-             and params[n].size]
+    from ..parallel.montecarlo import _z_layout
+    names, sizes, dims = _z_layout(params, rel_sigma)
     if not names:
         raise ValueError("rel_sigma names no perturbable parameter")
-    sizes = [int(params[n].size) for n in names]
-    dims = sum(sizes)
 
     def params_of_z_base(base, z):
         out = dict(base)
@@ -165,13 +162,10 @@ def mismatch_budget(engine: Engine, params, rel_sigma: Mapping[str, float],
     (param_name, index_within_leaf, variance_share) sorted descending.
     """
     dtype = engine.dtype
-    names = [n for n in sorted(rel_sigma)
-             if n in params and params[n].dtype.kind == "f"
-             and params[n].size]
+    from ..parallel.montecarlo import _z_layout
+    names, sizes, dims = _z_layout(params, rel_sigma)
     if not names:
         raise ValueError("rel_sigma names no perturbable parameter")
-    sizes = [int(params[n].size) for n in names]
-    dims = sum(sizes)
 
     def params_of_z(z):
         out = dict(params)

@@ -302,7 +302,9 @@ class Simulator:
         Decks with TRNOISE sources run with transient noise on, seeded
         by noise_seed (default 0 — reproducible; change it for a fresh
         realization); noise_seed=None disables the noise.  No effect on
-        noise-free decks."""
+        noise-free decks.  The adaptive integrator runs noise-free (the
+        noise draw grid is dt-dependent); a stderr note is printed when
+        a TRNOISE deck takes that path."""
         cfg = self.config.tran
         tstep = cfg.tstep if tstep is None else tstep
         tstop = cfg.tstop if tstop is None else tstop
@@ -314,6 +316,13 @@ class Simulator:
         x0 = self._initial_conditions_x0(uic)
         noisy = (noise_seed is not None and not adaptive
                  and self.engine.has_trnoise)
+        if (adaptive and noise_seed is not None
+                and self.engine.has_trnoise
+                and not getattr(self, "_warned_adaptive_noise", False)):
+            print("note: the adaptive integrator runs TRNOISE decks "
+                  "noise-free (dt-dependent draw grid); use the "
+                  "fixed-step transient for noise", file=sys.stderr)
+            self._warned_adaptive_noise = True
         key = (float(tstep), float(tstop), bool(save_xs), bool(adaptive),
                x0 is not None, noisy)
         if key not in self._tran_jit:

@@ -803,8 +803,11 @@ class Engine:
         """Per-source white-noise values for solver step `step` (1-based,
         t = step·dt): value_s = na_s · N(0,1) drawn at hold index
         j_s = floor(t/nt_s) (nt = 0 → redraw every step), keyed by
-        (key, salt, source index, j) so the realization is reproducible,
-        vmap-batchable over lanes, and constant within a hold window."""
+        (key, salt, source index, j) so the realization is reproducible
+        and constant within a hold window.  tn may carry leading batch
+        dims (..., nS, 4): ONE key broadcasts one realization across
+        the lanes — independent per-lane realizations come from vmapping
+        over split keys (the batched_transient path)."""
         na = tn[..., 0]
         nt = tn[..., 1]
         step_f = jnp.asarray(step, self.dtype)
@@ -812,12 +815,16 @@ class Engine:
                       jnp.floor(step_f * dt / jnp.maximum(nt, 1e-30)),
                       step_f).astype(jnp.int32)
         base = jax.random.fold_in(key, salt)
+        nS = tn.shape[-2]
 
         def one(s, jv):
             k = jax.random.fold_in(jax.random.fold_in(base, s), jv)
             return jax.random.normal(k, (), self.dtype)
 
-        vals = jax.vmap(one)(jnp.arange(tn.shape[0], dtype=jnp.int32), j)
+        f = jax.vmap(one)
+        for _ in range(j.ndim - 1):      # leading lane dims, if any
+            f = jax.vmap(f, in_axes=(None, 0))
+        vals = f(jnp.arange(nS, dtype=jnp.int32), j)
         return na * vals
 
     _FLICKER_M = 16    # octave-spaced AR(1) bank depth (covers 2^16 steps)

@@ -142,10 +142,10 @@ def supported(engine, dt=None) -> bool:
             return False
     if engine.mos_body or engine.opts.mos_reverse_region:
         return False
-    if engine.has_trnoise:
-        # TRNOISE draws per-step PRNG values in the scan carry; the
-        # fused kernel has no in-VMEM counter-based RNG (yet)
-        return False
+    # TRNOISE decks stay eligible: the kernel reproduces the noise-FREE
+    # behavior exactly (noise only exists when a caller passes a
+    # noise_key, and those call sites gate fused dispatch themselves —
+    # batched_transient's eligibility includes `noise_key is None`)
     if engine.opts.tran_method != "be":
         return False
     # all waveform kinds evaluate in-kernel (PULSE/SIN/PWL/EXP/SFFM, V

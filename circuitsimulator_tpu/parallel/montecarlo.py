@@ -60,14 +60,19 @@ def normal_draws(key, batch: int, dims: int, sampler: str = "mc"):
         from jax.scipy.special import ndtri
         k1, k2 = jax.random.split(key)
         # one random permutation of the strata per dimension (argsort of
-        # iid uniforms), jittered uniformly inside each stratum
+        # iid uniforms), jittered uniformly inside each stratum.  The
+        # CDF argument is clipped strictly inside (0, 1) AFTER the
+        # division — f32 rounding can land (perm+u)/batch on exactly 0.0
+        # or 1.0, and ndtri(0|1) = ±inf would destroy the lane.  1e-6
+        # caps the tail at 4.75σ, beyond any stratum of batch < 500k.
         perm = jnp.argsort(jax.random.uniform(k1, (dims, batch)), axis=1)
         u = jax.random.uniform(k2, (dims, batch))
-        return ndtri((perm.astype(jnp.float32) + u) / batch).T
+        p = (perm.astype(jnp.float32) + u) / batch
+        return ndtri(jnp.clip(p, 1e-6, 1.0 - 1e-6)).T
     if sampler == "sobol":
-        from jax.scipy.special import ndtri
         try:
             from scipy.stats import qmc
+            from scipy.special import ndtri as ndtri_host
         except ImportError as e:                      # pragma: no cover
             raise ImportError(
                 "sampler='sobol' needs scipy; use 'lhs'") from e
@@ -77,9 +82,11 @@ def normal_draws(key, batch: int, dims: int, sampler: str = "mc"):
         with warnings.catch_warnings():
             warnings.simplefilter("ignore")           # non-2^k batch note
             u = qmc.Sobol(d=dims, scramble=True, seed=seed).random(batch)
-        eps = np_mod.finfo(np_mod.float32).tiny
-        return ndtri(jnp.asarray(np_mod.clip(u, eps, 1.0 - eps),
-                                 jnp.float32))
+        # host-side f64 inverse CDF: scipy's Sobol grid is 2^-30-spaced,
+        # so u can sit within f32-rounding distance of 1.0 — clip in
+        # f64 where 1-1e-12 is representable, THEN cast the z values
+        z = ndtri_host(np_mod.clip(u, 1e-12, 1.0 - 1e-12))
+        return jnp.asarray(z, jnp.float32)
     raise ValueError(f"unknown sampler {sampler!r}; expected "
                      "'mc' | 'lhs' | 'sobol' | 'antithetic'")
 
@@ -130,25 +137,9 @@ def perturb_params(params: Dict[str, Any], key, batch: int,
     """
     out = {}
     if sampler != "mc":
-        names = [n for n in sorted(rel_sigma)
-                 if n in params and params[n].dtype.kind == "f"
-                 and params[n].size]
-        dims = sum(int(params[n].size) for n in names)
-        Z = normal_draws(key, batch, max(dims, 1), sampler)
-        off = 0
-        cols = {}
-        for n in names:
-            sz = int(params[n].size)
-            cols[n] = Z[:, off:off + sz].reshape(
-                (batch,) + params[n].shape)
-            off += sz
-        for name, arr in params.items():
-            if name in cols:
-                out[name] = arr[None] * jnp.exp(
-                    rel_sigma[name] * cols[name].astype(arr.dtype))
-            else:
-                out[name] = jnp.broadcast_to(arr, (batch,) + arr.shape)
-        return out
+        _, _, dims = _z_layout(params, rel_sigma)
+        Z = normal_draws(key, batch, max(dims, 1), sampler)[:, :dims]
+        return _params_from_Z(params, rel_sigma, Z)
     keys = jax.random.split(key, len(rel_sigma))
     key_for = dict(zip(sorted(rel_sigma), keys))
     for name, arr in params.items():
@@ -178,16 +169,12 @@ def perturb_params_netlist(params: Dict[str, Any], key, batch: int,
     bit-for-bit."""
     out = {}
     if sampler != "mc":
-        names = [n for n in sorted(mc_tols)
-                 if n in params and params[n].dtype.kind == "f"
-                 and params[n].size]
-        dims = 1 + sum(int(params[n].size) for n in names)
-        Z = normal_draws(key, batch, dims, sampler)
+        names, sizes, ndev = _z_layout(params, mc_tols)
+        Z = normal_draws(key, batch, 1 + ndev, sampler)
         lot_noise = Z[:, :1]
         off = 1
         cols = {}
-        for n in names:
-            sz = int(params[n].size)
+        for n, sz in zip(names, sizes):
             cols[n] = Z[:, off:off + sz].reshape(
                 (batch,) + params[n].shape)
             off += sz
@@ -523,12 +510,13 @@ def sobol_indices(engine: Engine, topo, params, key, n: int,
         f = np_.asarray(v).reshape(dims + 2, n)
         fA, fB = f[0], f[1]
         var = float(np_.concatenate([fA, fB]).var())
-        S1 = np_.empty(dims)
-        ST = np_.empty(dims)
-        for j in range(dims):
-            fABj = f[2 + j]
-            S1[j] = float((fB * (fABj - fA)).mean()) / var
-            ST[j] = float(((fA - fABj) ** 2).mean()) / (2 * var)
+        S1 = np_.zeros(dims)
+        ST = np_.zeros(dims)
+        if var > 0.0:            # a mismatch-independent measure gets 0s
+            for j in range(dims):
+                fABj = f[2 + j]
+                S1[j] = float((fB * (fABj - fA)).mean()) / var
+                ST[j] = float(((fA - fABj) ** 2).mean()) / (2 * var)
         out[name] = {"S1": S1, "ST": ST, "dims": dim_labels, "var": var}
     return out
 

@@ -261,6 +261,16 @@ C1 out 0 1u
 
 
 def test_fused_kernel_gate():
+    # the kernel stays ELIGIBLE for TRNOISE decks (it reproduces the
+    # noise-free behavior); the noise path itself never dispatches fused
     from circuitsimulator_tpu.ops import pallas_step
     sim = Simulator.from_text(DECK)
-    assert not pallas_step.supported(sim.engine, 1e-6)
+    assert pallas_step.supported(sim.engine, 1e-6)
+    from circuitsimulator_tpu.parallel.montecarlo import (
+        broadcast_params, batched_transient)
+    bp = broadcast_params(sim.params, 128)
+    with pytest.raises(AssertionError):
+        # forcing fused WITH a noise key must refuse (noise needs the
+        # scan carry; eligibility includes noise_key is None)
+        batched_transient(sim.engine, bp, 1e-6, 2e-5, fused=True,
+                          noise_key=jax.random.key(0))
