@@ -771,6 +771,27 @@ class Simulator:
             key, n, rel_sigma, ms, tran.tstep, tran.tstop,
             sampler=sampler)
 
+    def jitter(self, probe: str, threshold: float, n: int = 64,
+               seed: int = 0, rising: bool = True, t_min: float = 0.0,
+               params: Optional[Any] = None):
+        """Timing jitter of a probe's threshold crossings over n
+        independent TRNOISE realizations (analysis/jitter.py): one
+        batched noisy transient, per-edge absolute jitter (std of each
+        crossing time across lanes) and period jitter.  Needs .TRAN and
+        at least one TRNOISE source."""
+        from .analysis.jitter import jitter_analysis
+        tran = self.config.tran
+        if not tran.enabled:
+            raise ValueError("jitter analysis needs a .TRAN card")
+        nid = self.circuit.node_name_to_id.get(probe)
+        if nid is None:
+            raise KeyError(f"unknown node {probe!r}")
+        eqi = self.circuit.nodes[nid].eq_index
+        return jitter_analysis(
+            self.engine, params if params is not None else self.params,
+            tran.tstep, tran.tstop, eqi, threshold, jax.random.key(seed),
+            n_lanes=n, rising=rising, t_min=t_min)
+
     def mismatch_budget(self, rel_sigma, m_fn=None, probe: str = None,
                         at: float = None, params: Optional[Any] = None):
         """Linearized mismatch variance budget
