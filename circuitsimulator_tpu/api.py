@@ -771,6 +771,57 @@ class Simulator:
             key, n, rel_sigma, ms, tran.tstep, tran.tstop,
             sampler=sampler)
 
+    def calibrate(self, target, probe: str, param_names,
+                  steps: int = 200, lr: float = 0.05,
+                  params: Optional[Any] = None, verbose: bool = False):
+        """Fit named parameter leaves so the probe's transient waveform
+        matches `target` — gradient calibration through the reverse-mode
+        adjoint (analysis/adjoint.diff_transient), optimized in
+        log-space (positivity-preserving) with optax Adam.
+
+        target: (n_steps+1,) waveform on the .TRAN grid (e.g. a
+        measured trace resampled to the grid, or another run's
+        xs[:, eq]).  param_names: list of leaves to fit (e.g.
+        ["res_r", "cap_c"]).  Returns (fitted params dict, loss
+        history).  Cost per step: one forward transient + one adjoint
+        sweep, independent of the number of fitted parameters."""
+        import optax
+        from .analysis.adjoint import diff_transient
+        tran = self.config.tran
+        if not tran.enabled:
+            raise ValueError("calibration needs a .TRAN card")
+        nid = self.circuit.node_name_to_id.get(probe)
+        if nid is None:
+            raise KeyError(f"unknown node {probe!r}")
+        eqi = self.circuit.nodes[nid].eq_index
+        p0 = dict(params if params is not None else self.params)
+        for k in param_names:
+            if k not in p0:
+                raise KeyError(f"unknown parameter leaf {k!r}")
+        target = jnp.asarray(target, self.engine.dtype)
+        theta0 = {k: jnp.log(p0[k]) for k in param_names}
+        rest = {k: v for k, v in p0.items() if k not in param_names}
+
+        def loss_fn(theta):
+            p = {**rest, **{k: jnp.exp(v) for k, v in theta.items()}}
+            _, xs = diff_transient(self.engine, p, tran.tstep, tran.tstop)
+            return jnp.mean((xs[:, eqi] - target) ** 2)
+
+        opt = optax.adam(lr)
+        state = opt.init(theta0)
+        vg = jax.jit(jax.value_and_grad(loss_fn))
+        theta = theta0
+        history = []
+        for i in range(steps):
+            val, g = vg(theta)
+            history.append(float(val))
+            updates, state = opt.update(g, state)
+            theta = optax.apply_updates(theta, updates)
+            if verbose and i % 20 == 0:
+                print(f"  calibrate step {i}: loss {float(val):.3e}")
+        fitted = {**rest, **{k: jnp.exp(v) for k, v in theta.items()}}
+        return fitted, history
+
     def jitter(self, probe: str, threshold: float, n: int = 64,
                seed: int = 0, rising: bool = True, t_min: float = 0.0,
                params: Optional[Any] = None):
