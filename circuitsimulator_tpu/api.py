@@ -12,6 +12,7 @@ compiled executables.
 from __future__ import annotations
 
 import functools
+import math
 import os
 import sys
 from typing import Any, Optional
@@ -842,6 +843,64 @@ class Simulator:
             self.engine, params if params is not None else self.params,
             tran.tstep, tran.tstop, eqi, threshold, jax.random.key(seed),
             n_lanes=n, rising=rising, t_min=t_min)
+
+    def center_design(self, rel_sigma, specs, design_names,
+                      target_beta: float = 4.0, steps: int = 15,
+                      lr: float = 0.1, params: Optional[Any] = None,
+                      verbose: bool = False):
+        """Yield-driven design centering: move the named design leaves
+        until every spec's FORM reliability index reaches target_beta.
+
+        specs: list of dicts {probe, at, low?, high?} (the worst_case
+        shorthand) or {g_fn} entries.  Each iteration runs a FORM
+        search per spec (analysis/form.mpp_search with design_grads)
+        and gradient-ascends the WORST spec's beta in log-parameter
+        space (a fixed-relative-step move along p·dβ/dp, positivity-
+        preserving).  Returns (centered params, history) with history
+        rows {betas, worst, step}."""
+        import numpy as _np
+        from .analysis.form import mpp_search, limit_state_find_at
+        tran = self.config.tran
+        if not tran.enabled:
+            raise ValueError("design centering needs a .TRAN card")
+        g_fns = []
+        for sp in specs:
+            if "g_fn" in sp:
+                g_fns.append(sp["g_fn"])
+                continue
+            nid = self.circuit.node_name_to_id.get(sp["probe"])
+            if nid is None:
+                raise KeyError(f"unknown node {sp['probe']!r}")
+            eqi = self.circuit.nodes[nid].eq_index
+            g_fns.append(limit_state_find_at(
+                eqi, sp["at"], low=sp.get("low"), high=sp.get("high")))
+        p = dict(params if params is not None else self.params)
+        history = []
+        for it in range(steps):
+            results = [mpp_search(self.engine, p, rel_sigma,
+                                  tran.tstep, tran.tstop, g,
+                                  design_grads=design_names)
+                       for g in g_fns]
+            betas = [r["beta"] for r in results]
+            worst = int(_np.argmin(betas))
+            history.append({"betas": betas, "worst": worst, "step": it})
+            if verbose:
+                print(f"  center step {it}: betas "
+                      f"{['%.2f' % b for b in betas]}")
+            if betas[worst] >= target_beta:
+                break
+            # log-space ascent on the worst spec's beta: fixed relative
+            # step along the sigma-free sensitivity direction p·dβ/dp
+            db = results[worst]["dbeta"]
+            d = {k: _np.asarray(p[k]) * _np.asarray(db[k])
+                 for k in design_names}
+            norm = math.sqrt(sum(float((v ** 2).sum())
+                                 for v in d.values()))
+            if norm == 0.0:
+                break
+            for k in design_names:
+                p[k] = p[k] * jnp.exp(lr * jnp.asarray(d[k]) / norm)
+        return p, history
 
     def mismatch_budget(self, rel_sigma, m_fn=None, probe: str = None,
                         at: float = None, params: Optional[Any] = None):
