@@ -46,7 +46,8 @@ def mpp_search(engine: Engine, params, rel_sigma: Mapping[str, float],
                g_fn: Callable,
                max_iter: int = 25, tol: float = 1e-6,
                damping: float = 1.0,
-               design_grads=None):
+               design_grads=None,
+               analysis: str = "tran", freqs=None):
     """Most-probable-failure-point search (HL-RF).
 
     rel_sigma maps param names to relative lognormal sigmas (the same
@@ -54,6 +55,12 @@ def mpp_search(engine: Engine, params, rel_sigma: Mapping[str, float],
     of each named leaf becomes one standard-normal coordinate.  g_fn
     takes the differentiable transient's (times, xs) and returns the
     scalar limit state (g < 0 = failure).
+
+    analysis="ac" evaluates the limit state on the small-signal sweep
+    instead: g_fn(freqs, xr, xi) over the differentiable AC solve at
+    `freqs` (linearized at the differentiable DC operating point), so
+    RF specs — gain, corner, matching — get the same FORM machinery;
+    tstep/tstop are then ignored.
 
     Returns a dict: beta (reliability index, sigmas-to-failure), p_fail
     (FORM estimate Φ(−β)), z_star, alpha (unit importance direction),
@@ -86,9 +93,33 @@ def mpp_search(engine: Engine, params, rel_sigma: Mapping[str, float],
     def params_of_z(z):
         return params_of_z_base(params, z)
 
+    if analysis == "ac":
+        if freqs is None:
+            raise ValueError("analysis='ac' needs freqs")
+        from .ac import ac_system_real, solve_ac_real
+        from .adjoint import _make_diff_dc
+        dc_solve = _make_diff_dc(engine)
+        fr = jnp.asarray(freqs, dtype)
+
+        def g_of(base, z):
+            p = params_of_z_base(base, z)
+            x_op = dc_solve(p)
+
+            def one(f):
+                G, B, br, bi = ac_system_real(engine, p, x_op,
+                                              2.0 * jnp.pi * f)
+                return solve_ac_real(engine, G, B, br, bi)
+
+            xr, xi = jax.vmap(one)(fr)
+            return jnp.asarray(g_fn(fr, xr, xi), dtype)
+    else:
+        def g_of(base, z):
+            times, xs = diff_transient(engine, params_of_z_base(base, z),
+                                       tstep, tstop)
+            return jnp.asarray(g_fn(times, xs), dtype)
+
     def g(z):
-        times, xs = diff_transient(engine, params_of_z(z), tstep, tstop)
-        return jnp.asarray(g_fn(times, xs), dtype)
+        return g_of(params, z)
 
     g_grad = jax.jit(jax.value_and_grad(g))
     z = jnp.zeros((dims,), dtype)
@@ -125,10 +156,7 @@ def mpp_search(engine: Engine, params, rel_sigma: Mapping[str, float],
         rest = {k: v for k, v in params.items() if k not in design_grads}
 
         def g_of_design(pd):
-            base = {**rest, **pd}
-            times, xs = diff_transient(engine, params_of_z_base(base, z),
-                                       tstep, tstop)
-            return jnp.asarray(g_fn(times, xs), dtype)
+            return g_of({**rest, **pd}, z)
 
         gp = jax.grad(g_of_design)(pdes)
         extras["dbeta"] = {k: v / gnorm for k, v in gp.items()}
@@ -198,6 +226,26 @@ def mismatch_budget(engine: Engine, params, rel_sigma: Mapping[str, float],
         "grad_z": grad,
         "contributions": contributions,
     }
+
+
+def limit_state_ac_mag(eq_index: int, low=None, high=None,
+                       f_index: int = 0):
+    """Limit state on an AC magnitude: |V(node)| at freqs[f_index]
+    against a (low, high) window.  g < 0 = out of window."""
+    if low is None and high is None:
+        raise ValueError("need at least one bound")
+
+    def g_fn(freqs, xr, xi):
+        m = jnp.sqrt(xr[f_index, eq_index] ** 2
+                     + xi[f_index, eq_index] ** 2)
+        gs = []
+        if low is not None:
+            gs.append(m - low)
+        if high is not None:
+            gs.append(high - m)
+        return gs[0] if len(gs) == 1 else jnp.minimum(*gs)
+
+    return g_fn
 
 
 def limit_state_find_at(eq_index: int, t_at: float,

@@ -725,17 +725,38 @@ class Simulator:
 
     def worst_case(self, rel_sigma, g_fn=None, probe: str = None,
                    at: float = None, low=None, high=None,
-                   params: Optional[Any] = None, **kw):
+                   params: Optional[Any] = None,
+                   analysis: str = "tran", **kw):
         """FORM worst-case analysis (analysis/form.mpp_search): find the
         most probable failure point in the standard-normal mismatch
         space of `rel_sigma`, via gradient (adjoint) HL-RF iterations.
         Returns beta (sigmas-to-failure), the FORM p_fail = Φ(−β), the
         worst-case parameter set, and the importance direction alpha.
 
-        Either pass `g_fn(times, xs) -> scalar` (g < 0 = failure) or the
-        shorthand probe/at/low/high for a `FIND V(probe) AT=at` window
-        spec.  Needs a .TRAN card."""
-        from .analysis.form import mpp_search, limit_state_find_at
+        analysis="tran" (default): pass `g_fn(times, xs) -> scalar`
+        (g < 0 = failure) or the shorthand probe/at/low/high for a
+        `FIND V(probe) AT=at` window spec; needs a .TRAN card.
+
+        analysis="ac": the limit state evaluates on the differentiable
+        small-signal solve — pass `g_fn(freqs, xr, xi)` plus
+        `freqs=` in **kw, or the shorthand probe/at/low/high where
+        `at` is the FREQUENCY and low/high bound |V(probe)|."""
+        from .analysis.form import (mpp_search, limit_state_find_at,
+                                    limit_state_ac_mag)
+        p = params if params is not None else self.params
+        if analysis == "ac":
+            if g_fn is None:
+                if probe is None or at is None:
+                    raise ValueError("pass g_fn+freqs or "
+                                     "probe/at/low/high")
+                nid = self.circuit.node_name_to_id.get(probe)
+                if nid is None:
+                    raise KeyError(f"unknown node {probe!r}")
+                eqi = self.circuit.nodes[nid].eq_index
+                g_fn = limit_state_ac_mag(eqi, low=low, high=high)
+                kw.setdefault("freqs", [at])
+            return mpp_search(self.engine, p, rel_sigma, 0.0, 0.0,
+                              g_fn, analysis="ac", **kw)
         tran = self.config.tran
         if not tran.enabled:
             raise ValueError("worst-case analysis needs a .TRAN card")
@@ -747,8 +768,7 @@ class Simulator:
                 raise KeyError(f"unknown node {probe!r}")
             eqi = self.circuit.nodes[nid].eq_index
             g_fn = limit_state_find_at(eqi, at, low=low, high=high)
-        return mpp_search(self.engine,
-                          params if params is not None else self.params,
+        return mpp_search(self.engine, p,
                           rel_sigma, tran.tstep, tran.tstop, g_fn, **kw)
 
     def sobol_indices(self, key, n: int, rel_sigma,

@@ -186,6 +186,37 @@ def test_budget_matches_mc_spread():
     assert v.std() == pytest.approx(out["sigma_m"], rel=0.05)
 
 
+def test_ac_worst_case_lowpass():
+    # RC lowpass probed AT its nominal corner f0: |H| = 1/sqrt(1+r^2)
+    # with r = RC/(R0C0) = e^(sig(zR+zC)) — fail {|H| < Hc} is exactly
+    # linear in z, beta = ln(rc)/(sig*sqrt(2))
+    sig = 0.05
+    beta_true = 3.0
+    rc = math.exp(beta_true * sig * math.sqrt(2.0))
+    hc = 1.0 / math.sqrt(1.0 + rc * rc)
+    sim = Simulator.from_text("""* rc lowpass
+V1 in 0 DC 0 AC 1
+R1 in out 1k
+C1 out 0 159.15494e-9
+.AC DEC 10 10 100k
+.end
+""")
+    f0 = 1.0 / (2 * math.pi * 1e3 * 159.15494e-9)
+    out = sim.worst_case({"res_r": sig, "cap_c": sig}, analysis="ac",
+                         probe="out", at=f0, low=hc,
+                         design_grads=["res_r"])
+    assert out["converged"]
+    assert out["beta"] == pytest.approx(beta_true, rel=5e-3)
+    # worst corner: R and C both HIGH, symmetric
+    a = np.asarray(out["alpha"])
+    assert a[0] == pytest.approx(1 / math.sqrt(2), rel=1e-2)
+    assert a[1] == pytest.approx(1 / math.sqrt(2), rel=1e-2)
+    # AC design sensitivity: dbeta/dR0 = -1/(R0*sig*sqrt(2))
+    db = float(np.asarray(out["dbeta"]["res_r"])[0])
+    assert db == pytest.approx(-1.0 / (1e3 * sig * math.sqrt(2.0)),
+                               rel=0.02)
+
+
 def test_nominal_failure_raises():
     sim = Simulator.from_text(DIVIDER)
     with pytest.raises(ValueError):
