@@ -708,20 +708,37 @@ class Simulator:
         sampling for high-sigma (rare-failure) yield with per-lane
         likelihood-ratio weights; shift= (e.g. worst_case()'s z_star)
         centers the draws on the most probable failure point —
-        MPP-centered IS, the classic second stage after FORM."""
+        MPP-centered IS, the classic second stage after FORM.
+
+        Decks with a .TRAN card + .MEASURE TRAN cards score on the
+        streaming transient; otherwise an .AC card + .MEASURE AC cards
+        score on the batched lanes×frequencies small-signal sweep (RF
+        yield — same sampling plans and IS machinery)."""
         from .parallel.montecarlo import yield_analysis
-        tran = self.config.tran
-        if not tran.enabled:
-            raise ValueError("yield analysis needs a .TRAN card")
         if not self.config.measures:
             raise ValueError("yield analysis needs .MEASURE cards")
-        return yield_analysis(
-            self.engine, self.topo,
-            params if params is not None else self.params,
-            key, batch, rel_sigma,
-            [m for m in self.config.measures if m.analysis == "tran"],
-            specs, tran.tstep, tran.tstop, sampler=sampler,
-            sigma_scale=sigma_scale, shift=shift)
+        p = params if params is not None else self.params
+        tran = self.config.tran
+        tran_ms = [m for m in self.config.measures
+                   if m.analysis == "tran"]
+        if tran.enabled and tran_ms:
+            return yield_analysis(
+                self.engine, self.topo, p, key, batch, rel_sigma,
+                tran_ms, specs, tran.tstep, tran.tstop, sampler=sampler,
+                sigma_scale=sigma_scale, shift=shift)
+        ac = self.config.ac
+        ac_ms = [m for m in self.config.measures if m.analysis == "ac"]
+        if ac.enabled and ac_ms:
+            from .analysis.ac import sweep_frequencies
+            freqs = sweep_frequencies(ac.sweep_type, ac.n_points,
+                                      ac.fstart, ac.fstop)
+            return yield_analysis(
+                self.engine, self.topo, p, key, batch, rel_sigma,
+                ac_ms, specs, 0.0, 0.0, sampler=sampler,
+                sigma_scale=sigma_scale, shift=shift, analysis="ac",
+                freqs=freqs, bindings=self.config.param_values)
+        raise ValueError("yield analysis needs .TRAN + .MEASURE TRAN "
+                         "cards or .AC + .MEASURE AC cards")
 
     def worst_case(self, rel_sigma, g_fn=None, probe: str = None,
                    at: float = None, low=None, high=None,

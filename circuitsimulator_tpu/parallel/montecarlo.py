@@ -368,7 +368,8 @@ def batched_transient_measures(engine: Engine, bparams, tstep, tstop,
 def yield_analysis(engine: Engine, topo, params, key, batch: int,
                    rel_sigma: Mapping[str, float], measures, specs,
                    tstep, tstop, sampler: str = "mc",
-                   sigma_scale: float = 1.0, shift=None):
+                   sigma_scale: float = 1.0, shift=None,
+                   analysis: str = "tran", freqs=None, bindings=None):
     """Monte-Carlo yield estimation, waveform-free.
 
     Perturb `batch` lanes (lognormal, rel_sigma), run the transient with
@@ -401,7 +402,13 @@ def yield_analysis(engine: Engine, topo, params, key, batch: int,
     worst_case()'s z_star) centers the sampling density on the most
     probable failure point — MPP-centered mean-shift IS, the classic
     second stage after a FORM search, with far lower estimator variance
-    than sigma_scale alone.  Both may combine: N(shift, sigma_scale²)."""
+    than sigma_scale alone.  Both may combine: N(shift, sigma_scale²).
+
+    analysis="ac" scores `.MEASURE AC` cards on the batched
+    lanes×frequencies small-signal sweep (ac_analysis_batched) at
+    `freqs` instead of the streaming transient — RF yield (bandwidth,
+    gain, margins) with the same sampling plans and IS machinery;
+    tstep/tstop are then ignored."""
     import math
     import numpy as np_
     if sigma_scale != 1.0 or shift is not None:
@@ -425,8 +432,24 @@ def yield_analysis(engine: Engine, topo, params, key, batch: int,
         bparams = perturb_params(params, key, batch, rel_sigma,
                                  sampler=sampler)
         weights = None
-    res, vals = batched_transient_measures(engine, bparams, tstep, tstop,
-                                           measures, topo)
+    if analysis == "ac":
+        from ..analysis.ac import ac_analysis_batched
+        from ..analysis.measure import run_measures
+        if freqs is None:
+            raise ValueError("analysis='ac' needs freqs")
+        res_ac = ac_analysis_batched(engine, bparams,
+                                     jnp.asarray(freqs, engine.dtype))
+        fr = np_.asarray(freqs)
+        rows = [dict(run_measures(measures, topo, fr, lane_xs, "ac",
+                                  bindings=bindings))
+                for lane_xs in res_ac.xs]
+        vals = {m.name: np_.asarray([r[m.name] for r in rows])
+                for m in measures}
+        failed = np_.zeros(batch, dtype=bool)
+    else:
+        res, vals = batched_transient_measures(engine, bparams, tstep,
+                                               tstop, measures, topo)
+        failed = np_.asarray(res.failed)
     ok = np_.ones(batch, dtype=bool)
     for name, (low, high) in specs.items():
         v = np_.asarray(vals[name])
@@ -436,12 +459,12 @@ def yield_analysis(engine: Engine, topo, params, key, batch: int,
         if high is not None:
             m &= v <= high
         ok &= m
-    ok &= ~np_.asarray(res.failed)
+    ok &= ~failed
     n = batch
     z = 1.959963984540054          # 95%
     out = {
         "pass": ok, "measures": {k: np_.asarray(v) for k, v in vals.items()},
-        "n": n, "params": bparams, "failed": np_.asarray(res.failed),
+        "n": n, "params": bparams, "failed": failed,
     }
     if weights is None:
         p = float(ok.mean())

@@ -1,0 +1,67 @@
+"""AC (RF) yield analysis: .MEASURE AC specs scored on the batched
+lanes x frequencies small-signal sweep, with the same sampling plans and
+importance-sampling machinery as the transient path.
+
+The RC lowpass gives a CLOSED-FORM failure probability: bw = 1/(2πRC)
+with lognormal R, C, so fail {bw < bw_c} ⟺ (z_R+z_C)/√2 > c and
+P_fail = Φ(−c)."""
+
+import math
+
+import numpy as np
+import pytest
+import jax
+
+from circuitsimulator_tpu import Simulator
+
+
+SIG = 0.05
+BW0 = 1000.0
+
+
+def _deck():
+    return Simulator.from_text("""* rf yield
+V1 in 0 DC 0 AC 1
+R1 in out 1k
+C1 out 0 159.15494n
+.AC DEC 20 10 100k
+.MEASURE AC bw WHEN VDB(out)=-3 FALL=1
+.end
+""")
+
+
+def _bw_c(c):
+    # bw_c such that the failure boundary sits at c sigmas
+    return BW0 * math.exp(-c * SIG * math.sqrt(2.0))
+
+
+def _phi(x):
+    return 0.5 * math.erfc(-x / math.sqrt(2.0))
+
+
+def test_ac_yield_bulk():
+    # common failure (c = 0.7 -> P_fail = 24%): plain estimate matches
+    sim = _deck()
+    c = 0.7
+    out = sim.yield_analysis(jax.random.key(0), 256, {"res_r": SIG,
+                                                      "cap_c": SIG},
+                             {"bw": (_bw_c(c), None)}, sampler="lhs")
+    assert out["yield"] == pytest.approx(1 - _phi(-c), abs=0.06)
+    assert out["measures"]["bw"].shape == (256,)
+    lo, hi = out["ci95"]
+    assert lo <= out["yield"] <= hi
+
+
+def test_ac_yield_high_sigma_is():
+    # rare failure (c = 3 -> P_fail = 1.35e-3): scaled-sigma IS on the
+    # AC path nails the closed form
+    sim = _deck()
+    c = 3.0
+    out = sim.yield_analysis(jax.random.key(1), 512, {"res_r": SIG,
+                                                      "cap_c": SIG},
+                             {"bw": (_bw_c(c), None)}, sigma_scale=2.5)
+    p_true = _phi(-c)
+    assert out["p_fail_se"] < 0.5 * out["p_fail"]
+    assert abs(out["p_fail"] - p_true) < 3 * out["p_fail_se"]
+    assert 0.4 * p_true < out["p_fail"] < 2.5 * p_true
+    assert out["n_eff"] > 10
