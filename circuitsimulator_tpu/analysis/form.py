@@ -177,7 +177,8 @@ def mpp_search(engine: Engine, params, rel_sigma: Mapping[str, float],
 
 
 def mismatch_budget(engine: Engine, params, rel_sigma: Mapping[str, float],
-                    tstep, tstop, m_fn: Callable):
+                    tstep, tstop, m_fn: Callable,
+                    analysis: str = "tran", freqs=None):
     """Linearized variance decomposition of a scalar metric over the
     mismatch space: ONE adjoint pass gives dM/dz_j for every dimension
     at the nominal point, so Var[M] ≈ Σ_j (dM/dz_j)² and each
@@ -188,7 +189,9 @@ def mismatch_budget(engine: Engine, params, rel_sigma: Mapping[str, float],
     m_fn(times, xs) -> scalar metric.  Returns a dict: sigma_m (the
     linearized metric sigma), m_nominal, and contributions — a list of
     (param_name, index_within_leaf, variance_share) sorted descending.
-    """
+
+    analysis="ac": m_fn(freqs, xr, xi) evaluates on the differentiable
+    small-signal solve at `freqs` (tstep/tstop ignored)."""
     dtype = engine.dtype
     from ..parallel.montecarlo import _z_layout
     names, sizes, dims = _z_layout(params, rel_sigma)
@@ -205,9 +208,30 @@ def mismatch_budget(engine: Engine, params, rel_sigma: Mapping[str, float],
             off += sz
         return out
 
-    def m(z):
-        times, xs = diff_transient(engine, params_of_z(z), tstep, tstop)
-        return jnp.asarray(m_fn(times, xs), dtype)
+    if analysis == "ac":
+        if freqs is None:
+            raise ValueError("analysis='ac' needs freqs")
+        from .ac import ac_system_real, solve_ac_real
+        from .adjoint import _make_diff_dc
+        dc_solve = _make_diff_dc(engine)
+        fr = jnp.asarray(freqs, dtype)
+
+        def m(z):
+            p = params_of_z(z)
+            x_op = dc_solve(p)
+
+            def one(f):
+                G, B, br, bi = ac_system_real(engine, p, x_op,
+                                              2.0 * jnp.pi * f)
+                return solve_ac_real(engine, G, B, br, bi)
+
+            xr, xi = jax.vmap(one)(fr)
+            return jnp.asarray(m_fn(fr, xr, xi), dtype)
+    else:
+        def m(z):
+            times, xs = diff_transient(engine, params_of_z(z), tstep,
+                                       tstop)
+            return jnp.asarray(m_fn(times, xs), dtype)
 
     m0, grad = jax.value_and_grad(m)(jnp.zeros((dims,), dtype))
     g2 = jnp.asarray(grad) ** 2

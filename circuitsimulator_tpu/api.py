@@ -790,24 +790,35 @@ class Simulator:
 
     def sobol_indices(self, key, n: int, rel_sigma,
                       params: Optional[Any] = None, sampler: str = "lhs"):
-        """Global variance-based sensitivity of every `.MEASURE TRAN`
-        value: first-order (S1) and total-effect (ST) Sobol indices over
-        the mismatch space (parallel/montecarlo.sobol_indices).  All
-        (dims+2)·n Saltelli evaluations run as ONE batched transient;
+        """Global variance-based sensitivity of every `.MEASURE` value:
+        first-order (S1) and total-effect (ST) Sobol indices over the
+        mismatch space (parallel/montecarlo.sobol_indices).  All
+        (dims+2)·n Saltelli evaluations run as ONE batched solve;
         ST−S1 > 0 exposes parameter interactions the linearized
-        mismatch_budget cannot see.  Needs .TRAN + .MEASURE cards."""
+        mismatch_budget cannot see.  Decks with .TRAN + .MEASURE TRAN
+        cards score on the transient, otherwise .AC + .MEASURE AC cards
+        score on the lanes×frequencies sweep."""
         from .parallel.montecarlo import sobol_indices
+        p = params if params is not None else self.params
         tran = self.config.tran
-        if not tran.enabled:
-            raise ValueError("Sobol indices need a .TRAN card")
         ms = [m for m in self.config.measures if m.analysis == "tran"]
-        if not ms:
-            raise ValueError("Sobol indices need .MEASURE TRAN cards")
-        return sobol_indices(
-            self.engine, self.topo,
-            params if params is not None else self.params,
-            key, n, rel_sigma, ms, tran.tstep, tran.tstop,
-            sampler=sampler)
+        if tran.enabled and ms:
+            return sobol_indices(
+                self.engine, self.topo, p,
+                key, n, rel_sigma, ms, tran.tstep, tran.tstop,
+                sampler=sampler)
+        ac = self.config.ac
+        ac_ms = [m for m in self.config.measures if m.analysis == "ac"]
+        if ac.enabled and ac_ms:
+            from .analysis.ac import sweep_frequencies
+            freqs = sweep_frequencies(ac.sweep_type, ac.n_points,
+                                      ac.fstart, ac.fstop)
+            return sobol_indices(
+                self.engine, self.topo, p, key, n, rel_sigma, ac_ms,
+                0.0, 0.0, sampler=sampler, analysis="ac", freqs=freqs,
+                bindings=self.config.param_values)
+        raise ValueError("Sobol indices need .TRAN + .MEASURE TRAN "
+                         "cards or .AC + .MEASURE AC cards")
 
     def calibrate(self, target, probe: str, param_names,
                   steps: int = 200, lr: float = 0.05,
@@ -940,14 +951,37 @@ class Simulator:
         return p, history
 
     def mismatch_budget(self, rel_sigma, m_fn=None, probe: str = None,
-                        at: float = None, params: Optional[Any] = None):
+                        at: float = None, params: Optional[Any] = None,
+                        analysis: str = "tran"):
         """Linearized mismatch variance budget
         (analysis/form.mismatch_budget): one adjoint pass ranks every
         mismatch dimension's share of the metric variance.  Pass
         `m_fn(times, xs) -> scalar`, or probe/at for the value of
-        V(probe) at time `at`.  Needs a .TRAN card."""
+        V(probe) at time `at` (needs a .TRAN card).  analysis="ac":
+        m_fn(freqs, xr, xi) — or probe/at where `at` is the FREQUENCY
+        and the metric is |V(probe)|."""
         from .analysis.form import mismatch_budget
         import jax.numpy as _jnp
+        p = params if params is not None else self.params
+        if analysis == "ac":
+            if m_fn is None:
+                if probe is None or at is None:
+                    raise ValueError("pass m_fn or probe/at")
+                from .analysis.form import limit_state_ac_mag
+                nid = self.circuit.node_name_to_id.get(probe)
+                if nid is None:
+                    raise KeyError(f"unknown node {probe!r}")
+                eqi = self.circuit.nodes[nid].eq_index
+
+                def m_fn(freqs, xr, xi):
+                    return _jnp.sqrt(xr[0, eqi] ** 2 + xi[0, eqi] ** 2)
+
+                return mismatch_budget(self.engine, p, rel_sigma,
+                                       0.0, 0.0, m_fn, analysis="ac",
+                                       freqs=[at])
+            return mismatch_budget(self.engine, p, rel_sigma, 0.0, 0.0,
+                                   m_fn, analysis="ac",
+                                   freqs=self._ac_freqs())
         tran = self.config.tran
         if not tran.enabled:
             raise ValueError("mismatch budget needs a .TRAN card")
@@ -962,9 +996,16 @@ class Simulator:
             def m_fn(times, xs):
                 return _jnp.interp(_jnp.asarray(at, times.dtype), times,
                                    xs[:, eqi])
-        return mismatch_budget(self.engine,
-                               params if params is not None else self.params,
+        return mismatch_budget(self.engine, p,
                                rel_sigma, tran.tstep, tran.tstop, m_fn)
+
+    def _ac_freqs(self):
+        from .analysis.ac import sweep_frequencies
+        ac = self.config.ac
+        if not ac.enabled:
+            raise ValueError("deck has no .AC card")
+        return sweep_frequencies(ac.sweep_type, ac.n_points,
+                                 ac.fstart, ac.fstop)
 
     def measure(self, result, analysis: str = "tran"):
         """.MEASURE evaluation (analysis/measure.py).  `result` matches

@@ -365,6 +365,24 @@ def batched_transient_measures(engine: Engine, bparams, tstep, tstop,
     return res, vals
 
 
+def batched_ac_measures(engine: Engine, topo, bparams, freqs, measures,
+                        bindings=None):
+    """Evaluate `.MEASURE AC` cards per lane on the batched
+    lanes×frequencies small-signal sweep — the AC twin of
+    batched_transient_measures.  Returns {name: (B,) values}."""
+    import numpy as np_
+    from ..analysis.ac import ac_analysis_batched
+    from ..analysis.measure import run_measures
+    res_ac = ac_analysis_batched(engine, bparams,
+                                 jnp.asarray(freqs, engine.dtype))
+    fr = np_.asarray(freqs)
+    rows = [dict(run_measures(measures, topo, fr, lane_xs, "ac",
+                              bindings=bindings))
+            for lane_xs in res_ac.xs]
+    return {m.name: np_.asarray([r[m.name] for r in rows])
+            for m in measures}
+
+
 def yield_analysis(engine: Engine, topo, params, key, batch: int,
                    rel_sigma: Mapping[str, float], measures, specs,
                    tstep, tstop, sampler: str = "mc",
@@ -433,18 +451,10 @@ def yield_analysis(engine: Engine, topo, params, key, batch: int,
                                  sampler=sampler)
         weights = None
     if analysis == "ac":
-        from ..analysis.ac import ac_analysis_batched
-        from ..analysis.measure import run_measures
         if freqs is None:
             raise ValueError("analysis='ac' needs freqs")
-        res_ac = ac_analysis_batched(engine, bparams,
-                                     jnp.asarray(freqs, engine.dtype))
-        fr = np_.asarray(freqs)
-        rows = [dict(run_measures(measures, topo, fr, lane_xs, "ac",
-                                  bindings=bindings))
-                for lane_xs in res_ac.xs]
-        vals = {m.name: np_.asarray([r[m.name] for r in rows])
-                for m in measures}
+        vals = batched_ac_measures(engine, topo, bparams, freqs,
+                                   measures, bindings=bindings)
         failed = np_.zeros(batch, dtype=bool)
     else:
         res, vals = batched_transient_measures(engine, bparams, tstep,
@@ -494,7 +504,8 @@ def yield_analysis(engine: Engine, topo, params, key, batch: int,
 
 def sobol_indices(engine: Engine, topo, params, key, n: int,
                   rel_sigma: Mapping[str, float], measures,
-                  tstep, tstop, sampler: str = "lhs"):
+                  tstep, tstop, sampler: str = "lhs",
+                  analysis: str = "tran", freqs=None, bindings=None):
     """Global variance-based sensitivity: first-order and total-effect
     Sobol indices of every .MEASURE value over the mismatch space.
 
@@ -523,8 +534,14 @@ def sobol_indices(engine: Engine, topo, params, key, n: int,
         blocks.append(ABj)
     Z = jnp.concatenate(blocks, axis=0)           # ((d+2)·n, dims)
     bparams = _params_from_Z(params, rel_sigma, Z)
-    _, vals = batched_transient_measures(engine, bparams, tstep, tstop,
-                                         measures, topo)
+    if analysis == "ac":
+        if freqs is None:
+            raise ValueError("analysis='ac' needs freqs")
+        vals = batched_ac_measures(engine, topo, bparams, freqs,
+                                   measures, bindings=bindings)
+    else:
+        _, vals = batched_transient_measures(engine, bparams, tstep,
+                                             tstop, measures, topo)
     dim_labels = []
     for nm, sz in zip(names, sizes):
         dim_labels += [(nm, i) for i in range(sz)]

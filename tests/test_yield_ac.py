@@ -52,6 +52,33 @@ def test_ac_yield_bulk():
     assert lo <= out["yield"] <= hi
 
 
+def test_ac_sobol_indices():
+    # ln(bw) = -ln(2πRC) is ADDITIVE in z: S1 ~ ST ~ 0.5 each, no
+    # interaction (at 5% sigma the log-linearity is near-exact)
+    sim = _deck()
+    out = sim.sobol_indices(jax.random.key(2), 256,
+                            {"res_r": SIG, "cap_c": SIG})
+    r = out["bw"]
+    np.testing.assert_allclose(r["S1"], [0.5, 0.5], atol=0.1)
+    np.testing.assert_allclose(r["ST"], [0.5, 0.5], atol=0.1)
+    assert r["var"] > 0
+
+
+def test_ac_mismatch_budget():
+    # |H| at the nominal corner: d|H|/dz_R = d|H|/dz_C =
+    # -sig·r²/(1+r²)^1.5 |_{r=1} = -sig/(2·sqrt(2)) — equal shares and
+    # sigma_m = sig/2 exactly
+    sim = _deck()
+    f0 = 1.0 / (2 * math.pi * 1e3 * 159.15494e-9)
+    out = sim.mismatch_budget({"res_r": SIG, "cap_c": SIG},
+                              analysis="ac", probe="out", at=f0)
+    assert out["m_nominal"] == pytest.approx(1 / math.sqrt(2), rel=1e-6)
+    assert out["sigma_m"] == pytest.approx(SIG / 2, rel=1e-3)
+    (n1, _, s1), (n2, _, s2) = out["contributions"]
+    assert s1 == pytest.approx(0.5, rel=1e-3)
+    assert s2 == pytest.approx(0.5, rel=1e-3)
+
+
 def test_ac_yield_high_sigma_is():
     # rare failure (c = 3 -> P_fail = 1.35e-3): scaled-sigma IS on the
     # AC path nails the closed form
