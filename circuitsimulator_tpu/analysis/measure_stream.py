@@ -330,9 +330,11 @@ class StreamingMeasures:
 
 def run_transient_streaming(engine: Engine, params, tstep, tstop,
                             sm: StreamingMeasures,
-                            x0: Optional[Any] = None):
+                            x0: Optional[Any] = None,
+                            noise_key=None):
     """Transient with save_xs=False semantics plus streaming measures.
-    Returns (TransientResult-without-xs, {name: per-lane value})."""
+    Returns (TransientResult-without-xs, {name: per-lane value}).
+    noise_key activates TRNOISE sources (see transient.run_transient)."""
     from .dc import dc_operating_point
     from .transient import (TransientResult, n_steps_for, transient_step_fn)
     dtype = engine.dtype
@@ -341,7 +343,7 @@ def run_transient_streaming(engine: Engine, params, tstep, tstop,
     n_steps = n_steps_for(float(tstep), float(tstop))
     if x0 is None:
         x0 = dc_operating_point(engine, params)
-    state0 = engine.init_state(x0, params, dt)
+    state0 = engine.init_state(x0, params, dt, noise_key=noise_key)
     failed0 = jnp.zeros(x0.shape[:-1], dtype=bool)
     predictor = engine.opts.tran_predictor
     carry0 = (x0, x0, state0, failed0) if predictor else (x0, state0, failed0)

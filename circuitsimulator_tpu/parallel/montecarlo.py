@@ -313,7 +313,7 @@ def fused_transient_measures(engine: Engine, bparams, tstep, tstop, sm,
 
 def batched_transient_measures(engine: Engine, bparams, tstep, tstop,
                                measures, topo, bindings=None,
-                               fused="auto", x0=None):
+                               fused="auto", x0=None, noise_key=None):
     """vmap'd transient with STREAMING .MEASURE evaluation: per-lane
     measurement results with O(1) waveform memory — the whole sweep's
     statistics without ever materializing (B, T, N) waveforms
@@ -324,7 +324,10 @@ def batched_transient_measures(engine: Engine, bparams, tstep, tstop,
     (ops/pallas_step.py, in-kernel probe streaming) when the circuit is
     in its scope, the batch is a multiple of 128, f32, and a TPU backend
     is active; True forces it (interpret mode off-TPU — tests); False
-    keeps the vmapped XLA loop."""
+    keeps the vmapped XLA loop.
+
+    noise_key (TRNOISE decks): split per lane — every lane measures an
+    INDEPENDENT noise realization (noisy ensemble statistics)."""
     from ..analysis.measure_stream import (StreamingMeasures,
                                            apply_derived_measures,
                                            run_transient_streaming)
@@ -338,7 +341,8 @@ def batched_transient_measures(engine: Engine, bparams, tstep, tstop,
         x0 = batched_dc_fast(engine, bparams)
     B = x0.shape[0]
     eligible = (pallas_step.supported(engine, float(tstep))
-                and B % 128 == 0 and engine.dtype == jnp.float32)
+                and B % 128 == 0 and engine.dtype == jnp.float32
+                and noise_key is None)
     if fused == "auto":
         fused = eligible and jax.default_backend() != "cpu"
     if fused:
@@ -346,6 +350,12 @@ def batched_transient_measures(engine: Engine, bparams, tstep, tstop,
         res, vals = fused_transient_measures(
             engine, bparams, tstep, tstop, sm, x0=x0,
             interpret=jax.default_backend() == "cpu")
+    elif noise_key is not None and engine.has_trnoise:
+        keys = jax.random.split(noise_key, B)
+        res, vals = jax.vmap(
+            lambda p, x0row, k: run_transient_streaming(
+                engine, p, tstep, tstop, sm, x0=x0row, noise_key=k)
+        )(bparams, x0, keys)
     else:
         res, vals = jax.vmap(
             lambda p, x0row: run_transient_streaming(engine, p, tstep,

@@ -260,6 +260,36 @@ C1 out 0 1u
                                   np.asarray(fin_resumed[0]))
 
 
+def test_noisy_ensemble_measures():
+    # streaming .MEASURE over independent noise lanes: O(1) waveform
+    # memory per lane, per-lane values spread by the noise
+    from circuitsimulator_tpu.parallel.montecarlo import (
+        broadcast_params, batched_transient_measures)
+    from circuitsimulator_tpu.netlist.parser import parse_netlist_text
+    sim = Simulator.from_text(f"""* ensemble
+V1 in 0 DC 1 TRNOISE({NA} 4e-6)
+R1 in out 1k
+R2 out 0 1k
+.TRAN 1e-6 2e-4
+.MEASURE TRAN vend FIND V(in) AT=1.98e-4
+.end
+""")
+    ms = [m for m in sim.config.measures if m.analysis == "tran"]
+    bp = broadcast_params(sim.params, 32)
+    _, vals = batched_transient_measures(
+        sim.engine, bp, 1e-6, 2e-4, ms, sim.topo,
+        noise_key=jax.random.key(5))
+    v = np.asarray(vals["vend"])
+    assert v.shape == (32,)
+    assert abs(v.mean() - 1.0) < 5e-3
+    assert NA * 0.5 < v.std() < NA * 1.6      # 32 single-sample draws
+    # without a key: noise-free, all lanes identical
+    _, vq = batched_transient_measures(sim.engine, bp, 1e-6, 2e-4, ms,
+                                       sim.topo)
+    vq = np.asarray(vq["vend"])
+    assert np.abs(vq - vq[0]).max() < 1e-12
+
+
 def test_fused_kernel_gate():
     # the kernel stays ELIGIBLE for TRNOISE decks (it reproduces the
     # noise-free behavior); the noise path itself never dispatches fused
