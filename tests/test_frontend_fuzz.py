@@ -23,9 +23,12 @@ def gen_netlist(rng: random.Random) -> str:
     lines.append(f"Cb m 0 {rng.choice(['1p', '0.5p'])}")
     lines.append("Rbl m 0 {rleak}")
     lines.append(".ENDS")
+    tn = rng.choice(["", " TRNOISE(1m 0)", " TRNOISE(2m 1n 1.5 0.5m)"])
     lines.append(f"V1 1 0 SIN {round(rng.uniform(0.5, 2), 3)} "
-                 f"{round(rng.uniform(0.05, 0.3), 3)} 5e6 AC 1 30")
-    lines.append(f"I1 {pick()} 0 DC {round(rng.uniform(-1e-3, 1e-3), 6)}")
+                 f"{round(rng.uniform(0.05, 0.3), 3)} 5e6 AC 1 30" + tn)
+    itn = rng.choice(["", " TRNOISE(1u)", " TRNOISE(2u 2n 0.8 1u)"])
+    lines.append(f"I1 {pick()} 0 DC {round(rng.uniform(-1e-3, 1e-3), 6)}"
+                 + itn)
     lines.append(".MODEL 2 VT 0.6 MU 2e-2 COX 1e-3 LAMBDA 0.03 CJ0 1e-14 "
                  "KF 1e-24 AF 1.2")
     lines.append(".MODEL qq NPN IS=2e-15 BF=80 BR=2")
@@ -123,7 +126,8 @@ def canon_elements(ckt):
                     e.z0, e.td, e.branch_eq2, e.b_expr, e.b_is_v,
                     None if e.spec is None else
                     (e.spec.dc, e.spec.ac_mag, e.spec.ac_phase_deg,
-                     e.spec.wave.kind)))
+                     e.spec.wave.kind, e.spec.tn_na, e.spec.tn_nt,
+                     e.spec.tn_alpha, e.spec.tn_namp)))
     return out
 
 
