@@ -398,6 +398,41 @@ class Simulator:
         p = params if params is not None else self.params
         return ac_analysis(self.engine, p, freqs, x_op=x_op)
 
+    def group_delay(self, probe: str, params: Optional[Any] = None,
+                    freqs=None, x_op: Optional[Any] = None):
+        """Exact group delay τ_g(f) = −dφ/dω of V(probe): the phase
+        derivative comes from `jax.grad` through the small-signal solve
+        (no finite-difference grid error).  Defaults to the .AC card's
+        sweep; returns (freqs, tau_g) arrays."""
+        import numpy as _np
+        from .analysis.ac import (ac_system_real, solve_ac_real,
+                                  sweep_frequencies)
+        if freqs is None:
+            cfg = self.config.ac
+            if not cfg.enabled:
+                raise ValueError(".AC card missing")
+            freqs = sweep_frequencies(cfg.sweep_type, cfg.n_points,
+                                      cfg.fstart, cfg.fstop)
+        nid = self.circuit.node_name_to_id.get(probe)
+        if nid is None:
+            raise KeyError(f"unknown node {probe!r}")
+        eqi = self.circuit.nodes[nid].eq_index
+        p = params if params is not None else self.params
+        if x_op is None:
+            x_op = self.dc(params=params)
+        engine = self.engine
+
+        def phase(f):
+            G, B, br, bi = ac_system_real(engine, p, x_op,
+                                          2.0 * jnp.pi * f)
+            xr, xi = solve_ac_real(engine, G, B, br, bi)
+            return jnp.arctan2(xi[eqi], xr[eqi])
+
+        dphi_df = jax.jit(jax.vmap(jax.grad(phase)))(
+            jnp.asarray(freqs, self.engine.dtype))
+        tau = -_np.asarray(dphi_df) / (2.0 * _np.pi)
+        return _np.asarray(freqs), tau
+
     def fourier(self, result: TransientResult,
                 f0: Optional[float] = None, probes=None, n_harm: int = 9):
         """.FOUR Fourier analysis of a finished transient (analysis/

@@ -92,3 +92,17 @@ def test_ac_yield_high_sigma_is():
     assert abs(out["p_fail"] - p_true) < 3 * out["p_fail_se"]
     assert 0.4 * p_true < out["p_fail"] < 2.5 * p_true
     assert out["n_eff"] > 10
+
+
+def test_group_delay_rc_closed_form():
+    # RC lowpass: tau_g(f) = RC/(1+(2*pi*f*RC)^2) exactly; jax.grad
+    # through the solve has no finite-difference grid error
+    sim = _deck()
+    tau0 = 1e3 * 159.15494e-9
+    f, tau = sim.group_delay("out")
+    pred = tau0 / (1.0 + (2 * math.pi * f * tau0) ** 2)
+    np.testing.assert_allclose(tau, pred, rtol=1e-9)
+    # at the corner the delay is half the DC value
+    f0 = 1.0 / (2 * math.pi * tau0)
+    f2, tau2 = sim.group_delay("out", freqs=[f0])
+    assert tau2[0] == pytest.approx(tau0 / 2, rel=1e-9)
