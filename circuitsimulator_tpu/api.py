@@ -433,6 +433,41 @@ class Simulator:
         tau = -_np.asarray(dphi_df) / (2.0 * _np.pi)
         return _np.asarray(freqs), tau
 
+    def loop_gain(self, source: str, params: Optional[Any] = None,
+                  freqs=None, x_op: Optional[Any] = None):
+        """Loop-gain / stability analysis (analysis/loopgain.py):
+        Bode's return ratio of the named E (VCVS) source — the loop is
+        never broken; the source is nulled and its branch driven with a
+        unit test voltage, one modified AC solve per frequency.
+        Returns a dict: freqs, T (complex), f_unity,
+        phase_margin_deg, f_180, gain_margin_db."""
+        from .analysis.loopgain import loop_gain, margins
+        from .analysis.ac import sweep_frequencies
+        from .netlist.circuit import KIND_E
+        idx = None
+        j = 0
+        for e in self.circuit.elements:
+            if e.kind == KIND_E:
+                if e.name.upper() == source.upper():
+                    idx = j
+                    break
+                j += 1
+        if idx is None:
+            raise KeyError(f"no VCVS named {source!r}")
+        if freqs is None:
+            cfg = self.config.ac
+            if not cfg.enabled:
+                raise ValueError(".AC card missing")
+            freqs = sweep_frequencies(cfg.sweep_type, cfg.n_points,
+                                      cfg.fstart, cfg.fstop)
+        p = params if params is not None else self.params
+        if x_op is None:
+            x_op = self.dc(params=params)
+        T = loop_gain(self.engine, p, idx, freqs, x_op)
+        out = {"freqs": freqs, "T": T}
+        out.update(margins(freqs, T))
+        return out
+
     def fourier(self, result: TransientResult,
                 f0: Optional[float] = None, probes=None, n_harm: int = 9):
         """.FOUR Fourier analysis of a finished transient (analysis/
