@@ -55,6 +55,8 @@ class NoiseResult:
     by_class: Any     # dict kind -> (F,) PSD contribution (kinds R/M/D/Q)
     gain: Any         # (F,) complex gain from the input source, or None
     inoise: Any       # (F,) input-referred PSD, or None
+    s_dev: Any = None    # (F, nS) per-generator PSDs (per_device=True)
+    kinds: Any = None    # nS generator kind labels, concatenation order
 
 
 def _device_noise_currents(engine: Engine, params, x_op):
@@ -162,7 +164,8 @@ def _device_noise_currents(engine: Engine, params, x_op):
 def noise_analysis(engine: Engine, params, freqs, out_eq: int,
                    ref_eq: int = -1,
                    input_ref: Optional[Tuple] = None,
-                   x_op: Optional[Any] = None) -> NoiseResult:
+                   x_op: Optional[Any] = None,
+                   per_device: bool = False) -> NoiseResult:
     """Output (and optionally input-referred) noise over a frequency sweep.
 
     out_eq/ref_eq: node equation indices of the output probe V(out, ref);
@@ -220,7 +223,9 @@ def noise_analysis(engine: Engine, params, freqs, out_eq: int,
         gain = None
         inoise = None
     return NoiseResult(freqs=freqs, onoise=onoise, by_class=by_class,
-                       gain=gain, inoise=inoise)
+                       gain=gain, inoise=inoise,
+                       s_dev=s_dev if per_device else None,
+                       kinds=kinds if per_device else None)
 
 
 def write_noise_csv(path: str, result: NoiseResult) -> None:

@@ -1197,6 +1197,69 @@ class Simulator:
         return noise_analysis(self.engine, p, freqs, out_eq, ref_eq,
                               input_ref, x_op=x_op)
 
+    def noise_figure(self, source_resistor: str,
+                     params: Optional[Any] = None, freqs=None,
+                     out_node: Optional[str] = None,
+                     ref_node: Optional[str] = None,
+                     x_op: Optional[Any] = None):
+        """Noise figure referred to the named source resistor:
+        F(f) = total output noise PSD / the PSD contributed by
+        `source_resistor` alone (its 4kT/R generator through the same
+        adjoint transfer), NF = 10·log10 F — the classic definition
+        with Rs as the reference source impedance.  Output node defaults
+        to the .NOISE card's.  Returns (freqs, nf_db)."""
+        import numpy as _np
+        from .analysis.ac import sweep_frequencies
+        from .analysis.noise import noise_analysis
+        from .netlist.circuit import KIND_R
+        cfg = self.config.noise
+        if out_node is None:
+            if not cfg.enabled:
+                raise ValueError("give out_node or a .NOISE card")
+            out_node = cfg.out_node
+            ref_node = ref_node or (cfg.ref_node or None)
+        if freqs is None:
+            if cfg.enabled and cfg.sweep_type:
+                freqs = sweep_frequencies(cfg.sweep_type, cfg.n_points,
+                                          cfg.fstart, cfg.fstop)
+            elif self.config.ac.enabled:
+                ac = self.config.ac
+                freqs = sweep_frequencies(ac.sweep_type, ac.n_points,
+                                          ac.fstart, ac.fstop)
+            else:
+                raise ValueError("no frequency sweep available")
+        # the source resistor's generator column: resistors lead the
+        # concatenation in _device_noise_currents, in element order
+        ridx = None
+        j = 0
+        for e in self.circuit.elements:
+            if e.kind == KIND_R:
+                if e.name.upper() == source_resistor.upper():
+                    ridx = j
+                    break
+                j += 1
+        if ridx is None:
+            raise KeyError(f"no resistor named {source_resistor!r}")
+
+        def node_eq(name):
+            nid = self.circuit.node_name_to_id.get(name)
+            if nid is None:
+                raise KeyError(f"unknown node {name!r}")
+            return self.circuit.nodes[nid].eq_index
+
+        out_eq = node_eq(out_node)
+        ref_eq = node_eq(ref_node) if ref_node else -1
+        p = params if params is not None else self.params
+        res = noise_analysis(self.engine, p, freqs, out_eq, ref_eq,
+                             None, x_op=x_op, per_device=True)
+        s = _np.asarray(res.s_dev)
+        rs_psd = s[:, ridx]
+        if not _np.all(rs_psd > 0):
+            raise ValueError(f"{source_resistor!r} contributes no noise "
+                             "at the output (zero transfer or zero R)")
+        nf_db = 10.0 * _np.log10(_np.asarray(res.onoise) / rs_psd)
+        return _np.asarray(freqs), nf_db
+
     def dc_sweep(self, sweep_index: int = 0, params: Optional[Any] = None,
                  values=None, source: Optional[str] = None):
         """DC sweep (analysis/sweep.py).  Defaults to the netlist's .DC
