@@ -83,6 +83,18 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="run the .STEP sweep as one vmapped batch; CSV has "
                         "one row per step value (.MEASURE columns for "
                         "transient steps, node voltages for .OP steps)")
+    p.add_argument("--run-loop-gain", metavar="E_SOURCE", default=None,
+                   help="loop-gain (Bode return ratio) of the named "
+                        "VCVS over the .AC sweep: prints phase/gain "
+                        "margins, writes loopgain.csv (f, |T| dB, deg)")
+    p.add_argument("--run-noise-figure", metavar="RESISTOR", default=None,
+                   help="noise figure referred to the named source "
+                        "resistor over the .NOISE/.AC sweep: prints the "
+                        "flat-band NF, writes nf.csv")
+    p.add_argument("--run-group-delay", metavar="NODE", default=None,
+                   help="exact group delay of V(NODE) over the .AC "
+                        "sweep (gradient through the solve), writes "
+                        "groupdelay.csv")
     p.add_argument("--run-hb", metavar="CSV", nargs="?", const="hb_out.csv",
                    help="run .hb periodic steady state, write one period "
                         "CSV and print the harmonic table")
@@ -290,6 +302,61 @@ def main(argv=None) -> int:
                 print(measure_report(sim.measure(swres, analysis="dc")))
         except Exception as e:  # noqa: BLE001
             print(f"DC sweep failed: {e}", file=sys.stderr)
+            return 1
+
+    if args.run_loop_gain:
+        import numpy as _np
+        try:
+            lg = sim.loop_gain(args.run_loop_gain)
+            T = lg["T"]
+            with open("loopgain.csv", "w") as f:
+                f.write("freq,mag_db,phase_deg\n")
+                for fr, t in zip(_np.asarray(lg["freqs"]), T):
+                    f.write(f"{fr:.9e},{20 * _np.log10(abs(t)):.6f},"
+                            f"{_np.degrees(_np.angle(t)):.6f}\n")
+            pm = lg["phase_margin_deg"]
+            gm = lg["gain_margin_db"]
+            print(f"\nLoop gain of {args.run_loop_gain}: "
+                  f"|T(0)| = {20 * _np.log10(abs(T[0])):.2f} dB")
+            print(f"  unity crossover: "
+                  + (f"{lg['f_unity']:.4g} Hz, phase margin {pm:.2f} deg"
+                     if pm is not None else "not reached in sweep"))
+            print(f"  gain margin: "
+                  + (f"{gm:.2f} dB at {lg['f_180']:.4g} Hz"
+                     if gm is not None else "no -180 deg crossing"))
+            print("  written to 'loopgain.csv'.")
+        except Exception as e:  # noqa: BLE001
+            print(f"loop-gain analysis failed: {e}", file=sys.stderr)
+            return 1
+
+    if args.run_noise_figure:
+        import numpy as _np
+        try:
+            fr, nf = sim.noise_figure(args.run_noise_figure)
+            with open("nf.csv", "w") as f:
+                f.write("freq,nf_db\n")
+                for a, b in zip(fr, nf):
+                    f.write(f"{a:.9e},{b:.6f}\n")
+            print(f"\nNoise figure (ref {args.run_noise_figure}): "
+                  f"{nf.min():.3f} .. {nf.max():.3f} dB; "
+                  "written to 'nf.csv'.")
+        except Exception as e:  # noqa: BLE001
+            print(f"noise-figure analysis failed: {e}", file=sys.stderr)
+            return 1
+
+    if args.run_group_delay:
+        import numpy as _np
+        try:
+            fr, tau = sim.group_delay(args.run_group_delay)
+            with open("groupdelay.csv", "w") as f:
+                f.write("freq,tau_s\n")
+                for a, b in zip(fr, tau):
+                    f.write(f"{a:.9e},{b:.9e}\n")
+            print(f"\nGroup delay of V({args.run_group_delay}): "
+                  f"{tau.max() * 1e9:.4g} ns max; "
+                  "written to 'groupdelay.csv'.")
+        except Exception as e:  # noqa: BLE001
+            print(f"group-delay analysis failed: {e}", file=sys.stderr)
             return 1
 
     if args.run_mc:

@@ -76,3 +76,33 @@ R1 in 0 1k
 """)
     with pytest.raises(KeyError):
         sim.loop_gain("E9")
+
+
+def test_cli_loop_gain_and_friends(tmp_path, capsys, monkeypatch):
+    from circuitsimulator_tpu.cli import main
+    deck = tmp_path / "loop.sp"
+    deck.write_text("""* one-pole loop
+Vref in 0 DC 1 AC 0
+E1 a 0 in out 1000
+R1 a out 1k
+C1 out 0 1u
+.AC DEC 20 0.01 1e6
+.NOISE V(out) Vref
+.end
+""")
+    monkeypatch.chdir(tmp_path)
+    rc = main([str(deck), str(tmp_path / "t.csv"),
+               "--run-loop-gain", "E1",
+               "--run-noise-figure", "R1",
+               "--run-group-delay", "out"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "phase margin" in out
+    assert "Noise figure" in out
+    assert "Group delay" in out
+    assert (tmp_path / "loopgain.csv").exists()
+    assert (tmp_path / "nf.csv").exists()
+    assert (tmp_path / "groupdelay.csv").exists()
+    lg = (tmp_path / "loopgain.csv").read_text().splitlines()
+    assert lg[0] == "freq,mag_db,phase_deg"
+    assert abs(float(lg[1].split(",")[1]) - 60.0) < 0.1   # 1000x = 60 dB
