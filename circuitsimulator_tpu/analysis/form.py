@@ -252,6 +252,28 @@ def mismatch_budget(engine: Engine, params, rel_sigma: Mapping[str, float],
     }
 
 
+def limit_state_measure(m, topo, low=None, high=None):
+    """Limit state on a deck `.MEASURE TRAN` card via the differentiable
+    measure layer (analysis/measure_diff.py): g < 0 when the measured
+    value leaves the (low, high) window — FORM on timing/level specs
+    exactly as the deck defines them."""
+    from .measure_diff import diff_measure
+    if low is None and high is None:
+        raise ValueError("need at least one bound")
+    f = diff_measure(m, topo)
+
+    def g_fn(times, xs):
+        v = f(times, xs)
+        gs = []
+        if low is not None:
+            gs.append(v - low)
+        if high is not None:
+            gs.append(high - v)
+        return gs[0] if len(gs) == 1 else jnp.minimum(*gs)
+
+    return g_fn
+
+
 def limit_state_ac_mag(eq_index: int, low=None, high=None,
                        f_index: int = 0):
     """Limit state on an AC magnitude: |V(node)| at freqs[f_index]

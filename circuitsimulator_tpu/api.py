@@ -813,7 +813,7 @@ class Simulator:
     def worst_case(self, rel_sigma, g_fn=None, probe: str = None,
                    at: float = None, low=None, high=None,
                    params: Optional[Any] = None,
-                   analysis: str = "tran", **kw):
+                   analysis: str = "tran", measure: str = None, **kw):
         """FORM worst-case analysis (analysis/form.mpp_search): find the
         most probable failure point in the standard-normal mismatch
         space of `rel_sigma`, via gradient (adjoint) HL-RF iterations.
@@ -821,8 +821,11 @@ class Simulator:
         worst-case parameter set, and the importance direction alpha.
 
         analysis="tran" (default): pass `g_fn(times, xs) -> scalar`
-        (g < 0 = failure) or the shorthand probe/at/low/high for a
-        `FIND V(probe) AT=at` window spec; needs a .TRAN card.
+        (g < 0 = failure), or `measure="name"` to bound one of the
+        deck's own `.MEASURE TRAN` cards (differentiable measure layer
+        — crossing times and TRIG/TARG delays included: timing yield),
+        or the shorthand probe/at/low/high for a `FIND V(probe) AT=at`
+        window spec; needs a .TRAN card.
 
         analysis="ac": the limit state evaluates on the differentiable
         small-signal solve — pass `g_fn(freqs, xr, xi)` plus
@@ -847,9 +850,18 @@ class Simulator:
         tran = self.config.tran
         if not tran.enabled:
             raise ValueError("worst-case analysis needs a .TRAN card")
+        if g_fn is None and measure is not None:
+            from .analysis.form import limit_state_measure
+            ms = [m for m in self.config.measures
+                  if m.name == measure and m.analysis == "tran"]
+            if not ms:
+                raise KeyError(f"no .MEASURE TRAN card named {measure!r}")
+            g_fn = limit_state_measure(ms[0], self.topo, low=low,
+                                       high=high)
         if g_fn is None:
             if probe is None or at is None:
-                raise ValueError("pass g_fn or probe/at/low/high")
+                raise ValueError("pass g_fn, measure=, or "
+                                 "probe/at/low/high")
             nid = self.circuit.node_name_to_id.get(probe)
             if nid is None:
                 raise KeyError(f"unknown node {probe!r}")
