@@ -998,6 +998,18 @@ class Simulator:
             if "g_fn" in sp:
                 g_fns.append(sp["g_fn"])
                 continue
+            if "measure" in sp:
+                from .analysis.form import limit_state_measure
+                ms = [m for m in self.config.measures
+                      if m.name == sp["measure"]
+                      and m.analysis == "tran"]
+                if not ms:
+                    raise KeyError(f"no .MEASURE TRAN card named "
+                                   f"{sp['measure']!r}")
+                g_fns.append(limit_state_measure(
+                    ms[0], self.topo, low=sp.get("low"),
+                    high=sp.get("high")))
+                continue
             nid = self.circuit.node_name_to_id.get(sp["probe"])
             if nid is None:
                 raise KeyError(f"unknown node {sp['probe']!r}")
@@ -1034,17 +1046,21 @@ class Simulator:
 
     def mismatch_budget(self, rel_sigma, m_fn=None, probe: str = None,
                         at: float = None, params: Optional[Any] = None,
-                        analysis: str = "tran"):
+                        analysis: str = "tran", measure: str = None):
         """Linearized mismatch variance budget
         (analysis/form.mismatch_budget): one adjoint pass ranks every
         mismatch dimension's share of the metric variance.  Pass
-        `m_fn(times, xs) -> scalar`, or probe/at for the value of
-        V(probe) at time `at` (needs a .TRAN card).  analysis="ac":
-        m_fn(freqs, xr, xi) — or probe/at where `at` is the FREQUENCY
-        and the metric is |V(probe)|."""
+        `m_fn(times, xs) -> scalar`, `measure="name"` (one of the
+        deck's `.MEASURE TRAN` cards via the differentiable measure
+        layer), or probe/at for the value of V(probe) at time `at`
+        (needs a .TRAN card).  analysis="ac": m_fn(freqs, xr, xi) — or
+        probe/at where `at` is the FREQUENCY and the metric is
+        |V(probe)|."""
         from .analysis.form import mismatch_budget
         import jax.numpy as _jnp
         p = params if params is not None else self.params
+        if measure is not None and m_fn is None:
+            m_fn = self._diff_measure_fn(measure)
         if analysis == "ac":
             if m_fn is None:
                 if probe is None or at is None:
@@ -1080,6 +1096,63 @@ class Simulator:
                                    xs[:, eqi])
         return mismatch_budget(self.engine, p,
                                rel_sigma, tran.tstep, tran.tstop, m_fn)
+
+    def _diff_measure_fn(self, name: str):
+        """Differentiable fn(times, xs) of the named .MEASURE TRAN card."""
+        from .analysis.measure_diff import diff_measure
+        ms = [m for m in self.config.measures
+              if m.name == name and m.analysis == "tran"]
+        if not ms:
+            raise KeyError(f"no .MEASURE TRAN card named {name!r}")
+        return diff_measure(ms[0], self.topo)
+
+    def fit_measures(self, targets, param_names, steps: int = 150,
+                     lr: float = 0.05, params: Optional[Any] = None,
+                     verbose: bool = False):
+        """Design fitting on the deck's own `.MEASURE TRAN` cards: tune
+        the named parameter leaves until each measure hits its target —
+        `targets` maps measure names to desired values; the loss is the
+        sum of squared RELATIVE errors, optimized in log-parameter space
+        with optax Adam through the adjoint + differentiable measure
+        layer.  Returns (fitted params, loss history)."""
+        import optax
+        from .analysis.adjoint import diff_transient
+        tran = self.config.tran
+        if not tran.enabled:
+            raise ValueError("fit_measures needs a .TRAN card")
+        fns = {k: self._diff_measure_fn(k) for k in targets}
+        p0 = dict(params if params is not None else self.params)
+        for k in param_names:
+            if k not in p0:
+                raise KeyError(f"unknown parameter leaf {k!r}")
+        theta0 = {k: jnp.log(p0[k]) for k in param_names}
+        rest = {k: v for k, v in p0.items() if k not in param_names}
+        tv = {k: jnp.asarray(v, self.engine.dtype)
+              for k, v in targets.items()}
+
+        def loss_fn(theta):
+            p = {**rest, **{k: jnp.exp(v) for k, v in theta.items()}}
+            t, xs = diff_transient(self.engine, p, tran.tstep, tran.tstop)
+            err = 0.0
+            for k, f in fns.items():
+                scale = jnp.maximum(jnp.abs(tv[k]), 1e-30)
+                err = err + ((f(t, xs) - tv[k]) / scale) ** 2
+            return err
+
+        opt = optax.adam(lr)
+        state = opt.init(theta0)
+        vg = jax.jit(jax.value_and_grad(loss_fn))
+        theta = theta0
+        history = []
+        for i in range(steps):
+            val, g = vg(theta)
+            history.append(float(val))
+            updates, state = opt.update(g, state)
+            theta = optax.apply_updates(theta, updates)
+            if verbose and i % 20 == 0:
+                print(f"  fit step {i}: loss {float(val):.3e}")
+        fitted = {**rest, **{k: jnp.exp(v) for k, v in theta.items()}}
+        return fitted, history
 
     def _ac_freqs(self):
         from .analysis.ac import sweep_frequencies

@@ -72,6 +72,33 @@ def test_gradient_of_delay_matches_fd():
     assert float(g[0]) > 0                 # bigger C -> longer delay
 
 
+def test_mismatch_budget_on_measure():
+    # budget of the TRIG/TARG delay: R1 (sets tau with C) dominates,
+    # the 10k load shifts the level only weakly
+    sim = Simulator.from_text(DECK)
+    out = sim.mismatch_budget({"res_r": 0.05, "cap_c": 0.05},
+                              measure="m_delay")
+    assert out["sigma_m"] > 0
+    shares = {(n, i): s for n, i, s in out["contributions"]}
+    assert shares[("cap_c", 0)] > 0.3          # C sets tau directly
+    assert shares[("res_r", 0)] > 0.3          # R1 sets tau directly
+    assert shares[("res_r", 1)] < 0.2          # RL is second order
+
+
+def test_fit_measures_hits_target_delay():
+    # tune C so the deck's delay card reads 40 us (nominal ~16 us)
+    sim = Simulator.from_text(DECK)
+    target = 4e-5
+    fitted, hist = sim.fit_measures({"m_delay": target}, ["cap_c"],
+                                    steps=120, lr=0.1)
+    assert hist[-1] < 1e-6
+    # verify on a fresh host-evaluated run
+    res = sim.transient(params=fitted)
+    vals = dict(sim.measure(res))
+    assert vals["m_delay"] == pytest.approx(target, rel=2e-3)
+    assert float(fitted["cap_c"][0]) > float(sim.params["cap_c"][0])
+
+
 def test_worst_case_on_timing_spec():
     # timing yield on the deck's own delay measure: the crossing time of
     # the RC rise at 0.5 is tau*ln(2) (+ input ramp offsets), lognormal
