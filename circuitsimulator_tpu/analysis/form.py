@@ -274,6 +274,27 @@ def limit_state_measure(m, topo, low=None, high=None):
     return g_fn
 
 
+def limit_state_measure_ac(m, topo, low=None, high=None):
+    """Limit state on a deck `.MEASURE AC` card (differentiable measure
+    layer): g < 0 when the value leaves the (low, high) window — FORM
+    on bandwidth/gain specs exactly as the deck defines them."""
+    from .measure_diff import diff_measure_ac
+    if low is None and high is None:
+        raise ValueError("need at least one bound")
+    f = diff_measure_ac(m, topo)
+
+    def g_fn(freqs, xr, xi):
+        v = f(freqs, xr, xi)
+        gs = []
+        if low is not None:
+            gs.append(v - low)
+        if high is not None:
+            gs.append(high - v)
+        return gs[0] if len(gs) == 1 else jnp.minimum(*gs)
+
+    return g_fn
+
+
 def limit_state_ac_mag(eq_index: int, low=None, high=None,
                        f_index: int = 0):
     """Limit state on an AC magnitude: |V(node)| at freqs[f_index]

@@ -151,6 +151,92 @@ def diff_stat(stat: str, t_from: float, t_to: float):
     return f
 
 
+def diff_probe_ac(topo: Topology, probe) -> Callable:
+    """ProbeSpec -> fn(xr, xi) -> (F,) real AC waveform with the probe
+    modifier applied (default magnitude; VDB/VP/VR/VI)."""
+    v_by_name = dict(zip(topo.volt_col_names,
+                         [int(e) for e in topo.volt_col_eqs]))
+    i_by_name = dict(zip(topo.branch_col_names,
+                         [int(e) for e in topo.branch_col_eqs]))
+    mod = getattr(probe, "mod", "")
+
+    def veq(name):
+        if name in v_by_name:
+            return v_by_name[name]
+        return -1 if name.lower() in ("0", "gnd") else None
+
+    if probe.kind == "nv":
+        eq = veq(probe.node1)
+        if eq is None:
+            raise KeyError(f"unresolvable probe node {probe.node1!r}")
+        pair = lambda xr, xi: ((xr[:, eq], xi[:, eq]) if eq >= 0 else
+                               (jnp.zeros(xr.shape[0], xr.dtype),) * 2)
+    elif probe.kind == "dv":
+        ea, eb = veq(probe.node1), veq(probe.node2)
+        if ea is None or eb is None:
+            raise KeyError("unresolvable differential probe")
+        pair = lambda xr, xi: (
+            (xr[:, ea] if ea >= 0 else 0.0)
+            - (xr[:, eb] if eb >= 0 else 0.0),
+            (xi[:, ea] if ea >= 0 else 0.0)
+            - (xi[:, eb] if eb >= 0 else 0.0))
+    elif probe.kind == "br" and probe.ele_name in i_by_name:
+        eq = i_by_name[probe.ele_name]
+        pair = lambda xr, xi: (xr[:, eq], xi[:, eq])
+    else:
+        raise KeyError(f"unresolvable probe {probe!r}")
+
+    def f(xr, xi):
+        r, i = pair(xr, xi)
+        if mod == "db":
+            return 20.0 * jnp.log10(
+                jnp.maximum(jnp.sqrt(r * r + i * i), 1e-300))
+        if mod == "ph":
+            return jnp.degrees(jnp.arctan2(i, r))
+        if mod == "re":
+            return r
+        if mod == "im":
+            return i
+        return jnp.sqrt(r * r + i * i)
+
+    return f
+
+
+def diff_measure_ac(m, topo: Topology) -> Callable:
+    """MeasureSpec (analysis == "ac") -> differentiable
+    fn(freqs, xr, xi) -> scalar; the sweep axis plays the role of time
+    (a WHEN VDB(out)=-3 card measures the -3 dB frequency)."""
+    if m.kind == "stat":
+        probe = diff_probe_ac(topo, m.probe)
+        stat = diff_stat(m.stat, m.t_from, m.t_to)
+        return lambda f, xr, xi: stat(f, probe(xr, xi))
+    if m.kind == "find_at":
+        probe = diff_probe_ac(topo, m.probe)
+        return lambda f, xr, xi: diff_interp_at(f, probe(xr, xi), m.at)
+    if m.kind == "when":
+        probe = diff_probe_ac(topo, m.ev1.probe)
+        ev = m.ev1
+        return lambda f, xr, xi: diff_event_time(
+            f, probe(xr, xi), ev.val, ev.edge, ev.td, ev.n)
+    if m.kind == "trig_targ":
+        p1 = diff_probe_ac(topo, m.ev1.probe)
+        p2 = diff_probe_ac(topo, m.ev2.probe)
+        e1, e2 = m.ev1, m.ev2
+        return lambda f, xr, xi: (
+            diff_event_time(f, p2(xr, xi), e2.val, e2.edge, e2.td, e2.n)
+            - diff_event_time(f, p1(xr, xi), e1.val, e1.edge, e1.td,
+                              e1.n))
+    if m.kind == "find_when":
+        probe = diff_probe_ac(topo, m.probe)
+        pw = diff_probe_ac(topo, m.ev1.probe)
+        ev = m.ev1
+        return lambda f, xr, xi: diff_interp_at(
+            f, probe(xr, xi),
+            diff_event_time(f, pw(xr, xi), ev.val, ev.edge, ev.td, ev.n))
+    raise NotImplementedError(f"AC measure kind {m.kind!r} is not "
+                              "differentiable")
+
+
 def diff_measure(m, topo: Topology) -> Callable:
     """MeasureSpec -> differentiable fn(times, xs) -> scalar (transient
     analysis only; value-parity with evaluate_measure)."""

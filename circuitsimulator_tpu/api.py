@@ -832,12 +832,22 @@ class Simulator:
         `freqs=` in **kw, or the shorthand probe/at/low/high where
         `at` is the FREQUENCY and low/high bound |V(probe)|."""
         from .analysis.form import (mpp_search, limit_state_find_at,
-                                    limit_state_ac_mag)
+                                    limit_state_ac_mag,
+                                    limit_state_measure_ac)
         p = params if params is not None else self.params
         if analysis == "ac":
+            if g_fn is None and measure is not None:
+                ms = [m for m in self.config.measures
+                      if m.name == measure and m.analysis == "ac"]
+                if not ms:
+                    raise KeyError(f"no .MEASURE AC card named "
+                                   f"{measure!r}")
+                g_fn = limit_state_measure_ac(ms[0], self.topo, low=low,
+                                              high=high)
+                kw.setdefault("freqs", self._ac_freqs())
             if g_fn is None:
                 if probe is None or at is None:
-                    raise ValueError("pass g_fn+freqs or "
+                    raise ValueError("pass g_fn+freqs, measure=, or "
                                      "probe/at/low/high")
                 nid = self.circuit.node_name_to_id.get(probe)
                 if nid is None:

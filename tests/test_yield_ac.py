@@ -106,3 +106,36 @@ def test_group_delay_rc_closed_form():
     f0 = 1.0 / (2 * math.pi * tau0)
     f2, tau2 = sim.group_delay("out", freqs=[f0])
     assert tau2[0] == pytest.approx(tau0 / 2, rel=1e-9)
+
+
+def test_ac_measure_parity_and_form_on_bandwidth():
+    # the differentiable AC measure layer must match the host evaluator
+    # on the bandwidth card, and FORM on that card recovers the
+    # closed-form beta: fail {bw < bw_c} has beta = ln(bw0/bw_c)/(sig*sqrt2)
+    import jax.numpy as jnp
+    from circuitsimulator_tpu.analysis.measure import run_measures
+    from circuitsimulator_tpu.analysis.measure_diff import diff_measure_ac
+    from circuitsimulator_tpu.analysis.ac import sweep_frequencies
+    sim = _deck()
+    cfg = sim.config.ac
+    freqs = sweep_frequencies(cfg.sweep_type, cfg.n_points,
+                              cfg.fstart, cfg.fstop)
+    res = sim.ac()
+    host = dict(run_measures(sim.config.measures, sim.topo,
+                             np.asarray(freqs), res.xs, "ac"))
+    m = next(x for x in sim.config.measures if x.name == "bw")
+    f = diff_measure_ac(m, sim.topo)
+    v = float(f(jnp.asarray(freqs), jnp.asarray(res.xs.real),
+                jnp.asarray(res.xs.imag)))
+    assert v == pytest.approx(host["bw"], rel=1e-9)
+    # FORM directly on the deck's bandwidth card
+    c = 3.0
+    out = sim.worst_case({"res_r": SIG, "cap_c": SIG}, analysis="ac",
+                         measure="bw", low=_bw_c(c))
+    assert out["converged"]
+    # the -3 dB crossing interpolates LINEARLY between log-spaced sweep
+    # points, so the recovered beta carries a small grid bias
+    assert out["beta"] == pytest.approx(c, rel=0.02)
+    a = np.asarray(out["alpha"])
+    assert a[0] == pytest.approx(1 / math.sqrt(2), abs=0.05)
+    assert a[1] == pytest.approx(1 / math.sqrt(2), abs=0.05)
