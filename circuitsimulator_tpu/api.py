@@ -433,6 +433,48 @@ class Simulator:
         tau = -_np.asarray(dphi_df) / (2.0 * _np.pi)
         return _np.asarray(freqs), tau
 
+    def two_tone_ip3(self, probe: str, input_amplitude: float,
+                     params: Optional[Any] = None, tones=None, **kw):
+        """Two-tone intermodulation analysis on the multi-tone harmonic
+        balance (analysis/hbmulti.py): solves the quasi-periodic steady
+        state, reads the fundamental (1,0) and lower IM3 (2,−1)
+        coefficients of V(probe), and extrapolates the third-order
+        intercept.  `input_amplitude` is the per-tone drive amplitude A
+        the intercept is referred to: IIP3_amplitude = A·√(fund/im3)
+        (both tones equal).  Defaults to the deck's multi-tone `.hb f1
+        n1 f2 n2` card.  Returns a dict: fund, im3 (voltage magnitudes),
+        im3_dbc, iip3_amplitude, oip3_amplitude, result (HBMultiResult).
+        """
+        import numpy as _np
+        from .analysis.hbmulti import coeff
+        hb = self.config.hb
+        if tones is None:
+            if not (hb.enabled and hb.extra_tones):
+                raise ValueError("two_tone_ip3 needs a multi-tone .hb "
+                                 "card or tones=[(f1,H1),(f2,H2)]")
+            tones = hb.tones
+        if len(tones) != 2:
+            raise ValueError("two_tone_ip3 needs exactly two tones")
+        if tones[0][1] < 2 or tones[1][1] < 1:
+            raise ValueError("IM3 (2,-1) needs H1 >= 2 and H2 >= 1")
+        res = self.harmonic_balance(params=params, tones=tones, **kw)
+        nid = self.circuit.node_name_to_id.get(probe)
+        if nid is None:
+            raise KeyError(f"unknown node {probe!r}")
+        eqi = self.circuit.nodes[nid].eq_index
+        # one-sided amplitudes: 2·|complex coefficient|
+        fund = 2.0 * float(_np.abs(coeff(res, (1, 0))[eqi]))
+        im3 = 2.0 * float(_np.abs(coeff(res, (2, -1))[eqi]))
+        a = float(input_amplitude)
+        ratio = fund / max(im3, 1e-300)
+        return {
+            "fund": fund, "im3": im3,
+            "im3_dbc": 20.0 * _np.log10(max(im3, 1e-300) / fund),
+            "iip3_amplitude": a * _np.sqrt(ratio),
+            "oip3_amplitude": fund * _np.sqrt(ratio),
+            "result": res,
+        }
+
     def loop_gain(self, source: str, params: Optional[Any] = None,
                   freqs=None, x_op: Optional[Any] = None):
         """Loop-gain / stability analysis (analysis/loopgain.py):
