@@ -475,6 +475,75 @@ class Simulator:
             "result": res,
         }
 
+    def p1db(self, probe: str, source: str,
+             params: Optional[Any] = None,
+             f0: Optional[float] = None, n_harm: int = 7,
+             a_max_scale: float = 100.0, iters: int = 20, **kw):
+        """1 dB compression point: bisect the named SIN source's
+        amplitude until the fundamental gain of V(probe) (single-tone
+        harmonic balance) drops 1 dB below its small-signal value.
+        Returns a dict: a_1db (input amplitude), gain_ss (small-signal
+        fundamental gain), gain_1db, n_solves."""
+        import numpy as _np
+        from .analysis.hb import harmonic_balance
+        from .analysis.sweep import find_source
+        from .netlist.circuit import KIND_V
+        hb = self.config.hb
+        f0 = f0 if f0 is not None else (hb.f0 if hb.enabled else None)
+        if not f0 or f0 <= 0:
+            raise ValueError("p1db needs f0 (or a .hb card)")
+        kind, sidx = find_source(self.circuit, source)
+        if kind != KIND_V:
+            raise ValueError("p1db sweeps a V source's SIN amplitude")
+        p0 = dict(params if params is not None else self.params)
+        a0 = float(p0["vs_sin"][sidx, 1])
+        if a0 <= 0:
+            raise ValueError(f"{source!r} has no SIN amplitude")
+        nid = self.circuit.node_name_to_id.get(probe)
+        if nid is None:
+            raise KeyError(f"unknown node {probe!r}")
+        eqi = self.circuit.nodes[nid].eq_index
+        n_solves = 0
+
+        def gain_at(a):
+            nonlocal n_solves
+            p = dict(p0)
+            p["vs_sin"] = p0["vs_sin"].at[sidx, 1].set(a)
+            res = harmonic_balance(self.engine, p, f0, n_harm=n_harm,
+                                   **kw)
+            n_solves += 1
+            # hb.py's (H+1, N) spectrum is one-sided: |c_1| IS the
+            # cosine amplitude (the multi-tone grid is two-sided)
+            fund = float(_np.abs(res.spectrum[1][eqi]))
+            return fund / a
+
+        g_ss = gain_at(a0 / a_max_scale)      # deep small-signal
+        target = g_ss * 10.0 ** (-1.0 / 20.0)
+        # walk UP in half-octave steps to the FIRST sub-target gain
+        # (|gain| is non-monotone past a strong-compression null), then
+        # bisect that bracket
+        lo = a0 / a_max_scale
+        hi = None
+        a = lo * math.sqrt(2.0)
+        while a <= a0 * a_max_scale:
+            if gain_at(a) <= target:
+                hi = a
+                break
+            lo = a
+            a *= math.sqrt(2.0)
+        if hi is None:
+            raise ValueError("no 1 dB compression within the sweep "
+                             "range; widen a_max_scale")
+        for _ in range(iters):
+            mid = math.sqrt(lo * hi)
+            if gain_at(mid) > target:
+                lo = mid
+            else:
+                hi = mid
+        a_1db = math.sqrt(lo * hi)
+        return {"a_1db": a_1db, "gain_ss": g_ss,
+                "gain_1db": gain_at(a_1db), "n_solves": n_solves}
+
     def loop_gain(self, source: str, params: Optional[Any] = None,
                   freqs=None, x_op: Optional[Any] = None):
         """Loop-gain / stability analysis (analysis/loopgain.py):

@@ -65,3 +65,22 @@ R1 x 0 1k
 """)
     with pytest.raises(ValueError):
         sim.two_tone_ip3("x", input_amplitude=0.1)
+
+
+def test_p1db_closed_form():
+    # compressive cubic y = x - a3*x^3: fundamental gain 1 - (3/4)a3*A^2,
+    # so A_1dB = sqrt((1 - 10^(-1/20))*4/(3*a3))
+    a3 = 0.1
+    sim = Simulator.from_text(f"""* compression
+V1 x 0 SIN 0 0.2 1.0e6
+B1 out 0 V=v(x) - {a3}*v(x)^3
+RO out 0 1k
+.hb 1.0e6 5
+.end
+""")
+    out = sim.p1db("out", "V1")
+    pred = math.sqrt((1.0 - 10.0 ** (-1.0 / 20.0)) * 4.0 / (3.0 * a3))
+    assert out["gain_ss"] == pytest.approx(1.0, rel=1e-4)
+    assert out["a_1db"] == pytest.approx(pred, rel=1e-3)
+    assert out["gain_1db"] == pytest.approx(
+        out["gain_ss"] * 10 ** (-1 / 20), rel=1e-3)
