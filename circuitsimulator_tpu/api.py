@@ -405,14 +405,9 @@ class Simulator:
         (no finite-difference grid error).  Defaults to the .AC card's
         sweep; returns (freqs, tau_g) arrays."""
         import numpy as _np
-        from .analysis.ac import (ac_system_real, solve_ac_real,
-                                  sweep_frequencies)
+        from .analysis.ac import ac_system_real, solve_ac_real
         if freqs is None:
-            cfg = self.config.ac
-            if not cfg.enabled:
-                raise ValueError(".AC card missing")
-            freqs = sweep_frequencies(cfg.sweep_type, cfg.n_points,
-                                      cfg.fstart, cfg.fstop)
+            freqs = self._ac_freqs()
         nid = self.circuit.node_name_to_id.get(probe)
         if nid is None:
             raise KeyError(f"unknown node {probe!r}")
@@ -553,7 +548,6 @@ class Simulator:
         Returns a dict: freqs, T (complex), f_unity,
         phase_margin_deg, f_180, gain_margin_db."""
         from .analysis.loopgain import loop_gain, margins
-        from .analysis.ac import sweep_frequencies
         from .netlist.circuit import KIND_E
         idx = None
         j = 0
@@ -566,11 +560,7 @@ class Simulator:
         if idx is None:
             raise KeyError(f"no VCVS named {source!r}")
         if freqs is None:
-            cfg = self.config.ac
-            if not cfg.enabled:
-                raise ValueError(".AC card missing")
-            freqs = sweep_frequencies(cfg.sweep_type, cfg.n_points,
-                                      cfg.fstart, cfg.fstop)
+            freqs = self._ac_freqs()
         p = params if params is not None else self.params
         if x_op is None:
             x_op = self.dc(params=params)
@@ -910,9 +900,7 @@ class Simulator:
         ac = self.config.ac
         ac_ms = [m for m in self.config.measures if m.analysis == "ac"]
         if ac.enabled and ac_ms:
-            from .analysis.ac import sweep_frequencies
-            freqs = sweep_frequencies(ac.sweep_type, ac.n_points,
-                                      ac.fstart, ac.fstop)
+            freqs = self._ac_freqs()
             return yield_analysis(
                 self.engine, self.topo, p, key, batch, rel_sigma,
                 ac_ms, specs, 0.0, 0.0, sampler=sampler,
@@ -1013,9 +1001,7 @@ class Simulator:
         ac = self.config.ac
         ac_ms = [m for m in self.config.measures if m.analysis == "ac"]
         if ac.enabled and ac_ms:
-            from .analysis.ac import sweep_frequencies
-            freqs = sweep_frequencies(ac.sweep_type, ac.n_points,
-                                      ac.fstart, ac.fstop)
+            freqs = self._ac_freqs()
             return sobol_indices(
                 self.engine, self.topo, p, key, n, rel_sigma, ac_ms,
                 0.0, 0.0, sampler=sampler, analysis="ac", freqs=freqs,
@@ -1076,12 +1062,15 @@ class Simulator:
 
     def jitter(self, probe: str, threshold: float, n: int = 64,
                seed: int = 0, rising: bool = True, t_min: float = 0.0,
+               hysteresis: float = 0.0,
                params: Optional[Any] = None):
         """Timing jitter of a probe's threshold crossings over n
         independent TRNOISE realizations (analysis/jitter.py): one
         batched noisy transient, per-edge absolute jitter (std of each
-        crossing time across lanes) and period jitter.  Needs .TRAN and
-        at least one TRNOISE source."""
+        crossing time across lanes) and period jitter.  `hysteresis`
+        sets a Schmitt release band for noisy threshold regions (lanes
+        that still disagree on the edge count warn loudly).  Needs
+        .TRAN and at least one TRNOISE source."""
         from .analysis.jitter import jitter_analysis
         tran = self.config.tran
         if not tran.enabled:
@@ -1093,7 +1082,8 @@ class Simulator:
         return jitter_analysis(
             self.engine, params if params is not None else self.params,
             tran.tstep, tran.tstop, eqi, threshold, jax.random.key(seed),
-            n_lanes=n, rising=rising, t_min=t_min)
+            n_lanes=n, rising=rising, t_min=t_min,
+            hysteresis=hysteresis)
 
     def center_design(self, rel_sigma, specs, design_names,
                       target_beta: float = 4.0, steps: int = 15,
@@ -1181,12 +1171,20 @@ class Simulator:
         import jax.numpy as _jnp
         p = params if params is not None else self.params
         if measure is not None and m_fn is None:
-            m_fn = self._diff_measure_fn(measure)
+            if analysis == "ac":
+                from .analysis.measure_diff import diff_measure_ac
+                ms = [m for m in self.config.measures
+                      if m.name == measure and m.analysis == "ac"]
+                if not ms:
+                    raise KeyError(f"no .MEASURE AC card named "
+                                   f"{measure!r}")
+                m_fn = diff_measure_ac(ms[0], self.topo)
+            else:
+                m_fn = self._diff_measure_fn(measure)
         if analysis == "ac":
             if m_fn is None:
                 if probe is None or at is None:
                     raise ValueError("pass m_fn or probe/at")
-                from .analysis.form import limit_state_ac_mag
                 nid = self.circuit.node_name_to_id.get(probe)
                 if nid is None:
                     raise KeyError(f"unknown node {probe!r}")

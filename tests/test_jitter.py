@@ -53,6 +53,26 @@ def test_falling_edges_and_tmin():
     assert np.all(out["edge_mean"] > 2e-3)
 
 
+def test_hysteresis_debounces_double_crossings(capsys):
+    # slow ramp (10 mV/step) with 50 mV noise: raw detection
+    # double-crosses and the lanes disagree (loud warning); a Schmitt
+    # release band restores exactly one edge per cycle
+    sim = Simulator.from_text("""* noisy slow edges
+V1 in 0 PULSE(0 1 0 2e-4 2e-4 1e-4 5e-4) TRNOISE(50m 2e-6)
+R1 in 0 1k
+.TRAN 1e-6 2e-3
+.end
+""")
+    raw = sim.jitter("in", threshold=0.5, n=8)
+    err = capsys.readouterr().err
+    assert "disagree" in err                      # loud, not silent
+    clean = sim.jitter("in", threshold=0.5, n=8, hysteresis=0.2)
+    assert clean["n_edges"] == 4                  # one per cycle
+    # edge jitter ~ v_n/SR = 50mV/(5kV/s) = 10 us
+    assert 4e-6 < np.median(clean["edge_jitter"]) < 2.5e-5
+    np.testing.assert_allclose(clean["period_mean"], 5e-4, rtol=0.05)
+
+
 def test_requires_noise_sources():
     sim = Simulator.from_text("""* quiet
 V1 in 0 PULSE(0 1 0 1n 1n 1 2)

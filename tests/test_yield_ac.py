@@ -139,3 +139,18 @@ def test_ac_measure_parity_and_form_on_bandwidth():
     a = np.asarray(out["alpha"])
     assert a[0] == pytest.approx(1 / math.sqrt(2), abs=0.05)
     assert a[1] == pytest.approx(1 / math.sqrt(2), abs=0.05)
+
+
+def test_ac_mismatch_budget_on_measure_card():
+    # the bw card's budget: ln(bw) additive in z -> equal shares,
+    # sigma_m/bw = sig*sqrt(2)
+    sim = _deck()
+    out = sim.mismatch_budget({"res_r": SIG, "cap_c": SIG},
+                              analysis="ac", measure="bw")
+    (n1, _, s1), (n2, _, s2) = out["contributions"]
+    assert s1 == pytest.approx(0.5, abs=0.03)
+    assert s2 == pytest.approx(0.5, abs=0.03)
+    # sigma of the bandwidth (linearized): bw0 * sig * sqrt(2), with a
+    # few % log-grid interpolation bias
+    assert out["sigma_m"] == pytest.approx(BW0 * SIG * math.sqrt(2),
+                                           rel=0.05)
