@@ -67,3 +67,32 @@ def test_hb_gradient_matches_fd_resolve():
     bs = sim.lowered.b_sources[0]
     g_a3 = float(np.asarray(grads["b_consts"])[bs.const_off])
     assert g_a3 == pytest.approx(fd, rel=1e-4)
+
+
+def test_hbmulti_gradient_im3():
+    # multi-tone twin: d IM3 / d a3 = (3/4) A^3 exactly for the cubic
+    # (two equal tones), and IM3 itself matches the closed form
+    sim = Simulator.from_text(f"""* two-tone cubic
+.PARAM a3={A3}
+V1 m 0 SIN 0 {A} 1.0e6
+V2 x m SIN 0 {A} 1.3e6
+B1 out 0 V=v(x) + a3*v(x)^3
+RO out 0 1k
+.hb 1.0e6 3 1.3e6 3
+.end
+""")
+    from circuitsimulator_tpu.analysis.hb_diff import (
+        hbmulti_gradient, mixed_harmonic_metric)
+    tones = sim.config.hb.tones
+    m = mixed_harmonic_metric(_eq(sim, "out"), (2, -1))
+    val, grads = hbmulti_gradient(sim.engine, sim.params, tones, m)
+    assert val == pytest.approx(0.75 * A3 * A ** 3, rel=1e-4)
+    bs = sim.lowered.b_sources[0]
+    g_a3 = float(np.asarray(grads["b_consts"])[bs.const_off])
+    assert g_a3 == pytest.approx(0.75 * A ** 3, rel=1e-4)
+    # IM3 = (3/4) a3 A1^2 A2: d/dA1 = (3/2) a3 A^2 (tone 1 enters
+    # squared), d/dA2 = (3/4) a3 A^2
+    g_a1 = float(np.asarray(grads["vs_sin"])[0, 1])
+    g_a2 = float(np.asarray(grads["vs_sin"])[1, 1])
+    assert g_a1 == pytest.approx(1.5 * A3 * A * A, rel=1e-3)
+    assert g_a2 == pytest.approx(0.75 * A3 * A * A, rel=1e-3)
