@@ -81,6 +81,75 @@ def _reactive_structure(engine: Engine, params):
     return M[..., :N, :N]
 
 
+def make_hb_system(engine: Engine, f0: float, n_harm: int,
+                  gmin: float = 0.0):
+    """Params-parametric HB system on the K = 2H+1 collocation grid.
+
+    Returns (ts, residual, jacobian):
+      residual(X, params, with_At=False) -> (K, N) KCL residual
+        [or (res, A_t) with the per-sample conductance blocks]
+      jacobian(A_t, params) -> (K·N, K·N) = blockdiag(A_t) + kron(D, C)
+
+    Shared by the Newton solver below (which closes over one params)
+    and the implicit-differentiation sensitivities (analysis/hb_diff.py,
+    which differentiates THROUGH params)."""
+    dtype = engine.dtype
+    N = engine.N
+    T = 1.0 / f0
+    K = 2 * int(n_harm) + 1
+    D = jnp.asarray(spectral_diff_matrix(K, T), dtype)
+    ts = jnp.arange(K, dtype=dtype) * (T / K)
+
+    def residual(X, params, with_At: bool = False):
+        C_struct = _reactive_structure(engine, params)
+
+        def sources_rhs(t):
+            vval = srcmod.eval_tran_static_kinds(
+                engine.vs_kinds, params["vs_dc"], params["vs_pulse"],
+                params["vs_sin"], params["vs_pwl_t"],
+                params["vs_pwl_v"], params["vs_pwl_n"], t)
+            ival = srcmod.eval_tran_static_kinds(
+                engine.is_kinds, params["is_dc"], params["is_pulse"],
+                params["is_sin"], params["is_pwl_t"],
+                params["is_pwl_v"], params["is_pwl_n"], t)
+            zeros_l = jnp.zeros(params["ind_l"].shape, dtype)
+            zeros_c = jnp.zeros(engine._caplike_C(params).shape, dtype)
+            terms = jnp.concatenate([vval, ival, zeros_l, zeros_c],
+                                    axis=-1)
+            return jnp.einsum("...j,jn->...n", terms, engine.rhs_mat)
+
+        b_src = jax.vmap(sources_rhs)(ts)
+        rows, cols, svals = engine.dc_static_entries(params)
+        A_res = jnp.zeros((N + 1, N + 1), dtype).at[rows, cols].add(svals)
+        A_res = A_res.at[engine.topo.node_eqs,
+                         engine.topo.node_eqs].add(
+            jnp.full(len(engine.topo.node_eqs), gmin, dtype))
+        A_res = A_res[:N, :N]
+
+        def assemble_t(x_t, t_t):
+            gvals, rvals = engine._nl_vals(params, x_t, t_t)
+            A = jnp.zeros((N + 1, N + 1), dtype)
+            A = A.at[engine.nl_rows, engine.nl_cols].add(gvals)
+            b = jnp.zeros((N + 1,), dtype).at[engine.nl_rhs_rows].add(
+                rvals)
+            return A_res + A[:N, :N], b[:N]
+
+        A_t, b_nl = jax.vmap(assemble_t)(X, ts)
+        res_cond = jnp.einsum("tij,tj->ti", A_t, X) - b_nl - b_src
+        res_reac = jnp.einsum("ij,tj->ti", C_struct, D @ X)
+        res = res_cond + res_reac
+        return (res, A_t) if with_At else res
+
+    def jacobian(A_t, params):
+        C_struct = _reactive_structure(engine, params)
+        J = jnp.einsum("ts,ij->tisj", D, C_struct)
+        tid = jnp.arange(K)
+        J = J.at[tid, :, tid, :].add(A_t)
+        return J.reshape(K * N, K * N)
+
+    return ts, residual, jacobian
+
+
 def harmonic_balance(engine: Engine, params, f0: float,
                      n_harm: int = 8,
                      warmup_periods: int = 6,
@@ -100,58 +169,12 @@ def harmonic_balance(engine: Engine, params, f0: float,
     T = 1.0 / f0
     H = int(n_harm)
     K = 2 * H + 1
-    D = jnp.asarray(spectral_diff_matrix(K, T), dtype)
-    ts = jnp.arange(K, dtype=dtype) * (T / K)
 
-    C_struct = _reactive_structure(engine, params)
-
-    def sources_rhs(t):
-        """Source-only RHS at time t (N,)."""
-        vval = srcmod.eval_tran_static_kinds(
-            engine.vs_kinds, params["vs_dc"], params["vs_pulse"],
-            params["vs_sin"], params["vs_pwl_t"], params["vs_pwl_v"],
-            params["vs_pwl_n"], t)
-        ival = srcmod.eval_tran_static_kinds(
-            engine.is_kinds, params["is_dc"], params["is_pulse"],
-            params["is_sin"], params["is_pwl_t"], params["is_pwl_v"],
-            params["is_pwl_n"], t)
-        zeros_l = jnp.zeros(params["ind_l"].shape, dtype)
-        zeros_c = jnp.zeros(engine._caplike_C(params).shape, dtype)
-        terms = jnp.concatenate([vval, ival, zeros_l, zeros_c], axis=-1)
-        return jnp.einsum("...j,jn->...n", terms, engine.rhs_mat)
-
-    b_src = jax.vmap(sources_rhs)(ts)             # (K, N)
-
-    # resistive static part: R + V/L couplings (the DC pattern), plus an
-    # optional conditioning gmin
-    rows, cols, svals = engine.dc_static_entries(params)
-    A_res = jnp.zeros((N + 1, N + 1), dtype).at[rows, cols].add(svals)
-    A_res = A_res.at[engine.topo.node_eqs, engine.topo.node_eqs].add(
-        jnp.full(len(engine.topo.node_eqs), gmin, dtype))
-    A_res = A_res[:N, :N]
-
-    def assemble_t(x_t, t_t):
-        """(A(x_t) incl. nonlinear stamps, b(x_t) incl. nl constants)."""
-        gvals, rvals = engine._nl_vals(params, x_t, t_t)
-        A = jnp.zeros((N + 1, N + 1), dtype)
-        A = A.at[engine.nl_rows, engine.nl_cols].add(gvals)
-        b = jnp.zeros((N + 1,), dtype).at[engine.nl_rhs_rows].add(rvals)
-        return A_res + A[:N, :N], b[:N]
-
-    def residual(X):
-        """Exact KCL residual of the HB system, (K, N)."""
-        A_t, b_nl = jax.vmap(assemble_t)(X, ts)   # (K,N,N), (K,N)
-        res_cond = jnp.einsum("tij,tj->ti", A_t, X) - b_nl - b_src
-        dxdt = D @ X                              # spectral derivative
-        res_reac = jnp.einsum("ij,tj->ti", C_struct, dxdt)
-        return res_cond + res_reac, A_t
-
-    def jacobian(A_t):
-        """(K*N, K*N) = blockdiag(A_t) + kron(D, C_struct)."""
-        J = jnp.einsum("ts,ij->tisj", D, C_struct)
-        tid = jnp.arange(K)
-        J = J.at[tid, :, tid, :].add(A_t)
-        return J.reshape(K * N, K * N)
+    # params-parametric system shared with the sensitivity path
+    ts, residual_p, jacobian_p = make_hb_system(engine, f0, n_harm,
+                                                gmin=gmin)
+    residual = lambda X: residual_p(X, params, with_At=True)
+    jacobian = lambda A_t: jacobian_p(A_t, params)
 
     # ---- initial guess: warm-up transient, resampled to the HB grid ----
     steps_per_period = max(4 * K, 64)

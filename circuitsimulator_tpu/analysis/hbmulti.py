@@ -104,6 +104,99 @@ def assign_tones(kinds: np.ndarray, sin: np.ndarray,
     return out
 
 
+def make_hbmulti_system(engine: Engine, tones, nominal_params):
+    """Params-parametric multi-tone MPDE system (tone assignment is
+    STATIC, matched on the nominal SIN frequencies).
+
+    Returns (Ks, ts_axes, residual, jacobian):
+      residual(X (Kt,N), params, with_At=False)
+      jacobian(A_t, params) -> (Kt·N, Kt·N) = blockdiag(A_t) + kron(T, C)
+
+    Shared by the Newton solver below and the sensitivity path
+    (analysis/hb_diff.hbmulti_gradient)."""
+    dtype = engine.dtype
+    N = engine.N
+    freqs = [float(f) for f, _ in tones]
+    Hs = [int(h) for _, h in tones]
+    Ks = [2 * h + 1 for h in Hs]
+    Kt = int(np.prod(Ks))
+    D_axes = len(tones)
+    Ds_np = [np.asarray(spectral_diff_matrix(K, 1.0 / f))
+             for K, f in zip(Ks, freqs)]
+    ts = [jnp.arange(K, dtype=dtype) * (1.0 / f / K)
+          for K, f in zip(Ks, freqs)]
+    T = np.zeros((Kt, Kt))
+    for d in range(D_axes):
+        M = np.ones((1, 1))
+        for e in range(D_axes):
+            M = np.kron(M, Ds_np[e] if e == d else np.eye(Ks[e]))
+        T += M
+    T = jnp.asarray(T, dtype)
+    assign_v = assign_tones(np.asarray(engine.vs_kinds),
+                            np.asarray(nominal_params["vs_sin"]), freqs)
+    assign_i = assign_tones(np.asarray(engine.is_kinds),
+                            np.asarray(nominal_params["is_sin"]), freqs)
+
+    def residual(X, params, with_At: bool = False):
+        C_struct = _reactive_structure(engine, params)
+
+        def sources_rhs(p, t):
+            vval = srcmod.eval_tran_static_kinds(
+                engine.vs_kinds, p["vs_dc"], p["vs_pulse"], p["vs_sin"],
+                p["vs_pwl_t"], p["vs_pwl_v"], p["vs_pwl_n"], t)
+            ival = srcmod.eval_tran_static_kinds(
+                engine.is_kinds, p["is_dc"], p["is_pulse"], p["is_sin"],
+                p["is_pwl_t"], p["is_pwl_v"], p["is_pwl_n"], t)
+            zeros_l = jnp.zeros(p["ind_l"].shape, dtype)
+            zeros_c = jnp.zeros(engine._caplike_C(p).shape, dtype)
+            terms = jnp.concatenate([vval, ival, zeros_l, zeros_c],
+                                    axis=-1)
+            return jnp.einsum("...j,jn->...n", terms, engine.rhs_mat)
+
+        def tone_p(keep):
+            p = dict(params)
+            p["vs_sin"] = _mute(params, "vs_sin", assign_v, keep)
+            p["is_sin"] = _mute(params, "is_sin", assign_i, keep)
+            return p
+
+        b_dc = sources_rhs(tone_p(None), jnp.zeros((), dtype))
+        b_hat = jnp.broadcast_to(b_dc, tuple(Ks) + (N,))
+        for d in range(D_axes):
+            p_d = tone_p(d)
+            bd = jax.vmap(lambda t: sources_rhs(p_d, t))(ts[d]) - b_dc
+            shape = [1] * D_axes + [N]
+            shape[d] = Ks[d]
+            b_hat = b_hat + bd.reshape(shape)
+        b_src = b_hat.reshape(Kt, N)
+
+        rows, cols, svals = engine.dc_static_entries(params)
+        A_res = jnp.zeros((N + 1, N + 1), dtype).at[rows, cols].add(svals)
+        A_res = A_res[:N, :N]
+
+        def assemble_t(x_t):
+            gvals, rvals = engine._nl_vals(params, x_t)
+            A = jnp.zeros((N + 1, N + 1), dtype)
+            A = A.at[engine.nl_rows, engine.nl_cols].add(gvals)
+            b = jnp.zeros((N + 1,), dtype).at[engine.nl_rhs_rows].add(
+                rvals)
+            return A_res + A[:N, :N], b[:N]
+
+        A_t, b_nl = jax.vmap(assemble_t)(X)
+        res_cond = jnp.einsum("tij,tj->ti", A_t, X) - b_nl - b_src
+        res_reac = jnp.einsum("ij,tj->ti", C_struct, T @ X)
+        res = res_cond + res_reac
+        return (res, A_t) if with_At else res
+
+    def jacobian(A_t, params):
+        C_struct = _reactive_structure(engine, params)
+        J = jnp.einsum("ts,ij->tisj", T, C_struct)
+        tid = jnp.arange(Kt)
+        J = J.at[tid, :, tid, :].add(A_t)
+        return J.reshape(Kt * N, Kt * N)
+
+    return Ks, ts, residual, jacobian
+
+
 def harmonic_balance_multi(engine: Engine, params,
                            tones: Sequence[Tuple[float, int]],
                            max_newton: int = 30,
@@ -126,22 +219,6 @@ def harmonic_balance_multi(engine: Engine, params,
     Ks = [2 * h + 1 for h in Hs]
     Kt = int(np.prod(Ks))
 
-    # per-axis spectral differentiation and sample grids
-    Ds = [jnp.asarray(spectral_diff_matrix(K, 1.0 / f), dtype)
-          for K, f in zip(Ks, freqs)]
-    ts = [jnp.arange(K, dtype=dtype) * (1.0 / (f * K))
-          for K, f in zip(Ks, freqs)]
-
-    # T = sum_d I (x) D_d (x) I on the flattened time grid (numpy kron of
-    # small matrices; trace-time constant)
-    T = np.zeros((Kt, Kt))
-    for d in range(D_axes):
-        M = np.eye(1)
-        for e in range(D_axes):
-            M = np.kron(M, np.asarray(Ds[e]) if e == d else np.eye(Ks[e]))
-        T += M
-    T = jnp.asarray(T, dtype)
-
     if engine.b_uses_time:
         raise NotImplementedError(
             "multi-tone HB does not evaluate time-dependent behavioral "
@@ -150,68 +227,23 @@ def harmonic_balance_multi(engine: Engine, params,
         raise NotImplementedError(
             "multi-tone HB does not support transmission lines; "
             "use the time-domain shooting method")
-    C_struct = _reactive_structure(engine, params)
 
-    # ---- tone-separated sources ----
+    # params-parametric system shared with the sensitivity path
+    Ks, ts, residual_p, jacobian_p = make_hbmulti_system(engine, tones,
+                                                         params)
+    residual = lambda X: residual_p(X, params, with_At=True)
+    jacobian = lambda A_t: jacobian_p(A_t, params)
+    # tone-muted warm-up params (same static assignment as the system)
     assign_v = assign_tones(np.asarray(engine.vs_kinds),
                             np.asarray(params["vs_sin"]), freqs)
     assign_i = assign_tones(np.asarray(engine.is_kinds),
                             np.asarray(params["is_sin"]), freqs)
-
-    def sources_rhs(p, t):
-        vval = srcmod.eval_tran_static_kinds(
-            engine.vs_kinds, p["vs_dc"], p["vs_pulse"], p["vs_sin"],
-            p["vs_pwl_t"], p["vs_pwl_v"], p["vs_pwl_n"], t)
-        ival = srcmod.eval_tran_static_kinds(
-            engine.is_kinds, p["is_dc"], p["is_pulse"], p["is_sin"],
-            p["is_pwl_t"], p["is_pwl_v"], p["is_pwl_n"], t)
-        zeros_l = jnp.zeros(p["ind_l"].shape, dtype)
-        zeros_c = jnp.zeros(engine._caplike_C(p).shape, dtype)
-        terms = jnp.concatenate([vval, ival, zeros_l, zeros_c], axis=-1)
-        return jnp.einsum("...j,jn->...n", terms, engine.rhs_mat)
 
     def tone_params(keep):
         p = dict(params)
         p["vs_sin"] = _mute(params, "vs_sin", assign_v, keep)
         p["is_sin"] = _mute(params, "is_sin", assign_i, keep)
         return p
-
-    p_dc = tone_params(None)
-    b_dc = sources_rhs(p_dc, jnp.zeros((), dtype))          # (N,)
-    b_hat = jnp.broadcast_to(b_dc, tuple(Ks) + (N,))
-    for d in range(D_axes):
-        p_d = tone_params(d)
-        bd = jax.vmap(lambda t: sources_rhs(p_d, t))(ts[d]) - b_dc  # (Kd,N)
-        shape = [1] * D_axes + [N]
-        shape[d] = Ks[d]
-        b_hat = b_hat + bd.reshape(shape)
-    b_src = b_hat.reshape(Kt, N)
-
-    # ---- resistive static + nonlinear assembly (same as single-tone) ----
-    rows, cols, svals = engine.dc_static_entries(params)
-    A_res = jnp.zeros((N + 1, N + 1), dtype).at[rows, cols].add(svals)
-    A_res = A_res[:N, :N]
-
-    def assemble_t(x_t):
-        gvals, rvals = engine._nl_vals(params, x_t)
-        A = jnp.zeros((N + 1, N + 1), dtype)
-        A = A.at[engine.nl_rows, engine.nl_cols].add(gvals)
-        b = jnp.zeros((N + 1,), dtype).at[engine.nl_rhs_rows].add(rvals)
-        return A_res + A[:N, :N], b[:N]
-
-    def residual(X):
-        """X: (Kt, N) -> (exact KCL residual, per-sample A)."""
-        A_t, b_nl = jax.vmap(assemble_t)(X)
-        res_cond = jnp.einsum("tij,tj->ti", A_t, X) - b_nl - b_src
-        dxdt = T @ X
-        res_reac = jnp.einsum("ij,tj->ti", C_struct, dxdt)
-        return res_cond + res_reac, A_t
-
-    def jacobian(A_t):
-        J = jnp.einsum("ts,ij->tisj", T, C_struct)
-        tid = jnp.arange(Kt)
-        J = J.at[tid, :, tid, :].add(A_t)
-        return J.reshape(Kt * N, Kt * N)
 
     # ---- warm-up: single-tone HB of the dominant tone, broadcast ----
     res1 = harmonic_balance(engine, tone_params(0), freqs[0],
