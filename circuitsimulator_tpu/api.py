@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from .analysis.dc import dc_operating_point
-from .analysis.transient import run_transient, TransientResult, n_steps_for
+from .analysis.transient import run_transient, TransientResult
 from .io.csvout import write_transient_csv
 from .io.table import circuit_summary, dc_table
 from .ir.lower import lower, LoweredCircuit

@@ -5,7 +5,6 @@ converge" warnings show is needed)."""
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import platform
 from typing import Any, Dict, Optional

@@ -24,7 +24,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ir.lower import LoweredCircuit, Topology
+from ..ir.lower import LoweredCircuit
 from ..models import sources as srcmod
 from ..models.mosfet import mos_stamp_vals
 from ..models.diode import diode_stamp_vals

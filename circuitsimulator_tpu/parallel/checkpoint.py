@@ -15,7 +15,7 @@ Serialization is plain .npz (portable, no framework dependency).
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
 import numpy as np
 import jax

@@ -10,7 +10,7 @@ chips via parallel/sharding.py.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping, Optional
+from typing import Any, Dict, Mapping
 
 import numpy as np_mod
 import jax
