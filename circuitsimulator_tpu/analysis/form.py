@@ -60,7 +60,8 @@ def mpp_search(engine: Engine, params, rel_sigma: Mapping[str, float],
     instead: g_fn(freqs, xr, xi) over the differentiable AC solve at
     `freqs` (linearized at the differentiable DC operating point), so
     RF specs — gain, corner, matching — get the same FORM machinery;
-    tstep/tstop are then ignored.
+    tstep/tstop are then ignored.  analysis="dc": g_fn(x_op) over the
+    differentiable (polished) DC operating point — offset/bias specs.
 
     Returns a dict: beta (reliability index, sigmas-to-failure), p_fail
     (FORM estimate Φ(−β)), z_star, alpha (unit importance direction),
@@ -112,6 +113,13 @@ def mpp_search(engine: Engine, params, rel_sigma: Mapping[str, float],
 
             xr, xi = jax.vmap(one)(fr)
             return jnp.asarray(g_fn(fr, xr, xi), dtype)
+    elif analysis == "dc":
+        from .adjoint import _make_diff_dc
+        dc_solve = _make_diff_dc(engine)
+
+        def g_of(base, z):
+            x_op = dc_solve(params_of_z_base(base, z))
+            return jnp.asarray(g_fn(x_op), dtype)
     else:
         def g_of(base, z):
             times, xs = diff_transient(engine, params_of_z_base(base, z),
@@ -227,6 +235,12 @@ def mismatch_budget(engine: Engine, params, rel_sigma: Mapping[str, float],
 
             xr, xi = jax.vmap(one)(fr)
             return jnp.asarray(m_fn(fr, xr, xi), dtype)
+    elif analysis == "dc":
+        from .adjoint import _make_diff_dc
+        dc_solve = _make_diff_dc(engine)
+
+        def m(z):
+            return jnp.asarray(m_fn(dc_solve(params_of_z(z))), dtype)
     else:
         def m(z):
             times, xs = diff_transient(engine, params_of_z(z), tstep,

@@ -956,6 +956,26 @@ class Simulator:
                 kw.setdefault("freqs", [at])
             return mpp_search(self.engine, p, rel_sigma, 0.0, 0.0,
                               g_fn, analysis="ac", **kw)
+        if analysis == "dc":
+            if g_fn is None:
+                if probe is None:
+                    raise ValueError("pass g_fn or probe/low/high")
+                nid = self.circuit.node_name_to_id.get(probe)
+                if nid is None:
+                    raise KeyError(f"unknown node {probe!r}")
+                eqi = self.circuit.nodes[nid].eq_index
+
+                def g_fn(x_op, _eqi=eqi, _lo=low, _hi=high):
+                    v = x_op[_eqi]
+                    gs = []
+                    if _lo is not None:
+                        gs.append(v - _lo)
+                    if _hi is not None:
+                        gs.append(_hi - v)
+                    return gs[0] if len(gs) == 1 else jnp.minimum(*gs)
+
+            return mpp_search(self.engine, p, rel_sigma, 0.0, 0.0,
+                              g_fn, analysis="dc", **kw)
         tran = self.config.tran
         if not tran.enabled:
             raise ValueError("worst-case analysis needs a .TRAN card")
@@ -1199,6 +1219,17 @@ class Simulator:
             return mismatch_budget(self.engine, p, rel_sigma, 0.0, 0.0,
                                    m_fn, analysis="ac",
                                    freqs=self._ac_freqs())
+        if analysis == "dc":
+            if m_fn is None:
+                if probe is None:
+                    raise ValueError("pass m_fn or probe")
+                nid = self.circuit.node_name_to_id.get(probe)
+                if nid is None:
+                    raise KeyError(f"unknown node {probe!r}")
+                eqi = self.circuit.nodes[nid].eq_index
+                m_fn = lambda x_op, _e=eqi: x_op[_e]
+            return mismatch_budget(self.engine, p, rel_sigma, 0.0, 0.0,
+                                   m_fn, analysis="dc")
         tran = self.config.tran
         if not tran.enabled:
             raise ValueError("mismatch budget needs a .TRAN card")

@@ -234,3 +234,38 @@ R1 in 0 1k
 """)
     with pytest.raises(ValueError):
         sim2.worst_case({"res_r": SIG}, probe="in", at=1e-6, low=0.5)
+
+
+DIVIDER_DC = """* divider dc only
+V1 in 0 DC 1
+R1 in out 1k
+R2 out 0 1k
+.op
+"""
+
+
+def test_dc_worst_case_exact():
+    # the DC path uses the POLISHED operating point (gmin removed), so
+    # the closed form holds to solver precision: beta = c exactly
+    c = 3.5
+    L = -c * SIG * math.sqrt(2.0)
+    vc = math.exp(L) / (1.0 + math.exp(L))
+    sim = Simulator.from_text(DIVIDER_DC)
+    out = sim.worst_case({"res_r": SIG}, analysis="dc", probe="out",
+                         low=vc)
+    assert out["converged"]
+    assert out["beta"] == pytest.approx(c, rel=1e-6)
+    a = np.asarray(out["alpha"])
+    assert a[0] == pytest.approx(1 / math.sqrt(2), rel=1e-6)
+    assert a[1] == pytest.approx(-1 / math.sqrt(2), rel=1e-6)
+
+
+def test_dc_mismatch_budget_exact():
+    sim = Simulator.from_text(DIVIDER_DC)
+    out = sim.mismatch_budget({"res_r": SIG}, analysis="dc", probe="out")
+    assert out["m_nominal"] == pytest.approx(0.5, rel=1e-9)
+    assert out["sigma_m"] == pytest.approx(0.25 * SIG * math.sqrt(2),
+                                           rel=1e-9)
+    (_, _, s1), (_, _, s2) = out["contributions"]
+    assert s1 == pytest.approx(0.5, rel=1e-9)
+    assert s2 == pytest.approx(0.5, rel=1e-9)
