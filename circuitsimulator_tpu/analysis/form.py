@@ -47,7 +47,8 @@ def mpp_search(engine: Engine, params, rel_sigma: Mapping[str, float],
                max_iter: int = 25, tol: float = 1e-6,
                damping: float = 1.0,
                design_grads=None,
-               analysis: str = "tran", freqs=None):
+               analysis: str = "tran", freqs=None,
+               sorm: bool = False, sorm_step: float = 1e-3):
     """Most-probable-failure-point search (HL-RF).
 
     rel_sigma maps param names to relative lognormal sigmas (the same
@@ -74,6 +75,13 @@ def mpp_search(engine: Engine, params, rel_sigma: Mapping[str, float],
     one extra VJP: gradient-ascend the returned "dbeta" pytree to
     maximize yield.  Names may overlap rel_sigma (the nominal inside
     the lognormal map) or be any other float parameter.
+
+    sorm=True adds Breitung's second-order correction: the boundary's
+    principal curvatures at the MPP (Hessian of g via central
+    differences of the adjoint gradient — 2·dims extra solves, since
+    custom_vjp rules block forward-over-reverse) refine the estimate to
+    p_sorm = Φ(−β)·det(I + β·H_t/‖∇g‖)^(−1/2) over the tangent space —
+    removing FORM's curved-boundary bias.
     """
     dtype = engine.dtype
     from ..parallel.montecarlo import _z_layout
@@ -156,6 +164,40 @@ def mpp_search(engine: Engine, params, rel_sigma: Mapping[str, float],
     beta = float(jnp.linalg.norm(z))
     alpha = z / beta if beta > 0 else z
     extras = {}
+    if sorm and beta > 0 and dims >= 1:
+        import numpy as np
+        _, grad_star = g_grad(z)
+        gnorm = float(jnp.linalg.norm(grad_star))
+        # Hessian of g at the MPP by central differences of the exact
+        # adjoint gradient (2·dims extra solves)
+        h = sorm_step * max(beta, 1.0)
+        H = np.zeros((dims, dims))
+        for i in range(dims):
+            e = jnp.zeros((dims,), dtype).at[i].set(h)
+            _, gp = g_grad(z + e)
+            _, gm = g_grad(z - e)
+            H[i] = np.asarray((gp - gm) / (2.0 * h))
+        H = 0.5 * (H + H.T)
+        if dims > 1:
+            # tangent basis orthogonal to alpha (QR of [alpha | I])
+            a = np.asarray(alpha).reshape(dims, 1)
+            Q, _ = np.linalg.qr(np.concatenate(
+                [a, np.eye(dims)], axis=1))
+            Tt = Q[:, 1:dims]                    # (dims, dims-1)
+            # curvature matrix: for the canonical Breitung form
+            # g = β + ½Σκ_i z_i² − z_n (failure g<0), the tangent
+            # Hessian IS diag(κ) and p = Φ(−β)·Π(1+βκ_i)^(−1/2), so
+            # A = +(Tᵀ H T)/‖∇g‖ — positive κ bends the boundary away
+            # from the origin and shrinks the failure probability
+            A = (Tt.T @ H @ Tt) / gnorm
+            det = float(np.linalg.det(np.eye(dims - 1) + beta * A))
+        else:
+            det = 1.0
+        if det > 0:
+            extras["p_fail_sorm"] = _phi_tail(beta) / math.sqrt(det)
+        else:                                   # extreme curvature
+            extras["p_fail_sorm"] = None
+        extras["sorm_det"] = det
     if design_grads:
         # FORM design sensitivity at the MPP: dβ/dp = (∂g/∂p)/‖∇_z g‖
         _, grad_z = g_grad(z)

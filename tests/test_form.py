@@ -269,3 +269,67 @@ def test_dc_mismatch_budget_exact():
     (_, _, s1), (_, _, s2) = out["contributions"]
     assert s1 == pytest.approx(0.5, rel=1e-9)
     assert s2 == pytest.approx(0.5, rel=1e-9)
+
+
+def test_sorm_linear_boundary_is_form():
+    # exactly-linear boundary: zero curvature, SORM == FORM
+    c = 3.0
+    L = -c * SIG * math.sqrt(2.0)
+    vc = math.exp(L) / (1.0 + math.exp(L))
+    sim = Simulator.from_text(DIVIDER_DC)
+    out = sim.worst_case({"res_r": SIG}, analysis="dc", probe="out",
+                         low=vc, sorm=True)
+    assert out["sorm_det"] == pytest.approx(1.0, abs=2e-3)
+    assert out["p_fail_sorm"] == pytest.approx(out["p_fail"], rel=2e-3)
+
+
+def test_sorm_fixes_curved_boundary_bias():
+    # diode-loaded divider: the exponential load genuinely curves the
+    # failure boundary in z-space.  Oracle: direct quadrature of the
+    # SAME polished-DC limit state (bisect the boundary per z2 node,
+    # integrate Φ(−z1*) against φ(z2)).  FORM sits ~3% low; Breitung's
+    # correction lands within ~0.5%.
+    import jax.numpy as jnp
+    from scipy.stats import norm
+    from circuitsimulator_tpu.analysis.adjoint import _make_diff_dc
+    sim = Simulator.from_text("""* diode-loaded divider
+V1 in 0 DC 2
+R1 in out 1k
+R2 out 0 2k
+D1 out 0 IS=1e-9 N=2
+.op
+""")
+    eq = sim.circuit.nodes[sim.circuit.node_name_to_id["out"]].eq_index
+    dc = _make_diff_dc(sim.engine)
+    sig = 0.10
+
+    def params_of_z(z):
+        p = dict(sim.params)
+        p["res_r"] = sim.params["res_r"] * jnp.exp(sig * z)
+        return p
+
+    v_of = jax.jit(jax.vmap(lambda z: dc(params_of_z(z))[eq]))
+    v0 = float(v_of(jnp.zeros((1, 2)))[0])
+    g0 = jax.grad(lambda z: dc(params_of_z(z))[eq])(jnp.zeros(2))
+    vc = v0 - 3.0 * float(jnp.linalg.norm(g0))   # a ~3-sigma spec
+    out = sim.worst_case({"res_r": sig}, analysis="dc", probe="out",
+                         low=vc, sorm=True)
+    assert out["converged"]
+    assert out["sorm_det"] < 0.98                # real curvature seen
+    # quadrature oracle on the same boundary (v decreasing in z1)
+    z2g = np.linspace(-8.0, 8.0, 161)
+    lo = np.full_like(z2g, -10.0)
+    hi = np.full_like(z2g, 12.0)
+    for _ in range(50):
+        mid = 0.5 * (lo + hi)
+        vz = np.asarray(v_of(jnp.stack(
+            [jnp.asarray(mid), jnp.asarray(z2g)], axis=1)))
+        fail = vz < vc
+        hi = np.where(fail, mid, hi)
+        lo = np.where(fail, lo, mid)
+    z1s = 0.5 * (lo + hi)
+    p_quad = np.trapezoid(norm.pdf(z2g) * norm.sf(z1s), z2g)
+    assert out["p_fail_sorm"] == pytest.approx(p_quad, rel=0.01)
+    # ... and it genuinely improves on first order
+    assert (abs(out["p_fail_sorm"] - p_quad)
+            < 0.2 * abs(out["p_fail"] - p_quad))
