@@ -1113,47 +1113,79 @@ class Simulator:
         until every spec's FORM reliability index reaches target_beta.
 
         specs: list of dicts {probe, at, low?, high?} (the worst_case
-        shorthand) or {g_fn} entries.  Each iteration runs a FORM
-        search per spec (analysis/form.mpp_search with design_grads)
-        and gradient-ascends the WORST spec's beta in log-parameter
-        space (a fixed-relative-step move along p·dβ/dp, positivity-
-        preserving).  Returns (centered params, history) with history
-        rows {betas, worst, step}."""
+        shorthand), {measure: name}, or {g_fn} entries; any entry may
+        add analysis="dc"/"ac" (tran default) — DC specs drop `at`, AC
+        specs read `at` as the FREQUENCY and bound |V(probe)| (or name
+        a .MEASURE AC card), so mixed-domain centering (e.g. a DC bias
+        window plus a transient settle spec) runs in one loop.  Each
+        iteration runs a FORM search per spec (analysis/form.mpp_search
+        with design_grads) and gradient-ascends the WORST spec's beta
+        in log-parameter space (a fixed-relative-step move along
+        p·dβ/dp, positivity-preserving).  Returns (centered params,
+        history) with history rows {betas, worst, step}."""
         import numpy as _np
-        from .analysis.form import mpp_search, limit_state_find_at
+        from .analysis.form import (mpp_search, limit_state_find_at,
+                                    limit_state_measure,
+                                    limit_state_measure_ac,
+                                    limit_state_ac_mag)
         tran = self.config.tran
-        if not tran.enabled:
-            raise ValueError("design centering needs a .TRAN card")
-        g_fns = []
+        entries = []                  # (g_fn, mpp kwargs) per spec
+
+        def node_eq(name):
+            nid = self.circuit.node_name_to_id.get(name)
+            if nid is None:
+                raise KeyError(f"unknown node {name!r}")
+            return self.circuit.nodes[nid].eq_index
+
         for sp in specs:
+            ana = sp.get("analysis", "tran")
+            kwargs = {"analysis": ana}
+            if ana == "ac":
+                kwargs["freqs"] = (sp.get("freqs") or
+                                   ([sp["at"]] if "at" in sp
+                                    else self._ac_freqs()))
             if "g_fn" in sp:
-                g_fns.append(sp["g_fn"])
+                entries.append((sp["g_fn"], kwargs))
                 continue
             if "measure" in sp:
-                from .analysis.form import limit_state_measure
                 ms = [m for m in self.config.measures
-                      if m.name == sp["measure"]
-                      and m.analysis == "tran"]
+                      if m.name == sp["measure"] and m.analysis == ana]
                 if not ms:
-                    raise KeyError(f"no .MEASURE TRAN card named "
-                                   f"{sp['measure']!r}")
-                g_fns.append(limit_state_measure(
-                    ms[0], self.topo, low=sp.get("low"),
-                    high=sp.get("high")))
+                    raise KeyError(f"no .MEASURE {ana.upper()} card "
+                                   f"named {sp['measure']!r}")
+                mk = (limit_state_measure_ac if ana == "ac"
+                      else limit_state_measure)
+                entries.append((mk(ms[0], self.topo, low=sp.get("low"),
+                                   high=sp.get("high")), kwargs))
                 continue
-            nid = self.circuit.node_name_to_id.get(sp["probe"])
-            if nid is None:
-                raise KeyError(f"unknown node {sp['probe']!r}")
-            eqi = self.circuit.nodes[nid].eq_index
-            g_fns.append(limit_state_find_at(
-                eqi, sp["at"], low=sp.get("low"), high=sp.get("high")))
+            eqi = node_eq(sp["probe"])
+            lo, hi = sp.get("low"), sp.get("high")
+            if ana == "dc":
+                def g_dc(x_op, _e=eqi, _lo=lo, _hi=hi):
+                    v = x_op[_e]
+                    gs = ([] if _lo is None else [v - _lo]) + \
+                         ([] if _hi is None else [_hi - v])
+                    return gs[0] if len(gs) == 1 else jnp.minimum(*gs)
+                entries.append((g_dc, kwargs))
+            elif ana == "ac":
+                entries.append((limit_state_ac_mag(eqi, low=lo, high=hi),
+                                kwargs))
+            else:
+                entries.append((limit_state_find_at(eqi, sp["at"],
+                                                    low=lo, high=hi),
+                                kwargs))
+        if any(kw["analysis"] == "tran" for _, kw in entries) \
+                and not tran.enabled:
+            raise ValueError("transient specs need a .TRAN card")
+        ts0 = tran.tstep if tran.enabled else 0.0
+        ts1 = tran.tstop if tran.enabled else 0.0
         p = dict(params if params is not None else self.params)
         history = []
         for it in range(steps):
             results = [mpp_search(self.engine, p, rel_sigma,
-                                  tran.tstep, tran.tstop, g,
-                                  design_grads=design_names)
-                       for g in g_fns]
+                                  ts0, ts1, g,
+                                  design_grads=design_names, **kw)
+                       for g, kw in entries]
             betas = [r["beta"] for r in results]
             worst = int(_np.argmin(betas))
             history.append({"betas": betas, "worst": worst, "step": it})

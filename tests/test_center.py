@@ -60,3 +60,20 @@ def test_center_two_sided_window():
     assert min(bN) >= 3.5                     # both specs recovered
     # the imbalance shrank
     assert abs(bN[0] - bN[1]) < abs(b0[0] - b0[1])
+
+
+def test_center_mixed_domain_specs():
+    # a transient settle spec AND a DC bias window centered together:
+    # the DC spec (analysis="dc") runs on the polished operating point
+    sim = _deck()
+    vc_tr = _vc(2.0)
+    lo_dc, hi_dc = _vc(5.0), 1.0 - _vc(5.0)   # generous DC window
+    specs = [{"probe": "out", "at": 3e-6, "low": vc_tr},
+             {"probe": "out", "low": lo_dc, "high": hi_dc,
+              "analysis": "dc"}]
+    p, hist = sim.center_design({"res_r": SIG}, specs, ["res_r"],
+                                target_beta=3.0, steps=8, lr=0.05)
+    assert len(hist[0]["betas"]) == 2
+    assert min(hist[-1]["betas"]) >= 3.0
+    # the transient spec was the binding one at the start
+    assert hist[0]["worst"] == 0
