@@ -120,3 +120,17 @@ def test_worst_case_on_timing_spec():
     a = np.asarray(out["alpha"])
     assert abs(a[0]) > 0.9                 # R1 dominates the corner
     assert out["p_fail"] < 0.01
+
+
+def test_fit_measures_two_targets():
+    # joint fit: hit a delay AND a final level by tuning C and the load
+    sim = Simulator.from_text(DECK)
+    res0 = sim.transient()
+    v0 = dict(sim.measure(res0))
+    targets = {"m_delay": v0["m_delay"] * 1.6, "m_find": v0["m_find"]}
+    fitted, hist = sim.fit_measures(targets, ["cap_c", "res_r"],
+                                    steps=160, lr=0.08)
+    assert hist[-1] < 1e-5
+    vals = dict(sim.measure(sim.transient(params=fitted)))
+    assert vals["m_delay"] == pytest.approx(targets["m_delay"], rel=5e-3)
+    assert vals["m_find"] == pytest.approx(targets["m_find"], rel=5e-3)

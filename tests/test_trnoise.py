@@ -304,3 +304,23 @@ def test_fused_kernel_gate():
         # scan carry; eligibility includes noise_key is None)
         batched_transient(sim.engine, bp, 1e-6, 2e-5, fused=True,
                           noise_key=jax.random.key(0))
+
+
+def test_batched_params_single_key_broadcasts():
+    # the review-fix contract: ONE key + pre-broadcast batched params
+    # (the ChunkedTransient shape) must not crash, and broadcasts one
+    # realization across lanes
+    import jax.numpy as jnp
+    from circuitsimulator_tpu.parallel.montecarlo import broadcast_params
+    sim = Simulator.from_text(DECK)
+    bp = broadcast_params(sim.params, 3)
+    key = jax.random.key(9)
+    x0 = jnp.zeros((3, sim.engine.N))
+    st = sim.engine.init_state(x0, bp, 1e-6, noise_key=key)
+    v = np.asarray(st["tn_v"])
+    assert v.shape == (3, 1)
+    np.testing.assert_array_equal(v[0], v[1])      # shared realization
+    upd = sim.engine.make_update_state(jnp.asarray(1e-6), "be")
+    st2 = upd(bp, x0, st)
+    assert np.asarray(st2["tn_v"]).shape == (3, 1)
+    assert np.abs(np.asarray(st2["tn_v"]) - v).max() > 0  # redrawn
