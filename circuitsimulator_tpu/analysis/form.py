@@ -351,6 +351,24 @@ def limit_state_measure_ac(m, topo, low=None, high=None):
     return g_fn
 
 
+def limit_state_dc(eq_index: int, low=None, high=None):
+    """Limit state on a DC node voltage x_op[eq_index] against a
+    (low, high) window.  g < 0 = out of window."""
+    if low is None and high is None:
+        raise ValueError("need at least one bound")
+
+    def g_fn(x_op):
+        v = x_op[eq_index]
+        gs = []
+        if low is not None:
+            gs.append(v - low)
+        if high is not None:
+            gs.append(high - v)
+        return gs[0] if len(gs) == 1 else jnp.minimum(*gs)
+
+    return g_fn
+
+
 def limit_state_ac_mag(eq_index: int, low=None, high=None,
                        f_index: int = 0):
     """Limit state on an AC magnitude: |V(node)| at freqs[f_index]

@@ -960,20 +960,12 @@ class Simulator:
             if g_fn is None:
                 if probe is None:
                     raise ValueError("pass g_fn or probe/low/high")
+                from .analysis.form import limit_state_dc
                 nid = self.circuit.node_name_to_id.get(probe)
                 if nid is None:
                     raise KeyError(f"unknown node {probe!r}")
                 eqi = self.circuit.nodes[nid].eq_index
-
-                def g_fn(x_op, _eqi=eqi, _lo=low, _hi=high):
-                    v = x_op[_eqi]
-                    gs = []
-                    if _lo is not None:
-                        gs.append(v - _lo)
-                    if _hi is not None:
-                        gs.append(_hi - v)
-                    return gs[0] if len(gs) == 1 else jnp.minimum(*gs)
-
+                g_fn = limit_state_dc(eqi, low=low, high=high)
             return mpp_search(self.engine, p, rel_sigma, 0.0, 0.0,
                               g_fn, analysis="dc", **kw)
         tran = self.config.tran
@@ -1141,9 +1133,11 @@ class Simulator:
             ana = sp.get("analysis", "tran")
             kwargs = {"analysis": ana}
             if ana == "ac":
-                kwargs["freqs"] = (sp.get("freqs") or
-                                   ([sp["at"]] if "at" in sp
-                                    else self._ac_freqs()))
+                if "freqs" in sp:
+                    kwargs["freqs"] = sp["freqs"]
+                else:
+                    kwargs["freqs"] = ([sp["at"]] if "at" in sp
+                                       else self._ac_freqs())
             if "g_fn" in sp:
                 entries.append((sp["g_fn"], kwargs))
                 continue
@@ -1161,12 +1155,9 @@ class Simulator:
             eqi = node_eq(sp["probe"])
             lo, hi = sp.get("low"), sp.get("high")
             if ana == "dc":
-                def g_dc(x_op, _e=eqi, _lo=lo, _hi=hi):
-                    v = x_op[_e]
-                    gs = ([] if _lo is None else [v - _lo]) + \
-                         ([] if _hi is None else [_hi - v])
-                    return gs[0] if len(gs) == 1 else jnp.minimum(*gs)
-                entries.append((g_dc, kwargs))
+                from .analysis.form import limit_state_dc
+                entries.append((limit_state_dc(eqi, low=lo, high=hi),
+                                kwargs))
             elif ana == "ac":
                 entries.append((limit_state_ac_mag(eqi, low=lo, high=hi),
                                 kwargs))
