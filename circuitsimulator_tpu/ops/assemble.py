@@ -202,6 +202,14 @@ class Engine:
         self.has_trnoise = bool(
             np.any(_tnv[..., 0] > 0) or np.any(_tni[..., 0] > 0)
             or self.vs_flicker or self.is_flicker)
+        # which sources actually carry noise (static index sets — the
+        # fused-kernel path streams values only for these rows)
+        _tnv2 = _tnv.reshape(-1, 4)
+        _tni2 = _tni.reshape(-1, 4)
+        self.vs_noisy = np.where((_tnv2[:, 0] > 0)
+                                 | (_tnv2[:, 3] > 0))[0].astype(np.int32)
+        self.is_noisy = np.where((_tni2[:, 0] > 0)
+                                 | (_tni2[:, 3] > 0))[0].astype(np.int32)
         self.bjt_early = bool(np.any(np.asarray(low.params["bjt_vaf"])))
         self.res_tc = bool(np.any(np.asarray(low.params["res_tc1"]))
                            or np.any(np.asarray(low.params["res_tc2"])))
@@ -861,6 +869,65 @@ class Engine:
         xi = jax.random.normal(jax.random.fold_in(base, step), x.shape,
                                self.dtype)
         return b * x + g * jnp.sqrt(1.0 - b * b) * xi
+
+    def trnoise_stream(self, params, key, step0, n_steps: int, dt,
+                       fv=None, fi=None):
+        """TRNOISE source values for solver steps step0+1 .. step0+n_steps
+        as ONE batched draw — the fused-kernel twin of the per-step state
+        carry in init_state/make_update_state: element [i] equals the
+        tn_v/tn_i the XLA scan holds entering step step0+1+i, BITWISE
+        (the same trnoise_draw / flicker_init / flicker_step calls with
+        the same (key, salt, index) threefry keying).
+
+        fv/fi: flicker AR(1) bank states ((nS, M)) as of step step0 —
+        pass zeros (or None) when step0 == 0: step 1 selects the
+        stationary flicker_init draw, exactly like init_state.  n_steps
+        and the flicker presence flags are static.  Returns
+        (tnv (n_steps, nSv), tni (n_steps, nSi), fv', fi') with fv'/fi'
+        the bank states after step step0+n_steps (feed the next chunk).
+        step0 may be a traced int."""
+        dtv = jnp.asarray(dt, self.dtype)
+        s0 = jnp.asarray(step0, jnp.int32)
+        steps = s0 + 1 + jnp.arange(n_steps, dtype=jnp.int32)
+        tnv = jax.vmap(lambda s: self.trnoise_draw(
+            params["vs_tn"], key, 0, s, dtv))(steps)
+        tni = jax.vmap(lambda s: self.trnoise_draw(
+            params["is_tn"], key, 1, s, dtv))(steps)
+        if self.vs_flicker or self.is_flicker:
+            if fv is None and self.vs_flicker:
+                fv = jnp.zeros(params["vs_tn"].shape[:-1]
+                               + (self._FLICKER_M,), self.dtype)
+            if fi is None and self.is_flicker:
+                fi = jnp.zeros(params["is_tn"].shape[:-1]
+                               + (self._FLICKER_M,), self.dtype)
+
+            def body(carry, s):
+                cfv, cfi = carry
+                if self.vs_flicker:
+                    cfv = jnp.where(
+                        s == 1,
+                        self.flicker_init(params["vs_tn"], key, 4, dtv),
+                        self.flicker_step(params["vs_tn"], key, 4, s,
+                                          dtv, cfv))
+                if self.is_flicker:
+                    cfi = jnp.where(
+                        s == 1,
+                        self.flicker_init(params["is_tn"], key, 5, dtv),
+                        self.flicker_step(params["is_tn"], key, 5, s,
+                                          dtv, cfi))
+                return (cfv, cfi), (cfv if self.vs_flicker else None,
+                                    cfi if self.is_flicker else None)
+
+            (fv, fi), (fvs, fis) = jax.lax.scan(body, (fv, fi), steps)
+            if self.vs_flicker:
+                tnv = tnv + fvs.sum(-1)
+            if self.is_flicker:
+                tni = tni + fis.sum(-1)
+        # same AD semantics as make_update_state: the realization is not
+        # differentiated through the PRNG / amplitude parameters
+        sg = jax.lax.stop_gradient
+        return sg(tnv), sg(tni), sg(fv) if fv is not None else None, \
+            sg(fi) if fi is not None else None
 
     def init_state(self, x, params=None, dt=None, noise_key=None):
         """TranState from a DC solution (tanalisis.cpp:139-180): cap-like

@@ -67,6 +67,19 @@ statically, <= 8 breakpoints), N <= 64 and rank k <= 16 (VMEM /
 static-unroll budget).  EVERY device class of the engine is in scope;
 out-of-budget decks stay on the general XLA path.
 
+TRNOISE decks run fused too (noisy Monte-Carlo at fused speed): the
+per-step source-noise values are precomputed OUTSIDE the kernel by
+Engine.trnoise_stream — one batched call per chunk issuing the exact
+threefry draws of the XLA scan's state carry (white realizations
+bitwise; the flicker AR(1) recursion to f32 fusion order, its bank
+states riding the chunk carry) — and streamed in as a (chunk, nN, TB)
+VMEM block whose rows scatter onto their source rows via a static
+one-hot (noise_block_ok bounds it to ~4 MB).  In-kernel PRNG was
+rejected: pltpu.prng_* has no interpret-mode lowering (untestable off
+TPU) and a different generator would break realization parity with the
+XLA path; streaming costs ~nN*B*4 bytes/step of HBM — at B=8192, nN=2
+that is ~1/1500th of the XLA path's per-step constant traffic.
+
 Validation note (tests/test_pallas_step.py): exponential-device decks
 must be compared from the DC operating point — from x = 0 with full
 rails the damped Newton hits the 50-iteration cap on some lanes, and a
@@ -142,10 +155,11 @@ def supported(engine, dt=None) -> bool:
             return False
     if engine.mos_body or engine.opts.mos_reverse_region:
         return False
-    # TRNOISE decks stay eligible: the kernel reproduces the noise-FREE
-    # behavior exactly (noise only exists when a caller passes a
-    # noise_key, and those call sites gate fused dispatch themselves —
-    # batched_transient's eligibility includes `noise_key is None`)
+    # TRNOISE decks are eligible both noise-free (no noise_key) and noisy:
+    # callers precompute the per-step source-noise values with
+    # Engine.trnoise_stream (the XLA path's own threefry draws) and
+    # stream them in via run_chunk(noise=...) — the call sites gate on
+    # noise_block_ok (VMEM bound for the per-chunk noise block)
     if engine.opts.tran_method != "be":
         return False
     # all waveform kinds evaluate in-kernel (PULSE/SIN/PWL/EXP/SFFM, V
@@ -165,17 +179,33 @@ def supported(engine, dt=None) -> bool:
     return True
 
 
+def noise_block_ok(n_noisy: int, chunk_steps: int) -> bool:
+    """VMEM bound for the fused TRNOISE path's per-chunk noise input
+    block: (chunk, nN, TB) f32 resident per lane block — keep it under
+    ~4 MB at TB=128 (8192 step-rows)."""
+    return 0 < n_noisy * chunk_steps <= 8192
+
+
 class PallasStepRunner:
     """Builds per-batch constants (contraction-major, lane-minor) and the
     fused chunk kernel."""
 
     def __init__(self, engine, bparams, dt: float, max_nr: int = 50,
-                 probe_mat=None):
+                 probe_mat=None, noise_idx=None):
         """probe_mat: optional (P, N) selection matrix — when given, every
         step ALSO writes the P probe values (probe_mat @ x) to a
         (n_steps, P, B) output, so the fused path yields streaming
         waveforms (measure accumulation, yield analysis) without ever
-        materializing the (B, T, N) state history."""
+        materializing the (B, T, N) state history.
+
+        noise_idx: optional index array into the combined source rows
+        (V rows 0..nV-1 then I rows nV..nV+nI-1) enabling TRNOISE decks
+        on the fused path: run_chunk then takes a noise=(n_steps, nN, B)
+        block of per-step source-noise values (precomputed OUTSIDE the
+        kernel by Engine.trnoise_stream with the exact XLA-path threefry
+        draws — the realization is the XLA path's, bitwise for white
+        noise) and each step adds M_tn @ noise[i] to the source values,
+        mirroring assemble.py terms_of's `vval + tn_v` / `ival + tn_i`."""
         assert supported(engine, dt)
         self.engine = engine
         t = engine.topo
@@ -459,6 +489,20 @@ class PallasStepRunner:
             self.nProbe = None
             self.M_probe = None
 
+        # TRNOISE row scatter: noise tile row c adds to source row
+        # noise_idx[c] (V rows then I rows — the src_val layout)
+        if noise_idx is not None:
+            ni = np.asarray(noise_idx, np.int32).reshape(-1)
+            assert ni.size and (ni >= 0).all() and (ni < nS).all()
+            self.nNoise = int(ni.size)
+            Mtn = np.zeros((nSP, self.nNoise), np.float32)
+            for c, r in enumerate(ni):
+                Mtn[int(r), c] = 1.0
+            self.M_tn = Mtn
+        else:
+            self.nNoise = None
+            self.M_tn = np.zeros((nSP, 1), np.float32)
+
     # ------------------------------------------------------------------
     def _kernel(self, n_steps: int):
         N, k = self.N, self.k
@@ -477,6 +521,7 @@ class PallasStepRunner:
         predictor = self.predictor
         unrolled = self.unrolled
         probe = self.nProbe is not None
+        noise = self.nNoise is not None
         kinds = self.src_kinds                         # static (nSP,)
         has_pulse = bool((kinds == 1).any())
         has_sin = bool((kinds == 2).any())
@@ -489,6 +534,7 @@ class PallasStepRunner:
                  G0invT_ref, YT_ref, Yc3_ref, mosp_ref, diop_ref, bjtp_ref,
                  swp_ref, bconsts_ref, Mtlpm_ref, Mtlk_ref, tlz0_ref,
                  dc_ref, pulse_ref, sin_ref, pwlt_ref, pwlv_ref, pwln_ref,
+                 Mtn_ref, nz_ref,
                  gc_ref, gl_ref, x0_ref, xp0_ref, vc0_ref, il0_ref,
                  tlw0_ref,
                  f0_ref, xo_ref, xpo_ref, vco_ref, ilo_ref, tlwo_ref,
@@ -941,7 +987,14 @@ class PallasStepRunner:
                 x, xprev, vc, il, ring, failed, it_acc = carry
                 t = (step0 + i.astype(jnp.float32) + 1.0) * dt
                 # source values at t (V rows then I rows) + history terms
-                parts = [src_val(t), -(gl * il), gc * vc]
+                sv = src_val(t)
+                if noise:
+                    # TRNOISE: this step's precomputed per-source noise
+                    # values scatter onto their source rows (terms_of's
+                    # vval+tn_v / ival+tn_i) — one (nN, TB) tile per step
+                    nz = nz_ref[pl.ds(i, 1)][0]
+                    sv = sv + _dot(Mtn_ref[:], nz)
+                parts = [sv, -(gl * il), gc * vc]
                 if nT:
                     # delayed-wave Thevenin EMFs: slot ticks-1 is the wave
                     # from `ticks` steps ago (ring shifts every step, so
@@ -1013,11 +1066,13 @@ class PallasStepRunner:
         return kern
 
     def run_chunk(self, x, x_prev, vc, il, failed, step0, n_steps: int,
-                  interpret: bool = False, tlw=None):
+                  interpret: bool = False, tlw=None, noise=None):
         """Advance n_steps.  x/x_prev (B, N), vc (B, nCap), il (B, nL)
         lane-major; failed (B,) bool; step0 may be traced (jit arg) so
         consecutive chunks share one compilation.  For T-line decks pass
         tlw (B, Dmax, 2nT), the delay ring from Engine.init_state.
+        With noise_idx set, pass noise (n_steps, nN, B): per-step source
+        noise values from Engine.trnoise_stream (lane-minor last).
         Returns the advanced carry (x, x_prev, vc, il, failed, per-block
         iteration counts); with probe_mat set, also the (n_steps, P, B)
         raw probe waveform block; for T-line decks the advanced ring
@@ -1044,6 +1099,17 @@ class PallasStepRunner:
             tlt = jnp.zeros((1, 1, B), f32)
         ft = failed.astype(f32)[None, :]
         step0_arr = jnp.asarray(step0, f32).reshape(1)
+        noise_on = self.nNoise is not None
+        if noise_on:
+            assert noise is not None and noise.shape == (
+                n_steps, self.nNoise, B), (noise is not None
+                                           and noise.shape)
+            nzt = noise.astype(f32)
+            nz_rows = n_steps
+        else:
+            assert noise is None
+            nzt = jnp.zeros((1, 1, B), f32)
+            nz_rows = 1
 
         lane = lambda *lead: pl.BlockSpec(lead + (TB,),
                                           lambda i: tuple([0] * len(lead)) + (i,))
@@ -1091,6 +1157,8 @@ class PallasStepRunner:
                 lane(self.nSP), lane(7, self.nSP), lane(5, self.nSP),
                 lane(*self.src_pwlt.shape[:2]),
                 lane(*self.src_pwlv.shape[:2]), lane(self.nSP),
+                shared(self.M_tn.shape),
+                lane(nz_rows, self.nNoise if noise_on else 1),
                 lane(nCapP), lane(nLP),
                 lane(N), lane(N), lane(nCapP), lane(nLP),
                 lane(DmaxP, nTP2), lane(1),
@@ -1107,6 +1175,7 @@ class PallasStepRunner:
           jnp.asarray(self.M_tl_pm), jnp.asarray(self.M_tl_k), self.tl_z0,
           self.src_dc, self.src_pulse, self.src_sin,
           self.src_pwlt, self.src_pwlv, self.src_pwln,
+          jnp.asarray(self.M_tn), nzt,
           self.gc, self.gl, xt, xpt, vct, ilt, tlt, ft)
         xo, xpo, vco, ilo, tlo, fo, iters = outs[:7]
         base = (xo.T, xpo.T, vco.T[:, :nCap], ilo.T[:, :nL],

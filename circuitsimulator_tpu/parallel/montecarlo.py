@@ -241,14 +241,21 @@ def batched_dc_warm(engine: Engine, bparams, x_nom):
 
 def fused_transient_measures(engine: Engine, bparams, tstep, tstop, sm,
                              x0=None, chunk: int = 512,
-                             interpret: bool = False):
+                             interpret: bool = False, noise_key=None):
     """Streaming-measures transient stepped by the fused Pallas chunk
     kernel (ops/pallas_step.py): whole timesteps advance in VMEM, and the
     kernel's in-kernel probe output feeds the measure accumulators per
     chunk — O(chunk * P * B) waveform memory, none of the (B, T, N) state
     history ever leaves the chip.  Caller must have checked
     pallas_step.supported(engine) and B % 128 == 0.
-    Returns (TransientResult-without-xs, accs-finalized values)."""
+    Returns (TransientResult-without-xs, accs-finalized values).
+
+    noise_key (TRNOISE decks): split per lane; each chunk's per-step
+    source-noise values are precomputed with Engine.trnoise_stream (the
+    XLA path's own threefry draws — white realizations are bitwise the
+    XLA path's, flicker to f32 fusion order) and streamed into the
+    kernel; the flicker AR(1) bank states ride the chunk carry.  Caller
+    must have checked pallas_step.noise_block_ok(nN, chunk)."""
     from ..analysis.transient import TransientResult, n_steps_for
     from ..ops import pallas_step
 
@@ -263,16 +270,41 @@ def fused_transient_measures(engine: Engine, bparams, tstep, tstop, sm,
     state0 = (engine.init_state(x0, params=bparams, dt=dt)
               if engine.n_tl else engine.init_state(x0))
     nP = sm.probe_matrix.shape[0]
-    runner = pallas_step.PallasStepRunner(engine, bparams, dt,
-                                          probe_mat=sm.probe_matrix)
+    noise_on = noise_key is not None and engine.has_trnoise
+    if noise_on:
+        nv_idx, ni_idx = engine.vs_noisy, engine.is_noisy
+        noise_idx = np_mod.concatenate(
+            [nv_idx, len(engine.topo.vs_ep) + ni_idx]).astype(np_mod.int32)
+        keys = jax.random.split(noise_key, B)
+        M = engine._FLICKER_M
+        fv0 = (jnp.zeros(bparams["vs_tn"].shape[:-1] + (M,), f32)
+               if engine.vs_flicker else None)
+        fi0 = (jnp.zeros(bparams["is_tn"].shape[:-1] + (M,), f32)
+               if engine.is_flicker else None)
+    runner = pallas_step.PallasStepRunner(
+        engine, bparams, dt, probe_mat=sm.probe_matrix,
+        noise_idx=noise_idx if noise_on else None)
     acc0 = sm.init(engine, x0)
     nT = runner.nT
 
     def advance(carry, acc, step0, n):
-        core, tlw = carry
+        core, tlw, fvfi = carry
+        if noise_on:
+            fv, fi = fvfi
+            s0i = step0.astype(jnp.int32)
+            tnv, tni, fv, fi = jax.vmap(
+                lambda k_, p_, a_, b_: engine.trnoise_stream(
+                    p_, k_, s0i, n, dt, a_, b_)
+            )(keys, bparams, fv, fi)
+            nz = jnp.concatenate(
+                [tnv[..., nv_idx], tni[..., ni_idx]], axis=-1)
+            nz = jnp.moveaxis(nz, 0, -1)              # (n, nN, B)
+            fvfi = (fv, fi)
+        else:
+            nz = None
         out = runner.run_chunk(*core, step0, n, interpret=interpret,
-                               tlw=tlw)
-        carry = (out[:5], out[-1] if nT else None)
+                               tlw=tlw, noise=nz)
+        carry = (out[:5], out[-1] if nT else None, fvfi)
         iters = out[5]
         raw = jnp.moveaxis(out[6][:, :nP, :], 1, 2)     # (n, B, nP)
         ys_all = sm.vals_from_raw(raw)
@@ -291,7 +323,8 @@ def fused_transient_measures(engine: Engine, bparams, tstep, tstop, sm,
     jit_full = jax.jit(lambda c, a, s0: advance(c, a, s0, chunk))
     carry = ((x0, x0, state0["vc"], state0["il"],
               jnp.zeros((B,), bool)),
-             state0["tlw"] if nT else None)
+             state0["tlw"] if nT else None,
+             (fv0, fi0) if noise_on else None)
     total_iters = jnp.zeros((runner.n_blocks,), jnp.int32)
     for i in range(n_full):
         carry, acc0, iters = jit_full(carry, acc0,
@@ -340,16 +373,20 @@ def batched_transient_measures(engine: Engine, bparams, tstep, tstop,
     if x0 is None:
         x0 = batched_dc_fast(engine, bparams)
     B = x0.shape[0]
+    noisy_ok = noise_key is None or (
+        engine.has_trnoise and pallas_step.noise_block_ok(
+            len(engine.vs_noisy) + len(engine.is_noisy), 512))
     eligible = (pallas_step.supported(engine, float(tstep))
                 and B % 128 == 0 and engine.dtype == jnp.float32
-                and noise_key is None)
+                and noisy_ok)
     if fused == "auto":
         fused = eligible and jax.default_backend() != "cpu"
     if fused:
         assert eligible
         res, vals = fused_transient_measures(
             engine, bparams, tstep, tstop, sm, x0=x0,
-            interpret=jax.default_backend() == "cpu")
+            interpret=jax.default_backend() == "cpu",
+            noise_key=noise_key)
     elif noise_key is not None and engine.has_trnoise:
         keys = jax.random.split(noise_key, B)
         res, vals = jax.vmap(
@@ -590,17 +627,22 @@ def batched_transient(engine: Engine, bparams, tstep, tstop,
     INDEPENDENT noise realization; omitted, the batch runs noise-free."""
     from ..ops import pallas_step
     B = jax.tree.leaves(bparams)[0].shape[0]
+    n_noisy = len(engine.vs_noisy) + len(engine.is_noisy)
+    noisy_ok = noise_key is None or (
+        engine.has_trnoise and pallas_step.noise_block_ok(
+            n_noisy, min(2000, 8192 // max(n_noisy, 1))))
     eligible = (not save_xs
                 and pallas_step.supported(engine, float(tstep))
                 and B % 128 == 0 and engine.dtype == jnp.float32
-                and noise_key is None)
+                and noisy_ok)
     if fused == "auto":
         fused = eligible and jax.default_backend() != "cpu"
     if fused:
         assert eligible
         return _fused_batched_transient(
             engine, bparams, tstep, tstop,
-            interpret=jax.default_backend() == "cpu")
+            interpret=jax.default_backend() == "cpu",
+            noise_key=noise_key)
     if noise_key is not None and engine.has_trnoise:
         keys = jax.random.split(noise_key, B)
         return jax.vmap(
@@ -613,9 +655,13 @@ def batched_transient(engine: Engine, bparams, tstep, tstop,
 
 
 def _fused_batched_transient(engine: Engine, bparams, tstep, tstop,
-                             chunk: int = 2000, interpret: bool = False):
+                             chunk: int = 2000, interpret: bool = False,
+                             noise_key=None):
     """Waveform-free batched transient on the fused Pallas chunk kernel:
-    natively-batched DC init, then whole timesteps advance in VMEM."""
+    natively-batched DC init, then whole timesteps advance in VMEM.
+    noise_key: per-lane TRNOISE realizations streamed into the kernel
+    (see fused_transient_measures); the chunk shrinks to keep the noise
+    block inside its VMEM budget."""
     from ..analysis.transient import TransientResult, n_steps_for
     from ..ops import pallas_step
 
@@ -627,14 +673,40 @@ def _fused_batched_transient(engine: Engine, bparams, tstep, tstop,
     B = x0.shape[0]
     state0 = (engine.init_state(x0, params=bparams, dt=dt)
               if engine.n_tl else engine.init_state(x0))
-    runner = pallas_step.PallasStepRunner(engine, bparams, dt)
+    noise_on = noise_key is not None and engine.has_trnoise
+    if noise_on:
+        nv_idx, ni_idx = engine.vs_noisy, engine.is_noisy
+        noise_idx = np_mod.concatenate(
+            [nv_idx, len(engine.topo.vs_ep) + ni_idx]).astype(np_mod.int32)
+        chunk = min(chunk, 8192 // max(len(noise_idx), 1))
+        keys = jax.random.split(noise_key, B)
+        M = engine._FLICKER_M
+        fv0 = (jnp.zeros(bparams["vs_tn"].shape[:-1] + (M,), f32)
+               if engine.vs_flicker else None)
+        fi0 = (jnp.zeros(bparams["is_tn"].shape[:-1] + (M,), f32)
+               if engine.is_flicker else None)
+    runner = pallas_step.PallasStepRunner(
+        engine, bparams, dt,
+        noise_idx=noise_idx if noise_on else None)
     nT = runner.nT
 
     def advance(carry, step0, n):
-        core, tlw = carry
+        core, tlw, fvfi = carry
+        if noise_on:
+            fv, fi = fvfi
+            s0i = step0.astype(jnp.int32)
+            tnv, tni, fv, fi = jax.vmap(
+                lambda k_, p_, a_, b_: engine.trnoise_stream(
+                    p_, k_, s0i, n, dt, a_, b_)
+            )(keys, bparams, fv, fi)
+            nz = jnp.moveaxis(jnp.concatenate(
+                [tnv[..., nv_idx], tni[..., ni_idx]], axis=-1), 0, -1)
+            fvfi = (fv, fi)
+        else:
+            nz = None
         out = runner.run_chunk(*core, step0, n, interpret=interpret,
-                               tlw=tlw)
-        return (out[:5], out[-1] if nT else None), out[5]
+                               tlw=tlw, noise=nz)
+        return (out[:5], out[-1] if nT else None, fvfi), out[5]
 
     n_full, rem = divmod(n_steps, chunk)
     if n_full == 0:
@@ -642,7 +714,8 @@ def _fused_batched_transient(engine: Engine, bparams, tstep, tstop,
     jit_full = jax.jit(lambda c, s0: advance(c, s0, chunk))
     carry = ((x0, x0, state0["vc"], state0["il"],
               jnp.zeros((B,), bool)),
-             state0["tlw"] if nT else None)
+             state0["tlw"] if nT else None,
+             (fv0, fi0) if noise_on else None)
     total_iters = jnp.zeros((runner.n_blocks,), jnp.int32)
     for i in range(n_full):
         carry, iters = jit_full(carry, jnp.asarray(i * chunk, f32))
