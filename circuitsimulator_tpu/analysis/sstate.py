@@ -186,6 +186,25 @@ class OscillatorResult:
     residual: Any
     newton_iters: int
     converged: Any
+    s: Any = None    # converged shooting vector [x, vc, ic, il, vl] at t=0
+                     # (the starting state of `xs`) — phase-noise analysis
+                     # (analysis/oscnoise.py) re-propagates from it
+
+
+def osc_engine(engine: Engine) -> Engine:
+    """The engine clone oscillator shooting (and any analysis that must
+    re-trace its limit cycle, e.g. phase noise) steps with: LU transient
+    backend (a per-T Woodbury refactor buys nothing when T is a Newton
+    unknown) and TRAPEZOIDAL integration — BE's numerical damping acts
+    like a parasitic conductance g ~ C·w^2·dt across every tank, visibly
+    shrinking the limit cycle at practical steps/period."""
+    opts = engine.opts
+    if opts.tran_solver == "lu" and opts.tran_method == "trap":
+        return engine
+    import copy
+    eng = copy.copy(engine)              # shared scatter patterns
+    eng.opts = opts.replace(tran_solver="lu", tran_method="trap")
+    return eng
 
 
 def oscillator_steady_state(engine: Engine, params, f0_guess: float,
@@ -222,17 +241,7 @@ def oscillator_steady_state(engine: Engine, params, f0_guess: float,
     if engine.n_tl:
         raise NotImplementedError("oscillator shooting does not support "
                                   "transmission lines (dt-dependent ring)")
-    opts = engine.opts
-    if opts.tran_solver != "lu" or opts.tran_method != "trap":
-        import copy
-        engine = copy.copy(engine)       # shared patterns
-        # lu backend (a per-T Woodbury refactor buys nothing) and
-        # TRAPEZOIDAL integration: BE's numerical damping acts like a
-        # parasitic conductance g ~ C*w^2*dt across every tank — at 256
-        # steps/period that is ~0.8 mS against a 1.5 mS negative
-        # conductance, visibly shrinking the limit cycle.  Trapezoidal
-        # has no amplitude damping.
-        engine.opts = opts.replace(tran_solver="lu", tran_method="trap")
+    engine = osc_engine(engine)
     dtype = engine.dtype
     K = int(steps_per_period)
 
@@ -350,7 +359,8 @@ def oscillator_steady_state(engine: Engine, params, f0_guess: float,
     final = jnp.linalg.norm(residual(u))
     return OscillatorResult(
         f0=1.0 / float(T_fin), times=times, xs=xs_all, residual=final,
-        newton_iters=iters, converged=float(final) < tol * 100)
+        newton_iters=iters, converged=float(final) < tol * 100,
+        s=s_fin)
 
 
 def harmonic_table(topo, result: SteadyStateResult, node_names=None) -> str:

@@ -736,6 +736,46 @@ class Simulator:
         p = params if params is not None else self.params
         return oscillator_steady_state(self.engine, p, f0_guess, eq, **kw)
 
+    def oscillator_phase_noise(self, offsets, f0_guess: Optional[float]
+                               = None, anchor_node: Optional[str] = None,
+                               osc=None, params: Optional[Any] = None,
+                               extra_sources=None, **osc_kw):
+        """Phase noise of a free-running oscillator via the perturbation
+        projection vector (analysis/oscnoise.py): Demir's phase-diffusion
+        constant c from the Floquet adjoint of the shooting limit cycle,
+        with the .NOISE device PSD catalog evaluated along the cycle.
+        Returns an OscPhaseNoiseResult (L(Δf) in dBc/Hz, per-source
+        contributions, predicted period jitter).
+
+        Pass a converged `osc` result, or f0_guess + anchor_node to run
+        the shooting here.  extra_sources: list of (node_p, node_m, psd)
+        with node names ('0' = ground) and one-sided PSDs in A²/Hz."""
+        from .analysis.oscnoise import oscillator_phase_noise
+        p = params if params is not None else self.params
+        if osc is None:
+            if f0_guess is None or anchor_node is None:
+                raise ValueError("give osc= or f0_guess + anchor_node")
+            osc = self.oscillator(f0_guess, anchor_node, params=p, **osc_kw)
+            if not osc.converged:
+                raise RuntimeError("oscillator shooting did not converge "
+                                   f"(residual {float(osc.residual):.3e})")
+        extra_pairs = extra_psd = None
+        if extra_sources:
+            def node_eq(name):
+                from .utils.numbers import is_ground_name
+                if is_ground_name(name):
+                    return -1
+                nid = self.circuit.node_name_to_id.get(name)
+                if nid is None:
+                    raise KeyError(f"unknown node {name!r}")
+                return self.circuit.nodes[nid].eq_index
+            extra_pairs = [(node_eq(a), node_eq(b))
+                           for a, b, _ in extra_sources]
+            extra_psd = [s for _, _, s in extra_sources]
+        return oscillator_phase_noise(self.engine, p, osc, offsets,
+                                      extra_pairs=extra_pairs,
+                                      extra_psd=extra_psd)
+
     def pnoise(self, deltas, out_node: str, ref_node: Optional[str] = None,
                f0: Optional[float] = None, n_harm: Optional[int] = None,
                pss_xs=None, params: Optional[Any] = None, **hb_kw):
