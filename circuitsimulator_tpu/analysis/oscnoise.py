@@ -63,7 +63,8 @@ from jax import lax
 
 from ..ops.assemble import Engine
 from ..ops.lu import lu_solve
-from .sstate import OscillatorResult, osc_engine, _split, _join
+from .sstate import (OscillatorResult, osc_engine, _split, _join,
+                     _dyn_mask)
 from .noise import _device_noise_currents
 
 
@@ -78,7 +79,9 @@ class OscPhaseNoiseResult:
     by_class: Any      # dict kind -> share of c (R/M/J/D/Q/X=extra)
     per_source: Any    # (nS,) per-generator contribution to c
     kinds: Any         # (nS,) generator kind labels
-    ppv: Any           # (K+1, n_s) normalized PPV samples around the cycle
+    ppv: Any           # (K+1, n_dyn) normalized PPV over the DYNAMIC
+                       # shooting coordinates (sstate._dyn_mask; the first
+                       # N columns are always the node/branch unknowns x)
     w: Any             # (K, nS) per-step time-shift per injected amp (s/A)
     invariance: Any    # rel. spread of v_k·ds_k/dt (≪1 = consistent PPV)
     floquet_err: Any   # |λ_phase − 1| of the monodromy (discretization err)
@@ -161,18 +164,30 @@ def oscillator_phase_noise(engine: Engine, params,
 
     s_last, s_steps = jax.jit(lambda s: lax.scan(body, s, ts))(
         jnp.asarray(osc.s, dtype))
-    ss = jnp.concatenate([jnp.asarray(osc.s, dtype)[None], s_steps])  # (K+1, n_s)
-    n_s = ss.shape[-1]
-    closure = float(jnp.linalg.norm(ss[K] - ss[0]))
+    ss = jnp.concatenate([jnp.asarray(osc.s, dtype)[None], s_steps])  # (K+1, n_f)
+    n_full = ss.shape[-1]
+
+    # the Floquet algebra runs on the DYNAMIC coordinates only: zero-C
+    # cap-like slots flip sign every step under trap, planting a spurious
+    # (−1)^K = +1 monodromy eigenvalue that would shadow the phase mode
+    # (see sstate._dyn_mask) — and their pass-through values are zero-
+    # embedded in osc.s, so the closure check must skip them too
+    dyn = np.nonzero(_dyn_mask(engine, params))[0]
+    n_s = len(dyn)
+    closure = float(jnp.linalg.norm(ss[K, dyn] - ss[0, dyn]))
+
+    def embed(s_red):
+        return jnp.zeros((n_full,), dtype).at[dyn].set(s_red)
 
     # ---- per-step Jacobians and injection gains by AD ----
     @jax.jit
     def jac_all(ss_k, ts_k):
-        def one(s, t):
-            return jax.jacfwd(step, argnums=(0, 2))(s, t, zero_inj)
+        def one(s_red, t):
+            f = lambda sr, inj: step(embed(sr), t, inj)[dyn]
+            return jax.jacfwd(f, argnums=(0, 1))(s_red, zero_inj)
         return jax.vmap(one)(ss_k, ts_k)
 
-    Js, Bs = jac_all(ss[:K], ts)          # (K, n_s, n_s), (K, n_s, N)
+    Js, Bs = jac_all(ss[:K, dyn], ts)     # (K, n_s, n_s), (K, n_s, N)
 
     # ---- monodromy + Floquet left eigenvector at eigenvalue 1 ----
     def mul(M, J):
@@ -199,7 +214,7 @@ def oscillator_phase_noise(engine: Engine, params,
 
     # normalize against the cycle tangent: v_k·(ds/dt)_k = 1 (invariant of
     # the recursion — measure its spread as the consistency diagnostic)
-    d = (ss[1:] - ss[:-1]) / dt                 # (K, n_s) tangents
+    d = (ss[1:, dyn] - ss[:-1, dyn]) / dt       # (K, n_s) tangents
     norms = jnp.einsum("kn,kn->k", vs[:K], d)
     mean_n = jnp.mean(norms)
     invariance = float(jnp.std(norms) / jnp.abs(mean_n))
@@ -261,7 +276,7 @@ def oscillator_phase_noise(engine: Engine, params,
     # the shooting propagator stops each step's Newton at tran_tol (~1e-6)
     # while this re-propagation runs 4 full iterations, so ~1e-3 relative
     # closure is expected tolerance mismatch, not divergence
-    if closure > 3e-3 * float(jnp.linalg.norm(ss[0])):
+    if closure > 3e-3 * float(jnp.linalg.norm(ss[0, dyn])):
         import sys
         print(f"oscnoise: cycle closure residual {closure:.2e} — the "
               "shooting solution may not be converged", file=sys.stderr)

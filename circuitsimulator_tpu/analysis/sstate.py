@@ -83,6 +83,26 @@ def _join(x, state):
     return jnp.concatenate(parts, axis=-1)
 
 
+def _dyn_mask(engine: Engine, params, dmax: int = 0) -> np.ndarray:
+    """Which shooting-vector entries are genuine unknowns.  Zero-valued
+    cap-like slots (the four lumped MOS junction caps exist even with
+    CJ0 = 0, ops/assemble.py _caplike_C) are NOT state: their `vc` is a
+    pass-through and their trapezoidal `ic` carry flips sign every step
+    (ic' = (2C/dt)(v'-v) - ic with C = 0), so over an even number of
+    steps the period map is exactly identity on those rows — zero rows
+    in the shooting Jacobian J - I that freeze the whole Newton (du = 0
+    at pivot-floored LU).  Excluded entries propagate as zeros and are
+    reconstructed by update_state each step."""
+    cvals = np.asarray(engine._caplike_C(params))
+    cap_on = cvals > 0.0
+    nL = len(engine.topo.ind_k)
+    parts = [np.ones(engine.N, bool), cap_on, cap_on,
+             np.ones(nL, bool), np.ones(nL, bool)]
+    if engine.n_tl:
+        parts.append(np.ones(dmax * 2 * engine.n_tl, bool))
+    return np.concatenate(parts) if parts else np.zeros(0, bool)
+
+
 def steady_state(engine: Engine, params, f0: float,
                  n_harm: int = 8,
                  steps_per_period: int = 512,
@@ -128,22 +148,31 @@ def steady_state(engine: Engine, params, f0: float,
     for _ in range(warmup_periods):
         s = prop_jit(s)
 
-    n_s = s.shape[-1]
+    n_full = s.shape[-1]
+    # Newton runs on the DYNAMIC entries only: zero-C cap-like slots are
+    # pass-throughs (and sign-flippers under trap) that make J - I
+    # singular — see _dyn_mask
+    dyn = np.nonzero(_dyn_mask(engine, params, dmax))[0]
+    n_s = len(dyn)
     eye = jnp.eye(n_s, dtype=dtype)
+
+    def embed(s_red, base):
+        return base.at[dyn].set(s_red)
 
     @jax.jit
     def newton_step(s):
+        s_red = s[dyn]
         phi0 = propagate(s)
-        r = phi0 - s
-        # batched finite-difference Jacobian of Phi
+        r = phi0[dyn] - s_red
+        # batched finite-difference Jacobian of Phi (dynamic block)
         eps = jnp.asarray(fd_eps, dtype)
-        pert = s[None, :] + eps * eye
+        pert = jax.vmap(lambda e: embed(s_red + eps * e, s))(eye)
         phis = jax.vmap(propagate)(pert)
-        J = (phis - phi0[None, :]).T / eps          # dPhi/ds
-        A = J - eye                                  # d(Phi - id)/ds
+        J = (phis[:, dyn] - phi0[None, dyn]).T / eps   # dPhi/ds
+        A = J - eye                                    # d(Phi - id)/ds
         ds = lu_solve(A, -r, engine.opts.lu_pivot_floor)
         res = jnp.linalg.norm(r)
-        return s + ds, res
+        return embed(s_red + ds, phi0), res
 
     res = jnp.asarray(jnp.inf, dtype)
     iters = 0
@@ -289,14 +318,22 @@ def oscillator_steady_state(engine: Engine, params, f0_guess: float,
     x_start = xs_c[idx]
     state_start = jax.tree.map(lambda a: a[idx], st_c)
     anchor_val = jnp.asarray(np.asarray(xs_c)[idx, anchor_eq], dtype)
-    s0 = _join(x_start, state_start)
+    s0_full = _join(x_start, state_start)
+    n_full = s0_full.shape[-1]
+    mask = _dyn_mask(engine, params)
+    dyn = np.nonzero(mask)[0]
+    s0 = s0_full[dyn]
     n_s = s0.shape[-1]
+    red_anchor = int(np.searchsorted(dyn, anchor_eq))
 
-    # ---- augmented shooting: unknowns [s, T] ----
-    def propagate(s, T):
+    def embed(s_red):
+        return jnp.zeros((n_full,), dtype).at[dyn].set(s_red)
+
+    # ---- augmented shooting: unknowns [s_dyn, T] ----
+    def propagate(s_red, T):
         dt = T / K
         step = transient_step_fn(engine, params, dt)
-        x, state = _split(engine, s)
+        x, state = _split(engine, embed(s_red))
         failed = jnp.zeros(x.shape[:-1], dtype=bool)
         ts = jnp.arange(1, K + 1, dtype=dtype) * dt
 
@@ -305,12 +342,12 @@ def oscillator_steady_state(engine: Engine, params, f0_guess: float,
             return c, None
 
         (xf, st, _), _ = lax.scan(body, (x, state, failed), ts)
-        return _join(xf, st)
+        return _join(xf, st)[dyn]
 
     def residual(u):
         s, T = u[:-1], u[-1]
         r = propagate(s, T) - s
-        return jnp.concatenate([r, (s[anchor_eq] - anchor_val)[None]])
+        return jnp.concatenate([r, (s[red_anchor] - anchor_val)[None]])
 
     @jax.jit
     def newton_step(u):
@@ -341,7 +378,7 @@ def oscillator_steady_state(engine: Engine, params, f0_guess: float,
         if float(res) < tol:
             break
 
-    s_fin, T_fin = u[:-1], u[-1]
+    s_fin, T_fin = embed(u[:-1]), u[-1]
     dt = T_fin / K
     step = transient_step_fn(engine, params, dt)
     x, state = _split(engine, s_fin)

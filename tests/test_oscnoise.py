@@ -96,6 +96,53 @@ def test_ppv_diagnostics_and_extra_source(osc):
     assert corr < 0.1
 
 
+MEISSNER = """* meissner (transformer-feedback) mos oscillator, class A
+.MODEL 1 VT 0.7 MU 5e-2 COX 2e-3 LAMBDA 0.01 KF 1e-15 AF 1
+VDD 1 0 3
+VG gb 0 1.2
+L1 g gb 100u
+C1 g 0 100p
+Rl g 0 5k
+Blim g 0 I=100m*(v(g)-1.2)**3
+L2 1 d 10u
+K1 L1 L2 0.5
+M1 d g 0 n 60e-6 1e-6 1
+.op
+"""
+
+
+def test_mos_meissner_flicker_corner():
+    """A real-device oscillator: MOS in saturation the whole cycle
+    (smooth map — the gate swing 1.14..1.26 V stays above VT and the
+    drain above saturation), transformer feedback via K coupling.  MOS
+    flicker (KF) gives the 1/f³ close-in skirt; thermal + channel noise
+    the 1/f² region.  Also regression-pins the zero-C cap-like shooting
+    fix (sstate._dyn_mask): the 4 CJ0=0 MOS junction caps froze the
+    augmented Newton entirely before it."""
+    sim = Simulator.from_text(MEISSNER)
+    res = sim.oscillator(f0_guess=1.6e6, anchor_node="g",
+                         steps_per_period=256, warmup_periods=60)
+    assert res.converged, float(res.residual)
+    assert res.f0 == pytest.approx(1.59e6, rel=0.02)   # 1/(2π√(L1 C1))
+    pn = sim.oscillator_phase_noise(offsets=[1e2, 1e3, 1e4, 1e6], osc=res)
+    assert pn.c > 0 and pn.c_flicker > 0
+    # thermal and MOS channel noise both land, shares add up
+    assert set(pn.by_class) == {"R", "M"}
+    assert pn.by_class["R"] + pn.by_class["M"] == pytest.approx(pn.c)
+    # flicker corner c_fl/c sits in the kHz range for KF=1e-15 here:
+    # ~30 dB/decade below it, 20 dB/decade above
+    corner = pn.c_flicker / pn.c
+    assert 1e3 < corner < 2e4
+    assert pn.L_dbc[0] - pn.L_dbc[1] > 27.0
+    # (the residual flicker at 1e4 biases the 2-decade average slightly
+    # above the pure-white 20 dB/decade)
+    assert (pn.L_dbc[2] - pn.L_dbc[3]) / 2 == pytest.approx(20.0, abs=1.0)
+    # Floquet/PPV diagnostics stay sane on the multi-device deck
+    assert pn.invariance < 1e-2
+    assert pn.floquet_err < 1e-2
+    assert pn.lambda2 < 0.5
+
+
 def test_trnoise_monte_carlo_matches_prediction(osc):
     """Self-consistency against the time-domain engine: a TRNOISE current
     source across the tank, lanes launched from one point on the limit
