@@ -16,7 +16,12 @@ frequency-domain formulation:
   cancel), so the HB residual is one batched assemble + matvec;
 - Newton's method on the full (K*N) system; the Jacobian is
   blockdiag_t(A(x_t)) + kron(D, C_struct), with C_struct the
-  capacitance/inductance structure matrix.
+  capacitance/inductance structure matrix;
+- transmission lines are EXACT here (unlike the transient's tick-rounded
+  delay ring): each line's delayed-wave coupling is the band-limited
+  shift operator S_i = D_H(t - s - τ_i) (Dirichlet kernel) applied to the
+  other port's wave, equivalent to multiplying harmonic k by e^{-jkω₀τ}
+  (_tl_hb_terms; the single-frequency analog is ac.py's phase factor).
 
 Cost: the Jacobian is (K*N)^2 — for dbmixer at H=50 that is a 3131^2 dense
 system, entirely feasible on TPU and solved with jnp.linalg.solve (this is
@@ -60,6 +65,41 @@ def spectral_diff_matrix(K: int, T: float) -> np.ndarray:
     kvec = np.arange(F.shape[0]) * w
     D = np.fft.irfft(1j * kvec[:, None] * F, n=K, axis=0)  # (K, K)
     return D
+
+
+def _tl_hb_terms(engine: Engine, params, ts, n_harm: int, f0: float):
+    """Transmission-line pieces of the HB system.  Delays are EXACT in
+    the frequency domain, so HB is the natural home for the T card
+    (reference model: Branin two-port, netlist/parser.py _parse_tline;
+    the single-frequency analog is the AC stamp, analysis/ac.py:96-126).
+
+    Returns (corr_rows, corr_cols, corr_vals, S):
+    - corr_* patch the static conductance matrix: cancel the
+      DC-degenerate stamps that dc_static_entries bakes in (V1=V2,
+      i1=-i2 — wrong at AC) and stamp the own-port Branin branch rows
+      V(p)-V(n) - Z0·i instead (the tl_tran_* pattern);
+    - S (n_tl, K, K) are per-line band-limited delay operators,
+      S_i[t,s] = D_H(t_t - t_s - τ_i) with D_H the order-H Dirichlet
+      kernel, so (S_i @ w)(t) = w(t - τ_i) exactly for any signal in
+      the HB harmonic space.  Differentiable in tl_td/tl_z0 (the
+      sensitivity path, hb_diff.py, flows through params)."""
+    z0 = params["tl_z0"]
+    td = params["tl_td"]
+    dtype = engine.dtype
+    one = jnp.ones_like(z0)
+    corr_rows = np.concatenate([engine.tl_dc_rows, engine.tl_tran_rows])
+    corr_cols = np.concatenate([engine.tl_dc_cols, engine.tl_tran_cols])
+    own = jnp.stack([one, -one, -z0, one, -one, -z0],
+                    axis=-1).reshape(-1)
+    corr_vals = jnp.concatenate([-engine.tl_dc_vals, own])
+    K = ts.shape[0]
+    w0 = 2.0 * np.pi * f0
+    dts = ts[:, None] - ts[None, :]                    # (K, K)
+    arg = w0 * (dts[None, :, :] - td[:, None, None])   # (n_tl, K, K)
+    k = jnp.arange(1, int(n_harm) + 1, dtype=dtype)
+    S = (1.0 + 2.0 * jnp.sum(
+        jnp.cos(k[:, None, None, None] * arg[None]), axis=0)) / K
+    return corr_rows, corr_cols, corr_vals, S
 
 
 def _reactive_structure(engine: Engine, params):
@@ -114,13 +154,21 @@ def make_hb_system(engine: Engine, f0: float, n_harm: int,
                 params["is_pwl_v"], params["is_pwl_n"], t)
             zeros_l = jnp.zeros(params["ind_l"].shape, dtype)
             zeros_c = jnp.zeros(engine._caplike_C(params).shape, dtype)
-            terms = jnp.concatenate([vval, ival, zeros_l, zeros_c],
-                                    axis=-1)
+            parts = [vval, ival, zeros_l, zeros_c]
+            if engine.n_tl:
+                # the delayed-wave EMF slots are zero here: the delay is
+                # applied spectrally (see the S blocks below), not via the
+                # transient ring's RHS
+                parts.append(jnp.zeros((2 * engine.n_tl,), dtype))
+            terms = jnp.concatenate(parts, axis=-1)
             return jnp.einsum("...j,jn->...n", terms, engine.rhs_mat)
 
         b_src = jax.vmap(sources_rhs)(ts)
         rows, cols, svals = engine.dc_static_entries(params)
         A_res = jnp.zeros((N + 1, N + 1), dtype).at[rows, cols].add(svals)
+        if engine.n_tl:
+            cr, cc, cv, _ = _tl_hb_terms(engine, params, ts, n_harm, f0)
+            A_res = A_res.at[cr, cc].add(cv)
         A_res = A_res.at[engine.topo.node_eqs,
                          engine.topo.node_eqs].add(
             jnp.full(len(engine.topo.node_eqs), gmin, dtype))
@@ -138,6 +186,22 @@ def make_hb_system(engine: Engine, f0: float, n_harm: int,
         res_cond = jnp.einsum("tij,tj->ti", A_t, X) - b_nl - b_src
         res_reac = jnp.einsum("ij,tj->ti", C_struct, D @ X)
         res = res_cond + res_reac
+        if engine.n_tl:
+            # delayed other-port coupling: branch row k1 subtracts
+            # w2(t - τ) = V(p2)-V(n2)+Z0·I2 delayed (and k2 ↔ w1),
+            # exactly — via the band-limited shift matrices S
+            t = engine.topo
+            z0 = params["tl_z0"]
+            _, _, _, S = _tl_hb_terms(engine, params, ts, n_harm, f0)
+            Xe = engine.x_ext(X)                         # (K, N+1)
+            w1 = (Xe[:, t.tl_ep1] - Xe[:, t.tl_em1]
+                  + z0 * X[:, t.tl_k1])                  # (K, n_tl)
+            w2 = (Xe[:, t.tl_ep2] - Xe[:, t.tl_em2]
+                  + z0 * X[:, t.tl_k2])
+            u1 = jnp.einsum("its,si->ti", S, w1)
+            u2 = jnp.einsum("its,si->ti", S, w2)
+            res = res.at[:, t.tl_k1].add(-u2)
+            res = res.at[:, t.tl_k2].add(-u1)
         return (res, A_t) if with_At else res
 
     def jacobian(A_t, params):
@@ -145,6 +209,22 @@ def make_hb_system(engine: Engine, f0: float, n_harm: int,
         J = jnp.einsum("ts,ij->tisj", D, C_struct)
         tid = jnp.arange(K)
         J = J.at[tid, :, tid, :].add(A_t)
+        if engine.n_tl:
+            t = engine.topo
+            z0 = params["tl_z0"]
+            _, _, _, S = _tl_hb_terms(engine, params, ts, n_harm, f0)
+            for i in range(engine.n_tl):
+                Si = S[i]
+                for row, cols in (
+                        (int(t.tl_k1[i]), (int(t.tl_ep2[i]),
+                                           int(t.tl_em2[i]),
+                                           int(t.tl_k2[i]))),
+                        (int(t.tl_k2[i]), (int(t.tl_ep1[i]),
+                                           int(t.tl_em1[i]),
+                                           int(t.tl_k1[i])))):
+                    for c, coef in zip(cols, (-1.0, 1.0, -z0[i])):
+                        if c < N:    # ground column drops out
+                            J = J.at[:, row, :, c].add(coef * Si)
         return J.reshape(K * N, K * N)
 
     return ts, residual, jacobian
@@ -158,11 +238,6 @@ def harmonic_balance(engine: Engine, params, f0: float,
                      gmin: float = 0.0,
                      damping: float = 1.0):
     """Solve the periodic steady state in the frequency domain."""
-    if engine.n_tl:
-        raise NotImplementedError(
-            "frequency-domain HB does not support transmission lines "
-            "(the delay is not expressible in the reactive structure "
-            "matrix); use the time-domain shooting method")
     opts = engine.opts
     dtype = engine.dtype
     N = engine.N

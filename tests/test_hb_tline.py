@@ -1,0 +1,127 @@
+"""Frequency-domain HB with transmission lines (hb._tl_hb_terms): the
+delay is EXACT in the harmonic space (band-limited shift operators, the
+multi-harmonic generalization of ac.py's e^{-jwTD} phase factor).
+Cross-checked against the independently validated AC stamps
+(tests/test_tline.py), closed forms, the time-domain shooting method,
+and finite differences through full HB re-solves."""
+
+import numpy as np
+import pytest
+
+from circuitsimulator_tpu import Simulator
+from circuitsimulator_tpu.analysis.hb import harmonic_balance
+from circuitsimulator_tpu.analysis.hb_diff import (hb_gradient,
+                                                   fundamental_metric)
+
+
+def node_eq(sim, name):
+    return sim.circuit.nodes[sim.circuit.node_name_to_id[name]].eq_index
+
+
+def test_hb_tline_fundamental_matches_ac():
+    # MISmatched load -> standing wave; the HB fundamental transfer must
+    # equal the AC phasor solution at f0 (same linear system, two
+    # independently implemented stamp paths)
+    f0 = 25e6
+    deck = (f"V1 src 0 AC 1 SIN 0 1 {f0}\n"
+            "Rs src in 50\n"
+            "T1 in 0 out 0 Z0=50 TD=7n\n"
+            "RL out 0 200\n"
+            f".hb {f0} 5\n"
+            f".AC lin 1 {f0} {f0}\n")
+    sim = Simulator.from_text(deck)
+    r = harmonic_balance(sim.engine, sim.params, f0, n_harm=5)
+    assert bool(r.converged)
+    assert float(r.residual) < 1e-10
+    spec = np.asarray(r.spectrum)
+    e_in, e_out = node_eq(sim, "in"), node_eq(sim, "out")
+    acres = sim.ac()
+    xs = np.asarray(acres.xs)
+    # transfer ratios are phase-convention-free (SIN vs cos reference)
+    h_hb = spec[1, e_out] / spec[1, e_in]
+    h_ac = xs[0, e_out] / xs[0, e_in]
+    assert abs(h_hb - h_ac) < 1e-9
+    # linear deck: no spurious harmonics, and DC is zero
+    assert np.abs(spec[2:, :]).max() < 1e-10
+    assert np.abs(spec[0, :]).max() < 1e-10
+
+
+def test_hb_tline_quarter_wave_transformer():
+    # at f0 = 1/(4 TD) the Z0=100 line transforms RL=50 -> Zin=200, so
+    # with Rs=200 the input fundamental is half the drive amplitude
+    f0 = 1e8
+    deck = (f"V1 src 0 SIN 0 1 {f0}\n"
+            "Rs src in 200\n"
+            "T1 in 0 out 0 Z0=100 TD=2.5n\n"
+            "RL out 0 50\n"
+            f".hb {f0} 4\n")
+    sim = Simulator.from_text(deck)
+    r = harmonic_balance(sim.engine, sim.params, f0, n_harm=4)
+    assert bool(r.converged)
+    vin = np.asarray(r.spectrum)[1, node_eq(sim, "in")]
+    assert abs(vin) == pytest.approx(0.5, rel=1e-9)
+
+
+def test_hb_tline_nonlinear_vs_shooting():
+    # a diode clipper at the far end of a mismatched line: compare HB
+    # against the time-domain shooting PSS (Branin delay ring).  TD is an
+    # exact multiple of the shooting dt so the ring is tick-exact; the
+    # remaining gap is the shooting method's O(dt) BE damping.
+    f0 = 1e8   # T = 10 ns
+    deck = (f"V1 src 0 SIN 0 1.5 {f0}\n"
+            "Rs src in 50\n"
+            "T1 in 0 out 0 Z0=50 TD=2.5n\n"
+            "RL out 0 150\n"
+            "D1 out 0 1\n"
+            ".MODEL 1 IS 1e-12\n"
+            f".hb {f0} 9\n")
+    sim = Simulator.from_text(deck)
+    r = harmonic_balance(sim.engine, sim.params, f0, n_harm=9)
+    assert bool(r.converged)
+    assert float(r.residual) < 1e-8
+    pss = sim.steady_state(steps_per_period=400, warmup_periods=8)
+    assert bool(pss.converged)
+    e_out = node_eq(sim, "out")
+    t_pss = np.asarray(pss.times)
+    v_pss = np.asarray(pss.xs)[:, e_out]
+    # reconstruct the HB waveform at the shooting sample times
+    spec = np.asarray(r.spectrum)[:, e_out]
+    w0 = 2 * np.pi * f0
+    v_hb = np.real(sum(c * np.exp(1j * k * w0 * t_pss)
+                       for k, c in enumerate(spec)))
+    # clipping confirms the nonlinearity engaged (diode pins ~0.6 V while
+    # the negative swing goes well below -0.8 V)
+    assert v_hb.max() < 0.75 and v_hb.min() < -0.8
+    assert np.abs(v_hb - v_pss).max() < 3e-2
+    # and the even/odd harmonic mix of a one-sided clipper is present
+    assert abs(spec[2]) > 1e-3
+
+
+def test_hb_tline_gradient_td_matches_fd():
+    # d|fundamental|/d(TD) by the implicit adjoint vs central differences
+    # through full HB re-solves — the delay enters only via _tl_hb_terms'
+    # cos() terms, so this pins the differentiability of the shift operator.
+    # BOTH ends must be mismatched: with Rs = Z0 there is no re-reflection
+    # and |V_out| is exactly TD-independent (only the phase moves).
+    f0 = 25e6
+    deck = (f"V1 src 0 SIN 0 1 {f0}\n"
+            "Rs src in 10\n"
+            "T1 in 0 out 0 Z0=50 TD=7n\n"
+            "RL out 0 200\n"
+            f".hb {f0} 5\n")
+    sim = Simulator.from_text(deck)
+    m = fundamental_metric(node_eq(sim, "out"))
+    val, grads = hb_gradient(sim.engine, sim.params, f0, 5, m)
+    assert val > 0.1
+    g_td = float(np.asarray(grads["tl_td"])[0])
+
+    def fund_of(p):
+        res = harmonic_balance(sim.engine, p, f0, n_harm=5)
+        return float(np.abs(res.spectrum[1][node_eq(sim, "out")]))
+
+    h = 1e-11
+    p1 = dict(sim.params); p1["tl_td"] = sim.params["tl_td"] + h
+    p2 = dict(sim.params); p2["tl_td"] = sim.params["tl_td"] - h
+    fd = (fund_of(p1) - fund_of(p2)) / (2 * h)
+    assert g_td == pytest.approx(fd, rel=1e-3)
+    assert abs(g_td) > 1e5   # the standing wave really moves with TD
