@@ -50,9 +50,15 @@ class PACResult:
 
 
 def lptv_operator(engine: Engine, params, f0: float, xs_pss):
-    """(J0, CI, K): the real part of the LPTV frequency-domain operator —
-    J(delta) = J0 + j*2*pi*delta * CI — built from the PSS samples.
-    Shared by PAC and PNOISE."""
+    """(J0, CI, K, tl): the LPTV frequency-domain operator —
+    J(delta) = J0 + j*2*pi*delta*CI [+ sum_i e^{-j*2*pi*delta*tau_i} B_i]
+    — built from the PSS samples.  Shared by PAC and PNOISE.
+
+    tl is None without transmission lines; otherwise (taus, B) with
+    B (n_tl, KN, KN) the real delayed-coupling blocks: a solution
+    perturbation Y(t)e^{j2πδt} delays to e^{-j2πδτ}(S_τ Y)(t)e^{j2πδt},
+    so each line contributes its HB shift block (hb._tl_hb_terms)
+    scaled by the offset-dependent envelope phase."""
     N = engine.N
     xs_pss = jnp.asarray(xs_pss)
     K = xs_pss.shape[0]
@@ -67,6 +73,29 @@ def lptv_operator(engine: Engine, params, f0: float, xs_pss):
     np.add.at(A_res, (np.asarray(rows), np.asarray(cols)),
               np.asarray(svals, float))
     ts = np.arange(K) * (T / K)
+
+    tl = None
+    if engine.n_tl:
+        from .hb import _tl_hb_terms
+        cr, cc, cv, S = _tl_hb_terms(engine, params,
+                                     jnp.asarray(ts, engine.dtype),
+                                     (K - 1) // 2, f0)
+        np.add.at(A_res, (cr, cc), np.asarray(cv, float))
+        S = np.asarray(S, float)
+        t = engine.topo
+        z0 = np.asarray(params["tl_z0"], float)
+        taus = np.asarray(params["tl_td"], float)
+        B = np.zeros((engine.n_tl, K, N, K, N))
+        for i in range(engine.n_tl):
+            for row, cols3 in (
+                    (int(t.tl_k1[i]), (int(t.tl_ep2[i]), int(t.tl_em2[i]),
+                                       int(t.tl_k2[i]))),
+                    (int(t.tl_k2[i]), (int(t.tl_ep1[i]), int(t.tl_em1[i]),
+                                       int(t.tl_k1[i])))):
+                for c, coef in zip(cols3, (-1.0, 1.0, -z0[i])):
+                    if c < N:
+                        B[i, :, row, :, c] += coef * S[i]
+        tl = (taus, B.reshape(engine.n_tl, K * N, K * N).astype(complex))
 
     def a_t(x_t, t_t):
         gvals, _ = engine._nl_vals(params, x_t, t_t)
@@ -83,7 +112,16 @@ def lptv_operator(engine: Engine, params, f0: float, xs_pss):
     J0 += D[:, None, :, None] * C[None, :, None, :]
     J0 = J0.reshape(K * N, K * N).astype(complex)
     CI = np.kron(np.eye(K), C)
-    return J0, CI, K
+    return J0, CI, K, tl
+
+
+def _lptv_at(J0, CI, tl, delta: float):
+    """Evaluate J(delta) including the offset-phased T-line blocks."""
+    J = J0 + (2j * np.pi * delta) * CI
+    if tl is not None:
+        taus, B = tl
+        J = J + np.tensordot(np.exp(-2j * np.pi * delta * taus), B, axes=1)
+    return J
 
 
 def pac(engine: Engine, params, f0: float, xs_pss, deltas,
@@ -91,7 +129,7 @@ def pac(engine: Engine, params, f0: float, xs_pss, deltas,
     """xs_pss: (K, N) periodic-steady-state samples on the uniform grid
     (K odd = 2H+1, e.g. HBResult.xs).  deltas: offset frequencies."""
     N = engine.N
-    J0, CI, K = lptv_operator(engine, params, f0, xs_pss)
+    J0, CI, K, tl = lptv_operator(engine, params, f0, xs_pss)
 
     # small-signal input vector from the sources' AC specs (like .AC)
     deg = np.pi / 180.0
@@ -114,7 +152,7 @@ def pac(engine: Engine, params, f0: float, xs_pss, deltas,
 
     spec = np.zeros((len(deltas), len(harmonics), N), complex)
     for i, d in enumerate(np.asarray(deltas, float)):
-        J = J0 + (2j * np.pi * d) * CI
+        J = _lptv_at(J0, CI, tl, d)
         Y = np.linalg.solve(J, rhs).reshape(K, N)       # envelope samples
         coeff = np.fft.fft(Y, axis=0) / K               # e^{+j m w0 t} basis
         for j, m in enumerate(harmonics):
@@ -154,7 +192,7 @@ def pnoise(engine: Engine, params, f0: float, xs_pss, deltas,
     if np.any(deltas <= 0):
         raise ValueError("pnoise offsets must be > 0 (the flicker 1/delta "
                          "envelope diverges at DC), like the .NOISE sweep")
-    J0, CI, K = lptv_operator(engine, params, f0, xs_pss)
+    J0, CI, K, tl = lptv_operator(engine, params, f0, xs_pss)
     N = engine.N
     xs_pss = jnp.asarray(xs_pss)
 
@@ -174,7 +212,7 @@ def pnoise(engine: Engine, params, f0: float, xs_pss, deltas,
     onoise = np.zeros(len(deltas))
     by_kind = {k: np.zeros(len(deltas)) for k in set(kinds)}
     for i, d in enumerate(np.asarray(deltas, float)):
-        J = J0 + (2j * np.pi * d) * CI
+        J = _lptv_at(J0, CI, tl, d)
         psi = np.linalg.solve(J.conj().T, rhs).reshape(K, N)
         psi_e = np.concatenate([psi, np.zeros((K, 1), complex)], axis=1)
         # adjoint gain of each source pair at each sample

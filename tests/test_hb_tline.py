@@ -125,3 +125,51 @@ def test_hb_tline_gradient_td_matches_fd():
     fd = (fund_of(p1) - fund_of(p2)) / (2 * h)
     assert g_td == pytest.approx(fd, rel=1e-3)
     assert abs(g_td) > 1e5   # the standing wave really moves with TD
+
+
+def test_pac_tline_linear_matches_ac():
+    # LTI deck with a line: the m=0 PAC sideband must equal plain .AC at
+    # the offset frequency — this pins the e^{-j2πδτ} envelope phasing of
+    # the delayed blocks in pac._lptv_at (δ deliberately incommensurate
+    # with both f0 and 1/TD)
+    f0 = 20e6
+    d = 4.3e6
+    deck = (f"Vlo lo 0 SIN 0 0 {f0}\n"
+            "Rlo lo 0 1k\n"
+            "V1 src 0 DC 0 AC 1\n"
+            "Rs src in 10\n"
+            "T1 in 0 out 0 Z0=50 TD=7n\n"
+            "RL out 0 200\n"
+            f".hb {f0} 4\n"
+            f".AC lin 1 {d} {d}\n")
+    sim = Simulator.from_text(deck)
+    res = sim.pac(deltas=[d])
+    out = node_eq(sim, "out")
+    m0 = list(res.harmonics).index(0)
+    got = res.spectrum[0, m0, out]
+    expect = np.asarray(sim.ac().xs)[0, out]
+    assert got == pytest.approx(expect, rel=1e-6)
+    # LTI: no conversion to other sidebands
+    for j, m in enumerate(res.harmonics):
+        if m != 0:
+            assert abs(res.spectrum[0, j, out]) < 1e-10
+
+
+def test_pnoise_tline_reduces_to_stationary():
+    # quiescent LTI deck: periodic noise must equal the stationary .NOISE
+    # adjoint PSD at every offset (thermal sources through the line)
+    f0 = 20e6
+    deck = (f"Vlo lo 0 SIN 0 0 {f0}\n"
+            "Rlo lo 0 1k\n"
+            "V1 src 0 DC 1\n"
+            "Rs src in 10\n"
+            "T1 in 0 out 0 Z0=50 TD=7n\n"
+            "RL out 0 200\n"
+            f".hb {f0} 4\n")
+    sim = Simulator.from_text(deck)
+    offs = [1e6, 5.5e6, 31e6]
+    pn = sim.pnoise(deltas=offs, out_node="out")
+    nres = sim.noise(freqs=offs, out_node="out")
+    np.testing.assert_allclose(pn.onoise, np.asarray(nres.onoise),
+                               rtol=1e-6)
+    assert pn.onoise[0] > 1e-19   # the generators actually contribute
