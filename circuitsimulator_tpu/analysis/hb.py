@@ -102,6 +102,40 @@ def _tl_hb_terms(engine: Engine, params, ts, n_harm: int, f0: float):
     return corr_rows, corr_cols, corr_vals, S
 
 
+def _tl_residual_delay(engine: Engine, params, S, X, res):
+    """Subtract the spectrally-delayed other-port waves from the branch
+    rows: k1 loses w2(t-τ) = V(p2)-V(n2)+Z0·I2 delayed (and k2 ↔ w1).
+    S is (n_tl, Kt, Kt) — single-tone shifts or the hbmulti kron of
+    per-axis shifts; X, res are (Kt, N)."""
+    t = engine.topo
+    z0 = params["tl_z0"]
+    Xe = engine.x_ext(X)
+    w1 = Xe[:, t.tl_ep1] - Xe[:, t.tl_em1] + z0 * X[:, t.tl_k1]
+    w2 = Xe[:, t.tl_ep2] - Xe[:, t.tl_em2] + z0 * X[:, t.tl_k2]
+    u1 = jnp.einsum("its,si->ti", S, w1)
+    u2 = jnp.einsum("its,si->ti", S, w2)
+    return res.at[:, t.tl_k1].add(-u2).at[:, t.tl_k2].add(-u1)
+
+
+def _tl_add_jacobian_blocks(engine: Engine, params, S, J):
+    """Scatter the delayed-coupling derivative blocks (coef · S_i) into
+    the (Kt, N, Kt, N) HB Jacobian tensor (∂ of _tl_residual_delay)."""
+    t = engine.topo
+    z0 = params["tl_z0"]
+    N = J.shape[1]
+    for i in range(engine.n_tl):
+        Si = S[i]
+        for row, cols in (
+                (int(t.tl_k1[i]), (int(t.tl_ep2[i]), int(t.tl_em2[i]),
+                                   int(t.tl_k2[i]))),
+                (int(t.tl_k2[i]), (int(t.tl_ep1[i]), int(t.tl_em1[i]),
+                                   int(t.tl_k1[i])))):
+            for c, coef in zip(cols, (-1.0, 1.0, -z0[i])):
+                if c < N:    # ground column drops out
+                    J = J.at[:, row, :, c].add(coef * Si)
+    return J
+
+
 def _reactive_structure(engine: Engine, params):
     """C_struct (N, N): node rows get the capacitor patterns (+C at (a,a),
     -C at (a,b), ...), inductor branch rows get -L on the diagonal, so that
@@ -187,21 +221,8 @@ def make_hb_system(engine: Engine, f0: float, n_harm: int,
         res_reac = jnp.einsum("ij,tj->ti", C_struct, D @ X)
         res = res_cond + res_reac
         if engine.n_tl:
-            # delayed other-port coupling: branch row k1 subtracts
-            # w2(t - τ) = V(p2)-V(n2)+Z0·I2 delayed (and k2 ↔ w1),
-            # exactly — via the band-limited shift matrices S
-            t = engine.topo
-            z0 = params["tl_z0"]
             _, _, _, S = _tl_hb_terms(engine, params, ts, n_harm, f0)
-            Xe = engine.x_ext(X)                         # (K, N+1)
-            w1 = (Xe[:, t.tl_ep1] - Xe[:, t.tl_em1]
-                  + z0 * X[:, t.tl_k1])                  # (K, n_tl)
-            w2 = (Xe[:, t.tl_ep2] - Xe[:, t.tl_em2]
-                  + z0 * X[:, t.tl_k2])
-            u1 = jnp.einsum("its,si->ti", S, w1)
-            u2 = jnp.einsum("its,si->ti", S, w2)
-            res = res.at[:, t.tl_k1].add(-u2)
-            res = res.at[:, t.tl_k2].add(-u1)
+            res = _tl_residual_delay(engine, params, S, X, res)
         return (res, A_t) if with_At else res
 
     def jacobian(A_t, params):
@@ -210,21 +231,8 @@ def make_hb_system(engine: Engine, f0: float, n_harm: int,
         tid = jnp.arange(K)
         J = J.at[tid, :, tid, :].add(A_t)
         if engine.n_tl:
-            t = engine.topo
-            z0 = params["tl_z0"]
             _, _, _, S = _tl_hb_terms(engine, params, ts, n_harm, f0)
-            for i in range(engine.n_tl):
-                Si = S[i]
-                for row, cols in (
-                        (int(t.tl_k1[i]), (int(t.tl_ep2[i]),
-                                           int(t.tl_em2[i]),
-                                           int(t.tl_k2[i]))),
-                        (int(t.tl_k2[i]), (int(t.tl_ep1[i]),
-                                           int(t.tl_em1[i]),
-                                           int(t.tl_k1[i])))):
-                    for c, coef in zip(cols, (-1.0, 1.0, -z0[i])):
-                        if c < N:    # ground column drops out
-                            J = J.at[:, row, :, c].add(coef * Si)
+            J = _tl_add_jacobian_blocks(engine, params, S, J)
         return J.reshape(K * N, K * N)
 
     return ts, residual, jacobian

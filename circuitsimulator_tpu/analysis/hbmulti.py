@@ -43,7 +43,9 @@ import jax.numpy as jnp
 from ..ops.assemble import Engine
 from ..models import sources as srcmod
 from ..netlist.circuit import WAVE_NONE, WAVE_SIN
-from .hb import harmonic_balance, spectral_diff_matrix, _reactive_structure
+from .hb import (harmonic_balance, spectral_diff_matrix,
+                 _reactive_structure, _tl_hb_terms, _tl_residual_delay,
+                 _tl_add_jacobian_blocks)
 
 
 @dataclasses.dataclass
@@ -137,6 +139,28 @@ def make_hbmulti_system(engine: Engine, tones, nominal_params):
     assign_i = assign_tones(np.asarray(engine.is_kinds),
                             np.asarray(nominal_params["is_sin"]), freqs)
 
+    def tl_parts(params):
+        """(corr_rows, corr_cols, corr_vals, S_total): the static-stamp
+        patch plus the grid delay operator.  A physical delay τ shifts
+        EVERY artificial time scale: x(t-τ) = x^(t1-τ, ..., tD-τ), so
+        each grid frequency Σ k_d f_d picks up e^{-j2πτ Σ k_d f_d} —
+        exactly the kron of the per-axis band-limited shifts
+        (hb._tl_hb_terms)."""
+        S_tot = None
+        corr = None
+        for d in range(D_axes):
+            cr, cc, cv, S_d = _tl_hb_terms(engine, params, ts[d],
+                                           Hs[d], freqs[d])
+            if corr is None:
+                corr = (cr, cc, cv)
+            if S_tot is None:
+                S_tot = S_d
+            else:
+                n = S_tot.shape[-1] * S_d.shape[-1]
+                S_tot = jnp.einsum("iab,icd->iacbd", S_tot,
+                                   S_d).reshape(-1, n, n)
+        return corr + (S_tot,)
+
     def residual(X, params, with_At: bool = False):
         C_struct = _reactive_structure(engine, params)
 
@@ -149,8 +173,12 @@ def make_hbmulti_system(engine: Engine, tones, nominal_params):
                 p["is_pwl_t"], p["is_pwl_v"], p["is_pwl_n"], t)
             zeros_l = jnp.zeros(p["ind_l"].shape, dtype)
             zeros_c = jnp.zeros(engine._caplike_C(p).shape, dtype)
-            terms = jnp.concatenate([vval, ival, zeros_l, zeros_c],
-                                    axis=-1)
+            parts = [vval, ival, zeros_l, zeros_c]
+            if engine.n_tl:
+                # delayed-wave EMF slots stay zero — the delay is applied
+                # spectrally (tl_parts), not via the transient ring's RHS
+                parts.append(jnp.zeros((2 * engine.n_tl,), dtype))
+            terms = jnp.concatenate(parts, axis=-1)
             return jnp.einsum("...j,jn->...n", terms, engine.rhs_mat)
 
         def tone_p(keep):
@@ -171,6 +199,9 @@ def make_hbmulti_system(engine: Engine, tones, nominal_params):
 
         rows, cols, svals = engine.dc_static_entries(params)
         A_res = jnp.zeros((N + 1, N + 1), dtype).at[rows, cols].add(svals)
+        if engine.n_tl:
+            cr, cc, cv, S_tot = tl_parts(params)
+            A_res = A_res.at[cr, cc].add(cv)
         A_res = A_res[:N, :N]
 
         def assemble_t(x_t):
@@ -185,6 +216,8 @@ def make_hbmulti_system(engine: Engine, tones, nominal_params):
         res_cond = jnp.einsum("tij,tj->ti", A_t, X) - b_nl - b_src
         res_reac = jnp.einsum("ij,tj->ti", C_struct, T @ X)
         res = res_cond + res_reac
+        if engine.n_tl:
+            res = _tl_residual_delay(engine, params, S_tot, X, res)
         return (res, A_t) if with_At else res
 
     def jacobian(A_t, params):
@@ -192,6 +225,9 @@ def make_hbmulti_system(engine: Engine, tones, nominal_params):
         J = jnp.einsum("ts,ij->tisj", T, C_struct)
         tid = jnp.arange(Kt)
         J = J.at[tid, :, tid, :].add(A_t)
+        if engine.n_tl:
+            _, _, _, S_tot = tl_parts(params)
+            J = _tl_add_jacobian_blocks(engine, params, S_tot, J)
         return J.reshape(Kt * N, Kt * N)
 
     return Ks, ts, residual, jacobian
@@ -223,11 +259,6 @@ def harmonic_balance_multi(engine: Engine, params,
         raise NotImplementedError(
             "multi-tone HB does not evaluate time-dependent behavioral "
             "expressions (the MPDE grid has no single time axis)")
-    if engine.n_tl:
-        raise NotImplementedError(
-            "multi-tone HB does not support transmission lines; "
-            "use the time-domain shooting method")
-
     # params-parametric system shared with the sensitivity path
     Ks, ts, residual_p, jacobian_p = make_hbmulti_system(engine, tones,
                                                          params)

@@ -173,3 +173,37 @@ def test_pnoise_tline_reduces_to_stationary():
     np.testing.assert_allclose(pn.onoise, np.asarray(nres.onoise),
                                rtol=1e-6)
     assert pn.onoise[0] > 1e-19   # the generators actually contribute
+
+
+def test_hbmulti_tline_matches_brute_force():
+    # commensurate two-tone drive through a mismatched line into a cubic:
+    # the MPDE grid solution must agree with brute-force single-tone HB at
+    # the common fundamental (two independent formulations; the line's
+    # delay is the kron of per-axis shifts in hbmulti.tl_parts)
+    deck = ("V1 s1 0 SIN 0 0.4 40e6\n"
+            "R1 s1 in 25\n"
+            "V2 s2 0 SIN 0 0.3 30e6\n"
+            "R2 s2 in 25\n"
+            "T1 in 0 out 0 Z0=50 TD=6n\n"
+            "RL out 0 130\n"
+            "By y 0 V=v(out)+0.2*v(out)^3\n"
+            "Ry y 0 1k\n"
+            ".hb 10e6 20\n")
+    sim = Simulator.from_text(deck)
+    from circuitsimulator_tpu.analysis.hbmulti import (
+        harmonic_balance_multi, coeff)
+    rm = harmonic_balance_multi(sim.engine, sim.params,
+                                [(40e6, 4), (30e6, 3)])
+    assert bool(rm.converged)
+    r1 = harmonic_balance(sim.engine, sim.params, 10e6, n_harm=20)
+    assert bool(r1.converged)
+    y = node_eq(sim, "y")
+    spec1 = np.asarray(r1.spectrum)[:, y]
+    # tones (40, 30 MHz), IM3 (2f1-f2 = 50), IM2-sum (f1+f2 = 70):
+    # single-tone spectrum is one-sided (2x the two-sided grid coeff)
+    for ks, idx in (((1, 0), 4), ((0, 1), 3), ((2, -1), 5), ((1, 1), 7)):
+        cm = coeff(rm, ks)[y]
+        assert 2 * abs(cm) == pytest.approx(abs(spec1[idx]),
+                                            rel=2e-3, abs=1e-9), (ks, idx)
+    # the odd-order product really survives the line round trip
+    assert 2 * abs(coeff(rm, (2, -1))[y]) > 1e-4
