@@ -253,8 +253,36 @@ def measure_accuracy(jax, dtype):
             "fast_max_rel_err_vs_ref_golden": round(max_rel, 12)}
 
 
+def tpu_reachable(timeout_s: int = 90) -> bool:
+    """The axon tunnel, when down, HANGS any jax op forever (it does not
+    error) — probe it in a killable subprocess before committing the bench
+    to the TPU backend."""
+    import subprocess
+    code = ("import jax, jax.numpy as jnp;"
+            "print((jnp.ones((8,8)) @ jnp.ones((8,8))).sum())")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           stdout=subprocess.DEVNULL,
+                           stderr=subprocess.DEVNULL)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     platform = os.environ.get("BENCH_PLATFORM")
+    fallback_note = None
+    if not platform and not tpu_reachable():
+        # a degraded-but-finite CPU result beats an infinite hang: shrink
+        # the workload, skip the fused/parity/accuracy phases, and mark
+        # the JSON loudly so the number is never mistaken for a TPU run
+        platform = "cpu"
+        fallback_note = "axon TPU tunnel unreachable; CPU fallback run"
+        log(f"!!! {fallback_note}")
+        os.environ.setdefault("BENCH_BATCH", "512")
+        os.environ.setdefault("BENCH_STEPS", "250")
+        os.environ["BENCH_FUSED"] = "0"
+        os.environ["BENCH_FAST_ONLY"] = "1"
     import jax
     if platform:
         jax.config.update("jax_platforms", platform)
@@ -313,6 +341,8 @@ def main():
                  f"{', fused Pallas' if agg_fused is not None else ''})"),
         "vs_baseline": round(agg_fast / REF_TIMESTEPS_PER_SEC, 2),
     }
+    if fallback_note:
+        out["platform_fallback"] = fallback_note
     if agg_fused is not None and agg_xla is not None:
         out["xla_steps_per_sec"] = round(agg_xla, 1)
         out["xla_vs_baseline"] = round(agg_xla / REF_TIMESTEPS_PER_SEC, 2)
