@@ -1,0 +1,241 @@
+"""Autonomous harmonic balance: oscillator steady state in the frequency
+domain, with the fundamental f0 as a Newton unknown.
+
+NEW WORK (the reference's steady-state module is an empty file; SURVEY §2
+item 2.13).  The frequency-domain twin of the time-domain shooting solver
+(analysis/sstate.py oscillator_steady_state), and the only oscillator
+path that supports transmission lines: the shooting propagator's delay
+ring is dt-dependent (ring length = round(τ/dt) ticks, a compile-time
+constant), so it cannot trace through a period unknown — while in the
+harmonic space the delay is the exact phase factor e^{-jkω₀τ}
+(hb._tl_hb_terms), smooth in ω₀.  Delay-line and distributed-resonator
+oscillators are therefore solved here.
+
+Formulation: unknowns u = [X (K·N collocation samples), f0].
+  - HB residual with every f0 dependence traced: the spectral
+    differentiation matrix scales linearly (D(f0) = f0·D(1)), the sample
+    times are t_i = i/(K f0), and the T-line shifts carry 2π f0 τ.
+  - One phase-anchor equation removes the time-shift null direction:
+    the cosine part of the anchor node's fundamental is pinned to zero,
+    matching the initial guess, which is sampled starting at an upward
+    mean-crossing (sin-aligned ⇒ cos-part ≈ 0 and transversal).
+  - The (K·N+1)² bordered Jacobian is the analytic HB Jacobian plus the
+    ∂r/∂f0 column from one jvp and the anchor's cos-projection row.
+
+Initial guess: kicked transient warm-up at the guessed period
+(trapezoidal, lu — osc_engine), period re-estimated from the anchor's
+last upward mean-crossings, last period resampled onto the K-point grid.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.assemble import Engine
+from ..ops.lu import lu_solve
+from ..models import sources as srcmod
+from .dc import dc_operating_point
+from .hb import (spectral_diff_matrix, _reactive_structure, _tl_hb_terms,
+                 _tl_residual_delay, _tl_add_jacobian_blocks)
+from .sstate import osc_engine
+
+
+@dataclasses.dataclass
+class HBOscResult:
+    f0: Any          # solved fundamental (Hz)
+    times: Any       # (K,) sample times in [0, T)
+    xs: Any          # (K, N) periodic waveform samples
+    freqs: Any       # (H+1,)
+    spectrum: Any    # (H+1, N) complex one-sided Fourier coefficients
+    residual: Any
+    newton_iters: int
+    converged: Any
+
+
+def make_hb_system_auto(engine: Engine, n_harm: int, gmin: float = 0.0):
+    """residual(X, f0, params, with_At=False): the HB residual with f0
+    TRACED (autonomous form) — mirrors hb.make_hb_system, which fixes f0
+    statically.  jacobian(A_t, f0, params) is ∂r/∂X."""
+    dtype = engine.dtype
+    N = engine.N
+    H = int(n_harm)
+    K = 2 * H + 1
+    D1 = jnp.asarray(spectral_diff_matrix(K, 1.0), dtype)  # D(f0) = f0·D1
+
+    def residual(X, f0, params, with_At: bool = False):
+        ts = jnp.arange(K, dtype=dtype) / (K * f0)
+        C_struct = _reactive_structure(engine, params)
+
+        def sources_rhs(t):
+            vval = srcmod.eval_tran_static_kinds(
+                engine.vs_kinds, params["vs_dc"], params["vs_pulse"],
+                params["vs_sin"], params["vs_pwl_t"],
+                params["vs_pwl_v"], params["vs_pwl_n"], t)
+            ival = srcmod.eval_tran_static_kinds(
+                engine.is_kinds, params["is_dc"], params["is_pulse"],
+                params["is_sin"], params["is_pwl_t"],
+                params["is_pwl_v"], params["is_pwl_n"], t)
+            zeros_l = jnp.zeros(params["ind_l"].shape, dtype)
+            zeros_c = jnp.zeros(engine._caplike_C(params).shape, dtype)
+            parts = [vval, ival, zeros_l, zeros_c]
+            if engine.n_tl:
+                parts.append(jnp.zeros((2 * engine.n_tl,), dtype))
+            terms = jnp.concatenate(parts, axis=-1)
+            return jnp.einsum("...j,jn->...n", terms, engine.rhs_mat)
+
+        b_src = jax.vmap(sources_rhs)(ts)
+        rows, cols, svals = engine.dc_static_entries(params)
+        A_res = jnp.zeros((N + 1, N + 1), dtype).at[rows, cols].add(svals)
+        if engine.n_tl:
+            cr, cc, cv, _ = _tl_hb_terms(engine, params, ts, n_harm, f0)
+            A_res = A_res.at[cr, cc].add(cv)
+        A_res = A_res.at[engine.topo.node_eqs,
+                         engine.topo.node_eqs].add(
+            jnp.full(len(engine.topo.node_eqs), gmin, dtype))
+        A_res = A_res[:N, :N]
+
+        def assemble_t(x_t, t_t):
+            gvals, rvals = engine._nl_vals(params, x_t, t_t)
+            A = jnp.zeros((N + 1, N + 1), dtype)
+            A = A.at[engine.nl_rows, engine.nl_cols].add(gvals)
+            b = jnp.zeros((N + 1,), dtype).at[engine.nl_rhs_rows].add(
+                rvals)
+            return A_res + A[:N, :N], b[:N]
+
+        A_t, b_nl = jax.vmap(assemble_t)(X, ts)
+        res_cond = jnp.einsum("tij,tj->ti", A_t, X) - b_nl - b_src
+        res_reac = f0 * jnp.einsum("ij,tj->ti", C_struct, D1 @ X)
+        res = res_cond + res_reac
+        if engine.n_tl:
+            _, _, _, S = _tl_hb_terms(engine, params, ts, n_harm, f0)
+            res = _tl_residual_delay(engine, params, S, X, res)
+        return (res, A_t) if with_At else res
+
+    def jacobian(A_t, f0, params):
+        C_struct = _reactive_structure(engine, params)
+        J = f0 * jnp.einsum("ts,ij->tisj", D1, C_struct)
+        tid = jnp.arange(K)
+        J = J.at[tid, :, tid, :].add(A_t)
+        if engine.n_tl:
+            ts = jnp.arange(K, dtype=dtype) / (K * f0)
+            _, _, _, S = _tl_hb_terms(engine, params, ts, n_harm, f0)
+            J = _tl_add_jacobian_blocks(engine, params, S, J)
+        return J.reshape(K * N, K * N)
+
+    return residual, jacobian
+
+
+def oscillator_hb(engine: Engine, params, f0_guess: float, anchor_eq: int,
+                  n_harm: int = 9,
+                  warmup_periods: int = 30,
+                  steps_per_period: int = 256,
+                  max_newton: int = 40,
+                  tol: float = 1e-9,
+                  damping: float = 1.0,
+                  kick: float = 0.5,
+                  gmin: float = 0.0) -> HBOscResult:
+    """Frequency-domain periodic steady state of a free-running
+    oscillator; see the module docstring for the formulation."""
+    from .transient import transient_step_fn
+    eng_w = osc_engine(engine)          # trap+lu warm-up engine
+    dtype = engine.dtype
+    N = engine.N
+    H = int(n_harm)
+    K = 2 * H + 1
+
+    # ---- kicked warm-up at the guessed period (sstate pattern) ----
+    Kw = int(steps_per_period)
+    dt_w = jnp.asarray(1.0 / (f0_guess * Kw), dtype)
+    step_w = transient_step_fn(eng_w, params, dt_w)
+    x0 = dc_operating_point(eng_w, params)
+    x0 = x0.at[anchor_eq].add(jnp.asarray(kick, dtype))
+    state = eng_w.init_state(x0, params, dt_w)
+    carry = (x0, state, jnp.zeros(x0.shape[:-1], bool))
+    tw = jnp.arange(1, warmup_periods * Kw + 1, dtype=dtype) * dt_w
+
+    def wbody(c, t):
+        c, (xo, _) = step_w(c, t)
+        return c, xo
+
+    carry, xs_w = jax.jit(lambda c, t: lax.scan(wbody, c, t))(carry, tw)
+    xs_w = np.asarray(xs_w)
+    ya = xs_w[:, anchor_eq]
+    mean = ya[-4 * Kw:].mean()
+    up = np.nonzero((ya[:-1] < mean) & (ya[1:] >= mean))[0]
+    if len(up) >= 3:
+        # average the last few crossing spacings for a cleaner T0
+        T0 = float(np.mean(np.diff(up[-3:])) * float(dt_w))
+    elif len(up) == 2:
+        T0 = float((up[-1] - up[-2]) * float(dt_w))
+    else:
+        T0 = 1.0 / f0_guess
+    f0 = 1.0 / T0
+
+    # resample the last period onto the K grid, starting at the final
+    # upward crossing (sin-aligned fundamental ⇒ cos-part ≈ 0, matching
+    # the anchor equation below and transversal to the phase direction)
+    if len(up) >= 1:
+        start = int(up[-1]) - int(round(T0 / float(dt_w)))
+        start = max(start, 0)
+    else:
+        start = max(len(ya) - int(round(T0 / float(dt_w))) - 1, 0)
+    span = T0 / float(dt_w)
+    idx = np.minimum(start + np.round(np.arange(K) * span / K).astype(int),
+                     len(ya) - 1)
+    X = jnp.asarray(xs_w[idx], dtype)
+
+    residual_p, jacobian_p = make_hb_system_auto(engine, n_harm, gmin=gmin)
+
+    # anchor: cosine part of the anchor node's fundamental = 0
+    cosv = jnp.asarray(np.cos(2 * np.pi * np.arange(K) / K), dtype)
+    a_row = jnp.zeros((K, N), dtype).at[:, anchor_eq].set(
+        cosv * (2.0 / K)).reshape(-1)
+
+    @jax.jit
+    def newton(X, f0):
+        r, A_t = residual_p(X, f0, params, with_At=True)
+        J_XX = jacobian_p(A_t, f0, params)
+        _, dr_df0 = jax.jvp(lambda f: residual_p(X, f, params),
+                            (f0,), (jnp.ones((), dtype),))
+        anchor = jnp.dot(a_row, X.reshape(-1))
+        n = K * N
+        J = jnp.zeros((n + 1, n + 1), dtype)
+        J = J.at[:n, :n].set(J_XX)
+        J = J.at[:n, n].set(dr_df0.reshape(-1))
+        J = J.at[n, :n].set(a_row)
+        rhs = -jnp.concatenate([r.reshape(-1), anchor[None]])
+        du = lu_solve(J, rhs, engine.opts.lu_pivot_floor)
+        res = jnp.sqrt(jnp.sum(r * r) + anchor * anchor)
+        return (X + damping * du[:n].reshape(K, N),
+                f0 + damping * du[n], res)
+
+    f0 = jnp.asarray(f0, dtype)
+    res_norm = jnp.inf
+    iters = 0
+    for i in range(max_newton):
+        X_new, f0_new, res_norm = newton(X, f0)
+        iters = i + 1
+        if not bool(jnp.isfinite(res_norm)) or float(f0_new) <= 0:
+            break
+        X, f0 = X_new, f0_new
+        if float(res_norm) < tol:
+            break
+    r_fin = residual_p(X, f0, params)
+    final = float(jnp.linalg.norm(r_fin))
+
+    # host-side FFT (complex-free device programs; see analysis/hb.py)
+    fft = np.fft.rfft(np.asarray(X), axis=0) / K
+    coeffs = fft * 2.0
+    coeffs[0] /= 2.0
+    f0_f = float(f0)
+    ts = jnp.arange(K, dtype=dtype) / (K * f0_f)
+    return HBOscResult(f0=f0_f, times=ts, xs=X,
+                       freqs=jnp.arange(H + 1, dtype=dtype) * f0_f,
+                       spectrum=coeffs, residual=final, newton_iters=iters,
+                       converged=final < max(tol * 100, 1e-6))

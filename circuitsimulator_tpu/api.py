@@ -736,6 +736,23 @@ class Simulator:
         p = params if params is not None else self.params
         return oscillator_steady_state(self.engine, p, f0_guess, eq, **kw)
 
+    def oscillator_hb(self, f0_guess: float, anchor_node: str,
+                      params: Optional[Any] = None, **kw):
+        """Autonomous harmonic balance (analysis/hbosc.py oscillator_hb):
+        the frequency-domain twin of `oscillator`, with f0 as a Newton
+        unknown and a spectral phase anchor on `anchor_node`.  The only
+        oscillator path that supports transmission lines (the delay is
+        exact in the harmonic space).  Returns an HBOscResult."""
+        from .analysis.hbosc import oscillator_hb
+        nid = self.circuit.node_name_to_id.get(anchor_node)
+        if nid is None:
+            raise KeyError(f"unknown node {anchor_node!r}")
+        eq = self.circuit.nodes[nid].eq_index
+        if eq < 0:
+            raise ValueError("anchor node is ground")
+        p = params if params is not None else self.params
+        return oscillator_hb(self.engine, p, f0_guess, eq, **kw)
+
     def oscillator_phase_noise(self, offsets, f0_guess: Optional[float]
                                = None, anchor_node: Optional[str] = None,
                                osc=None, params: Optional[Any] = None,
