@@ -104,11 +104,6 @@ def run_transient_adaptive(engine: Engine, params, tstep, tstop,
     grow_thr = 0.25 if method == "be" else 0.1
     n_out = n_steps_for(tstep_f, float(tstop))
 
-    if engine.b_uses_time:
-        raise NotImplementedError(
-            "adaptive timestepping does not evaluate time-dependent "
-            "behavioral expressions in the Newton tier; run the fixed-step "
-            "transient")
     if engine.n_tl:
         raise NotImplementedError(
             "adaptive timestepping with transmission lines is not "
@@ -119,8 +114,8 @@ def run_transient_adaptive(engine: Engine, params, tstep, tstop,
     use_woodbury = solver == "woodbury"
     use_tridiag = solver == "tridiag"
     use_blockband = solver == "blockband"
-    # B-sources ride the rank-k plan too (time-dependent expressions were
-    # rejected above, so the t=0 default of WoodburySolver.solve is exact)
+    # B-sources ride the rank-k plan; time-dependent expressions get the
+    # substep's own t_new threaded through every Newton tier below
 
     # --- per-level static precompute (all dts known at trace time) ---
     dts = [tstep_f / (1 << l) for l in range(L + 1)]
@@ -174,7 +169,7 @@ def run_transient_adaptive(engine: Engine, params, tstep, tstop,
         x0 = dc_operating_point(engine, params)
     state0 = engine.init_state(x0)
 
-    def newton(x_init, I_s, lvl, dt):
+    def newton(x_init, I_s, lvl, dt, t_new):
         """Damped Newton at one substep; returns (x_new, converged, finite,
         iters).  x_init may be an extrapolated predictor — convergence is
         measured on the iterate step, so the fixed point is unchanged."""
@@ -199,9 +194,9 @@ def run_transient_adaptive(engine: Engine, params, tstep, tstop,
 
         def body(c):
             if use_woodbury:
-                x_raw = wv.solve(params, c["x"], z0)
+                x_raw = wv.solve(params, c["x"], z0, t_new)
             elif use_tridiag:
-                gvals, rvals = engine._nl_vals(params, c["x"])
+                gvals, rvals = engine._nl_vals(params, c["x"], t_new)
                 mats = nl_plan.scatter(gvals, base=banded_static)
                 I = I_s.at[..., engine.nl_rhs_rows].add(rvals)
                 xn, y = bordered_solve(
@@ -211,7 +206,7 @@ def run_transient_adaptive(engine: Engine, params, tstep, tstop,
                     algo=opts.tridiag_algo)
                 x_raw = jnp.concatenate([xn, y], axis=-1)
             elif use_blockband:
-                gvals, rvals = engine._nl_vals(params, c["x"])
+                gvals, rvals = engine._nl_vals(params, c["x"], t_new)
                 mats = bb_nl_plan.scatter(gvals, base=bb_static)
                 I = I_s.at[..., engine.nl_rhs_rows].add(rvals)
                 f, g = bb_layout.gather_rhs(I)
@@ -222,7 +217,7 @@ def run_transient_adaptive(engine: Engine, params, tstep, tstop,
                 x_raw = bb_layout.gather_solution(xi, y)
             else:
                 G, I = engine.assemble_tran_iter(G_static, I_s, params,
-                                                 c["x"])
+                                                 c["x"], t_new)
                 x_raw = lu_solve(G[..., :N, :N], I[..., :N],
                                  opts.lu_pivot_floor)
             finite = jnp.all(jnp.isfinite(x_raw), axis=-1)
@@ -263,7 +258,7 @@ def run_transient_adaptive(engine: Engine, params, tstep, tstop,
                               (c["x"] - c["x_prev"])
                               / jnp.maximum(c["dt_prev"], dt_min), 0.0)
             x_pred = c["x"] + slope * dt
-            x_new, conv, finite, iters = newton(x_pred, I_s, lvl, dt)
+            x_new, conv, finite, iters = newton(x_pred, I_s, lvl, dt, t_new)
             fac = dt / (dt + c["dt_prev"])
             if method == "trap":
                 fac = fac / 3.0
