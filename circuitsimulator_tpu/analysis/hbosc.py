@@ -239,3 +239,133 @@ def oscillator_hb(engine: Engine, params, f0_guess: float, anchor_eq: int,
                        freqs=jnp.arange(H + 1, dtype=dtype) * f0_f,
                        spectrum=coeffs, residual=final, newton_iters=iters,
                        converged=final < max(tol * 100, 1e-6))
+
+
+@dataclasses.dataclass
+class HBOscPhaseNoiseResult:
+    f0: Any
+    c: Any             # white phase-diffusion constant (var[t] = c·t, s²/s)
+    c_flicker: Any     # flicker coefficient (× 1/Δf)
+    offsets: Any
+    L_dbc: Any         # Lorentzian L(Δf), dBc/Hz, with 1/f³ skirt
+    period_jitter: Any # sqrt(c · T): per-period absolute jitter (s, rms)
+    by_class: Any      # dict kind -> share of c
+    per_source: Any    # (nS,) per-generator contribution to c
+    kinds: Any
+    ppv: Any           # (K, N) normalized PPV samples
+    invariance: Any    # rel. spread of v_t·dx/dt (≪1 = consistent PPV)
+    sv_gap: Any        # σ_min/σ_next of the HB Jacobian (≪1 = clean
+                       # one-dimensional phase null space)
+
+
+def oscillator_phase_noise_hb(engine: Engine, params, osc: HBOscResult,
+                              offsets,
+                              extra_pairs=None,
+                              extra_psd=None) -> HBOscPhaseNoiseResult:
+    """Phase noise of a converged autonomous-HB limit cycle via the PPV.
+
+    The frequency-domain twin of analysis/oscnoise.py (Demir's theory,
+    same .NOISE device PSD catalog, same Lorentzian), and the ONLY phase-
+    noise path for transmission-line (delay-line) oscillators.
+
+    Method: at the solution the HB Jacobian ∂r/∂X is singular with right
+    null vector ẋ (time-shift invariance); the left null vector V samples
+    the perturbation projection vector.  Its scale is pinned by the
+    Fredholm alternative: a static residual perturbation ε·b shifts the
+    solvable frequency by Δf0 = −ε·(Vᵀb)/(Vᵀ ∂r/∂f0), while Demir's
+    phase equation gives Δf0 = ε·f0·⟨v_normᵀ b⟩ — so
+    scale = ±K/(f0 · Vᵀ ∂r/∂f0), independent of b (sign fixed
+    to Demir's convention vᵀCẋ = +1 in the delay-free limit).  For delay-free MNA
+    this reproduces the DAE biorthogonality vᵀC ẋ = 1 exactly (checked
+    as the `invariance` diagnostic); for T-line decks ∂r/∂f0 carries the
+    delay-shift derivative, i.e. the non-local DDE bilinear-form terms
+    (Hale) automatically — the pointwise vᵀC ẋ is then legitimately
+    non-flat and `invariance` is reported but not an error indicator.
+    A white current generator u_j with one-sided PSD s_j(t) contributes
+    c_j = ⟨(v·u_j)² s_j⟩ / 2 (time average over the cycle; validated
+    against the shooting-monodromy PPV on van der Pol and a TRNOISE
+    Monte-Carlo on a delay-line oscillator, tests/test_hbosc.py)."""
+    from .noise import _device_noise_currents
+    from .oscnoise import _pair_matrix
+    dtype = engine.dtype
+    N = engine.N
+    X = jnp.asarray(osc.xs, dtype)
+    K = X.shape[0]
+    H = (K - 1) // 2
+    f0 = float(osc.f0)
+    T = 1.0 / f0
+    f0j = jnp.asarray(f0, dtype)
+
+    residual_p, jacobian_p = make_hb_system_auto(engine, H)
+    _, A_t = residual_p(X, f0j, params, with_At=True)
+    J = np.asarray(jacobian_p(A_t, f0j, params), np.float64)
+
+    # left null vector of the (singular) HB Jacobian
+    U, sv, _ = np.linalg.svd(J)
+    sv_gap = float(sv[-1] / max(sv[-2], 1e-300))
+    V = U[:, -1].reshape(K, N)
+
+    # Fredholm normalization (see docstring)
+    _, dr_df0 = jax.jvp(lambda f: residual_p(X, f, params),
+                        (f0j,), (jnp.ones((), dtype),))
+    dr_df0 = np.asarray(dr_df0, np.float64).ravel()
+    # sign chosen so the delay-free limit lands on Demir's v·Cẋ = +1
+    V = V * (K / (f0 * float(V.ravel() @ dr_df0)))
+
+    # delay-free diagnostic: the DAE biorthogonality vᵀC ẋ = 1 pointwise
+    # (with T-lines the distributed state makes this legitimately non-flat)
+    D1 = np.asarray(spectral_diff_matrix(K, 1.0), np.float64)
+    xdot = f0 * (D1 @ np.asarray(X, np.float64))          # (K, N)
+    C_s = np.asarray(_reactive_structure(engine, params), np.float64)
+    norms = np.einsum("kn,kn->k", V, xdot @ C_s.T)
+    invariance = float(np.sqrt(np.mean((norms - 1.0) ** 2)))
+
+    # noise generators along the cycle (same catalog as .NOISE/PNOISE)
+    pairs, _, _, kinds = _device_noise_currents(engine, params, X[0])
+    kinds = list(kinds)
+    if len(pairs):
+        def psds(x):
+            _, sw, sf, _ = _device_noise_currents(engine, params, x)
+            return sw, sf
+        S_w, S_f = jax.jit(jax.vmap(psds))(X)             # (K, nS)
+        S_w = np.asarray(S_w, np.float64)
+        S_f = np.asarray(S_f, np.float64)
+        E = _pair_matrix(pairs, N, np.float64)            # (nS, N)
+    else:
+        S_w = np.zeros((K, 0)); S_f = np.zeros((K, 0))
+        E = np.zeros((0, N))
+    if extra_pairs is not None:
+        ep = np.asarray(extra_pairs, np.int64).reshape(-1, 2)
+        E = np.concatenate([E, _pair_matrix(ep, N, np.float64)])
+        sx = np.broadcast_to(np.asarray(extra_psd, np.float64),
+                             (K, len(ep)))
+        S_w = np.concatenate([S_w, sx], axis=-1)
+        S_f = np.concatenate([S_f, np.zeros((K, len(ep)))], axis=-1)
+        kinds += ["X"] * len(ep)
+    if E.shape[0] == 0:
+        raise ValueError("no noise generators: the deck has no noisy "
+                         "devices and no extra_pairs were given")
+
+    g = V @ E.T                                           # (K, nS)
+    per_src_w = (g * g * S_w).mean(axis=0) / 2.0
+    per_src_f = (g * g * S_f).mean(axis=0) / 2.0
+    c = float(per_src_w.sum())
+    c_fl = float(per_src_f.sum())
+
+    offsets = np.asarray(offsets, np.float64)
+    c_off = c + c_fl / np.maximum(offsets, 1e-30)
+    L = 10.0 * np.log10(f0 ** 2 * c_off
+                        / (np.pi ** 2 * f0 ** 4 * c ** 2 + offsets ** 2))
+
+    kind_arr = np.asarray(kinds)
+    by_class = {}
+    for k in ("R", "M", "J", "D", "Q", "X"):
+        sel = np.nonzero(kind_arr == k)[0]
+        if len(sel):
+            by_class[k] = float(per_src_w[sel].sum())
+
+    return HBOscPhaseNoiseResult(
+        f0=f0, c=c, c_flicker=c_fl, offsets=offsets, L_dbc=L,
+        period_jitter=float(np.sqrt(max(c, 0.0) * T)),
+        by_class=by_class, per_source=per_src_w, kinds=kind_arr,
+        ppv=V, invariance=invariance, sv_gap=sv_gap)

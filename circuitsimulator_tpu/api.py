@@ -753,6 +753,30 @@ class Simulator:
         p = params if params is not None else self.params
         return oscillator_hb(self.engine, p, f0_guess, eq, **kw)
 
+    def oscillator_phase_noise_hb(self, offsets, f0_guess: Optional[float]
+                                  = None, anchor_node: Optional[str] = None,
+                                  osc=None, params: Optional[Any] = None,
+                                  extra_pairs=None, extra_psd=None,
+                                  **osc_kw):
+        """Phase noise via the HB PPV (analysis/hbosc.py
+        oscillator_phase_noise_hb): the left null vector of the autonomous
+        HB Jacobian, normalized against the cycle tangent.  The phase-noise
+        path for transmission-line (delay-line) oscillators; pass a
+        converged `osc` (HBOscResult) or f0_guess + anchor_node."""
+        from .analysis.hbosc import oscillator_phase_noise_hb
+        p = params if params is not None else self.params
+        if osc is None:
+            if f0_guess is None or anchor_node is None:
+                raise ValueError("give osc= or f0_guess + anchor_node")
+            osc = self.oscillator_hb(f0_guess, anchor_node, params=p,
+                                     **osc_kw)
+            if not osc.converged:
+                raise RuntimeError("autonomous HB did not converge "
+                                   f"(residual {float(osc.residual):.3e})")
+        return oscillator_phase_noise_hb(self.engine, p, osc, offsets,
+                                         extra_pairs=extra_pairs,
+                                         extra_psd=extra_psd)
+
     def oscillator_phase_noise(self, offsets, f0_guess: Optional[float]
                                = None, anchor_node: Optional[str] = None,
                                osc=None, params: Optional[Any] = None,

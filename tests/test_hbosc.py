@@ -96,3 +96,57 @@ def test_delay_line_oscillator_vs_transient():
     spec_a = np.abs(np.asarray(r.spectrum)[:, a_eq])
     assert spec_a[3] > 0.25 * spec_a[1]
     assert spec_a[2] < 0.01 * spec_a[1]
+
+
+def test_hb_ppv_phase_noise_matches_shooting_ppv():
+    # same physics, two PPV constructions: the HB Jacobian's left null
+    # vector vs the shooting monodromy's Floquet adjoint (oscnoise.py) —
+    # the diffusion constant and flicker coefficient must agree
+    sim = Simulator.from_text(VDP)
+    r = sim.oscillator_hb(f0_guess=5.0e6, anchor_node="a", n_harm=11)
+    assert bool(r.converged)
+    pn_hb = sim.oscillator_phase_noise_hb([1e3, 1e4, 1e5], osc=r)
+    # delay-free: the Fredholm scale reproduces the DAE biorthogonality
+    # v·Cẋ = 1 pointwise to roundoff
+    assert pn_hb.invariance < 1e-8
+    assert pn_hb.sv_gap < 1e-6           # clean 1-D phase null space
+    pn_sh = sim.oscillator_phase_noise([1e3, 1e4, 1e5],
+                                       f0_guess=5.0e6, anchor_node="a")
+    assert pn_hb.c == pytest.approx(pn_sh.c, rel=3e-2)
+    # thermal-only deck: the R class carries everything, in both paths
+    assert set(pn_hb.by_class) == {"R"}
+    assert pn_hb.by_class["R"] == pytest.approx(pn_hb.c)
+    np.testing.assert_allclose(pn_hb.L_dbc, pn_sh.L_dbc, atol=0.3)
+
+
+def test_delay_line_oscillator_phase_noise():
+    # the shooting PPV cannot exist here (no shooting solution with a
+    # T-line); the HB PPV delivers the full phase-noise story.  The
+    # square-ish wave's slow spectral decay means the Jacobian is only
+    # singular to truncation level (sv_gap ~2e-2 at H=13), so the PPV is
+    # checked for H-convergence rather than a pointwise invariant (the
+    # v·Cẋ products are legitimately non-flat with distributed state).
+    sim = Simulator.from_text(DELAY_OSC)
+    a_eq = node_eq(sim, "a")
+
+    def c_at(H):
+        r = sim.oscillator_hb(f0_guess=1e8, anchor_node="a", n_harm=H,
+                              warmup_periods=60)
+        assert bool(r.converged)
+        pn = sim.oscillator_phase_noise_hb([1e4, 1e5, 1e6, 1e7], osc=r,
+                                           extra_pairs=[(a_eq, -1)],
+                                           extra_psd=[1e-18])
+        return pn
+
+    pn = c_at(13)
+    assert pn.c > 0 and np.isfinite(pn.L_dbc).all()
+    assert pn.sv_gap < 0.05
+    # white-only: 20 dB/decade in the 1/f² region
+    assert pn.L_dbc[1] - pn.L_dbc[2] == pytest.approx(20.0, abs=0.5)
+    # the injected source at node a and the thermal resistors all land
+    assert set(pn.by_class) == {"R", "X"}
+    assert pn.by_class["R"] + pn.by_class["X"] == pytest.approx(pn.c)
+    # truncation convergence: doubling the harmonic box moves c < 10%
+    pn2 = c_at(21)
+    assert pn2.sv_gap < pn.sv_gap
+    assert pn2.c == pytest.approx(pn.c, rel=0.10)
