@@ -102,6 +102,17 @@ def build_argparser() -> argparse.ArgumentParser:
                    default="shooting",
                    help="steady-state algorithm: time-domain Newton "
                         "shooting or frequency-domain harmonic balance")
+    p.add_argument("--run-osc", metavar="F0:NODE[:CSV]", default=None,
+                   help="free-running oscillator steady state: guess "
+                        "frequency + anchor node, e.g. '5e6:a' or "
+                        "'5e6:a:osc.csv'; prints the solved f0 and the "
+                        "harmonic table, writes one period "
+                        "(default osc_out.csv)")
+    p.add_argument("--osc-method", choices=["auto", "shooting", "hb"],
+                   default="auto",
+                   help="oscillator solver: time-domain shooting or "
+                        "autonomous harmonic balance (auto = hb when the "
+                        "deck has transmission lines, else shooting)")
     p.add_argument("--run-sparams", metavar="PORTS", default=None,
                    help="S-parameter extraction over the .AC sweep: "
                         "comma-separated ports 'p[:m][@z0]', e.g. "
@@ -446,6 +457,48 @@ def main(argv=None) -> int:
             print(f"One period written to '{args.run_hb}'.")
         except Exception as e:  # noqa: BLE001
             print(f"Steady state failed: {e}", file=sys.stderr)
+            return 1
+
+    if args.run_osc:
+        from .analysis.sstate import harmonic_table
+        from .io.csvout import write_transient_csv
+        from .utils.numbers import parse_spice_number
+        import numpy as _np
+        try:
+            parts = args.run_osc.split(":")
+            if len(parts) < 2:
+                raise ValueError("--run-osc needs F0:NODE[:CSV]")
+            f0g = float(parse_spice_number(parts[0]))
+            node = parts[1]
+            out = parts[2] if len(parts) > 2 else "osc_out.csv"
+            method = args.osc_method
+            if method == "auto":
+                method = "hb" if sim.engine.n_tl else "shooting"
+            print(f"\nRunning oscillator steady state ({method})...")
+            osc = (sim.oscillator_hb(f0g, node) if method == "hb"
+                   else sim.oscillator(f0g, node))
+            print(f"oscillator: f0={float(osc.f0):.9e} Hz, "
+                  f"residual={float(osc.residual):.3e}, "
+                  f"newton_iters={osc.newton_iters}, "
+                  f"converged={bool(osc.converged)}")
+            write_transient_csv(out, sim.topo, osc.times, osc.xs)
+            if hasattr(osc, "spectrum"):
+                print(harmonic_table(sim.topo, osc))
+            else:
+                # shooting result: one-sided spectrum from the uniform
+                # period samples (last row repeats the first)
+                xs_p = _np.asarray(osc.xs)[:-1]
+                K = xs_p.shape[0]
+                co = _np.fft.rfft(xs_p, axis=0) / K * 2.0
+                co[0] /= 2.0
+                co = co[:11]          # table up to the 10th harmonic
+                tbl = type("S", (), {})()
+                tbl.spectrum = co
+                tbl.freqs = _np.arange(co.shape[0]) * float(osc.f0)
+                print(harmonic_table(sim.topo, tbl))
+            print(f"One period written to '{out}'.")
+        except Exception as e:  # noqa: BLE001
+            print(f"Oscillator failed: {e}", file=sys.stderr)
             return 1
 
     if args.run_sparams:

@@ -150,3 +150,28 @@ def test_delay_line_oscillator_phase_noise():
     pn2 = c_at(21)
     assert pn2.sv_gap < pn.sv_gap
     assert pn2.c == pytest.approx(pn.c, rel=0.10)
+
+
+def test_cli_run_osc(tmp_path, capsys):
+    from circuitsimulator_tpu.cli import main
+    # T-line deck: --osc-method auto must pick autonomous HB
+    deck = tmp_path / "osc.sp"
+    deck.write_text(DELAY_OSC)
+    out = tmp_path / "osc.csv"
+    rc = main([str(deck), "--run-osc", f"1e8:a:{out}"])
+    cap = capsys.readouterr()
+    assert rc == 0, cap.err
+    assert "oscillator steady state (hb)" in cap.out
+    assert "converged=True" in cap.out
+    assert "Steady-state harmonics" in cap.out
+    assert out.exists()
+    # lumped deck: auto = shooting; SPICE suffix in the guess
+    deck2 = tmp_path / "vdp.sp"
+    deck2.write_text(VDP.replace(".op\n", ".op\n"))
+    out2 = tmp_path / "vdp.csv"
+    rc = main([str(deck2), "--run-osc", f"5meg:a:{out2}"])
+    cap = capsys.readouterr()
+    assert rc == 0, cap.err
+    assert "oscillator steady state (shooting)" in cap.out
+    assert "f0=5.03" in cap.out
+    assert out2.exists()
