@@ -58,6 +58,16 @@ class HBResult:
     converged: Any
 
 
+@dataclasses.dataclass
+class HBBatchResult:
+    times: Any       # (K,)
+    xs: Any          # (B, K, N) per-lane periodic samples
+    freqs: Any       # (H+1,)
+    spectrum: Any    # (B, H+1, N) complex one-sided coefficients
+    residual: Any    # (B,) final ||KCL residual|| per lane
+    converged: Any   # (B,) bool
+
+
 def spectral_diff_matrix(K: int, T: float) -> np.ndarray:
     """Dense d/dt operator for K uniform samples of a T-periodic signal."""
     F = np.fft.rfft(np.eye(K), axis=0)            # (H+1, K)
@@ -309,3 +319,83 @@ def harmonic_balance(engine: Engine, params, f0: float,
     return HBResult(times=ts, xs=X, freqs=freqs, spectrum=coeffs,
                     residual=final, newton_iters=iters,
                     converged=final < max(tol * 100, 1e-6))
+
+
+def harmonic_balance_batched(engine: Engine, bparams, f0: float,
+                             n_harm: int = 8,
+                             warmup_periods: int = 6,
+                             n_newton: int = 15,
+                             tol: float = 1e-9,
+                             gmin: float = 0.0,
+                             damping: float = 1.0,
+                             x0s=None) -> HBBatchResult:
+    """Monte-Carlo harmonic balance: B perturbed lanes solve as ONE
+    batched program — warm-up transients, K·N HB Newton systems and the
+    dense (K·N)² solves all vmap over the lane axis (batched dense
+    linear algebra is exactly the MXU's shape).  Per-lane freeze: a
+    converged or non-finite lane stops updating instead of poisoning the
+    batch (same contract as parallel/montecarlo.batched_transient).
+
+    bparams: params pytree with a leading lane axis (perturb_params).
+    x0s: optional (B, N) DC operating points (defaults to the natively
+    batched DC).  Fixed n_newton iterations (no host-side convergence
+    polling — the whole run is one jitted program); `converged` reports
+    per-lane success."""
+    from .transient import transient_step_fn
+    dtype = engine.dtype
+    N = engine.N
+    T = 1.0 / f0
+    H = int(n_harm)
+    K = 2 * H + 1
+    ts, residual_p, jacobian_p = make_hb_system(engine, f0, n_harm,
+                                                gmin=gmin)
+    if x0s is None:
+        from ..parallel.montecarlo import batched_dc_fast
+        x0s = batched_dc_fast(engine, bparams)
+
+    steps_per_period = max(4 * K, 64)
+    dt_w = jnp.asarray(T / steps_per_period, dtype)
+    idx = (np.arange(K) * steps_per_period) // K
+
+    def one_lane(p, x0):
+        step = transient_step_fn(engine, p, dt_w)
+        state = engine.init_state(x0, p, dt_w)
+        carry = (x0, state, jnp.zeros(x0.shape[:-1], bool))
+        tw = (jnp.arange(1, warmup_periods * steps_per_period + 1,
+                         dtype=dtype) * dt_w)
+
+        def wstep(c, t):
+            c, (xo, _) = step(c, t)
+            return c, xo
+
+        _, xs_w = lax.scan(wstep, carry, tw)
+        X = xs_w[-steps_per_period:][idx]
+
+        def newton(c, _):
+            X, done = c
+            r, A_t = residual_p(X, p, with_At=True)
+            J = jacobian_p(A_t, p)
+            dX = jnp.linalg.solve(J, -r.reshape(-1)).reshape(K, N)
+            resn = jnp.linalg.norm(r)
+            finite = jnp.isfinite(resn) & jnp.all(jnp.isfinite(dX))
+            upd = (~done) & finite
+            X = jnp.where(upd, X + damping * dX, X)
+            done = done | (resn < tol) | ~finite
+            return (X, done), None
+
+        (X, _), _ = lax.scan(newton, (X, jnp.asarray(False)), None,
+                             length=n_newton)
+        final = jnp.linalg.norm(residual_p(X, p))
+        return X, final
+
+    Xs, finals = jax.jit(jax.vmap(one_lane))(bparams, x0s)
+
+    # host-side FFT (complex-free device programs; see harmonic_balance)
+    fft = np.fft.rfft(np.asarray(Xs), axis=1) / K
+    coeffs = fft * 2.0
+    coeffs[:, 0] /= 2.0
+    finals = np.asarray(finals)
+    return HBBatchResult(times=ts, xs=Xs,
+                         freqs=jnp.arange(H + 1, dtype=dtype) * f0,
+                         spectrum=coeffs, residual=finals,
+                         converged=finals < max(tol * 100, 1e-6))

@@ -384,6 +384,33 @@ class Simulator:
         n_harm = n_harm if n_harm is not None else (hb.n_harm or 8)
         return harmonic_balance(self.engine, p, f0, n_harm=n_harm, **kw)
 
+    def monte_carlo_hb(self, n: int, seed: int = 0,
+                       sampler: str = "mc",
+                       params: Optional[Any] = None,
+                       f0: Optional[float] = None,
+                       n_harm: Optional[int] = None, **kw):
+        """RF Monte Carlo: n perturbed lanes (netlist DEV=/LOT=
+        tolerances, like monte_carlo) of the .hb periodic steady state
+        solved as ONE batched program (analysis/hb.py
+        harmonic_balance_batched — warm-up scans, HB Newton systems and
+        the dense solves all vmapped over lanes).  Returns
+        (bparams, HBBatchResult); per-lane RF metrics come from
+        result.spectrum[lane]."""
+        from .analysis.hb import harmonic_balance_batched
+        from .parallel.montecarlo import perturb_params_netlist
+        if not self.lowered.mc_tols:
+            raise ValueError("no DEV=/LOT= tolerances in the netlist")
+        hb = self.config.hb
+        f0 = f0 if f0 is not None else (hb.f0 if hb.enabled else None)
+        if not f0 or f0 <= 0:
+            raise ValueError(".hb card missing or invalid (f0 must be > 0)")
+        n_harm = n_harm if n_harm is not None else (hb.n_harm or 8)
+        p = params if params is not None else self.params
+        bp = perturb_params_netlist(p, jax.random.key(seed), n,
+                                    self.lowered.mc_tols, sampler=sampler)
+        return bp, harmonic_balance_batched(self.engine, bp, f0,
+                                            n_harm=n_harm, **kw)
+
     def ac(self, params: Optional[Any] = None, freqs=None,
            x_op: Optional[Any] = None):
         """Small-signal AC sweep (analysis/ac.py).  Defaults to the
