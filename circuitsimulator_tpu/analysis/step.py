@@ -135,6 +135,15 @@ def run_step(sim, cfgs, save_xs: bool = True) -> StepResult:
                             for i, (nm, _) in enumerate(per_step[0])]
         return StepResult(name=name, kind=kind, values=values,
                           analysis="tran", result=res, measures=measures)
+    hb = sim.config.hb
+    if hb.enabled and not hb.extra_tones:
+        # .STEP × .hb: every step point's periodic steady state solves as
+        # one batched HB program (hb.harmonic_balance_batched)
+        from .hb import harmonic_balance_batched
+        res = harmonic_balance_batched(sim.engine, bparams, hb.f0,
+                                       n_harm=hb.n_harm or 8)
+        return StepResult(name=name, kind=kind, values=values,
+                          analysis="hb", result=res)
     xs = batched_dc(sim.engine, bparams)
     return StepResult(name=name, kind=kind, values=values,
                       analysis="op", result=xs)
@@ -158,6 +167,21 @@ def write_step_csv(path: str, topo, sres: StepResult) -> None:
             cols = [np.asarray(v) for _, v in sres.measures]
             for b, val in enumerate(sres.values):
                 row = val_cols(val) + [c[b] for c in cols]
+                f.write(",".join(f"{v:.9e}" for v in row) + "\n")
+            return
+        if sres.analysis == "hb":
+            # per step point: fundamental magnitude + THD of every node
+            spec = np.abs(np.asarray(sres.result.spectrum))  # (B, H+1, N)
+            eqs = np.asarray(topo.volt_col_eqs, int)
+            names = list(topo.volt_col_names)
+            fund = spec[:, 1, :][:, eqs]
+            thd = (np.sqrt((spec[:, 2:, :][:, :, eqs] ** 2).sum(axis=1))
+                   / np.maximum(fund, 1e-30))
+            hdr = ([f"VM1({n})" for n in names]
+                   + [f"THD({n})" for n in names])
+            f.write(",".join(name_cols + hdr) + "\n")
+            for b, val in enumerate(sres.values):
+                row = val_cols(val) + list(fund[b]) + list(thd[b])
                 f.write(",".join(f"{v:.9e}" for v in row) + "\n")
             return
         if sres.analysis == "tran":

@@ -82,3 +82,38 @@ def test_batched_tline_lanes_match_single():
         assert bool(r1.converged)
         np.testing.assert_allclose(np.asarray(rb.xs)[lane],
                                    np.asarray(r1.xs), atol=1e-9)
+
+
+def test_step_hb_sweep(tmp_path):
+    # .STEP × .hb: the drive-amplitude sweep solves as one batched HB
+    # program; each step point matches its own single solve, and the
+    # CLI CSV carries fundamental + THD columns
+    deck = (".PARAM amp=1\n"
+            "V1 in 0 SIN 0 {amp} 1e6\n"
+            "R1 in out 1k\n"
+            "D1 out 0 1\n"
+            ".MODEL 1 IS 1e-12\n"
+            "RL out 0 1k\n"
+            ".hb 1e6 7\n"
+            ".STEP PARAM amp 0.5 1.5 0.5\n")
+    sim = Simulator.from_text(deck)
+    sres = sim.step()
+    assert sres.analysis == "hb"
+    assert list(np.round(np.asarray(sres.values), 6)) == [0.5, 1.0, 1.5]
+    assert bool(np.all(sres.result.converged))
+    out = node_eq(sim, "out")
+    for b, amp in enumerate(sres.values):
+        p1 = dict(sim.params)
+        p1["vs_sin"] = sim.params["vs_sin"].at[0, 1].set(float(amp))
+        r1 = harmonic_balance(sim.engine, p1, 1e6, n_harm=7)
+        np.testing.assert_allclose(np.asarray(sres.result.xs)[b],
+                                   np.asarray(r1.xs), atol=1e-9)
+    # stronger drive clips harder: THD grows monotonically
+    from circuitsimulator_tpu.analysis.step import write_step_csv
+    csv = tmp_path / "step_hb.csv"
+    write_step_csv(str(csv), sim.topo, sres)
+    lines = csv.read_text().splitlines()
+    assert "VM1(out)" in lines[0] and "THD(out)" in lines[0]
+    col = lines[0].split(",").index("THD(out)")
+    thds = [float(l.split(",")[col]) for l in lines[1:]]
+    assert thds[0] < thds[1] < thds[2]
