@@ -207,3 +207,41 @@ def test_hbmulti_tline_matches_brute_force():
                                             rel=2e-3, abs=1e-9), (ks, idx)
     # the odd-order product really survives the line round trip
     assert 2 * abs(coeff(rm, (2, -1))[y]) > 1e-4
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_hb_tline_fuzz_vs_ac(seed):
+    # random linear T-line networks: the HB fundamental transfer must
+    # equal the AC phasor at f0 for every node — structural guard on the
+    # shift-operator stamps under arbitrary wiring
+    rng = np.random.default_rng(seed)
+    f0 = float(rng.uniform(5e6, 50e6))
+    z0 = float(rng.uniform(25, 120))
+    td = float(rng.uniform(1e-9, 20e-9))
+    rs = float(rng.uniform(5, 300))
+    rl = float(rng.uniform(5, 500))
+    rmid = float(rng.uniform(50, 2000))
+    cpar = float(rng.uniform(0.1e-12, 5e-12))
+    lines = [f"V1 src 0 AC 1 SIN 0 1 {f0}",
+             f"Rs src in {rs}",
+             f"T1 in 0 out 0 Z0={z0} TD={td}",
+             f"RL out 0 {rl}",
+             f"Rm out mid {rmid}",
+             f"Cp mid 0 {cpar}"]
+    if seed % 2:
+        td2 = float(rng.uniform(1e-9, 20e-9))
+        lines += [f"T2 mid 0 far 0 Z0={z0} TD={td2}",
+                  f"Rf far 0 {rl}"]
+    deck = "\n".join(lines) + f"\n.hb {f0} 3\n.AC lin 1 {f0} {f0}\n"
+    sim = Simulator.from_text(deck)
+    r = harmonic_balance(sim.engine, sim.params, f0, n_harm=3)
+    assert bool(r.converged), (seed, float(r.residual))
+    spec = np.asarray(r.spectrum)
+    xs = np.asarray(sim.ac().xs)[0]
+    e_src = node_eq(sim, "src")
+    for name in ("in", "out", "mid") + (("far",) if seed % 2 else ()):
+        e = node_eq(sim, name)
+        h_hb = spec[1, e] / spec[1, e_src]
+        h_ac = xs[e] / xs[e_src]
+        assert abs(h_hb - h_ac) < 1e-8, (seed, name)
+    assert np.abs(spec[2:, :]).max() < 1e-8, seed
