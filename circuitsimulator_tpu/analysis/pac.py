@@ -224,3 +224,55 @@ def pnoise(engine: Engine, params, f0: float, xs_pss, deltas,
             by_kind[k][i] += contrib[j]
     return PNoiseResult(f0=f0, deltas=np.asarray(deltas, float),
                         onoise=onoise, by_kind=by_kind)
+
+
+def mixer_noise_figure(engine: Engine, params, f0: float, xs_pss,
+                       delta: float, out_eq: int, src_idx: int,
+                       sidebands=(1,), ref_eq: int = -1):
+    """Conversion noise figure of a periodically driven circuit at
+    IF = delta: F = total output noise PSD (pnoise, ALL sidebands folded)
+    over the part contributed by generator column `src_idx` (the
+    reference source, e.g. a source resistor's 4kT/R) through the signal
+    sideband(s) only — SSB with sidebands=(1,) (input at f0+delta), DSB
+    with sidebands=(1, -1).  Sideband indices follow pac's harmonics
+    convention.
+
+    Per-sideband decomposition: the adjoint envelope gain g_j(t) =
+    Psi_t·u_j splits by Parseval as mean|g|² = Σ_m |c_m|² with c_m its
+    m-th Fourier coefficient, so the source's sideband-m contribution is
+    |c_m|²·s_j.  Returns (nf_db, onoise_total, onoise_src_signal)."""
+    from .noise import _device_noise_currents
+    J0, CI, K, tl = lptv_operator(engine, params, f0, xs_pss)
+    N = engine.N
+    xs_pss = jnp.asarray(xs_pss)
+
+    per_t = jax.vmap(
+        lambda x: _device_noise_currents(engine, params, x)[1:3])(xs_pss)
+    s_white_t = np.asarray(per_t[0], float)             # (K, nS)
+    s_flick_t = np.asarray(per_t[1], float)
+    pairs, _, _, _ = _device_noise_currents(engine, params, xs_pss[0])
+    if not (0 <= src_idx < len(pairs)):
+        raise ValueError(f"src_idx {src_idx} outside the generator "
+                         f"catalog (nS={len(pairs)})")
+
+    c = np.zeros(N, complex)
+    c[out_eq] = 1.0
+    if ref_eq >= 0:
+        c[ref_eq] -= 1.0
+    rhs = np.tile(c, K)
+    J = _lptv_at(J0, CI, tl, float(delta))
+    psi = np.linalg.solve(J.conj().T, rhs).reshape(K, N)
+    psi_e = np.concatenate([psi, np.zeros((K, 1), complex)], axis=1)
+    g = psi_e[:, pairs[:, 0]] - psi_e[:, pairs[:, 1]]   # (K, nS)
+    s_t = s_white_t + s_flick_t / float(delta)
+    onoise = float(np.mean(np.abs(g) ** 2 * s_t, axis=0).sum())
+
+    # sideband-resolved contribution of the reference generator (its
+    # intensity is cycle-averaged — exact for the stationary 4kT/R case)
+    coeff = np.fft.fft(g[:, src_idx]) / K
+    s_src = float(s_t[:, src_idx].mean())
+    sig = sum(abs(coeff[m % K]) ** 2 for m in sidebands) * s_src
+    if sig <= 0.0:
+        raise ValueError("the reference generator contributes nothing "
+                         "through the requested sideband(s)")
+    return 10.0 * np.log10(onoise / sig), onoise, sig

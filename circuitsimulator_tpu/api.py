@@ -872,6 +872,52 @@ class Simulator:
             pss_xs = self._pss_samples(p, f0, n_harm, **hb_kw)
         return pnoise(self.engine, p, f0, pss_xs, deltas, out_eq, ref_eq)
 
+    def mixer_noise_figure(self, source_resistor: str, delta: float,
+                           out_node: str, ref_node: Optional[str] = None,
+                           sidebands=(1,),
+                           f0: Optional[float] = None,
+                           n_harm: Optional[int] = None,
+                           pss_xs=None, params: Optional[Any] = None,
+                           **hb_kw):
+        """Conversion (mixer) noise figure at IF = delta referred to
+        `source_resistor` (analysis/pac.py mixer_noise_figure): total
+        periodic output noise — all sidebands folded — over the source
+        resistor's contribution through the signal sideband(s).
+        SSB by default (sidebands=(1,): input at f0+delta); DSB with
+        sidebands=(1, -1).  Returns NF in dB."""
+        from .analysis.pac import mixer_noise_figure
+        from .netlist.circuit import KIND_R
+        hb = self.config.hb
+        f0 = f0 if f0 is not None else (hb.f0 if hb.enabled else None)
+        if not f0 or f0 <= 0:
+            raise ValueError("mixer_noise_figure needs f0 (or a .hb card)")
+        p = params if params is not None else self.params
+        ridx, j = None, 0
+        for e in self.circuit.elements:
+            if e.kind == KIND_R:
+                if e.name.upper() == source_resistor.upper():
+                    ridx = j
+                    break
+                j += 1
+        if ridx is None:
+            raise KeyError(f"no resistor named {source_resistor!r}")
+
+        def node_eq(name):
+            nid = self.circuit.node_name_to_id.get(name)
+            if nid is None:
+                raise KeyError(f"unknown node {name!r}")
+            return self.circuit.nodes[nid].eq_index
+
+        out_eq = node_eq(out_node)
+        ref_eq = node_eq(ref_node) if ref_node else -1
+        if pss_xs is None:
+            pss_xs = self._pss_samples(p, f0, n_harm, **hb_kw)
+        nf_db, _, _ = mixer_noise_figure(self.engine, p, f0, pss_xs,
+                                         delta, out_eq, ridx,
+                                         sidebands=sidebands,
+                                         ref_eq=ref_eq)
+        return nf_db
+
     def sparams(self, ports, freqs=None, params: Optional[Any] = None,
                 x_op: Optional[Any] = None):
         """N-port S-parameters (analysis/sparams.py) of the circuit

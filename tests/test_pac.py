@@ -86,3 +86,28 @@ Rout out 0 1e4
     assert g1 == pytest.approx(1 / np.pi, rel=0.15)
     assert g3 == pytest.approx(1 / (3 * np.pi), rel=0.3)
     assert g2 < 0.2 * g1
+
+
+def test_mixer_noise_figure_ideal_multiplier():
+    # ideal multiplier mixer, LO = sin(w0 t): the source resistor's noise
+    # converts from BOTH RF and image sidebands with equal gain 1/2, so
+    # with (almost) no other noise the SSB NF is 3.01 dB and the DSB NF
+    # 0 dB.  Rout=0.001 keeps its own thermal contribution ~5e-5 of the
+    # source's (through-gain 1/4 vs direct).
+    sim = Simulator.from_text("""* multiplier mixer NF
+Vlo lo 0 SIN 0 1 1e6
+Rlo lo 0 0.001
+Vrf rfs 0 DC 0
+Rs rfs rf 1k
+Bmix out 0 V=v(rf)*v(lo)
+Rout out 0 0.001
+.hb 1e6 6
+""")
+    nf_ssb = sim.mixer_noise_figure("Rs", delta=25e3, out_node="out")
+    assert nf_ssb == pytest.approx(10 * np.log10(2.0), abs=0.02)
+    nf_dsb = sim.mixer_noise_figure("Rs", delta=25e3, out_node="out",
+                                    sidebands=(1, -1))
+    assert nf_dsb == pytest.approx(0.0, abs=0.02)
+    # a resistor with no transfer to the output raises
+    with pytest.raises((ValueError, KeyError)):
+        sim.mixer_noise_figure("Rnone", delta=25e3, out_node="out")
