@@ -224,15 +224,25 @@ def osc_engine(engine: Engine) -> Engine:
     """The engine clone oscillator shooting (and any analysis that must
     re-trace its limit cycle, e.g. phase noise) steps with: LU transient
     backend (a per-T Woodbury refactor buys nothing when T is a Newton
-    unknown) and TRAPEZOIDAL integration — BE's numerical damping acts
+    unknown), TRAPEZOIDAL integration — BE's numerical damping acts
     like a parasitic conductance g ~ C·w^2·dt across every tank, visibly
-    shrinking the limit cycle at practical steps/period."""
+    shrinking the limit cycle at practical steps/period — and a TIGHT
+    per-step Newton tolerance: the default 1e-6 early-stop biases the
+    period map coherently (measured ~1e-4 relative f0 error on van der
+    Pol, NOT shrinking with steps/period); at 1e-9 the shooting f0
+    converges O(dt²) onto the spectrally-exact autonomous-HB value
+    (tests/test_hbosc.py)."""
+    import jax.numpy as jnp
     opts = engine.opts
-    if opts.tran_solver == "lu" and opts.tran_method == "trap":
+    tol = (min(float(opts.tran_tol), 1e-9)
+           if engine.dtype == jnp.float64 else float(opts.tran_tol))
+    if (opts.tran_solver == "lu" and opts.tran_method == "trap"
+            and float(opts.tran_tol) <= tol):
         return engine
     import copy
     eng = copy.copy(engine)              # shared scatter patterns
-    eng.opts = opts.replace(tran_solver="lu", tran_method="trap")
+    eng.opts = opts.replace(tran_solver="lu", tran_method="trap",
+                            tran_tol=tol)
     return eng
 
 

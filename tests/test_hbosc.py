@@ -175,3 +175,44 @@ def test_cli_run_osc(tmp_path, capsys):
     assert "oscillator steady state (shooting)" in cap.out
     assert "f0=5.03" in cap.out
     assert out2.exists()
+
+
+MEISSNER = """* meissner (transformer-feedback) mos oscillator, class A
+.MODEL 1 VT 0.7 MU 5e-2 COX 2e-3 LAMBDA 0.01 KF 1e-15 AF 1
+VDD 1 0 3
+VG gb 0 1.2
+L1 g gb 100u
+C1 g 0 100p
+Rl g 0 5k
+Blim g 0 I=100m*(v(g)-1.2)**3
+L2 1 d 10u
+K1 L1 L2 0.5
+M1 d g 0 n 60e-6 1e-6 1
+.op
+"""
+
+
+def test_mos_meissner_hb_matches_shooting():
+    # real-device oscillator (MOS + transformer feedback + junction
+    # caps): autonomous HB must agree with the shooting solver on
+    # frequency and fundamental amplitude
+    sim = Simulator.from_text(MEISSNER)
+    r = sim.oscillator_hb(f0_guess=1.6e6, anchor_node="g", n_harm=9,
+                          warmup_periods=60)
+    assert bool(r.converged), float(r.residual)
+    sh = sim.oscillator(f0_guess=1.6e6, anchor_node="g",
+                        steps_per_period=256, warmup_periods=60)
+    assert sh.converged
+    # this agreement bar caught a real bug: the shooting map's per-step
+    # Newton early-stop at the default 1e-6 biased f0 by ~1e-3 here
+    # (osc_engine now tightens it to 1e-9; gap measured 3e-5 at K=256,
+    # 4e-6 at 512 — clean O(dt²) onto the spectral value)
+    assert r.f0 == pytest.approx(float(sh.f0), rel=1e-4)
+    g_eq = node_eq(sim, "g")
+    fund_hb = np.abs(np.asarray(r.spectrum)[1, g_eq])
+    xs_sh = np.asarray(sh.xs)[:, g_eq]
+    fund_sh = (xs_sh.max() - xs_sh.min()) / 2
+    assert fund_hb == pytest.approx(fund_sh, rel=0.03)
+    # the DC component sits at the gate bias
+    assert np.abs(np.asarray(r.spectrum)[0, g_eq]) == pytest.approx(
+        1.2, abs=0.05)
