@@ -111,6 +111,11 @@ def steady_state(engine: Engine, params, f0: float,
                  tol: float = 1e-9,
                  fd_eps: float = 1e-6):
     """Compute the periodic steady state.  Returns SteadyStateResult."""
+    # trapezoidal + tight per-step tolerance (osc_engine): BE's numerical
+    # damping costs O(dt) amplitude on every tank (measured 3e-3 at 512
+    # steps/period on a matched line) and the 1e-6 early-stop biases the
+    # map coherently — same findings as the autonomous solver
+    engine = osc_engine(engine)
     dtype = engine.dtype
     T = 1.0 / f0
     K = int(steps_per_period)
