@@ -951,6 +951,112 @@ class Simulator:
             x_op = self.dc(params=params)
         return s_parameters(self.engine, p, port_eqs, z0s, freqs, x_op)
 
+    def hot_sparams(self, ports, deltas, f0: Optional[float] = None,
+                    n_sidebands: int = 1, n_harm: Optional[int] = None,
+                    pss_xs=None, params: Optional[Any] = None, **hb_kw):
+        """Periodic (hot) S-parameters (analysis/psp.py): the
+        frequency-translating scattering matrix of the circuit
+        linearized around its periodic steady state at f0 — every
+        (port, sideband m in -M..M) pair is one terminal of an extended
+        multiport, so a mixer's delta -> f0+delta conversion gain is
+        res.s_at(1, 1, 0, 0).  `ports` is a list of
+        (node_p, node_m_or_None, z0) tuples exactly like sparams();
+        port terminations must NOT be in the netlist.  The PSS defaults
+        to harmonic balance on the .hb card; pass pss_xs to reuse one."""
+        from .analysis.psp import periodic_s_parameters
+        hb = self.config.hb
+        f0 = f0 if f0 is not None else (hb.f0 if hb.enabled else None)
+        if not f0 or f0 <= 0:
+            raise ValueError("hot_sparams needs f0 (or a .hb card)")
+        dump = self.topo.n_unknowns
+
+        def node_eq(name):
+            if name is None or str(name).lower() in ("0", "gnd"):
+                return dump
+            nid = self.circuit.node_name_to_id.get(name)
+            if nid is None:
+                raise KeyError(f"unknown node {name!r}")
+            eqi = self.circuit.nodes[nid].eq_index
+            return eqi if eqi >= 0 else dump
+        port_eqs = [(node_eq(p), node_eq(m)) for (p, m, _) in ports]
+        z0s = [z for (_, _, z) in ports]
+        p = params if params is not None else self.params
+        if pss_xs is None:
+            pss_xs = self._pss_samples(p, f0, n_harm, **hb_kw)
+        return periodic_s_parameters(self.engine, p, f0, pss_xs,
+                                     port_eqs, z0s, deltas,
+                                     n_sidebands=n_sidebands)
+
+    def lssp(self, ports, power, f0: Optional[float] = None,
+             n_harm: int = 7, params: Optional[Any] = None, **hb_kw):
+        """Large-signal S-parameters at drive amplitude `power` (watts
+        available at the driven port).  Unlike sparams()/hot_sparams(),
+        the port terminations LIVE IN THE NETLIST: each port is a
+        Thevenin pair — an independent V source with a SIN at f0 in
+        series with a z0 resistor — and `ports` lists
+        (source_name, port_node, z0) per port, `port_node` being the
+        terminal AFTER the series resistor.  One harmonic-balance solve
+        per port: port j's source amplitude is set to
+        A_j = sqrt(8 z0_j P) (available power P = A^2/(8 z0)), every
+        other port source to 0, and the fundamental waves are read off
+        the HB spectrum in the e^{+jwt} phasor convention:
+        a_j = Vs_j/(2 sqrt(z0_j)), b_i = (2 V_i - Vs_i)/(2 sqrt(z0_i))
+        (V across the ideal source is Vs, so both waves come from node
+        phasors of the SAME solution — no waveform-phase bookkeeping).
+        Returns a dict: s (n, n) complex, a1db-style per-port drive
+        amplitudes `amps`, and the per-port HBResults."""
+        import numpy as _np
+        from .analysis.hb import harmonic_balance
+        from .analysis.sweep import find_source
+        from .netlist.circuit import KIND_V
+        hb = self.config.hb
+        f0 = f0 if f0 is not None else (hb.f0 if hb.enabled else None)
+        if not f0 or f0 <= 0:
+            raise ValueError("lssp needs f0 (or a .hb card)")
+        n = len(ports)
+        src_idx, node_eqs, z0 = [], [], []
+        for (src, node, z) in ports:
+            kind, sidx = find_source(self.circuit, src)
+            if kind != KIND_V:
+                raise ValueError(f"lssp port source {src!r} must be a "
+                                 "V source")
+            src_idx.append(sidx)
+            nid = self.circuit.node_name_to_id.get(node)
+            if nid is None:
+                raise KeyError(f"unknown node {node!r}")
+            eqi = self.circuit.nodes[nid].eq_index
+            if eqi < 0:
+                raise ValueError(f"port node {node!r} is ground")
+            node_eqs.append(eqi)
+            z0.append(float(z))
+        z0 = _np.asarray(z0)
+        # the source's own positive terminal (phasor of Vs)
+        vs_ep = [int(self.topo.vs_ep[i]) for i in src_idx]
+        p0 = dict(params if params is not None else self.params)
+        amps = _np.sqrt(8.0 * z0 * float(power))
+        S = _np.zeros((n, n), complex)
+        results = []
+        for j in range(n):
+            vs_sin = p0["vs_sin"]
+            for i, si in enumerate(src_idx):
+                vs_sin = vs_sin.at[si, 1].set(amps[j] if i == j else 0.0)
+            p = dict(p0)
+            p["vs_sin"] = vs_sin
+            res = harmonic_balance(self.engine, p, f0, n_harm=n_harm,
+                                   **hb_kw)
+            if not bool(res.converged):
+                raise RuntimeError(f"lssp HB did not converge driving "
+                                   f"port {j} (residual "
+                                   f"{float(res.residual):.3e})")
+            results.append(res)
+            c1 = _np.concatenate([_np.asarray(res.spectrum[1]), [0.0]])
+            vs = c1[vs_ep]                    # source phasors (n,)
+            vp = c1[node_eqs]                 # port-node phasors (n,)
+            a_j = vs[j] / (2.0 * _np.sqrt(z0[j]))
+            b = (2.0 * vp - vs) / (2.0 * _np.sqrt(z0))
+            S[:, j] = b / a_j
+        return {"s": S, "amps": amps, "results": results}
+
     def monte_carlo(self, n: int, seed: int = 0,
                     params: Optional[Any] = None,
                     warm_start: bool = True,
