@@ -1,0 +1,213 @@
+"""Envelope-following transient (circuit envelope) — modulated-carrier
+simulation on two time scales (extension; no reference equivalent — the
+reference's empty steady-state placeholder, SURVEY.md 2.13, is the
+closest hook).
+
+Math: the bivariate MPDE form of the circuit equations,
+
+    f(x(t1, t2)) + C [ d/dt1 + d/dt2 ] x(t1, t2) = b(t1, t2),
+
+with t2 the fast carrier axis (period T = 1/f0, K = 2H+1 spectral
+collocation samples, exactly the HB grid) and t1 the slow envelope
+axis, discretized backward-Euler with step dt_env.  Each envelope step
+is one HB-sized Newton solve:
+
+    r_env(X_n) = r_hb(X_n) - b_env(t1_n) + C (X_n - X_{n-1}) / dt = 0,
+    J_env      = J_hb + kron(I_K, C) / dt,
+
+where r_hb/J_hb are the existing params-parametric harmonic-balance
+residual/Jacobian (analysis/hb.py make_hb_system) evaluated with ALL
+sources zeroed — the residual is linear in the source RHS, so zeroing
+the source entries of `params` and subtracting our own two-timescale
+b_env reuses the whole HB machinery (including exact T-line delays on
+the fast axis) unchanged.  The physical waveform is the diagonal
+x(t) = X(t1=t, t2=t mod T).
+
+Source splitting (the standard envelope rule): each independent
+source's waveform rides the FAST axis iff it is a SIN at >= f0/2
+(carrier and harmonics; evaluated at t2, so it must be T-periodic —
+near-harmonic SINs are accepted and phase-wrapped), and the SLOW axis
+otherwise (DC, PULSE, PWL, EXP, SFFM, baseband SIN; evaluated at t1,
+constant across the fast grid).  A source's DC term is always slow.
+Amplitude/phase modulation is expressed circuit-style: a behavioral
+multiplier (B1 out 0 V=v(base)*v(carrier)) mixing a slow source with a
+fast one.  B-source `time` expressions see the fast time within the
+period (modulate via node voltages instead).
+
+The t1=0 initial condition is the periodic steady state with the slow
+sources frozen at their t=0 values (warm-started by a short transient
+like harmonic_balance); pass x0_xs to start from your own (K, N)
+envelope state instead — e.g. the zero state for startup studies.
+
+Validation (tests/test_envelope.py): a memoryless deck tracks
+frozen-slow-source HB point-for-point (the quasi-static limit is exact
+when C=0); an AM step into an RC recovers the closed-form complex
+envelope relaxation Y(t) = Y_inf + (Y_0 - Y_inf) e^{-(1+j w0 RC) t/RC}
+with first-order-in-dt error; a pure carrier deck is t1-invariant.
+
+Cold path: dense (KN)^2 envelope-step solves on the host driver, each
+Newton iteration one jitted program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models import sources as srcmod
+from ..netlist.circuit import WAVE_SIN
+from ..ops.assemble import Engine
+from .hb import make_hb_system, _reactive_structure
+
+
+_V_SRC_ZERO = ("vs_dc", "vs_pulse", "vs_sin", "vs_pwl_v")
+_I_SRC_ZERO = ("is_dc", "is_pulse", "is_sin", "is_pwl_v")
+
+
+@dataclasses.dataclass
+class EnvelopeResult:
+    f0: float
+    t1: np.ndarray            # (T1,) envelope time grid (0 = initial PSS)
+    xs: Any                   # (T1, K, N) envelope sample trajectories
+    freqs: np.ndarray         # (H+1,) harmonic frequencies
+    coeffs: np.ndarray        # (T1, H+1, N) one-sided complex envelopes
+    converged: np.ndarray     # (T1,) per-step Newton convergence
+    residuals: np.ndarray     # (T1,) final Newton residual norms
+
+
+def _fast_masks(engine: Engine, params, f0: float):
+    """Per-source fast-axis masks: SIN waveforms at >= f0/2."""
+    fv = (engine.vs_kinds == WAVE_SIN) & \
+        (np.asarray(params["vs_sin"])[:, 2] >= 0.5 * f0)
+    fi = (engine.is_kinds == WAVE_SIN) & \
+        (np.asarray(params["is_sin"])[:, 2] >= 0.5 * f0)
+    return jnp.asarray(fv), jnp.asarray(fi)
+
+
+def envelope_transient(engine: Engine, params, f0: float, t_stop: float,
+                       dt_env: float, n_harm: int = 7,
+                       x0_xs: Optional[Any] = None,
+                       tol: float = 1e-9, max_newton: int = 25,
+                       warmup_periods: int = 6) -> EnvelopeResult:
+    """Backward-Euler envelope transient to t_stop in steps of dt_env."""
+    dtype = engine.dtype
+    N = engine.N
+    H = int(n_harm)
+    K = 2 * H + 1
+    T = 1.0 / f0
+    ts, residual_p, jacobian_p = make_hb_system(engine, f0, n_harm)
+
+    p_zero = dict(params)
+    for k in _V_SRC_ZERO + _I_SRC_ZERO:
+        p_zero[k] = jnp.zeros_like(params[k])
+    fv, fi = _fast_masks(engine, params, f0)
+    C_struct = _reactive_structure(engine, params)
+
+    zero_vdc = jnp.zeros_like(params["vs_dc"])
+    zero_idc = jnp.zeros_like(params["is_dc"])
+
+    def b_env(t1):
+        """(K, N) two-timescale source RHS: fast waveforms at t2, slow
+        waveforms (and every DC term) at t1."""
+        def wave_v(t):
+            return srcmod.eval_tran_static_kinds(
+                engine.vs_kinds, zero_vdc, params["vs_pulse"],
+                params["vs_sin"], params["vs_pwl_t"],
+                params["vs_pwl_v"], params["vs_pwl_n"], t)
+
+        def wave_i(t):
+            return srcmod.eval_tran_static_kinds(
+                engine.is_kinds, zero_idc, params["is_pulse"],
+                params["is_sin"], params["is_pwl_t"],
+                params["is_pwl_v"], params["is_pwl_n"], t)
+
+        vf = jax.vmap(wave_v)(ts)                    # (K, nV)
+        if_ = jax.vmap(wave_i)(ts)
+        vs = params["vs_dc"] + wave_v(t1)            # (nV,)
+        is_ = params["is_dc"] + wave_i(t1)
+        vval = jnp.where(fv[None, :], vf, vs[None, :])
+        ival = jnp.where(fi[None, :], if_, is_[None, :])
+        zeros_l = jnp.zeros((K,) + params["ind_l"].shape, dtype)
+        zeros_c = jnp.zeros((K,) + engine._caplike_C(params).shape, dtype)
+        parts = [vval, ival, zeros_l, zeros_c]
+        if engine.n_tl:
+            parts.append(jnp.zeros((K, 2 * engine.n_tl), dtype))
+        terms = jnp.concatenate(parts, axis=-1)
+        return jnp.einsum("kj,jn->kn", terms, engine.rhs_mat)
+
+    @jax.jit
+    def newton(X, Xprev, t1, inv_dt):
+        r, A_t = residual_p(X, p_zero, with_At=True)
+        r = r - b_env(t1) + inv_dt * jnp.einsum(
+            "ij,kj->ki", C_struct, X - Xprev)
+        J = jacobian_p(A_t, p_zero).reshape(K, N, K, N)
+        kk = jnp.arange(K)
+        J = J.at[kk, :, kk, :].add(inv_dt * C_struct)
+        dX = jnp.linalg.solve(J.reshape(K * N, K * N),
+                              -r.reshape(-1)).reshape(K, N)
+        return X + dX, jnp.linalg.norm(r)
+
+    def solve_at(X, Xprev, t1, inv_dt):
+        res = np.inf
+        for _ in range(max_newton):
+            X_new, res = newton(X, Xprev, jnp.asarray(t1, dtype),
+                                jnp.asarray(inv_dt, dtype))
+            if not bool(jnp.isfinite(res)):
+                break
+            X = X_new
+            if float(res) < tol:
+                break
+        return X, float(res)
+
+    # ---- t1 = 0 initial condition: frozen-slow-source PSS ----
+    if x0_xs is not None:
+        X = jnp.asarray(x0_xs, dtype)
+        if X.shape != (K, N):
+            raise ValueError(f"x0_xs must be (K={K}, N={N})")
+        res0 = 0.0
+    else:
+        from .dc import dc_operating_point
+        from .transient import transient_step_fn
+        from jax import lax
+        steps_pp = max(4 * K, 64)
+        dt_w = jnp.asarray(T / steps_pp, dtype)
+        step = transient_step_fn(engine, params, dt_w)
+        x0 = dc_operating_point(engine, params)
+        state = engine.init_state(x0, params, dt_w)
+        carry = (x0, state, jnp.zeros(x0.shape[:-1], bool))
+        tw = (jnp.arange(1, warmup_periods * steps_pp + 1, dtype=dtype)
+              * dt_w)
+
+        def wstep(c, t):
+            c, (xo, _) = step(c, t)
+            return c, xo
+
+        _, xs_w = jax.jit(lambda c, t: lax.scan(wstep, c, t))(carry, tw)
+        idx = (np.arange(K) * steps_pp) // K
+        X, res0 = solve_at(xs_w[-steps_pp:][idx], jnp.zeros((K, N), dtype),
+                           0.0, 0.0)
+
+    n_steps = int(round(t_stop / dt_env))
+    t1s = np.arange(n_steps + 1) * dt_env
+    xs = [np.asarray(X)]
+    resids = [res0]
+    conv = [res0 < max(tol * 100, 1e-6)]
+    inv_dt = 1.0 / dt_env
+    for n in range(1, n_steps + 1):
+        X, res = solve_at(X, X, t1s[n], inv_dt)
+        xs.append(np.asarray(X))
+        resids.append(res)
+        conv.append(res < max(tol * 100, 1e-6))
+
+    xs = np.stack(xs)                                 # (T1, K, N)
+    fft = np.fft.rfft(xs, axis=1) / K
+    coeffs = fft * 2.0
+    coeffs[:, 0] /= 2.0
+    return EnvelopeResult(
+        f0=f0, t1=t1s, xs=xs,
+        freqs=np.arange(H + 1) * f0, coeffs=coeffs,
+        converged=np.asarray(conv), residuals=np.asarray(resids))

@@ -731,6 +731,26 @@ class Simulator:
         return pac(self.engine, p, f0, pss_xs, deltas,
                    n_sidebands=n_sidebands)
 
+    def envelope(self, t_stop: float, dt_env: float,
+                 f0: Optional[float] = None, n_harm: int = 7,
+                 params: Optional[Any] = None, **kw):
+        """Envelope-following transient (analysis/envelope.py): the
+        circuit's harmonic envelopes at the carrier f0 time-stepped
+        backward-Euler on the slow axis — modulated-carrier runs whose
+        brute-force transient would need ~1/(f0*dt_env) more steps.
+        SIN sources at >= f0/2 ride the fast axis, everything else
+        (PULSE/PWL/EXP/baseband SIN, all DC terms) modulates the
+        envelope.  Returns an EnvelopeResult (t1, per-harmonic complex
+        envelope trajectories)."""
+        from .analysis.envelope import envelope_transient
+        hb = self.config.hb
+        f0 = f0 if f0 is not None else (hb.f0 if hb.enabled else None)
+        if not f0 or f0 <= 0:
+            raise ValueError("envelope needs f0 (or a .hb card)")
+        p = params if params is not None else self.params
+        return envelope_transient(self.engine, p, f0, t_stop, dt_env,
+                                  n_harm=n_harm, **kw)
+
     def _pss_samples(self, p, f0, n_harm, **hb_kw):
         """Converged single-tone HB samples for the LPTV analyses; a
         non-converged PSS would silently produce plausible-looking garbage

@@ -1,0 +1,121 @@
+"""Envelope-following transient (analysis/envelope.py).
+
+Anchors:
+- a pure-carrier deck's envelope is t1-invariant and equals plain HB;
+- a memoryless AM deck tracks frozen-slow-source harmonic balance
+  point-for-point (with C=0 the quasi-static limit is exact, so the
+  envelope step IS a static HB solve at vb(t1));
+- an AM step into an RC matches the discrete backward-Euler complex
+  envelope recurrence to solver tolerance AND the continuous closed
+  form Y(t) = Yinf + (Y0-Yinf)e^{-(1+j w0 RC)t/RC} to O(dt).
+"""
+
+import numpy as np
+import pytest
+
+from circuitsimulator_tpu import Simulator
+from circuitsimulator_tpu.analysis.hb import harmonic_balance
+from circuitsimulator_tpu.analysis.sweep import find_source
+
+
+F0 = 1e6
+
+
+def _eq(sim, node):
+    return sim.circuit.nodes[sim.circuit.node_name_to_id[node]].eq_index
+
+
+def test_pure_carrier_is_t1_invariant():
+    sim = Simulator.from_text(f"""* carrier only
+V1 in 0 SIN 0 0.8 {F0}
+R1 in out 100
+B1 out 0 I=0.3*v(out)^3
+R2 out 0 200
+.op
+""")
+    res = sim.envelope(t_stop=2e-6, dt_env=5e-7, f0=F0, n_harm=5)
+    assert res.converged.all()
+    eq = _eq(sim, "out")
+    hb = harmonic_balance(sim.engine, sim.params, F0, n_harm=5)
+    for n in range(len(res.t1)):
+        np.testing.assert_allclose(res.coeffs[n, :, eq],
+                                   np.asarray(hb.spectrum)[:, eq],
+                                   atol=1e-8)
+
+
+def test_memoryless_am_tracks_quasi_static_hb():
+    sim = Simulator.from_text(f"""* AM into a cubic
+Vc carr 0 SIN 0 1 {F0}
+Rc carr 0 1k
+Vb base 0 PWL(0 0.2 5e-6 1.0)
+Rb base 0 1k
+Bm m 0 V=v(base)*v(carr)
+Rl m out 100
+Bc out 0 I=0.3*v(out)^3
+Ro out 0 200
+.op
+""")
+    res = sim.envelope(t_stop=4e-6, dt_env=1e-6, f0=F0, n_harm=5)
+    assert res.converged.all()
+    eq = _eq(sim, "out")
+    _, bidx = find_source(sim.circuit, "Vb")
+    for n, t1 in enumerate(res.t1):
+        vb = 0.2 + (1.0 - 0.2) * t1 / 5e-6
+        p = dict(sim.params)
+        p["vs_dc"] = p["vs_dc"].at[bidx].set(vb)
+        p["vs_pwl_v"] = p["vs_pwl_v"].at[bidx].set(0.0)
+        hb = harmonic_balance(sim.engine, p, F0, n_harm=5)
+        assert bool(hb.converged)
+        np.testing.assert_allclose(res.coeffs[n, :, eq],
+                                   np.asarray(hb.spectrum)[:, eq],
+                                   atol=1e-7)
+
+
+def test_am_step_into_rc_closed_form():
+    R = 1e3
+    C = 1.0 / (2.0 * np.pi * 1e9)         # w0*R*C = 1 exactly at F0
+    v1, v2 = 0.5, 1.0
+    sim = Simulator.from_text(f"""* AM step into RC
+Vc carr 0 SIN 0 1 {F0}
+Rc carr 0 1k
+Vb base 0 PULSE({v1} {v2} 0 1e-9 1e-9 1 1)
+Rb base 0 1k
+Bm m 0 V=v(base)*v(carr)
+Rr m out {R}
+Cc out 0 {C}
+.op
+""")
+    dt = 5e-8
+    res = sim.envelope(t_stop=3e-6, dt_env=dt, f0=F0, n_harm=3)
+    assert res.converged.all()
+    eq = _eq(sim, "out")
+    y = res.coeffs[:, 1, eq]               # fundamental complex envelope
+
+    w0rc = 2.0 * np.pi * F0 * R * C        # = 1
+    pole = 1.0 + 1j * w0rc
+    y0 = -1j * v1 / pole
+    yinf = -1j * v2 / pole
+    # t1=0 initial PSS: the frozen PULSE is still at v1
+    assert y[0] == pytest.approx(y0, rel=1e-6)
+    # exact discrete BE recurrence of the decoupled fundamental:
+    #   (RC/dt)(Y_n - Y_{n-1}) + pole*Y_n = -j v2
+    a = R * C / dt
+    yd = y0
+    for n in range(1, len(res.t1)):
+        yd = (a * yd - 1j * v2) / (a + pole)
+        assert y[n] == pytest.approx(yd, rel=1e-6)
+    # continuous closed form: BE is first order, err ~ dt/RC
+    t = res.t1
+    yc = yinf + (y0 - yinf) * np.exp(-pole * t / (R * C))
+    err1 = np.abs(y - yc).max()
+    assert err1 < 0.12 * abs(y0 - yinf)
+    # ... and the error is O(dt): halving dt halves it
+    res2 = sim.envelope(t_stop=3e-6, dt_env=dt / 2, f0=F0, n_harm=3)
+    y2 = res2.coeffs[:, 1, eq]
+    yc2 = yinf + (y0 - yinf) * np.exp(-pole * res2.t1 / (R * C))
+    err2 = np.abs(y2 - yc2).max()
+    assert err2 < 0.6 * err1
+    # and the carrier-free baseband node stays put (sanity on splitting)
+    eqb = _eq(sim, "base")
+    assert np.abs(res.coeffs[:, 1:, eqb]).max() < 1e-9
+    np.testing.assert_allclose(res.coeffs[1:, 0, eqb].real, v2, atol=1e-9)
