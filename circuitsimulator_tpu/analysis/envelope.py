@@ -92,8 +92,15 @@ def envelope_transient(engine: Engine, params, f0: float, t_stop: float,
                        dt_env: float, n_harm: int = 7,
                        x0_xs: Optional[Any] = None,
                        tol: float = 1e-9, max_newton: int = 25,
-                       warmup_periods: int = 6) -> EnvelopeResult:
-    """Backward-Euler envelope transient to t_stop in steps of dt_env."""
+                       warmup_periods: int = 6,
+                       order: int = 1) -> EnvelopeResult:
+    """Envelope transient to t_stop in steps of dt_env.  order=1 is
+    backward Euler; order=2 the trapezoidal rule (theta=1/2 averaging of
+    the algebraic residual, second-order in dt_env — the same BE/trap
+    pair the time-domain transient offers)."""
+    if order not in (1, 2):
+        raise ValueError("order must be 1 (BE) or 2 (trapezoidal)")
+    theta = 1.0 if order == 1 else 0.5
     dtype = engine.dtype
     N = engine.N
     H = int(n_harm)
@@ -140,21 +147,28 @@ def envelope_transient(engine: Engine, params, f0: float, t_stop: float,
         return jnp.einsum("kj,jn->kn", terms, engine.rhs_mat)
 
     @jax.jit
-    def newton(X, Xprev, t1, inv_dt):
+    def r_alg(X, t1):
+        """Algebraic part of the envelope residual: r_hb(X) - b_env(t1)
+        (everything except the d/dt1 term)."""
+        return residual_p(X, p_zero) - b_env(t1)
+
+    @jax.jit
+    def newton(X, Xprev, r_prev, t1, inv_dt):
         r, A_t = residual_p(X, p_zero, with_At=True)
-        r = r - b_env(t1) + inv_dt * jnp.einsum(
-            "ij,kj->ki", C_struct, X - Xprev)
-        J = jacobian_p(A_t, p_zero).reshape(K, N, K, N)
+        r = (theta * (r - b_env(t1)) + (1.0 - theta) * r_prev
+             + inv_dt * jnp.einsum("ij,kj->ki", C_struct, X - Xprev))
+        J = (theta * jacobian_p(A_t, p_zero)).reshape(K, N, K, N)
         kk = jnp.arange(K)
         J = J.at[kk, :, kk, :].add(inv_dt * C_struct)
         dX = jnp.linalg.solve(J.reshape(K * N, K * N),
                               -r.reshape(-1)).reshape(K, N)
         return X + dX, jnp.linalg.norm(r)
 
-    def solve_at(X, Xprev, t1, inv_dt):
+    def solve_at(X, Xprev, r_prev, t1, inv_dt):
         res = np.inf
         for _ in range(max_newton):
-            X_new, res = newton(X, Xprev, jnp.asarray(t1, dtype),
+            X_new, res = newton(X, Xprev, r_prev,
+                                jnp.asarray(t1, dtype),
                                 jnp.asarray(inv_dt, dtype))
             if not bool(jnp.isfinite(res)):
                 break
@@ -188,8 +202,8 @@ def envelope_transient(engine: Engine, params, f0: float, t_stop: float,
 
         _, xs_w = jax.jit(lambda c, t: lax.scan(wstep, c, t))(carry, tw)
         idx = (np.arange(K) * steps_pp) // K
-        X, res0 = solve_at(xs_w[-steps_pp:][idx], jnp.zeros((K, N), dtype),
-                           0.0, 0.0)
+        zero = jnp.zeros((K, N), dtype)
+        X, res0 = solve_at(xs_w[-steps_pp:][idx], zero, zero, 0.0, 0.0)
 
     n_steps = int(round(t_stop / dt_env))
     t1s = np.arange(n_steps + 1) * dt_env
@@ -197,8 +211,12 @@ def envelope_transient(engine: Engine, params, f0: float, t_stop: float,
     resids = [res0]
     conv = [res0 < max(tol * 100, 1e-6)]
     inv_dt = 1.0 / dt_env
+    r_prev = (r_alg(X, jnp.asarray(0.0, dtype)) if theta < 1.0
+              else jnp.zeros((K, N), dtype))
     for n in range(1, n_steps + 1):
-        X, res = solve_at(X, X, t1s[n], inv_dt)
+        X, res = solve_at(X, X, r_prev, t1s[n], inv_dt)
+        if theta < 1.0:
+            r_prev = r_alg(X, jnp.asarray(t1s[n], dtype))
         xs.append(np.asarray(X))
         resids.append(res)
         conv.append(res < max(tol * 100, 1e-6))

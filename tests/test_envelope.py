@@ -119,3 +119,48 @@ Cc out 0 {C}
     eqb = _eq(sim, "base")
     assert np.abs(res.coeffs[:, 1:, eqb]).max() < 1e-9
     np.testing.assert_allclose(res.coeffs[1:, 0, eqb].real, v2, atol=1e-9)
+
+
+def test_trap_envelope_is_second_order():
+    """Smooth baseband SIN modulation through the same RC: after the
+    initial transient decays, BE tracks the closed-form particular
+    solution to O(dt) while trapezoidal does O(dt^2) — at dt/RC = 0.31
+    the trap error must be far below BE's."""
+    R = 1e3
+    C = 1.0 / (2.0 * np.pi * 1e9)
+    fm = 1e5                               # slow SIN (< F0/2): envelope
+    sim = Simulator.from_text(f"""* smooth AM into RC
+Vc carr 0 SIN 0 1 {F0}
+Rc carr 0 1k
+Vb base 0 SIN 0.5 0.2 {fm}
+Rb base 0 1k
+Bm m 0 V=v(base)*v(carr)
+Rr m out {R}
+Cc out 0 {C}
+.op
+""")
+    eq = _eq(sim, "out")
+    rc = R * C
+    pole = 1.0 + 2.0j * np.pi * F0 * rc
+    wm = 2.0 * np.pi * fm
+
+    def y_exact(t):
+        # RC y' + pole y = -j vb(t), vb = 0.5 + 0.2 sin(wm t); particular
+        # solution + the decaying homogeneous piece from y(0) = -0.5j/pole
+        yp = (-0.5j / pole
+              - 0.1 * np.exp(1j * wm * t) / (pole + 1j * wm * rc)
+              + 0.1 * np.exp(-1j * wm * t) / (pole - 1j * wm * rc))
+        # y(0) = -0.5j/pole (frozen PSS), so the homogeneous coefficient
+        # is y(0) - yp(0) = -y_p0
+        return yp - y_p0 * np.exp(-pole * t / rc)
+
+    y_p0 = (-0.1 / (pole + 1j * wm * rc) + 0.1 / (pole - 1j * wm * rc))
+    errs = {}
+    for order in (1, 2):
+        res = sim.envelope(t_stop=3e-6, dt_env=5e-8, f0=F0, n_harm=3,
+                           order=order)
+        assert res.converged.all()
+        y = res.coeffs[:, 1, eq]
+        errs[order] = np.abs(y - y_exact(res.t1)).max()
+    assert errs[1] < 0.05                  # BE in the right ballpark
+    assert errs[2] < 0.12 * errs[1]        # trap: second order
