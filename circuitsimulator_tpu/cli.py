@@ -120,6 +120,35 @@ def build_argparser() -> argparse.ArgumentParser:
                         "ground, z0 to 50); writes Touchstone .sNp")
     p.add_argument("--sparams-out", metavar="FILE", default=None,
                    help="Touchstone output path (default sparams.s<N>p)")
+    p.add_argument("--run-envelope", metavar="TSTOP:DT[:CSV]", default=None,
+                   help="envelope-following transient at the .hb carrier: "
+                        "slow-axis step DT to TSTOP, e.g. '5e-6:1e-7' or "
+                        "'5e-6:1e-7:env.csv'; writes per-node fundamental-"
+                        "envelope magnitude/phase columns "
+                        "(default env_out.csv)")
+    p.add_argument("--env-order", type=int, choices=[1, 2], default=1,
+                   help="envelope integrator: 1 = backward Euler, "
+                        "2 = trapezoidal")
+    p.add_argument("--run-hot-sparams", metavar="PORTS", default=None,
+                   help="periodic (hot) S-parameters around the .hb PSS: "
+                        "same port grammar as --run-sparams; offset "
+                        "frequencies from --psp-deltas; writes the "
+                        "conversion scattering entries "
+                        "(default hot_sparams.csv)")
+    p.add_argument("--psp-deltas", metavar="D1,D2,...", default=None,
+                   help="offset frequencies for --run-hot-sparams")
+    p.add_argument("--psp-sidebands", type=int, default=1,
+                   help="sidebands -M..M kept in --run-hot-sparams")
+    p.add_argument("--hot-sparams-out", metavar="CSV", default=None,
+                   help="CSV path for --run-hot-sparams "
+                        "(default hot_sparams.csv)")
+    p.add_argument("--run-lssp", metavar="PORTS", default=None,
+                   help="large-signal S-parameters on the .hb carrier: "
+                        "comma-separated Thevenin ports 'SRC:NODE[@z0]' "
+                        "(V source + series z0 resistor in the deck), "
+                        "driven at --lssp-power; prints the S matrix")
+    p.add_argument("--lssp-power", type=float, default=1e-3,
+                   help="available drive power in watts for --run-lssp")
     return p
 
 
@@ -523,6 +552,120 @@ def main(argv=None) -> int:
                   f"{len(sres.freqs)} points) written to '{out}'.")
         except Exception as e:  # noqa: BLE001
             print(f"S-parameter extraction failed: {e}", file=sys.stderr)
+            return 1
+
+    if args.run_envelope:
+        import numpy as _np
+        print("\nRunning envelope transient...")
+        try:
+            parts = args.run_envelope.split(":")
+            if len(parts) < 2:
+                raise ValueError("--run-envelope wants TSTOP:DT[:CSV]")
+            t_stop, dt_env = float(parts[0]), float(parts[1])
+            out = parts[2] if len(parts) > 2 else "env_out.csv"
+            env = sim.envelope(t_stop, dt_env, order=args.env_order)
+            names = list(sim.topo.volt_col_names)
+            eqs = list(sim.topo.volt_col_eqs)
+            with open(out, "w") as fh:
+                cols = ["time"]
+                for n in names:
+                    cols += [f"|V({n})@f0|", f"argV({n})@f0(deg)"]
+                fh.write(",".join(cols) + "\n")
+                for i, t in enumerate(env.t1):
+                    row = [t]
+                    for eq in eqs:
+                        c = env.coeffs[i, 1, eq]
+                        row += [abs(c), _np.degrees(_np.angle(c))]
+                    fh.write(",".join(f"{v:.9e}" for v in row) + "\n")
+            ok = int(env.converged.sum())
+            print(f"Envelope: {len(env.t1)} steps ({ok} converged), "
+                  f"fundamental envelopes written to '{out}'.")
+            if ok < len(env.t1):
+                print(f"warning: {len(env.t1) - ok} envelope steps did "
+                      "not converge", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"Envelope transient failed: {e}", file=sys.stderr)
+            return 1
+
+    if args.run_hot_sparams:
+        import numpy as _np
+        print("\nRunning periodic (hot) S-parameter extraction...")
+        try:
+            if not args.psp_deltas:
+                raise ValueError("--run-hot-sparams needs --psp-deltas")
+            deltas = [float(v) for v in args.psp_deltas.split(",")]
+            ports = []
+            for spec in args.run_hot_sparams.split(","):
+                spec = spec.strip()
+                z0 = 50.0
+                if "@" in spec:
+                    spec, z0txt = spec.split("@", 1)
+                    z0 = float(z0txt)
+                pm = spec.split(":", 1)
+                ports.append((pm[0], pm[1] if len(pm) > 1 else None, z0))
+            res = sim.hot_sparams(ports, deltas,
+                                  n_sidebands=args.psp_sidebands)
+            out = args.hot_sparams_out or "hot_sparams.csv"
+            n = len(ports)
+            hs = list(res.harmonics)
+            with open(out, "w") as fh:
+                cols = ["delta"]
+                for mi in hs:
+                    for i in range(n):
+                        for mj in hs:
+                            for j in range(n):
+                                tag = f"{i + 1}@{mi:+d};{j + 1}@{mj:+d}"
+                                cols += [f"|S({tag})|", f"argS({tag})deg"]
+                fh.write(",".join(cols) + "\n")
+                for k, d in enumerate(res.deltas):
+                    row = [d]
+                    for mi in hs:
+                        for i in range(n):
+                            for mj in hs:
+                                for j in range(n):
+                                    s = res.s[k, res.index(i, mi),
+                                              res.index(j, mj)]
+                                    row += [abs(s),
+                                            _np.degrees(_np.angle(s))]
+                    fh.write(",".join(f"{v:.9e}" for v in row) + "\n")
+            print(f"Hot S-parameters ({n} ports x sidebands "
+                  f"{hs[0]}..{hs[-1]}, {len(res.deltas)} offsets) "
+                  f"written to '{out}'.")
+        except Exception as e:  # noqa: BLE001
+            print(f"Hot S-parameter extraction failed: {e}",
+                  file=sys.stderr)
+            return 1
+
+    if args.run_lssp:
+        import numpy as _np
+        print("\nRunning large-signal S-parameter extraction...")
+        try:
+            ports = []
+            for spec in args.run_lssp.split(","):
+                spec = spec.strip()
+                z0 = 50.0
+                if "@" in spec:
+                    spec, z0txt = spec.split("@", 1)
+                    z0 = float(z0txt)
+                sn = spec.split(":", 1)
+                if len(sn) != 2:
+                    raise ValueError("--run-lssp port wants 'SRC:NODE"
+                                     "[@z0]'")
+                ports.append((sn[0], sn[1], z0))
+            res = sim.lssp(ports, power=args.lssp_power)
+            n = len(ports)
+            print(f"==== Large-signal S-parameters "
+                  f"(P = {args.lssp_power:g} W) ====")
+            for i in range(n):
+                cells = []
+                for j in range(n):
+                    s = res["s"][i, j]
+                    cells.append(f"S{i + 1}{j + 1} = {abs(s):.6f} "
+                                 f"/{_np.degrees(_np.angle(s)):7.2f}deg")
+                print("  ".join(cells))
+        except Exception as e:  # noqa: BLE001
+            print(f"Large-signal S-parameter extraction failed: {e}",
+                  file=sys.stderr)
             return 1
     return 0
 

@@ -164,3 +164,32 @@ Cc out 0 {C}
         errs[order] = np.abs(y - y_exact(res.t1)).max()
     assert errs[1] < 0.05                  # BE in the right ballpark
     assert errs[2] < 0.12 * errs[1]        # trap: second order
+
+
+def test_cli_envelope(tmp_path):
+    from circuitsimulator_tpu.cli import main
+    deck = tmp_path / "am.sp"
+    deck.write_text(f"""* AM envelope CLI
+Vc carr 0 SIN 0 1 {F0}
+Rc carr 0 1k
+Vb base 0 PWL(0 0.2 2e-6 1.0)
+Rb base 0 1k
+Bm m 0 V=v(base)*v(carr)
+Rr m out 1k
+Cc out 0 0.159n
+.hb {F0} 3
+""")
+    out = tmp_path / "env.csv"
+    rc = main([str(deck), "--no-tran", "--env-order", "2",
+               "--run-envelope", f"2e-6:2e-7:{out}"])
+    assert rc == 0
+    lines = out.read_text().strip().split("\n")
+    hdr = lines[0].split(",")
+    assert hdr[0] == "time" and "|V(out)@f0|" in hdr
+    col = hdr.index("|V(out)@f0|")
+    first = float(lines[1].split(",")[col])
+    last = float(lines[-1].split(",")[col])
+    # the AM ramp 0.2 -> 1.0 grows the fundamental envelope
+    assert last > 3.0 * first > 0.0
+    # bad spec is a clean failure
+    assert main([str(deck), "--no-tran", "--run-envelope", "2e-6"]) == 1

@@ -134,3 +134,46 @@ RS2 s2 p2 50
     np.testing.assert_allclose(lo["s"], sref, rtol=1e-4, atol=1e-8)
     # compression: forward gain falls with drive
     assert abs(hi["s"][1, 0]) < 0.9 * abs(lo["s"][1, 0])
+
+
+def test_cli_hot_and_large_signal(tmp_path):
+    from circuitsimulator_tpu.cli import main
+    # hot S-params on the multiplier mixer deck
+    deck = tmp_path / "mix.sp"
+    deck.write_text(f"""* up-converter
+VLO lo 0 SIN 0 0.4 {F0}
+RLO lo 0 1k
+R1 rf 0 100
+R2 if 0 130
+B1 0 if I=v(rf)*v(lo)
+.hb {F0} 5
+""")
+    out = tmp_path / "hot.csv"
+    rc = main([str(deck), "--no-tran", "--run-hot-sparams", "rf,if",
+               "--psp-deltas", "2.3e5", "--hot-sparams-out", str(out)])
+    assert rc == 0
+    lines = out.read_text().strip().split("\n")
+    assert lines[0].startswith("delta,")
+    hdr = lines[0].split(",")
+    vals = [float(v) for v in lines[1].split(",")]
+    # the (if@+1, rf@0) conversion magnitude matches the closed form
+    col = hdr.index("|S(2@+1;1@+0)|")
+    zc = 100.0 * 130.0 * 0.4 / 2.0
+    s_conv = 2.0 * 50.0 * zc / (150.0 * 180.0)
+    assert vals[col] == pytest.approx(s_conv, rel=1e-6)
+
+    # LSSP on the linear deck: S21 printed magnitude matches cold value
+    deck2 = tmp_path / "lin.sp"
+    deck2.write_text(f"""* lssp linear
+V1 s1 0 SIN 0 1 {F0}
+RS1 s1 p1 50
+V2 s2 0 SIN 0 1 {F0}
+RS2 s2 p2 50
+{INNER}.hb {F0} 4
+""")
+    rc = main([str(deck2), "--no-tran",
+               "--run-lssp", "V1:p1@50,V2:p2@50"])
+    assert rc == 0
+    # missing deltas is a clean failure, not a traceback
+    rc = main([str(deck), "--no-tran", "--run-hot-sparams", "rf,if"])
+    assert rc == 1
