@@ -287,3 +287,63 @@ def oscillator_phase_noise(engine: Engine, params,
         by_class=by_class, per_source=per_source, kinds=kind_arr,
         ppv=vs, w=w, invariance=invariance,
         floquet_err=floquet_err, lambda2=lambda2)
+
+
+@dataclasses.dataclass
+class InjectionLockResult:
+    f0: float            # free-running frequency (Hz)
+    amp: float           # injected current amplitude (A)
+    lock_range_hz: float  # ONE-SIDED Adler lock range: locks for
+    #                      |f_inj - f0| <= lock_range_hz
+    k_per_amp: float     # lock range per injected amp, f0*|p1| (Hz/A)
+    p1: complex          # fundamental Fourier coefficient of the PPV
+    #                      projected on the injection port (1/A·s units
+    #                      folded: p(t) = v(t)·u/dt)
+    harmonic: int        # injection harmonic m (lock near m*f0)
+    pn: OscPhaseNoiseResult  # the underlying PPV computation
+
+
+def injection_lock(engine: Engine, params, osc: OscillatorResult,
+                   pair: Tuple[int, int], amp: float,
+                   harmonic: int = 1,
+                   n_newton: int = 4) -> InjectionLockResult:
+    """Adler-type injection-locking range from the oscillator PPV.
+
+    A small current i(t) = amp·cos(2π f_inj t) injected into the node-
+    equation pair `pair` (b may be −1 = ground) perturbs the phase as
+    dα/dt = p(t+α)·i(t) with p(t) = v(t)ᵀu the PPV projected on the
+    injection direction (time shift per amp·second).  Averaging the
+    product for f_inj near m·f0 keeps only p's m-th Fourier coefficient
+    p_m: with θ the slow beat phase, dθ/dt = Δω + m·ω0·amp·|p_m|·cosθ,
+    so the oscillator locks iff |f_inj − m·f0| ≤ m·f0·amp·|p_m| — the
+    generalized Adler equation (for the classic LC tank the sine ISF
+    gives |p_1| = 1/(2·A·C·ω0), hence Δf = amp/(4π·A·C) — the ISF form
+    of Adler's f0·I/(2Q·I_osc) law).  `harmonic` m > 1 predicts superharmonic
+    injection locking at m·f0 (sub-harmonic injection at f0/m rides the
+    same coefficient through the circuit's own mixing and is NOT
+    covered by this first-order formula).
+
+    The unlocked side of the story is the standard beat: for
+    |Δf| > lock range the mean oscillation frequency is pulled to
+    f_inj + sign(Δf)·sqrt(Δf² − lock_range²).
+    """
+    if amp <= 0:
+        raise ValueError("injection amplitude must be > 0")
+    m = int(harmonic)
+    if m < 1:
+        raise ValueError("harmonic must be >= 1")
+    pn = oscillator_phase_noise(engine, params, osc,
+                                offsets=[float(osc.f0) * 1e-3],
+                                extra_pairs=[tuple(pair)],
+                                extra_psd=[0.0], n_newton=n_newton)
+    w = np.asarray(pn.w)                  # (K, nS); injection port last
+    K = w.shape[0]
+    T = 1.0 / float(osc.f0)
+    dt = T / K
+    p = w[:, -1] / dt                     # time-shift rate per amp
+    p_m = np.mean(p * np.exp(-2j * np.pi * m * np.arange(K) / K))
+    k_per_amp = m * float(osc.f0) * abs(p_m)
+    return InjectionLockResult(
+        f0=float(osc.f0), amp=float(amp),
+        lock_range_hz=k_per_amp * float(amp),
+        k_per_amp=k_per_amp, p1=complex(p_m), harmonic=m, pn=pn)

@@ -864,6 +864,40 @@ class Simulator:
                                       extra_pairs=extra_pairs,
                                       extra_psd=extra_psd)
 
+    def injection_lock(self, inj_node: str, amp: float,
+                       ref_node: Optional[str] = None,
+                       f0_guess: Optional[float] = None,
+                       anchor_node: Optional[str] = None,
+                       osc=None, harmonic: int = 1,
+                       params: Optional[Any] = None, **osc_kw):
+        """Adler injection-locking range from the oscillator PPV
+        (analysis/oscnoise.injection_lock): a current amp·cos(2πf_inj·t)
+        into inj_node[,ref_node] locks the oscillator for
+        |f_inj − m·f0| ≤ lock_range_hz.  Pass a converged `osc` result
+        or f0_guess + anchor_node to run the shooting here."""
+        from .analysis.oscnoise import injection_lock
+        from .utils.numbers import is_ground_name
+        p = params if params is not None else self.params
+        if osc is None:
+            if f0_guess is None or anchor_node is None:
+                raise ValueError("give osc= or f0_guess + anchor_node")
+            osc = self.oscillator(f0_guess, anchor_node, params=p,
+                                  **osc_kw)
+            if not osc.converged:
+                raise RuntimeError("oscillator shooting did not converge "
+                                   f"(residual {float(osc.residual):.3e})")
+
+        def node_eq(name):
+            if name is None or is_ground_name(name):
+                return -1
+            nid = self.circuit.node_name_to_id.get(name)
+            if nid is None:
+                raise KeyError(f"unknown node {name!r}")
+            return self.circuit.nodes[nid].eq_index
+        return injection_lock(self.engine, p, osc,
+                              (node_eq(inj_node), node_eq(ref_node)),
+                              amp, harmonic=harmonic)
+
     def pnoise(self, deltas, out_node: str, ref_node: Optional[str] = None,
                f0: Optional[float] = None, n_harm: Optional[int] = None,
                pss_xs=None, params: Optional[Any] = None, **hb_kw):
