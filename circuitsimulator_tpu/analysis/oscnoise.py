@@ -290,6 +290,89 @@ def oscillator_phase_noise(engine: Engine, params,
 
 
 @dataclasses.dataclass
+class PSSFloquetResult:
+    f0: float            # drive frequency the period was solved at
+    multipliers: Any     # (n_dyn,) complex Floquet multipliers, sorted
+    #                      by |.| descending
+    stable: bool         # all |multiplier| < threshold
+    lambda_max: float    # largest |multiplier|
+    closure: float       # re-propagation closure residual (sanity)
+
+
+def pss_floquet(engine: Engine, params, ss,
+                f0: Optional[float] = None,
+                threshold: float = 1.0 - 1e-6,
+                n_newton: int = 4) -> PSSFloquetResult:
+    """Floquet stability of a DRIVEN periodic steady state: eigenvalues
+    of the one-period monodromy d(Phi)/ds around the shooting solution.
+    All |lambda| < 1 means the PSS is an attractor of the transient
+    flow; |lambda| > 1 flags a solution the time-domain circuit can
+    never settle on (shooting and HB happily converge to such
+    repellors — e.g. the unstable equilibrium cycle of a circuit with
+    net negative conductance, or a parametric divider past its
+    threshold); |lambda| -> 1 from below warns of slow settling or an
+    imminent bifurcation (lambda -> -1: period doubling; complex pair
+    on the unit circle: quasi-periodic/Neimark-Sacker).
+
+    ss: a SteadyStateResult from steady_state() (must carry the
+    shooting vector `s`).  Autonomous decks analyzed through this path
+    show the obligatory phase-mode multiplier at +1.  Same per-step
+    jacfwd-through-Newton machinery as the phase-noise PPV, with the
+    drive's time dependence kept (the map is time-varying here)."""
+    if getattr(ss, "s", None) is None:
+        raise ValueError("SteadyStateResult has no shooting vector; "
+                         "re-run steady_state (older result object?)")
+    f0 = float(f0 if f0 is not None else ss.f0)
+    if not f0 or f0 <= 0:
+        raise ValueError("pss_floquet needs the drive f0")
+    engine = osc_engine(engine)
+    dtype = engine.dtype
+    T = 1.0 / f0
+    K = int(np.asarray(ss.times).shape[0]) - 1
+    dt = jnp.asarray(T / K, dtype)
+    step = _step_with_injection(engine, params, dt, n_newton=n_newton)
+    ts = jnp.arange(1, K + 1, dtype=dtype) * dt
+    zero_inj = jnp.zeros((engine.N,), dtype)
+
+    def body(s, t):
+        s2 = step(s, t, zero_inj)
+        return s2, s2
+
+    s0 = jnp.asarray(ss.s, dtype)
+    _, s_steps = jax.jit(lambda s: lax.scan(body, s, ts))(s0)
+    ss_all = jnp.concatenate([s0[None], s_steps])
+    n_full = ss_all.shape[-1]
+
+    dyn = np.nonzero(_dyn_mask(engine, params))[0]
+    n_s = len(dyn)
+    closure = float(jnp.linalg.norm(ss_all[K, dyn] - ss_all[0, dyn]))
+
+    def embed(s_red):
+        return jnp.zeros((n_full,), dtype).at[dyn].set(s_red)
+
+    @jax.jit
+    def jac_all(ss_k, ts_k):
+        def one(s_red, t):
+            return jax.jacfwd(
+                lambda sr: step(embed(sr), t, zero_inj)[dyn])(s_red)
+        return jax.vmap(one)(ss_k, ts_k)
+
+    Js = jac_all(ss_all[:K, dyn], ts)
+
+    def mul(M, J):
+        return J @ M, None
+    M, _ = jax.jit(lambda Js: lax.scan(
+        mul, jnp.eye(n_s, dtype=dtype), Js))(Js)
+    evals = np.linalg.eigvals(np.asarray(M, np.float64))
+    order = np.argsort(-np.abs(evals))
+    evals = evals[order]
+    lam = float(np.abs(evals[0])) if n_s else 0.0
+    return PSSFloquetResult(
+        f0=f0, multipliers=evals, stable=bool(lam < threshold),
+        lambda_max=lam, closure=closure)
+
+
+@dataclasses.dataclass
 class InjectionLockResult:
     f0: float            # free-running frequency (Hz)
     amp: float           # injected current amplitude (A)

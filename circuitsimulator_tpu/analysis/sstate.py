@@ -49,6 +49,10 @@ class SteadyStateResult:
     freqs: Any       # (nHarm+1,) harmonic frequencies 0..nHarm*f0
     spectrum: Any    # (nHarm+1, N) complex Fourier coefficients of xs
     converged: Any
+    s: Any = None    # converged shooting vector [x, vc, ic, il, vl] at
+                     # t=0 — Floquet stability (oscnoise.pss_floquet)
+                     # re-propagates from it
+    f0: Any = None   # the drive frequency the period was solved at
 
 
 _STATE_KEYS = ("vc", "ic", "il", "vl")
@@ -208,7 +212,7 @@ def steady_state(engine: Engine, params, f0: float,
     return SteadyStateResult(
         times=times, xs=xs_all, residual=final_res,
         newton_iters=iters, freqs=freqs, spectrum=coeffs,
-        converged=final_res < tol * 10,
+        converged=final_res < tol * 10, s=s, f0=f0,
     )
 
 

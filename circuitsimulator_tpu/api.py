@@ -864,6 +864,23 @@ class Simulator:
                                       extra_pairs=extra_pairs,
                                       extra_psd=extra_psd)
 
+    def pss_stability(self, ss=None, f0: Optional[float] = None,
+                      params: Optional[Any] = None, **kw):
+        """Floquet stability of a driven periodic steady state
+        (analysis/oscnoise.pss_floquet): monodromy multipliers of the
+        shooting solution — all |λ| < 1 means the PSS is an attractor;
+        |λ| > 1 flags a repellor the transient can never settle on;
+        λ → −1 warns of period doubling.  Pass ss= from steady_state()
+        or let this run it (needs an .hb card or f0)."""
+        from .analysis.oscnoise import pss_floquet
+        p = params if params is not None else self.params
+        if ss is None:
+            ss = self.steady_state(params=p, f0=f0, **kw)
+            if not bool(ss.converged):
+                raise RuntimeError("steady state did not converge "
+                                   f"(residual {float(ss.residual):.3e})")
+        return pss_floquet(self.engine, p, ss, f0=f0)
+
     def injection_lock(self, inj_node: str, amp: float,
                        ref_node: Optional[str] = None,
                        f0_guess: Optional[float] = None,
