@@ -142,6 +142,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--hot-sparams-out", metavar="CSV", default=None,
                    help="CSV path for --run-hot-sparams "
                         "(default hot_sparams.csv)")
+    p.add_argument("--run-lock", metavar="F0:ANCHOR:INJ:AMP",
+                   default=None,
+                   help="oscillator injection-locking range: shooting "
+                        "guess frequency, anchor node, injection node, "
+                        "injected current amplitude (A), e.g. "
+                        "'5e6:a:a:1e-3'; prints the solved f0 and the "
+                        "one-sided Adler lock range")
     p.add_argument("--run-lssp", metavar="PORTS", default=None,
                    help="large-signal S-parameters on the .hb carrier: "
                         "comma-separated Thevenin ports 'SRC:NODE[@z0]' "
@@ -634,6 +641,25 @@ def main(argv=None) -> int:
         except Exception as e:  # noqa: BLE001
             print(f"Hot S-parameter extraction failed: {e}",
                   file=sys.stderr)
+            return 1
+
+    if args.run_lock:
+        print("\nRunning injection-lock analysis...")
+        try:
+            parts = args.run_lock.split(":")
+            if len(parts) != 4:
+                raise ValueError("--run-lock wants F0:ANCHOR:INJ:AMP")
+            from .utils.numbers import parse_spice_number
+            f0g = parse_spice_number(parts[0])
+            amp = parse_spice_number(parts[3])
+            il = sim.injection_lock(parts[2], amp, f0_guess=f0g,
+                                    anchor_node=parts[1])
+            print(f"Free-running f0 = {il.f0:.6e} Hz")
+            print(f"Injection {amp:g} A at '{parts[2]}': one-sided lock "
+                  f"range = {il.lock_range_hz:.4e} Hz "
+                  f"({il.k_per_amp:.4e} Hz/A)")
+        except Exception as e:  # noqa: BLE001
+            print(f"Injection-lock analysis failed: {e}", file=sys.stderr)
             return 1
 
     if args.run_lssp:

@@ -90,6 +90,22 @@ def test_brute_force_lock_and_escape(lock):
     assert 0.6 * 3.0 * dl < off < 1.2 * 3.0 * dl
 
 
+def test_cli_lock(tmp_path, capsys):
+    from circuitsimulator_tpu.cli import main
+    deck = tmp_path / "vdp.sp"
+    deck.write_text(VDP)
+    rc = main([str(deck), "--no-tran", "--run-lock", "5e6:a:a:1m"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "lock range" in out
+    lines = [ln for ln in out.splitlines() if "lock range" in ln]
+    val = float(lines[0].split("=")[1].split("Hz")[0])
+    # 1 mA into the 2 V / 1 nF tank: amp/(4*pi*A*C) ~ 40 kHz
+    assert val == pytest.approx(1e-3 / (4 * np.pi * 2.0 * C_TANK),
+                                rel=0.07)
+    assert main([str(deck), "--no-tran", "--run-lock", "5e6:a:a"]) == 1
+
+
 def test_errors(lock):
     sim, res, _ = lock
     with pytest.raises(ValueError):
