@@ -369,3 +369,35 @@ def oscillator_phase_noise_hb(engine: Engine, params, osc: HBOscResult,
         period_jitter=float(np.sqrt(max(c, 0.0) * T)),
         by_class=by_class, per_source=per_src_w, kinds=kind_arr,
         ppv=V, invariance=invariance, sv_gap=sv_gap)
+
+
+def injection_lock_hb(engine: Engine, params, osc: HBOscResult,
+                      pair, amp: float, harmonic: int = 1):
+    """Adler lock range from the autonomous-HB PPV — the frequency-
+    domain twin of oscnoise.injection_lock and the ONLY locking path
+    for transmission-line (delay-line) oscillators.  The Fredholm-
+    normalized PPV samples V(t_k) share Demir's convention with the
+    shooting path (dα/dt = vᵀb), so the same averaging applies:
+    lock for |f_inj − m·f0| ≤ m·f0·amp·|p_m| with p_m the m-th Fourier
+    coefficient of p(t) = V(t)ᵀu.  Cross-validated against the
+    shooting-monodromy path on van der Pol (tests/test_injection_lock).
+    """
+    from .oscnoise import InjectionLockResult, _pair_matrix
+    if amp <= 0:
+        raise ValueError("injection amplitude must be > 0")
+    m = int(harmonic)
+    if m < 1:
+        raise ValueError("harmonic must be >= 1")
+    pn = oscillator_phase_noise_hb(engine, params, osc,
+                                   offsets=[float(osc.f0) * 1e-3],
+                                   extra_pairs=[tuple(pair)],
+                                   extra_psd=[0.0])
+    u = _pair_matrix(np.asarray([tuple(pair)]), engine.N, np.float64)[0]
+    p = np.asarray(pn.ppv) @ u                         # (K,)
+    K = len(p)
+    p_m = np.mean(p * np.exp(-2j * np.pi * m * np.arange(K) / K))
+    k_per_amp = m * float(osc.f0) * abs(p_m)
+    return InjectionLockResult(
+        f0=float(osc.f0), amp=float(amp),
+        lock_range_hz=k_per_amp * float(amp),
+        k_per_amp=k_per_amp, p1=complex(p_m), harmonic=m, pn=pn)

@@ -886,22 +886,34 @@ class Simulator:
                        f0_guess: Optional[float] = None,
                        anchor_node: Optional[str] = None,
                        osc=None, harmonic: int = 1,
+                       method: str = "auto",
                        params: Optional[Any] = None, **osc_kw):
-        """Adler injection-locking range from the oscillator PPV
-        (analysis/oscnoise.injection_lock): a current amp·cos(2πf_inj·t)
-        into inj_node[,ref_node] locks the oscillator for
-        |f_inj − m·f0| ≤ lock_range_hz.  Pass a converged `osc` result
-        or f0_guess + anchor_node to run the shooting here."""
+        """Adler injection-locking range from the oscillator PPV: a
+        current amp·cos(2πf_inj·t) into inj_node[,ref_node] locks the
+        oscillator for |f_inj − m·f0| ≤ lock_range_hz.  Pass a converged
+        `osc` result (shooting OscillatorResult or HBOscResult — its
+        type picks the path) or f0_guess + anchor_node to solve here;
+        method='auto' uses autonomous HB for T-line decks (shooting
+        cannot trace the delay ring) and shooting otherwise."""
         from .analysis.oscnoise import injection_lock
+        from .analysis.hbosc import HBOscResult, injection_lock_hb
         from .utils.numbers import is_ground_name
         p = params if params is not None else self.params
+        if method not in ("auto", "shooting", "hb"):
+            raise ValueError("method must be auto/shooting/hb")
         if osc is None:
             if f0_guess is None or anchor_node is None:
                 raise ValueError("give osc= or f0_guess + anchor_node")
-            osc = self.oscillator(f0_guess, anchor_node, params=p,
-                                  **osc_kw)
+            use_hb = (method == "hb" or
+                      (method == "auto" and self.engine.n_tl > 0))
+            if use_hb:
+                osc = self.oscillator_hb(f0_guess, anchor_node, params=p,
+                                         **osc_kw)
+            else:
+                osc = self.oscillator(f0_guess, anchor_node, params=p,
+                                      **osc_kw)
             if not osc.converged:
-                raise RuntimeError("oscillator shooting did not converge "
+                raise RuntimeError("oscillator solve did not converge "
                                    f"(residual {float(osc.residual):.3e})")
 
         def node_eq(name):
@@ -911,9 +923,12 @@ class Simulator:
             if nid is None:
                 raise KeyError(f"unknown node {name!r}")
             return self.circuit.nodes[nid].eq_index
-        return injection_lock(self.engine, p, osc,
-                              (node_eq(inj_node), node_eq(ref_node)),
-                              amp, harmonic=harmonic)
+        pair = (node_eq(inj_node), node_eq(ref_node))
+        if isinstance(osc, HBOscResult):
+            return injection_lock_hb(self.engine, p, osc, pair, amp,
+                                     harmonic=harmonic)
+        return injection_lock(self.engine, p, osc, pair, amp,
+                              harmonic=harmonic)
 
     def pnoise(self, deltas, out_node: str, ref_node: Optional[str] = None,
                f0: Optional[float] = None, n_harm: Optional[int] = None,

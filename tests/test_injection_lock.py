@@ -106,6 +106,40 @@ def test_cli_lock(tmp_path, capsys):
     assert main([str(deck), "--no-tran", "--run-lock", "5e6:a:a"]) == 1
 
 
+def test_hb_path_cross_validates(lock):
+    """The autonomous-HB PPV path must agree with the shooting-monodromy
+    path on the same deck — two independent algorithms (Floquet adjoint
+    recursion vs Fredholm-normalized Jacobian null vector) for |p1|."""
+    sim, res, il = lock
+    il_hb = sim.injection_lock("a", amp=AMP, f0_guess=5e6,
+                               anchor_node="a", method="hb", n_harm=9)
+    assert il_hb.k_per_amp == pytest.approx(il.k_per_amp, rel=0.02)
+    assert il_hb.f0 == pytest.approx(il.f0, rel=1e-3)
+
+
+def test_delay_line_oscillator_lock_range():
+    """T-line decks have no shooting PPV — method='auto' must route to
+    the HB path and produce a finite, sane lock range for the delay-line
+    oscillator (the first such number this engine can give)."""
+    sim = Simulator.from_text("""* delay-line oscillator
+Bamp b 0 V=-3.0*v(a)+0.5*v(a)^3
+Rb b bl 50
+T1 bl 0 a 0 Z0=50 TD=5n
+Ra a 0 50
+Ca a 0 2p
+.op
+""")
+    il = sim.injection_lock("a", amp=1e-3, f0_guess=1e8,
+                            anchor_node="a", n_harm=13)
+    assert il.f0 == pytest.approx(1e8, rel=0.1)     # ~1/(2 TD), pulled
+    assert 0 < il.lock_range_hz < 0.1 * il.f0
+    # linear in amp by construction; harmonic m=2 uses |p_2|
+    il2 = sim.injection_lock("a", amp=2e-3, f0_guess=1e8,
+                             anchor_node="a", n_harm=13)
+    assert il2.lock_range_hz == pytest.approx(2 * il.lock_range_hz,
+                                              rel=1e-6)
+
+
 def test_errors(lock):
     sim, res, _ = lock
     with pytest.raises(ValueError):
