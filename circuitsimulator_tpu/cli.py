@@ -142,6 +142,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--hot-sparams-out", metavar="CSV", default=None,
                    help="CSV path for --run-hot-sparams "
                         "(default hot_sparams.csv)")
+    p.add_argument("--pss-stability", action="store_true",
+                   help="with --run-hb (shooting method): also compute "
+                        "the Floquet multipliers of the periodic "
+                        "solution and report attractor/repellor")
     p.add_argument("--run-lock", metavar="F0:ANCHOR:INJ:AMP",
                    default=None,
                    help="oscillator injection-locking range: shooting "
@@ -490,6 +494,17 @@ def main(argv=None) -> int:
                       f"newton_iters={hbres.newton_iters}, "
                       f"converged={bool(hbres.converged)}")
                 print(harmonic_table(sim.topo, hbres))
+                if args.pss_stability and getattr(hbres, "s", None) is None:
+                    print("--pss-stability needs the shooting method "
+                          "(--hb-method shooting); skipped",
+                          file=sys.stderr)
+                elif args.pss_stability:
+                    st = sim.pss_stability(ss=hbres)
+                    tag = ("stable (attractor)" if st.stable else
+                           "UNSTABLE — the transient flow cannot settle "
+                           "on this solution")
+                    print(f"Floquet: |lambda|_max = {st.lambda_max:.6f} "
+                          f"-> {tag}")
             print(f"One period written to '{args.run_hb}'.")
         except Exception as e:  # noqa: BLE001
             print(f"Steady state failed: {e}", file=sys.stderr)

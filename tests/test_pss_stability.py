@@ -79,6 +79,28 @@ Bneg a 0 I=-2m*v(a) + 0.5m*v(a)**3
     assert abs(st.multipliers[1]) < 0.99
 
 
+def test_cli_flag(tmp_path, capsys):
+    from circuitsimulator_tpu.cli import main
+    deck = tmp_path / "rc.sp"
+    deck.write_text(f"""* driven rc
+I1 0 a SIN 0 1m {F0}
+R1 a 0 1k
+C1 a 0 1e-10
+.hb {F0} 3
+""")
+    rc = main([str(deck), "--no-tran", "--run-hb",
+               str(tmp_path / "hb.csv"), "--pss-stability"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "stable (attractor)" in out
+    # the hb method has no shooting vector: warns, does not fail
+    rc = main([str(deck), "--no-tran", "--run-hb",
+               str(tmp_path / "hb2.csv"), "--hb-method", "hb",
+               "--pss-stability"])
+    assert rc == 0
+    assert "needs the shooting method" in capsys.readouterr().err
+
+
 def test_missing_vector_raises():
     sim = Simulator.from_text(f"""* rc
 I1 0 a SIN 0 1m {F0}
