@@ -166,6 +166,29 @@ Cc out 0 {C}
     assert errs[2] < 0.12 * errs[1]        # trap: second order
 
 
+def test_tline_carrier_envelope_matches_hb():
+    """Guards the 'T-line delays included' claim: a carrier through a
+    mismatched transmission line — the envelope must be t1-invariant and
+    equal to plain HB (whose band-limited shift operators are the
+    independently validated delay treatment)."""
+    sim = Simulator.from_text(f"""* carrier through a line
+V1 in 0 SIN 0 1 {F0}
+RS in a 75
+T1 a 0 b 0 Z0=50 TD=37n
+RL b 0 120
+.op
+""")
+    res = sim.envelope(t_stop=1.5e-6, dt_env=5e-7, f0=F0, n_harm=4)
+    assert res.converged.all()
+    eq = _eq(sim, "b")
+    hb = harmonic_balance(sim.engine, sim.params, F0, n_harm=4)
+    assert bool(hb.converged)
+    for n in range(len(res.t1)):
+        np.testing.assert_allclose(res.coeffs[n, :, eq],
+                                   np.asarray(hb.spectrum)[:, eq],
+                                   atol=1e-8)
+
+
 def test_cli_envelope(tmp_path):
     from circuitsimulator_tpu.cli import main
     deck = tmp_path / "am.sp"
