@@ -181,6 +181,23 @@ def ac_analysis(engine: Engine, params, freqs, x_op: Optional[Any] = None):
     return ACResult(freqs=freqs, xs=xs)
 
 
+def make_ac_batched_fn(engine: Engine, freqs):
+    """Factory for the batched-AC jitted program: fn(bparams, x_ops) ->
+    (xr, xi) of shape (B, F, N) each, with the jit reused across calls of
+    the same shapes (ac_analysis_batched re-closes over a fresh jit every
+    call; benchmarks need the warm path)."""
+    freqs = jnp.asarray(freqs, engine.dtype)
+
+    def one_lane(p, x_op):
+        def solve_one(f):
+            G, B, br, bi = ac_system_real(engine, p, x_op,
+                                          2.0 * jnp.pi * f)
+            return solve_ac_real(engine, G, B, br, bi)
+        return jax.vmap(solve_one)(freqs)
+
+    return jax.jit(jax.vmap(one_lane))
+
+
 def ac_analysis_batched(engine: Engine, bparams, freqs,
                         x_ops: Optional[Any] = None) -> ACResult:
     """Monte-Carlo AC: the whole (lanes x frequencies) sweep solves as
@@ -192,15 +209,7 @@ def ac_analysis_batched(engine: Engine, bparams, freqs,
         from ..parallel.montecarlo import batched_dc_fast
         x_ops = batched_dc_fast(engine, bparams)
     freqs = jnp.asarray(freqs, engine.dtype)
-
-    def one_lane(p, x_op):
-        def solve_one(f):
-            G, B, br, bi = ac_system_real(engine, p, x_op,
-                                          2.0 * jnp.pi * f)
-            return solve_ac_real(engine, G, B, br, bi)
-        return jax.vmap(solve_one)(freqs)
-
-    xr, xi = jax.jit(jax.vmap(one_lane))(bparams, x_ops)
+    xr, xi = make_ac_batched_fn(engine, freqs)(bparams, x_ops)
     xs = np.asarray(xr) + 1j * np.asarray(xi)
     return ACResult(freqs=freqs, xs=xs)
 

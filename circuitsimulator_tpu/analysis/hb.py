@@ -321,26 +321,18 @@ def harmonic_balance(engine: Engine, params, f0: float,
                     converged=final < max(tol * 100, 1e-6))
 
 
-def harmonic_balance_batched(engine: Engine, bparams, f0: float,
-                             n_harm: int = 8,
-                             warmup_periods: int = 6,
-                             n_newton: int = 15,
-                             tol: float = 1e-9,
-                             gmin: float = 0.0,
-                             damping: float = 1.0,
-                             x0s=None) -> HBBatchResult:
-    """Monte-Carlo harmonic balance: B perturbed lanes solve as ONE
-    batched program — warm-up transients, K·N HB Newton systems and the
-    dense (K·N)² solves all vmap over the lane axis (batched dense
-    linear algebra is exactly the MXU's shape).  Per-lane freeze: a
-    converged or non-finite lane stops updating instead of poisoning the
-    batch (same contract as parallel/montecarlo.batched_transient).
-
-    bparams: params pytree with a leading lane axis (perturb_params).
-    x0s: optional (B, N) DC operating points (defaults to the natively
-    batched DC).  Fixed n_newton iterations (no host-side convergence
-    polling — the whole run is one jitted program); `converged` reports
-    per-lane success."""
+def make_hb_batched_fn(engine: Engine, f0: float,
+                       n_harm: int = 8,
+                       warmup_periods: int = 6,
+                       n_newton: int = 15,
+                       tol: float = 1e-9,
+                       gmin: float = 0.0,
+                       damping: float = 1.0):
+    """Factory for the batched-HB jitted program: returns (ts, fn) where
+    fn(bparams, x0s) -> (Xs, finals) is ONE jit whose compilation is
+    reused across calls with the same shapes (harmonic_balance_batched
+    re-closes over a fresh jit every call; benchmarks need the warm
+    path).  See harmonic_balance_batched for semantics."""
     from .transient import transient_step_fn
     dtype = engine.dtype
     N = engine.N
@@ -349,10 +341,6 @@ def harmonic_balance_batched(engine: Engine, bparams, f0: float,
     K = 2 * H + 1
     ts, residual_p, jacobian_p = make_hb_system(engine, f0, n_harm,
                                                 gmin=gmin)
-    if x0s is None:
-        from ..parallel.montecarlo import batched_dc_fast
-        x0s = batched_dc_fast(engine, bparams)
-
     steps_per_period = max(4 * K, 64)
     dt_w = jnp.asarray(T / steps_per_period, dtype)
     idx = (np.arange(K) * steps_per_period) // K
@@ -388,7 +376,40 @@ def harmonic_balance_batched(engine: Engine, bparams, f0: float,
         final = jnp.linalg.norm(residual_p(X, p))
         return X, final
 
-    Xs, finals = jax.jit(jax.vmap(one_lane))(bparams, x0s)
+    return ts, jax.jit(jax.vmap(one_lane))
+
+
+def harmonic_balance_batched(engine: Engine, bparams, f0: float,
+                             n_harm: int = 8,
+                             warmup_periods: int = 6,
+                             n_newton: int = 15,
+                             tol: float = 1e-9,
+                             gmin: float = 0.0,
+                             damping: float = 1.0,
+                             x0s=None) -> HBBatchResult:
+    """Monte-Carlo harmonic balance: B perturbed lanes solve as ONE
+    batched program — warm-up transients, K·N HB Newton systems and the
+    dense (K·N)² solves all vmap over the lane axis (batched dense
+    linear algebra is exactly the MXU's shape).  Per-lane freeze: a
+    converged or non-finite lane stops updating instead of poisoning the
+    batch (same contract as parallel/montecarlo.batched_transient).
+
+    bparams: params pytree with a leading lane axis (perturb_params).
+    x0s: optional (B, N) DC operating points (defaults to the natively
+    batched DC).  Fixed n_newton iterations (no host-side convergence
+    polling — the whole run is one jitted program); `converged` reports
+    per-lane success."""
+    dtype = engine.dtype
+    H = int(n_harm)
+    K = 2 * H + 1
+    if x0s is None:
+        from ..parallel.montecarlo import batched_dc_fast
+        x0s = batched_dc_fast(engine, bparams)
+    ts, fn = make_hb_batched_fn(engine, f0, n_harm=n_harm,
+                                warmup_periods=warmup_periods,
+                                n_newton=n_newton, tol=tol, gmin=gmin,
+                                damping=damping)
+    Xs, finals = fn(bparams, x0s)
 
     # host-side FFT (complex-free device programs; see harmonic_balance)
     fft = np.fft.rfft(np.asarray(Xs), axis=1) / K
