@@ -80,11 +80,26 @@ class EnvelopeResult:
 
 
 def _fast_masks(engine: Engine, params, f0: float):
-    """Per-source fast-axis masks: SIN waveforms at >= f0/2."""
+    """Per-source fast-axis masks: SIN waveforms at >= f0/2.  A fast
+    source is evaluated at t2 on the K-point period grid, so it must be
+    T-periodic: warn when a fast-classified frequency is not an integer
+    multiple of f0 (it would silently alias onto the wrong harmonic)."""
     fv = (engine.vs_kinds == WAVE_SIN) & \
         (np.asarray(params["vs_sin"])[:, 2] >= 0.5 * f0)
     fi = (engine.is_kinds == WAVE_SIN) & \
         (np.asarray(params["is_sin"])[:, 2] >= 0.5 * f0)
+    for mask, key, tag in ((fv, "vs_sin", "V"), (fi, "is_sin", "I")):
+        freqs = np.asarray(params[key])[:, 2][np.asarray(mask)]
+        ratio = freqs / f0
+        bad = np.abs(ratio - np.round(ratio)) > 1e-6 * np.maximum(ratio, 1.0)
+        if np.any(bad):
+            import warnings
+            warnings.warn(
+                f"envelope: fast-axis {tag}-source SIN frequencies "
+                f"{freqs[bad].tolist()} are not harmonics of f0={f0:g}; "
+                "they will be phase-wrapped onto the period grid "
+                "(aliased). Use a slow (baseband) source or adjust f0.",
+                stacklevel=3)
     return jnp.asarray(fv), jnp.asarray(fi)
 
 
@@ -136,8 +151,12 @@ def envelope_transient(engine: Engine, params, f0: float, t_stop: float,
         if_ = jax.vmap(wave_i)(ts)
         vs = params["vs_dc"] + wave_v(t1)            # (nV,)
         is_ = params["is_dc"] + wave_i(t1)
-        vval = jnp.where(fv[None, :], vf, vs[None, :])
-        ival = jnp.where(fi[None, :], if_, is_[None, :])
+        # a fast source keeps its DC bias too ("DC 2 SIN(...)"): the DC
+        # term is slow (constant), the SIN rides t2.
+        vval = jnp.where(fv[None, :], vf + params["vs_dc"][None, :],
+                         vs[None, :])
+        ival = jnp.where(fi[None, :], if_ + params["is_dc"][None, :],
+                         is_[None, :])
         zeros_l = jnp.zeros((K,) + params["ind_l"].shape, dtype)
         zeros_c = jnp.zeros((K,) + engine._caplike_C(params).shape, dtype)
         parts = [vval, ival, zeros_l, zeros_c]

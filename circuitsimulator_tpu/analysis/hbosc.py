@@ -388,6 +388,12 @@ def injection_lock_hb(engine: Engine, params, osc: HBOscResult,
     m = int(harmonic)
     if m < 1:
         raise ValueError("harmonic must be >= 1")
+    H = (int(np.asarray(osc.xs).shape[0]) - 1) // 2
+    if m > H:
+        raise ValueError(
+            f"harmonic={m} exceeds the HB truncation H={H} (K=2H+1 "
+            f"samples): p_m would alias onto a lower harmonic. Re-run "
+            "oscillator_hb with n_harm >= harmonic.")
     pn = oscillator_phase_noise_hb(engine, params, osc,
                                    offsets=[float(osc.f0) * 1e-3],
                                    extra_pairs=[tuple(pair)],

@@ -325,6 +325,13 @@ def pss_floquet(engine: Engine, params, ss,
     f0 = float(f0 if f0 is not None else ss.f0)
     if not f0 or f0 <= 0:
         raise ValueError("pss_floquet needs the drive f0")
+    if getattr(engine, "n_tl", 0):
+        raise NotImplementedError(
+            "pss_floquet does not support transmission-line decks yet: "
+            "the monodromy re-propagation drops the T-line delay ring "
+            "(the state is infinite-dimensional — a DDE needs a "
+            "discretized-ring monodromy). Use hbosc Floquet-free checks "
+            "or remove the T-lines.")
     engine = osc_engine(engine)
     dtype = engine.dtype
     T = 1.0 / f0
@@ -415,6 +422,12 @@ def injection_lock(engine: Engine, params, osc: OscillatorResult,
     m = int(harmonic)
     if m < 1:
         raise ValueError("harmonic must be >= 1")
+    K_osc = int(np.asarray(osc.times).shape[0]) - 1
+    if 2 * m >= K_osc:
+        raise ValueError(
+            f"harmonic={m} is at/above the Nyquist limit of the K="
+            f"{K_osc}-sample PPV grid: p_m would alias. Re-run "
+            "oscillator shooting with more samples per period.")
     pn = oscillator_phase_noise(engine, params, osc,
                                 offsets=[float(osc.f0) * 1e-3],
                                 extra_pairs=[tuple(pair)],

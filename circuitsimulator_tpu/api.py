@@ -1116,7 +1116,18 @@ class Simulator:
             node_eqs.append(eqi)
             z0.append(float(z))
         z0 = _np.asarray(z0)
-        # the source's own positive terminal (phasor of Vs)
+        # the source's own positive terminal (phasor of Vs) — valid only
+        # for a grounded Thevenin port: Vs = V(ep) requires em = ground
+        # (the dump slot). A floating port source would need the branch
+        # voltage V(ep)-V(em); reject it rather than report wrong waves.
+        dump = self.engine.N
+        for i, (src, _, _) in zip(src_idx, ports):
+            if int(self.topo.vs_em[i]) != dump:
+                raise ValueError(
+                    f"lssp port source {src!r} is floating (negative "
+                    "terminal not ground): S-parameter ports must be "
+                    "grounded Thevenin sources (Vsrc + series Z0 to "
+                    "ground)")
         vs_ep = [int(self.topo.vs_ep[i]) for i in src_idx]
         p0 = dict(params if params is not None else self.params)
         amps = _np.sqrt(8.0 * z0 * float(power))

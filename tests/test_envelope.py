@@ -43,6 +43,41 @@ R2 out 0 200
                                    atol=1e-8)
 
 
+def test_dc_offset_carrier_keeps_bias():
+    """'V1 in 0 DC 2 SIN(...)' — the source's DC term is slow but must
+    NOT be dropped when the SIN rides the fast axis: the envelope's
+    harmonic-0 coefficient must match plain HB (which sees dc + sin)."""
+    sim = Simulator.from_text(f"""* biased carrier
+V1 in 0 DC 2 SIN 0 0.8 {F0}
+R1 in out 100
+B1 out 0 I=0.3*v(out)^3
+R2 out 0 200
+.op
+""")
+    res = sim.envelope(t_stop=2e-6, dt_env=5e-7, f0=F0, n_harm=5)
+    assert res.converged.all()
+    eq = _eq(sim, "out")
+    hb = harmonic_balance(sim.engine, sim.params, F0, n_harm=5)
+    # the bias makes harmonic 0 strongly nonzero; envelope == HB per step
+    assert abs(np.asarray(hb.spectrum)[0, eq]) > 0.3
+    for n in range(len(res.t1)):
+        np.testing.assert_allclose(res.coeffs[n, :, eq],
+                                   np.asarray(hb.spectrum)[:, eq],
+                                   atol=1e-7)
+
+
+def test_nonharmonic_fast_sin_warns():
+    """A SIN at 0.7*f0 is fast-classified (>= f0/2) but not T-periodic
+    on the fast grid — it aliases, so the classifier must warn."""
+    sim = Simulator.from_text(f"""* off-grid carrier
+V1 in 0 SIN 0 1 {0.7 * F0}
+R1 in 0 1k
+.op
+""")
+    with pytest.warns(UserWarning, match="not harmonics"):
+        sim.envelope(t_stop=1e-6, dt_env=5e-7, f0=F0, n_harm=3)
+
+
 def test_memoryless_am_tracks_quasi_static_hb():
     sim = Simulator.from_text(f"""* AM into a cubic
 Vc carr 0 SIN 0 1 {F0}

@@ -148,3 +148,11 @@ def test_errors(lock):
         sim.injection_lock("a", amp=1e-3, osc=res, harmonic=0)
     with pytest.raises(KeyError):
         sim.injection_lock("nope", amp=1e-3, osc=res)
+    # aliasing guards: shooting path m >= K/2 (K=256 samples), HB path
+    # m > H — both would fold p_m onto a lower harmonic and report a
+    # plausible-but-wrong lock range.
+    with pytest.raises(ValueError, match="alias"):
+        sim.injection_lock("a", amp=1e-3, osc=res, harmonic=128)
+    with pytest.raises(ValueError, match="alias"):
+        sim.injection_lock("a", amp=1e-3, f0_guess=5e6, anchor_node="a",
+                           method="hb", n_harm=5, harmonic=6)

@@ -115,6 +115,21 @@ RS2 s2 p2 50
     np.testing.assert_allclose(out2["s"], out["s"], rtol=1e-6, atol=1e-9)
 
 
+def test_lssp_floating_port_rejected():
+    """The a/b wave extraction reads Vs from the source's positive node,
+    which is only the source phasor for a grounded Thevenin port — a
+    floating port source must be rejected, not silently mis-measured."""
+    hot = Simulator.from_text(f"""* floating port source
+V1 s1 mid SIN 0 1 {F0}
+Rm mid 0 10
+RS1 s1 p1 50
+Rl p1 0 100
+.hb {F0} 4
+""")
+    with pytest.raises(ValueError, match="floating"):
+        hot.lssp([("V1", "p1", 50.0)], power=1e-3)
+
+
 def test_lssp_compression():
     hot = Simulator.from_text(f"""* lssp compressive
 V1 s1 0 SIN 0 1 {F0}

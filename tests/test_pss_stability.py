@@ -101,6 +101,22 @@ C1 a 0 1e-10
     assert "needs the shooting method" in capsys.readouterr().err
 
 
+def test_tline_deck_raises_cleanly():
+    """T-line decks carry a delay ring the monodromy re-propagation
+    would silently drop (DDE state) — must refuse with a clear message,
+    not crash with a scan carry-shape mismatch."""
+    sim = Simulator.from_text(f"""* driven line
+V1 in 0 SIN 0 1 {F0}
+R1 in a 50
+T1 a 0 b 0 Z0=50 TD=10n
+Rb b 0 50
+.hb {F0} 3
+""")
+    ss = sim.steady_state(steps_per_period=64)
+    with pytest.raises(NotImplementedError, match="[Tt]ransmission"):
+        sim.pss_stability(ss=ss)
+
+
 def test_missing_vector_raises():
     sim = Simulator.from_text(f"""* rc
 I1 0 a SIN 0 1m {F0}
