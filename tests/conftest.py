@@ -24,6 +24,30 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import pytest  # noqa: E402
 
+# ---- smoke tier -----------------------------------------------------
+# `pytest -m smoke` = the <10-min CI slice: reference-parity goldens +
+# at least one test file per analysis/subsystem.  Whole files are
+# marked here (pytest_collection_modifyitems) so the list stays in one
+# place; everything else is the nightly/full tier (60-95 min on 1 CPU).
+SMOKE_FILES = {
+    # reference parity (goldens, both frontends, numbers/lexer/parser)
+    "test_dc.py", "test_numbers.py", "test_lexer.py", "test_parser.py",
+    "test_examples.py", "test_native_frontend.py",
+    # one representative per analysis / subsystem
+    "test_transient.py", "test_ac_sweep.py", "test_hb.py",
+    "test_noise.py", "test_pac.py", "test_sensitivity.py",
+    "test_measure.py", "test_fourier.py", "test_dc_sweep2.py",
+    "test_lu.py", "test_woodbury.py", "test_parallel.py",
+    "test_spike.py", "test_waveforms.py", "test_bsource.py",
+    "test_options_card.py", "test_rawfile.py", "test_sstate.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.path is not None and item.path.name in SMOKE_FILES:
+            item.add_marker(pytest.mark.smoke)
+
 
 @pytest.fixture(scope="session")
 def goldens_dir():
