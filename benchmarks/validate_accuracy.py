@@ -66,12 +66,18 @@ print(json.dumps({{'iters': int(np.asarray(res.newton_iters).sum()),
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
-def run_fused_samples(steps: int, chunk: int = 200):
+def run_fused_full(steps: int, chunk: int = 200):
     """Advance the full run with the fused Pallas chunk kernel
-    (ops/pallas_step.py) on the default platform, sampling the solution at
-    every chunk boundary (the kernel keeps no per-step waveform memory).
-    Returns (sample_step_indices, samples[col_order])."""
+    (ops/pallas_step.py) on the default platform, streaming EVERY golden
+    CSV column at EVERY step through the kernel's probe output (the same
+    probe_mat machinery .MEASURE uses) — the full-trajectory accuracy
+    evidence for the headline path, not boundary samples.
+    Returns (step_indices 0..steps, waveform (steps+1, P) in the
+    reference CSV column order)."""
     import jax
+    interpret = bool(os.environ.get("VAL_INTERPRET"))
+    if interpret:                      # CPU plumbing check (tiny steps)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
@@ -96,20 +102,27 @@ def run_fused_samples(steps: int, chunk: int = 200):
     st0 = engine.init_state(x0)
     vc0 = jnp.broadcast_to(st0["vc"][None], (B,) + st0["vc"].shape)
     il0 = jnp.broadcast_to(st0["il"][None], (B,) + st0["il"].shape)
-    runner = pallas_step.PallasStepRunner(engine, bp, dt)
-    run = jax.jit(lambda c, s0: runner.run_chunk(*c, s0, chunk))
+    col_eqs = np.concatenate([sim.topo.volt_col_eqs,
+                              sim.topo.branch_col_eqs]).astype(int)
+    P = len(col_eqs)
+    probe_mat = np.zeros((P, engine.N), np.float32)
+    probe_mat[np.arange(P), col_eqs] = 1.0
+    runner = pallas_step.PallasStepRunner(engine, bp, dt,
+                                          probe_mat=probe_mat)
+    run = jax.jit(lambda c, s0: runner.run_chunk(*c, s0, chunk,
+                                                 interpret=interpret))
     carry = (x0b, x0b, vc0, il0, jnp.zeros((B,), bool))
-    xs = [x0]
+    waves = [np.asarray(x0)[col_eqs][None]]      # step 0 = DC point
     n_chunks = steps // chunk
     for i in range(n_chunks):
         out = run(carry, jnp.asarray(float(i * chunk), jnp.float32))
         carry = out[:5]
-        xs.append(out[0][0])
-    xs = np.asarray(jax.device_get(jnp.stack(xs)), np.float64)
-    col_eqs = np.concatenate([sim.topo.volt_col_eqs,
-                              sim.topo.branch_col_eqs]).astype(int)
-    idx = np.arange(0, n_chunks * chunk + 1, chunk)
-    return idx, xs[:, col_eqs]
+        # probe block (chunk, P, B): every step, lane 0
+        waves.append(np.asarray(jax.device_get(out[6][:, :, 0]),
+                                np.float64))
+    waves = np.concatenate(waves, axis=0)        # (steps+1, P)
+    idx = np.arange(waves.shape[0])
+    return idx, waves
 
 
 def report(tag, ref, ours):
@@ -137,10 +150,10 @@ def main():
     cfg = "fast-Newton bench" if fast else "damped parity"
 
     if os.environ.get("VAL_FUSED"):
-        # fused Pallas chunk kernel vs the reference golden, sampled at
-        # chunk boundaries over the full run (no per-step waveform memory)
+        # fused Pallas chunk kernel vs the reference golden at EVERY
+        # step over the full run (per-step probe streaming)
         chunk = int(os.environ.get("VAL_FUSED_CHUNK", "200"))
-        idx, ours = run_fused_samples(steps, chunk)
+        idx, ours = run_fused_full(steps, chunk)
         with open(GOLDEN) as f:
             f.readline()
             golden = np.loadtxt(f, delimiter=",")[:, 1:]
@@ -148,7 +161,7 @@ def main():
         summary = {"config": cfg + "+fused", "steps": steps,
                    "samples": int(len(idx)),
                    "vs_ref_golden": report(
-                       f"reference golden ({len(idx)} boundary samples)",
+                       f"reference golden (all {len(idx)} steps)",
                        golden_s, ours[: len(golden_s)])}
         out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "accuracy_dbmixer_fused.json")
