@@ -87,6 +87,15 @@ def ac_system_real(engine: Engine, params, x_op, omega):
     C = engine._caplike_C(params)
     B = B.at[engine.cap_rows, engine.cap_cols].add(
         _two_terminal_vals(omega * C))
+    if getattr(engine, "mos_charge", False):
+        # charge cap model: exact small-signal trans-capacitances
+        # C_tj = dq_t/dv_j at the operating point (models/moscap.py) —
+        # bias-dependent and non-reciprocal, unlike the fixed lumps
+        # (which _caplike_C zeroes under this model)
+        from ..models.moscap import charge_jacobian
+        _, Jq = charge_jacobian(engine.mos_vdgs(x_op), params)
+        B = B.at[engine.mq_rows, engine.mq_cols].add(
+            omega * Jq.reshape(-1))
     if len(t.ind_k):
         B = B.at[t.ind_k, t.ind_k].add(-omega * params["ind_l"])
     if len(t.mut_a):

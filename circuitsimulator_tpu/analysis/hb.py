@@ -146,10 +146,21 @@ def _tl_add_jacobian_blocks(engine: Engine, params, S, J):
     return J
 
 
-def _reactive_structure(engine: Engine, params):
+def _reactive_structure(engine: Engine, params, x_op=None):
     """C_struct (N, N): node rows get the capacitor patterns (+C at (a,a),
     -C at (a,b), ...), inductor branch rows get -L on the diagonal, so that
-    r += C_struct @ dx/dt completes KCL/branch equations."""
+    r += C_struct @ dx/dt completes KCL/branch equations.
+
+    Under the charge cap model (mos_cap_model='charge') the structure is
+    state-dependent: pass x_op to linearize the MOS trans-capacitances
+    dq_t/dv_j there (small-signal consumers: .PZ, loop gain); consumers
+    that need the LARGE-SIGNAL C over a swing (HB/PAC/envelope/PSS)
+    cannot use a constant structure and must require 'fixed'."""
+    if getattr(engine, "mos_charge", False) and x_op is None:
+        raise NotImplementedError(
+            "harmonic-domain analyses (HB/PAC/envelope/PSS) require "
+            "mos_cap_model='fixed': the charge cap model's state-"
+            "dependent dq/dt is not in the linear C structure yet")
     N = engine.N
     C = engine._caplike_C(params)
     cvals = jnp.stack([C, C, -C, -C], axis=-1).reshape(*C.shape[:-1], -1)
@@ -162,6 +173,11 @@ def _reactive_structure(engine: Engine, params):
         mm = engine._mutual_M(params)
         M = M.at[..., engine.mut_rows, engine.mut_cols].add(
             -jnp.concatenate([mm, mm], axis=-1))
+    if getattr(engine, "mos_charge", False):
+        from ..models.moscap import charge_jacobian
+        _, Jq = charge_jacobian(engine.mos_vdgs(x_op), params)
+        M = M.at[..., engine.mq_rows, engine.mq_cols].add(
+            Jq.reshape(*Jq.shape[:-3], -1))
     return M[..., :N, :N]
 
 

@@ -78,7 +78,8 @@ def pole_zero(engine: Engine, params, out_eq: int, ref_eq: int = -1,
     G, _ = engine.assemble_dc_iter(
         G_s, jnp.zeros_like(G_s[..., 0]), params, x_op, 0.0)
     A = np.asarray(G[..., :N, :N], np.float64)
-    C = np.asarray(_reactive_structure(engine, params), np.float64)
+    C = np.asarray(_reactive_structure(engine, params, x_op=x_op),
+                   np.float64)
 
     poles, sigma = _finite_pencil_eigs(A, C)
 

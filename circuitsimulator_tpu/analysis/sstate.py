@@ -115,6 +115,10 @@ def steady_state(engine: Engine, params, f0: float,
                  tol: float = 1e-9,
                  fd_eps: float = 1e-6):
     """Compute the periodic steady state.  Returns SteadyStateResult."""
+    if getattr(engine, "mos_charge", False):
+        raise NotImplementedError(
+            "shooting PSS requires mos_cap_model='fixed' (the shooting "
+            "vector layout [x, vc, ic, il, vl] has no charge slots)")
     # trapezoidal + tight per-step tolerance (osc_engine): BE's numerical
     # damping costs O(dt) amplitude on every tank (measured 3e-3 at 512
     # steps/period on a matched line) and the 1e-6 early-stop biases the
@@ -289,6 +293,10 @@ def oscillator_steady_state(engine: Engine, params, f0_guess: float,
     if engine.n_tl:
         raise NotImplementedError("oscillator shooting does not support "
                                   "transmission lines (dt-dependent ring)")
+    if getattr(engine, "mos_charge", False):
+        raise NotImplementedError(
+            "oscillator shooting requires mos_cap_model='fixed' (the "
+            "shooting vector layout has no charge slots)")
     engine = osc_engine(engine)
     dtype = engine.dtype
     K = int(steps_per_period)

@@ -99,6 +99,13 @@ def transient_step_fn(engine: Engine, params, dt, predictor: bool = False,
     use_woodbury = opts.tran_solver == "woodbury"
     use_tridiag = opts.tran_solver == "tridiag"
     use_blockband = opts.tran_solver == "blockband"
+    mos_charge = getattr(engine, "mos_charge", False)
+    if mos_charge and (method != "be" or use_tridiag or use_blockband):
+        raise NotImplementedError(
+            "mos_cap_model='charge' runs on the BE transient with the "
+            "'woodbury' or 'lu' backend (trap needs charge-current "
+            "history; tridiag/blockband lack the injection scatter)")
+    inv_dt = 1.0 / dt if mos_charge else None
     # Every nonlinear class rides the rank-k plan now: MOS/JFET/diode/BJT
     # (width-3 rows), switches (width-4), and behavioral B-sources
     # (rank-1 rows over their probe pairs, width 2m; the plan widens to
@@ -170,9 +177,11 @@ def transient_step_fn(engine: Engine, params, dt, predictor: bool = False,
         def cond(c):
             return (~c["done"]) & (c["iter"] < opts.tran_max_newton_iters)
 
+        qex = (state["qm"], inv_dt) if mos_charge else None
+
         def body(c):
             if use_woodbury:
-                x_raw = wb.solve(params, c["x"], z0, t)
+                x_raw = wb.solve(params, c["x"], z0, t, qex)
             elif use_tridiag:
                 gvals, rvals = engine._nl_vals(params, c["x"], t)
                 mats = nl_plan.scatter(gvals, base=banded_static)
@@ -195,7 +204,7 @@ def transient_step_fn(engine: Engine, params, dt, predictor: bool = False,
                 x_raw = bb_layout.gather_solution(xi, y)
             else:
                 G, I = engine.assemble_tran_iter(G_static, I_s, params,
-                                                 c["x"], t)
+                                                 c["x"], t, qex)
                 x_raw = dense_solve(G[..., :N, :N], I[..., :N])
             finite = jnp.all(jnp.isfinite(x_raw), axis=-1)
             upd_vec = x_raw - c["x"]

@@ -122,6 +122,13 @@ class Simulator:
                     # the reference deliberately treats reverse bias as
                     # "off" (element.cpp:223), so this is opt-in
                     kw["mos_reverse_region"] = bool(int(_num(v)))
+                elif k == "moscap":
+                    m = str(v).lower()
+                    if m in ("fixed", "charge"):
+                        kw["mos_cap_model"] = m
+                    else:
+                        print(f".OPTIONS: unsupported MOSCAP={v}; "
+                              "keeping fixed", file=sys.stderr)
                 else:
                     print(f".OPTIONS: unknown option {k.upper()}; ignored",
                           file=sys.stderr)

@@ -438,6 +438,7 @@ def lower(ckt: Circuit, dtype=jnp.float64) -> LoweredCircuit:
         "mos_k": jnp.asarray([e.k for e in mos], dtype),
         "mos_lam": jnp.asarray([e.lam for e in mos], dtype),
         "mos_cj0": jnp.asarray([e.cj0 for e in mos], dtype),
+        "mos_coxwl": jnp.asarray([e.coxwl for e in mos], dtype),
         "mos_kf": jnp.asarray([e.kf for e in mos], dtype),
         "mos_gamma": jnp.asarray([e.gamma for e in mos], dtype),
         "mos_phi": jnp.asarray([e.phi for e in mos], dtype),

@@ -38,7 +38,7 @@ from ..netlist.parser import (
 _SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                     "csim_frontend.cpp")
 _LIB_NAME = "libcsim_frontend.so"
-_ABI_VERSION = 15  # bump on ANY packed-struct change (CLAUDE.md)
+_ABI_VERSION = 16  # bump on ANY packed-struct change (CLAUDE.md)
 
 _lib = None
 _lib_error: Optional[str] = None
@@ -84,6 +84,9 @@ class _CElement(ct.Structure):
         ("tn_na", ct.c_double), ("tn_nt", ct.c_double),
         # 1/f^alpha flicker component (ABI v15)
         ("tn_alpha", ct.c_double), ("tn_namp", ct.c_double),
+        # MOS total gate-oxide capacitance COX*W*L (ABI v16; the
+        # charge-based cap model needs it — K only fixes COX*W/L)
+        ("coxwl", ct.c_double),
     ]
 
 
@@ -351,6 +354,7 @@ def parse_netlist_text_native(text: str) -> Tuple[Circuit, SimulationConfig]:
                 rec.vth, rec.k, rec.lam, rec.cj0 = e.vth, e.k, e.lam, e.cj0
                 rec.kf, rec.af = e.kf, e.af
                 rec.gamma, rec.phi = e.gamma, e.phi
+                rec.coxwl = e.coxwl
             elif kind == KIND_D:
                 rec.i_sat, rec.n_ideal = e.i_sat, e.n_ideal
                 rec.cj0 = e.cj0

@@ -485,6 +485,7 @@ struct ElementRec {
     int32_t has_ic;           // 1 when an IC= was given (UIC only)
     double tn_na, tn_nt;      // TRNOISE(na nt) on V/I sources (ABI v14)
     double tn_alpha, tn_namp; // 1/f^alpha flicker component (ABI v15)
+    double coxwl;             // MOS COX*W*L (ABI v16; charge cap model)
 };
 
 struct NodeRec {
@@ -1634,6 +1635,7 @@ public:
         e.is_p = m.is_p ? 1 : 0;
         e.vth = std::fabs(m.vt);
         e.k = m.mu * m.cox * (w / l) * mult;
+        e.coxwl = m.cox * w * l * mult;
         e.lam = m.lambda_;
         e.cj0 = m.cj0 * mult;
         e.kf = m.kf;
@@ -3207,5 +3209,5 @@ const char* csim_strpool(void* h) { return FE.str_pool.c_str(); }
 const void* csim_config(void* h) { return &FE.config; }
 const char* csim_diagnostics(void* h) { return FE.diagnostics.c_str(); }
 
-int32_t csim_abi_version(void) { return 15; }
+int32_t csim_abi_version(void) { return 16; }
 }

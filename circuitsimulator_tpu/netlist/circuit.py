@@ -257,6 +257,9 @@ class ElementRec:
     af: float = 1.0
     gamma: float = 0.0
     phi: float = 0.6
+    # total gate-oxide capacitance COX*W*L (extension; the charge-based
+    # cap model needs it — K alone only fixes COX*W/L)
+    coxwl: float = 0.0
     # Diode parameters
     i_sat: float = 0.0
     n_ideal: float = 1.0
@@ -419,6 +422,7 @@ class Circuit:
             is_p=m.is_p, vth=abs(m.vt), k=m.mu * m.cox * (w / l) * m_mult,
             lam=m.lam, cj0=m.cj0 * m_mult, kf=m.kf, af=m.af,
             gamma=m.gamma, phi=m.phi,
+            coxwl=m.cox * w * l * m_mult,
             dev_tol=dev_tol, lot_tol=lot_tol,
         ))
 

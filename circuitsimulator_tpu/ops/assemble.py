@@ -101,6 +101,24 @@ class Engine:
         self.cap_rows, self.cap_cols = _two_terminal_pattern(self.cap_a, self.cap_b)
         self.n_caplike = len(self.cap_a)
 
+        # ---- charge-conserving MOS cap model (extension; opt-in via
+        # .OPTIONS MOSCAP=CHARGE).  The fixed lumps above stay in the
+        # cap-like layout with C=0 (_caplike_C) so every state shape is
+        # unchanged; the bias-dependent charges ride 5 per-device
+        # injection rows (i_d, i_g, i_s gate model; i_sb at S; i_db at D)
+        # whose Jacobian is exactly dq/dv/dt (models/moscap.py).
+        if opts.mos_cap_model not in ("fixed", "charge"):
+            raise ValueError(f"unknown mos_cap_model "
+                             f"{opts.mos_cap_model!r} (fixed|charge)")
+        self.mos_charge = opts.mos_cap_model == "charge" and nM > 0
+        if self.mos_charge:
+            term = np.stack([t.mos_ed, t.mos_eg, t.mos_es], 1)   # (nM,3)
+            inj = np.stack([t.mos_ed, t.mos_eg, t.mos_es,
+                            t.mos_es, t.mos_ed], 1)              # (nM,5)
+            self.mq_rows = np.repeat(inj, 3, axis=1).ravel().astype(np.int32)
+            self.mq_cols = np.tile(term, (1, 5)).ravel().astype(np.int32)
+            self.mq_rhs_rows = inj.ravel().astype(np.int32)      # (5nM,)
+
         # ---- mutual inductance (K card, extension) ----
         # branch-row cross terms: row k_a gets -M/dt at col k_b and vice
         # versa (BE companion of v_a = L_a di_a/dt + M di_b/dt)
@@ -373,8 +391,13 @@ class Engine:
 
     def _caplike_C(self, params):
         """Capacitance of every cap-like element: explicit C values then the
-        MOS junction caps Cgs=Cgd=Cj0/2, Csb=Cdb=Cj0 (tanalisis.cpp:337-341)."""
+        MOS junction caps Cgs=Cgd=Cj0/2, Csb=Cdb=Cj0 (tanalisis.cpp:337-341).
+        Under the charge cap model the MOS lump slots stay in the layout
+        (state shapes unchanged) but carry C=0 — the bias-dependent
+        charges are injection rows, not companion conductances."""
         cj0 = params["mos_cj0"]
+        if self.mos_charge:
+            cj0 = jnp.zeros_like(cj0)
         mc = jnp.stack([0.5 * cj0, 0.5 * cj0, cj0, cj0], axis=-1)
         mc = mc.reshape(*cj0.shape[:-1], -1)
         cje, cjc = params["bjt_cje"], params["bjt_cjc"]
@@ -782,10 +805,42 @@ class Engine:
 
         return f
 
-    def assemble_tran_iter(self, G_static, I_static, params, x, t=0.0):
+    def mos_vdgs(self, x):
+        """Per-MOS terminal voltages (..., nM, 3) ordered (vd, vg, vs)."""
+        t = self.topo
+        xe = self.x_ext(x)
+        return jnp.stack([xe[..., t.mos_ed], xe[..., t.mos_eg],
+                          xe[..., t.mos_es]], axis=-1)
+
+    def mosq_linearize(self, params, vdgs, qprev, inv_dt):
+        """Charge-model Newton pieces (BE companion of i = dq/dt):
+        returns (g (..., nM, 5, 3), cst (..., nM, 5)) for the 5 terminal
+        injections (i_d, i_g, i_s, i_sb, i_db) with
+          i ≈ g · (vd, vg, vs) + cst,   g = (dq/dv)/dt,
+          cst = (q(v_k) - q_prev)/dt - g·v_k.
+        qprev: (..., nM, 5) accepted charges of the previous step."""
+        from ..models.moscap import charge_jacobian
+        q, J = charge_jacobian(vdgs, params)
+        g = J * inv_dt
+        cst = (q - qprev) * inv_dt \
+            - jnp.einsum("...ij,...j->...i", g, vdgs)
+        return g, cst
+
+    def assemble_tran_iter(self, G_static, I_static, params, x, t=0.0,
+                           qex=None):
+        """qex: (qprev, inv_dt) when the charge cap model is active —
+        adds the 15 Jacobian + 5 RHS entries per MOS (mq_* patterns)."""
         gvals, rvals = self._nl_vals(params, x, t)
         G = G_static.at[..., self.nl_rows, self.nl_cols].add(gvals)
         I = I_static.at[..., self.nl_rhs_rows].add(rvals)
+        if qex is not None:
+            qprev, inv_dt = qex
+            gq, cq = self.mosq_linearize(params, self.mos_vdgs(x),
+                                         qprev, inv_dt)
+            G = G.at[..., self.mq_rows, self.mq_cols].add(
+                gq.reshape(*gq.shape[:-3], -1))
+            I = I.at[..., self.mq_rhs_rows].add(
+                -cq.reshape(*cq.shape[:-2], -1))
         return G, I
 
     # ------------------------------------------------------------------
@@ -945,6 +1000,12 @@ class Engine:
         vc, il, _ = self._state_parts(x)
         state = {"vc": vc, "ic": jnp.zeros_like(vc),
                  "il": il, "vl": jnp.zeros_like(il)}
+        if self.mos_charge:
+            if params is None:
+                raise ValueError("the charge cap model needs "
+                                 "init_state(x, params)")
+            from ..models.moscap import charges_of_x
+            state["qm"] = charges_of_x(self.mos_vdgs(x), params)
         if self.n_tl:
             if params is None or dt is None:
                 raise ValueError("transmission lines need init_state(x, "
@@ -992,6 +1053,9 @@ class Engine:
                 zc = jnp.zeros_like(vc)
                 new = {"vc": vc, "ic": zc, "il": il,
                        "vl": jnp.zeros_like(il)}
+            if self.mos_charge:
+                from ..models.moscap import charges_of_x
+                new["qm"] = charges_of_x(self.mos_vdgs(x), params)
             if self.n_tl:
                 # push this step's waves into slot 0 of the delay ring
                 w = self._tl_wave_now(params, x)

@@ -155,6 +155,10 @@ def supported(engine, dt=None) -> bool:
             return False
     if engine.mos_body or engine.opts.mos_reverse_region:
         return False
+    # charge cap model (MOSCAP=CHARGE): injection rows + q state are not
+    # in the kernel — XLA Woodbury path only
+    if getattr(engine, "mos_charge", False):
+        return False
     # TRNOISE decks are eligible both noise-free (no noise_key) and noisy:
     # callers precompute the per-step source-noise values with
     # Engine.trnoise_stream (the XLA path's own threefry draws) and

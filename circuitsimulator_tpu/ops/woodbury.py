@@ -67,8 +67,14 @@ class WoodburyPlan:
         self.b_sources = list(getattr(engine, "b_sources", []))
         nB = len(self.b_sources)
         self.nB = nB
+        # charge cap model (extension): 5 injection rows per MOS
+        # (i_d, i_g, i_s, i_sb, i_db), each a rank-1 node-to-ground
+        # update with a width-3 coefficient row over (d, g, s)
+        self.mcq = bool(getattr(engine, "mos_charge", False))
+        nCq = 5 * nM if self.mcq else 0
+        self.nCq = nCq
         # rank: 1 per MOS/JFET/diode/switch/B-source, 2 per BJT
-        self.k = nM + nJ + nD + 2 * nQ + nS + nB
+        self.k = nM + nJ + nD + 2 * nQ + nS + nB + nCq
         self.W = 4 if nS else 3
         if nB:
             self.W = max(self.W,
@@ -83,12 +89,16 @@ class WoodburyPlan:
                             for bs in self.b_sources], np.int32)
         b_neg = np.asarray([self.N if bs.is_v else bs.em
                             for bs in self.b_sources], np.int32)
+        mcq_pos = (np.stack([t.mos_ed, t.mos_eg, t.mos_es,
+                             t.mos_es, t.mos_ed], 1).ravel()
+                   if nCq else np.zeros((0,), np.int32))
+        mcq_neg = np.full((nCq,), self.N, np.int32)
         self.u_pos = np.concatenate([t.mos_ed, t.jf_ed, t.dio_ep,
                                      bjt_pos, t.sw_ep,
-                                     b_pos]).astype(np.int32)
+                                     b_pos, mcq_pos]).astype(np.int32)
         self.u_neg = np.concatenate([t.mos_es, t.jf_es, t.dio_em,
                                      bjt_neg, t.sw_em,
-                                     b_neg]).astype(np.int32)
+                                     b_neg, mcq_neg]).astype(np.int32)
         # V^T row j has entries at these columns (width-3 layout; diodes pad
         # the third slot with the dump index)
         self.mos_cols = np.stack([t.mos_ed, t.mos_eg, t.mos_es], 1) \
@@ -104,6 +114,10 @@ class WoodburyPlan:
         self.bjt_cols = np.repeat(cbe, 2, axis=0)  # Ic row, Ib row per device
         self.sw_cols = np.stack([t.sw_ep, t.sw_em, t.sw_ecp, t.sw_ecm], 1) \
             if nS else np.zeros((0, 4), np.int32)
+        # charge rows read (vd, vg, vs) — all five rows per device
+        self.mcq_cols = (np.repeat(
+            np.stack([t.mos_ed, t.mos_eg, t.mos_es], 1), 5, axis=0)
+            .astype(np.int32) if nCq else np.zeros((0, 3), np.int32))
 
     def build_U(self, dtype):
         """(N, k) dense U (tiny; built once per compile)."""
@@ -117,7 +131,7 @@ class WoodburyPlan:
         W = self.W
         cols3 = np.concatenate([self.mos_cols, self.jf_cols, self.dio_cols,
                                 self.bjt_cols], axis=0).astype(np.int32)
-        if W == 3 and not self.nB:
+        if W == 3 and not self.nB and not self.nCq:
             return cols3
 
         def padW(arr):
@@ -133,6 +147,8 @@ class WoodburyPlan:
         if self.nS:
             blocks.append(padW(self.sw_cols.astype(np.int32)))
         blocks += [padW(r) for r in b_rows]
+        if self.nCq:
+            blocks.append(padW(self.mcq_cols))
         return np.concatenate(blocks, axis=0)
 
 
@@ -210,10 +226,11 @@ class WoodburySolver:
         """G0^{-1} b0 — once per timestep (b0 = sources + history)."""
         return jnp.einsum("...ij,...j->...i", self.G0inv, b0)
 
-    def nl_coeffs(self, params, x, t=0.0):
+    def nl_coeffs(self, params, x, t=0.0, qex=None):
         """Per-device V^T values and Newton constants at x, all terminal
         voltages read via one-hot matmuls (no gathers in the hot loop).
-        `t` only matters for time-dependent behavioral expressions."""
+        `t` only matters for time-dependent behavioral expressions.
+        qex: (qprev, inv_dt) for the charge cap model's injection rows."""
         from ..models.mosfet import mos_linearize as _mos
         from ..models.diode import diode_linearize as _dio
         plan = self.plan
@@ -334,17 +351,26 @@ class WoodburySolver:
                         axis=-1)
                 parts_v.append(row[..., None, :])
                 parts_c.append(cb[..., None])
+        if plan.nCq:
+            # charge cap model: reuse the MOS terminal reads (vm)
+            assert qex is not None, "charge model needs qex=(qprev, 1/dt)"
+            qprev, inv_dt = qex
+            gq, cq = self.engine.mosq_linearize(params, vm, qprev, inv_dt)
+            rows = gq.reshape(*gq.shape[:-3], plan.nCq, 3)
+            parts_v.append(padW(rows))
+            parts_c.append(cq.reshape(*cq.shape[:-2], plan.nCq))
         vcoef = jnp.concatenate(parts_v, axis=-2)
         c = jnp.concatenate(parts_c, axis=-1)
         return vcoef, c
 
-    def solve(self, params, x, z0, t=0.0):
+    def solve(self, params, x, z0, t=0.0, qex=None):
         """One Newton linear solve: returns x_raw solving A(x) x_raw = b(x).
-        `t` only matters for time-dependent behavioral expressions."""
+        `t` only matters for time-dependent behavioral expressions.
+        qex: (qprev, inv_dt) for the charge cap model."""
         plan = self.plan
         if plan.k == 0:
             return z0
-        vcoef, c = self.nl_coeffs(params, x, t)        # (...,k,W), (...,k)
+        vcoef, c = self.nl_coeffs(params, x, t, qex)   # (...,k,W), (...,k)
         z = z0 - jnp.einsum("...nk,...k->...n", self.Y, c)
         # S = I + V^T Y : S[j,l] = sum_s vcoef[j,s] * Y[cols[j,s], l]
         S = self.eye_k + jnp.einsum("...js,...jsl->...jl", vcoef, self.Y_cols)

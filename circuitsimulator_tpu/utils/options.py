@@ -124,6 +124,15 @@ class SolverOptions:
     # (extension; the reference treats Vds_eff < 0 as "off",
     # element.cpp:223).  Needed for pass-transistor topologies.
     mos_reverse_region: bool = False
+    # MOS capacitance model (extension; .OPTIONS MOSCAP=):
+    #   "fixed"  — the reference's bias-independent lumps Cgs=Cgd=Cj0/2,
+    #              Csb=Cdb=Cj0 (tanalisis.cpp:321-353), bitwise default;
+    #   "charge" — charge-conserving Ward-Dutton gate charges + SPICE
+    #              depletion junction charges (models/moscap.py).
+    # The charge model runs on the BE transient ("lu"/"woodbury"
+    # backends) and linearizes exactly for AC; HB/envelope/PSS and the
+    # fused Pallas kernel keep requiring "fixed".
+    mos_cap_model: str = "fixed"
 
     def replace(self, **kw) -> "SolverOptions":
         return dataclasses.replace(self, **kw)

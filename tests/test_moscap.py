@@ -1,0 +1,209 @@
+"""Charge-conserving MOS capacitance model (.OPTIONS MOSCAP=CHARGE).
+
+The reference's MOS caps are fixed, bias-independent lumps
+(Cgs=Cgd=Cj0/2, Csb=Cdb=Cj0, /root/reference/src/tanalisis.cpp:321-353)
+— the default here, bitwise.  MOSCAP=CHARGE is the opt-in fidelity step:
+Ward-Dutton terminal charges + SPICE depletion junction charges
+(models/moscap.py), integrated as i = dq/dt so charge is conserved
+exactly over any closed bias loop.
+"""
+
+import numpy as np
+import pytest
+
+from circuitsimulator_tpu import Simulator
+from circuitsimulator_tpu.models.moscap import (
+    PB, FC, mos_gate_charges, depletion_charge)
+from circuitsimulator_tpu.utils.options import SolverOptions
+
+
+def node_eq(sim, name):
+    return sim.circuit.nodes[sim.circuit.node_name_to_id[name]].eq_index
+
+
+# ---------------------------------------------------------------------
+# unit: gate-charge physics (Ward-Dutton partition)
+# ---------------------------------------------------------------------
+
+COX = 2e-12  # COX*W*L of the test device
+
+
+def _q(vd, vg, vs, vth=0.7, p=1):
+    import jax.numpy as jnp
+    qd, qg, qs = mos_gate_charges(
+        jnp.asarray([float(vd)]), jnp.asarray([float(vg)]),
+        jnp.asarray([float(vs)]), jnp.asarray([0.7 if vth is None else vth]),
+        jnp.asarray([COX]), jnp.asarray([float(p)]))
+    return float(qd[0]), float(qg[0]), float(qs[0])
+
+
+def test_gate_charges_sum_to_zero():
+    rng = np.random.default_rng(0)
+    for _ in range(50):
+        vd, vg, vs = rng.uniform(-3, 3, 3)
+        qd, qg, qs = _q(vd, vg, vs)
+        assert qd + qg + qs == pytest.approx(0.0, abs=1e-22)
+
+
+def test_cutoff_zero_saturation_value():
+    assert _q(2.0, 0.5, 0.0) == (0.0, 0.0, 0.0)          # vgt < 0
+    # saturation: q_G = (2/3)Cox*vgt, 40/60 D/S split of -q_G
+    vgt = 1.3
+    qd, qg, qs = _q(5.0, vgt + 0.7, 0.0)
+    assert qg == pytest.approx(2.0 / 3.0 * COX * vgt, rel=1e-12)
+    assert qd == pytest.approx(-(4.0 / 15.0) * COX * vgt, rel=1e-12)
+    assert qs == pytest.approx(-(2.0 / 5.0) * COX * vgt, rel=1e-12)
+
+
+def test_region_continuity():
+    vgt = 1.0
+    for d_edge in (0.0, vgt):  # deep-triode and sat boundaries
+        lo = np.asarray(_q(d_edge - 1e-7, vgt + 0.7, 0.0))
+        hi = np.asarray(_q(d_edge + 1e-7, vgt + 0.7, 0.0))
+        np.testing.assert_allclose(lo, hi, atol=COX * 1e-6)
+    # vgt = 0 boundary
+    lo = np.asarray(_q(1.0, 0.7 - 1e-7, 0.0))
+    hi = np.asarray(_q(1.0, 0.7 + 1e-7, 0.0))
+    np.testing.assert_allclose(lo, hi, atol=COX * 1e-6)
+
+
+def test_gate_capacitance_limits():
+    # deep triode (vds=0): C_gg = dq_G/dvg = Cox exactly
+    eps = 1e-6
+    qg1 = _q(0.0, 2.0 + eps, 0.0)[1]
+    qg0 = _q(0.0, 2.0, 0.0)[1]
+    assert (qg1 - qg0) / eps == pytest.approx(COX, rel=1e-4)
+    # saturation: C_gg = (2/3) Cox, C_dg... dq_D/dvg = -(4/15) Cox
+    qd1, qgs1, _ = _q(5.0, 2.0 + eps, 0.0)
+    qd0, qgs0, _ = _q(5.0, 2.0, 0.0)
+    assert (qgs1 - qgs0) / eps == pytest.approx(2 / 3 * COX, rel=1e-4)
+    assert (qd1 - qd0) / eps == pytest.approx(-(4 / 15) * COX, rel=1e-4)
+
+
+def test_pmos_mirror():
+    # PMOS = NMOS with every terminal voltage and charge negated
+    for vd, vg, vs in [(0.3, 1.5, 0.0), (2.0, 1.8, 0.5), (-0.4, 1.1, 0.2)]:
+        qn = np.asarray(_q(vd, vg, vs, p=1))
+        qp = np.asarray(_q(-vd, -vg, -vs, p=-1))
+        np.testing.assert_allclose(qp, -qn, atol=1e-24)
+
+
+def test_source_drain_swap_symmetry():
+    # the charge sheet is symmetric physics: swapping D and S (and their
+    # voltages) swaps q_d and q_s, leaves q_g
+    qd, qg, qs = _q(0.4, 2.0, 0.1)
+    qd2, qg2, qs2 = _q(0.1, 2.0, 0.4)
+    assert qg2 == pytest.approx(qg, rel=1e-12)
+    assert qd2 == pytest.approx(qs, rel=1e-12)
+    assert qs2 == pytest.approx(qd, rel=1e-12)
+
+
+def test_depletion_charge_c1_continuous():
+    import jax
+    import jax.numpy as jnp
+    cj0 = 1e-12
+    cfun = jax.grad(lambda v: depletion_charge(v, cj0))
+    # C(0) = CJ0
+    assert float(cfun(jnp.asarray(0.0))) == pytest.approx(cj0, rel=1e-9)
+    # C continuous across the FC*PB breakpoint
+    vb = FC * PB
+    assert float(cfun(jnp.asarray(vb - 1e-9))) == pytest.approx(
+        float(cfun(jnp.asarray(vb + 1e-9))), rel=1e-5)
+    # reverse bias shrinks C, forward (below breakpoint) grows it
+    assert float(cfun(jnp.asarray(-2.0))) < cj0 < float(cfun(jnp.asarray(0.3)))
+
+
+# ---------------------------------------------------------------------
+# end-to-end: transient under MOSCAP=CHARGE
+# ---------------------------------------------------------------------
+
+AMP_DECK = """* common-source stage, gate driven through Rg
+.MODEL mn VT 0.7 MU 350u COX 2.3m CJ0 20f
+VDD vdd 0 DC 3
+Vin in 0 SIN 1.2 0.8 1e6
+Rg in g 10k
+M1 d g 0 n 20e-6 1e-6 mn
+Rd vdd d 5k
+{opt}
+.TRAN 2e-9 4e-6
+"""
+
+
+def _run(opt, **okw):
+    opts = SolverOptions().replace(**okw) if okw else None
+    sim = Simulator.from_text(AMP_DECK.replace("{opt}", opt), opts=opts)
+    res = sim.transient()
+    return sim, np.asarray(res.xs)
+
+
+def test_charge_conservation_closed_bias_loop():
+    """The gate node's only DC path is Rg, so the Rg current IS the gate
+    charge current; over full periods of the drive (a closed bias loop)
+    the net charge through Rg must telescope to q_g(end) - q_g(start),
+    tiny vs the charge slung per cycle.  This is the property a Meyer-
+    style capacitance model famously violates."""
+    sim, xs = _run(".OPTIONS MOSCAP=CHARGE")
+    g, i = node_eq(sim, "g"), node_eq(sim, "in")
+    dt = 2e-9
+    # current into the gate, minus the transient map's universal gmin
+    # leak (tran_gmin on every node, CLAUDE.md) — the remainder is the
+    # charge current dq_g/dt
+    ig = (xs[:, i] - xs[:, g]) / 10e3 \
+        - xs[:, g] * sim.opts.tran_gmin
+    # steps 1..: BE charge delivered = sum i_k dt (x[0] is the DC op)
+    per = int(round(1e-6 / dt))                 # steps per drive period
+    # integrate over exactly 3 full periods starting after one period
+    seg = ig[per + 1: 4 * per + 1]
+    q_net = np.sum(seg) * dt
+    q_gross = np.sum(np.abs(seg)) * dt
+    assert q_gross > 1e-14                      # real charge moved
+    assert abs(q_net) < 2e-3 * q_gross          # ... and came back
+
+
+def test_woodbury_matches_lu():
+    _, xs_wb = _run(".OPTIONS MOSCAP=CHARGE", tran_solver="woodbury")
+    _, xs_lu = _run(".OPTIONS MOSCAP=CHARGE", tran_solver="lu")
+    np.testing.assert_allclose(xs_wb, xs_lu, atol=5e-12)
+
+
+def test_charge_model_close_to_fixed_small_swing():
+    # same stage, both models: identical DC op (caps don't bias), and
+    # the waveforms agree to the cap-current scale (different C models,
+    # same conduction physics)
+    _, xf = _run("")
+    _, xc = _run(".OPTIONS MOSCAP=CHARGE")
+    np.testing.assert_allclose(xf[0], xc[0], atol=1e-9)
+    assert np.max(np.abs(xf - xc)) < 0.15       # same circuit, other caps
+    assert np.max(np.abs(xf - xc)) > 1e-6       # but measurably different
+
+
+def test_ac_runs_and_matches_fixed_at_low_freq():
+    deck = AMP_DECK.replace("Vin in 0 SIN 1.2 0.8 1e6",
+                            "Vin in 0 DC 1.2 AC 1") \
+                   .replace(".TRAN 2e-9 4e-6", ".AC dec 2 1e3 1e9")
+    sf = Simulator.from_text(deck.replace("{opt}", ""))
+    sc = Simulator.from_text(deck.replace("{opt}", ".OPTIONS MOSCAP=CHARGE"))
+    d = node_eq(sf, "d")
+    hf = np.asarray(sf.ac().xs)[:, d]
+    hc = np.asarray(sc.ac().xs)[:, d]
+    # at 1 kHz the caps only contribute the (tiny) imaginary part:
+    # identical gain MAGNITUDE
+    assert abs(abs(hf[0]) - abs(hc[0])) < 1e-9 * abs(hf[0])
+    # near the pole the models measurably differ
+    assert np.max(np.abs(hf - hc)) > 1e-3 * np.max(np.abs(hf))
+
+
+def test_harmonic_domain_guard():
+    deck = AMP_DECK.replace("{opt}", ".OPTIONS MOSCAP=CHARGE")
+    sim = Simulator.from_text(deck)
+    with pytest.raises(NotImplementedError, match="fixed"):
+        sim.harmonic_balance(f0=1e6, n_harm=4)
+
+
+def test_fused_kernel_ineligible():
+    from circuitsimulator_tpu.ops import pallas_step
+    deck = AMP_DECK.replace("{opt}", ".OPTIONS MOSCAP=CHARGE")
+    sim = Simulator.from_text(deck)
+    assert not pallas_step.supported(sim.engine, dt=2e-9)
+    sim_fixed = Simulator.from_text(AMP_DECK.replace("{opt}", ""))
+    assert pallas_step.supported(sim_fixed.engine, dt=2e-9)
