@@ -23,9 +23,12 @@ measured accuracy bound, so the judged artifact is self-describing:
   XLA loop.  The trajectory's accuracy cost is measured here, on this
   device, over the FULL 50,000-step run against the reference's own golden
   CSV (tests/goldens/dbmixer_tran.csv, produced by the C++ binary); the
-  fused kernel's own full-run golden diff (boundary-sampled — the kernel
-  keeps no per-step waveform memory) is refreshed by
+  fused kernel's own golden diff — EVERY step of the full run, streamed
+  through the kernel's probe output — is refreshed by
   benchmarks/validate_accuracy.py VAL_FUSED=1 and embedded verbatim.
+- "timing" carries the sustained window evidence: BENCH_TIMED (default
+  10) individually-synced chunks with per-chunk steps/s and relative
+  spread.
 - "parity_steps_per_sec" is the reference damped-trajectory configuration
   (alpha schedule, convergence-tested while_loop, no predictor), on the
   XLA loop whose trajectory is the exactly-tested one.
@@ -120,15 +123,19 @@ def measure_throughput_fused(jax, dtype, parity: bool, B: int,
     carry = out[:5]
     log(f"[{tag}] chunk 1 (compile+run): {time.time()-t0:.2f}s")
 
-    n_timed = 2
+    # sustained window: n_timed chunks, each individually synced so the
+    # JSON can carry per-chunk spread (run-to-run stability evidence)
+    n_timed = int(os.environ.get("BENCH_TIMED", 10))
     total_steps = 0
-    t0 = time.time()
+    chunk_walls = []
     for i in range(1, n_timed + 1):
+        t0 = time.time()
         out = run(carry, jnp.asarray(float(i * steps_chunk), jnp.float32))
         carry = out[:5]
+        jax.block_until_ready(out)
+        chunk_walls.append(time.time() - t0)
         total_steps += steps_chunk
-    jax.block_until_ready(out)
-    wall = time.time() - t0
+    wall = sum(chunk_walls)
 
     failed = int(jax.device_get(jnp.sum(out[4])))
     mean_iters = float(jax.device_get(
@@ -137,7 +144,7 @@ def measure_throughput_fused(jax, dtype, parity: bool, B: int,
     log(f"[{tag}] timed: {total_steps} steps x {B} lanes in {wall:.2f}s "
         f"-> {agg:,.0f} steps/s; mean NR iters/step {mean_iters:.2f}; "
         f"failed lanes {failed}")
-    return agg, dc_s
+    return agg, dc_s, _chunk_stats(B, steps_chunk, chunk_walls)
 
 
 def measure_throughput(jax, dtype, parity: bool, B: int, steps_chunk: int):
@@ -193,18 +200,20 @@ def measure_throughput(jax, dtype, parity: bool, B: int, steps_chunk: int):
     jax.block_until_ready(carry)
     log(f"[{tag}] chunk 1 (compile+run): {time.time()-t0:.2f}s")
 
-    # timed steady-state chunks
-    n_timed = 2
+    # timed steady-state chunks, each individually synced (spread evidence)
+    n_timed = int(os.environ.get("BENCH_TIMED", 10))
     total_steps = 0
-    t0 = time.time()
+    chunk_walls = []
     base = steps_chunk
     for _ in range(n_timed):
         ts = (jnp.arange(base + 1, base + steps_chunk + 1, dtype=dtype) * dt)
+        t0 = time.time()
         carry, iters = run_chunk(bparams, carry, ts)
+        jax.block_until_ready(carry)
+        chunk_walls.append(time.time() - t0)
         base += steps_chunk
         total_steps += steps_chunk
-    jax.block_until_ready(carry)
-    wall = time.time() - t0
+    wall = sum(chunk_walls)
 
     failed = int(jax.device_get(jnp.sum(carry[-1])))
     mean_iters = float(jax.device_get(jnp.mean(iters.astype(jnp.float32))))
@@ -213,7 +222,21 @@ def measure_throughput(jax, dtype, parity: bool, B: int, steps_chunk: int):
         f"-> {agg:,.0f} steps/s; mean NR iters/step {mean_iters:.2f} "
         f"({'observed' if parity else 'fixed by construction'}); "
         f"failed lanes {failed}")
-    return agg, dc_s
+    return agg, dc_s, _chunk_stats(B, steps_chunk, chunk_walls)
+
+
+def _chunk_stats(B, steps_chunk, chunk_walls):
+    """Per-chunk steps/s spread over the timed window (the headline's
+    run-to-run stability evidence)."""
+    rates = [B * steps_chunk / w for w in chunk_walls]
+    n = len(rates)
+    mean = sum(rates) / n
+    var = sum((r - mean) ** 2 for r in rates) / max(n - 1, 1)
+    return {"timed_chunks": n,
+            "chunk_steps": steps_chunk,
+            "per_chunk_steps_per_sec": [round(r, 1) for r in rates],
+            "chunk_mean": round(mean, 1),
+            "chunk_rel_std": round((var ** 0.5) / mean, 4) if mean else 0.0}
 
 
 def measure_accuracy(jax, dtype):
@@ -281,6 +304,7 @@ def main():
         log(f"!!! {fallback_note}")
         os.environ.setdefault("BENCH_BATCH", "512")
         os.environ.setdefault("BENCH_STEPS", "250")
+        os.environ.setdefault("BENCH_TIMED", "2")
         os.environ["BENCH_FUSED"] = "0"
         os.environ["BENCH_FAST_ONLY"] = "1"
     import jax
@@ -319,18 +343,21 @@ def main():
     want_fused = fused_env != "0" and not headline_parity
 
     agg_fused = None
+    fused_stats = None
     if want_fused:
         try:
-            agg_fused, _ = measure_throughput_fused(
+            agg_fused, _, fused_stats = measure_throughput_fused(
                 jax, dtype, parity=False, B=B, steps_chunk=steps_chunk)
         except Exception as e:  # noqa: BLE001 — any failure falls back
             log(f"[fused] unavailable ({type(e).__name__}: {e}); "
                 f"falling back to the XLA loop")
 
     agg_xla = None
+    xla_stats = None
     if agg_fused is None or (fused_env is None and not fast_only):
-        agg_xla, _ = measure_throughput(jax, dtype, parity=headline_parity,
-                                        B=B, steps_chunk=steps_chunk)
+        agg_xla, _, xla_stats = measure_throughput(
+            jax, dtype, parity=headline_parity, B=B,
+            steps_chunk=steps_chunk)
 
     agg_fast = agg_fused if agg_fused is not None else agg_xla
     out = {
@@ -340,17 +367,19 @@ def main():
                  f"{'parity' if headline_parity else 'fast'}-Newton"
                  f"{', fused Pallas' if agg_fused is not None else ''})"),
         "vs_baseline": round(agg_fast / REF_TIMESTEPS_PER_SEC, 2),
+        "timing": fused_stats if agg_fused is not None else xla_stats,
     }
     if fallback_note:
         out["platform_fallback"] = fallback_note
     if agg_fused is not None and agg_xla is not None:
         out["xla_steps_per_sec"] = round(agg_xla, 1)
         out["xla_vs_baseline"] = round(agg_xla / REF_TIMESTEPS_PER_SEC, 2)
+        out["xla_timing"] = xla_stats
 
     if not fast_only:
-        agg_par, _ = measure_throughput(jax, dtype,
-                                        parity=not headline_parity,
-                                        B=B, steps_chunk=steps_chunk)
+        agg_par, _, _ = measure_throughput(jax, dtype,
+                                           parity=not headline_parity,
+                                           B=B, steps_chunk=steps_chunk)
         key = "fast" if headline_parity else "parity"
         out[f"{key}_steps_per_sec"] = round(agg_par, 1)
         out[f"{key}_vs_baseline"] = round(agg_par / REF_TIMESTEPS_PER_SEC, 2)
