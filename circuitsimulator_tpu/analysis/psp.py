@@ -34,8 +34,11 @@ reduces to the cold `s_parameters` at delta and the m=+1 block to the
 cold values at f0+delta, with zero conversion; an ideal-multiplier
 up-converter recovers |Z_conv| = R1*R2*A/2 closed-form.
 
-Cold path like sparams.py: the per-offset complex solves run on the
-host (KN is a few hundred for mixer-class circuits).
+Two paths: periodic_s_parameters solves per offset on the host (KN is
+a few hundred for mixer-class circuits; T-line delay blocks exact), and
+periodic_s_parameters_batched runs B Monte-Carlo lanes' LPTV solves as
+ONE batched TPU program (real 2KN block systems on the MXU; no T-lines)
+— the same batch-axis treatment harmonic_balance_batched gives HB.
 """
 
 from __future__ import annotations
@@ -44,6 +47,8 @@ import dataclasses
 from typing import Any, Sequence, Tuple
 
 import numpy as np
+import jax
+import jax.numpy as jnp
 
 from ..ops.assemble import Engine
 from .pac import lptv_operator, _lptv_at
@@ -146,3 +151,168 @@ def periodic_s_parameters(engine: Engine, params, f0: float, xs_pss,
         S[idel] = F @ (Vp - Z0) @ np.linalg.inv(Vp + Z0) @ Finv
     return PSPResult(f0=f0, deltas=deltas, harmonics=harmonics,
                      s=S, z=Z, z0=z0)
+
+
+# ---------------------------------------------------------------------
+# Batched (Monte-Carlo) hot S-parameters — the LPTV solves on the TPU
+# ---------------------------------------------------------------------
+
+@dataclasses.dataclass
+class PSPBatchResult:
+    f0: float
+    deltas: np.ndarray        # (F,)
+    harmonics: np.ndarray     # (M,)
+    s: np.ndarray             # (B, F, P, P) complex
+    z: np.ndarray             # (B, F, P, P) complex
+    z0: np.ndarray            # (n_ports,)
+
+    def index(self, port: int, m: int) -> int:
+        idx = np.nonzero(self.harmonics == m)[0]
+        if len(idx) == 0:
+            raise KeyError(f"sideband {m} not in {self.harmonics}")
+        return int(idx[0]) * len(self.z0) + port
+
+    def s_at(self, port_out: int, m_out: int, port_in: int, m_in: int):
+        """(B, F) complex S from (port_in, m_in) to (port_out, m_out)."""
+        return self.s[:, :, self.index(port_out, m_out),
+                      self.index(port_in, m_in)]
+
+
+def make_psp_batched_fn(engine: Engine, f0: float, K: int,
+                        port_eqs, harmonics, deltas):
+    """Jittable per-lane hot-S-param kernel factory (vmapped over the
+    Monte-Carlo lane axis by periodic_s_parameters_batched).
+
+    The host path (periodic_s_parameters above) assembles the complex
+    LPTV operator J(δ) = J0 + j·2πδ·kron(I,C) per offset and LU-solves
+    it with numpy.  Here the SAME math runs traced, one lane at a time
+    under vmap, with the complex solve as the equivalent real block
+    system  [[J0, −wCI], [wCI, J0]] [Yr; Yi] = [Ur; Ui]  (w = 2πδ) —
+    batched dense real linear algebra, exactly the MXU's shape (same
+    trick as analysis/ac.solve_ac_real).  Only the port rows of the
+    envelope come back to the host (K·n·P complex numbers per offset);
+    the FFT/bilinear-map finalization there is O(P³) on tiny matrices.
+
+    No transmission lines on this path: their offset-dependent phase
+    blocks e^{−j2πδτ}·B would densify per delta (host path covers them).
+    """
+    N = engine.N
+    n = len(port_eqs)
+    harmonics = np.asarray(harmonics, int)
+    nh = len(harmonics)
+    P = n * nh
+    dtype = engine.dtype
+    if engine.n_tl:
+        raise NotImplementedError(
+            "batched hot S-params do not support transmission lines "
+            "(offset-phased delay blocks); use hot_sparams / "
+            "periodic_s_parameters (host path)")
+    from .hb import _reactive_structure, spectral_diff_matrix
+    T = 1.0 / f0
+    D = jnp.asarray(spectral_diff_matrix(K, T), dtype)        # (K, K)
+    ts = jnp.arange(K, dtype=dtype) * (T / K)
+    kk = np.arange(K)
+
+    # unit port-current incidence (n, N) and port read-out projection
+    u = np.zeros((n, N))
+    for j, (p, m) in enumerate(port_eqs):
+        if p < N:
+            u[j, p] += 1.0
+        if m < N:
+            u[j, m] -= 1.0
+    Pm = jnp.asarray(u, dtype)                                # (n, N)
+
+    # injection envelopes: rhs[(k,n), (jm*n+j)] = e^{+2πi m k/K} u_j[n]
+    phase = np.exp(2j * np.pi * np.outer(harmonics, kk) / K)  # (nh, K)
+    rhs = np.zeros((K * N, P), complex)
+    for jm in range(nh):
+        for j in range(n):
+            rhs[:, jm * n + j] = (phase[jm][:, None] * u[j][None, :]).ravel()
+    Ur = jnp.asarray(rhs.real, dtype)
+    Ui = jnp.asarray(rhs.imag, dtype)
+    omegas = jnp.asarray(2.0 * np.pi * np.asarray(deltas, float), dtype)
+
+    def lane(params, xs_pss):
+        # conduction Jacobian at each PSS sample (same split as the
+        # host lptv_operator): static entries + nonlinear linearization
+        rows, cols, svals = engine.dc_static_entries(params)
+        A_res = jnp.zeros((N + 1, N + 1), dtype)
+        A_res = A_res.at[rows, cols].add(svals)
+
+        def a_t(x_t, t_t):
+            gvals, _ = engine._nl_vals(params, x_t, t_t)
+            A = jnp.zeros((N + 1, N + 1), dtype)
+            return A.at[engine.nl_rows, engine.nl_cols].add(gvals)
+
+        G_t = A_res[None, :N, :N] + jax.vmap(a_t)(xs_pss, ts)[:, :N, :N]
+        C = _reactive_structure(engine, params)               # (N, N)
+        J0 = D[:, None, :, None] * C[None, :, None, :]
+        J0 = J0.at[kk, :, kk, :].add(G_t)
+        J0 = J0.reshape(K * N, K * N)
+        CI = jnp.kron(jnp.eye(K, dtype=dtype), C)             # (KN, KN)
+
+        def at_delta(w):
+            A2 = jnp.concatenate([
+                jnp.concatenate([J0, -w * CI], axis=1),
+                jnp.concatenate([w * CI, J0], axis=1)], axis=0)
+            B2 = jnp.concatenate([Ur, Ui], axis=0)            # (2KN, P)
+            Y = jnp.linalg.solve(A2, B2)
+            Yr = Y[:K * N].reshape(K, N, P)
+            Yi = Y[K * N:].reshape(K, N, P)
+            # port branch voltages (K, n, P) via the projection matmul
+            vpr = jnp.einsum("in,knp->kip", Pm, Yr)
+            vpi = jnp.einsum("in,knp->kip", Pm, Yi)
+            return jnp.stack([vpr, vpi], axis=-1)
+
+        return jax.lax.map(at_delta, omegas)   # (F, K, n, P, 2)
+
+    return lane
+
+
+def periodic_s_parameters_batched(engine: Engine, bparams, f0: float,
+                                  xs_pss_b,
+                                  port_eqs: Sequence[Tuple[int, int]],
+                                  z0s: Sequence[float], deltas,
+                                  n_sidebands: int = 1) -> PSPBatchResult:
+    """Monte-Carlo hot S-parameters: B lanes of perturbed params (leading
+    lane axis, perturb_params) each linearized around their OWN periodic
+    steady state xs_pss_b (B, K, N) — e.g. HBBatchResult.xs from
+    harmonic_balance_batched.  Every (lane, offset) LPTV solve runs as
+    one batched TPU program; the O(P³) scattering finalization stays on
+    the host.  Same conventions as periodic_s_parameters."""
+    N = engine.N
+    n = len(port_eqs)
+    M = int(n_sidebands)
+    harmonics = np.arange(-M, M + 1)
+    nh = len(harmonics)
+    P = n * nh
+    deltas = np.asarray(deltas, float)
+    xs_pss_b = jnp.asarray(xs_pss_b)
+    K = int(xs_pss_b.shape[1])
+    H = (K - 1) // 2
+    if M > H:
+        raise ValueError(f"n_sidebands {M} exceeds the PSS harmonic "
+                         f"truncation H={H}; raise n_harm")
+    z0 = np.asarray(z0s, float)
+
+    lane = make_psp_batched_fn(engine, f0, K, port_eqs, harmonics, deltas)
+    vp = np.asarray(jax.jit(jax.vmap(lane))(bparams, xs_pss_b))
+    vp = vp[..., 0] + 1j * vp[..., 1]          # (B, F, K, n, P)
+    B = vp.shape[0]
+
+    z0_ext = np.tile(z0, nh)
+    Z0 = np.diag(z0_ext.astype(complex))
+    F = np.diag(1.0 / (2.0 * np.sqrt(z0_ext)))
+    Finv = np.diag(2.0 * np.sqrt(z0_ext))
+
+    coeff = np.fft.fft(vp, axis=2) / K         # (B, F, K, n, P)
+    S = np.zeros((B, len(deltas), P, P), complex)
+    Z = np.zeros((B, len(deltas), P, P), complex)
+    for im, m in enumerate(harmonics):
+        Z[:, :, im * n:(im + 1) * n, :] = coeff[:, :, m % K]
+    for b in range(B):
+        for idel in range(len(deltas)):
+            Vp = Z[b, idel]
+            S[b, idel] = F @ (Vp - Z0) @ np.linalg.inv(Vp + Z0) @ Finv
+    return PSPBatchResult(f0=f0, deltas=deltas, harmonics=harmonics,
+                          s=S, z=Z, z0=z0)

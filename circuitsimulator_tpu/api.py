@@ -1100,42 +1100,12 @@ class Simulator:
         amplitudes `amps`, and the per-port HBResults."""
         import numpy as _np
         from .analysis.hb import harmonic_balance
-        from .analysis.sweep import find_source
-        from .netlist.circuit import KIND_V
         hb = self.config.hb
         f0 = f0 if f0 is not None else (hb.f0 if hb.enabled else None)
         if not f0 or f0 <= 0:
             raise ValueError("lssp needs f0 (or a .hb card)")
         n = len(ports)
-        src_idx, node_eqs, z0 = [], [], []
-        for (src, node, z) in ports:
-            kind, sidx = find_source(self.circuit, src)
-            if kind != KIND_V:
-                raise ValueError(f"lssp port source {src!r} must be a "
-                                 "V source")
-            src_idx.append(sidx)
-            nid = self.circuit.node_name_to_id.get(node)
-            if nid is None:
-                raise KeyError(f"unknown node {node!r}")
-            eqi = self.circuit.nodes[nid].eq_index
-            if eqi < 0:
-                raise ValueError(f"port node {node!r} is ground")
-            node_eqs.append(eqi)
-            z0.append(float(z))
-        z0 = _np.asarray(z0)
-        # the source's own positive terminal (phasor of Vs) — valid only
-        # for a grounded Thevenin port: Vs = V(ep) requires em = ground
-        # (the dump slot). A floating port source would need the branch
-        # voltage V(ep)-V(em); reject it rather than report wrong waves.
-        dump = self.engine.N
-        for i, (src, _, _) in zip(src_idx, ports):
-            if int(self.topo.vs_em[i]) != dump:
-                raise ValueError(
-                    f"lssp port source {src!r} is floating (negative "
-                    "terminal not ground): S-parameter ports must be "
-                    "grounded Thevenin sources (Vsrc + series Z0 to "
-                    "ground)")
-        vs_ep = [int(self.topo.vs_ep[i]) for i in src_idx]
+        src_idx, node_eqs, vs_ep, z0 = self._lssp_ports(ports)
         p0 = dict(params if params is not None else self.params)
         amps = _np.sqrt(8.0 * z0 * float(power))
         S = _np.zeros((n, n), complex)
@@ -1160,6 +1130,157 @@ class Simulator:
             b = (2.0 * vp - vs) / (2.0 * _np.sqrt(z0))
             S[:, j] = b / a_j
         return {"s": S, "amps": amps, "results": results}
+
+    def _lssp_ports(self, ports):
+        """Validate lssp-style (source, node, z0) ports; returns
+        (src_idx, node_eqs, vs_ep, z0)."""
+        import numpy as _np
+        from .analysis.sweep import find_source
+        from .netlist.circuit import KIND_V
+        src_idx, node_eqs, z0 = [], [], []
+        for (src, node, z) in ports:
+            kind, sidx = find_source(self.circuit, src)
+            if kind != KIND_V:
+                raise ValueError(f"lssp port source {src!r} must be a "
+                                 "V source")
+            src_idx.append(sidx)
+            nid = self.circuit.node_name_to_id.get(node)
+            if nid is None:
+                raise KeyError(f"unknown node {node!r}")
+            eqi = self.circuit.nodes[nid].eq_index
+            if eqi < 0:
+                raise ValueError(f"port node {node!r} is ground")
+            node_eqs.append(eqi)
+            z0.append(float(z))
+        # the source's own positive terminal (phasor of Vs) — valid only
+        # for a grounded Thevenin port: Vs = V(ep) requires em = ground
+        # (the dump slot). A floating port source would need the branch
+        # voltage V(ep)-V(em); reject it rather than report wrong waves.
+        dump = self.engine.N
+        for i, (src, _, _) in zip(src_idx, ports):
+            if int(self.topo.vs_em[i]) != dump:
+                raise ValueError(
+                    f"lssp port source {src!r} is floating (negative "
+                    "terminal not ground): S-parameter ports must be "
+                    "grounded Thevenin sources (Vsrc + series Z0 to "
+                    "ground)")
+        vs_ep = [int(self.topo.vs_ep[i]) for i in src_idx]
+        return src_idx, node_eqs, vs_ep, _np.asarray(z0)
+
+    def lssp_batched(self, ports, powers, f0: Optional[float] = None,
+                     n_harm: int = 7, bparams: Optional[Any] = None,
+                     **hb_kw):
+        """Batched large-signal S-parameters: every (Monte-Carlo lane,
+        drive power, driven port) triple is one lane of a SINGLE
+        harmonic_balance_batched program — the whole power sweep (e.g. a
+        P1dB compression curve) and parameter spread solve in one TPU
+        dispatch instead of lssp()'s one HB per (power, port).
+
+        ports/f0 conventions exactly like lssp(); `powers` is a (Pw,)
+        array of available powers in watts; `bparams` an optional params
+        pytree with a leading lane axis (perturb_params) — omitted, the
+        nominal params run as one lane.  Returns a dict: s (B, Pw, n, n)
+        complex, amps (Pw, n), converged (B, Pw, n) bool, and the raw
+        HBBatchResult as `result` (lane order: b, then power, then
+        driven port)."""
+        import numpy as _np
+        from .analysis.hb import harmonic_balance_batched
+        hb = self.config.hb
+        f0 = f0 if f0 is not None else (hb.f0 if hb.enabled else None)
+        if not f0 or f0 <= 0:
+            raise ValueError("lssp needs f0 (or a .hb card)")
+        n = len(ports)
+        src_idx, node_eqs, vs_ep, z0 = self._lssp_ports(ports)
+        powers = _np.asarray(powers, float).ravel()
+        Pw = len(powers)
+        if bparams is None:
+            bparams = jax.tree.map(lambda x: jnp.asarray(x)[None],
+                                   dict(self.params))
+        B = int(jax.tree.leaves(bparams)[0].shape[0])
+        L = B * Pw * n
+
+        # (Pw, n_drive) drive amplitudes: A = sqrt(8 z0 P)
+        amps = _np.sqrt(8.0 * z0[None, :] * powers[:, None])   # (Pw, n)
+        tiled = jax.tree.map(
+            lambda x: jnp.repeat(jnp.asarray(x), Pw * n, axis=0), bparams)
+        # per-flat-lane SIN amplitude of every port source: port j gets
+        # amps[ip, j] on its own drive lane, 0 on the others
+        lane_amp = _np.zeros((B, Pw, n, len(src_idx)))
+        for j in range(n):
+            lane_amp[:, :, j, j] = amps[:, j][None, :]
+        vs_sin = tiled["vs_sin"]
+        for i, si in enumerate(src_idx):
+            vs_sin = vs_sin.at[:, si, 1].set(
+                jnp.asarray(lane_amp[..., i].reshape(L)))
+        tiled = dict(tiled)
+        tiled["vs_sin"] = vs_sin
+
+        res = harmonic_balance_batched(self.engine, tiled, f0,
+                                       n_harm=n_harm, **hb_kw)
+        c1 = _np.concatenate(
+            [_np.asarray(res.spectrum[:, 1]),
+             _np.zeros((L, 1), complex)], axis=1)               # (L, N+1)
+        vs = c1[:, vs_ep].reshape(B, Pw, n, n)     # (.., drive j, port i)
+        vp = c1[:, node_eqs].reshape(B, Pw, n, n)
+        # incident wave of the driven port only: a_j = Vs_j/(2 sqrt z0_j)
+        a = vs.diagonal(axis1=-2, axis2=-1) / (2.0 * _np.sqrt(z0))
+        b_w = (2.0 * vp - vs) / (2.0 * _np.sqrt(z0)[None, None, None, :])
+        S = _np.moveaxis(b_w / a[..., :, None], -2, -1)  # (B, Pw, i, j)
+        conv = _np.asarray(res.converged).reshape(B, Pw, n)
+        return {"s": S, "amps": amps, "converged": conv, "result": res}
+
+    def monte_carlo_lssp(self, n: int, ports, powers, seed: int = 0,
+                         sampler: str = "mc", **kw):
+        """Monte-Carlo large-signal S-parameters: n perturbed lanes
+        (netlist DEV=/LOT= tolerances) x len(powers) drive levels x
+        len(ports) driven ports, all as ONE batched HB program.
+        Returns (bparams, lssp_batched dict with s (n, Pw, p, p))."""
+        from .parallel.montecarlo import perturb_params_netlist
+        if not self.lowered.mc_tols:
+            raise ValueError("no DEV=/LOT= tolerances in the netlist")
+        bp = perturb_params_netlist(self.params, jax.random.key(seed), n,
+                                    self.lowered.mc_tols, sampler=sampler)
+        return bp, self.lssp_batched(ports, powers, bparams=bp, **kw)
+
+    def monte_carlo_psp(self, n: int, ports, deltas, seed: int = 0,
+                        sampler: str = "mc", f0: Optional[float] = None,
+                        n_sidebands: int = 1,
+                        n_harm: Optional[int] = None, **hb_kw):
+        """Monte-Carlo hot S-parameters: n perturbed lanes each
+        linearized around their OWN batched-HB periodic steady state,
+        with every (lane, offset) LPTV solve in one batched TPU program
+        (analysis/psp.periodic_s_parameters_batched).  `ports` like
+        hot_sparams ((node_p, node_m_or_None, z0); terminations NOT in
+        the netlist).  Returns (bparams, PSPBatchResult)."""
+        from .analysis.hb import harmonic_balance_batched
+        from .analysis.psp import periodic_s_parameters_batched
+        from .parallel.montecarlo import perturb_params_netlist
+        if not self.lowered.mc_tols:
+            raise ValueError("no DEV=/LOT= tolerances in the netlist")
+        hb = self.config.hb
+        f0 = f0 if f0 is not None else (hb.f0 if hb.enabled else None)
+        if not f0 or f0 <= 0:
+            raise ValueError("monte_carlo_psp needs f0 (or a .hb card)")
+        n_harm = n_harm if n_harm is not None else (hb.n_harm or 8)
+        dump = self.topo.n_unknowns
+
+        def node_eq(name):
+            if name is None or str(name).lower() in ("0", "gnd"):
+                return dump
+            nid = self.circuit.node_name_to_id.get(name)
+            if nid is None:
+                raise KeyError(f"unknown node {name!r}")
+            eqi = self.circuit.nodes[nid].eq_index
+            return eqi if eqi >= 0 else dump
+        port_eqs = [(node_eq(p), node_eq(m)) for (p, m, _) in ports]
+        z0s = [z for (_, _, z) in ports]
+        bp = perturb_params_netlist(self.params, jax.random.key(seed), n,
+                                    self.lowered.mc_tols, sampler=sampler)
+        pss = harmonic_balance_batched(self.engine, bp, f0,
+                                       n_harm=n_harm, **hb_kw)
+        return bp, periodic_s_parameters_batched(
+            self.engine, bp, f0, pss.xs, port_eqs, z0s, deltas,
+            n_sidebands=n_sidebands)
 
     def monte_carlo(self, n: int, seed: int = 0,
                     params: Optional[Any] = None,
