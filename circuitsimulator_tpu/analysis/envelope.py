@@ -103,38 +103,17 @@ def _fast_masks(engine: Engine, params, f0: float):
     return jnp.asarray(fv), jnp.asarray(fi)
 
 
-def envelope_transient(engine: Engine, params, f0: float, t_stop: float,
-                       dt_env: float, n_harm: int = 7,
-                       x0_xs: Optional[Any] = None,
-                       tol: float = 1e-9, max_newton: int = 25,
-                       warmup_periods: int = 6,
-                       order: int = 1) -> EnvelopeResult:
-    """Envelope transient to t_stop in steps of dt_env.  order=1 is
-    backward Euler; order=2 the trapezoidal rule (theta=1/2 averaging of
-    the algebraic residual, second-order in dt_env — the same BE/trap
-    pair the time-domain transient offers)."""
-    if order not in (1, 2):
-        raise ValueError("order must be 1 (BE) or 2 (trapezoidal)")
-    theta = 1.0 if order == 1 else 0.5
+def _b_env_fn(engine: Engine, params, ts, fv, fi):
+    """Closure over one lane's params: b_env(t1) -> (K, N) two-timescale
+    source RHS — fast waveforms at t2 (the K period samples ts), slow
+    waveforms (and every DC term) at t1.  Shared by the host stepper and
+    the batched (vmapped) path; fv/fi are the fast-source masks."""
     dtype = engine.dtype
-    N = engine.N
-    H = int(n_harm)
-    K = 2 * H + 1
-    T = 1.0 / f0
-    ts, residual_p, jacobian_p = make_hb_system(engine, f0, n_harm)
-
-    p_zero = dict(params)
-    for k in _V_SRC_ZERO + _I_SRC_ZERO:
-        p_zero[k] = jnp.zeros_like(params[k])
-    fv, fi = _fast_masks(engine, params, f0)
-    C_struct = _reactive_structure(engine, params)
-
+    K = len(ts)
     zero_vdc = jnp.zeros_like(params["vs_dc"])
     zero_idc = jnp.zeros_like(params["is_dc"])
 
     def b_env(t1):
-        """(K, N) two-timescale source RHS: fast waveforms at t2, slow
-        waveforms (and every DC term) at t1."""
         def wave_v(t):
             return srcmod.eval_tran_static_kinds(
                 engine.vs_kinds, zero_vdc, params["vs_pulse"],
@@ -164,6 +143,36 @@ def envelope_transient(engine: Engine, params, f0: float, t_stop: float,
             parts.append(jnp.zeros((K, 2 * engine.n_tl), dtype))
         terms = jnp.concatenate(parts, axis=-1)
         return jnp.einsum("kj,jn->kn", terms, engine.rhs_mat)
+
+    return b_env
+
+
+def envelope_transient(engine: Engine, params, f0: float, t_stop: float,
+                       dt_env: float, n_harm: int = 7,
+                       x0_xs: Optional[Any] = None,
+                       tol: float = 1e-9, max_newton: int = 25,
+                       warmup_periods: int = 6,
+                       order: int = 1) -> EnvelopeResult:
+    """Envelope transient to t_stop in steps of dt_env.  order=1 is
+    backward Euler; order=2 the trapezoidal rule (theta=1/2 averaging of
+    the algebraic residual, second-order in dt_env — the same BE/trap
+    pair the time-domain transient offers)."""
+    if order not in (1, 2):
+        raise ValueError("order must be 1 (BE) or 2 (trapezoidal)")
+    theta = 1.0 if order == 1 else 0.5
+    dtype = engine.dtype
+    N = engine.N
+    H = int(n_harm)
+    K = 2 * H + 1
+    T = 1.0 / f0
+    ts, residual_p, jacobian_p = make_hb_system(engine, f0, n_harm)
+
+    p_zero = dict(params)
+    for k in _V_SRC_ZERO + _I_SRC_ZERO:
+        p_zero[k] = jnp.zeros_like(params[k])
+    fv, fi = _fast_masks(engine, params, f0)
+    C_struct = _reactive_structure(engine, params)
+    b_env = _b_env_fn(engine, params, ts, fv, fi)
 
     @jax.jit
     def r_alg(X, t1):
@@ -248,3 +257,154 @@ def envelope_transient(engine: Engine, params, f0: float, t_stop: float,
         f0=f0, t1=t1s, xs=xs,
         freqs=np.arange(H + 1) * f0, coeffs=coeffs,
         converged=np.asarray(conv), residuals=np.asarray(resids))
+
+
+# ---------------------------------------------------------------------
+# Batched (Monte-Carlo) envelope transient — the whole two-timescale
+# run as ONE jitted program over the lane axis
+# ---------------------------------------------------------------------
+
+@dataclasses.dataclass
+class EnvelopeBatchResult:
+    f0: float
+    t1: np.ndarray            # (T1+1,) envelope time points
+    xs: Any                   # (B, T1+1, K, N) waveform samples per lane
+    freqs: np.ndarray         # (H+1,)
+    coeffs: np.ndarray        # (B, T1+1, H+1, N) complex envelopes
+    converged: np.ndarray     # (B,) every step of the lane converged
+    residuals: np.ndarray     # (B, T1+1) final Newton residual per step
+
+
+def make_envelope_batched_fn(engine: Engine, f0: float, t_stop: float,
+                             dt_env: float, n_harm: int = 7,
+                             n_newton: int = 10, tol: float = 1e-9,
+                             warmup_periods: int = 6, fast_masks=None):
+    """Factory for the batched envelope program: returns (t1s, fn) with
+    fn(bparams, x0s) -> (Xs (B, T1+1, K, N), resid (B, T1+1)) — the
+    full envelope run (warm-up transient, t1=0 PSS solve, BE envelope
+    scan) traced once and vmapped over the Monte-Carlo lane axis.  Same
+    batching contract as hb.make_hb_batched_fn: fixed Newton counts (no
+    host polling), per-lane freeze on early convergence/non-finite.
+
+    fast_masks: optional (fv, fi) from _fast_masks — REQUIRED when
+    bparams is a batched pytree (the masks come from host numpy and
+    must be computed once from the nominal lane; fast/slow source
+    classification cannot vary per lane)."""
+    dtype = engine.dtype
+    N = engine.N
+    H = int(n_harm)
+    K = 2 * H + 1
+    T = 1.0 / f0
+    ts, residual_p, jacobian_p = make_hb_system(engine, f0, n_harm)
+    n_steps = int(round(t_stop / dt_env))
+    t1s = np.arange(n_steps + 1) * dt_env
+    kk = jnp.arange(K)
+    from .transient import transient_step_fn
+    steps_pp = max(4 * K, 64)
+    dt_w = jnp.asarray(T / steps_pp, dtype)
+    widx = (np.arange(K) * steps_pp) // K
+
+    def lane(p, x0):
+        p_zero = dict(p)
+        for k in _V_SRC_ZERO + _I_SRC_ZERO:
+            p_zero[k] = jnp.zeros_like(p[k])
+        fv, fi = fast_masks if fast_masks is not None \
+            else _fast_masks(engine, p, f0)
+        C_struct = _reactive_structure(engine, p)
+        b_env = _b_env_fn(engine, p, ts, fv, fi)
+
+        def newton_iters(X, Xprev, t1, inv_dt):
+            def body(_, c):
+                X, res, done = c
+                r, A_t = residual_p(X, p_zero, with_At=True)
+                r = (r - b_env(t1)
+                     + inv_dt * jnp.einsum("ij,kj->ki", C_struct,
+                                           X - Xprev))
+                J = jacobian_p(A_t, p_zero).reshape(K, N, K, N)
+                J = J.at[kk, :, kk, :].add(inv_dt * C_struct)
+                dX = jnp.linalg.solve(J.reshape(K * N, K * N),
+                                      -r.reshape(-1)).reshape(K, N)
+                rn = jnp.linalg.norm(r)
+                ok = jnp.isfinite(rn) & jnp.all(jnp.isfinite(dX))
+                take = (~done) & ok
+                Xn = jnp.where(take, X + dX, X)
+                res = jnp.where(done, res, rn)
+                done = done | (rn < tol) | ~ok
+                return (Xn, res, done)
+            X, res, _ = jax.lax.fori_loop(
+                0, n_newton, body,
+                (X, jnp.asarray(jnp.inf, dtype), jnp.asarray(False)))
+            return X, res
+
+        # warm-up transient from the DC point (slow sources live)
+        step = transient_step_fn(engine, p, dt_w)
+        state = engine.init_state(x0, p, dt_w)
+        carry = (x0, state, jnp.zeros(x0.shape[:-1], bool))
+        tw = (jnp.arange(1, warmup_periods * steps_pp + 1, dtype=dtype)
+              * dt_w)
+
+        def wstep(c, t):
+            c, (xo, _) = step(c, t)
+            return c, xo
+
+        _, xs_w = jax.lax.scan(wstep, carry, tw)
+        zero = jnp.zeros((K, N), dtype)
+        X0, r0 = newton_iters(xs_w[-steps_pp:][widx], zero,
+                              jnp.asarray(0.0, dtype),
+                              jnp.asarray(0.0, dtype))
+
+        inv_dt = jnp.asarray(1.0 / dt_env, dtype)
+
+        def env_step(X, t1):
+            Xn, res = newton_iters(X, X, t1, inv_dt)
+            return Xn, (Xn, res)
+
+        _, (Xs, rs) = jax.lax.scan(
+            env_step, X0, jnp.asarray(t1s[1:], dtype))
+        Xs = jnp.concatenate([X0[None], Xs], axis=0)
+        rs = jnp.concatenate([r0[None], rs], axis=0)
+        return Xs, rs
+
+    def batched(bp, x0s):
+        # full-f32 matmuls: the MXU's default bf16 passes floor the
+        # Newton residual ~1e-3 (see hb.make_hb_batched_fn)
+        with jax.default_matmul_precision("highest"):
+            return jax.vmap(lane)(bp, x0s)
+
+    return t1s, jax.jit(batched)
+
+
+def envelope_transient_batched(engine: Engine, bparams, f0: float,
+                               t_stop: float, dt_env: float,
+                               n_harm: int = 7, n_newton: int = 10,
+                               tol: float = 1e-9,
+                               warmup_periods: int = 6,
+                               x0s=None) -> EnvelopeBatchResult:
+    """Monte-Carlo envelope transient: B perturbed lanes (leading lane
+    axis, perturb_params) of the full two-timescale run as ONE batched
+    program — warm-up, t1=0 PSS, and every BE envelope step's (KN)²
+    Newton solve vmapped over lanes (batched dense solves on the MXU).
+    Backward Euler only (the host envelope_transient offers order=2).
+    The fast/slow source split comes from lane 0 (classification cannot
+    vary per lane)."""
+    nominal = jax.tree.map(lambda x: x[0], bparams)
+    masks = _fast_masks(engine, nominal, f0)
+    if x0s is None:
+        from ..parallel.montecarlo import batched_dc_fast
+        x0s = batched_dc_fast(engine, bparams)
+    t1s, fn = make_envelope_batched_fn(
+        engine, f0, t_stop, dt_env, n_harm=n_harm, n_newton=n_newton,
+        tol=tol, warmup_periods=warmup_periods, fast_masks=masks)
+    Xs, rs = fn(bparams, x0s)
+    H = int(n_harm)
+    K = 2 * H + 1
+    xs = np.asarray(Xs)                              # (B, T1+1, K, N)
+    fft = np.fft.rfft(xs, axis=2) / K
+    coeffs = fft * 2.0
+    coeffs[:, :, 0] /= 2.0
+    rs = np.asarray(rs)
+    conv_tol = max(tol * 100, 1e-6)
+    return EnvelopeBatchResult(
+        f0=f0, t1=t1s, xs=xs,
+        freqs=np.arange(H + 1) * f0, coeffs=coeffs,
+        converged=np.all(rs < conv_tol, axis=1), residuals=rs)

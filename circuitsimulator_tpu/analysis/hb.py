@@ -392,7 +392,15 @@ def make_hb_batched_fn(engine: Engine, f0: float,
         final = jnp.linalg.norm(residual_p(X, p))
         return X, final
 
-    return ts, jax.jit(jax.vmap(one_lane))
+    def batched(bp, x0s):
+        # pin full-f32 matmuls: the TPU MXU's default bf16 passes put the
+        # dbmixer residual floor ~1e-3 (0/32 lanes "converged"); HIGHEST
+        # reaches the 8.5e-8 CPU-f32 floor at the same wall time (the
+        # KN^2 solves are not matmul-throughput-bound at these sizes)
+        with jax.default_matmul_precision("highest"):
+            return jax.vmap(one_lane)(bp, x0s)
+
+    return ts, jax.jit(batched)
 
 
 def harmonic_balance_batched(engine: Engine, bparams, f0: float,

@@ -296,7 +296,14 @@ def periodic_s_parameters_batched(engine: Engine, bparams, f0: float,
     z0 = np.asarray(z0s, float)
 
     lane = make_psp_batched_fn(engine, f0, K, port_eqs, harmonics, deltas)
-    vp = np.asarray(jax.jit(jax.vmap(lane))(bparams, xs_pss_b))
+
+    def batched(bp, xs_b):
+        # full-f32 matmuls: the MXU's default bf16 passes would corrupt
+        # the 2KN real-block LPTV solves (see hb.make_hb_batched_fn)
+        with jax.default_matmul_precision("highest"):
+            return jax.vmap(lane)(bp, xs_b)
+
+    vp = np.asarray(jax.jit(batched)(bparams, xs_pss_b))
     vp = vp[..., 0] + 1j * vp[..., 1]          # (B, F, K, n, P)
     B = vp.shape[0]
 

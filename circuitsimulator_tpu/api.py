@@ -758,6 +758,30 @@ class Simulator:
         return envelope_transient(self.engine, p, f0, t_stop, dt_env,
                                   n_harm=n_harm, **kw)
 
+    def monte_carlo_envelope(self, n: int, t_stop: float, dt_env: float,
+                             seed: int = 0, sampler: str = "mc",
+                             f0: Optional[float] = None,
+                             n_harm: int = 7, **kw):
+        """Monte-Carlo envelope transient: n perturbed lanes (netlist
+        DEV=/LOT= tolerances) of the whole two-timescale run as ONE
+        batched program (analysis/envelope.envelope_transient_batched —
+        warm-up, t1=0 PSS, and every envelope step's (KN)² Newton solve
+        vmapped over lanes).  Returns (bparams, EnvelopeBatchResult)."""
+        from .analysis.envelope import envelope_transient_batched
+        from .parallel.montecarlo import perturb_params_netlist
+        if not self.lowered.mc_tols:
+            raise ValueError("no DEV=/LOT= tolerances in the netlist")
+        hb = self.config.hb
+        f0 = f0 if f0 is not None else (hb.f0 if hb.enabled else None)
+        if not f0 or f0 <= 0:
+            raise ValueError("monte_carlo_envelope needs f0 (or a .hb "
+                             "card)")
+        bp = perturb_params_netlist(self.params, jax.random.key(seed), n,
+                                    self.lowered.mc_tols, sampler=sampler)
+        return bp, envelope_transient_batched(self.engine, bp, f0,
+                                              t_stop, dt_env,
+                                              n_harm=n_harm, **kw)
+
     def _pss_samples(self, p, f0, n_harm, **hb_kw):
         """Converged single-tone HB samples for the LPTV analyses; a
         non-converged PSS would silently produce plausible-looking garbage
