@@ -41,9 +41,17 @@ def main():
                                    tran_unrolled_iters=1)
     sim = Simulator.from_text(
         rc_grid_netlist(rows, cols, rail=bool(os.environ.get("GRID_RAIL")),
+                        diode_every=int(os.environ.get("GRID_DIODE_EVERY",
+                                                       10)),
                         tstep=tstep, tstop=steps * tstep), opts=opts)
     assert sim.opts.tran_solver == "blockband", "blockband backend not selected"
-    lay = sim.engine._blockband_layout
+    solver = os.environ.get("GRID_SOLVER")
+    if solver:  # e.g. blockwb: pre-factored block-CR + Woodbury rank-1 rows
+        sim.opts = sim.opts.replace(tran_solver=solver)
+        from circuitsimulator_tpu.ops.assemble import Engine
+        sim.engine = Engine(sim.lowered, sim.opts)
+    from circuitsimulator_tpu.ops.blockband import get_layout
+    lay = get_layout(sim.engine)
     print(f"nodes={rows * cols} unknowns={sim.topo.n_unknowns} "
           f"backend=blockband h={lay.h} k={lay.k} nb={lay.nb} mb={lay.mb} "
           f"steps={steps}", file=sys.stderr)

@@ -102,7 +102,9 @@ def main():
     sim = Simulator.from_text(RECT)
     out["rectifier"] = bench_deck(jax, sim, 1e6, 7, B, "rectifier")
 
-    Bm = int(os.environ.get("BENCH_HB_B_MIXER", 64))
+    # B=64 at KN=527 has hit "UNAVAILABLE: TPU device error" on the axon
+    # tunnel (also when another process shares the tunnel) — 32 is solid
+    Bm = int(os.environ.get("BENCH_HB_B_MIXER", 32))
     simm = Simulator.from_file(
         os.path.join(REPO, "tests/netlists/dbmixer.sp"))
     out["dbmixer_h8"] = bench_deck(jax, simm, 100e6, 8, Bm, "dbmixer_h8")

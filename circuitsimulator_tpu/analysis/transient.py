@@ -99,6 +99,7 @@ def transient_step_fn(engine: Engine, params, dt, predictor: bool = False,
     use_woodbury = opts.tran_solver == "woodbury"
     use_tridiag = opts.tran_solver == "tridiag"
     use_blockband = opts.tran_solver == "blockband"
+    use_blockwb = opts.tran_solver == "blockwb"
     mos_charge = getattr(engine, "mos_charge", False)
     if mos_charge and (method != "be" or use_tridiag or use_blockband):
         raise NotImplementedError(
@@ -138,6 +139,36 @@ def transient_step_fn(engine: Engine, params, dt, predictor: bool = False,
             from ..parallel.spike import bordered_spike_solve
             from functools import partial as _partial
             bordered_block_solve = _partial(bordered_spike_solve, mesh)
+    elif use_blockwb:
+        # pre-factored large-circuit path: the BE companion matrix is
+        # CONSTANT over the whole transient (fixed dt), so factor the
+        # RCM bordered block-tridiagonal base ONCE (block-CR elimination
+        # inverses cached) and carry every nonlinear device as Woodbury
+        # rank-1 rows over it — each Newton iteration costs O(nb k^2)
+        # matmuls + the k_wb^2 capacitance solve instead of blockband's
+        # O(nb k^3) re-elimination.  Single-device only (SPIKE keeps the
+        # re-eliminating path).
+        if mesh is not None:
+            raise NotImplementedError("tran_solver='blockwb' is "
+                                      "single-device; use 'blockband' "
+                                      "with a mesh (SPIKE)")
+        from ..ops.blockband import get_layout, BlockScatter
+        from ..ops.blockcr import (bordered_block_factor,
+                                   bordered_block_apply)
+        bb_layout = get_layout(engine)
+        srows, scols, svals = engine.tran_static_entries(
+            params, dt, opts.tran_gmin, method)
+        mats = BlockScatter(bb_layout, srows, scols).scatter(svals)
+        bfac = bordered_block_factor(
+            mats["L"], mats["D"], mats["U"],
+            mats["Ub"], mats["Wb"], mats["Db"], opts.lu_pivot_floor)
+
+        def bb_solve_op(Bmat):
+            """Apply G0^{-1} to (..., N, q) original-order multi-RHS."""
+            Bq = jnp.moveaxis(Bmat, -1, -2)          # (..., q, N)
+            f, g = bb_layout.gather_rhs(Bq)
+            x, y = bordered_block_apply(bfac, f, g)
+            return jnp.moveaxis(bb_layout.gather_solution(x, y), -2, -1)
     else:
         G_static = engine.tran_static_G(params, dt, opts.tran_gmin, method)
         # Monte-Carlo batches (vmap over lanes) dispatch the per-iteration
@@ -147,6 +178,10 @@ def transient_step_fn(engine: Engine, params, dt, predictor: bool = False,
     if use_woodbury:
         from ..ops.woodbury import WoodburySolver
         wb = WoodburySolver(engine, params, G_static[..., :N, :N])
+    elif use_blockwb:
+        from ..ops.woodbury import WoodburySolver
+        wb = WoodburySolver(engine, params, solve_op=bb_solve_op)
+        use_woodbury = True
 
     def step(carry, t):
         # Pin full-f32 matmul passes for everything traced in the step

@@ -142,3 +142,101 @@ def bordered_block_solve(L, D, U, Ub, Wb, Db, f, g,
         y = lu_solve(S, rhs_y, pivot_floor)
     x = z0 - jnp.einsum("...nm,...m->...n", Z, y)
     return x, y
+
+
+# ---------------------------------------------------------------------
+# Pre-factored form: factor T once per transient (the BE companion
+# matrix is constant while dt is fixed), then every Newton iteration's
+# solve is O(nb k^2) matmul work instead of the O(nb k^3)
+# re-elimination of block_cr_solve.  The nonlinear devices ride rank-1
+# Woodbury rows over this base (ops/woodbury.py solve_op).
+# ---------------------------------------------------------------------
+
+def block_cr_factor(L, D, U):
+    """Factor the block-tridiagonal T: returns factors for
+    block_cr_apply.  Per CR level stores (alpha, gamma, Lo, Uo, invDo) —
+    the explicit odd-block inverses make the back-substitution pure
+    batched matmuls (MXU work, no per-apply factorizations).  Explicit
+    inverses are safe here for the same reason cross-block non-pivoting
+    is (diagonal dominance of the MNA companion form)."""
+    L, D, U = jnp.asarray(L), jnp.asarray(D), jnp.asarray(U)
+    k = D.shape[-1]
+    F0 = jnp.zeros(D.shape[:-2] + (k, 0), D.dtype)
+    L, D, U, _, nb = _pad_pow2_blocks(L, D, U, F0)
+    levels = []
+    while D.shape[-3] > 1:
+        Le, De, Ue = (L[..., ::2, :, :], D[..., ::2, :, :],
+                      U[..., ::2, :, :])
+        Lo, Do, Uo = (L[..., 1::2, :, :], D[..., 1::2, :, :],
+                      U[..., 1::2, :, :])
+        Ll, Dl = _shift_dn(Lo), _shift_dn(Do, fill_eye=True)
+        Ul = _shift_dn(Uo)
+        alpha = _rsolve(Dl, Le)
+        gamma = _rsolve(Do, Ue)
+        levels.append((alpha, gamma, Lo, Uo, jnp.linalg.inv(Do)))
+        L = -alpha @ Ll
+        D = De - alpha @ Ul - gamma @ Lo
+        U = -gamma @ Uo
+    return {"levels": levels, "invD_root": jnp.linalg.inv(D), "nb": nb}
+
+
+def block_cr_apply(fac, F):
+    """Solve T X = F with block_cr_factor's output.  F: (..., nb, k, q).
+    Matmul-only (the factorization's inverses are applied, not redone)."""
+    nb = fac["nb"]
+    F = jnp.asarray(F)
+    M = fac["invD_root"].shape[-3] * (2 ** len(fac["levels"]))
+    pad = M - F.shape[-3]
+    if pad:
+        F = jnp.concatenate(
+            [F, jnp.zeros(F.shape[:-3] + (pad,) + F.shape[-2:], F.dtype)],
+            axis=-3)
+    saved = []
+    for (alpha, gamma, _, _, _) in fac["levels"]:
+        Fe, Fo = F[..., ::2, :, :], F[..., 1::2, :, :]
+        saved.append(Fo)
+        F = Fe - alpha @ _shift_dn(Fo) - gamma @ Fo
+    X = fac["invD_root"] @ F
+    for (alpha, gamma, Lo, Uo, invDo), Fo in zip(reversed(fac["levels"]),
+                                                 reversed(saved)):
+        Xo = invDo @ (Fo - Lo @ X - Uo @ _shift_up(X))
+        shape = jnp.broadcast_shapes(X.shape, Xo.shape)
+        Xb, Ob = jnp.broadcast_to(X, shape), jnp.broadcast_to(Xo, shape)
+        X = jnp.stack([Xb, Ob], axis=-3).reshape(
+            *shape[:-3], 2 * shape[-3], *shape[-2:])
+    return X[..., :nb, :, :]
+
+
+def bordered_block_factor(L, D, U, Ub, Wb, Db,
+                          pivot_floor: float = 1e-15):
+    """Factor [[T, Ub], [Wb, Db]]: block-CR factors for T plus the
+    border's Schur pieces Z = T^{-1} Ub and S = Db - Wb Z (stored as an
+    explicit inverse; mb is tiny)."""
+    nb, k = D.shape[-3], D.shape[-1]
+    mb = Db.shape[-1]
+    fac = block_cr_factor(L, D, U)
+    out = {"cr": fac, "nb": nb, "k": k, "mb": mb, "Wb": Wb}
+    if mb:
+        Z = block_cr_apply(
+            fac, Ub.reshape(*Ub.shape[:-2], nb, k, mb)
+        ).reshape(*Ub.shape[:-2], nb * k, mb)
+        S = Db - Wb @ Z
+        from .woodbury import lu_inverse
+        out["Z"] = Z
+        out["Sinv"] = lu_inverse(S, pivot_floor)
+    return out
+
+
+def bordered_block_apply(bfac, f, g):
+    """Solve with bordered_block_factor's output.  f: (..., n_pad);
+    g: (..., mb).  Returns (x interior-slot order, y)."""
+    nb, k, mb = bfac["nb"], bfac["k"], bfac["mb"]
+    z0 = block_cr_apply(bfac["cr"],
+                        f.reshape(*f.shape[:-1], nb, k, 1)
+                        ).reshape(*f.shape[:-1], nb * k)
+    if mb == 0:
+        return z0, g[..., :0]
+    rhs_y = g - jnp.einsum("...mn,...n->...m", bfac["Wb"], z0)
+    y = jnp.einsum("...mn,...n->...m", bfac["Sinv"], rhs_y)
+    x = z0 - jnp.einsum("...nm,...m->...n", bfac["Z"], y)
+    return x, y

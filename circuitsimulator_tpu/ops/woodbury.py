@@ -155,16 +155,27 @@ class WoodburyPlan:
 class WoodburySolver:
     """Per-transient factorization state + the per-iteration solve."""
 
-    def __init__(self, engine, params, G0):
-        """G0: (..., N, N) static transient system matrix (engine.tran_static_G
-        sliced to the real unknowns)."""
+    def __init__(self, engine, params, G0=None, solve_op=None):
+        """G0: (..., N, N) static transient system matrix
+        (engine.tran_static_G sliced to the real unknowns) — factored
+        to a dense inverse.  Alternatively pass solve_op(B) applying
+        G0^{-1} to (..., N, q) multi-RHS WITHOUT a dense inverse (e.g.
+        the pre-factored block-CR of ops/blockcr.bordered_block_factor
+        for large banded circuits, where an N x N inverse would be
+        N^2 memory)."""
         self.engine = engine
         self.plan = WoodburyPlan(engine)
         opts = engine.opts
         N = engine.N
-        self.G0inv = lu_inverse(G0, opts.lu_pivot_floor)
         U = self.plan.build_U(engine.dtype)
-        self.Y = self.G0inv @ U                       # (..., N, k)
+        if solve_op is None:
+            self.G0inv = lu_inverse(G0, opts.lu_pivot_floor)
+            self._solve_op = None
+            self.Y = self.G0inv @ U                   # (..., N, k)
+        else:
+            self.G0inv = None
+            self._solve_op = solve_op
+            self.Y = solve_op(U)                      # (..., N, k)
         # static gathers of Y rows at each device's column indices
         cols = self.plan.col_idx()                    # (k, 3)
         pad = jnp.zeros(self.Y.shape[:-2] + (1, self.plan.k),
@@ -224,6 +235,8 @@ class WoodburySolver:
 
     def z0(self, b0):
         """G0^{-1} b0 — once per timestep (b0 = sources + history)."""
+        if self._solve_op is not None:
+            return self._solve_op(b0[..., None])[..., 0]
         return jnp.einsum("...ij,...j->...i", self.G0inv, b0)
 
     def nl_coeffs(self, params, x, t=0.0, qex=None):

@@ -62,7 +62,12 @@ class SolverOptions:
     # cyclic-reduction solve for ladder circuits (O(n) per iteration,
     # required beyond a few hundred nodes).  "blockband" = RCM-reordered
     # bordered block-tridiagonal solve (ops/blockband.py) for large
-    # NON-ladder topologies (grids, trees, meshes).
+    # NON-ladder topologies (grids, trees, meshes).  "blockwb" = the
+    # pre-factored form of blockband: the constant BE companion base is
+    # block-CR-factored ONCE per transient and nonlinear devices ride
+    # Woodbury rank-1 rows over it — O(nb k^2) matmuls per Newton
+    # iteration instead of blockband's O(nb k^3) re-elimination
+    # (single-device; SPIKE meshes keep "blockband").
     tran_solver: str = "woodbury"
     # DC linear solver: "lu" (reference), "gs", "tridiag" (ladder), or
     # "blockband" (general large circuits)
