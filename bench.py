@@ -276,10 +276,14 @@ def measure_accuracy(jax, dtype):
             "fast_max_rel_err_vs_ref_golden": round(max_rel, 12)}
 
 
-def tpu_reachable(timeout_s: int = 90) -> bool:
+def tpu_reachable(timeout_s: int = None) -> bool:
     """The axon tunnel, when down, HANGS any jax op forever (it does not
     error) — probe it in a killable subprocess before committing the bench
-    to the TPU backend."""
+    to the TPU backend.  Default 150s (jax import alone can take tens of
+    seconds on a loaded box — a too-short probe false-falls-back to CPU;
+    observed with a test suite running); BENCH_PROBE_TIMEOUT overrides."""
+    if timeout_s is None:
+        timeout_s = int(os.environ.get("BENCH_PROBE_TIMEOUT", 150))
     import subprocess
     code = ("import jax, jax.numpy as jnp;"
             "print((jnp.ones((8,8)) @ jnp.ones((8,8))).sum())")

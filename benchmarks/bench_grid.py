@@ -44,7 +44,8 @@ def main():
                         diode_every=int(os.environ.get("GRID_DIODE_EVERY",
                                                        10)),
                         tstep=tstep, tstop=steps * tstep), opts=opts)
-    assert sim.opts.tran_solver == "blockband", "blockband backend not selected"
+    assert sim.opts.tran_solver in ("blockband", "blockwb"), \
+        "block-banded backend not selected"
     solver = os.environ.get("GRID_SOLVER")
     if solver:  # e.g. blockwb: pre-factored block-CR + Woodbury rank-1 rows
         sim.opts = sim.opts.replace(tran_solver=solver)

@@ -100,6 +100,10 @@ def transient_step_fn(engine: Engine, params, dt, predictor: bool = False,
     use_tridiag = opts.tran_solver == "tridiag"
     use_blockband = opts.tran_solver == "blockband"
     use_blockwb = opts.tran_solver == "blockwb"
+    if use_blockwb and mesh is not None:
+        # the pre-factored path is single-device; a mesh means SPIKE
+        # domain decomposition — use the re-eliminating solve it shards
+        use_blockwb, use_blockband = False, True
     mos_charge = getattr(engine, "mos_charge", False)
     if mos_charge and (method != "be" or use_tridiag or use_blockband):
         raise NotImplementedError(
@@ -146,12 +150,8 @@ def transient_step_fn(engine: Engine, params, dt, predictor: bool = False,
         # inverses cached) and carry every nonlinear device as Woodbury
         # rank-1 rows over it — each Newton iteration costs O(nb k^2)
         # matmuls + the k_wb^2 capacitance solve instead of blockband's
-        # O(nb k^3) re-elimination.  Single-device only (SPIKE keeps the
-        # re-eliminating path).
-        if mesh is not None:
-            raise NotImplementedError("tran_solver='blockwb' is "
-                                      "single-device; use 'blockband' "
-                                      "with a mesh (SPIKE)")
+        # O(nb k^3) re-elimination.  Single-device only (a mesh falls
+        # back to blockband/SPIKE above).
         from ..ops.blockband import get_layout, BlockScatter
         from ..ops.blockcr import (bordered_block_factor,
                                    bordered_block_apply)

@@ -78,7 +78,22 @@ class Simulator:
                 from .ops.blockband import try_layout
                 layout = try_layout(self.engine)
                 if layout is not None:
-                    self.opts = opts = opts.replace(tran_solver="blockband",
+                    # pre-factored block-CR + Woodbury (blockwb) when the
+                    # total nonlinear rank is small vs the network: the
+                    # per-iteration cost trades blockband's O(nb k^3)
+                    # re-elimination for O(nb k^2) applies + one
+                    # k_wb^2-sized solve.  Measured crossover on a
+                    # 10k-unknown grid (125x80, v5e): rank 270 -> 2.9x
+                    # faster, rank 555 -> 1.3x, rank 1000 -> 0.6x; N/16
+                    # (= 625 there) splits the bracket.  Meshed runs
+                    # (SPIKE) fall back to blockband inside
+                    # transient_step_fn.
+                    from .ops.woodbury import WoodburyPlan
+                    k_wb = WoodburyPlan(self.engine).k
+                    tran = ("blockwb"
+                            if k_wb <= self.topo.n_unknowns // 16
+                            else "blockband")
+                    self.opts = opts = opts.replace(tran_solver=tran,
                                                     dc_solver="blockband")
                     self.engine = Engine(self.lowered, opts)
                     self.engine._blockband_layout = layout

@@ -64,15 +64,46 @@ def test_blockwb_with_border_rows():
     np.testing.assert_allclose(x_wb, x_lu, atol=5e-13)
 
 
-def test_blockwb_rejects_mesh():
+def test_blockwb_mesh_falls_back_to_spike():
+    """A mesh means SPIKE domain decomposition: blockwb silently uses
+    the re-eliminating blockband solve it shards, same trajectory."""
     import numpy as _np
     import jax
     from jax.sharding import Mesh
     from circuitsimulator_tpu.analysis.transient import run_transient
-    net = rc_grid_netlist(16, 10, tstep=1e-12, tstop=5e-12)
+    from circuitsimulator_tpu.parallel.spike import PART_AXIS
+    net = rc_grid_netlist(16, 10, diode_every=5, tstep=1e-12,
+                          tstop=10e-12)
     opts = DEFAULT_OPTIONS.replace(tran_solver="blockwb", dc_solver="lu",
                                    auto_backend=False)
     sim = Simulator.from_text(net, opts=opts)
-    mesh = Mesh(_np.array(jax.devices()[:1]), ("spike_parts",))
-    with pytest.raises(NotImplementedError, match="single-device"):
-        run_transient(sim.engine, sim.params, 1e-12, 5e-12, mesh=mesh)
+    r1 = sim.transient()
+    mesh = Mesh(_np.array(jax.devices()[:2]), (PART_AXIS,))
+    r2 = run_transient(sim.engine, sim.params, 1e-12, 10e-12, mesh=mesh)
+    assert not bool(np.asarray(r2.failed).any())
+    np.testing.assert_allclose(np.asarray(r2.xs), np.asarray(r1.xs),
+                               atol=1e-11)
+
+
+def test_auto_backend_rank_heuristic():
+    """auto_backend picks blockwb when the Woodbury rank is small vs the
+    network (measured crossover ~N/16 on the 10k grid) and keeps the
+    re-eliminating blockband above it."""
+    # 20x12 = 240 unknowns+, diode_every=97 -> 3 diodes: rank << N/16
+    lo = Simulator.from_text(rc_grid_netlist(20, 12, diode_every=97,
+                                             tstep=1e-12, tstop=5e-12))
+    assert lo.opts.tran_solver == "blockwb"
+    # diode_every=7 -> ~35 diodes > 240/16: stays blockband
+    hi = Simulator.from_text(rc_grid_netlist(20, 12, diode_every=7,
+                                             tstep=1e-12, tstop=5e-12))
+    assert hi.opts.tran_solver == "blockband"
+    # the auto-picked blockwb run matches the dense oracle
+    ra = lo.transient()
+    dense = Simulator.from_text(
+        rc_grid_netlist(20, 12, diode_every=97, tstep=1e-12,
+                        tstop=5e-12),
+        opts=DEFAULT_OPTIONS.replace(tran_solver="lu", dc_solver="lu",
+                                     auto_backend=False))
+    rd = dense.transient()
+    np.testing.assert_allclose(np.asarray(ra.xs), np.asarray(rd.xs),
+                               atol=1e-9)
