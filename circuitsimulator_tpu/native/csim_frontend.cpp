@@ -1307,7 +1307,18 @@ public:
                 }
                 double p[5] = {0, 0, 0, 0, 0};
                 size_t avail = std::min<size_t>(5, t.size() - j - 1);
+                size_t got = 0;
                 for (size_t i = 0; i < avail; ++i) {
+                    // optional args stop at a trailing spec keyword
+                    // (TRNOISE(...), AC, DC, DEV=, LOT=) — matching the
+                    // Python frontend: 'SIN 1 0.6 9e8 0 TRNOISE(1m 0)'
+                    // keeps the SIN and hands TRNOISE to its own parser
+                    std::string low = lower(t[j + 1 + i]);
+                    if (low.rfind("trnoise", 0) == 0 ||
+                        low.rfind("dev", 0) == 0 ||
+                        low.rfind("lot", 0) == 0 ||
+                        low == "ac" || low == "dc")
+                        break;
                     if (!parse_spice(t[j + 1 + i], &p[i])) {
                         // any unparseable parameter aborts the whole
                         // waveform, matching the Python frontend
@@ -1315,6 +1326,13 @@ public:
                              "cannot parse SIN parameters: " + st.raw);
                         return;
                     }
+                    ++got;
+                }
+                if (got < 3) {
+                    warn(st.line_no,
+                         "SIN needs at least 3 parameters (v0 va freq): " +
+                             st.raw);
+                    return;
                 }
                 e.wave_kind = 2;
                 for (int i = 0; i < 5; ++i) e.sin5[i] = p[i];

@@ -430,14 +430,28 @@ class NetlistParser:
                   f"SIN needs at least 3 parameters (v0 va freq): {st.raw}")
             return
         w = Waveform(kind=WAVE_SIN)
+        # optional args stop at a trailing spec keyword (TRNOISE(...),
+        # AC mag, DEV=/LOT=) — 'SIN 1 0.6 900e6 0 TRNOISE(1m 0)' must
+        # keep the SIN and hand TRNOISE to its own parser, not die
+        # trying to read 'TRNOISE(1m' as the phase
+        stop = ("trnoise", "ac", "dc", "dev", "lot")
+        args = []
+        for tok in t[sin_idx + 1: sin_idx + 6]:
+            if tok.lower().startswith(stop):
+                break
+            args.append(tok)
+        if len(args) < 3:
+            _warn(st.line_no,
+                  f"SIN needs at least 3 parameters (v0 va freq): {st.raw}")
+            return
         try:
-            w.v0 = parse_spice_number(t[sin_idx + 1])
-            w.va = parse_spice_number(t[sin_idx + 2])
-            w.freq = parse_spice_number(t[sin_idx + 3])
-            if len(t) > sin_idx + 4:
-                w.std = parse_spice_number(t[sin_idx + 4])
-            if len(t) > sin_idx + 5:
-                w.phi = parse_spice_number(t[sin_idx + 5])
+            w.v0 = parse_spice_number(args[0])
+            w.va = parse_spice_number(args[1])
+            w.freq = parse_spice_number(args[2])
+            if len(args) > 3:
+                w.std = parse_spice_number(args[3])
+            if len(args) > 4:
+                w.phi = parse_spice_number(args[4])
         except ValueError as e:
             _warn(st.line_no, f"cannot parse SIN parameters: {e} in '{st.raw}'")
             return

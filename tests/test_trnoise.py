@@ -38,13 +38,30 @@ def test_parse_trnoise():
     assert e2.spec.tn_nt == pytest.approx(5e-9)
 
 
+def test_sin_stops_at_trnoise_keyword():
+    """'SIN v0 va freq [td [phi]]' must stop consuming optional args at a
+    trailing TRNOISE(...) (regression: 'SIN 1 0.6 9e8 0 TRNOISE(1m 0)'
+    used to abort the whole waveform trying to read 'TRNOISE(1m' as the
+    phase)."""
+    ckt, _ = parse_netlist_text(
+        "V1 a 0 SIN 1 0.6 900e6 0 TRNOISE(1m 0)\nR1 a 0 1k\n.tran 1n 4n\n")
+    e = ckt.elements[0]
+    assert e.spec.wave.kind != 0
+    assert e.spec.wave.va == pytest.approx(0.6)
+    assert e.spec.wave.freq == pytest.approx(9e8)
+    assert e.spec.tn_na == pytest.approx(1e-3)
+
+
 def test_native_parity_trnoise():
     from circuitsimulator_tpu import native
     if not native.available():
         pytest.skip("native frontend not built")
     import dataclasses
     for deck in (DECK, "I1 0 a 1m TRNOISE(2u 5n)\nR1 a 0 1k\n.op\n",
-                 "V1 a 0 TRNOISE(1m)\nR1 a 0 1k\n.op\n"):
+                 "V1 a 0 TRNOISE(1m)\nR1 a 0 1k\n.op\n",
+                 "V1 a 0 SIN 1 0.6 9e8 0 TRNOISE(1m 0)\nR1 a 0 1k\n.op\n",
+                 "V1 a 0 SIN 0 1 1e6 TRNOISE(2m 1n 1 3m)\nR1 a 0 1k\n.op\n",
+                 "V1 a 0 SIN 0 1 1e6 0 30 TRNOISE(1u)\nR1 a 0 1k\n.op\n"):
         ckt_py, _ = parse_netlist_text(deck)
         ckt_nat, _ = native.parse_netlist_text_native(deck)
         ckt_py.assign_equation_indices()
