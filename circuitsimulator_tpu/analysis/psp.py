@@ -44,6 +44,7 @@ ONE batched TPU program (real 2KN block systems on the MXU; no T-lines)
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Sequence, Tuple
 
 import numpy as np
@@ -303,7 +304,19 @@ def periodic_s_parameters_batched(engine: Engine, bparams, f0: float,
         with jax.default_matmul_precision("highest"):
             return jax.vmap(lane)(bp, xs_b)
 
-    vp = np.asarray(jax.jit(batched)(bparams, xs_pss_b))
+    fn = jax.jit(batched)
+    # lane blocking: XLA's batched triangular solve blows the 16 MB
+    # scoped-VMEM limit around (1024, 2KN, 2KN) on v5e — dispatch the
+    # one compiled block program over lane chunks instead
+    B_all = int(xs_pss_b.shape[0])
+    blk = min(int(os.environ.get("CSIM_PSP_LANE_BLOCK", 256)), B_all)
+    if B_all % blk:
+        blk = B_all       # ragged batch: single dispatch
+    chunks = []
+    for lo in range(0, B_all, blk):
+        bp_c = jax.tree.map(lambda x: x[lo:lo + blk], bparams)
+        chunks.append(np.asarray(fn(bp_c, xs_pss_b[lo:lo + blk])))
+    vp = np.concatenate(chunks, axis=0)
     vp = vp[..., 0] + 1j * vp[..., 1]          # (B, F, K, n, P)
     B = vp.shape[0]
 
