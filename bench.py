@@ -123,18 +123,25 @@ def measure_throughput_fused(jax, dtype, parity: bool, B: int,
     carry = out[:5]
     log(f"[{tag}] chunk 1 (compile+run): {time.time()-t0:.2f}s")
 
-    # sustained window: n_timed chunks, each individually synced so the
-    # JSON can carry per-chunk spread (run-to-run stability evidence)
+    # sustained window: queue all n_timed chunks (preserves dispatch
+    # pipelining — blocking between submissions costs ~17% of the real
+    # throughput), then timestamp each chunk's completion in order for
+    # the per-chunk spread evidence
     n_timed = int(os.environ.get("BENCH_TIMED", 10))
     total_steps = 0
-    chunk_walls = []
+    outs = []
+    t0 = time.time()
     for i in range(1, n_timed + 1):
-        t0 = time.time()
         out = run(carry, jnp.asarray(float(i * steps_chunk), jnp.float32))
         carry = out[:5]
-        jax.block_until_ready(out)
-        chunk_walls.append(time.time() - t0)
+        outs.append(out)
         total_steps += steps_chunk
+    chunk_walls, prev = [], t0
+    for o in outs:
+        jax.block_until_ready(o)
+        now = time.time()
+        chunk_walls.append(now - prev)
+        prev = now
     wall = sum(chunk_walls)
 
     failed = int(jax.device_get(jnp.sum(out[4])))
@@ -200,19 +207,25 @@ def measure_throughput(jax, dtype, parity: bool, B: int, steps_chunk: int):
     jax.block_until_ready(carry)
     log(f"[{tag}] chunk 1 (compile+run): {time.time()-t0:.2f}s")
 
-    # timed steady-state chunks, each individually synced (spread evidence)
+    # timed steady-state chunks: queue all (pipelining preserved), then
+    # timestamp completions in order for the spread evidence
     n_timed = int(os.environ.get("BENCH_TIMED", 10))
     total_steps = 0
-    chunk_walls = []
     base = steps_chunk
+    carries = []
+    t0 = time.time()
     for _ in range(n_timed):
         ts = (jnp.arange(base + 1, base + steps_chunk + 1, dtype=dtype) * dt)
-        t0 = time.time()
         carry, iters = run_chunk(bparams, carry, ts)
-        jax.block_until_ready(carry)
-        chunk_walls.append(time.time() - t0)
+        carries.append(carry)
         base += steps_chunk
         total_steps += steps_chunk
+    chunk_walls, prev = [], t0
+    for c in carries:
+        jax.block_until_ready(c)
+        now = time.time()
+        chunk_walls.append(now - prev)
+        prev = now
     wall = sum(chunk_walls)
 
     failed = int(jax.device_get(jnp.sum(carry[-1])))
@@ -287,13 +300,18 @@ def tpu_reachable(timeout_s: int = None) -> bool:
     import subprocess
     code = ("import jax, jax.numpy as jnp;"
             "print((jnp.ones((8,8)) @ jnp.ones((8,8))).sum())")
-    try:
-        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
-                           stdout=subprocess.DEVNULL,
-                           stderr=subprocess.DEVNULL)
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    for attempt in range(2):        # the tunnel drops transiently
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               timeout=timeout_s,
+                               stdout=subprocess.DEVNULL,
+                               stderr=subprocess.DEVNULL)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        log(f"TPU probe attempt {attempt + 1} failed")
+    return False
 
 
 def main():

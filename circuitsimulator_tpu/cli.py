@@ -160,6 +160,21 @@ def build_argparser() -> argparse.ArgumentParser:
                         "driven at --lssp-power; prints the S matrix")
     p.add_argument("--lssp-power", type=float, default=1e-3,
                    help="available drive power in watts for --run-lssp")
+    p.add_argument("--lssp-powers", metavar="P1,P2,...", default=None,
+                   help="power SWEEP for --run-lssp: comma-separated "
+                        "available powers in watts, the whole "
+                        "compression curve solved as ONE batched HB "
+                        "dispatch (Simulator.lssp_batched); prints "
+                        "|Sij| per power")
+    p.add_argument("--mc-rf", metavar="N", type=int, default=None,
+                   help="Monte-Carlo lanes for the RF analyses: with "
+                        "--run-hot-sparams runs monte_carlo_psp, with "
+                        "--run-lssp runs monte_carlo_lssp (honors "
+                        "--lssp-powers), with --run-envelope runs "
+                        "monte_carlo_envelope — each as one batched "
+                        "program over the netlist's DEV=/LOT= "
+                        "tolerances; prints mean/std summaries "
+                        "(--mc-sampler selects the sampling plan)")
     return p
 
 
@@ -605,6 +620,16 @@ def main(argv=None) -> int:
             if ok < len(env.t1):
                 print(f"warning: {len(env.t1) - ok} envelope steps did "
                       "not converge", file=sys.stderr)
+            if args.mc_rf:
+                _, benv = sim.monte_carlo_envelope(
+                    args.mc_rf, t_stop, dt_env, sampler=args.mc_sampler)
+                fin = _np.abs(benv.coeffs[:, -1, 1, :])   # (B, N)
+                print(f"==== Monte-Carlo envelope spread "
+                      f"({args.mc_rf} lanes, {args.mc_sampler}; "
+                      f"|Y1| at t1={benv.t1[-1]:g}) ====")
+                for nm, eq in zip(names, eqs):
+                    print(f"  V({nm}): {fin[:, eq].mean():.6e} "
+                          f"+/- {fin[:, eq].std():.3e}")
         except Exception as e:  # noqa: BLE001
             print(f"Envelope transient failed: {e}", file=sys.stderr)
             return 1
@@ -653,6 +678,21 @@ def main(argv=None) -> int:
             print(f"Hot S-parameters ({n} ports x sidebands "
                   f"{hs[0]}..{hs[-1]}, {len(res.deltas)} offsets) "
                   f"written to '{out}'.")
+            if args.mc_rf:
+                _, bres = sim.monte_carlo_psp(
+                    args.mc_rf, ports, deltas=deltas,
+                    n_sidebands=args.psp_sidebands,
+                    sampler=args.mc_sampler)
+                mag = _np.abs(bres.s)              # (B, F, P, P)
+                print(f"==== Monte-Carlo hot-S spread "
+                      f"({args.mc_rf} lanes, {args.mc_sampler}) ====")
+                for k, d in enumerate(bres.deltas):
+                    st = mag[:, k].std(axis=0)
+                    mn = mag[:, k].mean(axis=0)
+                    ij = _np.unravel_index(_np.argmax(st), st.shape)
+                    print(f"  delta={d:g}: widest entry "
+                          f"S[{ij[0]},{ij[1]}] = {mn[ij]:.6f} "
+                          f"+/- {st[ij]:.3e}")
         except Exception as e:  # noqa: BLE001
             print(f"Hot S-parameter extraction failed: {e}",
                   file=sys.stderr)
@@ -693,17 +733,42 @@ def main(argv=None) -> int:
                     raise ValueError("--run-lssp port wants 'SRC:NODE"
                                      "[@z0]'")
                 ports.append((sn[0], sn[1], z0))
-            res = sim.lssp(ports, power=args.lssp_power)
             n = len(ports)
-            print(f"==== Large-signal S-parameters "
-                  f"(P = {args.lssp_power:g} W) ====")
-            for i in range(n):
-                cells = []
-                for j in range(n):
-                    s = res["s"][i, j]
-                    cells.append(f"S{i + 1}{j + 1} = {abs(s):.6f} "
-                                 f"/{_np.degrees(_np.angle(s)):7.2f}deg")
-                print("  ".join(cells))
+            powers = ([float(v) for v in args.lssp_powers.split(",")]
+                      if args.lssp_powers else [args.lssp_power])
+            if args.mc_rf or len(powers) > 1:
+                # one batched dispatch over (lanes x powers x ports)
+                if args.mc_rf:
+                    _, out = sim.monte_carlo_lssp(
+                        args.mc_rf, ports, powers=powers,
+                        sampler=args.mc_sampler)
+                else:
+                    out = sim.lssp_batched(ports, powers=powers)
+                S = _np.abs(out["s"])              # (B, Pw, n, n)
+                tag = (f"{S.shape[0]} MC lanes, " if args.mc_rf else "")
+                print(f"==== Large-signal S-parameters "
+                      f"({tag}{len(powers)} powers, one dispatch) ====")
+                for ip, pw in enumerate(powers):
+                    cells = [f"P={pw:g}W"]
+                    for i in range(n):
+                        for j in range(n):
+                            m = S[:, ip, i, j].mean()
+                            sd = S[:, ip, i, j].std()
+                            cells.append(
+                                f"|S{i + 1}{j + 1}|={m:.6f}"
+                                + (f"+/-{sd:.2e}" if args.mc_rf else ""))
+                    print("  ".join(cells))
+            else:
+                res = sim.lssp(ports, power=args.lssp_power)
+                print(f"==== Large-signal S-parameters "
+                      f"(P = {args.lssp_power:g} W) ====")
+                for i in range(n):
+                    cells = []
+                    for j in range(n):
+                        s = res["s"][i, j]
+                        cells.append(f"S{i + 1}{j + 1} = {abs(s):.6f} "
+                                     f"/{_np.degrees(_np.angle(s)):7.2f}deg")
+                    print("  ".join(cells))
         except Exception as e:  # noqa: BLE001
             print(f"Large-signal S-parameter extraction failed: {e}",
                   file=sys.stderr)
