@@ -26,27 +26,32 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def run_case(jax, sim, B, tstep, tstop, noise_key):
+def run_case(jax, sim, B, tstep, n_steps, noise_key):
+    """Warm fused-chunk timing: ONE runner + jit, DC and compile paid
+    outside the timed window — the honest stream-overhead measurement
+    (timing batched_transient per call buries the overhead in a fresh
+    DC solve + retrace every call)."""
+    import jax.numpy as jnp
     from circuitsimulator_tpu.parallel.montecarlo import (
-        perturb_params, batched_transient)
+        perturb_params, make_fused_transient_fn)
     bp = perturb_params(sim.params, jax.random.key(42), B,
                         {"res_r": 0.01, "mos_vth": 0.02, "cap_c": 0.02})
-    # cold call: compile (persistent cache may help) + run
     t0 = time.time()
-    res = batched_transient(sim.engine, bp, tstep, tstop,
-                            noise_key=noise_key)
-    jax.block_until_ready(res.x_final)
+    carry, jit_full, meta = make_fused_transient_fn(
+        sim.engine, bp, tstep, noise_key=noise_key)
+    chunk = meta["chunk"]
+    carry, iters = jit_full(carry, jnp.asarray(0.0, jnp.float32))
+    jax.block_until_ready(carry[0][0])
     cold = time.time() - t0
-    # warm call: jit_full re-traces but compiled code is cached in-process
-    # only per call — the persistent cache makes re-compiles cheap; the
-    # dominant cost at 10k steps is the chunk loop itself
+    n_chunks = max(n_steps // chunk, 1)
     t0 = time.time()
-    res = batched_transient(sim.engine, bp, tstep, tstop,
-                            noise_key=noise_key)
-    jax.block_until_ready(res.x_final)
+    for i in range(1, n_chunks + 1):
+        carry, iters = jit_full(carry,
+                                jnp.asarray(float(i * chunk), jnp.float32))
+    jax.block_until_ready(carry[0][0])
     warm = time.time() - t0
-    failed = int(jax.device_get(res.failed.sum()))
-    return cold, warm, res.n_steps, failed
+    failed = int(jax.device_get(carry[0][4].sum()))
+    return cold, warm, n_chunks * chunk, failed
 
 
 def main():
@@ -80,19 +85,20 @@ def main():
 
     log(f"device: {jax.devices()[0]}, B={B}, steps={n_steps}")
     sim0 = Simulator.from_text(deck, opts=opts)
-    c0, w0, s0, f0 = run_case(jax, sim0, B, tstep, tstop, None)
+    c0, w0, s0, f0 = run_case(jax, sim0, B, tstep, n_steps, None)
     agg0 = B * s0 / w0
-    log(f"[noise-free] cold {c0:.2f}s, warm {w0:.2f}s -> {agg0:,.0f} steps/s"
-        f" (failed {f0})")
+    log(f"[noise-free] cold {c0:.2f}s, warm {w0:.2f}s ({s0} steps) -> "
+        f"{agg0:,.0f} steps/s (failed {f0})")
 
     sim1 = Simulator.from_text(noisy, opts=opts)
     assert sim1.engine.has_trnoise
-    c1, w1, s1, f1 = run_case(jax, sim1, B, tstep, tstop,
+    c1, w1, s1, f1 = run_case(jax, sim1, B, tstep, n_steps,
                               jax.random.key(123))
     agg1 = B * s1 / w1
-    over = (w1 - w0) / w0 * 100.0
-    log(f"[trnoise]    cold {c1:.2f}s, warm {w1:.2f}s -> {agg1:,.0f} steps/s"
-        f" (failed {f1}); overhead {over:+.1f}%")
+    # per-step rate ratio (the noisy chunk length may differ)
+    over = (agg0 / agg1 - 1.0) * 100.0
+    log(f"[trnoise]    cold {c1:.2f}s, warm {w1:.2f}s ({s1} steps) -> "
+        f"{agg1:,.0f} steps/s (failed {f1}); overhead {over:+.1f}%")
 
     print(json.dumps({
         "metric": "trnoise_fused_overhead_pct",

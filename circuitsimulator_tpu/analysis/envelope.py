@@ -171,8 +171,20 @@ def envelope_transient(engine: Engine, params, f0: float, t_stop: float,
     for k in _V_SRC_ZERO + _I_SRC_ZERO:
         p_zero[k] = jnp.zeros_like(params[k])
     fv, fi = _fast_masks(engine, params, f0)
-    C_struct = _reactive_structure(engine, params)
+    mos_q = bool(getattr(engine, "mos_charge", False))
+    C_struct = _reactive_structure(engine, params, base_only=mos_q)
     b_env = _b_env_fn(engine, params, ts, fv, fi)
+
+    def _t1_reactive(X, Xprev, inv_dt):
+        """d/dt1 term: C (X - Xprev)/dt, plus the charge model's exact
+        (q(X) - q(Xprev))/dt and its per-sample trans-capacitances."""
+        r1 = inv_dt * jnp.einsum("ij,kj->ki", C_struct, X - Xprev)
+        if not mos_q:
+            return r1, None
+        from .hb import _mos_charge_pieces
+        qn, Cq = _mos_charge_pieces(engine, params, X)
+        qp, _ = _mos_charge_pieces(engine, params, Xprev)
+        return r1 + inv_dt * (qn - qp), inv_dt * Cq
 
     @jax.jit
     def r_alg(X, t1):
@@ -183,11 +195,13 @@ def envelope_transient(engine: Engine, params, f0: float, t_stop: float,
     @jax.jit
     def newton(X, Xprev, r_prev, t1, inv_dt):
         r, A_t = residual_p(X, p_zero, with_At=True)
-        r = (theta * (r - b_env(t1)) + (1.0 - theta) * r_prev
-             + inv_dt * jnp.einsum("ij,kj->ki", C_struct, X - Xprev))
+        r1, Cq1 = _t1_reactive(X, Xprev, inv_dt)
+        r = theta * (r - b_env(t1)) + (1.0 - theta) * r_prev + r1
         J = (theta * jacobian_p(A_t, p_zero)).reshape(K, N, K, N)
         kk = jnp.arange(K)
         J = J.at[kk, :, kk, :].add(inv_dt * C_struct)
+        if Cq1 is not None:
+            J = J.at[kk, :, kk, :].add(Cq1)
         dX = jnp.linalg.solve(J.reshape(K * N, K * N),
                               -r.reshape(-1)).reshape(K, N)
         return X + dX, jnp.linalg.norm(r)
@@ -304,16 +318,22 @@ def make_envelope_batched_fn(engine: Engine, f0: float, t_stop: float,
     dt_w = jnp.asarray(T / steps_pp, dtype)
     widx = (np.arange(K) * steps_pp) // K
 
+    mos_q = bool(getattr(engine, "mos_charge", False))
+
     def lane(p, x0):
         p_zero = dict(p)
         for k in _V_SRC_ZERO + _I_SRC_ZERO:
             p_zero[k] = jnp.zeros_like(p[k])
         fv, fi = fast_masks if fast_masks is not None \
             else _fast_masks(engine, p, f0)
-        C_struct = _reactive_structure(engine, p)
+        C_struct = _reactive_structure(engine, p, base_only=mos_q)
         b_env = _b_env_fn(engine, p, ts, fv, fi)
 
         def newton_iters(X, Xprev, t1, inv_dt):
+            if mos_q:
+                from .hb import _mos_charge_pieces
+                qp, _ = _mos_charge_pieces(engine, p, Xprev)
+
             def body(_, c):
                 X, res, done = c
                 r, A_t = residual_p(X, p_zero, with_At=True)
@@ -322,6 +342,11 @@ def make_envelope_batched_fn(engine: Engine, f0: float, t_stop: float,
                                            X - Xprev))
                 J = jacobian_p(A_t, p_zero).reshape(K, N, K, N)
                 J = J.at[kk, :, kk, :].add(inv_dt * C_struct)
+                if mos_q:
+                    from .hb import _mos_charge_pieces
+                    qn, Cq = _mos_charge_pieces(engine, p, X)
+                    r = r + inv_dt * (qn - qp)
+                    J = J.at[kk, :, kk, :].add(inv_dt * Cq)
                 dX = jnp.linalg.solve(J.reshape(K * N, K * N),
                                       -r.reshape(-1)).reshape(K, N)
                 rn = jnp.linalg.norm(r)

@@ -146,21 +146,24 @@ def _tl_add_jacobian_blocks(engine: Engine, params, S, J):
     return J
 
 
-def _reactive_structure(engine: Engine, params, x_op=None):
+def _reactive_structure(engine: Engine, params, x_op=None,
+                        base_only: bool = False):
     """C_struct (N, N): node rows get the capacitor patterns (+C at (a,a),
     -C at (a,b), ...), inductor branch rows get -L on the diagonal, so that
     r += C_struct @ dx/dt completes KCL/branch equations.
 
     Under the charge cap model (mos_cap_model='charge') the structure is
     state-dependent: pass x_op to linearize the MOS trans-capacitances
-    dq_t/dv_j there (small-signal consumers: .PZ, loop gain); consumers
-    that need the LARGE-SIGNAL C over a swing (HB/PAC/envelope/PSS)
-    cannot use a constant structure and must require 'fixed'."""
-    if getattr(engine, "mos_charge", False) and x_op is None:
+    dq_t/dv_j there (small-signal consumers: .PZ, loop gain), or pass
+    base_only=True to get everything EXCEPT the MOS charges (the fixed
+    lumps are already zeroed by _caplike_C under this model) — the
+    large-signal consumers (HB/PAC/envelope/PSP) then add the per-sample
+    charge terms themselves (_mos_charge_pieces)."""
+    if getattr(engine, "mos_charge", False) and x_op is None \
+            and not base_only:
         raise NotImplementedError(
-            "harmonic-domain analyses (HB/PAC/envelope/PSS) require "
-            "mos_cap_model='fixed': the charge cap model's state-"
-            "dependent dq/dt is not in the linear C structure yet")
+            "state-dependent C structure: pass x_op (small-signal) or "
+            "base_only=True + per-sample charge terms (large-signal)")
     N = engine.N
     C = engine._caplike_C(params)
     cvals = jnp.stack([C, C, -C, -C], axis=-1).reshape(*C.shape[:-1], -1)
@@ -173,12 +176,35 @@ def _reactive_structure(engine: Engine, params, x_op=None):
         mm = engine._mutual_M(params)
         M = M.at[..., engine.mut_rows, engine.mut_cols].add(
             -jnp.concatenate([mm, mm], axis=-1))
-    if getattr(engine, "mos_charge", False):
+    if getattr(engine, "mos_charge", False) and x_op is not None:
         from ..models.moscap import charge_jacobian
         _, Jq = charge_jacobian(engine.mos_vdgs(x_op), params)
         M = M.at[..., engine.mq_rows, engine.mq_cols].add(
             Jq.reshape(*Jq.shape[:-3], -1))
     return M[..., :N, :N]
+
+
+def _mos_charge_pieces(engine: Engine, params, X):
+    """Per-sample MOS charge pieces for the harmonic-domain residuals
+    under mos_cap_model='charge': given X (K, N) samples, returns
+      qvec (K, N)   — the node-scattered terminal charges q(x_k)
+      Cq   (K, N, N) — their exact Jacobians dq/dv at each sample
+    so that the reactive residual term is D @ qvec (spectral d/dt of the
+    charge waveform) and the Jacobian picks up D[t,s]·Cq[s] blocks —
+    charge conservation carries over to HB exactly (the reference has no
+    steady-state analysis at all, SURVEY.md 2.13)."""
+    from ..models.moscap import charge_jacobian
+    N = engine.N
+
+    def one(x_t):
+        q, Jq = charge_jacobian(engine.mos_vdgs(x_t), params)
+        qv = jnp.zeros((N + 1,), engine.dtype).at[
+            engine.mq_rhs_rows].add(q.reshape(-1))
+        Cq = jnp.zeros((N + 1, N + 1), engine.dtype).at[
+            engine.mq_rows, engine.mq_cols].add(Jq.reshape(-1))
+        return qv[:N], Cq[:N, :N]
+
+    return jax.vmap(one)(X)
 
 
 def make_hb_system(engine: Engine, f0: float, n_harm: int,
@@ -200,8 +226,10 @@ def make_hb_system(engine: Engine, f0: float, n_harm: int,
     D = jnp.asarray(spectral_diff_matrix(K, T), dtype)
     ts = jnp.arange(K, dtype=dtype) * (T / K)
 
+    mos_q = bool(getattr(engine, "mos_charge", False))
+
     def residual(X, params, with_At: bool = False):
-        C_struct = _reactive_structure(engine, params)
+        C_struct = _reactive_structure(engine, params, base_only=mos_q)
 
         def sources_rhs(t):
             vval = srcmod.eval_tran_static_kinds(
@@ -246,14 +274,26 @@ def make_hb_system(engine: Engine, f0: float, n_harm: int,
         res_cond = jnp.einsum("tij,tj->ti", A_t, X) - b_nl - b_src
         res_reac = jnp.einsum("ij,tj->ti", C_struct, D @ X)
         res = res_cond + res_reac
-        if engine.n_tl:
-            _, _, _, S = _tl_hb_terms(engine, params, ts, n_harm, f0)
-            res = _tl_residual_delay(engine, params, S, X, res)
+        if mos_q:
+            # charge model: the MOS reactive current is the spectral
+            # time-derivative of the charge WAVEFORM, D @ q(x) — exact
+            # charge conservation on the period grid.  The Jacobian
+            # needs the per-sample trans-capacitances, so with_At
+            # returns (A_t, Cq_t) as the second element.
+            qvec, Cq_t = _mos_charge_pieces(engine, params, X)
+            res = res + D @ qvec
+            return (res, (A_t, Cq_t)) if with_At else res
         return (res, A_t) if with_At else res
 
     def jacobian(A_t, params):
-        C_struct = _reactive_structure(engine, params)
-        J = jnp.einsum("ts,ij->tisj", D, C_struct)
+        C_struct = _reactive_structure(engine, params, base_only=mos_q)
+        if mos_q:
+            A_t, Cq_t = A_t
+            # d(D @ q)[t]/dx[s] = D[t,s] * Cq(x_s): column-sample blocks
+            J = jnp.einsum("ts,ij->tisj", D, C_struct) \
+                + jnp.einsum("ts,sij->tisj", D, Cq_t)
+        else:
+            J = jnp.einsum("ts,ij->tisj", D, C_struct)
         tid = jnp.arange(K)
         J = J.at[tid, :, tid, :].add(A_t)
         if engine.n_tl:

@@ -110,12 +110,21 @@ def make_hbmulti_system(engine: Engine, tones, nominal_params):
     """Params-parametric multi-tone MPDE system (tone assignment is
     STATIC, matched on the nominal SIN frequencies).
 
+    mos_cap_model='charge' is single-tone-HB/envelope/PAC/PSP only for
+    now (the multi-tone reactive term would need per-grid-point charge
+    waveforms across every tone axis).
+
     Returns (Ks, ts_axes, residual, jacobian):
       residual(X (Kt,N), params, with_At=False)
       jacobian(A_t, params) -> (Kt·N, Kt·N) = blockdiag(A_t) + kron(T, C)
 
     Shared by the Newton solver below and the sensitivity path
     (analysis/hb_diff.hbmulti_gradient)."""
+    if getattr(engine, "mos_charge", False):
+        raise NotImplementedError(
+            "multi-tone HB requires mos_cap_model='fixed' (the charge "
+            "model's reactive term is single-tone HB/envelope/PAC/PSP "
+            "only)")
     dtype = engine.dtype
     N = engine.N
     freqs = [float(f) for f, _ in tones]

@@ -62,6 +62,10 @@ def make_hb_system_auto(engine: Engine, n_harm: int, gmin: float = 0.0):
     """residual(X, f0, params, with_At=False): the HB residual with f0
     TRACED (autonomous form) — mirrors hb.make_hb_system, which fixes f0
     statically.  jacobian(A_t, f0, params) is ∂r/∂X."""
+    if getattr(engine, "mos_charge", False):
+        raise NotImplementedError(
+            "autonomous HB requires mos_cap_model='fixed' (the charge "
+            "model's reactive term is driven-HB/envelope/PAC/PSP only)")
     dtype = engine.dtype
     N = engine.N
     H = int(n_harm)

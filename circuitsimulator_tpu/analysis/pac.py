@@ -64,7 +64,9 @@ def lptv_operator(engine: Engine, params, f0: float, xs_pss):
     K = xs_pss.shape[0]
     T = 1.0 / f0
     D = spectral_diff_matrix(K, T)                      # (K, K)
-    C = np.asarray(_reactive_structure(engine, params), float)
+    mos_q = bool(getattr(engine, "mos_charge", False))
+    C = np.asarray(_reactive_structure(engine, params, base_only=mos_q),
+                   float)
 
     # conduction Jacobian at each PSS sample: static entries + nonlinear
     # linearization (same split the HB Newton uses)
@@ -109,9 +111,22 @@ def lptv_operator(engine: Engine, params, f0: float, xs_pss):
     J0 = np.zeros((K, N, K, N))
     kk = np.arange(K)
     J0[kk, :, kk, :] += G_t
-    J0 += D[:, None, :, None] * C[None, :, None, :]
+    if mos_q:
+        # charge cap model: the LPTV reactive term is d/dt[Cq(x*(t)) Y]
+        # + jδ Cq(x*(t)) Y with the per-sample exact trans-capacitances
+        # (hb._mos_charge_pieces) — D picks column-sample blocks, the
+        # offset term is block-diagonal
+        from .hb import _mos_charge_pieces
+        _, Cq = _mos_charge_pieces(engine, params, xs_pss)
+        C_t = C[None] + np.asarray(Cq, float)           # (K, N, N)
+        J0 += np.einsum("ts,sij->tisj", D, C_t)
+        CI4 = np.zeros((K, N, K, N))
+        CI4[kk, :, kk, :] = C_t
+        CI = CI4.reshape(K * N, K * N)
+    else:
+        J0 += D[:, None, :, None] * C[None, :, None, :]
+        CI = np.kron(np.eye(K), C)
     J0 = J0.reshape(K * N, K * N).astype(complex)
-    CI = np.kron(np.eye(K), C)
     return J0, CI, K, tl
 
 

@@ -246,11 +246,23 @@ def make_psp_batched_fn(engine: Engine, f0: float, K: int,
             return A.at[engine.nl_rows, engine.nl_cols].add(gvals)
 
         G_t = A_res[None, :N, :N] + jax.vmap(a_t)(xs_pss, ts)[:, :N, :N]
-        C = _reactive_structure(engine, params)               # (N, N)
-        J0 = D[:, None, :, None] * C[None, :, None, :]
-        J0 = J0.at[kk, :, kk, :].add(G_t)
-        J0 = J0.reshape(K * N, K * N)
-        CI = jnp.kron(jnp.eye(K, dtype=dtype), C)             # (KN, KN)
+        mos_q = bool(getattr(engine, "mos_charge", False))
+        C = _reactive_structure(engine, params, base_only=mos_q)
+        if mos_q:
+            # per-sample exact trans-capacitances (see pac.lptv_operator)
+            from .hb import _mos_charge_pieces
+            _, Cq = _mos_charge_pieces(engine, params, xs_pss)
+            C_t = C[None] + Cq                                # (K, N, N)
+            J0 = jnp.einsum("ts,sij->tisj", D, C_t)
+            J0 = J0.at[kk, :, kk, :].add(G_t)
+            J0 = J0.reshape(K * N, K * N)
+            CI = jnp.zeros((K, N, K, N), dtype).at[
+                kk, :, kk, :].set(C_t).reshape(K * N, K * N)
+        else:
+            J0 = D[:, None, :, None] * C[None, :, None, :]
+            J0 = J0.at[kk, :, kk, :].add(G_t)
+            J0 = J0.reshape(K * N, K * N)
+            CI = jnp.kron(jnp.eye(K, dtype=dtype), C)         # (KN, KN)
 
         def at_delta(w):
             A2 = jnp.concatenate([
@@ -306,10 +318,11 @@ def periodic_s_parameters_batched(engine: Engine, bparams, f0: float,
 
     fn = jax.jit(batched)
     # lane blocking: XLA's batched triangular solve blows the 16 MB
-    # scoped-VMEM limit around (1024, 2KN, 2KN) on v5e — dispatch the
-    # one compiled block program over lane chunks instead
+    # scoped-VMEM limit on v5e (measured: 18.95M requested at 256 lanes
+    # x 88x88) — dispatch the one compiled block program over lane
+    # chunks instead
     B_all = int(xs_pss_b.shape[0])
-    blk = min(int(os.environ.get("CSIM_PSP_LANE_BLOCK", 256)), B_all)
+    blk = min(int(os.environ.get("CSIM_PSP_LANE_BLOCK", 128)), B_all)
     if B_all % blk:
         blk = B_all       # ragged batch: single dispatch
     chunks = []

@@ -135,7 +135,10 @@ class SolverOptions:
     #   "charge" — charge-conserving Ward-Dutton gate charges + SPICE
     #              depletion junction charges (models/moscap.py).
     # The charge model runs on the BE transient ("lu"/"woodbury"
-    # backends) and linearizes exactly for AC; HB/envelope/PSS and the
+    # backends), linearizes exactly for AC/PZ, and carries into the
+    # harmonic domains as the spectral charge derivative D·q(x):
+    # single-tone HB, envelope (host + batched), PAC/PNOISE and hot
+    # S-parameters.  Multi-tone HB, autonomous HB, shooting PSS and the
     # fused Pallas kernel keep requiring "fixed".
     mos_cap_model: str = "fixed"
 

@@ -193,11 +193,60 @@ def test_ac_runs_and_matches_fixed_at_low_freq():
     assert np.max(np.abs(hf - hc)) > 1e-3 * np.max(np.abs(hf))
 
 
-def test_harmonic_domain_guard():
+HB_DECK = """* common-source stage at a carrier where the caps matter
+.MODEL mn VT 0.7 MU 350u COX 2.3m CJ0 60f
+VDD vdd 0 DC 3
+Vin in 0 SIN 1.2 0.8 5e7
+Rg in g 100
+M1 d g 0 n 20e-6 1e-6 mn
+Rd vdd d 5k
+{opt}
+.TRAN 1e-10 8e-7
+"""
+
+
+def test_hb_charge_matches_long_transient():
+    """Single-tone HB under MOSCAP=CHARGE (reactive term = spectral
+    charge derivative D·q(x)) must converge and reproduce the charge-
+    model transient's own periodic steady state — and measurably differ
+    from the fixed-lump HB (the caps are active at this carrier).
+
+    The gate drives through 100 ohms: the transient's universal
+    tran_gmin (1e-6 S on every node) must stay invisible — through a
+    10k gate resistor it biases the comparison by 3.6% regardless of
+    cap model."""
+    sim = Simulator.from_text(
+        HB_DECK.replace("{opt}", ".OPTIONS MOSCAP=CHARGE"))
+    H = 5
+    res = sim.harmonic_balance(f0=5e7, n_harm=H)
+    assert bool(res.converged), float(res.residual)
+    xs = np.asarray(sim.transient().xs)
+    per = int(round((1.0 / 5e7) / 1e-10))          # 200 steps/period
+    c = np.fft.rfft(xs[-per:, :], axis=0) / per
+    c1 = 2.0 * c[1]
+    eq = node_eq(sim, "d")
+    hb1 = np.asarray(res.spectrum[1])[eq]
+    # BE at 200 steps/period vs spectral HB: magnitudes to 2%
+    assert abs(abs(hb1) - abs(c1[eq])) < 0.02 * abs(hb1) + 1e-7
+    assert np.asarray(res.spectrum[0])[eq] == pytest.approx(
+        c[0][eq].real, rel=0.02)
+    # the fixed-lump HB is measurably different here (charges active)
+    sim_f = Simulator.from_text(HB_DECK.replace("{opt}", ""))
+    res_f = sim_f.harmonic_balance(f0=5e7, n_harm=H)
+    hb1_f = np.asarray(res_f.spectrum[1])[eq]
+    assert abs(abs(hb1_f) - abs(hb1)) > 5e-4 * abs(hb1)
+
+
+def test_multitone_and_shooting_keep_guard():
     deck = AMP_DECK.replace("{opt}", ".OPTIONS MOSCAP=CHARGE")
     sim = Simulator.from_text(deck)
+    from circuitsimulator_tpu.analysis.sstate import steady_state
     with pytest.raises(NotImplementedError, match="fixed"):
-        sim.harmonic_balance(f0=1e6, n_harm=4)
+        steady_state(sim.engine, sim.params, 1e6)
+    from circuitsimulator_tpu.analysis.hbmulti import make_hbmulti_system
+    with pytest.raises(NotImplementedError, match="fixed"):
+        make_hbmulti_system(sim.engine, [(1e6, 3), (1.1e6, 3)],
+                            sim.params)
 
 
 def test_fused_kernel_ineligible():
@@ -207,3 +256,55 @@ def test_fused_kernel_ineligible():
     assert not pallas_step.supported(sim.engine, dt=2e-9)
     sim_fixed = Simulator.from_text(AMP_DECK.replace("{opt}", ""))
     assert pallas_step.supported(sim_fixed.engine, dt=2e-9)
+
+
+def test_envelope_charge_constant_carrier_is_t1_invariant():
+    """Envelope under MOSCAP=CHARGE: an unmodulated carrier's envelope
+    must sit at the HB solution for every t1 (the charge-based d/dt1
+    term vanishes on a constant envelope), host and batched paths."""
+    import jax
+    import jax.numpy as jnp
+    from circuitsimulator_tpu.analysis.envelope import (
+        envelope_transient, envelope_transient_batched)
+    sim = Simulator.from_text(
+        HB_DECK.replace("{opt}", ".OPTIONS MOSCAP=CHARGE"))
+    f0 = 5e7
+    hb = sim.harmonic_balance(f0=f0, n_harm=4)
+    assert bool(hb.converged)
+    env = envelope_transient(sim.engine, sim.params, f0, t_stop=1e-7,
+                             dt_env=2e-8, n_harm=4)
+    assert env.converged.all()
+    ref = np.asarray(hb.xs)
+    for i in range(len(env.t1)):
+        np.testing.assert_allclose(env.xs[i], ref, atol=2e-7)
+    bp = jax.tree.map(lambda x: jnp.stack([jnp.asarray(x)] * 2),
+                      dict(sim.params))
+    benv = envelope_transient_batched(sim.engine, bp, f0, t_stop=1e-7,
+                                      dt_env=2e-8, n_harm=4, tol=1e-9)
+    assert benv.converged.all()
+    np.testing.assert_allclose(benv.xs[0], env.xs, atol=1e-8)
+
+
+def test_pac_charge_lti_reduction():
+    """PAC around a vanishing-drive PSS under MOSCAP=CHARGE equals the
+    .AC response at the DC operating point — pins the per-sample exact
+    trans-capacitances in the LPTV operator (pac.lptv_operator) against
+    the independently-implemented AC stamps (analysis/ac.py)."""
+    import jax.numpy as jnp
+    from circuitsimulator_tpu.analysis.pac import pac
+    from circuitsimulator_tpu.analysis.ac import ac_analysis
+    deck = HB_DECK.replace("SIN 1.2 0.8 5e7", "SIN 1.2 1e-12 5e7 AC 1") \
+                  .replace("{opt}", ".OPTIONS MOSCAP=CHARGE")
+    sim = Simulator.from_text(deck)
+    f0 = 5e7
+    x_op = sim.dc()
+    K = 2 * 4 + 1
+    xs_pss = jnp.broadcast_to(x_op, (K, sim.engine.N))  # zero-drive PSS
+    deltas = [3e6, 1.1e7]
+    pres = pac(sim.engine, sim.params, f0, xs_pss, deltas)
+    ares = ac_analysis(sim.engine, sim.params, deltas, x_op=x_op)
+    eq = node_eq(sim, "d")
+    m0 = list(pres.harmonics).index(0)
+    np.testing.assert_allclose(
+        np.asarray(pres.spectrum[:, m0, eq]), np.asarray(ares.xs)[:, eq],
+        rtol=1e-6, atol=1e-12)
