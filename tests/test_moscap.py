@@ -308,3 +308,32 @@ def test_pac_charge_lti_reduction():
     np.testing.assert_allclose(
         np.asarray(pres.spectrum[:, m0, eq]), np.asarray(ares.xs)[:, eq],
         rtol=1e-6, atol=1e-12)
+
+
+def test_psp_batched_charge_matches_host():
+    """The batched hot-S lane has its own per-sample Cq branch — pin it
+    against the host periodic_s_parameters (which rides the
+    independently-extended pac.lptv_operator) under MOSCAP=CHARGE."""
+    import jax
+    import jax.numpy as jnp
+    from circuitsimulator_tpu.analysis.hb import harmonic_balance
+    from circuitsimulator_tpu.analysis.psp import (
+        periodic_s_parameters, periodic_s_parameters_batched)
+    sim = Simulator.from_text(
+        HB_DECK.replace("{opt}", ".OPTIONS MOSCAP=CHARGE"))
+    f0 = 5e7
+    res = harmonic_balance(sim.engine, sim.params, f0, n_harm=4)
+    assert bool(res.converged)
+    dump = sim.topo.n_unknowns
+    ports = [(node_eq(sim, "g"), dump), (node_eq(sim, "d"), dump)]
+    deltas = [3e6]
+    host = periodic_s_parameters(sim.engine, sim.params, f0, res.xs,
+                                 ports, [50.0, 50.0], deltas)
+    bp = jax.tree.map(lambda x: jnp.stack([jnp.asarray(x)] * 2),
+                      dict(sim.params))
+    xs_b = jnp.stack([jnp.asarray(res.xs)] * 2)
+    bres = periodic_s_parameters_batched(sim.engine, bp, f0, xs_b,
+                                         ports, [50.0, 50.0], deltas)
+    for lane in range(2):
+        np.testing.assert_allclose(bres.s[lane], host.s,
+                                   rtol=1e-7, atol=1e-9)
