@@ -411,3 +411,167 @@ def injection_lock_hb(engine: Engine, params, osc: HBOscResult,
         f0=float(osc.f0), amp=float(amp),
         lock_range_hz=k_per_amp * float(amp),
         k_per_amp=k_per_amp, p1=complex(p_m), harmonic=m, pn=pn)
+
+
+# ---------------------------------------------------------------------
+# Subharmonic injection locking — driven-HB fold search
+# ---------------------------------------------------------------------
+
+@dataclasses.dataclass
+class SubharmonicLockResult:
+    f0: float                # free-running oscillation frequency
+    m: int                   # lock order: f_osc = m * f_inj
+    amp: float               # injected current amplitude (A)
+    f_lo: float              # lowest locked injection frequency
+    f_hi: float              # highest locked injection frequency
+    lock_range_hz: float     # (f_hi - f_lo) / 2, the one-sided range
+    locked_center: Any       # HB samples of the locked solution at f0/m
+
+
+def make_driven_hb_fn(engine, params, n_harm, b_dir, amp,
+                      n_newton=60, tol=1e-9, damping=1.0):
+    """ONE jitted driven-HB Newton program with the injection frequency
+    TRACED (reused across every fold-search probe): solves the HB
+    system at fixed fundamental f with an extra injected current
+    amp·cos(2π f t) along b_dir.  fn(X0, f) -> (X, residual_norm)."""
+    residual_p, jacobian_p = make_hb_system_auto(engine, int(n_harm))
+    K = 2 * int(n_harm) + 1
+    dtype = engine.dtype
+    bv = jnp.asarray(b_dir, dtype)
+    a = jnp.asarray(float(amp), dtype)
+
+    def newton(X0, f):
+        ts = jnp.arange(K, dtype=dtype) / (K * f)
+        binj = a * jnp.cos(2.0 * jnp.pi * f * ts)[:, None] * bv[None, :]
+
+        def body(c, _):
+            X, done = c
+            r, A_t = residual_p(X, f, params, with_At=True)
+            r = r - binj
+            rn = jnp.linalg.norm(r)
+            J = jacobian_p(A_t, f, params)
+            dX = jnp.linalg.solve(J, -r.reshape(-1)).reshape(K, -1)
+            ok = jnp.isfinite(rn) & jnp.all(jnp.isfinite(dX))
+            upd = (~done) & ok & (rn >= tol)
+            X = jnp.where(upd, X + damping * dX, X)
+            done = done | (rn < tol) | ~ok
+            return (X, done), None
+
+        (X, _), _ = lax.scan(body, (X0, jnp.asarray(False)), None,
+                             length=n_newton)
+        final = jnp.linalg.norm(residual_p(X, f, params) - binj)
+        return X, final
+
+    return jax.jit(newton)
+
+
+def subharmonic_lock_hb(engine: Engine, params, osc: HBOscResult,
+                        pair, amp: float, m: int = 2,
+                        probe_node: int = 0,
+                        rel_span: float = 0.02,
+                        rel_tol: float = 1e-4,
+                        tol: float = 1e-9) -> SubharmonicLockResult:
+    """Subharmonic injection-locking range by driven-HB fold search:
+    inject amp·cos(2π f_inj t) at the node pair with f_inj ≈ f0/m and
+    find the f_inj interval over which the oscillator stays locked at
+    exactly m·f_inj.
+
+    The first-order PPV average (injection_lock_hb) is ZERO for
+    subharmonic injection — locking is a second-order effect through
+    the circuit's own mixing — so instead of perturbation theory this
+    solves the full driven HB at fixed fundamental f_inj (the locked
+    state is exactly f_inj-periodic, oscillation = harmonic m; K grows
+    m-fold to carry the oscillator's own harmonics) warm-started from
+    the free-running solution, and bisects on the fold where the
+    large-amplitude locked branch disappears: past the lock edge the
+    only f_inj-periodic solution is the small driven response, so
+    Newton either diverges or collapses to an amplitude far below the
+    free-running one.  Validated against brute-force transient
+    arbitration in tests/test_injection_lock.py.
+
+    pair: (eq_a, eq_b) node-equation pair (b may be -1/N = ground);
+    probe_node: equation whose harmonic-m amplitude arbitrates
+    locked-vs-collapsed; rel_span: half-width of the search window as a
+    fraction of f0/m; rel_tol: bisection resolution (fraction of f0/m).
+    Reference: no equivalent (empty steady-state module, SURVEY 2.13).
+    """
+    m = int(m)
+    if m < 2:
+        raise ValueError("subharmonic order m must be >= 2 "
+                         "(m=1 is injection_lock_hb)")
+    if amp <= 0:
+        raise ValueError("injection amplitude must be > 0")
+    from .oscnoise import _pair_matrix
+    f0 = float(osc.f0)
+    xs = np.asarray(osc.xs)
+    K0 = xs.shape[0]
+    H0 = (K0 - 1) // 2
+    H = m * H0 + 1            # room for the oscillation's own harmonics
+    K = 2 * H + 1
+    N = engine.N
+    u = _pair_matrix(np.asarray([tuple(pair)]), N, np.float64)[0]
+
+    # free-running amplitude of the probe at the oscillation frequency
+    spec0 = np.asarray(osc.spectrum)
+    a_free = abs(spec0[1, probe_node])
+    if a_free <= 0:
+        raise ValueError("probe_node carries no fundamental amplitude "
+                         "in the free-running solution")
+
+    # warm start on the K-point grid of period m/f0: the oscillator
+    # waveform repeats m times (phase-coherent resampling)
+    tk = np.arange(K) / (K * (f0 / m))                 # [0, mT0)
+    phase = (tk * f0) % 1.0
+    idx = phase * K0
+    i0 = np.floor(idx).astype(int) % K0
+    i1 = (i0 + 1) % K0
+    w = (idx - np.floor(idx))[:, None]
+    X_warm = (1.0 - w) * xs[i0] + w * xs[i1]
+
+    def probe_amp(X):
+        c = np.fft.fft(np.asarray(X)[:, probe_node]) / K
+        return 2.0 * abs(c[m % K])
+
+    solve = make_driven_hb_fn(engine, params, H, u, float(amp), tol=tol)
+
+    def locked(f_inj, X_init):
+        X, res = solve(jnp.asarray(X_init, engine.dtype),
+                       jnp.asarray(float(f_inj), engine.dtype))
+        conv = bool(np.isfinite(float(res))) and \
+            float(res) < max(tol * 100, 1e-6)
+        ok = conv and probe_amp(X) > 0.3 * a_free
+        return ok, X
+
+    fc = f0 / m
+    ok, Xc = locked(fc, X_warm)
+    if not ok:
+        raise RuntimeError(
+            f"driven HB did not lock at the center frequency f0/{m} — "
+            "raise amp (the subharmonic range shrinks ~amp^2) or check "
+            "the injection pair")
+
+    def edge(direction):
+        """Continuation walk: the injection pins the phase only at
+        second order, so the locked branch must be tracked in small
+        steps (a cold jump's Newton wanders on the near-singular phase
+        mode); geometric step growth keeps the probe count O(log)."""
+        f, X = fc, Xc
+        df = rel_tol * fc
+        while abs(f - fc) < rel_span * fc:
+            f_try = f + direction * df
+            ok_t, X_t = locked(f_try, X)
+            if ok_t:
+                f, X = f_try, X_t
+                df *= 1.8
+            else:
+                if df <= rel_tol * fc * 1.0001:
+                    break
+                df = max(df / 3.0, rel_tol * fc)
+        return f
+
+    f_hi = edge(+1.0)
+    f_lo = edge(-1.0)
+    return SubharmonicLockResult(
+        f0=f0, m=m, amp=float(amp), f_lo=float(f_lo), f_hi=float(f_hi),
+        lock_range_hz=0.5 * (float(f_hi) - float(f_lo)),
+        locked_center=Xc)

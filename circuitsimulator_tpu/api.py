@@ -976,6 +976,53 @@ class Simulator:
         return injection_lock(self.engine, p, osc, pair, amp,
                               harmonic=harmonic)
 
+    def subharmonic_lock(self, inj_node: str, amp: float, m: int = 2,
+                         ref_node: Optional[str] = None,
+                         f0_guess: Optional[float] = None,
+                         anchor_node: Optional[str] = None,
+                         osc=None, params: Optional[Any] = None,
+                         **kw):
+        """Subharmonic injection-locking range (f_osc = m·f_inj,
+        injection near f0/m) by driven-HB fold search
+        (analysis/hbosc.subharmonic_lock_hb) — the first-order PPV
+        average is zero for subharmonic injection, so this solves the
+        full driven HB warm-started from the free-running solution and
+        bisects the fold where the locked branch disappears.  Pass a
+        converged HBOscResult as osc= or f0_guess + anchor_node.
+        Returns a SubharmonicLockResult (f_lo, f_hi, lock_range_hz)."""
+        from .analysis.hbosc import HBOscResult, subharmonic_lock_hb
+        from .utils.numbers import is_ground_name
+        p = params if params is not None else self.params
+        osc_kw = {k: kw.pop(k) for k in list(kw)
+                  if k in ("n_harm", "warmup_periods", "steps_per_period",
+                           "max_newton", "tol", "damping", "kick",
+                           "gmin")}
+        if osc is None:
+            if f0_guess is None or anchor_node is None:
+                raise ValueError("give osc= or f0_guess + anchor_node")
+            osc = self.oscillator_hb(f0_guess, anchor_node, params=p,
+                                     **osc_kw)
+            if not osc.converged:
+                raise RuntimeError("autonomous HB did not converge "
+                                   f"(residual {float(osc.residual):.3e})")
+        if not isinstance(osc, HBOscResult):
+            raise TypeError("subharmonic_lock needs an HBOscResult "
+                            "(use oscillator_hb)")
+
+        def node_eq(name):
+            if name is None or is_ground_name(name):
+                return -1
+            nid = self.circuit.node_name_to_id.get(name)
+            if nid is None:
+                raise KeyError(f"unknown node {name!r}")
+            return self.circuit.nodes[nid].eq_index
+        pair = (node_eq(inj_node), node_eq(ref_node))
+        probe = kw.pop("probe_node", None)
+        if probe is None:
+            probe = pair[0] if pair[0] >= 0 else 0
+        return subharmonic_lock_hb(self.engine, p, osc, pair, amp, m=m,
+                                   probe_node=probe, **kw)
+
     def pnoise(self, deltas, out_node: str, ref_node: Optional[str] = None,
                f0: Optional[float] = None, n_harm: Optional[int] = None,
                pss_xs=None, params: Optional[Any] = None, **hb_kw):
