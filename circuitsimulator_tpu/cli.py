@@ -153,6 +153,12 @@ def build_argparser() -> argparse.ArgumentParser:
                         "injected current amplitude (A), e.g. "
                         "'5e6:a:a:1e-3'; prints the solved f0 and the "
                         "one-sided Adler lock range")
+    p.add_argument("--run-subharmonic-lock", metavar="F0:ANCHOR:INJ:AMP:M",
+                   default=None,
+                   help="subharmonic injection-locking window "
+                        "(f_osc = M*f_inj, injection near f0/M) by "
+                        "driven-HB fold search, e.g. '5e6:a:a:10m:2'; "
+                        "prints the locked frequency window")
     p.add_argument("--run-lssp", metavar="PORTS", default=None,
                    help="large-signal S-parameters on the .hb carrier: "
                         "comma-separated Thevenin ports 'SRC:NODE[@z0]' "
@@ -715,6 +721,28 @@ def main(argv=None) -> int:
                   f"({il.k_per_amp:.4e} Hz/A)")
         except Exception as e:  # noqa: BLE001
             print(f"Injection-lock analysis failed: {e}", file=sys.stderr)
+            return 1
+
+    if args.run_subharmonic_lock:
+        print("\nRunning subharmonic injection-lock analysis...")
+        try:
+            parts = args.run_subharmonic_lock.split(":")
+            if len(parts) != 5:
+                raise ValueError("--run-subharmonic-lock wants "
+                                 "F0:ANCHOR:INJ:AMP:M")
+            from .utils.numbers import parse_spice_number
+            f0g = parse_spice_number(parts[0])
+            amp = parse_spice_number(parts[3])
+            m = int(parts[4])
+            sl = sim.subharmonic_lock(parts[2], amp, m=m, f0_guess=f0g,
+                                      anchor_node=parts[1])
+            print(f"Free-running f0 = {sl.f0:.6e} Hz")
+            print(f"Injection {amp:g} A at '{parts[2]}', order m={m}: "
+                  f"locked for f_inj in [{sl.f_lo:.6e}, {sl.f_hi:.6e}] "
+                  f"Hz (one-sided {sl.lock_range_hz:.4e} Hz)")
+        except Exception as e:  # noqa: BLE001
+            print(f"Subharmonic-lock analysis failed: {e}",
+                  file=sys.stderr)
             return 1
 
     if args.run_lssp:
