@@ -207,25 +207,23 @@ def measure_throughput(jax, dtype, parity: bool, B: int, steps_chunk: int):
     jax.block_until_ready(carry)
     log(f"[{tag}] chunk 1 (compile+run): {time.time()-t0:.2f}s")
 
-    # timed steady-state chunks: queue all (pipelining preserved), then
-    # timestamp completions in order for the spread evidence
+    # timed steady-state chunks: per-chunk sync here — unlike the fused
+    # kernel (one launch per chunk, sync costs 17%), the XLA loop's
+    # per-chunk sync is within noise (27M synced vs 28M pipelined), and
+    # pipelined completion intervals are untrustworthy for it (buffer-
+    # wise readiness produced 280M "chunks" inside a 28M run)
     n_timed = int(os.environ.get("BENCH_TIMED", 10))
     total_steps = 0
     base = steps_chunk
-    carries = []
-    t0 = time.time()
+    chunk_walls = []
     for _ in range(n_timed):
         ts = (jnp.arange(base + 1, base + steps_chunk + 1, dtype=dtype) * dt)
+        t0 = time.time()
         carry, iters = run_chunk(bparams, carry, ts)
-        carries.append(carry)
+        jax.block_until_ready(carry)
+        chunk_walls.append(time.time() - t0)
         base += steps_chunk
         total_steps += steps_chunk
-    chunk_walls, prev = [], t0
-    for c in carries:
-        jax.block_until_ready(c)
-        now = time.time()
-        chunk_walls.append(now - prev)
-        prev = now
     wall = sum(chunk_walls)
 
     failed = int(jax.device_get(jnp.sum(carry[-1])))
@@ -240,16 +238,20 @@ def measure_throughput(jax, dtype, parity: bool, B: int, steps_chunk: int):
 
 def _chunk_stats(B, steps_chunk, chunk_walls):
     """Per-chunk steps/s spread over the timed window (the headline's
-    run-to-run stability evidence)."""
+    run-to-run stability evidence).  The first chunk is excluded from
+    the mean/std when >=3 chunks exist: on the pipelined (fused) path
+    its completion interval includes the dispatch-queue ramp."""
     rates = [B * steps_chunk / w for w in chunk_walls]
-    n = len(rates)
-    mean = sum(rates) / n
-    var = sum((r - mean) ** 2 for r in rates) / max(n - 1, 1)
-    return {"timed_chunks": n,
+    steady = rates[1:] if len(rates) >= 3 else rates
+    n = len(steady)
+    mean = sum(steady) / n
+    var = sum((r - mean) ** 2 for r in steady) / max(n - 1, 1)
+    return {"timed_chunks": len(rates),
             "chunk_steps": steps_chunk,
             "per_chunk_steps_per_sec": [round(r, 1) for r in rates],
             "chunk_mean": round(mean, 1),
-            "chunk_rel_std": round((var ** 0.5) / mean, 4) if mean else 0.0}
+            "chunk_rel_std": round((var ** 0.5) / mean, 4) if mean else 0.0,
+            "first_chunk_excluded_from_stats": len(rates) >= 3}
 
 
 def measure_accuracy(jax, dtype):
