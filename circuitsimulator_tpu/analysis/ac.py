@@ -160,23 +160,12 @@ def ac_system(engine: Engine, params, x_op, omega):
 
 def solve_ac_real(engine: Engine, G, B, br, bi):
     """Solve (G + jB)(xr + jxi) = br + jbi as the real 2N system
-    [[G, -B], [B, G]] [xr; xi] = [br; bi].  Returns (xr, xi).
-
-    The solve goes through make_lu_solve_auto: single calls are the
-    plain lu_solve (bitwise unchanged), but under vmap (the batched
-    lanes x frequencies Monte-Carlo sweep) the whole batch dispatches
-    to the VMEM-resident Pallas LU on TPU — the vmapped XLA elimination
-    re-streams the (B, 2N, 2N) systems through HBM per column step."""
+    [[G, -B], [B, G]] [xr; xi] = [br; bi].  Returns (xr, xi)."""
     M = jnp.concatenate(
         [jnp.concatenate([G, -B], axis=-1),
          jnp.concatenate([B, G], axis=-1)], axis=-2)
     rhs = jnp.concatenate([br, bi], axis=-1)
-    solver = getattr(engine, "_ac_lu_auto", None)
-    if solver is None:
-        from ..ops.lu import make_lu_solve_auto
-        solver = make_lu_solve_auto(engine.opts.lu_pivot_floor)
-        engine._ac_lu_auto = solver
-    x = solver(M, rhs)
+    x = lu_solve(M, rhs, engine.opts.lu_pivot_floor)
     N = G.shape[-1]
     return x[..., :N], x[..., N:]
 
