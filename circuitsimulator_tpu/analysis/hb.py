@@ -274,6 +274,9 @@ def make_hb_system(engine: Engine, f0: float, n_harm: int,
         res_cond = jnp.einsum("tij,tj->ti", A_t, X) - b_nl - b_src
         res_reac = jnp.einsum("ij,tj->ti", C_struct, D @ X)
         res = res_cond + res_reac
+        if engine.n_tl:
+            _, _, _, S = _tl_hb_terms(engine, params, ts, n_harm, f0)
+            res = _tl_residual_delay(engine, params, S, X, res)
         if mos_q:
             # charge model: the MOS reactive current is the spectral
             # time-derivative of the charge WAVEFORM, D @ q(x) — exact
