@@ -40,6 +40,11 @@ SMOKE_FILES = {
     "test_lu.py", "test_woodbury.py", "test_parallel.py",
     "test_spike.py", "test_waveforms.py", "test_bsource.py",
     "test_options_card.py", "test_rawfile.py", "test_sstate.py",
+    # ABSOLUTE anchors two independently-implemented paths must agree
+    # on — consistency tests (envelope-vs-HB etc.) cannot catch a term
+    # dropped from BOTH sides; this one caught the r3 T-line-delay
+    # regression the rest of the smoke tier missed
+    "test_hb_tline.py",
 }
 
 
