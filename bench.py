@@ -302,7 +302,13 @@ def tpu_reachable(timeout_s: int = None) -> bool:
     import subprocess
     code = ("import jax, jax.numpy as jnp;"
             "print((jnp.ones((8,8)) @ jnp.ones((8,8))).sum())")
-    for attempt in range(2):        # the tunnel drops transiently
+    # The tunnel drops transiently, AND a concurrent TPU process makes the
+    # probe fail fast with 'UNAVAILABLE: TPU device error' (two processes
+    # cannot share the tunnel).  Round-3's judged bench fell back to CPU
+    # for one of these; retry with backoff so a transient conflict or drop
+    # doesn't cost the round its TPU number.
+    attempts = int(os.environ.get("BENCH_PROBE_ATTEMPTS", 4))
+    for attempt in range(attempts):
         try:
             r = subprocess.run([sys.executable, "-c", code],
                                timeout=timeout_s,
@@ -313,6 +319,8 @@ def tpu_reachable(timeout_s: int = None) -> bool:
         except subprocess.TimeoutExpired:
             pass
         log(f"TPU probe attempt {attempt + 1} failed")
+        if attempt + 1 < attempts:
+            time.sleep(20 * (attempt + 1))   # 20/40/60s backoff
     return False
 
 
