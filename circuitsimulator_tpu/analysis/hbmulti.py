@@ -110,9 +110,10 @@ def make_hbmulti_system(engine: Engine, tones, nominal_params):
     """Params-parametric multi-tone MPDE system (tone assignment is
     STATIC, matched on the nominal SIN frequencies).
 
-    mos_cap_model='charge' is single-tone-HB/envelope/PAC/PSP only for
-    now (the multi-tone reactive term would need per-grid-point charge
-    waveforms across every tone axis).
+    mos_cap_model='charge': the MPDE reactive term is (Σ_d ∂/∂t_d) q(x^)
+    — on the flattened grid that is T @ q(X) with the same per-grid-point
+    charges/trans-capacitances as single-tone HB (hb._mos_charge_pieces);
+    the Jacobian picks up T[t,s]·Cq[s] blocks.
 
     Returns (Ks, ts_axes, residual, jacobian):
       residual(X (Kt,N), params, with_At=False)
@@ -120,11 +121,7 @@ def make_hbmulti_system(engine: Engine, tones, nominal_params):
 
     Shared by the Newton solver below and the sensitivity path
     (analysis/hb_diff.hbmulti_gradient)."""
-    if getattr(engine, "mos_charge", False):
-        raise NotImplementedError(
-            "multi-tone HB requires mos_cap_model='fixed' (the charge "
-            "model's reactive term is single-tone HB/envelope/PAC/PSP "
-            "only)")
+    mos_q = bool(getattr(engine, "mos_charge", False))
     dtype = engine.dtype
     N = engine.N
     freqs = [float(f) for f, _ in tones]
@@ -171,7 +168,7 @@ def make_hbmulti_system(engine: Engine, tones, nominal_params):
         return corr + (S_tot,)
 
     def residual(X, params, with_At: bool = False):
-        C_struct = _reactive_structure(engine, params)
+        C_struct = _reactive_structure(engine, params, base_only=mos_q)
 
         def sources_rhs(p, t):
             vval = srcmod.eval_tran_static_kinds(
@@ -227,11 +224,19 @@ def make_hbmulti_system(engine: Engine, tones, nominal_params):
         res = res_cond + res_reac
         if engine.n_tl:
             res = _tl_residual_delay(engine, params, S_tot, X, res)
+        if mos_q:
+            from .hb import _mos_charge_pieces
+            qvec, Cq_t = _mos_charge_pieces(engine, params, X)
+            res = res + T @ qvec
+            return (res, (A_t, Cq_t)) if with_At else res
         return (res, A_t) if with_At else res
 
     def jacobian(A_t, params):
-        C_struct = _reactive_structure(engine, params)
+        C_struct = _reactive_structure(engine, params, base_only=mos_q)
         J = jnp.einsum("ts,ij->tisj", T, C_struct)
+        if mos_q:
+            A_t, Cq_t = A_t
+            J = J + jnp.einsum("ts,sij->tisj", T, Cq_t)
         tid = jnp.arange(Kt)
         J = J.at[tid, :, tid, :].add(A_t)
         if engine.n_tl:

@@ -62,19 +62,20 @@ def make_hb_system_auto(engine: Engine, n_harm: int, gmin: float = 0.0):
     """residual(X, f0, params, with_At=False): the HB residual with f0
     TRACED (autonomous form) — mirrors hb.make_hb_system, which fixes f0
     statically.  jacobian(A_t, f0, params) is ∂r/∂X."""
-    if getattr(engine, "mos_charge", False):
-        raise NotImplementedError(
-            "autonomous HB requires mos_cap_model='fixed' (the charge "
-            "model's reactive term is driven-HB/envelope/PAC/PSP only)")
     dtype = engine.dtype
     N = engine.N
     H = int(n_harm)
     K = 2 * H + 1
     D1 = jnp.asarray(spectral_diff_matrix(K, 1.0), dtype)  # D(f0) = f0·D1
+    # MOSCAP=CHARGE: same per-sample charge treatment as hb.make_hb_system
+    # — the reactive term is f0·(D1 @ q(x)) so the charge waveform's
+    # spectral derivative stays EXACT with f0 traced (∂r/∂f0 picks up
+    # D1 @ q via the jvp in the bordered Newton automatically).
+    mos_q = bool(getattr(engine, "mos_charge", False))
 
     def residual(X, f0, params, with_At: bool = False):
         ts = jnp.arange(K, dtype=dtype) / (K * f0)
-        C_struct = _reactive_structure(engine, params)
+        C_struct = _reactive_structure(engine, params, base_only=mos_q)
 
         def sources_rhs(t):
             vval = srcmod.eval_tran_static_kinds(
@@ -119,11 +120,19 @@ def make_hb_system_auto(engine: Engine, n_harm: int, gmin: float = 0.0):
         if engine.n_tl:
             _, _, _, S = _tl_hb_terms(engine, params, ts, n_harm, f0)
             res = _tl_residual_delay(engine, params, S, X, res)
+        if mos_q:
+            from .hb import _mos_charge_pieces
+            qvec, Cq_t = _mos_charge_pieces(engine, params, X)
+            res = res + f0 * (D1 @ qvec)
+            return (res, (A_t, Cq_t)) if with_At else res
         return (res, A_t) if with_At else res
 
     def jacobian(A_t, f0, params):
-        C_struct = _reactive_structure(engine, params)
+        C_struct = _reactive_structure(engine, params, base_only=mos_q)
         J = f0 * jnp.einsum("ts,ij->tisj", D1, C_struct)
+        if mos_q:
+            A_t, Cq_t = A_t
+            J = J + f0 * jnp.einsum("ts,sij->tisj", D1, Cq_t)
         tid = jnp.arange(K)
         J = J.at[tid, :, tid, :].add(A_t)
         if engine.n_tl:
@@ -320,8 +329,17 @@ def oscillator_phase_noise_hb(engine: Engine, params, osc: HBOscResult,
     # (with T-lines the distributed state makes this legitimately non-flat)
     D1 = np.asarray(spectral_diff_matrix(K, 1.0), np.float64)
     xdot = f0 * (D1 @ np.asarray(X, np.float64))          # (K, N)
-    C_s = np.asarray(_reactive_structure(engine, params), np.float64)
-    norms = np.einsum("kn,kn->k", V, xdot @ C_s.T)
+    mos_q = bool(getattr(engine, "mos_charge", False))
+    C_s = np.asarray(_reactive_structure(engine, params,
+                                         base_only=mos_q), np.float64)
+    if mos_q:
+        # C is state-dependent here: C(x_k) = C_base + dq/dv(x_k)
+        from .hb import _mos_charge_pieces
+        _, Cq_t = _mos_charge_pieces(engine, params, X)
+        C_k = C_s[None] + np.asarray(Cq_t, np.float64)    # (K, N, N)
+        norms = np.einsum("kn,knm,km->k", V, C_k, xdot)
+    else:
+        norms = np.einsum("kn,kn->k", V, xdot @ C_s.T)
     invariance = float(np.sqrt(np.mean((norms - 1.0) ** 2)))
 
     # noise generators along the cycle (same catalog as .NOISE/PNOISE)

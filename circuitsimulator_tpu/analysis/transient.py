@@ -105,11 +105,11 @@ def transient_step_fn(engine: Engine, params, dt, predictor: bool = False,
         # domain decomposition — use the re-eliminating solve it shards
         use_blockwb, use_blockband = False, True
     mos_charge = getattr(engine, "mos_charge", False)
-    if mos_charge and (method != "be" or use_tridiag or use_blockband):
+    if mos_charge and (use_tridiag or use_blockband):
         raise NotImplementedError(
-            "mos_cap_model='charge' runs on the BE transient with the "
-            "'woodbury' or 'lu' backend (trap needs charge-current "
-            "history; tridiag/blockband lack the injection scatter)")
+            "mos_cap_model='charge' runs on the BE/trap transient with "
+            "the 'woodbury' or 'lu' backend (tridiag/blockband lack the "
+            "injection scatter)")
     inv_dt = 1.0 / dt if mos_charge else None
     # Every nonlinear class rides the rank-k plan now: MOS/JFET/diode/BJT
     # (width-3 rows), switches (width-4), and behavioral B-sources
@@ -212,7 +212,11 @@ def transient_step_fn(engine: Engine, params, dt, predictor: bool = False,
         def cond(c):
             return (~c["done"]) & (c["iter"] < opts.tran_max_newton_iters)
 
-        qex = (state["qm"], inv_dt) if mos_charge else None
+        if mos_charge:
+            qex = ((state["qm"], inv_dt, state["qi"])
+                   if method == "trap" else (state["qm"], inv_dt))
+        else:
+            qex = None
 
         def body(c):
             if use_woodbury:

@@ -812,18 +812,25 @@ class Engine:
         return jnp.stack([xe[..., t.mos_ed], xe[..., t.mos_eg],
                           xe[..., t.mos_es]], axis=-1)
 
-    def mosq_linearize(self, params, vdgs, qprev, inv_dt):
-        """Charge-model Newton pieces (BE companion of i = dq/dt):
-        returns (g (..., nM, 5, 3), cst (..., nM, 5)) for the 5 terminal
-        injections (i_d, i_g, i_s, i_sb, i_db) with
-          i ≈ g · (vd, vg, vs) + cst,   g = (dq/dv)/dt,
-          cst = (q(v_k) - q_prev)/dt - g·v_k.
+    def mosq_linearize(self, params, vdgs, qprev, inv_dt, iprev=None):
+        """Charge-model Newton pieces (companion of i = dq/dt): returns
+        (g (..., nM, 5, 3), cst (..., nM, 5)) for the 5 terminal
+        injections (i_d, i_g, i_s, i_sb, i_db) with i ≈ g·(vd,vg,vs)+cst.
+        BE (iprev=None):   g = (dq/dv)/dt,
+                           cst = (q(v_k) - q_prev)/dt - g·v_k.
+        Trapezoidal (iprev = accepted charge currents of the previous
+        step): i_{n+1} = 2(q_{n+1}-q_n)/dt - i_n, so
+                           g = 2(dq/dv)/dt,
+                           cst = 2(q(v_k)-q_prev)/dt - i_prev - g·v_k.
         qprev: (..., nM, 5) accepted charges of the previous step."""
         from ..models.moscap import charge_jacobian
         q, J = charge_jacobian(vdgs, params)
-        g = J * inv_dt
-        cst = (q - qprev) * inv_dt \
+        theta = 1.0 if iprev is None else 2.0
+        g = theta * J * inv_dt
+        cst = theta * (q - qprev) * inv_dt \
             - jnp.einsum("...ij,...j->...i", g, vdgs)
+        if iprev is not None:
+            cst = cst - iprev
         return g, cst
 
     def assemble_tran_iter(self, G_static, I_static, params, x, t=0.0,
@@ -834,9 +841,7 @@ class Engine:
         G = G_static.at[..., self.nl_rows, self.nl_cols].add(gvals)
         I = I_static.at[..., self.nl_rhs_rows].add(rvals)
         if qex is not None:
-            qprev, inv_dt = qex
-            gq, cq = self.mosq_linearize(params, self.mos_vdgs(x),
-                                         qprev, inv_dt)
+            gq, cq = self.mosq_linearize(params, self.mos_vdgs(x), *qex)
             G = G.at[..., self.mq_rows, self.mq_cols].add(
                 gq.reshape(*gq.shape[:-3], -1))
             I = I.at[..., self.mq_rhs_rows].add(
@@ -1006,6 +1011,8 @@ class Engine:
                                  "init_state(x, params)")
             from ..models.moscap import charges_of_x
             state["qm"] = charges_of_x(self.mos_vdgs(x), params)
+            # trapezoidal charge-current history; i = dq/dt = 0 at DC
+            state["qi"] = jnp.zeros_like(state["qm"])
         if self.n_tl:
             if params is None or dt is None:
                 raise ValueError("transmission lines need init_state(x, "
@@ -1056,6 +1063,12 @@ class Engine:
             if self.mos_charge:
                 from ..models.moscap import charges_of_x
                 new["qm"] = charges_of_x(self.mos_vdgs(x), params)
+                if trap:
+                    # accepted trap charge current: i' = 2(q'-q)/dt - i
+                    new["qi"] = (2.0 / dt) * (new["qm"] - state["qm"]) \
+                        - state["qi"]
+                else:
+                    new["qi"] = jnp.zeros_like(new["qm"])
             if self.n_tl:
                 # push this step's waves into slot 0 of the delay ring
                 w = self._tl_wave_now(params, x)

@@ -367,8 +367,7 @@ class WoodburySolver:
         if plan.nCq:
             # charge cap model: reuse the MOS terminal reads (vm)
             assert qex is not None, "charge model needs qex=(qprev, 1/dt)"
-            qprev, inv_dt = qex
-            gq, cq = self.engine.mosq_linearize(params, vm, qprev, inv_dt)
+            gq, cq = self.engine.mosq_linearize(params, vm, *qex)
             rows = gq.reshape(*gq.shape[:-3], plan.nCq, 3)
             parts_v.append(padW(rows))
             parts_c.append(cq.reshape(*cq.shape[:-2], plan.nCq))

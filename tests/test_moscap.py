@@ -237,16 +237,103 @@ def test_hb_charge_matches_long_transient():
     assert abs(abs(hb1_f) - abs(hb1)) > 5e-4 * abs(hb1)
 
 
-def test_multitone_and_shooting_keep_guard():
+MULTITONE_CHARGE_DECK = """* common-source stage, two tones summed at the gate
+.MODEL mn VT 0.7 MU 350u COX 2.3m CJ0 60f
+VDD vdd 0 DC 3
+V1 a 0 SIN 1.2 0.5 1e7
+V2 b 0 SIN 0 0.35 2.3e7
+Ra a g 1k
+Rb b g 1k
+M1 d g 0 n 200e-6 5e-6 mn
+Rd vdd d 5k
+.OPTIONS MOSCAP=CHARGE
+.TRAN 2e-10 1.2e-6
+"""
+
+
+def test_multitone_charge_vs_transient():
+    """Two-tone MPDE under MOSCAP=CHARGE: the reactive term is the MPDE
+    charge derivative T·q(x^) (hbmulti.make_hbmulti_system) — the HB^2
+    solution evaluated on the physical diagonal x(t) = x^(t, t) must
+    match the settled charge-model transient.  The device is sized so
+    coxwl = 2.3 pF vs the 1k gate drive: the gate caps genuinely load
+    the two-tone superposition at 10/23 MHz."""
+    import jax.numpy as jnp
+    from circuitsimulator_tpu.analysis.hbmulti import (
+        harmonic_balance_multi, evaluate)
+    sim = Simulator.from_text(MULTITONE_CHARGE_DECK)
+    tr = sim.transient()
+    ts = np.asarray(tr.times)
+    xs = np.asarray(tr.xs)
+    late = ts > 0.9e-6
+    scale = np.abs(xs[late]).max()
+    res = harmonic_balance_multi(sim.engine, sim.params,
+                                 [(1e7, 6), (2.3e7, 6)], tol=1e-9)
+    assert bool(res.converged), float(res.residual)
+    xh = np.asarray(evaluate(res, jnp.asarray(ts[late])))
+    assert np.abs(xh - xs[late]).max() / scale < 2e-2
+    # and the charge model measurably moves the answer vs fixed lumps
+    sim_f = Simulator.from_text(
+        MULTITONE_CHARGE_DECK.replace(".OPTIONS MOSCAP=CHARGE", ""))
+    res_f = harmonic_balance_multi(sim_f.engine, sim_f.params,
+                                   [(1e7, 6), (2.3e7, 6)], tol=1e-9)
+    xf = np.asarray(evaluate(res_f, jnp.asarray(ts[late])))
+    assert np.abs(xf - xh).max() / scale > 1e-3
+
+
+def test_hbosc_charge_vs_transient():
+    """Autonomous HB under MOSCAP=CHARGE: f0 is a Newton unknown and the
+    reactive term f0·(D1·q(x)) is traced through it.  The Meissner MOS
+    oscillator with a device sized so coxwl = 3 pF (3% of the 100 pF
+    tank) must (a) converge, (b) agree with a kicked charge-model
+    transient's measured period, and (c) land measurably BELOW the
+    fixed-lump f0 (the gate charge adds tank capacitance)."""
+    deck = """* meissner mos oscillator, charge caps
+.MODEL 1 VT 0.7 MU 5e-2 COX 2e-3 LAMBDA 0.01 KF 1e-15 AF 1
+VDD 1 0 3
+VG gb 0 1.2
+L1 g gb 100u
+C1 g 0 100p
+Rl g 0 5k
+Blim g 0 I=100m*(v(g)-1.2)**3
+L2 1 d 10u
+K1 L1 L2 0.5
+M1 d g 0 n 300e-6 5e-6 1
+Ik g 0 PULSE 0 1m 1e-8 1e-9 1e-9 5e-9 1
+{opt}
+.TRAN 2e-9 4e-5
+"""
+    sim = Simulator.from_text(
+        deck.replace("{opt}", ".OPTIONS MOSCAP=CHARGE"))
+    r = sim.oscillator_hb(f0_guess=1.6e6, anchor_node="g", n_harm=9,
+                          warmup_periods=60)
+    assert bool(r.converged), float(r.residual)
+    # oracle: kicked transient of the same charge-model deck, period
+    # from the anchor's late upward mean-crossings
+    xs = np.asarray(sim.transient().xs)
+    g = node_eq(sim, "g")
+    ya = xs[:, g]
+    half = ya[len(ya) // 2:]
+    mean = half.mean()
+    up = np.nonzero((half[:-1] < mean) & (half[1:] >= mean))[0]
+    assert len(up) >= 4
+    T_tr = np.mean(np.diff(up[-4:])) * 2e-9
+    assert float(r.f0) == pytest.approx(1.0 / T_tr, rel=3e-3)
+    # fixed-lump model (no CJ0 in the .MODEL => no MOS caps at all):
+    # the charge model's gate charge loads the tank, lowering f0
+    sim_f = Simulator.from_text(deck.replace("{opt}", ""))
+    rf = sim_f.oscillator_hb(f0_guess=1.6e6, anchor_node="g", n_harm=9,
+                             warmup_periods=60)
+    assert bool(rf.converged)
+    assert float(r.f0) < float(rf.f0) * (1 - 2e-3)
+
+
+def test_shooting_keeps_guard():
     deck = AMP_DECK.replace("{opt}", ".OPTIONS MOSCAP=CHARGE")
     sim = Simulator.from_text(deck)
     from circuitsimulator_tpu.analysis.sstate import steady_state
     with pytest.raises(NotImplementedError, match="fixed"):
         steady_state(sim.engine, sim.params, 1e6)
-    from circuitsimulator_tpu.analysis.hbmulti import make_hbmulti_system
-    with pytest.raises(NotImplementedError, match="fixed"):
-        make_hbmulti_system(sim.engine, [(1e6, 3), (1.1e6, 3)],
-                            sim.params)
 
 
 def test_fused_kernel_ineligible():
