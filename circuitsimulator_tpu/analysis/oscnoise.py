@@ -103,10 +103,17 @@ def _step_with_injection(engine: Engine, params, dt, n_newton: int = 4):
     G_static = engine.tran_static_G(params, dt, opts.tran_gmin, method)
 
     def step(s, t, inj):
-        x, state = _split(engine, s)
+        x, state = _split(engine, s, params=params)
         I_s = static_I(params, state, t)
+        if getattr(engine, "mos_charge", False):
+            inv_dt = 1.0 / dt
+            qex = ((state["qm"], inv_dt, state["qi"])
+                   if method == "trap" else (state["qm"], inv_dt))
+        else:
+            qex = None
         for _ in range(n_newton):
-            G, I = engine.assemble_tran_iter(G_static, I_s, params, x, t)
+            G, I = engine.assemble_tran_iter(G_static, I_s, params, x, t,
+                                             qex)
             x = lu_solve(G[..., :N, :N], I[..., :N] + inj,
                          opts.lu_pivot_floor)
         state = update_state(params, x, state)

@@ -58,10 +58,16 @@ class SteadyStateResult:
 _STATE_KEYS = ("vc", "ic", "il", "vl")
 
 
-def _split(engine: Engine, s, dmax: int = 0):
+def _split(engine: Engine, s, dmax: int = 0, params=None):
     """Flat shooting vector -> (x, TranState dict).  With transmission
     lines the delay-ring contents (dmax, 2*nT) are legitimate shooting
-    unknowns too (a periodic line carries a periodic wave pattern)."""
+    unknowns too (a periodic line carries a periodic wave pattern).
+
+    Under mos_cap_model='charge' the vector gains the 5·nM trapezoidal
+    charge-current history slots 'qi' (independent state, like 'ic');
+    the accepted charges 'qm' are DERIVED (qm = q(x), the previous
+    step's solution is x itself at the period boundary) and recomputed
+    here — which is why `params` is then required."""
     N = engine.N
     nc = engine.n_caplike
     nL = len(engine.topo.ind_k)
@@ -72,6 +78,16 @@ def _split(engine: Engine, s, dmax: int = 0):
     for k in _STATE_KEYS:
         state[k] = s[..., off:off + sizes[k]]
         off += sizes[k]
+    if getattr(engine, "mos_charge", False):
+        if params is None:
+            raise ValueError("charge cap model: _split needs params "
+                             "(qm = q(x) is recomputed)")
+        from ..models.moscap import charges_of_x
+        nM = len(engine.topo.mos_ed)
+        state["qi"] = s[..., off:off + 5 * nM].reshape(
+            *s.shape[:-1], nM, 5)
+        off += 5 * nM
+        state["qm"] = charges_of_x(engine.mos_vdgs(x), params)
     if engine.n_tl:
         n2 = 2 * engine.n_tl
         state["tlw"] = s[..., off:off + dmax * n2].reshape(
@@ -81,10 +97,33 @@ def _split(engine: Engine, s, dmax: int = 0):
 
 def _join(x, state):
     parts = [x] + [state[k] for k in _STATE_KEYS]
+    if "qi" in state:
+        qi = state["qi"]
+        parts.append(qi.reshape(*qi.shape[:-2], -1))
     if "tlw" in state:
         ring = state["tlw"]
         parts.append(ring.reshape(*ring.shape[:-2], -1))
     return jnp.concatenate(parts, axis=-1)
+
+
+def _minnorm_solve(A, b, rcond: float = 1e-8):
+    """Minimum-norm least-squares solve via SVD, zeroing directions with
+    singular value < rcond·σ_max.  The shooting Jacobian J − I (and the
+    augmented oscillator system) can carry EXACTLY NEUTRAL directions no
+    topological mask can catch: the trapezoidal companion's homogeneous
+    (−1)^k mode on a cap whose current feeds back into nothing (e.g. a
+    cap hanging on a voltage-source-pinned node) maps to itself over an
+    even number of steps — a zero row AND zero column.  Its residual is
+    ~0 at any fixed point (periodic closure), so the correct Newton
+    update along it is 0 — which is what the pseudo-inverse returns,
+    where a pivot-floored LU returns garbage amplified by 1/floor.
+    Measured spectrum on an inverter PSS: genuine modes cluster at
+    σ ∈ [1, 2], neutrals at ≤ 3e-12 — the 1e-8 cutoff sits in a six-
+    decade gap."""
+    u_, s_, vt = jnp.linalg.svd(A, full_matrices=False)
+    keep = s_ > rcond * s_[0]
+    inv = jnp.where(keep, 1.0 / jnp.where(keep, s_, 1.0), 0.0)
+    return vt.T @ (inv * (u_.T @ b))
 
 
 def _dyn_mask(engine: Engine, params, dmax: int = 0) -> np.ndarray:
@@ -98,10 +137,30 @@ def _dyn_mask(engine: Engine, params, dmax: int = 0) -> np.ndarray:
     at pivot-floored LU).  Excluded entries propagate as zeros and are
     reconstructed by update_state each step."""
     cvals = np.asarray(engine._caplike_C(params))
-    cap_on = cvals > 0.0
+    # a cap whose two terminals are the SAME equation (e.g. the MOS Csb
+    # lump with source and bulk both grounded) has vc ≡ 0 — the same
+    # (−1)^K trap pathology as C = 0, whatever its C value
+    cap_on = (cvals > 0.0) & (engine.cap_a != engine.cap_b)
     nL = len(engine.topo.ind_k)
     parts = [np.ones(engine.N, bool), cap_on, cap_on,
              np.ones(nL, bool), np.ones(nL, bool)]
+    if getattr(engine, "mos_charge", False):
+        # 'qi' slots (qd, qg, qs, qsb, qdb per MOS): the gate-charge
+        # currents are state iff the device has oxide charge, the
+        # junction ones iff it has CJ0 — a q ≡ 0 slot flips sign every
+        # trap step (qi' = -qi), the same (−1)^K identity pathology as
+        # the zero-C lumps above
+        t = engine.topo
+        coxwl = np.asarray(params["mos_coxwl"]) > 0.0
+        cj0 = np.asarray(params["mos_cj0"]) > 0.0
+        # degenerate junctions (S = B or D = B, e.g. grounded source with
+        # the default grounded bulk) have v_j ≡ 0 so q_j ≡ 0 — same
+        # pathology as above
+        sb_ok = np.asarray(t.mos_es) != np.asarray(t.mos_eb)
+        db_ok = np.asarray(t.mos_ed) != np.asarray(t.mos_eb)
+        qm = np.stack([coxwl, coxwl, coxwl, cj0 & sb_ok, cj0 & db_ok],
+                      axis=-1)
+        parts.append(qm.reshape(-1))
     if engine.n_tl:
         parts.append(np.ones(dmax * 2 * engine.n_tl, bool))
     return np.concatenate(parts) if parts else np.zeros(0, bool)
@@ -114,11 +173,11 @@ def steady_state(engine: Engine, params, f0: float,
                  max_newton: int = 15,
                  tol: float = 1e-9,
                  fd_eps: float = 1e-6):
-    """Compute the periodic steady state.  Returns SteadyStateResult."""
-    if getattr(engine, "mos_charge", False):
-        raise NotImplementedError(
-            "shooting PSS requires mos_cap_model='fixed' (the shooting "
-            "vector layout [x, vc, ic, il, vl] has no charge slots)")
+    """Compute the periodic steady state.  Returns SteadyStateResult.
+
+    mos_cap_model='charge': the shooting vector gains the trapezoidal
+    charge-current slots (see _split); the accepted charges themselves
+    are derived from x and carry no unknowns."""
     # trapezoidal + tight per-step tolerance (osc_engine): BE's numerical
     # damping costs O(dt) amplitude on every tank (measured 3e-3 at 512
     # steps/period on a matched line) and the 1e-6 early-stop biases the
@@ -133,7 +192,7 @@ def steady_state(engine: Engine, params, f0: float,
     dmax = int(engine.tl_ticks(dt).max()) if engine.n_tl else 0
 
     def propagate(s):
-        x, state = _split(engine, s, dmax)
+        x, state = _split(engine, s, dmax, params)
         failed = jnp.zeros(x.shape[:-1], dtype=bool)
 
         def body(c, t):
@@ -144,7 +203,7 @@ def steady_state(engine: Engine, params, f0: float,
         return _join(x, state)
 
     def propagate_save(s):
-        x, state = _split(engine, s, dmax)
+        x, state = _split(engine, s, dmax, params)
         failed = jnp.zeros(x.shape[:-1], dtype=bool)
 
         def body(c, t):
@@ -183,7 +242,7 @@ def steady_state(engine: Engine, params, f0: float,
         phis = jax.vmap(propagate)(pert)
         J = (phis[:, dyn] - phi0[None, dyn]).T / eps   # dPhi/ds
         A = J - eye                                    # d(Phi - id)/ds
-        ds = lu_solve(A, -r, engine.opts.lu_pivot_floor)
+        ds = _minnorm_solve(A, -r)
         res = jnp.linalg.norm(r)
         return embed(s_red + ds, phi0), res
 
@@ -200,7 +259,7 @@ def steady_state(engine: Engine, params, f0: float,
     # final verification + one saved period
     s_out, xs = jax.jit(propagate_save)(s)
     final_res = jnp.linalg.norm(s_out - s)
-    x_first, _ = _split(engine, s, dmax)
+    x_first, _ = _split(engine, s, dmax, params)
     xs_all = jnp.concatenate([x_first[None], xs], axis=0)
     times = jnp.concatenate([jnp.zeros((1,), dtype), ts])
 
@@ -293,10 +352,6 @@ def oscillator_steady_state(engine: Engine, params, f0_guess: float,
     if engine.n_tl:
         raise NotImplementedError("oscillator shooting does not support "
                                   "transmission lines (dt-dependent ring)")
-    if getattr(engine, "mos_charge", False):
-        raise NotImplementedError(
-            "oscillator shooting requires mos_cap_model='fixed' (the "
-            "shooting vector layout has no charge slots)")
     engine = osc_engine(engine)
     dtype = engine.dtype
     K = int(steps_per_period)
@@ -360,7 +415,7 @@ def oscillator_steady_state(engine: Engine, params, f0_guess: float,
     def propagate(s_red, T):
         dt = T / K
         step = transient_step_fn(engine, params, dt)
-        x, state = _split(engine, embed(s_red))
+        x, state = _split(engine, embed(s_red), params=params)
         failed = jnp.zeros(x.shape[:-1], dtype=bool)
         ts = jnp.arange(1, K + 1, dtype=dtype) * dt
 
@@ -388,15 +443,22 @@ def oscillator_steady_state(engine: Engine, params, f0_guess: float,
         pert = u[None, :] + eps * scale[None, :] * jnp.eye(n_s + 1, dtype=dtype)
         rs = jax.vmap(residual)(pert)
         J = (rs - r0[None, :]).T / (eps * scale[None, :])
-        du = lu_solve(J, -r0, engine.opts.lu_pivot_floor)
+        du = _minnorm_solve(J, -r0)
         return u + damping * du, jnp.linalg.norm(r0)
 
+    import os
+    dbg = bool(os.environ.get("CSIM_OSC_DEBUG"))
     u = jnp.concatenate([s0, jnp.asarray([T0], dtype)])
     res = jnp.asarray(jnp.inf, dtype)
     iters = 0
     for i in range(max_newton):
         u_new, res = newton_step(u)
         iters = i + 1
+        if dbg:
+            du = np.asarray(u_new - u)
+            print(f"osc newton {i}: res={float(res):.3e} "
+                  f"T={float(u[-1]):.9e} dT={du[-1]:.3e} "
+                  f"|du_s|={np.linalg.norm(du[:-1]):.3e}", flush=True)
         if not bool(jnp.isfinite(res)):
             break
         # keep T positive and sane
@@ -408,7 +470,7 @@ def oscillator_steady_state(engine: Engine, params, f0_guess: float,
     s_fin, T_fin = embed(u[:-1]), u[-1]
     dt = T_fin / K
     step = transient_step_fn(engine, params, dt)
-    x, state = _split(engine, s_fin)
+    x, state = _split(engine, s_fin, params=params)
     failed = jnp.zeros(x.shape[:-1], dtype=bool)
     ts = jnp.arange(1, K + 1, dtype=dtype) * dt
 

@@ -328,14 +328,6 @@ Ik g 0 PULSE 0 1m 1e-8 1e-9 1e-9 5e-9 1
     assert float(r.f0) < float(rf.f0) * (1 - 2e-3)
 
 
-def test_shooting_keeps_guard():
-    deck = AMP_DECK.replace("{opt}", ".OPTIONS MOSCAP=CHARGE")
-    sim = Simulator.from_text(deck)
-    from circuitsimulator_tpu.analysis.sstate import steady_state
-    with pytest.raises(NotImplementedError, match="fixed"):
-        steady_state(sim.engine, sim.params, 1e6)
-
-
 def test_fused_kernel_ineligible():
     from circuitsimulator_tpu.ops import pallas_step
     deck = AMP_DECK.replace("{opt}", ".OPTIONS MOSCAP=CHARGE")
@@ -424,3 +416,82 @@ def test_psp_batched_charge_matches_host():
     for lane in range(2):
         np.testing.assert_allclose(bres.s[lane], host.s,
                                    rtol=1e-7, atol=1e-9)
+
+
+# ---------------------------------------------------------------------
+# shooting PSS / oscillator shooting under MOSCAP=CHARGE
+# (analysis/sstate.py: the shooting vector gains the 5*nM trapezoidal
+# charge-current slots 'qi'; qm = q(x) is derived, not an unknown)
+# ---------------------------------------------------------------------
+
+PSS_DECK = (".MODEL 2 VT 0.4 MU 1e-2 COX 1e-3 LAMBDA 0.05 CJ0 1e-13\n"
+            ".OPTIONS MOSCAP=CHARGE\n"
+            "VDD 1 0 3\nVin 2 0 SIN 1 0.5 1e8\nRD 1 3 1k\n"
+            "M1 3 2 0 n 10e-6 1e-6 2\nC1 3 0 2e-13\n"
+            ".TRAN 1e-11 1e-6\n.hb 1e8 5\n")
+
+
+def test_pss_charge_matches_settled_transient():
+    """Charge-model shooting must be a fixed point of exactly the map a
+    long settled transient iterates (same discretization: osc_engine =
+    trap + lu + tight per-step tol, MOSCAP=CHARGE)."""
+    import jax.numpy as jnp
+    sim = Simulator.from_text(PSS_DECK)
+    r = sim.steady_state(steps_per_period=200, warmup_periods=5)
+    assert bool(r.converged)
+    assert float(r.residual) < 1e-8
+
+    opts = SolverOptions().replace(
+        dtype=jnp.float64, tran_method="trap", tran_solver="lu",
+        tran_tol=1e-9)
+    sim_t = Simulator.from_text(PSS_DECK, opts=opts)
+    res = sim_t.transient(tstep=1e-8 / 200, tstop=100e-8)
+    last = np.asarray(res.xs)[-200:]
+    mine = np.asarray(r.xs)[1:]
+    np.testing.assert_allclose(mine, last, atol=1e-9, rtol=0)
+
+
+def test_pss_charge_vs_fixed_distinct_but_close():
+    # same deck under both cap models: the steady states agree at the
+    # conduction scale but are NOT identical (different reactive model
+    # actually engaged) — guards against the charge slots silently
+    # decoupling from the shooting Newton
+    sim_c = Simulator.from_text(PSS_DECK)
+    r_c = sim_c.steady_state(steps_per_period=200, warmup_periods=5)
+    sim_f = Simulator.from_text(PSS_DECK.replace(
+        ".OPTIONS MOSCAP=CHARGE\n", ""))
+    r_f = sim_f.steady_state(steps_per_period=200, warmup_periods=5)
+    assert bool(r_c.converged) and bool(r_f.converged)
+    xc, xf = np.asarray(r_c.xs), np.asarray(r_f.xs)
+    assert np.max(np.abs(xc - xf)) < 0.2           # same circuit physics
+    assert np.max(np.abs(xc - xf)) > 1e-6          # different cap model
+
+
+MEISSNER_CHARGE = """* transformer-feedback mos oscillator, charge caps
+.MODEL 1 VT 0.7 MU 5e-2 COX 2e-3 LAMBDA 0.01 CJ0 5e-14
+.OPTIONS MOSCAP=CHARGE
+VDD 1 0 3
+VG gb 0 1.2
+L1 g gb 100u
+C1 g 0 100p
+Rl g 0 5k
+Blim g 0 I=100m*(v(g)-1.2)**3
+L2 1 d 10u
+K1 L1 L2 0.5
+M1 d g 0 n 60e-6 1e-6 1
+.op
+"""
+
+
+def test_oscillator_charge_shooting_vs_hb():
+    """Autonomous shooting under MOSCAP=CHARGE cross-checked against the
+    independently-built autonomous HB (charge residual D.q(x)): both
+    must land on the same f0."""
+    sim = Simulator.from_text(MEISSNER_CHARGE)
+    sh = sim.oscillator(f0_guess=1.6e6, anchor_node="g",
+                        steps_per_period=256, warmup_periods=60)
+    assert sh.converged, float(sh.residual)
+    r = sim.oscillator_hb(f0_guess=1.6e6, anchor_node="g", n_harm=9,
+                          warmup_periods=60)
+    assert bool(r.converged), float(r.residual)
+    assert r.f0 == pytest.approx(float(sh.f0), rel=2e-4)
