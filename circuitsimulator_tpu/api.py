@@ -1051,6 +1051,48 @@ class Simulator:
             pss_xs = self._pss_samples(p, f0, n_harm, **hb_kw)
         return pnoise(self.engine, p, f0, pss_xs, deltas, out_eq, ref_eq)
 
+    def envelope_noise(self, deltas, out_node: str,
+                       t_stop: Optional[float] = None,
+                       dt_env: Optional[float] = None,
+                       ref_node: Optional[str] = None,
+                       f0: Optional[float] = None, n_harm: int = 7,
+                       t1_idx=None, env=None,
+                       params: Optional[Any] = None, **env_kw):
+        """Time-resolved envelope noise (analysis/envnoise.py): the
+        output noise PSD at V(out[,ref]) along a modulated-carrier
+        envelope trajectory — pnoise's adjoint LPTV solve rebuilt at
+        each selected envelope time t1 (adiabatic approximation), with
+        the device noise intensities tracking the instantaneous
+        envelope.  Pass an EnvelopeResult via `env` to reuse one, or
+        give t_stop/dt_env to run the envelope here; `t1_idx` selects
+        envelope steps (default all).  Returns EnvelopeNoiseResult with
+        onoise (T1s, F)."""
+        from .analysis.envnoise import envelope_noise
+        hb = self.config.hb
+        f0 = f0 if f0 is not None else (hb.f0 if hb.enabled else None)
+        if not f0 or f0 <= 0:
+            raise ValueError("envelope_noise needs f0 (or a .hb card)")
+        p = params if params is not None else self.params
+
+        def node_eq(name):
+            nid = self.circuit.node_name_to_id.get(name)
+            if nid is None:
+                raise KeyError(f"unknown node {name!r}")
+            return self.circuit.nodes[nid].eq_index
+
+        out_eq = node_eq(out_node)
+        if out_eq < 0:
+            raise ValueError(f"output node {out_node!r} is ground")
+        ref_eq = node_eq(ref_node) if ref_node else -1
+        if env is None:
+            if t_stop is None or dt_env is None:
+                raise ValueError("envelope_noise needs an EnvelopeResult "
+                                 "(env=...) or t_stop and dt_env")
+            env = self.envelope(t_stop, dt_env, f0=f0, n_harm=n_harm,
+                                params=p, **env_kw)
+        return envelope_noise(self.engine, p, env, deltas, out_eq,
+                              ref_eq, t1_idx=t1_idx)
+
     def mixer_noise_figure(self, source_resistor: str, delta: float,
                            out_node: str, ref_node: Optional[str] = None,
                            sidebands=(1,),
