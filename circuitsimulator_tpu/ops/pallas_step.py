@@ -63,9 +63,13 @@ step is the exact solve x = G0inv @ b(t), no Newton machinery compiled
 at all) — V AND I sources with every waveform kind
 (PULSE/SIN/PWL/EXP/SFFM, mirrored formula-for-formula from
 models/sources.py with static per-kind masks; PWL tables unroll
-statically, <= 8 breakpoints), N <= 64 and rank k <= 16 (VMEM /
-static-unroll budget).  EVERY device class of the engine is in scope;
-out-of-budget decks stay on the general XLA path.
+statically, <= 8 breakpoints), rank k <= 32 plus a VMEM-budget
+estimate over (N, k) — `_vmem_estimate` <= 10 MB at TB=128, which
+admits N=96 at k=32 and keeps the old N<=64/k<=16 envelope strictly
+inside (round 4 widened the round-3 hard gate so real analog cells
+ride the fused path: the 22-MOS instrumentation amp of
+tests/netlists/inamp.sp is rank 22).  EVERY device class of the
+engine is in scope; out-of-budget decks stay on the general XLA path.
 
 TRNOISE decks run fused too (noisy Monte-Carlo at fused speed): the
 per-step source-noise values are precomputed OUTSIDE the kernel by
@@ -176,11 +180,35 @@ def supported(engine, dt=None) -> bool:
     # degenerates to the exact solve x = G0inv @ b(t), no Newton compiled.
     k = (len(t.mos_ed) + len(t.jf_ed) + len(t.dio_ep) + 2 * len(t.bjt_ec)
          + len(t.sw_ep) + len(engine.b_sources))
-    # VMEM budget (G0inv block = 4*N^2*128 bytes) and static-unroll budget
-    # for the in-kernel k x k pivoted solve
-    if engine.N > 64 or k > 16:
+    # static-unroll budget for the in-kernel k x k pivoted solve (the
+    # elimination unrolls k column steps of O(k) traced ops each) and a
+    # VMEM budget for the per-lane-block constants at TB=128 — round 3
+    # hard-gated N <= 64, k <= 16; round 4 widened it to the measured
+    # budget so real analog cells (a 22-MOS instrumentation amp is
+    # rank 22, tests/netlists/inamp.sp) ride the fused path.
+    if k > MAX_K:
+        return False
+    W = 4 if (len(t.sw_ep) or engine.b_sources) else 3
+    if _vmem_estimate(engine.N, k, W) > VMEM_BUDGET:
         return False
     return True
+
+
+# In-kernel k x k pivoted-solve unroll cap: compile cost of the chunk
+# kernel grows ~k^2 in the elimination; k=32 measured tractable (see
+# docs/performance.md round-4 widening table), k beyond that untested.
+MAX_K = 32
+# Per-lane-block VMEM budget at TB=128 (v5e has ~16 MB/core; leave
+# headroom for Mosaic temporaries, the ring/noise/probe blocks, and the
+# shared selection matrices).
+VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _vmem_estimate(N: int, k: int, W: int, TB: int = LANE_BLOCK) -> int:
+    """Bytes of per-lane-block VMEM for the resident constants + work
+    tiles: G0invT (N,N,TB), YT (k,N,TB), Yc3 (W,k,k,TB), plus ~24 N-row
+    and ~8 k-row f32 work tiles (x/xprev/vc/il/z/rhs/nl state...)."""
+    return 4 * TB * (N * N + k * N + W * k * k + 24 * N + 8 * max(k, 1))
 
 
 def noise_block_ok(n_noisy: int, chunk_steps: int) -> bool:

@@ -88,11 +88,13 @@ C1 3 0 1p
 """
 
 
-def _run_both(opts, B=128, steps=10, dt=1e-13, text=None, from_dc=False):
+def _run_both(opts, B=128, steps=10, dt=1e-13, text=None, from_dc=False,
+              file=None):
     if text is not None:
         sim = Simulator.from_text(text, opts=opts)
     else:
-        sim = Simulator.from_file("tests/netlists/dbmixer.sp", opts=opts)
+        sim = Simulator.from_file(file or "tests/netlists/dbmixer.sp",
+                                  opts=opts)
     engine = sim.engine
     bp = perturb_params(sim.params, jax.random.key(0), B,
                         {"res_r": 0.01, "mos_vth": 0.02})
@@ -105,7 +107,8 @@ def _run_both(opts, B=128, steps=10, dt=1e-13, text=None, from_dc=False):
         # implementations amplifies to O(volts) (verified: every per-piece
         # comparison of the kernel vs the XLA path is bitwise at x0=0).
         from circuitsimulator_tpu.analysis.dc import dc_operating_point
-        x0 = jax.vmap(lambda p: dc_operating_point(engine, p))(bp)
+        ns = sim._nodeset()
+        x0 = jax.vmap(lambda p: dc_operating_point(engine, p, nodeset=ns))(bp)
         x0 = x0.astype(jnp.float32)
     else:
         x0 = jnp.zeros((B, engine.N), jnp.float32)
@@ -459,3 +462,31 @@ def test_fused_batched_transient_tline_dispatch():
     res_x = batched_transient(sim.engine, bp, 0.25e-9, 20e-9, fused=False)
     np.testing.assert_allclose(np.asarray(res.x_final),
                                np.asarray(res_x.x_final), atol=5e-5)
+
+
+def test_supported_widened_gate():
+    """Round-4 gate: hard N<=64/k<=16 replaced by MAX_K + a VMEM-budget
+    estimate, so real analog cells (rank > 16) ride the fused path."""
+    # 22-MOS three-op-amp instrumentation amp: rank 22, IN scope
+    sim = Simulator.from_file("tests/netlists/inamp.sp")
+    assert pallas_step.supported(sim.engine)
+    # synthetic rank-33 deck exceeds the static-unroll cap MAX_K=32
+    lines = ["V1 1 0 SIN 0 2 1e6"]
+    for i in range(33):
+        lines += [f"R{i} 1 d{i} 1k", f"D{i} d{i} 0"]
+    s2 = Simulator.from_text("\n".join(lines) + "\n.op\n")
+    assert not pallas_step.supported(s2.engine)
+    # the VMEM estimate keeps the old envelope in scope and bounds growth
+    assert pallas_step._vmem_estimate(64, 16, 3) <= pallas_step.VMEM_BUDGET
+    assert pallas_step._vmem_estimate(96, 32, 3) <= pallas_step.VMEM_BUDGET
+    assert pallas_step._vmem_estimate(128, 32, 3) > pallas_step.VMEM_BUDGET
+
+
+def test_fused_step_inamp_deck():
+    """Rank-22 analog cell (3-op-amp in-amp, 22 MOS, N=28) — beyond the
+    old k<=16 gate.  High loop gain (two-stage Miller OTAs) amplifies
+    ULP-order differences between the kernel's unrolled elimination and
+    the XLA path's LU, so the tolerance matches the exp-device decks."""
+    _check(_run_both(_parity_opts(), steps=10, dt=1e-9,
+                     file="tests/netlists/inamp.sp", from_dc=True),
+           atol=1e-4)
