@@ -71,6 +71,14 @@ ride the fused path: the 22-MOS instrumentation amp of
 tests/netlists/inamp.sp is rank 22).  EVERY device class of the
 engine is in scope; out-of-budget decks stay on the general XLA path.
 
+MOSCAP=CHARGE decks run fused too (round 4): the Ward-Dutton gate +
+SPICE depletion charge functions (models/moscap.py — the same single
+source of truth every consumer differentiates) trace into the kernel
+with their Jacobians via three in-kernel jvp passes, contributing the
+plan's 5 dev-major rank-1 rows per MOS; q_prev needs NO extra chunk
+carry — it is a pure function of the previous accepted x, recomputed
+at step start from the incoming x (exactly update_state's qm).
+
 TRNOISE decks run fused too (noisy Monte-Carlo at fused speed): the
 per-step source-noise values are precomputed OUTSIDE the kernel by
 Engine.trnoise_stream — one batched call per chunk issuing the exact
@@ -110,6 +118,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..models.diode import EXP_LIMIT
+from ..models.moscap import mos_all_charges
 from .woodbury import WoodburySolver
 
 import os as _os
@@ -124,9 +133,12 @@ LANE_BLOCK = 128
 LANE_BLOCK_TARGET = int(_os.environ.get("CSIM_LANE_BLOCK", "256"))
 
 
-def _pick_tb(B: int, N: int) -> int:
+def _pick_tb(B: int, N: int, k: int = 0) -> int:
+    # k > 16: the unrolled pivoted solve's Mosaic scoped-stack temporaries
+    # scale with k^2 * TB — measured 19.6 MB (> the 16 MB core limit) at
+    # k=22, TB=256 on v5e (inamp.sp); TB=128 keeps high-rank decks inside.
     tb = LANE_BLOCK_TARGET
-    if tb > LANE_BLOCK and (B % tb or N > 48):
+    if tb > LANE_BLOCK and (B % tb or N > 48 or k > 16):
         tb = LANE_BLOCK
     return tb
 
@@ -159,10 +171,6 @@ def supported(engine, dt=None) -> bool:
             return False
     if engine.mos_body or engine.opts.mos_reverse_region:
         return False
-    # charge cap model (MOSCAP=CHARGE): injection rows + q state are not
-    # in the kernel — XLA Woodbury path only
-    if getattr(engine, "mos_charge", False):
-        return False
     # TRNOISE decks are eligible both noise-free (no noise_key) and noisy:
     # callers precompute the per-step source-noise values with
     # Engine.trnoise_stream (the XLA path's own threefry draws) and
@@ -175,11 +183,17 @@ def supported(engine, dt=None) -> bool:
     if (np.any(engine.vs_kinds == 3) or np.any(engine.is_kinds == 3)) \
             and engine.pwl_width > 8:
         return False
-    # Woodbury rank (1 per MOS/JFET/diode/switch/B-source, 2 per BJT —
-    # ops/woodbury.py).  k == 0 (fully linear deck) is IN scope: the step
-    # degenerates to the exact solve x = G0inv @ b(t), no Newton compiled.
+    # Woodbury rank (1 per MOS/JFET/diode/switch/B-source, 2 per BJT,
+    # +5 per MOS under MOSCAP=CHARGE — ops/woodbury.py).  k == 0 (fully
+    # linear deck) is IN scope: the step degenerates to the exact solve
+    # x = G0inv @ b(t), no Newton compiled.  Charge decks (round 4): the
+    # Ward-Dutton + depletion charges and their jvp Jacobians evaluate
+    # in-kernel; q_prev is recomputed from the incoming x each step (q is
+    # a pure function of x — matches update_state), so no extra carry.
+    nCq = (5 * len(t.mos_ed) if getattr(engine, "mos_charge", False)
+           else 0)
     k = (len(t.mos_ed) + len(t.jf_ed) + len(t.dio_ep) + 2 * len(t.bjt_ec)
-         + len(t.sw_ep) + len(engine.b_sources))
+         + len(t.sw_ep) + len(engine.b_sources) + nCq)
     # static-unroll budget for the in-kernel k x k pivoted solve (the
     # elimination unrolls k column steps of O(k) traced ops each) and a
     # VMEM budget for the per-lane-block constants at TB=128 — round 3
@@ -194,10 +208,14 @@ def supported(engine, dt=None) -> bool:
     return True
 
 
-# In-kernel k x k pivoted-solve unroll cap: compile cost of the chunk
-# kernel grows ~k^2 in the elimination; k=32 measured tractable (see
-# docs/performance.md round-4 widening table), k beyond that untested.
+# In-kernel k x k pivoted-solve rank cap (round-4 widening; see
+# docs/performance.md).  k <= UNROLL_K_MAX uses the fully-unrolled
+# elimination (compile-time-constant masks — fastest, but its A-update
+# temporaries grow the Mosaic scoped VMEM stack ~2k buffers); above it
+# the same elimination runs as a lax.fori_loop whose (A, bb) carries
+# keep the stack O(1), trading constant-folded masks for runtime ones.
 MAX_K = 32
+UNROLL_K_MAX = 16
 # Per-lane-block VMEM budget at TB=128 (v5e has ~16 MB/core; leave
 # headroom for Mosaic temporaries, the ring/noise/probe blocks, and the
 # shared selection matrices).
@@ -269,7 +287,7 @@ class PallasStepRunner:
         self.B = B
         if B % LANE_BLOCK:
             raise ValueError("batch must be a multiple of 128")
-        self.TB = _pick_tb(B, N)
+        self.TB = _pick_tb(B, N, k)
         self.n_blocks = B // self.TB
         f32 = jnp.float32
 
@@ -302,12 +320,15 @@ class PallasStepRunner:
         nD, nQ = solver.plan.nD, solver.plan.nQ
         nSw = solver.plan.nS
         nB = solver.plan.nB
+        nCq = solver.plan.nCq
         self.nMJ = nM + nJ
+        self.nM = nM
         self.nD, self.nQ, self.nSw, self.nB = nD, nQ, nSw, nB
+        self.nCq = nCq
         # static per-source metadata for the in-kernel expression trace
         self.b_meta = [(bs.fn, len(bs.pairs), bs.const_off, bs.n_consts,
                         bool(bs.is_v)) for bs in solver.plan.b_sources]
-        assert self.nMJ + nD + 2 * nQ + nSw + nB == k
+        assert self.nMJ + nD + 2 * nQ + nSw + nB + nCq == k
 
         def cat(a, b):
             return jnp.concatenate([a.T.astype(f32), b.T.astype(f32)], 0)
@@ -354,6 +375,15 @@ class PallasStepRunner:
             bparams["sw_vt"].T.astype(f32),
             bparams["sw_vh"].T.astype(f32),
         ], axis=0) if nSw else jnp.zeros((4, 0, B), f32), 4)  # (4, nSw|1, B)
+
+        # charge cap model (MOSCAP=CHARGE): per-lane charge params for the
+        # in-kernel Ward-Dutton/depletion evaluation (models/moscap.py)
+        self.mqp = pad1(jnp.stack([
+            bparams["mos_vth"].T.astype(f32),
+            bparams["mos_coxwl"].T.astype(f32),
+            bparams["mos_cj0"].T.astype(f32),
+            bparams["mos_p"].T.astype(f32),
+        ], axis=0) if nCq else jnp.zeros((4, 0, B), f32), 4)  # (4, nM|1, B)
 
         # behavioral-source referenced .PARAM values, lane-minor
         # (Monte-Carlo / .STEP re-binding without recompiling the kernel)
@@ -510,6 +540,13 @@ class PallasStepRunner:
         for j in range(self.nL):
             Sm[self.nCapP + j, t.ind_k[j]] = 1.0
         self.M_state = Sm                               # (nCapP+nLP, N)
+        # charge model: MOS terminal reads of the INCOMING x at step
+        # start (q_prev re-evaluation), terminal-major [all d, g, s]
+        if nCq:
+            self.M_mosq = onehot_rows(
+                np.concatenate([t.mos_ed, t.mos_eg, t.mos_es]))
+        else:
+            self.M_mosq = np.zeros((1, N), np.float32)
         self.off_gds = float(opts.mos_off_gds)
 
         if probe_mat is not None:
@@ -541,6 +578,7 @@ class PallasStepRunner:
         nMJ, nD, nQ = self.nMJ, self.nD, self.nQ
         nSw, W = self.nSw, self.W
         nB = self.nB
+        nCq, nM = self.nCq, self.nM
         b_meta = self.b_meta
         nT, Dmax, tl_read = self.nT, self.Dmax, self.tl_read
         nCapP = self.nCapP
@@ -562,9 +600,11 @@ class PallasStepRunner:
         has_sffm = bool((kinds == 5).any())
         nPwl = self.src_pwlt.shape[0]
 
-        def kern(step0_ref, Mr_ref, Mz_ref, Ms_ref, Mp_ref, kmask_ref,
+        def kern(step0_ref, Mr_ref, Mz_ref, Ms_ref, Mp_ref, Mq_ref,
+                 kmask_ref,
                  G0invT_ref, YT_ref, Yc3_ref, mosp_ref, diop_ref, bjtp_ref,
-                 swp_ref, bconsts_ref, Mtlpm_ref, Mtlk_ref, tlz0_ref,
+                 swp_ref, mqp_ref, bconsts_ref, Mtlpm_ref, Mtlk_ref,
+                 tlz0_ref,
                  dc_ref, pulse_ref, sin_ref, pwlt_ref, pwlv_ref, pwln_ref,
                  Mtn_ref, nz_ref,
                  gc_ref, gl_ref, x0_ref, xp0_ref, vc0_ref, il0_ref,
@@ -582,6 +622,27 @@ class PallasStepRunner:
             gc = gc_ref[:]
             gl = gl_ref[:]
             step0 = step0_ref[0]
+
+            if nCq:
+                # charge cap model: the Ward-Dutton + depletion charge
+                # functions (models/moscap.py — the SAME single source
+                # of truth every consumer differentiates) trace into the
+                # kernel; Jacobians via three in-kernel jvp passes.
+                vth_q = mqp_ref[0]
+                cox_q = mqp_ref[1]
+                cj_q = mqp_ref[2]
+                p_q = mqp_ref[3]
+
+                def qfun(vd_, vg_, vs_):
+                    return mos_all_charges(vd_, vg_, vs_, vth_q, cox_q,
+                                           cj_q, p_q)
+
+                def devmaj(tup):          # 5-tuple of (nM,TB) -> (5nM,TB)
+                    return jnp.stack(tup, axis=1).reshape(5 * nM, TB)
+
+                def rep5(v):              # (nM,TB) -> (5nM,TB) dev-major
+                    return jnp.broadcast_to(
+                        v[:, None, :], (nM, 5, TB)).reshape(5 * nM, TB)
 
             Mr = Mr_ref[:]
             Mz = Mz_ref[:]
@@ -739,14 +800,16 @@ class PallasStepRunner:
                     out = out + kmask_ref[4] * sv
                 return out
 
-            def nl_vals(x, tt):
+            def nl_vals(x, tt, qprev=None):
                 """Per-V^T-row linearization coefficients at x — MOS/JFET,
-                diode, BJT, switch, and behavioral segments in Woodbury
-                plan order.  Mirrors WoodburySolver.nl_coeffs
+                diode, BJT, switch, behavioral, and charge-cap segments in
+                Woodbury plan order.  Mirrors WoodburySolver.nl_coeffs
                 (ops/woodbury.py) formula-for-formula so trajectories
                 match the XLA path bitwise in interpret mode.  All slices
                 are static leading-axis slices of (k, TB) tiles.  `tt`
-                only matters for time-dependent behavioral expressions."""
+                only matters for time-dependent behavioral expressions.
+                qprev (charge decks): 5-tuple of (nM, TB) accepted charges
+                of the previous step (engine.mosq_linearize, BE form)."""
                 xm = _dot(Mz, x)
                 xm = xm.reshape(W, k, TB)               # terminal-major
 
@@ -925,6 +988,29 @@ class PallasStepRunner:
                         rows += [jnp.zeros_like(e0)] * (W - 2 * m)
                         vparts.append(jnp.stack(rows, axis=0)[:, None, :])
                         cparts.append((-cst if is_v else cst)[None, :])
+                if nCq:
+                    # charge cap rows (engine.mosq_linearize, BE):
+                    # g = (dq/dv)/dt, cst = (q(v) - q_prev)/dt - g·v —
+                    # 5 dev-major rows per MOS reading (vd, vg, vs)
+                    vd_q = xm[0][:nM]
+                    vg_q = xm[1][:nM]
+                    vs_q = xm[2][:nM]
+                    ones_q = jnp.ones((nM, TB), jnp.float32)
+                    zer_q = jnp.zeros((nM, TB), jnp.float32)
+                    prim = (vd_q, vg_q, vs_q)
+                    q_now = qfun(*prim)
+                    _, Jd = jax.jvp(qfun, prim, (ones_q, zer_q, zer_q))
+                    _, Jg = jax.jvp(qfun, prim, (zer_q, ones_q, zer_q))
+                    _, Js = jax.jvp(qfun, prim, (zer_q, zer_q, ones_q))
+                    inv_dt = 1.0 / dt
+                    gd_q = devmaj(Jd) * inv_dt
+                    gg_q = devmaj(Jg) * inv_dt
+                    gs_q = devmaj(Js) * inv_dt
+                    cst_q = ((devmaj(q_now) - devmaj(qprev)) * inv_dt
+                             - gd_q * rep5(vd_q) - gg_q * rep5(vg_q)
+                             - gs_q * rep5(vs_q))
+                    vparts.append(stackW([gd_q, gg_q, gs_q]))
+                    cparts.append(cst_q)
                 if len(vparts) == 1:
                     return vparts[0], cparts[0]
                 return (jnp.concatenate(vparts, axis=1),
@@ -953,7 +1039,7 @@ class PallasStepRunner:
                                      jnp.where(finite, 0.0, 1.0))
                 return xx, done, failed
 
-            def nr_iter_linear(xx, done, failed, z0, tt):
+            def nr_iter_linear(xx, done, failed, z0, tt, qprev=None):
                 """k == 0 (no nonlinear V^T rows): G x = b is already
                 solved by z0 = G0inv @ b — each 'iteration' just runs the
                 shared accept semantics, matching the XLA loop's
@@ -961,10 +1047,10 @@ class PallasStepRunner:
                 under every alpha/clamp/tolerance configuration."""
                 return accept(xx, done, failed, z0)
 
-            def nr_iter(xx, done, failed, z0, tt):
+            def nr_iter(xx, done, failed, z0, tt, qprev=None):
                 """One Newton iteration: rank-k Woodbury correction of z0
                 followed by the shared accept semantics."""
-                vcoef, cst = nl_vals(xx, tt)
+                vcoef, cst = nl_vals(xx, tt, qprev)
                 # z = z0 - YT^T @ cst (leading-axis slices only)
                 z = z0
                 for j in range(k):
@@ -978,35 +1064,94 @@ class PallasStepRunner:
                 vz = vcoef[0] * zc3[0]
                 for s_ in range(1, W):
                     vz = vz + vcoef[s_] * zc3[s_]        # (k, TB)
-                # unrolled pivoted k x k solve (lane-minor)
-                A = S
-                bb = vz
-                for c_ in range(k):
-                    col = A[:, c_, :]
-                    absc = jnp.where(ridk >= c_, jnp.abs(col), -1.0)
-                    p_ = jnp.argmax(absc, axis=0)
-                    onep = (ridk == p_[None, :]).astype(jnp.float32)
-                    rowp = jnp.sum(A * onep[:, None, :], axis=0)
-                    rowk = A[c_, :, :]
-                    isp = (ridk == p_[None, :])[:, None, :]
-                    isk = (ridk == c_)[:, None, :]
-                    A = jnp.where(isp, rowk[None], A)
-                    A = jnp.where(isk, rowp[None], A)
-                    bp = jnp.sum(bb * onep, axis=0)
-                    bk = bb[c_, :]
-                    bb = jnp.where(ridk == p_[None, :], bk[None], bb)
-                    bb = jnp.where(ridk == c_, bp[None], bb)
-                    piv = rowp[c_, :]
-                    safe = jnp.where(piv != 0.0, piv, 1.0)
-                    fac = jnp.where(ridk > c_, A[:, c_, :] / safe, 0.0)
-                    A = A - fac[:, None, :] * rowp[None]
-                    bb = bb - fac * bp[None]
-                ww = jnp.zeros_like(bb)
-                for j in range(k - 1, -1, -1):
-                    s = bb[j, :] - jnp.sum(A[j, :, :] * ww, axis=0)
-                    d = A[j, j, :]
-                    wj = s / jnp.where(d != 0.0, d, 1.0)
-                    ww = jnp.where(ridk == j, wj[None], ww)
+                if k <= UNROLL_K_MAX:
+                    # unrolled pivoted k x k solve (lane-minor): every
+                    # column step's masks are compile-time constants, so
+                    # Mosaic folds them — fastest at small k, but the
+                    # per-step A-update temporaries live on the scoped
+                    # VMEM stack (~2k buffers of k*k*TB*4 B: 19.6 MB at
+                    # k=22/TB=256, past the 16 MB core limit)
+                    A = S
+                    bb = vz
+                    for c_ in range(k):
+                        col = A[:, c_, :]
+                        absc = jnp.where(ridk >= c_, jnp.abs(col), -1.0)
+                        p_ = jnp.argmax(absc, axis=0)
+                        onep = (ridk == p_[None, :]).astype(jnp.float32)
+                        rowp = jnp.sum(A * onep[:, None, :], axis=0)
+                        rowk = A[c_, :, :]
+                        isp = (ridk == p_[None, :])[:, None, :]
+                        isk = (ridk == c_)[:, None, :]
+                        A = jnp.where(isp, rowk[None], A)
+                        A = jnp.where(isk, rowp[None], A)
+                        bp = jnp.sum(bb * onep, axis=0)
+                        bk = bb[c_, :]
+                        bb = jnp.where(ridk == p_[None, :], bk[None], bb)
+                        bb = jnp.where(ridk == c_, bp[None], bb)
+                        piv = rowp[c_, :]
+                        safe = jnp.where(piv != 0.0, piv, 1.0)
+                        fac = jnp.where(ridk > c_, A[:, c_, :] / safe, 0.0)
+                        A = A - fac[:, None, :] * rowp[None]
+                        bb = bb - fac * bp[None]
+                    ww = jnp.zeros_like(bb)
+                    for j in range(k - 1, -1, -1):
+                        s = bb[j, :] - jnp.sum(A[j, :, :] * ww, axis=0)
+                        d = A[j, j, :]
+                        wj = s / jnp.where(d != 0.0, d, 1.0)
+                        ww = jnp.where(ridk == j, wj[None], ww)
+                else:
+                    # k > UNROLL_K_MAX (high-rank decks admitted by the
+                    # round-4 gate): column-pivoted GAUSS-JORDAN as a
+                    # lax.fori_loop.  The body compiles once and (A, bb)
+                    # are loop carries, so the Mosaic scoped stack stays
+                    # O(1) buffers instead of the unrolled path's O(k)
+                    # (19.6 MB at k=22/TB=256 — past the 16 MB core
+                    # limit; the k=22 unrolled compile also ran past 14
+                    # minutes).  Gauss-Jordan needs no row swaps and no
+                    # back-substitution — ~4 (k,k,TB) passes per column
+                    # vs ~9 for a masked-swap GE (measured 0.73x of the
+                    # XLA hybrid on v5e; GJ recovers the fused lead).
+                    # Per-lane pivoting (argmax per lane) forces masked
+                    # reductions — a dynamic row slice cannot vary by
+                    # lane.  Pivot choice differs from the LU's partial
+                    # pivoting, so trajectories agree with the XLA path
+                    # to f32 resolution, not bitwise (same bar as the
+                    # exp-device decks; tests/test_pallas_step.py).
+                    cid3 = jax.lax.broadcasted_iota(jnp.int32,
+                                                    (k, k, TB), 1)
+
+                    def gj_body(c_, carry):
+                        A, bb, used, colof = carry
+                        col = jnp.sum(jnp.where(cid3 == c_, A, 0.0),
+                                      axis=1)                    # (k,TB)
+                        absc = jnp.where(used < 0.5, jnp.abs(col), -1.0)
+                        p_ = jnp.argmax(absc, axis=0)            # (TB,)
+                        onep = (ridk == p_[None, :]).astype(jnp.float32)
+                        rowp = jnp.sum(A * onep[:, None, :], axis=0)
+                        bp = jnp.sum(bb * onep, axis=0)
+                        piv = jnp.sum(
+                            rowp * (ridk == c_).astype(jnp.float32),
+                            axis=0)
+                        safe = jnp.where(piv != 0.0, piv, 1.0)
+                        fac = jnp.where(ridk == p_[None, :], 0.0,
+                                        col / safe)
+                        A = A - fac[:, None, :] * rowp[None]
+                        bb = bb - fac * bp[None]
+                        used = jnp.maximum(used, onep)
+                        colof = colof + onep.astype(jnp.int32) * c_
+                        return (A, bb, used, colof)
+
+                    A, bb, _, colof = lax.fori_loop(
+                        0, k, gj_body,
+                        (S, vz, jnp.zeros((k, TB), jnp.float32),
+                         jnp.zeros((k, TB), jnp.int32)))
+                    # each row p ends with a single surviving entry at
+                    # its pivot column c(p): w[c(p)] = bb[p] / A[p,c(p)]
+                    P3 = (cid3 == colof[:, None, :])
+                    pivd = jnp.sum(jnp.where(P3, A, 0.0), axis=1)
+                    wrow = bb / jnp.where(pivd != 0.0, pivd, 1.0)
+                    ww = jnp.sum(
+                        jnp.where(P3, wrow[:, None, :], 0.0), axis=0)
                 x_raw = z
                 for j in range(k):
                     x_raw = x_raw - YT[j] * ww[j:j + 1, :]
@@ -1048,10 +1193,20 @@ class PallasStepRunner:
 
                 x_init = 2.0 * x - xprev if predictor else x
 
+                if nCq:
+                    # charge decks: q_prev = q(x of the previous step) —
+                    # q is a pure function of x, so recomputing it here
+                    # IS update_state's qm (no extra chunk carry needed)
+                    vq = _dot(Mq_ref[:], x).reshape(3, nM, TB)
+                    q_prev = qfun(vq[0], vq[1], vq[2])
+                else:
+                    q_prev = None
+
                 if unrolled > 0:
                     xx, done, fl = x_init, failed, failed
                     for _ in range(unrolled):
-                        xx, done, fl = nr_iter(xx, done, fl, z0, t)
+                        xx, done, fl = nr_iter(xx, done, fl, z0, t,
+                                               q_prev)
                     iters = jnp.asarray(unrolled, jnp.int32)
                 else:
                     def nr_cond(c):
@@ -1061,7 +1216,8 @@ class PallasStepRunner:
 
                     def nr_body(c):
                         xx, done, fl, it = c
-                        xx, done, fl = nr_iter(xx, done, fl, z0, t)
+                        xx, done, fl = nr_iter(xx, done, fl, z0, t,
+                                               q_prev)
                         return xx, done, fl, it + 1
 
                     xx, done, fl, iters = lax.while_loop(
@@ -1177,12 +1333,13 @@ class PallasStepRunner:
                              memory_space=pltpu.SMEM),
                 shared(self.M_rhs.shape),
                 shared(self.M_zc.shape), shared(self.M_state.shape),
-                shared(Mp.shape),
+                shared(Mp.shape), shared(self.M_mosq.shape),
                 shared(self.kind_masks.shape),
                 lane(N, N), lane(self.kP, N),
                 lane(self.W, self.kP, self.kP),
                 lane(*self.mosp.shape[:2]), lane(*self.diop.shape[:2]),
                 lane(*self.bjtp.shape[:2]), lane(*self.swp.shape[:2]),
+                lane(*self.mqp.shape[:2]),
                 lane(self.bconsts.shape[0]),
                 shared(self.M_tl_pm.shape), shared(self.M_tl_k.shape),
                 lane(self.tl_z0.shape[0]),
@@ -1200,10 +1357,10 @@ class PallasStepRunner:
             interpret=interpret,
         )(step0_arr, jnp.asarray(self.M_rhs),
           jnp.asarray(self.M_zc), jnp.asarray(self.M_state),
-          jnp.asarray(Mp),
+          jnp.asarray(Mp), jnp.asarray(self.M_mosq),
           jnp.asarray(self.kind_masks),
           self.G0invT, self.YT, self.Yc3, self.mosp, self.diop, self.bjtp,
-          self.swp, self.bconsts,
+          self.swp, self.mqp, self.bconsts,
           jnp.asarray(self.M_tl_pm), jnp.asarray(self.M_tl_k), self.tl_z0,
           self.src_dc, self.src_pulse, self.src_sin,
           self.src_pwlt, self.src_pwlv, self.src_pwln,

@@ -210,18 +210,22 @@ def batched_dc(engine: Engine, bparams):
     return jax.vmap(lambda p: dc_operating_point(engine, p))(bparams)
 
 
-def batched_dc_fast(engine: Engine, bparams):
+def batched_dc_fast(engine: Engine, bparams, nodeset=None):
     """Natively batched DC operating point: the Newton loop runs once with
     per-lane convergence masks and each iteration's dense solves go to the
     Pallas batched LU kernel on TPU (VMEM-resident lane blocks) — much
     faster than vmapping the scalar path.  CPU falls back to the vmapped
     solver.  Same fixpoint as batched_dc; lane trajectories can differ from
-    the vmapped path at float rounding (different summation order)."""
+    the vmapped path at float rounding (different summation order).
+
+    nodeset: optional (eqs, vals) Newton aid (Simulator._nodeset()) —
+    high-gain multi-stage decks (e.g. the inamp.sp op-amps) need it to
+    keep the reference's fixed-alpha ramp off the iteration cap."""
     from ..analysis.dc import dc_newton, dc_linear
     B = jax.tree.leaves(bparams)[0].shape[0]
     if not engine.topo.has_nonlinear:
         return jax.vmap(lambda p: dc_linear(engine, p))(bparams)
-    return dc_newton(engine, bparams, batch=B)
+    return dc_newton(engine, bparams, batch=B, nodeset=nodeset)
 
 
 def batched_dc_warm(engine: Engine, bparams, x_nom):

@@ -112,7 +112,10 @@ def _run_both(opts, B=128, steps=10, dt=1e-13, text=None, from_dc=False,
         x0 = x0.astype(jnp.float32)
     else:
         x0 = jnp.zeros((B, engine.N), jnp.float32)
-    state0 = jax.vmap(engine.init_state)(x0)
+    if engine.mos_charge:
+        state0 = jax.vmap(lambda xx, p: engine.init_state(xx, p))(x0, bp)
+    else:
+        state0 = jax.vmap(engine.init_state)(x0)
     predictor = opts.tran_predictor
 
     def lane(p, carry, ts):
@@ -489,4 +492,52 @@ def test_fused_step_inamp_deck():
     the XLA path's LU, so the tolerance matches the exp-device decks."""
     _check(_run_both(_parity_opts(), steps=10, dt=1e-9,
                      file="tests/netlists/inamp.sp", from_dc=True),
+           atol=1e-4)
+
+
+# 2-MOS inverter stage under the charge-conserving cap model:
+# rank = 2 conduction + 10 charge rows = 12 (unrolled-solve branch)
+CHARGE_DECK = """* charge-model CMOS stage
+.OPTIONS MOSCAP=CHARGE
+.MODEL 1 VT -0.75 MU 5e-2 COX 0.3e-4 LAMBDA 0.05 CJ0 4.0e-14
+.MODEL 2 VT 0.83 MU 1.5e-1 COX 0.3e-4 LAMBDA 0.05 CJ0 4.0e-14
+VDD 1 0 3
+Vin 2 0 SIN 1.5 0.5 5e6
+M1 3 2 1 p 30e-6 0.35e-6 1
+M2 3 2 0 n 10e-6 0.35e-6 2
+C1 3 0 0.5p
+RL 3 0 10k
+.op
+"""
+
+
+def test_supported_charge_decks():
+    """MOSCAP=CHARGE is fused-eligible when k + 5*nM fits the gate
+    (round 4 — the round-3 guard excluded charge decks outright)."""
+    s1 = Simulator.from_text(CHARGE_DECK)
+    assert s1.engine.mos_charge
+    assert pallas_step.supported(s1.engine)          # k = 12
+    opts = DEFAULT_OPTIONS.replace(mos_cap_model="charge")
+    s2 = Simulator.from_file("tests/netlists/dbmixer.sp", opts=opts)
+    assert not pallas_step.supported(s2.engine)      # k = 36 > MAX_K
+    s3 = Simulator.from_file("tests/netlists/buffer.sp", opts=opts)
+    assert pallas_step.supported(s3.engine)          # k = 24
+
+
+def test_fused_step_charge_deck_unrolled():
+    """Charge rows in the UNROLLED solve branch (k = 12 <= 16).  The
+    Ward-Dutton/depletion charges and their jvp Jacobians evaluate
+    in-kernel; q_prev is recomputed from the incoming x each step.
+    inv_dt = 1e9 amplifies ULP differences in the charge evaluation, so
+    the bar matches the exp-device decks."""
+    opts = _parity_opts().replace(mos_cap_model="charge")
+    _check(_run_both(opts, steps=8, dt=1e-9, text=CHARGE_DECK,
+                     from_dc=True), atol=1e-4)
+
+
+def test_fused_step_charge_deck_gj():
+    """Charge rows in the GAUSS-JORDAN branch (buffer.sp: k = 24)."""
+    opts = _parity_opts().replace(mos_cap_model="charge")
+    _check(_run_both(opts, steps=8, dt=1e-9,
+                     file="tests/netlists/buffer.sp", from_dc=True),
            atol=1e-4)
