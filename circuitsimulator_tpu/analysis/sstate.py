@@ -242,6 +242,12 @@ def steady_state(engine: Engine, params, f0: float,
         phis = jax.vmap(propagate)(pert)
         J = (phis[:, dyn] - phi0[None, dyn]).T / eps   # dPhi/ds
         A = J - eye                                    # d(Phi - id)/ds
+        # The period-map Jacobian J - I carries exactly-neutral
+        # directions the _dyn_mask cannot catch on ANY deck (pinned-node
+        # cap modes — see _minnorm_solve's measured inverter spectrum;
+        # charge decks add q-slot identities): min-norm SVD returns the
+        # correct 0 update along them where a pivot-floored LU amplifies
+        # garbage and freezes the Newton.
         ds = _minnorm_solve(A, -r)
         res = jnp.linalg.norm(r)
         return embed(s_red + ds, phi0), res
@@ -443,7 +449,17 @@ def oscillator_steady_state(engine: Engine, params, f0_guess: float,
         pert = u[None, :] + eps * scale[None, :] * jnp.eye(n_s + 1, dtype=dtype)
         rs = jax.vmap(residual)(pert)
         J = (rs - r0[None, :]).T / (eps * scale[None, :])
-        du = _minnorm_solve(J, -r0)
+        # Unlike steady_state's period map, the AUGMENTED oscillator
+        # system (phase anchor row + period column) is generically
+        # nonsingular and its small-but-real modes matter: the SVD
+        # cutoff clipped them on the VdP shooting decks (r4 regression —
+        # frequency stalled at the guess), so non-charge decks solve by
+        # LU.  Charge decks do carry exactly-neutral q-slot identities
+        # (see _dyn_mask) and keep the min-norm pseudo-inverse.
+        if getattr(engine, "mos_charge", False):
+            du = _minnorm_solve(J, -r0)
+        else:
+            du = lu_solve(J, -r0, engine.opts.lu_pivot_floor)
         return u + damping * du, jnp.linalg.norm(r0)
 
     import os

@@ -328,13 +328,25 @@ Ik g 0 PULSE 0 1m 1e-8 1e-9 1e-9 5e-9 1
     assert float(r.f0) < float(rf.f0) * (1 - 2e-3)
 
 
-def test_fused_kernel_ineligible():
+def test_fused_kernel_eligibility():
+    """Charge decks ride the fused kernel since r4 (the charges + their
+    jvp Jacobians trace in-kernel as 5 extra Woodbury rows per MOS) —
+    but each MOS now costs 6 of the MAX_K rank budget, so a deck whose
+    k + 5·nM exceeds the gate falls back to the XLA path."""
     from circuitsimulator_tpu.ops import pallas_step
     deck = AMP_DECK.replace("{opt}", ".OPTIONS MOSCAP=CHARGE")
     sim = Simulator.from_text(deck)
-    assert not pallas_step.supported(sim.engine, dt=2e-9)
+    assert pallas_step.supported(sim.engine, dt=2e-9)
     sim_fixed = Simulator.from_text(AMP_DECK.replace("{opt}", ""))
     assert pallas_step.supported(sim_fixed.engine, dt=2e-9)
+    # 6 MOS: k = 6 (fixed) -> eligible; k = 36 > MAX_K (charge) -> not
+    many = AMP_DECK.replace("M1 d g 0 n 20e-6 1e-6 mn\n", "".join(
+        f"M{i} d g 0 n 20e-6 1e-6 mn\n" for i in range(1, 7)))
+    sim_many_f = Simulator.from_text(many.replace("{opt}", ""))
+    assert pallas_step.supported(sim_many_f.engine, dt=2e-9)
+    sim_many_c = Simulator.from_text(
+        many.replace("{opt}", ".OPTIONS MOSCAP=CHARGE"))
+    assert not pallas_step.supported(sim_many_c.engine, dt=2e-9)
 
 
 def test_envelope_charge_constant_carrier_is_t1_invariant():
