@@ -170,6 +170,31 @@ def solve_ac_real(engine: Engine, G, B, br, bi):
     return x[..., :N], x[..., N:]
 
 
+def _make_solve_sweep(engine: Engine, params, x_op):
+    """Per-frequency solver closure with the assembly hoisted when legal.
+
+    Without T-lines every susceptance entry is LINEAR in omega (caps/
+    charge-model trans-caps scale +omega, inductor/mutual branch rows
+    -omega) and G and the RHS are frequency-independent, so the whole
+    scatter-add assembly runs ONCE and each frequency point is just
+    [[G, -wB1], [wB1, G]] — the per-(lane, freq) assembly was measured
+    to dominate the batched sweep (HARDWARE_CHECKLIST item 11: 6.3k
+    solves/s assembly-bound at B=4096xF=64).  T-line decks keep the
+    exact per-frequency build (e^{-jwTD} is not linear in omega)."""
+    if engine.n_tl:
+        def solve_one(f):
+            G, B, br, bi = ac_system_real(engine, params, x_op,
+                                          2.0 * jnp.pi * f)
+            return solve_ac_real(engine, G, B, br, bi)
+        return solve_one
+    one = jnp.asarray(1.0, engine.dtype)
+    G, B1, br, bi = ac_system_real(engine, params, x_op, one)
+
+    def solve_one(f):
+        return solve_ac_real(engine, G, (2.0 * jnp.pi * f) * B1, br, bi)
+    return solve_one
+
+
 def ac_analysis(engine: Engine, params, freqs, x_op: Optional[Any] = None):
     """Run the AC sweep; returns ACResult with complex (F, N) solutions.
 
@@ -180,12 +205,10 @@ def ac_analysis(engine: Engine, params, freqs, x_op: Optional[Any] = None):
         x_op = dc_operating_point(engine, params)
     freqs = jnp.asarray(freqs, engine.dtype)
 
-    def solve_one(f):
-        G, B, br, bi = ac_system_real(engine, params, x_op,
-                                      2.0 * jnp.pi * f)
-        return solve_ac_real(engine, G, B, br, bi)
+    def sweep(fs):
+        return jax.vmap(_make_solve_sweep(engine, params, x_op))(fs)
 
-    xr, xi = jax.jit(jax.vmap(solve_one))(freqs)
+    xr, xi = jax.jit(sweep)(freqs)
     xs = np.asarray(xr) + 1j * np.asarray(xi)
     return ACResult(freqs=freqs, xs=xs)
 
@@ -211,11 +234,10 @@ def make_ac_batched_fn(engine: Engine, freqs):
     fchunks = freqs.reshape(F // blk, blk)
 
     def one_lane(p, x_op):
-        def solve_one(f):
-            G, B, br, bi = ac_system_real(engine, p, x_op,
-                                          2.0 * jnp.pi * f)
-            return solve_ac_real(engine, G, B, br, bi)
-
+        # assembly hoisted out of the frequency loop when the deck has
+        # no T-lines (see _make_solve_sweep) — the old per-(lane, freq)
+        # rebuild made the sweep assembly-bound on chip
+        solve_one = _make_solve_sweep(engine, p, x_op)
         xr, xi = jax.lax.map(jax.vmap(solve_one), fchunks)
         return (xr.reshape(F, -1), xi.reshape(F, -1))
 

@@ -184,10 +184,25 @@ def noise_analysis(engine: Engine, params, freqs, out_eq: int,
     if ref_eq >= 0:
         e_out = e_out.at[ref_eq].add(-1.0)
 
+    if engine.n_tl:
+        def sys_at(f):
+            G, B, _, _ = ac_system_real(engine, params, x_op,
+                                        2.0 * jnp.pi * f)
+            return G, B
+    else:
+        # no T-lines: G is frequency-independent and B is linear in
+        # omega (see ac._make_solve_sweep) — assemble ONCE, scale per
+        # frequency instead of re-scattering per point
+        _G1, _B1, _, _ = ac_system_real(
+            engine, params, x_op, jnp.asarray(1.0, engine.dtype))
+
+        def sys_at(f):
+            return _G1, (2.0 * jnp.pi * f) * _B1
+
     def solve_one(f):
         # complex-free adjoint solve (see ac.ac_system_real): Y^T y = e_out
         # becomes the real 2N system with (G^T, B^T)
-        G, B, _, _ = ac_system_real(engine, params, x_op, 2.0 * jnp.pi * f)
+        G, B = sys_at(f)
         yr, yi = solve_ac_real(engine, jnp.swapaxes(G, -1, -2),
                                jnp.swapaxes(B, -1, -2),
                                e_out, jnp.zeros_like(e_out))
