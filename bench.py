@@ -326,7 +326,7 @@ def tpu_reachable(timeout_s: int = None) -> bool:
 
 def main():
     platform = os.environ.get("BENCH_PLATFORM")
-    fallback_note = None
+    fallback_note = os.environ.get("BENCH_FORCED_FALLBACK") or None
     if not platform and not tpu_reachable():
         # a degraded-but-finite CPU result beats an infinite hang: shrink
         # the workload, skip the fused/parity/accuracy phases, and mark
@@ -435,5 +435,42 @@ def main():
     print(json.dumps(out))
 
 
+def watchdog():
+    """The axon tunnel can wedge MID-RUN (probe green, then a jax op hangs
+    forever — observed 2026-08-20: AC bench finished 10:16, the next bench
+    process sat at 3 s of CPU for 15+ min).  A hung bench leaves the judged
+    round with NO artifact at all, which is strictly worse than a marked
+    CPU number.  So the default entry re-execs itself as a child with a
+    hard deadline; if the child hangs or dies without printing its JSON
+    line, it is killed and a small marked CPU fallback run emits one.
+    BENCH_PLATFORM / BENCH_CHILD bypass the wrapper (tests, manual runs,
+    and the fallback child itself)."""
+    import subprocess
+    deadline = int(os.environ.get("BENCH_WATCHDOG_S", 2400))
+    env = dict(os.environ, BENCH_CHILD="1")
+    try:
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env, timeout=deadline)
+        if r.returncode == 0:
+            return
+        log(f"bench child exited rc={r.returncode}; CPU fallback")
+    except subprocess.TimeoutExpired:
+        log(f"bench child exceeded {deadline}s (tunnel wedge?); "
+            f"killed — CPU fallback")
+    env = dict(os.environ, BENCH_CHILD="1", BENCH_PLATFORM="cpu",
+               BENCH_FORCED_FALLBACK=("axon TPU bench hung or failed "
+                                      "mid-run; CPU fallback run"),
+               BENCH_FUSED="0", BENCH_FAST_ONLY="1")
+    env.setdefault("BENCH_BATCH", "512")
+    env.setdefault("BENCH_STEPS", "250")
+    env.setdefault("BENCH_TIMED", "2")
+    r = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                       timeout=3600)
+    sys.exit(r.returncode)
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_CHILD") or os.environ.get("BENCH_PLATFORM"):
+        main()
+    else:
+        watchdog()
