@@ -435,13 +435,31 @@ def make_hb_batched_fn(engine: Engine, f0: float,
         final = jnp.linalg.norm(residual_p(X, p))
         return X, final
 
+    import os as _os
+    lane_chunk = int(_os.environ.get("CSIM_HB_LANE_CHUNK", "0"))
+
     def batched(bp, x0s):
         # pin full-f32 matmuls: the TPU MXU's default bf16 passes put the
         # dbmixer residual floor ~1e-3 (0/32 lanes "converged"); HIGHEST
         # reaches the 8.5e-8 CPU-f32 floor at the same wall time (the
         # KN^2 solves are not matmul-throughput-bound at these sizes)
         with jax.default_matmul_precision("highest"):
-            return jax.vmap(one_lane)(bp, x0s)
+            B = x0s.shape[0]
+            c = lane_chunk if (lane_chunk and B > lane_chunk
+                               and B % lane_chunk == 0) else 0
+            if not c:
+                return jax.vmap(one_lane)(bp, x0s)
+            # CSIM_HB_LANE_CHUNK: big-KN decks fault the axon device at
+            # B=64 (whole-batch working set); lax.map over lane chunks
+            # keeps ONE jitted dispatch while bounding the live set to
+            # `c` lanes — same results, any B = multiple of c
+            bpc = jax.tree.map(
+                lambda a: a.reshape(B // c, c, *a.shape[1:]), bp)
+            x0c = x0s.reshape(B // c, c, *x0s.shape[1:])
+            Xs, fin = jax.lax.map(
+                lambda t: jax.vmap(one_lane)(*t), (bpc, x0c))
+            return (Xs.reshape(B, *Xs.shape[2:]),
+                    fin.reshape(B, *fin.shape[2:]))
 
     return ts, jax.jit(batched)
 

@@ -117,3 +117,17 @@ def test_step_hb_sweep(tmp_path):
     col = lines[0].split(",").index("THD(out)")
     thds = [float(l.split(",")[col]) for l in lines[1:]]
     assert thds[0] < thds[1] < thds[2]
+
+
+def test_lane_chunked_matches_unchunked(monkeypatch):
+    """CSIM_HB_LANE_CHUNK: the lax.map lane-chunked program (device
+    working-set bound for big-KN decks) must reproduce the plain vmap
+    batch exactly — same jit, same per-lane trajectories."""
+    sim = Simulator.from_text(RECT)
+    bp, _ = sim.monte_carlo_hb(8, seed=5)
+    rb0 = harmonic_balance_batched(sim.engine, bp, 1e6, n_harm=7)
+    monkeypatch.setenv("CSIM_HB_LANE_CHUNK", "4")
+    rb1 = harmonic_balance_batched(sim.engine, bp, 1e6, n_harm=7)
+    assert bool(np.all(rb1.converged))
+    np.testing.assert_allclose(np.asarray(rb1.xs), np.asarray(rb0.xs),
+                               atol=1e-12)
