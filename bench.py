@@ -460,13 +460,22 @@ def watchdog():
     env = dict(os.environ, BENCH_CHILD="1", BENCH_PLATFORM="cpu",
                BENCH_FORCED_FALLBACK=("axon TPU bench hung or failed "
                                       "mid-run; CPU fallback run"),
-               BENCH_FUSED="0", BENCH_FAST_ONLY="1")
-    env.setdefault("BENCH_BATCH", "512")
-    env.setdefault("BENCH_STEPS", "250")
-    env.setdefault("BENCH_TIMED", "2")
-    r = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
-                       timeout=3600)
-    sys.exit(r.returncode)
+               BENCH_FUSED="0", BENCH_FAST_ONLY="1",
+               # force the small workload even if the environment carried
+               # TPU-sized knobs — the fallback must FINISH
+               BENCH_BATCH="512", BENCH_STEPS="250", BENCH_TIMED="2")
+    try:
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env, timeout=3600)
+        if r.returncode == 0:
+            return
+    except subprocess.TimeoutExpired:
+        pass
+    # last resort: the artifact contract is ONE JSON line, always
+    print(json.dumps({
+        "metric": "dbmixer_tran_aggregate_timesteps_per_sec",
+        "value": 0.0, "unit": "steps/s/chip", "vs_baseline": 0.0,
+        "error": "bench failed on TPU and on the CPU fallback"}))
 
 
 if __name__ == "__main__":

@@ -62,7 +62,7 @@ def envelope_noise(engine: Engine, params, env: EnvelopeResult,
     envelope steps to analyse (default: all of them).  One adjoint
     (K*N)^2 complex solve per (t1, delta) on the host — trim t1_idx for
     long envelopes."""
-    from .pac import lptv_operator, _lptv_at
+    from .pac import lptv_operator, _adjoint_psd_at
     from .noise import _device_noise_currents
     deltas = np.asarray(deltas, float)
     if deltas.ndim == 0:
@@ -96,13 +96,8 @@ def envelope_noise(engine: Engine, params, env: EnvelopeResult,
         s_white_t = np.asarray(sw, float)       # (K, nS)
         s_flick_t = np.asarray(sf, float)
         for i, d in enumerate(deltas):
-            J = _lptv_at(J0, CI, tl, float(d))
-            psi = np.linalg.solve(J.conj().T, rhs).reshape(K, N)
-            psi_e = np.concatenate([psi, np.zeros((K, 1), complex)],
-                                   axis=1)
-            g = psi_e[:, pairs[:, 0]] - psi_e[:, pairs[:, 1]]  # (K, nS)
-            s_t = s_white_t + s_flick_t / float(d)
-            contrib = np.mean(np.abs(g) ** 2 * s_t, axis=0)
+            contrib = _adjoint_psd_at(J0, CI, tl, d, rhs, K, N, pairs,
+                                      s_white_t, s_flick_t)
             onoise[a, i] = contrib.sum()
             for j, k in enumerate(kinds):
                 by_kind[k][a, i] += contrib[j]

@@ -445,21 +445,31 @@ def make_hb_batched_fn(engine: Engine, f0: float,
         # KN^2 solves are not matmul-throughput-bound at these sizes)
         with jax.default_matmul_precision("highest"):
             B = x0s.shape[0]
-            c = lane_chunk if (lane_chunk and B > lane_chunk
-                               and B % lane_chunk == 0) else 0
+            c = lane_chunk if (lane_chunk and B > lane_chunk) else 0
             if not c:
                 return jax.vmap(one_lane)(bp, x0s)
             # CSIM_HB_LANE_CHUNK: big-KN decks fault the axon device at
             # B=64 (whole-batch working set); lax.map over lane chunks
             # keeps ONE jitted dispatch while bounding the live set to
-            # `c` lanes — same results, any B = multiple of c
+            # `c` lanes.  A non-divisor B pads by repeating lane 0 (the
+            # pad lanes solve redundantly and are sliced off) — silently
+            # dropping the chunk request would re-fault the device.
+            pad = (-B) % c
+            if pad:
+                bp = jax.tree.map(
+                    lambda a: jnp.concatenate(
+                        [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])]),
+                    bp)
+                x0s = jnp.concatenate(
+                    [x0s, jnp.broadcast_to(x0s[:1], (pad,) + x0s.shape[1:])])
+            Bp = B + pad
             bpc = jax.tree.map(
-                lambda a: a.reshape(B // c, c, *a.shape[1:]), bp)
-            x0c = x0s.reshape(B // c, c, *x0s.shape[1:])
+                lambda a: a.reshape(Bp // c, c, *a.shape[1:]), bp)
+            x0c = x0s.reshape(Bp // c, c, *x0s.shape[1:])
             Xs, fin = jax.lax.map(
                 lambda t: jax.vmap(one_lane)(*t), (bpc, x0c))
-            return (Xs.reshape(B, *Xs.shape[2:]),
-                    fin.reshape(B, *fin.shape[2:]))
+            return (Xs.reshape(Bp, *Xs.shape[2:])[:B],
+                    fin.reshape(Bp, *fin.shape[2:])[:B])
 
     return ts, jax.jit(batched)
 

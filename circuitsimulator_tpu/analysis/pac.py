@@ -139,6 +139,22 @@ def _lptv_at(J0, CI, tl, delta: float):
     return J
 
 
+def _adjoint_psd_at(J0, CI, tl, d, rhs, K, N, pairs,
+                    s_white_t, s_flick_t):
+    """Per-source output-referred PSD contributions at offset d: solve
+    the adjoint LPTV system J(d)^H psi = rhs, take each noise pair's
+    gain at every PSS sample, and average |gain|^2 x S(t) over the
+    period (cyclostationary folding).  Shared by pnoise and
+    envelope_noise (analysis/envnoise.py) so the adjoint math lives in
+    exactly one place.  Returns (nS,) real contributions."""
+    J = _lptv_at(J0, CI, tl, float(d))
+    psi = np.linalg.solve(J.conj().T, rhs).reshape(K, N)
+    psi_e = np.concatenate([psi, np.zeros((K, 1), complex)], axis=1)
+    g = psi_e[:, pairs[:, 0]] - psi_e[:, pairs[:, 1]]       # (K, nS)
+    s_t = s_white_t + s_flick_t / float(d)
+    return np.mean(np.abs(g) ** 2 * s_t, axis=0)            # (nS,)
+
+
 def pac(engine: Engine, params, f0: float, xs_pss, deltas,
         n_sidebands: Optional[int] = None) -> PACResult:
     """xs_pss: (K, N) periodic-steady-state samples on the uniform grid
@@ -227,13 +243,8 @@ def pnoise(engine: Engine, params, f0: float, xs_pss, deltas,
     onoise = np.zeros(len(deltas))
     by_kind = {k: np.zeros(len(deltas)) for k in set(kinds)}
     for i, d in enumerate(np.asarray(deltas, float)):
-        J = _lptv_at(J0, CI, tl, d)
-        psi = np.linalg.solve(J.conj().T, rhs).reshape(K, N)
-        psi_e = np.concatenate([psi, np.zeros((K, 1), complex)], axis=1)
-        # adjoint gain of each source pair at each sample
-        g = psi_e[:, pairs[:, 0]] - psi_e[:, pairs[:, 1]]   # (K, nS)
-        s_t = s_white_t + s_flick_t / d
-        contrib = np.mean(np.abs(g) ** 2 * s_t, axis=0)     # (nS,)
+        contrib = _adjoint_psd_at(J0, CI, tl, d, rhs, K, N, pairs,
+                                  s_white_t, s_flick_t)
         onoise[i] = contrib.sum()
         for j, k in enumerate(kinds):
             by_kind[k][i] += contrib[j]

@@ -247,8 +247,14 @@ def steady_state(engine: Engine, params, f0: float,
         # cap modes — see _minnorm_solve's measured inverter spectrum;
         # charge decks add q-slot identities): min-norm SVD returns the
         # correct 0 update along them where a pivot-floored LU amplifies
-        # garbage and freezes the Newton.
-        ds = _minnorm_solve(A, -r)
+        # garbage and freezes the Newton.  The cutoff must sit BELOW any
+        # genuine slow mode's |Floquet multiplier - 1| ~ T/tau (a bias
+        # filter with tau = 1e4 T gives sigma ~ 1e-4·kappa) yet above
+        # the exact neutrals (measured <= 3e-12): f64 shooting uses
+        # 1e-10 so slow-but-real modes keep their (large, correct)
+        # Newton step; f32 keeps 1e-8 — below that is FD/roundoff noise.
+        rc = 1e-10 if dtype == jnp.float64 else 1e-8
+        ds = _minnorm_solve(A, -r, rcond=rc)
         res = jnp.linalg.norm(r)
         return embed(s_red + ds, phi0), res
 

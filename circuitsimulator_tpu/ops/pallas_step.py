@@ -202,7 +202,13 @@ def supported(engine, dt=None) -> bool:
     # rank 22, tests/netlists/inamp.sp) ride the fused path.
     if k > MAX_K:
         return False
+    # W must match WoodburySolver's plan exactly (ops/woodbury.py:78-81):
+    # behavioral sources widen it to 2*max(probe pairs) — up to 8 under
+    # the 4-pair gate above.  Estimating with a capped W=4 under-counted
+    # the Yc3 block by up to 2x near the budget edge.
     W = 4 if (len(t.sw_ep) or engine.b_sources) else 3
+    if engine.b_sources:
+        W = max(W, max(2 * len(bs.pairs) for bs in engine.b_sources))
     if _vmem_estimate(engine.N, k, W) > VMEM_BUDGET:
         return False
     return True

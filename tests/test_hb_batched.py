@@ -131,3 +131,15 @@ def test_lane_chunked_matches_unchunked(monkeypatch):
     assert bool(np.all(rb1.converged))
     np.testing.assert_allclose(np.asarray(rb1.xs), np.asarray(rb0.xs),
                                atol=1e-12)
+
+
+def test_lane_chunked_nondivisor_pads(monkeypatch):
+    """A non-divisor chunk must still chunk (pad + slice), not silently
+    fall back to the whole-batch vmap the knob exists to avoid."""
+    sim = Simulator.from_text(RECT)
+    bp, _ = sim.monte_carlo_hb(6, seed=7)
+    rb0 = harmonic_balance_batched(sim.engine, bp, 1e6, n_harm=7)
+    monkeypatch.setenv("CSIM_HB_LANE_CHUNK", "4")
+    rb1 = harmonic_balance_batched(sim.engine, bp, 1e6, n_harm=7)
+    np.testing.assert_allclose(np.asarray(rb1.xs), np.asarray(rb0.xs),
+                               atol=1e-12)
