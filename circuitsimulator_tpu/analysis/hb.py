@@ -307,14 +307,102 @@ def make_hb_system(engine: Engine, f0: float, n_harm: int,
     return ts, residual, jacobian
 
 
+def _hb_trig_mats(K: int, H: int, T: float):
+    """Real one-sided DFT analysis/synthesis matrices on the K = 2H+1
+    uniform grid: Fc/Fs (H+1, K) give cosine/sine coefficients, Ic/Is
+    (K, H+1) synthesize samples.  Matmul-based "FFT": K is small, the
+    MXU eats K×K matmuls, and it keeps the on-device program complex-free
+    (the axon backend's complex support is unreliable — see the host-side
+    rfft note in harmonic_balance)."""
+    tsn = np.arange(K) * (T / K)
+    th = (2.0 * np.pi / T) * np.outer(np.arange(H + 1), tsn)  # (H+1, K)
+    c, s = np.cos(th), np.sin(th)
+    scale = np.full((H + 1, 1), 2.0 / K)
+    scale[0, 0] = 1.0 / K
+    return c * scale, s * scale, c.T, s.T
+
+
+def _hb_freq_precond(engine: Engine, params, f0: float, n_harm: int,
+                     aux, trig):
+    """Block-circulant preconditioner for matrix-free HB (the classic
+    frequency-domain block-diagonal of Telichevesky/Kundert, DAC'95):
+    approximate the HB Jacobian J = blockdiag_t(A(x_t)) + kron(D, C) by
+    replacing the time-varying conductance with its period average
+    Ā = mean_t A(x_t).  That approximation is block-circulant in time,
+    so it diagonalizes per harmonic: in the real one-sided basis the
+    k-th block is the 2N×2N real embedding of Ā + jkω₀·C̄,
+
+        M_k = [[Ā,  kω₀·C̄], [−kω₀·C̄,  Ā]],   M_0 = Ā,
+
+    all LU-factored once per Newton iteration (H·(2N)³ — trivial next to
+    the dense path's (KN)³).  `aux` is the with_At=True payload of the HB
+    residual: A_t, or (A_t, Cq_t) under the charge cap model, in which
+    case C̄ also averages the per-sample MOS trans-capacitances.
+    Transmission-line delayed-wave coupling is deliberately left out of
+    M (GMRES handles it); the static tl_dc part is already inside A_t.
+
+    Returns apply_M(v): (K, N) -> (K, N), the action of M⁻¹."""
+    import jax.scipy.linalg as jsl
+    dtype = engine.dtype
+    N = engine.N
+    H = int(n_harm)
+    if isinstance(aux, tuple):
+        A_t, Cq_t = aux
+        Cbar = _reactive_structure(engine, params, base_only=True) \
+            + jnp.mean(Cq_t, axis=0)
+    else:
+        A_t = aux
+        Cbar = _reactive_structure(engine, params)
+    Abar = jnp.mean(A_t, axis=0)
+    lu0 = jsl.lu_factor(Abar)
+    kw = (jnp.arange(1, H + 1, dtype=dtype)
+          * jnp.asarray(2.0 * np.pi * f0, dtype))[:, None, None]
+    Ab = jnp.broadcast_to(Abar, (H, N, N))
+    Cb = kw * jnp.broadcast_to(Cbar, (H, N, N))
+    Mk = jnp.concatenate([jnp.concatenate([Ab, Cb], axis=2),
+                          jnp.concatenate([-Cb, Ab], axis=2)], axis=1)
+    luk = jax.vmap(jsl.lu_factor)(Mk)
+    Fc, Fs, Ic, Is = (jnp.asarray(m, dtype) for m in trig)
+
+    def apply_M(v):
+        a = Fc @ v                                   # (H+1, N)
+        b = Fs @ v
+        y0 = jsl.lu_solve(lu0, a[0])
+        y = jax.vmap(jsl.lu_solve)(
+            luk, jnp.concatenate([a[1:], b[1:]], axis=1))
+        ca = jnp.concatenate([y0[None], y[:, :N]], axis=0)
+        cb = jnp.concatenate([jnp.zeros((1, N), dtype), y[:, N:]],
+                             axis=0)
+        return Ic @ ca + Is @ cb
+
+    return apply_M
+
+
 def harmonic_balance(engine: Engine, params, f0: float,
                      n_harm: int = 8,
                      warmup_periods: int = 6,
                      max_newton: int = 30,
                      tol: float = 1e-9,
                      gmin: float = 0.0,
-                     damping: float = 1.0):
-    """Solve the periodic steady state in the frequency domain."""
+                     damping: float = 1.0,
+                     solver: str = "dense",
+                     gmres_tol: float = 1e-4,
+                     gmres_restart: int = 40,
+                     gmres_maxiter: int = 4):
+    """Solve the periodic steady state in the frequency domain.
+
+    solver='dense' (default) forms the (K·N)² Jacobian and solves it
+    directly — right for small KN (it is one MXU-friendly batched solve).
+    solver='gmres' never forms the Jacobian: each Newton step solves
+    J·dX = −r matrix-free (J·v via jax.jvp through the exact KCL
+    residual, so T-line delay blocks and charge-model trans-capacitances
+    are included automatically) with restarted GMRES, preconditioned by
+    the frequency-domain block-circulant M of _hb_freq_precond.  Cost per
+    Newton drops from O((KN)³) to O(H·(2N)³ + n_gmres·K·N²) — the
+    standard matrix-free HB scaling (Telichevesky/Kundert) that makes
+    large H×N products tractable.  gmres_tol is the inexact-Newton
+    relative tolerance of the inner solve (looser ⇒ more Newton steps,
+    cheaper steps)."""
     opts = engine.opts
     dtype = engine.dtype
     N = engine.N
@@ -348,12 +436,39 @@ def harmonic_balance(engine: Engine, params, f0: float,
     X = last[idx]
 
     # ---- Newton on the full spectrum ----
-    @jax.jit
-    def newton(X):
-        r, A_t = residual(X)
-        J = jacobian(A_t)
-        dX = jnp.linalg.solve(J, -r.reshape(-1)).reshape(K, N)
-        return X + damping * dX, jnp.linalg.norm(r)
+    if solver == "dense":
+        @jax.jit
+        def newton(X):
+            r, A_t = residual(X)
+            J = jacobian(A_t)
+            dX = jnp.linalg.solve(J, -r.reshape(-1)).reshape(K, N)
+            return X + damping * dX, jnp.linalg.norm(r)
+    elif solver == "gmres":
+        from jax.scipy.sparse.linalg import gmres as _gmres
+        trig = _hb_trig_mats(K, H, T)
+
+        @jax.jit
+        def newton(X):
+            # full-f32 matmuls: GMRES orthogonalization collapses under
+            # the MXU's bf16 default (same failure mode as the batched
+            # HB factory — see docs/performance.md)
+            with jax.default_matmul_precision("highest"):
+                r, aux = residual(X)
+                apply_M = _hb_freq_precond(engine, params, f0, H, aux,
+                                           trig)
+
+                def jv(v):
+                    return jax.jvp(lambda Xv: residual_p(Xv, params),
+                                   (X,), (v,))[1]
+
+                dX, _ = _gmres(jv, -r, M=apply_M, tol=gmres_tol,
+                               atol=0.0, restart=gmres_restart,
+                               maxiter=gmres_maxiter,
+                               solve_method="batched")
+                return X + damping * dX, jnp.linalg.norm(r)
+    else:
+        raise ValueError(f"unknown HB solver {solver!r} "
+                         "(expected 'dense' or 'gmres')")
 
     res_norm = jnp.inf
     iters = 0

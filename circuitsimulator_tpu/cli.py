@@ -102,6 +102,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    default="shooting",
                    help="steady-state algorithm: time-domain Newton "
                         "shooting or frequency-domain harmonic balance")
+    p.add_argument("--hb-solver", choices=["dense", "gmres"],
+                   default="dense",
+                   help="HB linear solver (--hb-method hb, single tone): "
+                        "dense (K·N)² Jacobian, or matrix-free "
+                        "preconditioned GMRES for large harmonic-count × "
+                        "node-count products")
     p.add_argument("--run-osc", metavar="F0:NODE[:CSV]", default=None,
                    help="free-running oscillator steady state: guess "
                         "frequency + anchor node, e.g. '5e6:a' or "
@@ -492,9 +498,12 @@ def main(argv=None) -> int:
             if multi_card and args.hb_method != "hb":
                 print("multi-tone .hb card: using the MPDE harmonic-balance "
                       "solver (shooting is single-tone only)")
-            hbres = (sim.harmonic_balance()
-                     if args.hb_method == "hb" or multi_card
-                     else sim.steady_state())
+            if multi_card:
+                hbres = sim.harmonic_balance()
+            elif args.hb_method == "hb":
+                hbres = sim.harmonic_balance(solver=args.hb_solver)
+            else:
+                hbres = sim.steady_state()
             from .analysis.hbmulti import HBMultiResult
             if isinstance(hbres, HBMultiResult):
                 # multi-tone card: write the reconstructed quasi-periodic

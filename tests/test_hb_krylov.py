@@ -1,0 +1,88 @@
+"""Matrix-free Newton-GMRES harmonic balance (analysis/hb.py
+solver='gmres'): parity against the dense-Jacobian solver on every
+device path the HB residual carries, plus a dense-infeasible-scale
+smoke.  NEW WORK — the reference's steady-state module is an empty file
+(/root/reference/src/sstateanalysis.cpp, SURVEY.md 2.13); the Krylov
+variant is the Telichevesky/Kundert matrix-free HB scaling technique."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from circuitsimulator_tpu.api import Simulator
+from circuitsimulator_tpu.analysis.hb import harmonic_balance
+from circuitsimulator_tpu.utils.options import DEFAULT_OPTIONS
+
+INV = (".MODEL 2 VT 0.4 MU 1e-2 COX 1e-3 LAMBDA 0.05 CJ0 1e-13\n"
+       "VDD 1 0 3\nVin 2 0 SIN 1 0.5 1e8\nRD 1 3 1k\n"
+       "M1 3 2 0 n 10e-6 1e-6 2\nC1 3 0 2e-13\nL1 3 4 1e-8\nR4 4 0 1k\n"
+       ".hb 1e8 6\n")
+
+
+def _both(sim, f0, n_harm, **kw):
+    rd = harmonic_balance(sim.engine, sim.params, f0, n_harm=n_harm, **kw)
+    rg = harmonic_balance(sim.engine, sim.params, f0, n_harm=n_harm,
+                          solver="gmres", **kw)
+    assert bool(rd.converged) and bool(rg.converged)
+    d = np.abs(np.asarray(rd.spectrum) - np.asarray(rg.spectrum)).max()
+    return rd, rg, d
+
+
+def test_gmres_matches_dense_rectifier():
+    sim = Simulator.from_text(
+        "V1 in 0 SIN 0 1 1e6\nR1 in out 1k\nD1 out 0 1\n"
+        ".MODEL 1 IS 1e-12\nRL out 0 1k\nC1 out 0 1e-10\n.hb 1e6 7\n")
+    _, _, d = _both(sim, 1e6, 7)
+    assert d < 1e-10
+
+
+def test_gmres_matches_dense_mos_inductor():
+    # MOS conduction + fixed lumps + explicit C and an inductor branch
+    _, _, d = _both(Simulator.from_text(INV), 1e8, 6)
+    assert d < 1e-9
+
+
+def test_gmres_matches_dense_tline():
+    # the delayed-wave S blocks enter J only through jax.jvp on the
+    # residual (the preconditioner deliberately omits them)
+    sim = Simulator.from_text(
+        "V1 1 0 SIN 0 1 1e8\nR1 1 2 50\nT1 2 0 3 0 Z0=50 TD=2.5e-9\n"
+        "D1 3 0 1\n.MODEL 1 IS 1e-12\nRL 3 0 120\n.hb 1e8 5\n")
+    _, _, d = _both(sim, 1e8, 5)
+    assert d < 1e-10
+
+
+def test_gmres_matches_dense_charge_model():
+    # mos_cap_model='charge': Cq_t rides the preconditioner average and
+    # the D@q residual term rides the jvp
+    opts = dataclasses.replace(DEFAULT_OPTIONS, mos_cap_model="charge")
+    sim = Simulator.from_text(INV, opts=opts)
+    _, _, d = _both(sim, 1e8, 6)
+    assert d < 1e-9
+
+
+def test_gmres_beyond_dense_scale():
+    # 24-section nonlinear RC ladder at H=24: KN = 49*26 = 1274 — kept
+    # CI-small, but exercises the restarted-GMRES + block-circulant
+    # preconditioner loop at a size where the machinery matters
+    lines = ["V1 1 0 SIN 0 2 1e6"]
+    for i in range(1, 25):
+        lines.append(f"R{i} {i} {i+1} 100")
+        lines.append(f"C{i} {i+1} 0 1e-9")
+        if i % 3 == 0:
+            lines.append(f"D{i} {i+1} 0 1")
+    lines += [".MODEL 1 IS 1e-12", ".hb 1e6 24"]
+    sim = Simulator.from_text("\n".join(lines) + "\n")
+    r = harmonic_balance(sim.engine, sim.params, 1e6, n_harm=24,
+                         solver="gmres", max_newton=10, warmup_periods=3)
+    assert bool(r.converged)
+    assert float(r.residual) < 1e-6
+
+
+def test_unknown_solver_raises():
+    sim = Simulator.from_text(
+        "V1 1 0 SIN 0 1 1e6\nR1 1 0 1k\n.hb 1e6 3\n")
+    with pytest.raises(ValueError, match="unknown HB solver"):
+        harmonic_balance(sim.engine, sim.params, 1e6, n_harm=3,
+                         solver="qr")
