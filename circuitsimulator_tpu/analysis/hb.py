@@ -439,10 +439,15 @@ def harmonic_balance(engine: Engine, params, f0: float,
     if solver == "dense":
         @jax.jit
         def newton(X):
-            r, A_t = residual(X)
-            J = jacobian(A_t)
-            dX = jnp.linalg.solve(J, -r.reshape(-1)).reshape(K, N)
-            return X + damping * dX, jnp.linalg.norm(r)
+            # full-f32 matmuls: the MXU's bf16 default floors the HB
+            # residual on TPU (measured 4e-5 vs 8.5e-8 pinned on the
+            # dbmixer deck) — same failure mode the batched HB factory
+            # pins against; free at these sizes
+            with jax.default_matmul_precision("highest"):
+                r, A_t = residual(X)
+                J = jacobian(A_t)
+                dX = jnp.linalg.solve(J, -r.reshape(-1)).reshape(K, N)
+                return X + damping * dX, jnp.linalg.norm(r)
     elif solver == "gmres":
         from jax.scipy.sparse.linalg import gmres as _gmres
         trig = _hb_trig_mats(K, H, T)
@@ -471,6 +476,7 @@ def harmonic_balance(engine: Engine, params, f0: float,
                          "(expected 'dense' or 'gmres')")
 
     res_norm = jnp.inf
+    prev = np.inf
     iters = 0
     for i in range(max_newton):
         X_new, res_norm = newton(X)
@@ -480,8 +486,21 @@ def harmonic_balance(engine: Engine, params, f0: float,
         X = X_new
         if float(res_norm) < tol:
             break
-    r_final, _ = jax.jit(lambda X: residual(X))(X)
-    final = jnp.linalg.norm(r_final)
+        # floating-point floor: once an already-small residual stops
+        # improving at all, further Newton steps only burn (KN)-sized
+        # solves (the prev < 1e-3 guard keeps transient humps of a
+        # far-from-converged path from breaking early)
+        if i >= 2 and float(res_norm) >= prev and prev < 1e-3:
+            break
+        prev = float(res_norm)
+
+    @jax.jit
+    def _final_res(X):
+        with jax.default_matmul_precision("highest"):
+            r, _ = residual(X)
+            return jnp.linalg.norm(r)
+
+    final = _final_res(X)
 
     # host-side FFT: keeps every on-device program complex-free (the axon
     # TPU backend's complex support is unreliable)
