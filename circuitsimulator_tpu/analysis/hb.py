@@ -322,8 +322,7 @@ def _hb_trig_mats(K: int, H: int, T: float):
     return c * scale, s * scale, c.T, s.T
 
 
-def _hb_freq_precond(engine: Engine, params, f0: float, n_harm: int,
-                     aux, trig):
+def _hb_freq_precond(engine: Engine, params, omegas, aux, trig):
     """Block-circulant preconditioner for matrix-free HB (the classic
     frequency-domain block-diagonal of Telichevesky/Kundert, DAC'95):
     approximate the HB Jacobian J = blockdiag_t(A(x_t)) + kron(D, C) by
@@ -332,12 +331,16 @@ def _hb_freq_precond(engine: Engine, params, f0: float, n_harm: int,
     so it diagonalizes per harmonic: in the real one-sided basis the
     k-th block is the 2N×2N real embedding of Ā + jkω₀·C̄,
 
-        M_k = [[Ā,  kω₀·C̄], [−kω₀·C̄,  Ā]],   M_0 = Ā,
+        M_k = [[Ā,  Ω_k·C̄], [−Ω_k·C̄,  Ā]],   M_0 = Ā,
 
     all LU-factored once per Newton iteration (H·(2N)³ — trivial next to
-    the dense path's (KN)³).  `aux` is the with_At=True payload of the HB
-    residual: A_t, or (A_t, Cq_t) under the charge cap model, in which
-    case C̄ also averages the per-sample MOS trans-capacitances.
+    the dense path's (KN)³).  `omegas` (P,) are the angular frequencies
+    of the P non-DC basis rows — k·ω₀ for single-tone HB, the half-space
+    grid combinations Σ_d k_d ω_d for the multi-tone MPDE grid (any
+    Ω_k ≤ 0 from mixing products is fine: the block stays nonsingular
+    while Ā is).  `aux` is the with_At=True payload of the HB residual:
+    A_t, or (A_t, Cq_t) under the charge cap model, in which case C̄
+    also averages the per-sample MOS trans-capacitances.
     Transmission-line delayed-wave coupling is deliberately left out of
     M (GMRES handles it); the static tl_dc part is already inside A_t.
 
@@ -345,7 +348,6 @@ def _hb_freq_precond(engine: Engine, params, f0: float, n_harm: int,
     import jax.scipy.linalg as jsl
     dtype = engine.dtype
     N = engine.N
-    H = int(n_harm)
     if isinstance(aux, tuple):
         A_t, Cq_t = aux
         Cbar = _reactive_structure(engine, params, base_only=True) \
@@ -355,10 +357,10 @@ def _hb_freq_precond(engine: Engine, params, f0: float, n_harm: int,
         Cbar = _reactive_structure(engine, params)
     Abar = jnp.mean(A_t, axis=0)
     lu0 = jsl.lu_factor(Abar)
-    kw = (jnp.arange(1, H + 1, dtype=dtype)
-          * jnp.asarray(2.0 * np.pi * f0, dtype))[:, None, None]
-    Ab = jnp.broadcast_to(Abar, (H, N, N))
-    Cb = kw * jnp.broadcast_to(Cbar, (H, N, N))
+    P = omegas.shape[0]
+    kw = jnp.asarray(omegas, dtype)[:, None, None]
+    Ab = jnp.broadcast_to(Abar, (P, N, N))
+    Cb = kw * jnp.broadcast_to(Cbar, (P, N, N))
     Mk = jnp.concatenate([jnp.concatenate([Ab, Cb], axis=2),
                           jnp.concatenate([-Cb, Ab], axis=2)], axis=1)
     luk = jax.vmap(jsl.lu_factor)(Mk)
@@ -459,7 +461,9 @@ def harmonic_balance(engine: Engine, params, f0: float,
             # HB factory — see docs/performance.md)
             with jax.default_matmul_precision("highest"):
                 r, aux = residual(X)
-                apply_M = _hb_freq_precond(engine, params, f0, H, aux,
+                omegas = (jnp.arange(1, H + 1, dtype=dtype)
+                          * jnp.asarray(2.0 * np.pi * f0, dtype))
+                apply_M = _hb_freq_precond(engine, params, omegas, aux,
                                            trig)
 
                 def jv(v):

@@ -247,16 +247,69 @@ def make_hbmulti_system(engine: Engine, tones, nominal_params):
     return Ks, ts, residual, jacobian
 
 
+def _mt_basis(Ks, freqs):
+    """Real half-space DFT basis on the flattened multi-tone grid.
+
+    Every flattened grid point carries the phase Σ_d k_d·ω_d·t_d (the
+    MPDE grid is separable, so the full transform is the kron of the
+    per-axis DFTs).  Conjugate symmetry of a real signal pairs each
+    signed multi-index k with −k; the half-space representative is the
+    one whose first nonzero component is positive.  Returns
+      (omegas (P,), Fc (P+1, Kt), Fs (P+1, Kt), Ic (Kt, P+1), Is)
+    with row 0 = the all-zero index (DC), P = (Kt−1)/2 (all K_d odd),
+    and omegas the signed mixing frequencies Σ_d k_d·ω_d of the half
+    rows (mixing products can be ≤ 0 — see hb._hb_freq_precond).
+    Analysis scale: a_0 = mean, a_k = 2/Kt·Σ cos, b_k = 2/Kt·Σ sin, so
+    Ic@a + Is@b reconstructs exactly (unit-tested)."""
+    D = len(Ks)
+    Hs = [(K - 1) // 2 for K in Ks]
+    Kt = int(np.prod(Ks))
+    ks = [np.concatenate([np.arange(0, h + 1), np.arange(-h, 0)])
+          for h in Hs]
+    kg = np.meshgrid(*ks, indexing="ij")
+    kflat = np.stack([g.reshape(-1) for g in kg], axis=0)      # (D, Kt)
+    tg = np.meshgrid(*[np.arange(K) * (1.0 / f / K)
+                       for K, f in zip(Ks, freqs)], indexing="ij")
+    tflat = np.stack([g.reshape(-1) for g in tg], axis=0)      # (D, Kt)
+    phase = np.zeros((Kt, Kt))
+    omega = np.zeros(Kt)
+    for d in range(D):
+        wk = 2.0 * np.pi * freqs[d] * kflat[d]
+        phase += wk[:, None] * tflat[d][None, :]
+        omega += wk
+    # half-space: first nonzero signed component positive
+    nz = kflat != 0
+    first_nz = np.where(nz.any(axis=0), nz.argmax(axis=0), 0)
+    lead = kflat[first_nz, np.arange(Kt)]
+    half = np.flatnonzero(lead > 0)
+    zero = int(np.flatnonzero((kflat == 0).all(axis=0))[0])
+    order = np.concatenate([[zero], half])
+    C, S = np.cos(phase[order]), np.sin(phase[order])
+    scale = np.full((len(order), 1), 2.0 / Kt)
+    scale[0, 0] = 1.0 / Kt
+    return omega[half], C * scale, S * scale, C.T, S.T
+
+
 def harmonic_balance_multi(engine: Engine, params,
                            tones: Sequence[Tuple[float, int]],
                            max_newton: int = 30,
                            tol: float = 1e-9,
                            damping: float = 1.0,
+                           solver: str = "dense",
+                           gmres_tol: float = 1e-4,
+                           gmres_restart: int = 40,
+                           gmres_maxiter: int = 4,
                            **warmup_kw):
     """Solve the quasi-periodic steady state on the multi-tone grid.
 
     tones: [(freq, n_harm), ...]; the first tone is the dominant one (used
     for the single-tone warm-up).  Unbatched params only.
+
+    solver='gmres' switches the Newton inner solve to matrix-free
+    preconditioned GMRES (see analysis/hb.py) — on the MPDE grid the
+    unknown count N·Πd K_d grows multiplicatively with tones, so this is
+    where the Krylov path matters most (the preconditioner rows carry
+    the half-space mixing frequencies Σ_d k_d·ω_d from _mt_basis).
     """
     opts = engine.opts
     dtype = engine.dtype
@@ -297,14 +350,46 @@ def harmonic_balance_multi(engine: Engine, params,
         res1.xs.reshape((Ks[0],) + (1,) * (D_axes - 1) + (N,)),
         tuple(Ks) + (N,)).reshape(Kt, N)
 
-    @jax.jit
-    def newton(X):
-        r, A_t = residual(X)
-        J = jacobian(A_t)
-        dX = jnp.linalg.solve(J, -r.reshape(-1)).reshape(Kt, N)
-        return X + damping * dX, jnp.linalg.norm(r)
+    if solver == "dense":
+        @jax.jit
+        def newton(X):
+            # full-f32 matmuls — same MXU-bf16 floor as single-tone HB
+            with jax.default_matmul_precision("highest"):
+                r, A_t = residual(X)
+                J = jacobian(A_t)
+                dX = jnp.linalg.solve(J, -r.reshape(-1)).reshape(Kt, N)
+                return X + damping * dX, jnp.linalg.norm(r)
+    elif solver == "gmres":
+        # matrix-free Newton-Krylov on the MPDE grid: identical to
+        # analysis/hb.py solver='gmres', with the preconditioner's
+        # per-row frequencies the half-space mixing products Σ k_d·ω_d
+        from jax.scipy.sparse.linalg import gmres as _gmres
+        from .hb import _hb_freq_precond
+        omegas_np, *trig = _mt_basis(Ks, freqs)
+        omegas_j = jnp.asarray(omegas_np, dtype)
+
+        @jax.jit
+        def newton(X):
+            with jax.default_matmul_precision("highest"):
+                r, aux = residual(X)
+                apply_M = _hb_freq_precond(engine, params, omegas_j,
+                                           aux, trig)
+
+                def jv(v):
+                    return jax.jvp(lambda Xv: residual_p(Xv, params),
+                                   (X,), (v,))[1]
+
+                dX, _ = _gmres(jv, -r, M=apply_M, tol=gmres_tol,
+                               atol=0.0, restart=gmres_restart,
+                               maxiter=gmres_maxiter,
+                               solve_method="batched")
+                return X + damping * dX, jnp.linalg.norm(r)
+    else:
+        raise ValueError(f"unknown HB solver {solver!r} "
+                         "(expected 'dense' or 'gmres')")
 
     res_norm = jnp.inf
+    prev = np.inf
     iters = 0
     for i in range(max_newton):
         X_new, res_norm = newton(X)
@@ -314,8 +399,18 @@ def harmonic_balance_multi(engine: Engine, params,
         X = X_new
         if float(res_norm) < tol:
             break
-    r_final, _ = jax.jit(residual)(X)
-    final = jnp.linalg.norm(r_final)
+        # floating-point floor (see analysis/hb.py)
+        if i >= 2 and float(res_norm) >= prev and prev < 1e-3:
+            break
+        prev = float(res_norm)
+
+    @jax.jit
+    def _final_res(X):
+        with jax.default_matmul_precision("highest"):
+            r, _ = residual(X)
+            return jnp.linalg.norm(r)
+
+    final = _final_res(X)
 
     Xg = X.reshape(tuple(Ks) + (N,))
     # host-side FFT (complex-free device programs; see analysis/hb.py)

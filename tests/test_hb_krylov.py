@@ -80,6 +80,36 @@ def test_gmres_beyond_dense_scale():
     assert float(r.residual) < 1e-6
 
 
+def test_mt_basis_reconstruction():
+    # half-space real DFT on the flattened 2-tone grid is a bijection
+    from circuitsimulator_tpu.analysis.hbmulti import _mt_basis
+    om, Fc, Fs, Ic, Is = _mt_basis([7, 5], [9e8, 8e8])
+    assert len(om) == (35 - 1) // 2
+    x = np.random.default_rng(0).standard_normal((35, 3))
+    a, b = Fc @ x, Fs @ x
+    np.testing.assert_allclose(Ic @ a + Is @ b, x, atol=1e-12)
+
+
+def test_gmres_matches_dense_multitone():
+    # two-tone diode detector: the preconditioner rows carry the
+    # half-space mixing products k1*w1 + k2*w2 (some negative)
+    from circuitsimulator_tpu.analysis.hbmulti import (
+        harmonic_balance_multi)
+    f1, f2 = 1e7, 2.3e7
+    sim = Simulator.from_text(
+        f"V1 in 0 SIN 0.4 0.35 {f1}\nV2 in2 0 SIN 0 0.25 {f2}\n"
+        "R12 in2 in 500\nRs in a 100\nD1 a 0 IS=1e-12 N=1\n"
+        "C1 a 0 20p\n")
+    rd = harmonic_balance_multi(sim.engine, sim.params,
+                                [(f1, 6), (f2, 6)], tol=1e-10)
+    rg = harmonic_balance_multi(sim.engine, sim.params,
+                                [(f1, 6), (f2, 6)], tol=1e-10,
+                                solver="gmres")
+    assert bool(rd.converged) and bool(rg.converged)
+    d = np.abs(np.asarray(rd.spectrum) - np.asarray(rg.spectrum)).max()
+    assert d < 1e-10
+
+
 def test_unknown_solver_raises():
     sim = Simulator.from_text(
         "V1 1 0 SIN 0 1 1e6\nR1 1 0 1k\n.hb 1e6 3\n")
