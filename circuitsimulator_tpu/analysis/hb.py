@@ -524,12 +524,25 @@ def make_hb_batched_fn(engine: Engine, f0: float,
                        n_newton: int = 15,
                        tol: float = 1e-9,
                        gmin: float = 0.0,
-                       damping: float = 1.0):
+                       damping: float = 1.0,
+                       solver: str = "dense",
+                       gmres_tol: float = 1e-4,
+                       gmres_restart: int = 40,
+                       gmres_maxiter: int = 4):
     """Factory for the batched-HB jitted program: returns (ts, fn) where
     fn(bparams, x0s) -> (Xs, finals) is ONE jit whose compilation is
     reused across calls with the same shapes (harmonic_balance_batched
     re-closes over a fresh jit every call; benchmarks need the warm
-    path).  See harmonic_balance_batched for semantics."""
+    path).  See harmonic_balance_batched for semantics.
+
+    solver='gmres': each lane's Newton inner solve is the matrix-free
+    preconditioned GMRES of harmonic_balance — the per-lane (KN)² dense
+    Jacobian (64 MB/lane at KN=4k) never exists, so Monte-Carlo HB
+    scales to harmonic-count × node-count products batched dense solves
+    cannot hold in HBM."""
+    if solver not in ("dense", "gmres"):
+        raise ValueError(f"unknown HB solver {solver!r} "
+                         "(expected 'dense' or 'gmres')")
     from .transient import transient_step_fn
     dtype = engine.dtype
     N = engine.N
@@ -541,6 +554,11 @@ def make_hb_batched_fn(engine: Engine, f0: float,
     steps_per_period = max(4 * K, 64)
     dt_w = jnp.asarray(T / steps_per_period, dtype)
     idx = (np.arange(K) * steps_per_period) // K
+    if solver == "gmres":
+        from jax.scipy.sparse.linalg import gmres as _gmres
+        trig = _hb_trig_mats(K, H, T)
+        omegas_j = (jnp.arange(1, H + 1, dtype=dtype)
+                    * jnp.asarray(2.0 * np.pi * f0, dtype))
 
     def one_lane(p, x0):
         step = transient_step_fn(engine, p, dt_w)
@@ -558,9 +576,22 @@ def make_hb_batched_fn(engine: Engine, f0: float,
 
         def newton(c, _):
             X, done = c
-            r, A_t = residual_p(X, p, with_At=True)
-            J = jacobian_p(A_t, p)
-            dX = jnp.linalg.solve(J, -r.reshape(-1)).reshape(K, N)
+            r, aux = residual_p(X, p, with_At=True)
+            if solver == "dense":
+                J = jacobian_p(aux, p)
+                dX = jnp.linalg.solve(J, -r.reshape(-1)).reshape(K, N)
+            else:
+                apply_M = _hb_freq_precond(engine, p, omegas_j, aux,
+                                           trig)
+
+                def jv(v):
+                    return jax.jvp(lambda Xv: residual_p(Xv, p),
+                                   (X,), (v,))[1]
+
+                dX, _ = _gmres(jv, -r, M=apply_M, tol=gmres_tol,
+                               atol=0.0, restart=gmres_restart,
+                               maxiter=gmres_maxiter,
+                               solve_method="batched")
             resn = jnp.linalg.norm(r)
             finite = jnp.isfinite(resn) & jnp.all(jnp.isfinite(dX))
             upd = (~done) & finite
@@ -619,7 +650,9 @@ def harmonic_balance_batched(engine: Engine, bparams, f0: float,
                              tol: float = 1e-9,
                              gmin: float = 0.0,
                              damping: float = 1.0,
-                             x0s=None) -> HBBatchResult:
+                             x0s=None,
+                             solver: str = "dense",
+                             **solver_kw) -> HBBatchResult:
     """Monte-Carlo harmonic balance: B perturbed lanes solve as ONE
     batched program — warm-up transients, K·N HB Newton systems and the
     dense (K·N)² solves all vmap over the lane axis (batched dense
@@ -641,7 +674,8 @@ def harmonic_balance_batched(engine: Engine, bparams, f0: float,
     ts, fn = make_hb_batched_fn(engine, f0, n_harm=n_harm,
                                 warmup_periods=warmup_periods,
                                 n_newton=n_newton, tol=tol, gmin=gmin,
-                                damping=damping)
+                                damping=damping, solver=solver,
+                                **solver_kw)
     Xs, finals = fn(bparams, x0s)
 
     # host-side FFT (complex-free device programs; see harmonic_balance)

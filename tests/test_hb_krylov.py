@@ -80,6 +80,24 @@ def test_gmres_beyond_dense_scale():
     assert float(r.residual) < 1e-6
 
 
+def test_gmres_batched_matches_dense():
+    # per-lane matrix-free Newton under vmap (Monte-Carlo HB)
+    import jax
+    from circuitsimulator_tpu.analysis.hb import harmonic_balance_batched
+    from circuitsimulator_tpu.parallel.montecarlo import perturb_params
+    sim = Simulator.from_text(
+        "V1 in 0 SIN 0 1 1e6\nR1 in out 1k DEV=10%\nD1 out 0 1\n"
+        ".MODEL 1 IS 1e-12\nRL out 0 1k\nC1 out 0 1e-10\n.hb 1e6 7\n")
+    bp = perturb_params(sim.params, jax.random.key(7), 4, {"res_r": 0.01})
+    rd = harmonic_balance_batched(sim.engine, bp, 1e6, n_harm=7)
+    rg = harmonic_balance_batched(sim.engine, bp, 1e6, n_harm=7,
+                                  solver="gmres")
+    assert bool(np.all(np.asarray(rd.converged)))
+    assert bool(np.all(np.asarray(rg.converged)))
+    d = np.abs(np.asarray(rd.spectrum) - np.asarray(rg.spectrum)).max()
+    assert d < 1e-10
+
+
 def test_mt_basis_reconstruction():
     # half-space real DFT on the flattened 2-tone grid is a bijection
     from circuitsimulator_tpu.analysis.hbmulti import _mt_basis
