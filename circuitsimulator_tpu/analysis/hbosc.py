@@ -152,9 +152,26 @@ def oscillator_hb(engine: Engine, params, f0_guess: float, anchor_eq: int,
                   tol: float = 1e-9,
                   damping: float = 1.0,
                   kick: float = 0.5,
-                  gmin: float = 0.0) -> HBOscResult:
+                  gmin: float = 0.0,
+                  solver: str = "dense",
+                  gmres_tol: float = 1e-4,
+                  gmres_restart: int = 40,
+                  gmres_maxiter: int = 4) -> HBOscResult:
     """Frequency-domain periodic steady state of a free-running
-    oscillator; see the module docstring for the formulation."""
+    oscillator; see the module docstring for the formulation.
+
+    solver='gmres' solves the bordered (KN+1) Newton system matrix-free
+    (analysis/hb.py's approach lifted to the augmented unknown
+    u = (vec(dX), df0)): the J·u product is one joint jax.jvp through
+    (X, f0) plus the anchor-row dot, preconditioned by the
+    block-circulant M on the X block and identity on the f0 border.
+    The phase grid makes the trig basis f0-independent (cos(2πkj/K)),
+    so only the preconditioner row frequencies k·2π·f0 trace through
+    the evolving f0.  J_XX's near-singular phase mode costs GMRES O(1)
+    extra iterations — the border keeps the augmented system regular."""
+    if solver not in ("dense", "gmres"):
+        raise ValueError(f"unknown HB solver {solver!r} "
+                         "(expected 'dense' or 'gmres')")
     from .transient import transient_step_fn
     eng_w = osc_engine(engine)          # trap+lu warm-up engine
     dtype = engine.dtype
@@ -210,23 +227,55 @@ def oscillator_hb(engine: Engine, params, f0_guess: float, anchor_eq: int,
     a_row = jnp.zeros((K, N), dtype).at[:, anchor_eq].set(
         cosv * (2.0 / K)).reshape(-1)
 
-    @jax.jit
-    def newton(X, f0):
-        r, A_t = residual_p(X, f0, params, with_At=True)
-        J_XX = jacobian_p(A_t, f0, params)
-        _, dr_df0 = jax.jvp(lambda f: residual_p(X, f, params),
-                            (f0,), (jnp.ones((), dtype),))
-        anchor = jnp.dot(a_row, X.reshape(-1))
-        n = K * N
-        J = jnp.zeros((n + 1, n + 1), dtype)
-        J = J.at[:n, :n].set(J_XX)
-        J = J.at[:n, n].set(dr_df0.reshape(-1))
-        J = J.at[n, :n].set(a_row)
-        rhs = -jnp.concatenate([r.reshape(-1), anchor[None]])
-        du = lu_solve(J, rhs, engine.opts.lu_pivot_floor)
-        res = jnp.sqrt(jnp.sum(r * r) + anchor * anchor)
-        return (X + damping * du[:n].reshape(K, N),
-                f0 + damping * du[n], res)
+    if solver == "dense":
+        @jax.jit
+        def newton(X, f0):
+            r, A_t = residual_p(X, f0, params, with_At=True)
+            J_XX = jacobian_p(A_t, f0, params)
+            _, dr_df0 = jax.jvp(lambda f: residual_p(X, f, params),
+                                (f0,), (jnp.ones((), dtype),))
+            anchor = jnp.dot(a_row, X.reshape(-1))
+            n = K * N
+            J = jnp.zeros((n + 1, n + 1), dtype)
+            J = J.at[:n, :n].set(J_XX)
+            J = J.at[:n, n].set(dr_df0.reshape(-1))
+            J = J.at[n, :n].set(a_row)
+            rhs = -jnp.concatenate([r.reshape(-1), anchor[None]])
+            du = lu_solve(J, rhs, engine.opts.lu_pivot_floor)
+            res = jnp.sqrt(jnp.sum(r * r) + anchor * anchor)
+            return (X + damping * du[:n].reshape(K, N),
+                    f0 + damping * du[n], res)
+    else:
+        from jax.scipy.sparse.linalg import gmres as _gmres
+        from .hb import _hb_trig_mats, _hb_freq_precond
+        trig = _hb_trig_mats(K, H, 1.0)   # phase grid: f0-independent
+
+        @jax.jit
+        def newton(X, f0):
+            # full-f32 matmuls (MXU bf16 floor — see analysis/hb.py)
+            with jax.default_matmul_precision("highest"):
+                r, aux = residual_p(X, f0, params, with_At=True)
+                anchor = jnp.dot(a_row, X.reshape(-1))
+                omegas = (jnp.arange(1, H + 1, dtype=dtype)
+                          * (2.0 * np.pi) * f0)
+                apply_M = _hb_freq_precond(engine, params, omegas, aux,
+                                           trig)
+
+                def jv(u):
+                    vX, vf = u
+                    rX = jax.jvp(
+                        lambda Xv, fv: residual_p(Xv, fv, params),
+                        (X, f0), (vX, vf))[1]
+                    return rX, jnp.dot(a_row, vX.reshape(-1))
+
+                du, _ = _gmres(jv, (-r, -anchor),
+                               M=lambda u: (apply_M(u[0]), u[1]),
+                               tol=gmres_tol, atol=0.0,
+                               restart=gmres_restart,
+                               maxiter=gmres_maxiter,
+                               solve_method="batched")
+                res = jnp.sqrt(jnp.sum(r * r) + anchor * anchor)
+                return (X + damping * du[0], f0 + damping * du[1], res)
 
     f0 = jnp.asarray(f0, dtype)
     res_norm = jnp.inf

@@ -556,8 +556,8 @@ def main(argv=None) -> int:
             if method == "auto":
                 method = "hb" if sim.engine.n_tl else "shooting"
             print(f"\nRunning oscillator steady state ({method})...")
-            osc = (sim.oscillator_hb(f0g, node) if method == "hb"
-                   else sim.oscillator(f0g, node))
+            osc = (sim.oscillator_hb(f0g, node, solver=args.hb_solver)
+                   if method == "hb" else sim.oscillator(f0g, node))
             print(f"oscillator: f0={float(osc.f0):.9e} Hz, "
                   f"residual={float(osc.residual):.3e}, "
                   f"newton_iters={osc.newton_iters}, "

@@ -128,6 +128,21 @@ def test_gmres_matches_dense_multitone():
     assert d < 1e-10
 
 
+def test_gmres_matches_dense_oscillator():
+    # bordered (KN+1) system: joint jvp through (X, f0), the anchor row
+    # as border, identity-on-border preconditioner
+    sim = Simulator.from_text(
+        "L1 a 0 1u\nC1 a 0 1n\nRl a 0 2k\n"
+        "Bneg a 0 I=-2m*v(a) + 0.5m*v(a)**3\n.op\n")
+    rd = sim.oscillator_hb(f0_guess=5.0e6, anchor_node="a", n_harm=9)
+    rg = sim.oscillator_hb(f0_guess=5.0e6, anchor_node="a", n_harm=9,
+                           solver="gmres")
+    assert bool(rd.converged) and bool(rg.converged)
+    assert abs(rd.f0 - rg.f0) / rd.f0 < 1e-12
+    d = np.abs(np.asarray(rd.spectrum) - np.asarray(rg.spectrum)).max()
+    assert d < 1e-10
+
+
 def test_unknown_solver_raises():
     sim = Simulator.from_text(
         "V1 1 0 SIN 0 1 1e6\nR1 1 0 1k\n.hb 1e6 3\n")
