@@ -46,6 +46,8 @@ SMOKE_FILES = {
     # regression the rest of the smoke tier missed
     "test_hb_tline.py",
 }
+# test_hb_krylov.py marks its two fast dense-vs-gmres parity tests
+# @pytest.mark.smoke in-file (the full file is ~5 min)
 
 
 def pytest_collection_modifyitems(config, items):

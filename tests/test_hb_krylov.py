@@ -29,6 +29,7 @@ def _both(sim, f0, n_harm, **kw):
     return rd, rg, d
 
 
+@pytest.mark.smoke
 def test_gmres_matches_dense_rectifier():
     sim = Simulator.from_text(
         "V1 in 0 SIN 0 1 1e6\nR1 in out 1k\nD1 out 0 1\n"
@@ -128,6 +129,7 @@ def test_gmres_matches_dense_multitone():
     assert d < 1e-10
 
 
+@pytest.mark.smoke
 def test_gmres_matches_dense_oscillator():
     # bordered (KN+1) system: joint jvp through (X, f0), the anchor row
     # as border, identity-on-border preconditioner
