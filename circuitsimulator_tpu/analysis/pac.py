@@ -193,6 +193,77 @@ def pac(engine: Engine, params, f0: float, xs_pss, deltas,
 
 
 @dataclasses.dataclass
+class PXFResult:
+    f0: float
+    deltas: np.ndarray        # (F,) output offset frequencies
+    harmonics: np.ndarray     # (M,) input sideband indices m (input at m*f0+delta)
+    xf_v: np.ndarray          # (F, M, nV) transfer from each V source (V/V)
+    xf_i: np.ndarray          # (F, M, nI) transfer from each I source (V/A)
+    xs_pss: Any               # (K, N) the PSS samples used
+    v_names: Any = None       # (nV,) source names (filled by Simulator.pxf)
+    i_names: Any = None       # (nI,)
+
+
+def pxf(engine: Engine, params, f0: float, xs_pss, deltas,
+        out_eq: int, ref_eq: int = -1,
+        n_sidebands: Optional[int] = None) -> PXFResult:
+    """Periodic transfer functions (PXF) — the adjoint of PAC: transfer
+    from EVERY independent source, injected at every sideband m*f0+delta,
+    to ONE output V(out[,ref]) read at the offset delta.  (PAC answers
+    "one input, all output sidebands"; PXF answers "one output, all
+    inputs x all input sidebands" — the classic SpectreRF trio's missing
+    member next to pac/pnoise above.)
+
+    Math: with J(delta) the LPTV operator on the K uniform PSS samples
+    (lptv_operator) and c the output selector, one adjoint solve
+    J(delta)^H Psi = 1_K (x) c per offset yields every transfer at once:
+    an input u e^{j m w0 t} (sample values u e^{2 pi i m t/K}) produces
+    output envelope-0 coefficient
+
+        H_m(u) = (1/K) sum_t conj(Psi_t) . u e^{2 pi i m t/K}
+               = ifft_t[conj(Psi_t) . u][m]
+
+    — exactly the sample-space pairing pnoise uses for noise generators,
+    here evaluated for the V-source branch rows (u_j = e_{vs_k}) and
+    I-source node pairs (u_j = e_{em} - e_{ep}, the reference RHS sign,
+    element.cpp:60-65).  Unit inputs, so xf_v is V/V and xf_i is V/A."""
+    N = engine.N
+    J0, CI, K, tl = lptv_operator(engine, params, f0, xs_pss)
+    t = engine.topo
+
+    c = np.zeros(N, complex)
+    c[out_eq] = 1.0
+    if ref_eq >= 0:
+        c[ref_eq] -= 1.0
+    rhs = np.tile(c, K)
+
+    H = (K - 1) // 2
+    M = int(n_sidebands) if n_sidebands is not None else H
+    M = min(M, H)
+    harmonics = np.arange(-M, M + 1)
+
+    deltas = np.asarray(deltas, float)
+    nV, nI = len(t.vs_k), len(t.is_ep)
+    xf_v = np.zeros((len(deltas), len(harmonics), nV), complex)
+    xf_i = np.zeros((len(deltas), len(harmonics), nI), complex)
+    for i, d in enumerate(deltas):
+        J = _lptv_at(J0, CI, tl, float(d))
+        psi = np.linalg.solve(J.conj().T, rhs).reshape(K, N)
+        psi_e = np.concatenate([psi, np.zeros((K, 1), complex)],
+                               axis=1).conj()              # (K, N+1)
+        gv = psi_e[:, np.asarray(t.vs_k)]                  # (K, nV)
+        gi = (psi_e[:, np.asarray(t.is_em)]
+              - psi_e[:, np.asarray(t.is_ep)])             # (K, nI)
+        cv = np.fft.ifft(gv, axis=0)                       # (K, nV)
+        ci = np.fft.ifft(gi, axis=0)
+        for j, m in enumerate(harmonics):
+            xf_v[i, j] = cv[m % K]
+            xf_i[i, j] = ci[m % K]
+    return PXFResult(f0=f0, deltas=deltas, harmonics=harmonics,
+                     xf_v=xf_v, xf_i=xf_i, xs_pss=xs_pss)
+
+
+@dataclasses.dataclass
 class PNoiseResult:
     f0: float
     deltas: np.ndarray        # (F,) offset frequencies

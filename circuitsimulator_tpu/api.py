@@ -753,6 +753,44 @@ class Simulator:
         return pac(self.engine, p, f0, pss_xs, deltas,
                    n_sidebands=n_sidebands)
 
+    def pxf(self, deltas, out_node: str, ref_node: Optional[str] = None,
+            f0: Optional[float] = None, n_harm: Optional[int] = None,
+            n_sidebands: Optional[int] = None,
+            pss_xs=None, params: Optional[Any] = None, **hb_kw):
+        """Periodic transfer functions (analysis/pac.py pxf) — the
+        adjoint of PAC: ONE adjoint LPTV solve per offset gives the
+        transfer from EVERY independent V/I source, injected at every
+        sideband m*f0+delta, to V(out[,ref]) read at delta.  Use pac for
+        "one input -> all output sidebands", pxf for "all inputs -> one
+        output" (supply pushback, LO feedthrough, spur budgets)."""
+        from .analysis.pac import pxf
+        from .netlist.circuit import KIND_V, KIND_I
+        hb = self.config.hb
+        f0 = f0 if f0 is not None else (hb.f0 if hb.enabled else None)
+        if not f0 or f0 <= 0:
+            raise ValueError("pxf needs f0 (or a .hb card)")
+        p = params if params is not None else self.params
+
+        def node_eq(name):
+            nid = self.circuit.node_name_to_id.get(name)
+            if nid is None:
+                raise KeyError(f"unknown node {name!r}")
+            return self.circuit.nodes[nid].eq_index
+
+        out_eq = node_eq(out_node)
+        if out_eq < 0:
+            raise ValueError(f"output node {out_node!r} is ground")
+        ref_eq = node_eq(ref_node) if ref_node else -1
+        if pss_xs is None:
+            pss_xs = self._pss_samples(p, f0, n_harm, **hb_kw)
+        res = pxf(self.engine, p, f0, pss_xs, deltas, out_eq, ref_eq,
+                  n_sidebands=n_sidebands)
+        res.v_names = tuple(e.name for e in self.circuit.elements
+                            if e.kind == KIND_V)
+        res.i_names = tuple(e.name for e in self.circuit.elements
+                            if e.kind == KIND_I)
+        return res
+
     def envelope(self, t_stop: float, dt_env: float,
                  f0: Optional[float] = None, n_harm: int = 7,
                  params: Optional[Any] = None, **kw):
