@@ -72,6 +72,68 @@ def s_parameters(engine: Engine, params, port_eqs: Sequence[Tuple[int, int]],
     return SParamResult(freqs=freqs, s=S, z=Z, z0=z0)
 
 
+@dataclasses.dataclass
+class TwoPortMetrics:
+    freqs: np.ndarray        # (F,)
+    k: np.ndarray            # (F,) Rollett stability factor
+    delta: np.ndarray        # (F,) complex determinant S11*S22 - S12*S21
+    mu_load: np.ndarray      # (F,) Edwards-Sinsky mu (output/load side)
+    mu_src: np.ndarray       # (F,) mu' (input/source side)
+    msg: np.ndarray          # (F,) maximum stable gain |S21/S12|
+    mag: np.ndarray          # (F,) maximum available gain (NaN where K < 1)
+    mason_u: np.ndarray      # (F,) Mason's unilateral gain U
+    stable: np.ndarray       # (F,) bool: unconditionally stable (mu > 1)
+
+
+def two_port_metrics(res, freqs=None) -> TwoPortMetrics:
+    """Stability and gain figures of a 2-port from its S-parameters.
+
+    `res` is an SParamResult (sparams / any 2-port sweep) or a raw
+    (F, 2, 2) complex array (+ freqs).  Standard microwave definitions:
+
+        delta = S11 S22 - S12 S21
+        K     = (1 - |S11|^2 - |S22|^2 + |delta|^2) / (2 |S12 S21|)
+        mu    = (1 - |S11|^2) / (|S22 - delta conj(S11)| + |S12 S21|)
+        mu'   = (1 - |S22|^2) / (|S11 - delta conj(S22)| + |S12 S21|)
+        MSG   = |S21| / |S12|
+        MAG   = MSG (K - sqrt(K^2 - 1))        for K >= 1, NaN otherwise
+        U     = |S21/S12 - 1|^2 / (2 (K |S21/S12| - Re(S21/S12)))
+
+    Unconditional stability iff mu > 1 (equivalently K > 1 AND
+    |delta| < 1 — Edwards & Sinsky's single-parameter criterion).  The
+    reference has no AC analysis at all; this sits on the repo's
+    S-parameter extraction (s_parameters above)."""
+    if isinstance(res, SParamResult):
+        s, freqs = res.s, res.freqs
+    else:
+        s = np.asarray(res, complex)
+        freqs = np.asarray(
+            freqs if freqs is not None else np.arange(s.shape[0]), float)
+    if s.ndim != 3 or s.shape[-2:] != (2, 2):
+        raise ValueError(f"two_port_metrics needs (F, 2, 2) S-parameters, "
+                         f"got {s.shape}")
+    s11, s12 = s[:, 0, 0], s[:, 0, 1]
+    s21, s22 = s[:, 1, 0], s[:, 1, 1]
+    delta = s11 * s22 - s12 * s21
+    p = np.abs(s12 * s21)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        k = (1.0 - np.abs(s11) ** 2 - np.abs(s22) ** 2
+             + np.abs(delta) ** 2) / (2.0 * p)
+        mu_load = (1.0 - np.abs(s11) ** 2) / (
+            np.abs(s22 - delta * np.conj(s11)) + p)
+        mu_src = (1.0 - np.abs(s22) ** 2) / (
+            np.abs(s11 - delta * np.conj(s22)) + p)
+        r = s21 / s12
+        msg = np.abs(r)
+        mag = np.where(k >= 1.0, msg * (k - np.sqrt(np.maximum(
+            k ** 2 - 1.0, 0.0))), np.nan)
+        mason_u = np.abs(r - 1.0) ** 2 / (
+            2.0 * (k * np.abs(r) - np.real(r)))
+    return TwoPortMetrics(freqs=np.asarray(freqs, float), k=k, delta=delta,
+                          mu_load=mu_load, mu_src=mu_src, msg=msg, mag=mag,
+                          mason_u=mason_u, stable=mu_load > 1.0)
+
+
 def write_touchstone(path: str, res: SParamResult) -> None:
     """Touchstone v1 .sNp writer (`# Hz S MA R <z0>`): magnitude/angle
     pairs, the 2-port S11 S21 S12 S22 column order quirk, row-major with

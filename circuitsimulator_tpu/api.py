@@ -1210,6 +1210,22 @@ class Simulator:
             x_op = self.dc(params=params)
         return s_parameters(self.engine, p, port_eqs, z0s, freqs, x_op)
 
+    def stability(self, ports=None, freqs=None, sres=None,
+                  params: Optional[Any] = None, x_op: Optional[Any] = None):
+        """Two-port stability/gain metrics (analysis/sparams.py
+        two_port_metrics): Rollett K, determinant delta, Edwards-Sinsky
+        mu/mu', MSG, MAG, Mason's U, and the unconditional-stability
+        verdict per frequency.  Pass `ports` (two (node_p, node_m, z0)
+        tuples, like sparams) to extract S first, or `sres` to reuse an
+        SParamResult."""
+        from .analysis.sparams import two_port_metrics
+        if sres is None:
+            if ports is None or len(ports) != 2:
+                raise ValueError("stability needs two ports (or sres=)")
+            sres = self.sparams(ports, freqs=freqs, params=params,
+                                x_op=x_op)
+        return two_port_metrics(sres)
+
     def hot_sparams(self, ports, deltas, f0: Optional[float] = None,
                     n_sidebands: int = 1, n_harm: Optional[int] = None,
                     pss_xs=None, params: Optional[Any] = None, **hb_kw):
