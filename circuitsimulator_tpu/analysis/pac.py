@@ -323,6 +323,171 @@ def pnoise(engine: Engine, params, f0: float, xs_pss, deltas,
                         onoise=onoise, by_kind=by_kind)
 
 
+def make_lptv_blocks_fn(engine: Engine, f0: float, K: int):
+    """Traced (J0, CI) builder for the batched LPTV analyses — the same
+    math as lptv_operator above but jit/vmap-able (one lane at a time):
+    J(delta) = J0 + j*2*pi*delta*CI on the K uniform PSS samples.
+    Shared by psp.make_psp_batched_fn (forward solves) and
+    make_pnoise_batched_fn (adjoint solves).  No transmission lines on
+    this path: their offset-dependent phase blocks densify per delta
+    (the host paths cover them)."""
+    from .hb import _reactive_structure, spectral_diff_matrix
+    if engine.n_tl:
+        raise NotImplementedError(
+            "batched LPTV analyses do not support transmission lines "
+            "(offset-phased delay blocks); use the host path")
+    N = engine.N
+    dtype = engine.dtype
+    T = 1.0 / f0
+    D = jnp.asarray(spectral_diff_matrix(K, T), dtype)        # (K, K)
+    ts = jnp.arange(K, dtype=dtype) * (T / K)
+    kk = np.arange(K)
+    mos_q = bool(getattr(engine, "mos_charge", False))
+
+    def blocks(params, xs_pss):
+        rows, cols, svals = engine.dc_static_entries(params)
+        A_res = jnp.zeros((N + 1, N + 1), dtype)
+        A_res = A_res.at[rows, cols].add(svals)
+
+        def a_t(x_t, t_t):
+            gvals, _ = engine._nl_vals(params, x_t, t_t)
+            A = jnp.zeros((N + 1, N + 1), dtype)
+            return A.at[engine.nl_rows, engine.nl_cols].add(gvals)
+
+        G_t = A_res[None, :N, :N] + jax.vmap(a_t)(xs_pss, ts)[:, :N, :N]
+        C = _reactive_structure(engine, params, base_only=mos_q)
+        if mos_q:
+            # per-sample exact trans-capacitances (see lptv_operator)
+            from .hb import _mos_charge_pieces
+            _, Cq = _mos_charge_pieces(engine, params, xs_pss)
+            C_t = C[None] + Cq                                # (K, N, N)
+            J0 = jnp.einsum("ts,sij->tisj", D, C_t)
+            J0 = J0.at[kk, :, kk, :].add(G_t)
+            J0 = J0.reshape(K * N, K * N)
+            CI = jnp.zeros((K, N, K, N), dtype).at[
+                kk, :, kk, :].set(C_t).reshape(K * N, K * N)
+        else:
+            J0 = D[:, None, :, None] * C[None, :, None, :]
+            J0 = J0.at[kk, :, kk, :].add(G_t)
+            J0 = J0.reshape(K * N, K * N)
+            CI = jnp.kron(jnp.eye(K, dtype=dtype), C)         # (KN, KN)
+        return J0, CI
+
+    return blocks
+
+
+@dataclasses.dataclass
+class PNoiseBatchResult:
+    f0: float
+    deltas: np.ndarray        # (F,)
+    onoise: np.ndarray        # (B, F) output noise PSD per lane, V^2/Hz
+    by_kind: dict             # device-kind -> (B, F) PSD contribution
+
+
+def make_pnoise_batched_fn(engine: Engine, f0: float, K: int,
+                           out_eq: int, ref_eq: int, deltas,
+                           params_probe):
+    """Jittable per-lane pnoise kernel (vmapped over the Monte-Carlo
+    lane axis by pnoise_batched).  Same math as the host pnoise above —
+    one adjoint LPTV solve per offset — with the complex adjoint solve
+    J(d)^H psi = rhs as the equivalent real block system
+
+        [[J0^T, w CI^T], [-w CI^T, J0^T]] [psi_r; psi_i] = [c; 0]
+
+    (w = 2*pi*delta; J^H = J0^T - j*w*CI^T since J0/CI are real), the
+    same MXU-shaped trick as psp.make_psp_batched_fn.  Returns the
+    per-source PSD contributions (F, nS); the kind breakdown sums on
+    the host."""
+    from .noise import _device_noise_currents
+    N = engine.N
+    dtype = engine.dtype
+    blocks = make_lptv_blocks_fn(engine, f0, K)
+    # generator catalog (topology-static: index pairs + kinds only;
+    # params_probe is any one concrete lane)
+    pairs, _, _, kinds = _device_noise_currents(
+        engine, params_probe, jnp.zeros((N,), dtype))
+    p0 = jnp.asarray(np.asarray(pairs)[:, 0])
+    p1 = jnp.asarray(np.asarray(pairs)[:, 1])
+
+    c = np.zeros(K * N)
+    c[np.arange(K) * N + out_eq] = 1.0
+    if ref_eq >= 0:
+        c[np.arange(K) * N + ref_eq] -= 1.0
+    rhs2 = jnp.asarray(np.concatenate([c, np.zeros(K * N)]), dtype)
+    ds = jnp.asarray(np.asarray(deltas, float), dtype)
+
+    def lane(params, xs_pss):
+        J0, CI = blocks(params, xs_pss)
+        J0t, CIt = J0.T, CI.T
+        per = jax.vmap(
+            lambda x: _device_noise_currents(engine, params, x)[1:3])(
+                xs_pss)
+        s_white_t, s_flick_t = per                            # (K, nS)
+
+        def at_delta(d):
+            w = 2.0 * jnp.pi * d
+            A2 = jnp.concatenate([
+                jnp.concatenate([J0t, w * CIt], axis=1),
+                jnp.concatenate([-w * CIt, J0t], axis=1)], axis=0)
+            psi = jnp.linalg.solve(A2, rhs2)
+            pr = psi[:K * N].reshape(K, N)
+            pi = psi[K * N:].reshape(K, N)
+            z = jnp.zeros((K, 1), dtype)
+            pr_e = jnp.concatenate([pr, z], axis=1)
+            pi_e = jnp.concatenate([pi, z], axis=1)
+            gr = pr_e[:, p0] - pr_e[:, p1]                    # (K, nS)
+            gi = pi_e[:, p0] - pi_e[:, p1]
+            s_t = s_white_t + s_flick_t / d
+            return jnp.mean((gr * gr + gi * gi) * s_t, axis=0)
+
+        return jax.lax.map(at_delta, ds)                      # (F, nS)
+
+    return lane, kinds
+
+
+def pnoise_batched(engine: Engine, bparams, f0: float, xs_pss_b, deltas,
+                   out_eq: int, ref_eq: int = -1) -> PNoiseBatchResult:
+    """Monte-Carlo periodic noise: B lanes of perturbed params (leading
+    lane axis) each around their OWN periodic steady state xs_pss_b
+    (B, K, N) — e.g. HBBatchResult.xs from harmonic_balance_batched.
+    Every (lane, offset) adjoint LPTV solve runs as one batched TPU
+    program; only the (B, F, nS) contribution table comes back for the
+    kind breakdown."""
+    import os
+    deltas = np.asarray(deltas, float)
+    if np.any(deltas <= 0):
+        raise ValueError("pnoise offsets must be > 0 (the flicker "
+                         "1/delta envelope diverges at DC)")
+    xs_pss_b = jnp.asarray(xs_pss_b)
+    K = int(xs_pss_b.shape[1])
+    probe = jax.tree.map(lambda x: x[0], bparams)
+    lane, kinds = make_pnoise_batched_fn(engine, f0, K, out_eq, ref_eq,
+                                         deltas, probe)
+
+    def batched(bp, xs_b):
+        # full-f32 matmuls: the MXU's default bf16 passes would corrupt
+        # the 2KN real-block adjoint solves (see hb.make_hb_batched_fn)
+        with jax.default_matmul_precision("highest"):
+            return jax.vmap(lane)(bp, xs_b)
+
+    fn = jax.jit(batched)
+    B_all = int(xs_pss_b.shape[0])
+    blk = min(int(os.environ.get("CSIM_PNOISE_LANE_BLOCK", 128)), B_all)
+    if B_all % blk:
+        blk = B_all       # ragged batch: single dispatch
+    chunks = []
+    for lo in range(0, B_all, blk):
+        bp_c = jax.tree.map(lambda x: x[lo:lo + blk], bparams)
+        chunks.append(np.asarray(fn(bp_c, xs_pss_b[lo:lo + blk])))
+    contrib = np.concatenate(chunks, axis=0)   # (B, F, nS)
+    onoise = contrib.sum(axis=-1)
+    by_kind = {k: np.zeros_like(onoise) for k in set(kinds)}
+    for j, k in enumerate(kinds):
+        by_kind[k] += contrib[:, :, j]
+    return PNoiseBatchResult(f0=f0, deltas=deltas, onoise=onoise,
+                             by_kind=by_kind)
+
+
 def mixer_noise_figure(engine: Engine, params, f0: float, xs_pss,
                        delta: float, out_eq: int, src_idx: int,
                        sidebands=(1,), ref_eq: int = -1):

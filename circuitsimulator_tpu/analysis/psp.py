@@ -203,15 +203,8 @@ def make_psp_batched_fn(engine: Engine, f0: float, K: int,
     nh = len(harmonics)
     P = n * nh
     dtype = engine.dtype
-    if engine.n_tl:
-        raise NotImplementedError(
-            "batched hot S-params do not support transmission lines "
-            "(offset-phased delay blocks); use hot_sparams / "
-            "periodic_s_parameters (host path)")
-    from .hb import _reactive_structure, spectral_diff_matrix
-    T = 1.0 / f0
-    D = jnp.asarray(spectral_diff_matrix(K, T), dtype)        # (K, K)
-    ts = jnp.arange(K, dtype=dtype) * (T / K)
+    from .pac import make_lptv_blocks_fn
+    blocks = make_lptv_blocks_fn(engine, f0, K)   # raises on T-lines
     kk = np.arange(K)
 
     # unit port-current incidence (n, N) and port read-out projection
@@ -234,35 +227,9 @@ def make_psp_batched_fn(engine: Engine, f0: float, K: int,
     omegas = jnp.asarray(2.0 * np.pi * np.asarray(deltas, float), dtype)
 
     def lane(params, xs_pss):
-        # conduction Jacobian at each PSS sample (same split as the
-        # host lptv_operator): static entries + nonlinear linearization
-        rows, cols, svals = engine.dc_static_entries(params)
-        A_res = jnp.zeros((N + 1, N + 1), dtype)
-        A_res = A_res.at[rows, cols].add(svals)
-
-        def a_t(x_t, t_t):
-            gvals, _ = engine._nl_vals(params, x_t, t_t)
-            A = jnp.zeros((N + 1, N + 1), dtype)
-            return A.at[engine.nl_rows, engine.nl_cols].add(gvals)
-
-        G_t = A_res[None, :N, :N] + jax.vmap(a_t)(xs_pss, ts)[:, :N, :N]
-        mos_q = bool(getattr(engine, "mos_charge", False))
-        C = _reactive_structure(engine, params, base_only=mos_q)
-        if mos_q:
-            # per-sample exact trans-capacitances (see pac.lptv_operator)
-            from .hb import _mos_charge_pieces
-            _, Cq = _mos_charge_pieces(engine, params, xs_pss)
-            C_t = C[None] + Cq                                # (K, N, N)
-            J0 = jnp.einsum("ts,sij->tisj", D, C_t)
-            J0 = J0.at[kk, :, kk, :].add(G_t)
-            J0 = J0.reshape(K * N, K * N)
-            CI = jnp.zeros((K, N, K, N), dtype).at[
-                kk, :, kk, :].set(C_t).reshape(K * N, K * N)
-        else:
-            J0 = D[:, None, :, None] * C[None, :, None, :]
-            J0 = J0.at[kk, :, kk, :].add(G_t)
-            J0 = J0.reshape(K * N, K * N)
-            CI = jnp.kron(jnp.eye(K, dtype=dtype), C)         # (KN, KN)
+        # conduction/reactive LPTV blocks, shared with the batched
+        # pnoise path (pac.make_lptv_blocks_fn)
+        J0, CI = blocks(params, xs_pss)
 
         def at_delta(w):
             A2 = jnp.concatenate([

@@ -1464,6 +1464,44 @@ class Simulator:
             self.engine, bp, f0, pss.xs, port_eqs, z0s, deltas,
             n_sidebands=n_sidebands)
 
+    def monte_carlo_pnoise(self, n: int, deltas, out_node: str,
+                           ref_node: Optional[str] = None, seed: int = 0,
+                           sampler: str = "mc", f0: Optional[float] = None,
+                           n_harm: Optional[int] = None, **hb_kw):
+        """Monte-Carlo periodic noise: n perturbed lanes, each lane's
+        cyclostationary output PSD computed around its OWN batched-HB
+        periodic steady state, with every (lane, offset) adjoint LPTV
+        solve in one batched TPU program (analysis/pac.pnoise_batched).
+        Returns (bparams, PNoiseBatchResult) with onoise (n, F) and the
+        per-device-kind breakdown."""
+        from .analysis.hb import harmonic_balance_batched
+        from .analysis.pac import pnoise_batched
+        from .parallel.montecarlo import perturb_params_netlist
+        if not self.lowered.mc_tols:
+            raise ValueError("no DEV=/LOT= tolerances in the netlist")
+        hb = self.config.hb
+        f0 = f0 if f0 is not None else (hb.f0 if hb.enabled else None)
+        if not f0 or f0 <= 0:
+            raise ValueError("monte_carlo_pnoise needs f0 (or a .hb card)")
+        n_harm = n_harm if n_harm is not None else (hb.n_harm or 8)
+
+        def node_eq(name):
+            nid = self.circuit.node_name_to_id.get(name)
+            if nid is None:
+                raise KeyError(f"unknown node {name!r}")
+            return self.circuit.nodes[nid].eq_index
+
+        out_eq = node_eq(out_node)
+        if out_eq < 0:
+            raise ValueError(f"output node {out_node!r} is ground")
+        ref_eq = node_eq(ref_node) if ref_node else -1
+        bp = perturb_params_netlist(self.params, jax.random.key(seed), n,
+                                    self.lowered.mc_tols, sampler=sampler)
+        pss = harmonic_balance_batched(self.engine, bp, f0,
+                                       n_harm=n_harm, **hb_kw)
+        return bp, pnoise_batched(self.engine, bp, f0, pss.xs, deltas,
+                                  out_eq, ref_eq)
+
     def monte_carlo(self, n: int, seed: int = 0,
                     params: Optional[Any] = None,
                     warm_start: bool = True,
