@@ -150,6 +150,27 @@ def main():
                           "lane_steps_per_sec": round(rate3, 1),
                           "converged_frac": float(r3.converged.mean())}
 
+    # ---- Monte-Carlo periodic noise (adjoint LPTV, r4) ----
+    Bn = int(os.environ.get("BENCH_PNOISE_B", 1024))
+    simn = Simulator.from_text(MIXER)
+    t0 = time.time()
+    bpn, rn = simn.monte_carlo_pnoise(Bn, deltas=deltas, out_node="if",
+                                      seed=0, tol=1e-6)
+    t1 = time.time()
+    t2 = time.time()
+    bpn, rn = simn.monte_carlo_pnoise(Bn, deltas=deltas, out_node="if",
+                                      seed=1, tol=1e-6)
+    t3 = time.time()
+    okn = bool(np.isfinite(rn.onoise).all() and (rn.onoise > 0).all())
+    rate4 = Bn / (t3 - t2)
+    log(f"[pnoise] B={Bn} F={len(deltas)}: cold {t1 - t0:.1f}s, warm "
+        f"{t3 - t2:.2f}s -> {rate4:,.0f} MC-pnoise lanes/s "
+        f"(finite+positive={okn})")
+    out["mc_pnoise"] = {"B": Bn, "n_deltas": len(deltas),
+                        "cold_s": round(t1 - t0, 2),
+                        "warm_s": round(t3 - t2, 3),
+                        "lanes_per_sec": round(rate4, 1), "ok": okn}
+
     out["value"] = out["mc_psp"]["lanes_per_sec"]
     print(json.dumps(out))
 
