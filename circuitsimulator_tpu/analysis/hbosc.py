@@ -442,6 +442,258 @@ def oscillator_phase_noise_hb(engine: Engine, params, osc: HBOscResult,
         ppv=V, invariance=invariance, sv_gap=sv_gap)
 
 
+# ---------------------------------------------------------------------
+# Monte-Carlo oscillators: batched autonomous HB + batched phase noise
+# ---------------------------------------------------------------------
+
+@dataclasses.dataclass
+class HBOscBatchResult:
+    f0: Any            # (B,) solved fundamentals
+    xs: Any            # (B, K, N) periodic waveform samples
+    residual: Any      # (B,)
+    converged: Any     # (B,) bool
+    # phase-noise block (None until oscillator_phase_noise_hb_batched):
+    c: Any = None            # (B,) white phase-diffusion constants
+    c_flicker: Any = None    # (B,)
+    offsets: Any = None      # (F,)
+    L_dbc: Any = None        # (B, F) Lorentzian L(Δf), dBc/Hz
+    period_jitter: Any = None  # (B,)
+    per_source: Any = None   # (B, nS)
+    kinds: Any = None        # (nS,)
+
+
+def make_hbosc_batched_fn(engine: Engine, f0_guess: float, anchor_eq: int,
+                          n_harm: int = 9,
+                          warmup_periods: int = 30,
+                          steps_per_period: int = 256,
+                          n_newton: int = 25,
+                          tol: float = 1e-9,
+                          damping: float = 1.0,
+                          kick: float = 0.5,
+                          gmin: float = 0.0):
+    """Factory for the batched autonomous-HB jitted program:
+    fn(bparams, x0s) -> (Xs (B,K,N), f0s (B,), finals (B,)).
+
+    The host path's per-lane pieces (oscillator_hb above) re-expressed
+    traced so the whole Monte-Carlo batch runs as ONE program: the
+    kicked trap/lu warm-up is a lax.scan, the period re-estimate from
+    the anchor's upward mean-crossings becomes a sort/where reduction
+    (no host nonzero()), and the bordered (KN+1)² Newton runs a fixed
+    n_newton iterations with per-lane freeze (the make_hb_batched_fn
+    contract: a converged or non-finite lane stops updating instead of
+    poisoning the batch).  Every lane shares f0_guess and the anchor;
+    each converges to its OWN f0 — that per-lane frequency pull is
+    exactly what Monte-Carlo oscillator analysis is after."""
+    from .transient import transient_step_fn
+    eng_w = osc_engine(engine)
+    dtype = engine.dtype
+    N = engine.N
+    H = int(n_harm)
+    K = 2 * H + 1
+    Kw = int(steps_per_period)
+    dt_w = jnp.asarray(1.0 / (f0_guess * Kw), dtype)
+    L = int(warmup_periods) * Kw
+    residual_p, jacobian_p = make_hb_system_auto(engine, n_harm, gmin=gmin)
+    cosv = jnp.asarray(np.cos(2 * np.pi * np.arange(K) / K), dtype)
+    a_row = jnp.zeros((K, N), dtype).at[:, anchor_eq].set(
+        cosv * (2.0 / K)).reshape(-1)
+    n = K * N
+
+    def one_lane(p, x0):
+        step = transient_step_fn(eng_w, p, dt_w)
+        x0k = x0.at[anchor_eq].add(jnp.asarray(kick, dtype))
+        state = eng_w.init_state(x0k, p, dt_w)
+        carry = (x0k, state, jnp.zeros(x0k.shape[:-1], bool))
+        tw = jnp.arange(1, L + 1, dtype=dtype) * dt_w
+
+        def wstep(c, t):
+            c, (xo, _) = step(c, t)
+            return c, xo
+
+        _, xs_w = lax.scan(wstep, carry, tw)                 # (L, N)
+
+        # period re-estimate: last upward mean-crossings, traced
+        ya = xs_w[:, anchor_eq]
+        mean = ya[-min(4 * Kw, L):].mean()
+        upm = (ya[:-1] < mean) & (ya[1:] >= mean)            # (L-1,)
+        masked = jnp.where(upm, jnp.arange(L - 1), -1)
+        srt = jnp.sort(masked)                               # -1s first
+        u1, u2, u3 = srt[-1], srt[-2], srt[-3]
+        cnt = jnp.sum(upm)
+        T0 = jnp.where(
+            cnt >= 3, (u1 - u3).astype(dtype) / 2.0 * dt_w,
+            jnp.where(cnt == 2, (u1 - u2).astype(dtype) * dt_w,
+                      jnp.asarray(1.0 / f0_guess, dtype)))
+        f0l = 1.0 / T0
+        span = T0 / dt_w
+        start = jnp.where(cnt >= 1,
+                          u1 - jnp.round(span).astype(jnp.int32),
+                          L - jnp.round(span).astype(jnp.int32) - 1)
+        start = jnp.maximum(start, 0)
+        gidx = jnp.minimum(
+            start + jnp.round(jnp.arange(K) * span / K).astype(jnp.int32),
+            L - 1)
+        X = jnp.take(xs_w, gidx, axis=0)                     # (K, N)
+
+        def newton(c, _):
+            X, f0, done = c
+            r, aux = residual_p(X, f0, p, with_At=True)
+            J_XX = jacobian_p(aux, f0, p)
+            dr_df0 = jax.jvp(lambda f: residual_p(X, f, p),
+                             (f0,), (jnp.ones((), dtype),))[1]
+            anchor = jnp.dot(a_row, X.reshape(-1))
+            J = jnp.zeros((n + 1, n + 1), dtype)
+            J = J.at[:n, :n].set(J_XX)
+            J = J.at[:n, n].set(dr_df0.reshape(-1))
+            J = J.at[n, :n].set(a_row)
+            rhs = -jnp.concatenate([r.reshape(-1), anchor[None]])
+            du = jnp.linalg.solve(J, rhs)
+            resn = jnp.sqrt(jnp.sum(r * r) + anchor * anchor)
+            f0n = f0 + damping * du[n]
+            finite = (jnp.isfinite(resn) & jnp.all(jnp.isfinite(du))
+                      & (f0n > 0))
+            upd = (~done) & finite
+            X = jnp.where(upd, X + damping * du[:n].reshape(K, N), X)
+            f0 = jnp.where(upd, f0n, f0)
+            done = done | (resn < tol) | ~finite
+            return (X, f0, done), None
+
+        (X, f0l, _), _ = lax.scan(newton, (X, f0l, jnp.asarray(False)),
+                                  None, length=n_newton)
+        rf = residual_p(X, f0l, p)
+        anchor_f = jnp.dot(a_row, X.reshape(-1))
+        final = jnp.sqrt(jnp.sum(rf * rf) + anchor_f * anchor_f)
+        return X, f0l, final
+
+    def batched(bp, x0s):
+        # full-f32 matmuls: same MXU bf16 floor as make_hb_batched_fn
+        with jax.default_matmul_precision("highest"):
+            return jax.vmap(one_lane)(bp, x0s)
+
+    return jax.jit(batched)
+
+
+def oscillator_hb_batched(engine: Engine, bparams, f0_guess: float,
+                          anchor_eq: int, n_harm: int = 9,
+                          x0s=None, tol: float = 1e-9,
+                          **kw) -> HBOscBatchResult:
+    """Monte-Carlo autonomous HB: B perturbed lanes (leading lane axis)
+    each solve for their OWN limit cycle and fundamental as one batched
+    program.  See make_hbosc_batched_fn."""
+    if x0s is None:
+        from ..parallel.montecarlo import batched_dc_fast
+        x0s = batched_dc_fast(engine, bparams)
+    fn = make_hbosc_batched_fn(engine, f0_guess, anchor_eq,
+                               n_harm=n_harm, tol=tol, **kw)
+    Xs, f0s, finals = fn(bparams, jnp.asarray(x0s))
+    finals = np.asarray(finals)
+    return HBOscBatchResult(f0=np.asarray(f0s), xs=Xs, residual=finals,
+                            converged=finals < max(tol * 100, 1e-6))
+
+
+def make_hbosc_pnoise_batched_fn(engine: Engine, n_harm: int,
+                                 pairs, inv_iters: int = 4,
+                                 gmin: float = 0.0):
+    """Per-lane PPV + phase-diffusion kernel (vmapped by
+    oscillator_phase_noise_hb_batched).
+
+    The host path (oscillator_phase_noise_hb) extracts the HB
+    Jacobian's left null vector with a full SVD — O((KN)³) per lane on
+    the host.  Here the null vector comes from INVERSE ITERATION on the
+    regularized transpose: factor Jᵀ + εI once (ε = 1e-9·‖J‖_F/KN) and
+    apply it `inv_iters` times to the ∂r/∂f0 direction — which cannot
+    be orthogonal to the null vector, since Vᵀ·∂r/∂f0 is exactly the
+    Fredholm normalization denominator.  Near the limit cycle J's zero
+    eigenvalue is simple and well-separated (sv_gap diagnostic on the
+    host path), so convergence is geometric with ratio ~ε/σ_next; the
+    Fredholm scale K/(f0·Vᵀ∂r/∂f0) then lands the same Demir
+    normalization as the host path."""
+    from .noise import _device_noise_currents
+    from .oscnoise import _pair_matrix
+    dtype = engine.dtype
+    N = engine.N
+    H = int(n_harm)
+    K = 2 * H + 1
+    residual_p, jacobian_p = make_hb_system_auto(engine, n_harm, gmin=gmin)
+    E = jnp.asarray(_pair_matrix(np.asarray(pairs), N, np.float64), dtype)
+    n = K * N
+
+    def one_lane(p, X, f0):
+        _, aux = residual_p(X, f0, p, with_At=True)
+        J = jacobian_p(aux, f0, p)
+        dr = jax.jvp(lambda f: residual_p(X, f, p),
+                     (f0,), (jnp.ones((), dtype),))[1].reshape(-1)
+        eps = 1e-9 * jnp.linalg.norm(J) / n
+        JT = J.T + eps * jnp.eye(n, dtype=dtype)
+        lu_piv = jax.scipy.linalg.lu_factor(JT)
+        v = dr / jnp.linalg.norm(dr)
+        for _ in range(int(inv_iters)):
+            v = jax.scipy.linalg.lu_solve(lu_piv, v)
+            v = v / jnp.linalg.norm(v)
+        V = v.reshape(K, N) * (K / (f0 * jnp.dot(v, dr)))
+
+        per = jax.vmap(
+            lambda x: _device_noise_currents(engine, p, x)[1:3])(X)
+        S_w, S_f = per                                       # (K, nS)
+        g = jnp.einsum("kn,sn->ks", V, E)                    # (K, nS)
+        per_w = jnp.mean(g * g * S_w, axis=0) / 2.0
+        per_f = jnp.mean(g * g * S_f, axis=0) / 2.0
+        return per_w, per_f
+
+    return one_lane
+
+
+def oscillator_phase_noise_hb_batched(engine: Engine, bparams,
+                                      osc: HBOscBatchResult, offsets,
+                                      inv_iters: int = 4
+                                      ) -> HBOscBatchResult:
+    """Monte-Carlo oscillator phase noise: per-lane PPV extraction +
+    Demir phase-diffusion constants + Lorentzian L(Δf) for every lane of
+    a converged oscillator_hb_batched result, as one batched program.
+    Fills the phase-noise block of the HBOscBatchResult (per-lane c,
+    c_flicker, L_dbc, period_jitter, per_source) and returns it.  The
+    host path's extra_pairs injection-vector extension is not carried
+    here (use oscillator_phase_noise_hb per lane for that)."""
+    from .noise import _device_noise_currents
+    Xs = jnp.asarray(osc.xs)
+    B, K, N = Xs.shape
+    H = (K - 1) // 2
+    probe = jax.tree.map(lambda x: x[0], bparams)
+    pairs, _, _, kinds = _device_noise_currents(
+        engine, probe, jnp.zeros((N,), engine.dtype))
+    if not len(pairs):
+        raise ValueError("no noise generators: the deck has no noisy "
+                         "devices")
+    lane = make_hbosc_pnoise_batched_fn(engine, H, pairs,
+                                        inv_iters=inv_iters)
+    f0s = jnp.asarray(np.asarray(osc.f0), engine.dtype)
+
+    def batched(bp, X_b, f_b):
+        with jax.default_matmul_precision("highest"):
+            return jax.vmap(lane)(bp, X_b, f_b)
+
+    per_w, per_f = jax.jit(batched)(bparams, Xs, f0s)
+    per_w = np.asarray(per_w, np.float64)                    # (B, nS)
+    per_f = np.asarray(per_f, np.float64)
+    c = per_w.sum(axis=1)                                    # (B,)
+    c_fl = per_f.sum(axis=1)
+    f0 = np.asarray(osc.f0, np.float64)
+    offsets = np.asarray(offsets, np.float64)
+    c_off = c[:, None] + c_fl[:, None] / np.maximum(offsets, 1e-30)[None]
+    L = 10.0 * np.log10(
+        f0[:, None] ** 2 * c_off
+        / (np.pi ** 2 * f0[:, None] ** 4 * c[:, None] ** 2
+           + offsets[None] ** 2))
+    osc.c = c
+    osc.c_flicker = c_fl
+    osc.offsets = offsets
+    osc.L_dbc = L
+    osc.period_jitter = np.sqrt(np.maximum(c, 0.0) / f0)
+    osc.per_source = per_w
+    osc.kinds = np.asarray(list(kinds))
+    return osc
+
+
 def injection_lock_hb(engine: Engine, params, osc: HBOscResult,
                       pair, amp: float, harmonic: int = 1):
     """Adler lock range from the autonomous-HB PPV — the frequency-

@@ -948,6 +948,40 @@ class Simulator:
                                       extra_pairs=extra_pairs,
                                       extra_psd=extra_psd)
 
+    def monte_carlo_oscillator_phase_noise(self, n: int, offsets,
+                                           f0_guess: float,
+                                           anchor_node: str,
+                                           seed: int = 0,
+                                           sampler: str = "mc",
+                                           n_harm: int = 9, **kw):
+        """Monte-Carlo oscillator phase noise: n perturbed lanes
+        (netlist DEV=/LOT= tolerances) each solve their OWN autonomous-
+        HB limit cycle + fundamental in one batched program
+        (analysis/hbosc.oscillator_hb_batched), then every lane's PPV,
+        Demir phase-diffusion constant, Lorentzian L(Δf) and period
+        jitter extract in a second batched program (inverse-iteration
+        null vectors — no per-lane host SVD).  Returns (bparams,
+        HBOscBatchResult) with per-lane f0, c, L_dbc (n, F),
+        period_jitter — i.e. frequency-pull AND jitter yield in two
+        dispatches."""
+        from .analysis.hbosc import (oscillator_hb_batched,
+                                     oscillator_phase_noise_hb_batched)
+        from .parallel.montecarlo import perturb_params_netlist
+        if not self.lowered.mc_tols:
+            raise ValueError("no DEV=/LOT= tolerances in the netlist")
+        nid = self.circuit.node_name_to_id.get(anchor_node)
+        if nid is None:
+            raise KeyError(f"unknown node {anchor_node!r}")
+        anchor_eq = self.circuit.nodes[nid].eq_index
+        if anchor_eq < 0:
+            raise ValueError(f"anchor node {anchor_node!r} is ground")
+        bp = perturb_params_netlist(self.params, jax.random.key(seed), n,
+                                    self.lowered.mc_tols, sampler=sampler)
+        osc = oscillator_hb_batched(self.engine, bp, f0_guess, anchor_eq,
+                                    n_harm=n_harm, **kw)
+        return bp, oscillator_phase_noise_hb_batched(self.engine, bp,
+                                                     osc, offsets)
+
     def pss_stability(self, ss=None, f0: Optional[float] = None,
                       params: Optional[Any] = None, **kw):
         """Floquet stability of a driven periodic steady state
