@@ -171,6 +171,36 @@ def main():
                         "warm_s": round(t3 - t2, 3),
                         "lanes_per_sec": round(rate4, 1), "ok": okn}
 
+    # ---- Monte-Carlo oscillator phase noise (r4) ----
+    Bo = int(os.environ.get("BENCH_OSCPN_B", 256))
+    simo = Simulator.from_text("""* van der pol lc oscillator
+L1 a 0 1u DEV=2%
+C1 a 0 1n DEV=2%
+Rl a 0 2k DEV=5%
+Bneg a 0 I=-2m*v(a) + 0.5m*v(a)**3
+.op
+""")
+    t0 = time.time()
+    bpo, ro = simo.monte_carlo_oscillator_phase_noise(
+        Bo, offsets=[10e3], f0_guess=5e6, anchor_node="a", seed=0)
+    t1 = time.time()
+    t2 = time.time()
+    bpo, ro = simo.monte_carlo_oscillator_phase_noise(
+        Bo, offsets=[10e3], f0_guess=5e6, anchor_node="a", seed=1)
+    t3 = time.time()
+    convo = float(np.asarray(ro.converged).mean())
+    rate5 = Bo / (t3 - t2)
+    f0s = np.asarray(ro.f0)
+    log(f"[oscpn] B={Bo}: cold {t1 - t0:.1f}s, warm {t3 - t2:.2f}s -> "
+        f"{rate5:,.0f} MC-oscillator lanes/s (conv {convo:.2f}, "
+        f"f0 pull sigma {np.std(f0s) / np.mean(f0s):.3%})")
+    out["mc_oscpn"] = {"B": Bo, "cold_s": round(t1 - t0, 2),
+                       "warm_s": round(t3 - t2, 3),
+                       "lanes_per_sec": round(rate5, 1),
+                       "converged_frac": convo,
+                       "f0_pull_rel_sigma": float(np.std(f0s)
+                                                  / np.mean(f0s))}
+
     out["value"] = out["mc_psp"]["lanes_per_sec"]
     print(json.dumps(out))
 
