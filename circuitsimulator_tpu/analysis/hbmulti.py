@@ -39,6 +39,7 @@ from typing import Any, List, Optional, Sequence, Tuple
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..ops.assemble import Engine
 from ..models import sources as srcmod
@@ -419,6 +420,187 @@ def harmonic_balance_multi(engine: Engine, params,
                          times=ts, xs=Xg, spectrum=spec,
                          residual=final, newton_iters=iters,
                          converged=final < max(tol * 100, 1e-6))
+
+
+@dataclasses.dataclass
+class HBMultiBatchResult:
+    tones: Any        # ((f, H) per axis)
+    times: Any
+    xs: Any           # (B, K_1, ..., K_D, N)
+    spectrum: Any     # (B, K_1, ..., K_D, N) complex
+    residual: Any     # (B,)
+    converged: Any    # (B,)
+
+
+def make_hbmulti_batched_fn(engine: Engine, tones, nominal_params,
+                            n_newton: int = 12,
+                            tol: float = 1e-9,
+                            damping: float = 1.0,
+                            solver: str = "dense",
+                            gmres_tol: float = 1e-4,
+                            gmres_restart: int = 40,
+                            gmres_maxiter: int = 4):
+    """Factory for the batched multi-tone-HB jitted program:
+    fn(bparams, X0s (B, Kt, N)) -> (Xs, finals).  The MPDE system is
+    already params-parametric (make_hbmulti_system; tone assignment is
+    STATIC on the nominal SIN frequencies — Monte-Carlo perturbs values,
+    never source frequencies), so each lane runs the host solver's
+    Newton with the make_hb_batched_fn freeze contract: fixed n_newton
+    iterations, converged/non-finite lanes stop updating.  Honors
+    CSIM_HB_LANE_CHUNK exactly like the single-tone batched factory
+    (big-Kt decks fault the device at large whole-batch working sets)."""
+    if solver not in ("dense", "gmres"):
+        raise ValueError(f"unknown HB solver {solver!r} "
+                         "(expected 'dense' or 'gmres')")
+    if engine.b_uses_time:
+        raise NotImplementedError(
+            "multi-tone HB does not evaluate time-dependent behavioral "
+            "expressions (the MPDE grid has no single time axis)")
+    dtype = engine.dtype
+    N = engine.N
+    freqs = [float(f) for f, _ in tones]
+    Hs = [int(h) for _, h in tones]
+    Ks, ts, residual_p, jacobian_p = make_hbmulti_system(engine, tones,
+                                                         nominal_params)
+    Kt = int(np.prod(Ks))
+    if solver == "gmres":
+        from jax.scipy.sparse.linalg import gmres as _gmres
+        from .hb import _hb_freq_precond
+        omegas_np, *trig = _mt_basis(Ks, freqs)
+        omegas_j = jnp.asarray(omegas_np, dtype)
+
+    def one_lane(p, X0):
+        def newton(c, _):
+            X, done = c
+            r, aux = residual_p(X, p, with_At=True)
+            if solver == "dense":
+                J = jacobian_p(aux, p)
+                dX = jnp.linalg.solve(J, -r.reshape(-1)).reshape(Kt, N)
+            else:
+                apply_M = _hb_freq_precond(engine, p, omegas_j, aux,
+                                           trig)
+
+                def jv(v):
+                    return jax.jvp(lambda Xv: residual_p(Xv, p),
+                                   (X,), (v,))[1]
+
+                dX, _ = _gmres(jv, -r, M=apply_M, tol=gmres_tol,
+                               atol=0.0, restart=gmres_restart,
+                               maxiter=gmres_maxiter,
+                               solve_method="batched")
+            resn = jnp.linalg.norm(r)
+            finite = jnp.isfinite(resn) & jnp.all(jnp.isfinite(dX))
+            upd = (~done) & finite
+            X = jnp.where(upd, X + damping * dX, X)
+            done = done | (resn < tol) | ~finite
+            return (X, done), None
+
+        (X, _), _ = lax.scan(newton, (X0, jnp.asarray(False)), None,
+                             length=n_newton)
+        final = jnp.linalg.norm(residual_p(X, p))
+        return X, final
+
+    import os as _os
+    lane_chunk = int(_os.environ.get("CSIM_HB_LANE_CHUNK", "0"))
+
+    def batched(bp, x0s):
+        # full-f32 matmuls — same MXU bf16 floor as make_hb_batched_fn
+        with jax.default_matmul_precision("highest"):
+            B = x0s.shape[0]
+            c = lane_chunk if (lane_chunk and B > lane_chunk) else 0
+            if not c:
+                return jax.vmap(one_lane)(bp, x0s)
+            pad = (-B) % c
+            if pad:
+                bp = jax.tree.map(
+                    lambda a: jnp.concatenate(
+                        [a, jnp.broadcast_to(a[:1],
+                                             (pad,) + a.shape[1:])]),
+                    bp)
+                x0s = jnp.concatenate(
+                    [x0s, jnp.broadcast_to(x0s[:1],
+                                           (pad,) + x0s.shape[1:])])
+            Bp = B + pad
+            bpc = jax.tree.map(
+                lambda a: a.reshape(Bp // c, c, *a.shape[1:]), bp)
+            x0c = x0s.reshape(Bp // c, c, *x0s.shape[1:])
+            Xs, fin = jax.lax.map(
+                lambda t: jax.vmap(one_lane)(*t), (bpc, x0c))
+            return (Xs.reshape(Bp, *Xs.shape[2:])[:B],
+                    fin.reshape(Bp, *fin.shape[2:])[:B])
+
+    return Ks, ts, jax.jit(batched)
+
+
+def harmonic_balance_multi_batched(engine: Engine, bparams,
+                                   tones: Sequence[Tuple[float, int]],
+                                   n_newton: int = 12,
+                                   tol: float = 1e-9,
+                                   damping: float = 1.0,
+                                   solver: str = "dense",
+                                   x0s=None,
+                                   warmup_n_newton: int = 15,
+                                   **solver_kw) -> HBMultiBatchResult:
+    """Monte-Carlo multi-tone harmonic balance: B perturbed lanes of the
+    quasi-periodic steady state as batched programs — the warm-up is the
+    BATCHED single-tone HB of the dominant tone (tone-muted per-lane
+    params), broadcast onto each lane's MPDE grid, then the multi-tone
+    Newton runs vmapped with per-lane freeze.  This is what Monte-Carlo
+    IM3/IP3 rides (Simulator.monte_carlo_ip3)."""
+    from .hb import make_hb_batched_fn
+    dtype = engine.dtype
+    N = engine.N
+    freqs = [float(f) for f, _ in tones]
+    Hs = [int(h) for _, h in tones]
+    D_axes = len(tones)
+    probe = jax.tree.map(lambda x: x[0], bparams)
+    assign_v = assign_tones(np.asarray(engine.vs_kinds),
+                            np.asarray(probe["vs_sin"]), freqs)
+    assign_i = assign_tones(np.asarray(engine.is_kinds),
+                            np.asarray(probe["is_sin"]), freqs)
+
+    # batched tone-0 warm-up ( _mute broadcasts over the lane axis)
+    bp0 = dict(bparams)
+    bp0["vs_sin"] = _mute(bparams, "vs_sin", assign_v, 0)
+    bp0["is_sin"] = _mute(bparams, "is_sin", assign_i, 0)
+    if x0s is None:
+        from ..parallel.montecarlo import batched_dc_fast
+        x0s = batched_dc_fast(engine, bp0)
+    _, fn1 = make_hb_batched_fn(engine, freqs[0], n_harm=Hs[0], tol=tol,
+                                n_newton=warmup_n_newton)
+    Xs1, _ = fn1(bp0, jnp.asarray(x0s))                  # (B, K0, N)
+    B = int(Xs1.shape[0])
+    Ks = [2 * h + 1 for h in Hs]
+    Kt = int(np.prod(Ks))
+    X0 = jnp.broadcast_to(
+        Xs1.reshape((B, Ks[0]) + (1,) * (D_axes - 1) + (N,)),
+        (B,) + tuple(Ks) + (N,)).reshape(B, Kt, N)
+
+    Ks, ts, fn = make_hbmulti_batched_fn(engine, tones, probe,
+                                         n_newton=n_newton, tol=tol,
+                                         damping=damping, solver=solver,
+                                         **solver_kw)
+    Xs, finals = fn(bparams, X0)
+    Xg = np.asarray(Xs).reshape((B,) + tuple(Ks) + (N,))
+    spec = np.fft.fftn(Xg, axes=tuple(range(1, D_axes + 1))) / Kt
+    finals = np.asarray(finals)
+    floor = 1e-6 if dtype == jnp.float64 else 1e-5
+    return HBMultiBatchResult(
+        tones=tuple((f, h) for f, h in zip(freqs, Hs)), times=ts,
+        xs=Xg, spectrum=spec, residual=finals,
+        converged=finals < max(tol * 100, floor))
+
+
+def coeff_batched(result: HBMultiBatchResult,
+                  harmonics: Sequence[int]) -> Any:
+    """Per-lane complex coefficient (B, N) of
+    exp(j*2pi*(sum_d k_d f_d)*t) — the lane-axis twin of coeff()."""
+    idx = []
+    for (f, H), k in zip(result.tones, harmonics):
+        if abs(k) > H:
+            raise ValueError(f"harmonic {k} outside the box (H={H})")
+        idx.append(k % (2 * H + 1))
+    return result.spectrum[(slice(None),) + tuple(idx)]
 
 
 def coeff(result: HBMultiResult, harmonics: Sequence[int]) -> Any:

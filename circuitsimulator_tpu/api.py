@@ -519,6 +519,55 @@ class Simulator:
             "result": res,
         }
 
+    def monte_carlo_ip3(self, n: int, probe: str, input_amplitude: float,
+                        seed: int = 0, sampler: str = "mc",
+                        params: Optional[Any] = None, tones=None, **kw):
+        """Monte-Carlo two-tone IP3: n perturbed lanes of the multi-tone
+        quasi-periodic steady state as batched programs (analysis/
+        hbmulti.harmonic_balance_multi_batched — batched single-tone
+        warm-up, then the vmapped MPDE Newton), each lane's fundamental
+        (1,0) and lower IM3 (2,-1) read per lane.  Returns (bparams,
+        dict) with per-lane (n,) arrays fund, im3, im3_dbc,
+        iip3_amplitude, oip3_amplitude, converged + the
+        HBMultiBatchResult under 'result' — IP3 yield in two
+        dispatches."""
+        import numpy as _np
+        from .analysis.hbmulti import (harmonic_balance_multi_batched,
+                                       coeff_batched)
+        from .parallel.montecarlo import perturb_params_netlist
+        if not self.lowered.mc_tols:
+            raise ValueError("no DEV=/LOT= tolerances in the netlist")
+        hb = self.config.hb
+        if tones is None:
+            if not (hb.enabled and hb.extra_tones):
+                raise ValueError("monte_carlo_ip3 needs a multi-tone "
+                                 ".hb card or tones=[(f1,H1),(f2,H2)]")
+            tones = hb.tones
+        if len(tones) != 2:
+            raise ValueError("monte_carlo_ip3 needs exactly two tones")
+        if tones[0][1] < 2 or tones[1][1] < 1:
+            raise ValueError("IM3 (2,-1) needs H1 >= 2 and H2 >= 1")
+        nid = self.circuit.node_name_to_id.get(probe)
+        if nid is None:
+            raise KeyError(f"unknown node {probe!r}")
+        eqi = self.circuit.nodes[nid].eq_index
+        p = params if params is not None else self.params
+        bp = perturb_params_netlist(p, jax.random.key(seed), n,
+                                    self.lowered.mc_tols, sampler=sampler)
+        res = harmonic_balance_multi_batched(self.engine, bp, tones, **kw)
+        fund = 2.0 * _np.abs(coeff_batched(res, (1, 0))[:, eqi])
+        im3 = 2.0 * _np.abs(coeff_batched(res, (2, -1))[:, eqi])
+        a = float(input_amplitude)
+        ratio = fund / _np.maximum(im3, 1e-300)
+        return bp, {
+            "fund": fund, "im3": im3,
+            "im3_dbc": 20.0 * _np.log10(_np.maximum(im3, 1e-300) / fund),
+            "iip3_amplitude": a * _np.sqrt(ratio),
+            "oip3_amplitude": fund * _np.sqrt(ratio),
+            "converged": _np.asarray(res.converged),
+            "result": res,
+        }
+
     def p1db(self, probe: str, source: str,
              params: Optional[Any] = None,
              f0: Optional[float] = None, n_harm: int = 7,
