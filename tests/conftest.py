@@ -45,6 +45,9 @@ SMOKE_FILES = {
     # dropped from BOTH sides; this one caught the r3 T-line-delay
     # regression the rest of the smoke tier missed
     "test_hb_tline.py",
+    # r4 session-3 surfaces: the pac/pxf/pnoise adjoint trio + 2-port
+    # stability metrics (fast closed-form anchors)
+    "test_pxf.py", "test_stability2p.py",
 }
 # test_hb_krylov.py marks its two fast dense-vs-gmres parity tests
 # @pytest.mark.smoke in-file (the full file is ~5 min)
