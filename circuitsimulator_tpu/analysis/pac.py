@@ -445,6 +445,165 @@ def make_pnoise_batched_fn(engine: Engine, f0: float, K: int,
     return lane, kinds
 
 
+@dataclasses.dataclass
+class PACBatchResult:
+    f0: float
+    deltas: np.ndarray        # (F,)
+    harmonics: np.ndarray     # (M,)
+    spectrum: np.ndarray      # (B, F, M, N) complex envelope coefficients
+    xs_pss: Any               # (B, K, N)
+
+
+def make_pac_batched_fn(engine: Engine, f0: float, K: int, deltas,
+                        adjoint_rhs=None):
+    """Jittable per-lane LPTV-solve kernel shared by the batched PAC
+    (forward, adjoint_rhs=None: rhs from the lane's AC source specs)
+    and batched PXF (adjoint_rhs = the static output selector c: solves
+    J(d)^H psi like make_pnoise_batched_fn and returns the full adjoint
+    envelope).  Returns lane(params, xs_pss) -> (F, K, N, 2) real/imag
+    envelope samples; the FFT finalization stays on the host."""
+    N = engine.N
+    dtype = engine.dtype
+    blocks = make_lptv_blocks_fn(engine, f0, K)
+    ds = jnp.asarray(np.asarray(deltas, float), dtype)
+    deg = np.pi / 180.0
+    adjoint = adjoint_rhs is not None
+    if adjoint:
+        c = np.asarray(adjoint_rhs, float)
+        rhs2_c = jnp.asarray(
+            np.concatenate([np.tile(c, K), np.zeros(K * N)]), dtype)
+
+    def lane(params, xs_pss):
+        J0, CI = blocks(params, xs_pss)
+        if adjoint:
+            J0u, CIu = J0.T, CI.T
+            rhs2 = rhs2_c
+        else:
+            J0u, CIu = J0, CI
+            # small-signal input vector from the lane's AC specs (pac)
+            vph = params["vs_ac_phase"] * deg
+            iph = params["is_ac_phase"] * deg
+            Ur = jnp.zeros((N + 1,), dtype).at[engine.topo.vs_k].add(
+                params["vs_ac_mag"] * jnp.cos(vph))
+            Ui = jnp.zeros((N + 1,), dtype).at[engine.topo.vs_k].add(
+                params["vs_ac_mag"] * jnp.sin(vph))
+            ir = params["is_ac_mag"] * jnp.cos(iph)
+            ii = params["is_ac_mag"] * jnp.sin(iph)
+            Ur = Ur.at[engine.topo.is_ep].add(-ir).at[
+                engine.topo.is_em].add(ir)
+            Ui = Ui.at[engine.topo.is_ep].add(-ii).at[
+                engine.topo.is_em].add(ii)
+            rhs2 = jnp.concatenate([jnp.tile(Ur[:N], K),
+                                    jnp.tile(Ui[:N], K)])
+
+        def at_delta(d):
+            w = 2.0 * jnp.pi * d
+            # forward: J = J0 + jw CI; adjoint: J^H = J0^T - jw CI^T,
+            # same real block shape with the sign folded into s
+            s = -w if adjoint else w
+            A2 = jnp.concatenate([
+                jnp.concatenate([J0u, -s * CIu], axis=1),
+                jnp.concatenate([s * CIu, J0u], axis=1)], axis=0)
+            Y = jnp.linalg.solve(A2, rhs2)
+            return jnp.stack([Y[:K * N].reshape(K, N),
+                              Y[K * N:].reshape(K, N)], axis=-1)
+
+        return jax.lax.map(at_delta, ds)      # (F, K, N, 2)
+
+    return lane
+
+
+def _run_lptv_lane_batched(engine, lane, bparams, xs_pss_b,
+                           env_var: str):
+    """vmap + precision pin + lane blocking shared by the batched
+    PAC/PXF drivers (the pnoise/PSP pattern)."""
+    import os
+
+    def batched(bp, xs_b):
+        with jax.default_matmul_precision("highest"):
+            return jax.vmap(lane)(bp, xs_b)
+
+    fn = jax.jit(batched)
+    B_all = int(xs_pss_b.shape[0])
+    blk = min(int(os.environ.get(env_var, 128)), B_all)
+    if B_all % blk:
+        blk = B_all
+    chunks = []
+    for lo in range(0, B_all, blk):
+        bp_c = jax.tree.map(lambda x: x[lo:lo + blk], bparams)
+        chunks.append(np.asarray(fn(bp_c, xs_pss_b[lo:lo + blk])))
+    out = np.concatenate(chunks, axis=0)      # (B, F, K, N, 2)
+    return out[..., 0] + 1j * out[..., 1]
+
+
+def pac_batched(engine: Engine, bparams, f0: float, xs_pss_b, deltas,
+                n_sidebands: Optional[int] = None) -> PACBatchResult:
+    """Monte-Carlo periodic AC: B lanes' conversion gains around their
+    OWN periodic steady states, every (lane, offset) LPTV solve as one
+    batched real-2KN program (the pnoise/PSP pattern, forward
+    system)."""
+    xs_pss_b = jnp.asarray(xs_pss_b)
+    K = int(xs_pss_b.shape[1])
+    H = (K - 1) // 2
+    lane = make_pac_batched_fn(engine, f0, K, deltas)
+    Yc = _run_lptv_lane_batched(engine, lane, bparams, xs_pss_b,
+                                "CSIM_PAC_LANE_BLOCK")
+    M = int(n_sidebands) if n_sidebands is not None else H
+    M = min(M, H)
+    harmonics = np.arange(-M, M + 1)
+    coeffs = np.fft.fft(Yc, axis=2) / K       # (B, F, K, N)
+    spec = np.stack([coeffs[:, :, m % K] for m in harmonics], axis=2)
+    return PACBatchResult(f0=f0, deltas=np.asarray(deltas, float),
+                          harmonics=harmonics, spectrum=spec,
+                          xs_pss=xs_pss_b)
+
+
+@dataclasses.dataclass
+class PXFBatchResult:
+    f0: float
+    deltas: np.ndarray        # (F,)
+    harmonics: np.ndarray     # (M,)
+    xf_v: np.ndarray          # (B, F, M, nV)
+    xf_i: np.ndarray          # (B, F, M, nI)
+    v_names: Any = None
+    i_names: Any = None
+
+
+def pxf_batched(engine: Engine, bparams, f0: float, xs_pss_b, deltas,
+                out_eq: int, ref_eq: int = -1,
+                n_sidebands: Optional[int] = None) -> PXFBatchResult:
+    """Monte-Carlo periodic transfer functions: every lane's full
+    source x sideband -> output table from batched adjoint LPTV solves
+    (same real-2KN block systems as pnoise_batched; the ifft readout
+    stays on the host — see pxf above for the math)."""
+    N = engine.N
+    t = engine.topo
+    xs_pss_b = jnp.asarray(xs_pss_b)
+    K = int(xs_pss_b.shape[1])
+    H = (K - 1) // 2
+    c = np.zeros(N)
+    c[out_eq] = 1.0
+    if ref_eq >= 0:
+        c[ref_eq] -= 1.0
+    lane = make_pac_batched_fn(engine, f0, K, deltas, adjoint_rhs=c)
+    Psi = _run_lptv_lane_batched(engine, lane, bparams, xs_pss_b,
+                                 "CSIM_PXF_LANE_BLOCK")  # (B,F,K,N)
+    M = int(n_sidebands) if n_sidebands is not None else H
+    M = min(M, H)
+    harmonics = np.arange(-M, M + 1)
+    psi_e = np.concatenate(
+        [Psi, np.zeros(Psi.shape[:3] + (1,), complex)], axis=-1).conj()
+    gv = psi_e[..., np.asarray(t.vs_k)]                   # (B, F, K, nV)
+    gi = (psi_e[..., np.asarray(t.is_em)]
+          - psi_e[..., np.asarray(t.is_ep)])
+    cv = np.fft.ifft(gv, axis=2)
+    ci = np.fft.ifft(gi, axis=2)
+    xf_v = np.stack([cv[:, :, m % K] for m in harmonics], axis=2)
+    xf_i = np.stack([ci[:, :, m % K] for m in harmonics], axis=2)
+    return PXFBatchResult(f0=f0, deltas=np.asarray(deltas, float),
+                          harmonics=harmonics, xf_v=xf_v, xf_i=xf_i)
+
+
 def pnoise_batched(engine: Engine, bparams, f0: float, xs_pss_b, deltas,
                    out_eq: int, ref_eq: int = -1) -> PNoiseBatchResult:
     """Monte-Carlo periodic noise: B lanes of perturbed params (leading

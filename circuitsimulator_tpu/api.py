@@ -1585,6 +1585,74 @@ class Simulator:
         return bp, pnoise_batched(self.engine, bp, f0, pss.xs, deltas,
                                   out_eq, ref_eq)
 
+    def monte_carlo_pac(self, n: int, deltas, seed: int = 0,
+                        sampler: str = "mc", f0: Optional[float] = None,
+                        n_sidebands: Optional[int] = None,
+                        n_harm: Optional[int] = None, **hb_kw):
+        """Monte-Carlo periodic AC: n perturbed lanes' conversion gains
+        around their OWN batched-HB steady states, every (lane, offset)
+        LPTV solve in one batched program (analysis/pac.pac_batched).
+        Returns (bparams, PACBatchResult) with spectrum (n, F, M, N)."""
+        from .analysis.hb import harmonic_balance_batched
+        from .analysis.pac import pac_batched
+        from .parallel.montecarlo import perturb_params_netlist
+        if not self.lowered.mc_tols:
+            raise ValueError("no DEV=/LOT= tolerances in the netlist")
+        hb = self.config.hb
+        f0 = f0 if f0 is not None else (hb.f0 if hb.enabled else None)
+        if not f0 or f0 <= 0:
+            raise ValueError("monte_carlo_pac needs f0 (or a .hb card)")
+        n_harm = n_harm if n_harm is not None else (hb.n_harm or 8)
+        bp = perturb_params_netlist(self.params, jax.random.key(seed), n,
+                                    self.lowered.mc_tols, sampler=sampler)
+        pss = harmonic_balance_batched(self.engine, bp, f0,
+                                       n_harm=n_harm, **hb_kw)
+        return bp, pac_batched(self.engine, bp, f0, pss.xs, deltas,
+                               n_sidebands=n_sidebands)
+
+    def monte_carlo_pxf(self, n: int, deltas, out_node: str,
+                        ref_node: Optional[str] = None, seed: int = 0,
+                        sampler: str = "mc", f0: Optional[float] = None,
+                        n_sidebands: Optional[int] = None,
+                        n_harm: Optional[int] = None, **hb_kw):
+        """Monte-Carlo periodic transfer functions: every lane's full
+        source x input-sideband -> output table from batched adjoint
+        LPTV solves (analysis/pac.pxf_batched).  Returns (bparams,
+        PXFBatchResult) with xf_v (n, F, M, nV) / xf_i (n, F, M, nI)."""
+        from .analysis.hb import harmonic_balance_batched
+        from .analysis.pac import pxf_batched
+        from .netlist.circuit import KIND_V, KIND_I
+        from .parallel.montecarlo import perturb_params_netlist
+        if not self.lowered.mc_tols:
+            raise ValueError("no DEV=/LOT= tolerances in the netlist")
+        hb = self.config.hb
+        f0 = f0 if f0 is not None else (hb.f0 if hb.enabled else None)
+        if not f0 or f0 <= 0:
+            raise ValueError("monte_carlo_pxf needs f0 (or a .hb card)")
+        n_harm = n_harm if n_harm is not None else (hb.n_harm or 8)
+
+        def node_eq(name):
+            nid = self.circuit.node_name_to_id.get(name)
+            if nid is None:
+                raise KeyError(f"unknown node {name!r}")
+            return self.circuit.nodes[nid].eq_index
+
+        out_eq = node_eq(out_node)
+        if out_eq < 0:
+            raise ValueError(f"output node {out_node!r} is ground")
+        ref_eq = node_eq(ref_node) if ref_node else -1
+        bp = perturb_params_netlist(self.params, jax.random.key(seed), n,
+                                    self.lowered.mc_tols, sampler=sampler)
+        pss = harmonic_balance_batched(self.engine, bp, f0,
+                                       n_harm=n_harm, **hb_kw)
+        res = pxf_batched(self.engine, bp, f0, pss.xs, deltas, out_eq,
+                          ref_eq, n_sidebands=n_sidebands)
+        res.v_names = tuple(e.name for e in self.circuit.elements
+                            if e.kind == KIND_V)
+        res.i_names = tuple(e.name for e in self.circuit.elements
+                            if e.kind == KIND_I)
+        return bp, res
+
     def monte_carlo(self, n: int, seed: int = 0,
                     params: Optional[Any] = None,
                     warm_start: bool = True,
