@@ -647,6 +647,59 @@ def pnoise_batched(engine: Engine, bparams, f0: float, xs_pss_b, deltas,
                              by_kind=by_kind)
 
 
+def mixer_noise_figure_batched(engine: Engine, bparams, f0: float,
+                               xs_pss_b, delta: float, out_eq: int,
+                               src_idx: int, sidebands=(1,),
+                               ref_eq: int = -1):
+    """Monte-Carlo conversion noise figure: every lane's folded pnoise
+    total and reference-generator sideband share from ONE batched
+    adjoint LPTV solve at IF=delta (the mixer_noise_figure math, lane
+    axis added; see that docstring for the Parseval split).  Returns
+    (nf_db (B,), onoise (B,), sig (B,))."""
+    from .noise import _device_noise_currents
+    N = engine.N
+    xs_pss_b = jnp.asarray(xs_pss_b)
+    K = int(xs_pss_b.shape[1])
+    probe = jax.tree.map(lambda x: x[0], bparams)
+    pairs, _, _, _ = _device_noise_currents(
+        engine, probe, jnp.zeros((N,), engine.dtype))
+    if not (0 <= src_idx < len(pairs)):
+        raise ValueError(f"src_idx {src_idx} outside the generator "
+                         f"catalog (nS={len(pairs)})")
+    c = np.zeros(N)
+    c[out_eq] = 1.0
+    if ref_eq >= 0:
+        c[ref_eq] -= 1.0
+    lane = make_pac_batched_fn(engine, f0, K, [float(delta)],
+                               adjoint_rhs=c)
+    Psi = _run_lptv_lane_batched(engine, lane, bparams, xs_pss_b,
+                                 "CSIM_PNOISE_LANE_BLOCK")[:, 0]
+    # NOTE: make_pac_batched_fn returns the adjoint solve of J^H psi
+    # WITHOUT conjugation baked in; |g| quantities below are conj-safe
+    psi_e = np.concatenate(
+        [Psi, np.zeros(Psi.shape[:2] + (1,), complex)], axis=-1)
+    p0 = np.asarray(pairs)[:, 0]
+    p1 = np.asarray(pairs)[:, 1]
+    g = psi_e[..., p0] - psi_e[..., p1]                  # (B, K, nS)
+
+    def lane_s(p, X):
+        per = jax.vmap(
+            lambda x: _device_noise_currents(engine, p, x)[1:3])(X)
+        return per
+
+    S_w, S_f = jax.jit(jax.vmap(lane_s))(bparams, xs_pss_b)
+    s_t = np.asarray(S_w, float) + np.asarray(S_f, float) / float(delta)
+    onoise = np.mean(np.abs(g) ** 2 * s_t, axis=1).sum(axis=-1)  # (B,)
+    coeff = np.fft.fft(g[:, :, src_idx], axis=1) / K     # (B, K)
+    s_src = s_t[:, :, src_idx].mean(axis=1)              # (B,)
+    sig = sum(np.abs(coeff[:, m % K]) ** 2 for m in sidebands) * s_src
+    if np.any(sig <= 0.0):
+        raise ValueError("the reference generator contributes nothing "
+                         "through the requested sideband(s) on some "
+                         "lane")
+    return 10.0 * np.log10(onoise / sig), onoise, sig
+
+
 def mixer_noise_figure(engine: Engine, params, f0: float, xs_pss,
                        delta: float, out_eq: int, src_idx: int,
                        sidebands=(1,), ref_eq: int = -1):

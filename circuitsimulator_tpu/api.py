@@ -1260,6 +1260,59 @@ class Simulator:
                                          ref_eq=ref_eq)
         return nf_db
 
+    def monte_carlo_mixer_noise_figure(self, n: int,
+                                       source_resistor: str, delta: float,
+                                       out_node: str,
+                                       ref_node: Optional[str] = None,
+                                       sidebands=(1,), seed: int = 0,
+                                       sampler: str = "mc",
+                                       f0: Optional[float] = None,
+                                       n_harm: Optional[int] = None,
+                                       **hb_kw):
+        """Monte-Carlo conversion noise figure: n perturbed lanes'
+        folded-pnoise NF at IF=delta from one batched adjoint LPTV solve
+        around per-lane batched-HB steady states (analysis/pac.py
+        mixer_noise_figure_batched).  Returns (bparams, nf_db (n,)) —
+        NF yield in two dispatches."""
+        from .analysis.hb import harmonic_balance_batched
+        from .analysis.pac import mixer_noise_figure_batched
+        from .netlist.circuit import KIND_R
+        from .parallel.montecarlo import perturb_params_netlist
+        if not self.lowered.mc_tols:
+            raise ValueError("no DEV=/LOT= tolerances in the netlist")
+        hb = self.config.hb
+        f0 = f0 if f0 is not None else (hb.f0 if hb.enabled else None)
+        if not f0 or f0 <= 0:
+            raise ValueError("monte_carlo_mixer_noise_figure needs f0 "
+                             "(or a .hb card)")
+        n_harm = n_harm if n_harm is not None else (hb.n_harm or 8)
+        ridx, j = None, 0
+        for e in self.circuit.elements:
+            if e.kind == KIND_R:
+                if e.name.upper() == source_resistor.upper():
+                    ridx = j
+                    break
+                j += 1
+        if ridx is None:
+            raise KeyError(f"no resistor named {source_resistor!r}")
+
+        def node_eq(name):
+            nid = self.circuit.node_name_to_id.get(name)
+            if nid is None:
+                raise KeyError(f"unknown node {name!r}")
+            return self.circuit.nodes[nid].eq_index
+
+        out_eq = node_eq(out_node)
+        ref_eq = node_eq(ref_node) if ref_node else -1
+        bp = perturb_params_netlist(self.params, jax.random.key(seed), n,
+                                    self.lowered.mc_tols, sampler=sampler)
+        pss = harmonic_balance_batched(self.engine, bp, f0,
+                                       n_harm=n_harm, **hb_kw)
+        nf_db, _, _ = mixer_noise_figure_batched(
+            self.engine, bp, f0, pss.xs, delta, out_eq, ridx,
+            sidebands=sidebands, ref_eq=ref_eq)
+        return bp, nf_db
+
     def sparams(self, ports, freqs=None, params: Optional[Any] = None,
                 x_op: Optional[Any] = None):
         """N-port S-parameters (analysis/sparams.py) of the circuit
