@@ -11,6 +11,7 @@ precision, and analyses.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -208,6 +209,20 @@ def main(argv=None) -> int:
         pass  # leave the environment's TPU platform in place
     if not args.f32:
         jax.config.update("jax_enable_x64", True)
+    # Persistent compilation cache: the reference runs buffer.sp end-to-end
+    # in 24 ms (main.cpp:15-112); a cold jitted CLI run is compile-dominated
+    # (tens of seconds).  Caching compiled executables across invocations
+    # cuts warm runs to trace+load time.  CSIM_CACHE=0 disables;
+    # bench.py shares the same default dir.
+    cache_dir = os.environ.get("CSIM_CACHE", "/tmp/jax_bench_cache")
+    if cache_dir and cache_dir != "0":
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              0.2)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        except Exception:  # noqa: BLE001 — older jax without the knobs
+            pass
 
     from .api import Simulator
     from .utils.options import DEFAULT_OPTIONS
