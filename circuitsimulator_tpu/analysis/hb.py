@@ -356,6 +356,15 @@ def _hb_freq_precond(engine: Engine, params, omegas, aux, trig):
         A_t = aux
         Cbar = _reactive_structure(engine, params)
     Abar = jnp.mean(A_t, axis=0)
+    # Singularity guard: a node with no DC conduction path (purely
+    # capacitive, gmin=0) makes the DC block M_0 = Abar exactly
+    # singular, and an inf/NaN apply_M would silently stall GMRES where
+    # the dense path (regularized by kron(D, C)) converges.  A tiny
+    # norm-scaled diagonal shift keeps the preconditioner finite; M is
+    # only a preconditioner, so the shift costs iterations at worst,
+    # never correctness.
+    shift = jnp.asarray(1e-9, dtype) * (1.0 + jnp.max(jnp.abs(Abar)))
+    Abar = Abar + shift * jnp.eye(N, dtype=dtype)
     lu0 = jsl.lu_factor(Abar)
     P = omegas.shape[0]
     kw = jnp.asarray(omegas, dtype)[:, None, None]
@@ -480,7 +489,8 @@ def harmonic_balance(engine: Engine, params, f0: float,
                          "(expected 'dense' or 'gmres')")
 
     res_norm = jnp.inf
-    prev = np.inf
+    best = np.inf
+    stall = 0
     iters = 0
     for i in range(max_newton):
         X_new, res_norm = newton(X)
@@ -491,12 +501,19 @@ def harmonic_balance(engine: Engine, params, f0: float,
         if float(res_norm) < tol:
             break
         # floating-point floor: once an already-small residual stops
-        # improving at all, further Newton steps only burn (KN)-sized
-        # solves (the prev < 1e-3 guard keeps transient humps of a
-        # far-from-converged path from breaking early)
-        if i >= 2 and float(res_norm) >= prev and prev < 1e-3:
-            break
-        prev = float(res_norm)
+        # improving against the best seen for TWO consecutive
+        # iterations, further Newton steps only burn (KN)-sized solves.
+        # (best < 1e-3 keeps transient humps of a far-from-converged
+        # path from breaking early; the two-strike rule keeps a single
+        # non-monotone hump between tol and 1e-3 from stopping a run
+        # the old loop would have finished)
+        if i >= 2 and float(res_norm) >= best and best < 1e-3:
+            stall += 1
+            if stall >= 2:
+                break
+        else:
+            stall = 0
+        best = min(best, float(res_norm))
 
     @jax.jit
     def _final_res(X):

@@ -390,7 +390,8 @@ def harmonic_balance_multi(engine: Engine, params,
                          "(expected 'dense' or 'gmres')")
 
     res_norm = jnp.inf
-    prev = np.inf
+    best = np.inf
+    stall = 0
     iters = 0
     for i in range(max_newton):
         X_new, res_norm = newton(X)
@@ -400,10 +401,15 @@ def harmonic_balance_multi(engine: Engine, params,
         X = X_new
         if float(res_norm) < tol:
             break
-        # floating-point floor (see analysis/hb.py)
-        if i >= 2 and float(res_norm) >= prev and prev < 1e-3:
-            break
-        prev = float(res_norm)
+        # floating-point floor, two-strike vs best-so-far (see
+        # analysis/hb.py)
+        if i >= 2 and float(res_norm) >= best and best < 1e-3:
+            stall += 1
+            if stall >= 2:
+                break
+        else:
+            stall = 0
+        best = min(best, float(res_norm))
 
     @jax.jit
     def _final_res(X):

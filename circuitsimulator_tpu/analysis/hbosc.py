@@ -627,7 +627,19 @@ def make_hbosc_pnoise_batched_fn(engine: Engine, n_harm: int,
         J = jacobian_p(aux, f0, p)
         dr = jax.jvp(lambda f: residual_p(X, f, p),
                      (f0,), (jnp.ones((), dtype),))[1].reshape(-1)
-        eps = 1e-9 * jnp.linalg.norm(J) / n
+        # Regularization scaled to the dtype's resolution: a fixed 1e-9
+        # relative shift is below f32 rounding (eps_mach ~ 1.2e-7), so
+        # an f32 engine's LU of the near-singular J^T would be noise-
+        # dominated; under f32 use 1e-5 (~84x eps_mach — well-posed,
+        # and the inverse-iteration convergence ratio scales with eps:
+        # measured on the VDP deck, 1e-5 lands the f64 diffusion
+        # constant to 2e-5 rel in the default 4 iterations where
+        # sqrt(eps_mach)=3.4e-4 needed 16+).  f64 keeps the proven
+        # 1e-9 — the regularization bias on the PPV normalization grows
+        # with eps, and the f64 host-SVD parity test holds 1e-8 there.
+        eps_mach = float(jnp.finfo(dtype).eps)
+        eps_rel = 1e-9 if eps_mach < 1e-10 else 1e-5
+        eps = eps_rel * jnp.linalg.norm(J) / n
         JT = J.T + eps * jnp.eye(n, dtype=dtype)
         lu_piv = jax.scipy.linalg.lu_factor(JT)
         v = dr / jnp.linalg.norm(dr)

@@ -382,6 +382,9 @@ class PNoiseBatchResult:
     deltas: np.ndarray        # (F,)
     onoise: np.ndarray        # (B, F) output noise PSD per lane, V^2/Hz
     by_kind: dict             # device-kind -> (B, F) PSD contribution
+    converged: Any = None     # (B,) bool — the upstream HB lanes; lanes
+    #                           False here rode an unconverged steady
+    #                           state and their PSDs are untrustworthy
 
 
 def make_pnoise_batched_fn(engine: Engine, f0: float, K: int,
@@ -452,6 +455,7 @@ class PACBatchResult:
     harmonics: np.ndarray     # (M,)
     spectrum: np.ndarray      # (B, F, M, N) complex envelope coefficients
     xs_pss: Any               # (B, K, N)
+    converged: Any = None     # (B,) bool — upstream HB lane flags
 
 
 def make_pac_batched_fn(engine: Engine, f0: float, K: int, deltas,
@@ -567,6 +571,7 @@ class PXFBatchResult:
     xf_i: np.ndarray          # (B, F, M, nI)
     v_names: Any = None
     i_names: Any = None
+    converged: Any = None     # (B,) bool — upstream HB lane flags
 
 
 def pxf_batched(engine: Engine, bparams, f0: float, xs_pss_b, deltas,
@@ -693,11 +698,20 @@ def mixer_noise_figure_batched(engine: Engine, bparams, f0: float,
     coeff = np.fft.fft(g[:, :, src_idx], axis=1) / K     # (B, K)
     s_src = s_t[:, :, src_idx].mean(axis=1)              # (B,)
     sig = sum(np.abs(coeff[:, m % K]) ** 2 for m in sidebands) * s_src
-    if np.any(sig <= 0.0):
-        raise ValueError("the reference generator contributes nothing "
-                         "through the requested sideband(s) on some "
-                         "lane")
-    return 10.0 * np.log10(onoise / sig), onoise, sig
+    bad = sig <= 0.0
+    if np.any(bad):
+        # a degenerate Monte-Carlo lane (reference generator dead
+        # through the requested sidebands) must not abort the whole
+        # batch — NaN-mask it and keep the other lanes' results
+        import warnings
+        warnings.warn(
+            f"{int(bad.sum())}/{bad.size} lane(s): the reference "
+            f"generator contributes nothing through the requested "
+            f"sideband(s); their NF is NaN", stacklevel=2)
+        sig = np.where(bad, np.nan, sig)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        nf_db = 10.0 * np.log10(onoise / sig)
+    return nf_db, onoise, sig
 
 
 def mixer_noise_figure(engine: Engine, params, f0: float, xs_pss,

@@ -19,6 +19,7 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .analysis.dc import dc_operating_point
 from .analysis.transient import run_transient, TransientResult
@@ -1311,6 +1312,9 @@ class Simulator:
         nf_db, _, _ = mixer_noise_figure_batched(
             self.engine, bp, f0, pss.xs, delta, out_eq, ridx,
             sidebands=sidebands, ref_eq=ref_eq)
+        conv = np.asarray(pss.converged)
+        self._warn_unconverged_lanes(conv, "monte_carlo_mixer_noise_figure")
+        nf_db = np.where(conv, nf_db, np.nan)
         return bp, nf_db
 
     def sparams(self, ports, freqs=None, params: Optional[Any] = None,
@@ -1635,8 +1639,11 @@ class Simulator:
                                     self.lowered.mc_tols, sampler=sampler)
         pss = harmonic_balance_batched(self.engine, bp, f0,
                                        n_harm=n_harm, **hb_kw)
-        return bp, pnoise_batched(self.engine, bp, f0, pss.xs, deltas,
-                                  out_eq, ref_eq)
+        res = pnoise_batched(self.engine, bp, f0, pss.xs, deltas,
+                             out_eq, ref_eq)
+        res.converged = np.asarray(pss.converged)
+        self._warn_unconverged_lanes(res.converged, "monte_carlo_pnoise")
+        return bp, res
 
     def monte_carlo_pac(self, n: int, deltas, seed: int = 0,
                         sampler: str = "mc", f0: Optional[float] = None,
@@ -1660,8 +1667,11 @@ class Simulator:
                                     self.lowered.mc_tols, sampler=sampler)
         pss = harmonic_balance_batched(self.engine, bp, f0,
                                        n_harm=n_harm, **hb_kw)
-        return bp, pac_batched(self.engine, bp, f0, pss.xs, deltas,
-                               n_sidebands=n_sidebands)
+        res = pac_batched(self.engine, bp, f0, pss.xs, deltas,
+                          n_sidebands=n_sidebands)
+        res.converged = np.asarray(pss.converged)
+        self._warn_unconverged_lanes(res.converged, "monte_carlo_pac")
+        return bp, res
 
     def monte_carlo_pxf(self, n: int, deltas, out_node: str,
                         ref_node: Optional[str] = None, seed: int = 0,
@@ -1704,7 +1714,22 @@ class Simulator:
                             if e.kind == KIND_V)
         res.i_names = tuple(e.name for e in self.circuit.elements
                             if e.kind == KIND_I)
+        res.converged = np.asarray(pss.converged)
+        self._warn_unconverged_lanes(res.converged, "monte_carlo_pxf")
         return bp, res
+
+    @staticmethod
+    def _warn_unconverged_lanes(converged, what: str):
+        """Batched-HB lanes that did not converge feed every downstream
+        LPTV stage a wrong steady state — surface them loudly instead of
+        silently returning plausible-looking per-lane numbers."""
+        import warnings
+        bad = int(np.size(converged) - np.count_nonzero(converged))
+        if bad:
+            warnings.warn(
+                f"{what}: {bad}/{np.size(converged)} HB lane(s) did not "
+                f"converge; mask those lanes via the result's .converged "
+                f"field before trusting their numbers", stacklevel=3)
 
     def monte_carlo(self, n: int, seed: int = 0,
                     params: Optional[Any] = None,

@@ -65,3 +65,37 @@ def test_monte_carlo_oscillator_phase_noise():
     assert res.L_dbc.shape == (8, 1)
     # R is the only noisy device class in this deck
     assert set(res.kinds) == {"R"}
+
+
+def test_batched_ppv_f32_sane():
+    """f32-mode sanity (ADVICE r4): the inverse-iteration PPV eps is now
+    scaled by sqrt(machine-eps) of the ENGINE dtype, so an f32 engine's
+    near-singular J^T factorization must not be rounding-dominated — the
+    diffusion constant has to land within f32-resolution distance of the
+    f64 host-SVD answer."""
+    from circuitsimulator_tpu import DEFAULT_OPTIONS
+    from circuitsimulator_tpu.analysis.hbosc import (
+        oscillator_hb_batched, oscillator_phase_noise_hb_batched)
+    ref = Simulator.from_text(VDP)
+    pn64 = ref.oscillator_phase_noise_hb([1e3, 1e5], f0_guess=5e6,
+                                         anchor_node="a", n_harm=9)
+    sim = Simulator.from_text(
+        VDP, opts=DEFAULT_OPTIONS.replace(dtype=jnp.float32,
+                                          dc_tol=1e-5, tran_tol=1e-5))
+    bp = jax.tree.map(lambda x: jnp.stack([x, x]), sim.params)
+    bres = oscillator_hb_batched(sim.engine, bp, 5e6,
+                                 node_eq(sim, "a"), n_harm=9)
+    assert bool(bres.converged.all()), np.asarray(bres.residual)
+    np.testing.assert_allclose(np.asarray(bres.f0, np.float64),
+                               pn64.f0, rtol=2e-5)
+    bres = oscillator_phase_noise_hb_batched(sim.engine, bp, bres,
+                                             [1e3, 1e5])
+    # c is a squared PPV projection: f32 arithmetic + the sqrt(eps_mach)
+    # regularization leave a few % of headroom, far tighter than the
+    # order-of-magnitude scale phase-noise numbers live on
+    np.testing.assert_allclose(np.asarray(bres.c, np.float64),
+                               pn64.c, rtol=0.05)
+    for lane in range(2):
+        np.testing.assert_allclose(
+            np.asarray(bres.L_dbc[lane], np.float64), pn64.L_dbc,
+            atol=0.5)   # dBc/Hz
