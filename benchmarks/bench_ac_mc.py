@@ -51,6 +51,11 @@ def main():
     sim = Simulator.from_file(os.path.join(REPO, "tests/netlists/dbmixer.sp"))
     bp = perturb_params(sim.params, jax.random.key(11), B,
                         {"res_r": 0.01, "mos_vth": 0.02, "cap_c": 0.02})
+    # dbmixer carries no AC spec — drive source 0 so the sweep solves a
+    # non-trivial RHS (the elimination cost is RHS-independent, but the
+    # result should be a real transfer function, not zeros)
+    bp = dict(bp)
+    bp["vs_ac_mag"] = bp["vs_ac_mag"].at[:, 0].set(1.0)
     t0 = time.time()
     x_ops = batched_dc_fast(sim.engine, bp)
     jax.block_until_ready(x_ops)
@@ -81,6 +86,7 @@ def main():
         "value": round(rate, 1),
         "unit": f"complex {sim.engine.N}x{sim.engine.N} MNA solves/s/chip "
                 f"(B={B}, F={F})",
+        "fused": os.environ.get("CSIM_AC_FUSED", "1") != "0",
         "dc_init_s": round(dc_s, 2),
         "compile_s": round(compile_s, 2),
         "warm_s": round(warm_s, 4),

@@ -228,6 +228,31 @@ def make_ac_batched_fn(engine: Engine, freqs):
     import os as _os
     freqs = jnp.asarray(freqs, engine.dtype)
     F = int(freqs.shape[0])
+
+    # Fused Pallas sweep (ops/pallas_ac.py): per-lane G/B1 assembled once,
+    # every (lane, freq) complex NxN system formed and eliminated in VMEM.
+    # Eligibility mirrors the T-line-free linear-in-omega hoist below; the
+    # f32 + TPU gate matches ops/lu._solve_batched_dispatch.  Measured 26x
+    # the XLA path at B=4096 x F=64 on v5e (benchmarks/bench_ac_mc.py).
+    from ..ops.pallas_ac import N_MAX as _AC_NMAX
+    use_fused = (_os.environ.get("CSIM_AC_FUSED", "1") != "0"
+                 and jax.default_backend() == "tpu"
+                 and engine.dtype == jnp.float32
+                 and not engine.n_tl
+                 and 0 < engine.N <= _AC_NMAX)
+    if use_fused:
+        from ..ops.pallas_ac import ac_sweep_pallas
+
+        def fused(bp, x_ops):
+            one = jnp.asarray(1.0, engine.dtype)
+            G, B1, br, bi = jax.vmap(
+                lambda p, x: ac_system_real(engine, p, x, one))(bp, x_ops)
+            om = 2.0 * jnp.pi * freqs
+            return ac_sweep_pallas(G, B1, br, bi, om,
+                                   engine.opts.lu_pivot_floor)
+
+        return jax.jit(fused)
+
     blk = min(int(_os.environ.get("CSIM_AC_FREQ_BLOCK", 8)), F)
     while F % blk:
         blk -= 1

@@ -324,18 +324,20 @@ def pnoise(engine: Engine, params, f0: float, xs_pss, deltas,
 
 
 def make_lptv_blocks_fn(engine: Engine, f0: float, K: int):
-    """Traced (J0, CI) builder for the batched LPTV analyses — the same
-    math as lptv_operator above but jit/vmap-able (one lane at a time):
-    J(delta) = J0 + j*2*pi*delta*CI on the K uniform PSS samples.
+    """Traced (J0, CI, tl) builder for the batched LPTV analyses — the
+    same math as lptv_operator above but jit/vmap-able (one lane at a
+    time): J(delta) = J0 + j*2*pi*delta*CI
+    [+ sum_i e^{-j*2*pi*delta*tau_i} B_i] on the K uniform PSS samples.
     Shared by psp.make_psp_batched_fn (forward solves) and
-    make_pnoise_batched_fn (adjoint solves).  No transmission lines on
-    this path: their offset-dependent phase blocks densify per delta
-    (the host paths cover them)."""
+    make_pnoise_batched_fn (adjoint solves).
+
+    tl is None without transmission lines; otherwise (taus (n_tl,),
+    Bb (n_tl, KN, KN)) — the REAL delayed-coupling blocks (hb._tl_hb_terms
+    band-limited shift operators under the Branin branch rows, exactly
+    the host lptv_operator construction but traced so tl_td/tl_z0 ride
+    the Monte-Carlo lane axis).  Consumers fold the offset-dependent
+    phase into the real 2KN block system per delta (see _tl_real_blocks)."""
     from .hb import _reactive_structure, spectral_diff_matrix
-    if engine.n_tl:
-        raise NotImplementedError(
-            "batched LPTV analyses do not support transmission lines "
-            "(offset-phased delay blocks); use the host path")
     N = engine.N
     dtype = engine.dtype
     T = 1.0 / f0
@@ -348,6 +350,33 @@ def make_lptv_blocks_fn(engine: Engine, f0: float, K: int):
         rows, cols, svals = engine.dc_static_entries(params)
         A_res = jnp.zeros((N + 1, N + 1), dtype)
         A_res = A_res.at[rows, cols].add(svals)
+        tl = None
+        if engine.n_tl:
+            from .hb import _tl_hb_terms
+            cr, cc, cv, S = _tl_hb_terms(engine, params, ts,
+                                         (K - 1) // 2, f0)
+            # corr patch: cancel the DC-degenerate tl stamps baked into
+            # dc_static_entries, stamp the own-port Branin rows
+            A_res = A_res.at[cr, cc].add(cv)
+            t = engine.topo
+            z0 = params["tl_z0"]
+            Bb = jnp.zeros((engine.n_tl, K, N, K, N), dtype)
+            for i in range(engine.n_tl):
+                for row, cols3 in (
+                        (int(t.tl_k1[i]),
+                         (int(t.tl_ep2[i]), int(t.tl_em2[i]),
+                          int(t.tl_k2[i]))),
+                        (int(t.tl_k2[i]),
+                         (int(t.tl_ep1[i]), int(t.tl_em1[i]),
+                          int(t.tl_k1[i])))):
+                    for c, coef in zip(cols3, (-1.0, 1.0, None)):
+                        if c >= N:        # grounded port node
+                            continue
+                        cf = (-z0[i] if coef is None
+                              else jnp.asarray(coef, dtype))
+                        Bb = Bb.at[i, :, row, :, c].add(cf * S[i])
+            tl = (params["tl_td"],
+                  Bb.reshape(engine.n_tl, K * N, K * N))
 
         def a_t(x_t, t_t):
             gvals, _ = engine._nl_vals(params, x_t, t_t)
