@@ -88,13 +88,19 @@ class OscPhaseNoiseResult:
     lambda2: Any       # second-largest |Floquet multiplier| (<1 = stable)
 
 
-def _step_with_injection(engine: Engine, params, dt, n_newton: int = 4):
+def _step_with_injection(engine: Engine, params, dt, n_newton: int = 4,
+                         dmax: int = 0):
     """One solve step s -> F(s, t, inj) mirroring transient_step_fn's LU
     branch (analysis/transient.py:157-227) with an extra current vector
     `inj` (length N, +into the equation) added to the Newton RHS — the
     hook device noise enters through.  Newton is unrolled (alpha = 1, no
     clamp) so the map is jax-differentiable; seeded from the previous
-    orbit point it converges far past the shooting tolerance."""
+    orbit point it converges far past the shooting tolerance.
+
+    T-line decks pass dmax = engine.tl_ticks(dt).max(): the delay-ring
+    contents ride the shooting vector (sstate._split) and the step
+    advances them like the transient does — the map is then the full
+    discretized-DDE state map."""
     opts = engine.opts
     N = engine.N
     method = opts.tran_method
@@ -103,7 +109,7 @@ def _step_with_injection(engine: Engine, params, dt, n_newton: int = 4):
     G_static = engine.tran_static_G(params, dt, opts.tran_gmin, method)
 
     def step(s, t, inj):
-        x, state = _split(engine, s, params=params)
+        x, state = _split(engine, s, dmax, params=params)
         I_s = static_I(params, state, t)
         if getattr(engine, "mos_charge", False):
             inv_dt = 1.0 / dt
@@ -332,19 +338,18 @@ def pss_floquet(engine: Engine, params, ss,
     f0 = float(f0 if f0 is not None else ss.f0)
     if not f0 or f0 <= 0:
         raise ValueError("pss_floquet needs the drive f0")
-    if getattr(engine, "n_tl", 0):
-        raise NotImplementedError(
-            "pss_floquet does not support transmission-line decks yet: "
-            "the monodromy re-propagation drops the T-line delay ring "
-            "(the state is infinite-dimensional — a DDE needs a "
-            "discretized-ring monodromy). Use hbosc Floquet-free checks "
-            "or remove the T-lines.")
     engine = osc_engine(engine)
     dtype = engine.dtype
     T = 1.0 / f0
     K = int(np.asarray(ss.times).shape[0]) - 1
     dt = jnp.asarray(T / K, dtype)
-    step = _step_with_injection(engine, params, dt, n_newton=n_newton)
+    # T-line decks: the delay ring is part of the discretized-DDE state —
+    # its slots ride the shooting vector and the monodromy (r5; the ring
+    # rows give the line's wave-storage Floquet modes, |lambda| set by
+    # the port reflection coefficients)
+    dmax = int(engine.tl_ticks(dt).max()) if engine.n_tl else 0
+    step = _step_with_injection(engine, params, dt, n_newton=n_newton,
+                                dmax=dmax)
     ts = jnp.arange(1, K + 1, dtype=dtype) * dt
     zero_inj = jnp.zeros((engine.N,), dtype)
 
@@ -357,7 +362,7 @@ def pss_floquet(engine: Engine, params, ss,
     ss_all = jnp.concatenate([s0[None], s_steps])
     n_full = ss_all.shape[-1]
 
-    dyn = np.nonzero(_dyn_mask(engine, params))[0]
+    dyn = np.nonzero(_dyn_mask(engine, params, dmax))[0]
     n_s = len(dyn)
     closure = float(jnp.linalg.norm(ss_all[K, dyn] - ss_all[0, dyn]))
 

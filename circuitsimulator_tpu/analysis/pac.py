@@ -400,7 +400,7 @@ def make_lptv_blocks_fn(engine: Engine, f0: float, K: int):
             J0 = J0.at[kk, :, kk, :].add(G_t)
             J0 = J0.reshape(K * N, K * N)
             CI = jnp.kron(jnp.eye(K, dtype=dtype), C)         # (KN, KN)
-        return J0, CI
+        return J0, CI, tl
 
     return blocks
 
@@ -449,7 +449,7 @@ def make_pnoise_batched_fn(engine: Engine, f0: float, K: int,
     ds = jnp.asarray(np.asarray(deltas, float), dtype)
 
     def lane(params, xs_pss):
-        J0, CI = blocks(params, xs_pss)
+        J0, CI, tl = blocks(params, xs_pss)
         J0t, CIt = J0.T, CI.T
         per = jax.vmap(
             lambda x: _device_noise_currents(engine, params, x)[1:3])(
@@ -458,9 +458,17 @@ def make_pnoise_batched_fn(engine: Engine, f0: float, K: int,
 
         def at_delta(d):
             w = 2.0 * jnp.pi * d
+            # adjoint J(d)^H = J0^T - jw CI^T [+ sum e^{+j w tau} B^T]
+            Mr, Mi = J0t, -w * CIt
+            if tl is not None:
+                taus, Bb = tl
+                th = w * taus
+                Bt = jnp.swapaxes(Bb, -1, -2)
+                Mr = Mr + jnp.tensordot(jnp.cos(th), Bt, axes=1)
+                Mi = Mi + jnp.tensordot(jnp.sin(th), Bt, axes=1)
             A2 = jnp.concatenate([
-                jnp.concatenate([J0t, w * CIt], axis=1),
-                jnp.concatenate([-w * CIt, J0t], axis=1)], axis=0)
+                jnp.concatenate([Mr, -Mi], axis=1),
+                jnp.concatenate([Mi, Mr], axis=1)], axis=0)
             psi = jnp.linalg.solve(A2, rhs2)
             pr = psi[:K * N].reshape(K, N)
             pi = psi[K * N:].reshape(K, N)
@@ -507,7 +515,7 @@ def make_pac_batched_fn(engine: Engine, f0: float, K: int, deltas,
             np.concatenate([np.tile(c, K), np.zeros(K * N)]), dtype)
 
     def lane(params, xs_pss):
-        J0, CI = blocks(params, xs_pss)
+        J0, CI, tl = blocks(params, xs_pss)
         if adjoint:
             J0u, CIu = J0.T, CI.T
             rhs2 = rhs2_c
@@ -531,12 +539,21 @@ def make_pac_batched_fn(engine: Engine, f0: float, K: int, deltas,
 
         def at_delta(d):
             w = 2.0 * jnp.pi * d
-            # forward: J = J0 + jw CI; adjoint: J^H = J0^T - jw CI^T,
-            # same real block shape with the sign folded into s
+            # forward: J = J0 + jw CI [+ sum e^{-j w tau} B];
+            # adjoint: J^H = J0^T - jw CI^T [+ sum e^{+j w tau} B^T] —
+            # same real block shape with the signs folded into (s, sgn)
             s = -w if adjoint else w
+            Mr, Mi = J0u, s * CIu
+            if tl is not None:
+                taus, Bb = tl
+                th = w * taus
+                Bu = jnp.swapaxes(Bb, -1, -2) if adjoint else Bb
+                sgn = 1.0 if adjoint else -1.0
+                Mr = Mr + jnp.tensordot(jnp.cos(th), Bu, axes=1)
+                Mi = Mi + sgn * jnp.tensordot(jnp.sin(th), Bu, axes=1)
             A2 = jnp.concatenate([
-                jnp.concatenate([J0u, -s * CIu], axis=1),
-                jnp.concatenate([s * CIu, J0u], axis=1)], axis=0)
+                jnp.concatenate([Mr, -Mi], axis=1),
+                jnp.concatenate([Mi, Mr], axis=1)], axis=0)
             Y = jnp.linalg.solve(A2, rhs2)
             return jnp.stack([Y[:K * N].reshape(K, N),
                               Y[K * N:].reshape(K, N)], axis=-1)

@@ -194,8 +194,10 @@ def make_psp_batched_fn(engine: Engine, f0: float, K: int,
     envelope come back to the host (K·n·P complex numbers per offset);
     the FFT/bilinear-map finalization there is O(P³) on tiny matrices.
 
-    No transmission lines on this path: their offset-dependent phase
-    blocks e^{−j2πδτ}·B would densify per delta (host path covers them).
+    Transmission lines ride the same real 2KN block system: the traced
+    delay blocks from pac.make_lptv_blocks_fn enter as
+    cos(wτ)·B / −sin(wτ)·B in the real/imag parts per delta (r5 —
+    previously a NotImplementedError routed T-line decks to the host).
     """
     N = engine.N
     n = len(port_eqs)
@@ -204,7 +206,7 @@ def make_psp_batched_fn(engine: Engine, f0: float, K: int,
     P = n * nh
     dtype = engine.dtype
     from .pac import make_lptv_blocks_fn
-    blocks = make_lptv_blocks_fn(engine, f0, K)   # raises on T-lines
+    blocks = make_lptv_blocks_fn(engine, f0, K)
     kk = np.arange(K)
 
     # unit port-current incidence (n, N) and port read-out projection
@@ -229,12 +231,19 @@ def make_psp_batched_fn(engine: Engine, f0: float, K: int,
     def lane(params, xs_pss):
         # conduction/reactive LPTV blocks, shared with the batched
         # pnoise path (pac.make_lptv_blocks_fn)
-        J0, CI = blocks(params, xs_pss)
+        J0, CI, tl = blocks(params, xs_pss)
 
         def at_delta(w):
+            # forward J = J0 + jw CI [+ sum e^{-j w tau} B]
+            Mr, Mi = J0, w * CI
+            if tl is not None:
+                taus, Bb = tl
+                th = w * taus
+                Mr = Mr + jnp.tensordot(jnp.cos(th), Bb, axes=1)
+                Mi = Mi - jnp.tensordot(jnp.sin(th), Bb, axes=1)
             A2 = jnp.concatenate([
-                jnp.concatenate([J0, -w * CI], axis=1),
-                jnp.concatenate([w * CI, J0], axis=1)], axis=0)
+                jnp.concatenate([Mr, -Mi], axis=1),
+                jnp.concatenate([Mi, Mr], axis=1)], axis=0)
             B2 = jnp.concatenate([Ur, Ui], axis=0)            # (2KN, P)
             Y = jnp.linalg.solve(A2, B2)
             Yr = Y[:K * N].reshape(K, N, P)
