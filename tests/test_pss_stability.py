@@ -101,10 +101,12 @@ C1 a 0 1e-10
     assert "needs the shooting method" in capsys.readouterr().err
 
 
-def test_tline_deck_raises_cleanly():
-    """T-line decks carry a delay ring the monodromy re-propagation
-    would silently drop (DDE state) — must refuse with a clear message,
-    not crash with a scan carry-shape mismatch."""
+def test_tline_deck_runs():
+    """T-line decks used to refuse (the monodromy dropped the delay
+    ring); since r5 the ring rides the shooting vector and the map is
+    the full discretized-DDE state map (deeper anchors in
+    tests/test_floquet_tline.py).  A matched 50-ohm line is absorbing:
+    stable, with every multiplier far inside the unit circle."""
     sim = Simulator.from_text(f"""* driven line
 V1 in 0 SIN 0 1 {F0}
 R1 in a 50
@@ -113,8 +115,10 @@ Rb b 0 50
 .hb {F0} 3
 """)
     ss = sim.steady_state(steps_per_period=64)
-    with pytest.raises(NotImplementedError, match="[Tt]ransmission"):
-        sim.pss_stability(ss=ss)
+    fl = sim.pss_stability(ss=ss)
+    assert fl.stable
+    assert fl.lambda_max < 0.5
+    assert fl.closure < 1e-6
 
 
 def test_missing_vector_raises():
