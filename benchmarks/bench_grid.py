@@ -43,6 +43,8 @@ def main():
         rc_grid_netlist(rows, cols, rail=bool(os.environ.get("GRID_RAIL")),
                         diode_every=int(os.environ.get("GRID_DIODE_EVERY",
                                                        10)),
+                        mos_every=int(os.environ.get("GRID_MOS_EVERY", 0)),
+                        moscap_charge=bool(os.environ.get("GRID_MOSCAP")),
                         tstep=tstep, tstop=steps * tstep), opts=opts)
     assert sim.opts.tran_solver in ("blockband", "blockwb"), \
         "block-banded backend not selected"

@@ -102,12 +102,16 @@ def main():
     sim = Simulator.from_text(RECT)
     out["rectifier"] = bench_deck(jax, sim, 1e6, 7, B, "rectifier")
 
-    # B=64 at KN=527 has hit "UNAVAILABLE: TPU device error" on the axon
-    # tunnel (also when another process shares the tunnel) — 32 is solid
-    Bm = int(os.environ.get("BENCH_HB_B_MIXER", 32))
+    # B=64 at KN=527 used to fault the device whole-batch
+    # ("UNAVAILABLE: TPU device error"); the auto working-set chunking
+    # (hb._hb_lane_chunk, r5) now bounds the live set, so the default
+    # sweeps B=32/64/128 — the knob-free eligibility evidence
     simm = Simulator.from_file(
         os.path.join(REPO, "tests/netlists/dbmixer.sp"))
-    out["dbmixer_h8"] = bench_deck(jax, simm, 100e6, 8, Bm, "dbmixer_h8")
+    bm_env = os.environ.get("BENCH_HB_B_MIXER", "32,64,128")
+    for Bm in (int(b) for b in str(bm_env).split(",")):
+        out[f"dbmixer_h8_B{Bm}"] = bench_deck(jax, simm, 100e6, 8, Bm,
+                                              f"dbmixer_h8_B{Bm}")
 
     out["value"] = out["rectifier"]["lanes_per_sec"]
     print(json.dumps(out))

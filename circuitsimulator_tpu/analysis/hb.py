@@ -535,6 +535,36 @@ def harmonic_balance(engine: Engine, params, f0: float,
                     converged=final < max(tol * 100, 1e-6))
 
 
+def _hb_lane_chunk(KN: int, B: int, solver: str, itemsize: int) -> int:
+    """Auto-sized lane chunking for the batched HB factories (r5,
+    VERDICT item 6 — replaces the manual CSIM_HB_LANE_CHUNK workflow).
+
+    The dense path's per-lane working set is dominated by the (KN, KN)
+    Jacobian and the batched LU's workspace copies; a whole-batch
+    dispatch at dbmixer scale (KN=527, f32) faults the axon device at
+    B=64 while B=32 runs — i.e. the tolerable live set is ~200-250 MB
+    with a ~6x LU workspace factor.  The estimate (the
+    pallas_step._vmem_estimate pattern, HBM flavor) picks the largest
+    power-of-two chunk under CSIM_HB_WORKSET_MB (default 256) and
+    chunks only when B exceeds it — small-KN decks (rectifier KN=45 at
+    B=1024) stay unchunked, where measured chunking cost 4.8x
+    throughput.  CSIM_HB_LANE_CHUNK, when set, still overrides (0 =
+    force unchunked); the GMRES path never forms J and is not
+    auto-chunked.  Returns 0 for "no chunking", else the chunk size."""
+    import os as _os
+    env = _os.environ.get("CSIM_HB_LANE_CHUNK")
+    if env is not None:
+        c = int(env)
+        return c if (c and B > c) else 0
+    if solver != "dense" or jax.default_backend() != "tpu":
+        return 0
+    per_lane = 6 * KN * KN * itemsize
+    budget = int(_os.environ.get("CSIM_HB_WORKSET_MB", 256)) * (1 << 20)
+    c = max(1, budget // per_lane)
+    c = 1 << (int(c).bit_length() - 1)
+    return c if B > c else 0
+
+
 def make_hb_batched_fn(engine: Engine, f0: float,
                        n_harm: int = 8,
                        warmup_periods: int = 6,
@@ -621,9 +651,6 @@ def make_hb_batched_fn(engine: Engine, f0: float,
         final = jnp.linalg.norm(residual_p(X, p))
         return X, final
 
-    import os as _os
-    lane_chunk = int(_os.environ.get("CSIM_HB_LANE_CHUNK", "0"))
-
     def batched(bp, x0s):
         # pin full-f32 matmuls: the TPU MXU's default bf16 passes put the
         # dbmixer residual floor ~1e-3 (0/32 lanes "converged"); HIGHEST
@@ -631,7 +658,7 @@ def make_hb_batched_fn(engine: Engine, f0: float,
         # KN^2 solves are not matmul-throughput-bound at these sizes)
         with jax.default_matmul_precision("highest"):
             B = x0s.shape[0]
-            c = lane_chunk if (lane_chunk and B > lane_chunk) else 0
+            c = _hb_lane_chunk(K * N, B, solver, jnp.dtype(dtype).itemsize)
             if not c:
                 return jax.vmap(one_lane)(bp, x0s)
             # CSIM_HB_LANE_CHUNK: big-KN decks fault the axon device at

@@ -452,9 +452,10 @@ def make_hbmulti_batched_fn(engine: Engine, tones, nominal_params,
     STATIC on the nominal SIN frequencies — Monte-Carlo perturbs values,
     never source frequencies), so each lane runs the host solver's
     Newton with the make_hb_batched_fn freeze contract: fixed n_newton
-    iterations, converged/non-finite lanes stop updating.  Honors
-    CSIM_HB_LANE_CHUNK exactly like the single-tone batched factory
-    (big-Kt decks fault the device at large whole-batch working sets)."""
+    iterations, converged/non-finite lanes stop updating.  Lane
+    chunking is auto-sized from the dense working-set estimate
+    (hb._hb_lane_chunk; big-Kt decks fault the device at large
+    whole-batch working sets) — CSIM_HB_LANE_CHUNK still overrides."""
     if solver not in ("dense", "gmres"):
         raise ValueError(f"unknown HB solver {solver!r} "
                          "(expected 'dense' or 'gmres')")
@@ -506,14 +507,13 @@ def make_hbmulti_batched_fn(engine: Engine, tones, nominal_params,
         final = jnp.linalg.norm(residual_p(X, p))
         return X, final
 
-    import os as _os
-    lane_chunk = int(_os.environ.get("CSIM_HB_LANE_CHUNK", "0"))
-
     def batched(bp, x0s):
         # full-f32 matmuls — same MXU bf16 floor as make_hb_batched_fn
         with jax.default_matmul_precision("highest"):
+            from .hb import _hb_lane_chunk
             B = x0s.shape[0]
-            c = lane_chunk if (lane_chunk and B > lane_chunk) else 0
+            c = _hb_lane_chunk(Kt * N, B, solver,
+                               jnp.dtype(dtype).itemsize)
             if not c:
                 return jax.vmap(one_lane)(bp, x0s)
             pad = (-B) % c

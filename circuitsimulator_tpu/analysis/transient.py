@@ -105,11 +105,6 @@ def transient_step_fn(engine: Engine, params, dt, predictor: bool = False,
         # domain decomposition — use the re-eliminating solve it shards
         use_blockwb, use_blockband = False, True
     mos_charge = getattr(engine, "mos_charge", False)
-    if mos_charge and (use_tridiag or use_blockband):
-        raise NotImplementedError(
-            "mos_cap_model='charge' runs on the BE/trap transient with "
-            "the 'woodbury' or 'lu' backend (tridiag/blockband lack the "
-            "injection scatter)")
     inv_dt = 1.0 / dt if mos_charge else None
     # Every nonlinear class rides the rank-k plan now: MOS/JFET/diode/BJT
     # (width-3 rows), switches (width-4), and behavioral B-sources
@@ -125,7 +120,10 @@ def transient_step_fn(engine: Engine, params, dt, predictor: bool = False,
             params, dt, opts.tran_gmin, method)
         static_plan = BandedPlan(n, m, srows, scols)
         nl_plan = BandedPlan(n, m, engine.nl_rows, engine.nl_cols)
-        if not (static_plan.ok and nl_plan.ok):
+        mq_plan = (BandedPlan(n, m, engine.mq_rows, engine.mq_cols)
+                   if mos_charge else None)
+        if not (static_plan.ok and nl_plan.ok
+                and (mq_plan is None or mq_plan.ok)):
             raise ValueError("circuit is not ladder-structured; "
                              "tridiag transient solver not applicable")
         banded_static = static_plan.scatter(svals)
@@ -138,6 +136,9 @@ def transient_step_fn(engine: Engine, params, dt, predictor: bool = False,
             params, dt, opts.tran_gmin, method)
         bb_static_plan = BlockScatter(bb_layout, srows, scols)
         bb_nl_plan = BlockScatter(bb_layout, engine.nl_rows, engine.nl_cols)
+        bb_mq_plan = (BlockScatter(bb_layout, engine.mq_rows,
+                                   engine.mq_cols)
+                      if mos_charge else None)
         bb_static = bb_static_plan.scatter(svals)
         if mesh is not None:
             from ..parallel.spike import bordered_spike_solve
@@ -225,6 +226,16 @@ def transient_step_fn(engine: Engine, params, dt, predictor: bool = False,
                 gvals, rvals = engine._nl_vals(params, c["x"], t)
                 mats = nl_plan.scatter(gvals, base=banded_static)
                 I = I_s.at[..., engine.nl_rhs_rows].add(rvals)
+                if mos_charge:
+                    # charge cap model: the 15 Jacobian + 5 RHS
+                    # injection entries per MOS (mq_* patterns) ride the
+                    # banded plan like the nonlinear conduction does
+                    gq, cq = engine.mosq_linearize(
+                        params, engine.mos_vdgs(c["x"]), *qex)
+                    mats = mq_plan.scatter(
+                        gq.reshape(*gq.shape[:-3], -1), base=mats)
+                    I = I.at[..., engine.mq_rhs_rows].add(
+                        -cq.reshape(*cq.shape[:-2], -1))
                 xn, y = bordered_solve(
                     mats["sub"], mats["diag"], mats["sup"],
                     mats["U"], mats["W"], mats["D"],
@@ -235,6 +246,14 @@ def transient_step_fn(engine: Engine, params, dt, predictor: bool = False,
                 gvals, rvals = engine._nl_vals(params, c["x"], t)
                 mats = bb_nl_plan.scatter(gvals, base=bb_static)
                 I = I_s.at[..., engine.nl_rhs_rows].add(rvals)
+                if mos_charge:
+                    # charge injection scatter (see the tridiag branch)
+                    gq, cq = engine.mosq_linearize(
+                        params, engine.mos_vdgs(c["x"]), *qex)
+                    mats = bb_mq_plan.scatter(
+                        gq.reshape(*gq.shape[:-3], -1), base=mats)
+                    I = I.at[..., engine.mq_rhs_rows].add(
+                        -cq.reshape(*cq.shape[:-2], -1))
                 f, g = bb_layout.gather_rhs(I)
                 xi, y = bordered_block_solve(
                     mats["L"], mats["D"], mats["U"],

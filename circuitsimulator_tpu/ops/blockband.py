@@ -76,21 +76,26 @@ def _rcm(sub_nodes: np.ndarray, indptr, nbrs):
 
 def union_pattern(engine):
     """Union of every stamp pattern the engine can emit (static DC, static
-    transient, nonlinear, controlled/behavioral, transmission lines)."""
+    transient, nonlinear, controlled/behavioral, transmission lines, and
+    the charge-model MOS injection entries)."""
     t = engine.topo
-    rows = np.concatenate([engine.res_rows, engine.dc_const_rows,
-                           engine.ind_rows, engine.mut_rows, engine.cap_rows,
-                           engine.nl_rows, t.node_eqs,
-                           engine.ctrl_rows, engine.b_static_rows,
-                           engine.tl_kcl_rows, engine.tl_tran_rows,
-                           engine.tl_dc_rows]).astype(np.int64)
-    cols = np.concatenate([engine.res_cols, engine.dc_const_cols,
-                           engine.ind_cols, engine.mut_cols, engine.cap_cols,
-                           engine.nl_cols, t.node_eqs,
-                           engine.ctrl_cols, engine.b_static_cols,
-                           engine.tl_kcl_cols, engine.tl_tran_cols,
-                           engine.tl_dc_cols]).astype(np.int64)
-    return rows, cols
+    rows = [engine.res_rows, engine.dc_const_rows,
+            engine.ind_rows, engine.mut_rows, engine.cap_rows,
+            engine.nl_rows, t.node_eqs,
+            engine.ctrl_rows, engine.b_static_rows,
+            engine.tl_kcl_rows, engine.tl_tran_rows,
+            engine.tl_dc_rows]
+    cols = [engine.res_cols, engine.dc_const_cols,
+            engine.ind_cols, engine.mut_cols, engine.cap_cols,
+            engine.nl_cols, t.node_eqs,
+            engine.ctrl_cols, engine.b_static_cols,
+            engine.tl_kcl_cols, engine.tl_tran_cols,
+            engine.tl_dc_cols]
+    if getattr(engine, "mos_charge", False):
+        rows.append(engine.mq_rows)
+        cols.append(engine.mq_cols)
+    return (np.concatenate(rows).astype(np.int64),
+            np.concatenate(cols).astype(np.int64))
 
 
 # ----------------------------------------------------------------------

@@ -44,7 +44,9 @@ def rc_grid_netlist(n_rows: int, n_cols: int,
                     r_rail: float = 10.0,
                     drive: str = "pulse",
                     tstep: float = 1e-11,
-                    tstop: float = 1e-9) -> str:
+                    tstop: float = 1e-9,
+                    mos_every: int = 0,
+                    moscap_charge: bool = False) -> str:
     """A 2-D resistor-grid RC mesh — deliberately NOT a ladder: every
     interior node couples to 4 neighbors, so the MNA pattern has
     half-bandwidth ~n_cols and exercises the RCM block-banded backend
@@ -75,8 +77,20 @@ def rc_grid_netlist(n_rows: int, n_cols: int,
                 lines.append(f"R{k} {node(i, j)} {node(i + 1, j)} {r}")
     for idx in range(1, n + 1):
         lines.append(f"C{idx} {idx} 0 {c}")
-    for idx in range(diode_every, n + 1, diode_every):
-        lines.append(f"D{idx} {idx} 0 IS={i_sat} N=1")
+    if diode_every:
+        for idx in range(diode_every, n + 1, diode_every):
+            lines.append(f"D{idx} {idx} 0 IS={i_sat} N=1")
+    if mos_every:
+        # every mos_every-th node: NMOS to ground, gate on the previous
+        # node — drain/gate/source all local so the charge-model
+        # injection pattern (engine.mq_*) stays inside the band
+        lines.append(".MODEL 1 VT 0.7 MU 350e-4 COX 3.45e-4 "
+                     "LAMBDA 0.02 CJ0 2e-14")
+        for idx in range(mos_every, n + 1, mos_every):
+            lines.append(f"M{idx} {idx} {max(idx - 1, 1)} 0 1 "
+                         f"20e-6 1e-6 1")
+    if moscap_charge:
+        lines.append(".OPTIONS MOSCAP=CHARGE")
     if rail:
         # high-degree hub: node n+1 strapped to every row head
         hub = n + 1

@@ -507,3 +507,42 @@ def test_oscillator_charge_shooting_vs_hb():
                           warmup_periods=60)
     assert bool(r.converged), float(r.residual)
     assert r.f0 == pytest.approx(float(sh.f0), rel=2e-4)
+
+
+def test_charge_model_structured_backends_match_lu():
+    """r5 (VERDICT item 7): MOSCAP=CHARGE rides the structured backends.
+    A MOS common-source chain (block-banded after RCM; also
+    ladder-shaped enough for the banded plan) must produce the dense-LU
+    trajectory on blockband AND blockwb to machine epsilon — the 5-row
+    charge injection scatter (engine.mq_* patterns) now lands in the
+    block plans like the nonlinear conduction does."""
+    import numpy as np
+    from circuitsimulator_tpu import Simulator, DEFAULT_OPTIONS
+    stages = 48
+    lines = ["* mos cs chain, charge cap model",
+             "VDD vdd 0 DC 3",
+             "VIN n0 0 SIN 1.2 0.2 1e8",
+             ".MODEL 1 VT 0.7 MU 350e-4 COX 3.45e-4 LAMBDA 0.02 CJ0 2e-14",
+             ".OPTIONS MOSCAP=CHARGE"]
+    for i in range(stages):
+        a, b = f"n{i}", f"n{i + 1}"
+        lines.append(f"R{i} vdd {b} 10k")
+        lines.append(f"M{i} {b} {a} 0 1 20e-6 1e-6 1")
+        lines.append(f"C{i} {b} 0 5f")
+    lines.append(".TRAN 1e-11 2e-9")
+    net = "\n".join(lines) + "\n"
+
+    def run(solver):
+        opts = DEFAULT_OPTIONS.replace(tran_solver=solver, dc_solver="lu",
+                                       auto_backend=False)
+        sim = Simulator.from_text(net, opts=opts)
+        assert sim.engine.mos_charge
+        res = sim.transient()
+        assert not bool(np.any(np.asarray(res.failed)))
+        return np.asarray(res.xs)
+
+    x_lu = run("lu")
+    x_bb = run("blockband")
+    np.testing.assert_allclose(x_bb, x_lu, atol=1e-12)
+    x_wb = run("blockwb")
+    np.testing.assert_allclose(x_wb, x_lu, atol=1e-12)
