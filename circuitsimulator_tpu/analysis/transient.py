@@ -106,6 +106,10 @@ def transient_step_fn(engine: Engine, params, dt, predictor: bool = False,
         use_blockwb, use_blockband = False, True
     mos_charge = getattr(engine, "mos_charge", False)
     inv_dt = 1.0 / dt if mos_charge else None
+    mixed_refine = (bool(opts.tran_mixed_refine)
+                    and dtype == jnp.float64
+                    and not (use_woodbury or use_tridiag
+                             or use_blockband or use_blockwb))
     # Every nonlinear class rides the rank-k plan now: MOS/JFET/diode/BJT
     # (width-3 rows), switches (width-4), and behavioral B-sources
     # (rank-1 rows over their probe pairs, width 2m; the plan widens to
@@ -263,7 +267,20 @@ def transient_step_fn(engine: Engine, params, dt, predictor: bool = False,
             else:
                 G, I = engine.assemble_tran_iter(G_static, I_s, params,
                                                  c["x"], t, qex)
-                x_raw = dense_solve(G[..., :N, :N], I[..., :N])
+                if mixed_refine:
+                    # f64 residual around the current iterate, f32 inner
+                    # solve for the correction (dc_refine along the
+                    # transient): Newton is the refinement loop, so the
+                    # damped fixpoint is the f64 one while every
+                    # factorization runs at f32 cost
+                    Gn = G[..., :N, :N]
+                    r = (I[..., :N]
+                         - jnp.einsum("...ij,...j->...i", Gn, c["x"]))
+                    d = dense_solve(Gn.astype(jnp.float32),
+                                    r.astype(jnp.float32))
+                    x_raw = c["x"] + d.astype(dtype)
+                else:
+                    x_raw = dense_solve(G[..., :N, :N], I[..., :N])
             finite = jnp.all(jnp.isfinite(x_raw), axis=-1)
             upd_vec = x_raw - c["x"]
             if opts.tran_newton_clamp > 0.0:

@@ -110,6 +110,13 @@ class SolverOptions:
     # few Monte-Carlo lanes dominate a vmapped while_loop (the batch cost is
     # the max over lanes, not the mean).  Use with tran_alpha=1.0.
     tran_newton_clamp: float = 0.0
+    # Mixed-precision transient (f64 engines, 'lu' backend): evaluate
+    # residuals and carry state in f64 but run every inner Newton solve
+    # in f32 (the dc_refine trick along the whole transient) — on TPU
+    # the f32 factorization is ~20x the emulated-f64 one, and Newton
+    # itself is the refinement loop, so the trajectory converges to the
+    # f64 fixpoint at f32 solve cost (analysis/transient.py).
+    tran_mixed_refine: bool = False
     # let the Simulator switch both to "tridiag" automatically for large
     # ladder-structured circuits
     auto_backend: bool = True
