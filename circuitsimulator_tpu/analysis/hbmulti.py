@@ -107,7 +107,8 @@ def assign_tones(kinds: np.ndarray, sin: np.ndarray,
     return out
 
 
-def make_hbmulti_system(engine: Engine, tones, nominal_params):
+def make_hbmulti_system(engine: Engine, tones, nominal_params,
+                        b_time_axis: int = 0):
     """Params-parametric multi-tone MPDE system (tone assignment is
     STATIC, matched on the nominal SIN frequencies).
 
@@ -115,6 +116,14 @@ def make_hbmulti_system(engine: Engine, tones, nominal_params):
     — on the flattened grid that is T @ q(X) with the same per-grid-point
     charges/trans-capacitances as single-tone HB (hb._mos_charge_pieces);
     the Jacobian picks up T[t,s]·Cq[s] blocks.
+
+    Behavioral expressions that reference `time` evaluate it on ONE tone
+    axis (`b_time_axis`, default the first tone) — the MPDE lift of a
+    t-periodic coefficient rides the artificial time scale of the tone
+    it is periodic at, exactly like the SIN-source assignment above.
+    Well-posed when the expression's time dependence is periodic at that
+    tone's frequency (an expression periodic at tone d needs
+    b_time_axis=d; aperiodic time dependence has no multi-tone lift).
 
     Returns (Ks, ts_axes, residual, jacobian):
       residual(X (Kt,N), params, with_At=False)
@@ -141,6 +150,15 @@ def make_hbmulti_system(engine: Engine, tones, nominal_params):
             M = np.kron(M, Ds_np[e] if e == d else np.eye(Ks[e]))
         T += M
     T = jnp.asarray(T, dtype)
+    # behavioral `time` samples: the designated axis's local times,
+    # broadcast across the other axes and flattened grid-major
+    axis = int(b_time_axis)
+    if not (0 <= axis < D_axes):
+        raise ValueError(f"b_time_axis {axis} outside the {D_axes} tones")
+    bshape = [1] * D_axes
+    bshape[axis] = Ks[axis]
+    t_bflat = jnp.broadcast_to(ts[axis].reshape(bshape),
+                               tuple(Ks)).reshape(Kt)
     assign_v = assign_tones(np.asarray(engine.vs_kinds),
                             np.asarray(nominal_params["vs_sin"]), freqs)
     assign_i = assign_tones(np.asarray(engine.is_kinds),
@@ -211,15 +229,15 @@ def make_hbmulti_system(engine: Engine, tones, nominal_params):
             A_res = A_res.at[cr, cc].add(cv)
         A_res = A_res[:N, :N]
 
-        def assemble_t(x_t):
-            gvals, rvals = engine._nl_vals(params, x_t)
+        def assemble_t(x_t, t_t):
+            gvals, rvals = engine._nl_vals(params, x_t, t_t)
             A = jnp.zeros((N + 1, N + 1), dtype)
             A = A.at[engine.nl_rows, engine.nl_cols].add(gvals)
             b = jnp.zeros((N + 1,), dtype).at[engine.nl_rhs_rows].add(
                 rvals)
             return A_res + A[:N, :N], b[:N]
 
-        A_t, b_nl = jax.vmap(assemble_t)(X)
+        A_t, b_nl = jax.vmap(assemble_t)(X, t_bflat)
         res_cond = jnp.einsum("tij,tj->ti", A_t, X) - b_nl - b_src
         res_reac = jnp.einsum("ij,tj->ti", C_struct, T @ X)
         res = res_cond + res_reac
@@ -300,6 +318,7 @@ def harmonic_balance_multi(engine: Engine, params,
                            gmres_tol: float = 1e-4,
                            gmres_restart: int = 40,
                            gmres_maxiter: int = 4,
+                           b_time_axis: int = 0,
                            **warmup_kw):
     """Solve the quasi-periodic steady state on the multi-tone grid.
 
@@ -323,13 +342,11 @@ def harmonic_balance_multi(engine: Engine, params,
     Ks = [2 * h + 1 for h in Hs]
     Kt = int(np.prod(Ks))
 
-    if engine.b_uses_time:
-        raise NotImplementedError(
-            "multi-tone HB does not evaluate time-dependent behavioral "
-            "expressions (the MPDE grid has no single time axis)")
     # params-parametric system shared with the sensitivity path
-    Ks, ts, residual_p, jacobian_p = make_hbmulti_system(engine, tones,
-                                                         params)
+    # (behavioral `time` rides tone axis b_time_axis — see
+    # make_hbmulti_system)
+    Ks, ts, residual_p, jacobian_p = make_hbmulti_system(
+        engine, tones, params, b_time_axis=b_time_axis)
     residual = lambda X: residual_p(X, params, with_At=True)
     jacobian = lambda A_t: jacobian_p(A_t, params)
     # tone-muted warm-up params (same static assignment as the system)
@@ -445,7 +462,8 @@ def make_hbmulti_batched_fn(engine: Engine, tones, nominal_params,
                             solver: str = "dense",
                             gmres_tol: float = 1e-4,
                             gmres_restart: int = 40,
-                            gmres_maxiter: int = 4):
+                            gmres_maxiter: int = 4,
+                            b_time_axis: int = 0):
     """Factory for the batched multi-tone-HB jitted program:
     fn(bparams, X0s (B, Kt, N)) -> (Xs, finals).  The MPDE system is
     already params-parametric (make_hbmulti_system; tone assignment is
@@ -459,16 +477,12 @@ def make_hbmulti_batched_fn(engine: Engine, tones, nominal_params,
     if solver not in ("dense", "gmres"):
         raise ValueError(f"unknown HB solver {solver!r} "
                          "(expected 'dense' or 'gmres')")
-    if engine.b_uses_time:
-        raise NotImplementedError(
-            "multi-tone HB does not evaluate time-dependent behavioral "
-            "expressions (the MPDE grid has no single time axis)")
     dtype = engine.dtype
     N = engine.N
     freqs = [float(f) for f, _ in tones]
     Hs = [int(h) for _, h in tones]
-    Ks, ts, residual_p, jacobian_p = make_hbmulti_system(engine, tones,
-                                                         nominal_params)
+    Ks, ts, residual_p, jacobian_p = make_hbmulti_system(
+        engine, tones, nominal_params, b_time_axis=b_time_axis)
     Kt = int(np.prod(Ks))
     if solver == "gmres":
         from jax.scipy.sparse.linalg import gmres as _gmres
