@@ -97,7 +97,12 @@ def _lu_solve_looped(A, b, pivot_floor):
         b = b - factors * b[k]
         return A, b, minpiv
 
-    minpiv0 = jnp.asarray(jnp.inf, dtype=rdt)
+    # Seed the pivot tracker FROM the data (inf + 0*A[0,0] == inf): under
+    # shard_map a literal-constant carry is axis-invariant while the loop
+    # output is varying, which trips the vma check when A is sharded
+    # (the SPIKE distributed-PCR interface solve hits this path)
+    minpiv0 = (jnp.asarray(jnp.inf, dtype=rdt)
+               + jnp.real(A[0, 0]) * jnp.asarray(0.0, rdt))
     A, b, minpiv = lax.fori_loop(0, N, elim, (A, b, minpiv0))
 
     def back(i, x):

@@ -60,7 +60,71 @@ def _pad_blocks_to(L, D, U, F, nb_pad: int):
     return zpad(L), jnp.concatenate([D, eye], axis=-3), zpad(U), zpad(F)
 
 
-def _spike_local(Lp, Dp, Up, Fp):
+def _shift_from(x, d: int, Dn: int):
+    """Value of x on the device d positions BELOW (index p-d), zeros
+    where p-d < 0 (ppermute zero-fills missing edges)."""
+    if d >= Dn:
+        return jnp.zeros_like(x)
+    perm = [(j, j + d) for j in range(Dn - d)]
+    return lax.ppermute(x, PART_AXIS, perm)
+
+
+def _shift_to(x, d: int, Dn: int):
+    """Value of x on the device d positions ABOVE (index p+d), zeros
+    where p+d >= Dn."""
+    if d >= Dn:
+        return jnp.zeros_like(x)
+    perm = [(j, j - d) for j in range(d, Dn)]
+    return lax.ppermute(x, PART_AXIS, perm)
+
+
+def _pcr_one_block(sub, diag, sup, F, Dn: int, pivot_floor: float):
+    """Distributed block-tridiagonal solve with ONE block row per device
+    (parallel cyclic reduction over ppermute): row p couples p-1/p+1
+    via sub/sup; after ceil(log2(Dn)) halving levels every row is
+    decoupled and solves locally.
+
+    This replaces the old redundant reduced-system solve: gathering all
+    D interface rows and running block-CR on EVERY device cost
+    O(D^2 (2k)^3) total work — the dominant weak-scaling overhead
+    (measured 2.2x total work at D=8, bench_spike_scaling.py).  PCR is
+    O(D log D (2k)^3) total, communicates only with distance-2^l
+    neighbors, and needs no all_gather at all."""
+    m = diag.shape[-1]
+    eye = jnp.eye(m, dtype=diag.dtype)
+    p_idx = lax.axis_index(PART_AXIS)
+    d = 1
+    while d < Dn:
+        sub_m = _shift_from(sub, d, Dn)
+        diag_m = _shift_from(diag, d, Dn)
+        sup_m = _shift_from(sup, d, Dn)
+        F_m = _shift_from(F, d, Dn)
+        sub_p = _shift_to(sub, d, Dn)
+        diag_p = _shift_to(diag, d, Dn)
+        sup_p = _shift_to(sup, d, Dn)
+        F_p = _shift_to(F, d, Dn)
+        # virtual identity rows outside the range (zero-filled ppermute
+        # edges): D=I so the inverse is well-defined; L/U/F stay zero
+        diag_m = jnp.where(p_idx >= d, diag_m, eye)
+        diag_p = jnp.where(p_idx < Dn - d, diag_p, eye)
+        # alpha = -sub @ inv(diag_m), beta = -sup @ inv(diag_p)
+        alpha = -jnp.linalg.solve(
+            jnp.swapaxes(diag_m, -1, -2), jnp.swapaxes(sub, -1, -2))
+        alpha = jnp.swapaxes(alpha, -1, -2)
+        beta = -jnp.linalg.solve(
+            jnp.swapaxes(diag_p, -1, -2), jnp.swapaxes(sup, -1, -2))
+        beta = jnp.swapaxes(beta, -1, -2)
+        diag = diag + alpha @ sup_m + beta @ sub_p
+        F = F + alpha @ F_m + beta @ F_p
+        sub = alpha @ sub_m
+        sup = beta @ sup_p
+        d *= 2
+    from ..ops.lu import lu_solve
+    return jax.vmap(lambda b: lu_solve(diag, b, pivot_floor),
+                    in_axes=-1, out_axes=-1)(F)
+
+
+def _spike_local(Lp, Dp, Up, Fp, Dn: int, pivot_floor: float = 1e-15):
     """Per-device stage 1+2+3+4.  Shapes: Lp/Dp/Up (np, k, k),
     Fp (np, k, q).  Runs inside shard_map over PART_AXIS."""
     k = Dp.shape[-1]
@@ -75,35 +139,25 @@ def _spike_local(Lp, Dp, Up, Fp):
     sols = block_cr_solve(Lloc, Dp, Uloc, rhs)       # (np, k, q+2k)
     G, V, W = sols[..., :q], sols[..., q:q + k], sols[..., q + k:]
 
-    # gather spike tips: (D, k, ·) each
-    Gf = lax.all_gather(G[0], PART_AXIS)
-    Gl = lax.all_gather(G[-1], PART_AXIS)
-    Vf = lax.all_gather(V[0], PART_AXIS)
-    Vl = lax.all_gather(V[-1], PART_AXIS)
-    Wf = lax.all_gather(W[0], PART_AXIS)
-    Wl = lax.all_gather(W[-1], PART_AXIS)
-    Dn = Gf.shape[0]
-
-    # reduced interface system: D blocks of 2k, solved redundantly
-    two_k = 2 * k
-    z = jnp.zeros((Dn, k, k), Dp.dtype)
-    sub = jnp.concatenate([
-        jnp.concatenate([z, Vf], axis=-1),
-        jnp.concatenate([z, Vl], axis=-1)], axis=-2)   # (D, 2k, 2k)
-    sup = jnp.concatenate([
-        jnp.concatenate([Wf, z], axis=-1),
-        jnp.concatenate([Wl, z], axis=-1)], axis=-2)
-    Dg = jnp.broadcast_to(jnp.eye(two_k, dtype=Dp.dtype), (Dn, two_k, two_k))
-    Fr = jnp.concatenate([Gf, Gl], axis=-2)            # (D, 2k, q)
-    u = block_cr_solve(sub, Dg, sup, Fr)               # (D, 2k, q)
-    t, b = u[:, :k, :], u[:, k:, :]
+    # distributed reduced interface system: THIS device's block row
+    # u_p = [t_p; b_p] with identity diagonal,
+    #   sub_p = [[0, Vf], [0, Vl]], sup_p = [[Wf, 0], [Wl, 0]]
+    # (tips are local — no all_gather; PCR exchanges only neighbors)
+    z = jnp.zeros((k, k), Dp.dtype)
+    subI = jnp.concatenate([
+        jnp.concatenate([z, V[0]], axis=-1),
+        jnp.concatenate([z, V[-1]], axis=-1)], axis=-2)   # (2k, 2k)
+    supI = jnp.concatenate([
+        jnp.concatenate([W[0], z], axis=-1),
+        jnp.concatenate([W[-1], z], axis=-1)], axis=-2)
+    diagI = jnp.eye(2 * k, dtype=Dp.dtype)
+    FI = jnp.concatenate([G[0], G[-1]], axis=-2)          # (2k, q)
+    u = _pcr_one_block(subI, diagI, supI, FI, Dn, pivot_floor)
+    t_loc, b_loc = u[:k, :], u[k:, :]
 
     # local correction: x_p = G_p - V_p b_{p-1} - W_p t_{p+1}
-    p = lax.axis_index(PART_AXIS)
-    b_prev_all = jnp.concatenate([jnp.zeros_like(b[:1]), b[:-1]], axis=0)
-    t_next_all = jnp.concatenate([t[1:], jnp.zeros_like(t[:1])], axis=0)
-    b_prev = lax.dynamic_index_in_dim(b_prev_all, p, 0, keepdims=False)
-    t_next = lax.dynamic_index_in_dim(t_next_all, p, 0, keepdims=False)
+    b_prev = _shift_from(b_loc, 1, Dn)
+    t_next = _shift_to(t_loc, 1, Dn)
     return G - V @ b_prev - W @ t_next
 
 
@@ -116,7 +170,7 @@ def spike_block_solve(mesh: Mesh, L, D, U, F):
     nb_pad = -(-nb // Dn) * Dn
     L, D, U, F = _pad_blocks_to(L, D, U, F, nb_pad)
     spec = P(PART_AXIS)
-    fn = jax.shard_map(_spike_local, mesh=mesh,
+    fn = jax.shard_map(partial(_spike_local, Dn=Dn), mesh=mesh,
                        in_specs=(spec, spec, spec, spec), out_specs=spec)
     return fn(L, D, U, F)[..., :nb, :, :]
 
