@@ -22,6 +22,14 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("netlist", help="SPICE netlist file (.sp)")
     p.add_argument("tran_out", nargs="?", default="tran_out.csv",
                    help="transient CSV output path (default: tran_out.csv)")
+    p.add_argument("--engine", choices=["auto", "jax", "native"],
+                   default="auto",
+                   help="solver engine: 'native' = the C++ reference-scope "
+                        "tier (native/csim_solver.cpp — whole buffer.sp run "
+                        "in ~16 ms, bitwise-matching the reference CSV); "
+                        "'jax' = the full TPU engine; 'auto' (default) "
+                        "tries native for plain .op/.tran invocations and "
+                        "falls back to jax for anything outside its scope")
     p.add_argument("--platform", choices=["cpu", "tpu", "default"],
                    default="cpu",
                    help="JAX platform (default cpu; single-circuit runs "
@@ -200,7 +208,32 @@ def _raw_mode(args) -> str:
 
 
 def main(argv=None) -> int:
-    args = build_argparser().parse_args(argv)
+    parser = build_argparser()
+    args = parser.parse_args(argv)
+
+    # Native solver tier: a plain `mysim <deck> [out.csv]` invocation of a
+    # reference-scope deck runs the C++ binary — whole-run latency in the
+    # reference binary's own class (~16 ms for buffer.sp vs its 24 ms)
+    # instead of paying the Python/JAX startup.  Exit code 3 = deck
+    # outside the native scope -> fall through to the JAX engine.  Any
+    # non-default flag (other than --engine itself) forces jax.
+    if args.engine in ("auto", "native"):
+        plain = all(
+            getattr(args, a.dest) == a.default
+            for a in parser._actions
+            if a.dest not in ("help", "netlist", "tran_out", "engine"))
+        if plain or args.engine == "native":
+            from .native import solver_binary
+            binp = solver_binary()
+            if binp is not None:
+                import subprocess
+                r = subprocess.run([binp, args.netlist, args.tran_out])
+                if r.returncode != 3:
+                    return r.returncode
+            elif args.engine == "native":
+                print("native solver unavailable (g++ build failed)",
+                      file=sys.stderr)
+                return 1
 
     import jax
     if args.platform == "cpu":

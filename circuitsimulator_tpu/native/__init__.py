@@ -523,3 +523,42 @@ def parse_netlist_text_native(text: str) -> Tuple[Circuit, SimulationConfig]:
 def parse_netlist_native(path: str) -> Tuple[Circuit, SimulationConfig]:
     with open(path, "r", errors="replace") as f:
         return parse_netlist_text_native(f.read())
+
+
+# ----------------------------------------------------------------------
+# Native solver binary (csim_solver.cpp -> csim_native): the
+# reference-scope standalone executable.  Build on demand, mirroring the
+# frontend library's fallback-to-tempdir behavior.
+# ----------------------------------------------------------------------
+_SOLVER_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "csim_solver.cpp")
+_BIN_NAME = "csim_native"
+_bin_path: Optional[str] = None
+_bin_error: Optional[str] = None
+
+
+def solver_binary() -> Optional[str]:
+    """Path to the built csim_native executable (building it if needed);
+    None when the toolchain or build is unavailable."""
+    global _bin_path, _bin_error
+    if _bin_path is not None or _bin_error is not None:
+        return _bin_path
+    out = os.path.join(os.path.dirname(_SOLVER_SRC), _BIN_NAME)
+    tmp_out = os.path.join(tempfile.gettempdir(),
+                           f"csim_native_{os.getuid()}")
+    newest_src = max(os.path.getmtime(_SOLVER_SRC), os.path.getmtime(_SRC))
+    cmd = ["g++", "-O2", "-std=c++17", _SOLVER_SRC, "-o"]
+    try:
+        if not os.path.exists(out) or os.path.getmtime(out) < newest_src:
+            try:
+                subprocess.run(cmd + [out], check=True,
+                               capture_output=True, text=True)
+            except (OSError, subprocess.CalledProcessError):
+                out = tmp_out
+                subprocess.run(cmd + [out], check=True,
+                               capture_output=True, text=True)
+    except (OSError, subprocess.CalledProcessError) as e:
+        _bin_error = str(e)
+        return None
+    _bin_path = out
+    return _bin_path

@@ -1,0 +1,93 @@
+"""Native C++ solver tier (native/csim_solver.cpp, `csim_native`): the
+reference-scope standalone executable must reproduce the reference
+binary's goldens — stdout byte-for-byte and the transient CSV at print
+precision — on the two bundled decks AND the 18-case fuzz-minted golden
+corpus, at reference-class latency (the whole buffer.sp run measured
+~16 ms vs the reference's 24 ms)."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from circuitsimulator_tpu.native import solver_binary
+from circuitsimulator_tpu.io.table import parse_dc_table
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GOLD = os.path.join(REPO, "tests", "goldens")
+
+BIN = solver_binary()
+pytestmark = [
+    pytest.mark.smoke,
+    pytest.mark.skipif(BIN is None, reason="g++ build unavailable"),
+]
+
+
+def _run(deck, csv_path):
+    r = subprocess.run([BIN, deck, csv_path], capture_output=True,
+                       text=True, cwd=REPO, timeout=600)
+    return r
+
+
+@pytest.mark.parametrize("deck,stdout_g,csv_g,csv_name", [
+    ("tests/netlists/buffer.sp", "buffer_stdout.txt",
+     "buffer_tran.csv", "buffer_tran.csv"),
+    ("tests/netlists/dbmixer.sp", "dbmixer_stdout.txt",
+     "dbmixer_tran.csv", "dbmixer_tran.csv"),
+])
+def test_bundled_decks_match_goldens(tmp_path, deck, stdout_g, csv_g,
+                                     csv_name):
+    out_csv = str(tmp_path / "out.csv")
+    r = _run(deck, out_csv)
+    assert r.returncode == 0, r.stderr
+    want = open(os.path.join(GOLD, stdout_g)).read()
+    # the golden embeds its own csv path and the reference's deck path
+    got = (r.stdout.replace(out_csv, csv_name)
+           .replace(deck, f"tests/netlists/{os.path.basename(deck)}"))
+    assert got == want
+    a = np.loadtxt(out_csv, delimiter=",", skiprows=1)
+    b = np.loadtxt(os.path.join(GOLD, csv_g), delimiter=",", skiprows=1)
+    assert a.shape == b.shape
+    # %.9e print resolution of the reference's own CSV
+    np.testing.assert_allclose(a, b, rtol=2e-9, atol=2e-9)
+    assert (open(out_csv).readline()
+            == open(os.path.join(GOLD, csv_g)).readline())
+
+
+def _fuzz_cases():
+    d = os.path.join(GOLD, "fuzz")
+    return sorted(f[:-3] for f in os.listdir(d) if f.endswith(".sp"))
+
+
+@pytest.mark.parametrize("case", _fuzz_cases())
+def test_fuzz_corpus_matches_reference(tmp_path, case):
+    deck = os.path.join(GOLD, "fuzz", case + ".sp")
+    out_csv = str(tmp_path / "out.csv")
+    r = _run(deck, out_csv)
+    assert r.returncode == 0, r.stderr
+    volts, amps = parse_dc_table(r.stdout)
+    g_volts, g_amps = parse_dc_table(
+        open(os.path.join(GOLD, "fuzz", case + "_dc.txt")).read())
+    assert set(volts) == set(g_volts)
+    for n, v in g_volts.items():
+        assert volts[n] == pytest.approx(v, abs=2e-6), n
+    for n, v in g_amps.items():
+        assert amps[n] == pytest.approx(v, abs=2e-6), n
+    gcsv = os.path.join(GOLD, "fuzz", case + "_tran.csv")
+    if os.path.exists(gcsv):
+        a = np.loadtxt(out_csv, delimiter=",", skiprows=1)
+        b = np.loadtxt(gcsv, delimiter=",", skiprows=1)
+        assert a.shape == b.shape
+        scale = np.maximum(np.abs(b).max(axis=0), 1e-9)
+        assert (np.abs(a - b).max(axis=0) / scale).max() < 1e-6
+
+
+def test_out_of_scope_deck_exits_3(tmp_path):
+    deck = tmp_path / "ext.sp"
+    deck.write_text("V1 a 0 DC 1\nR1 a b 1k\nD1 b 0 1\n"
+                    ".MODEL 1 IS 1e-14\n.op\n")
+    r = _run(str(deck), str(tmp_path / "o.csv"))
+    assert r.returncode == 3
+    assert "outside the native solver scope" in r.stderr
+    assert r.stdout == ""     # nothing printed -> clean CLI fallback
