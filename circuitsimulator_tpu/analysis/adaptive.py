@@ -108,8 +108,12 @@ def run_transient_adaptive(engine: Engine, params, tstep, tstop,
         raise NotImplementedError(
             "adaptive timestepping with transmission lines is not "
             "supported: the delay ring length is dt-dependent and the "
-            "dyadic levels use different dts; run the fixed-step "
-            "transient")
+            "dyadic refinement levels use different dts, so a single "
+            "ring cannot serve all levels (a fixed-rate ring at dt_min "
+            "would need a dynamic number of pushes per accepted step). "
+            "Use the fixed-step transient — T-line decks run on every "
+            "fixed-step backend including the fused Pallas kernel "
+            "(ops/pallas_step.py carries the ring in VMEM).")
     solver = opts.tran_solver
     use_woodbury = solver == "woodbury"
     use_tridiag = solver == "tridiag"

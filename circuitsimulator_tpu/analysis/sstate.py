@@ -362,8 +362,14 @@ def oscillator_steady_state(engine: Engine, params, f0_guess: float,
     """
     from .transient import transient_step_fn
     if engine.n_tl:
-        raise NotImplementedError("oscillator shooting does not support "
-                                  "transmission lines (dt-dependent ring)")
+        raise NotImplementedError(
+            "oscillator shooting does not support transmission lines: "
+            "the unknown period makes dt — and with it the delay-ring "
+            "length — change every Newton iteration (a dynamic state "
+            "shape). Use the harmonic-balance oscillator instead "
+            "(Simulator.oscillator_hb / analysis/hbosc.py), which "
+            "treats T-line delays EXACTLY via band-limited shift "
+            "operators traced through f0.")
     engine = osc_engine(engine)
     dtype = engine.dtype
     K = int(steps_per_period)
