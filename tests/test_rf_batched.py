@@ -144,7 +144,10 @@ def test_monte_carlo_psp_api():
     assert np.all(np.isfinite(gains))
 
 
-def test_psp_batched_tline_guard():
+def test_psp_batched_tline_builds():
+    """T-line decks used to raise NotImplementedError here; since r5 the
+    traced delay blocks ride the batched LPTV systems (full host parity
+    anchored in tests/test_pac_tline_batched.py)."""
     net = f"""* delay line deck
 VLO lo 0 SIN 0 0.4 {F0}
 RLO lo 0 1k
@@ -154,9 +157,9 @@ R1 rf 0 100
 """
     sim = Simulator.from_text(net)
     from circuitsimulator_tpu.analysis.psp import make_psp_batched_fn
-    with pytest.raises(NotImplementedError, match="transmission"):
-        make_psp_batched_fn(sim.engine, F0, 11, [(0, sim.engine.N)],
-                            np.arange(-1, 2), [1e5])
+    lane = make_psp_batched_fn(sim.engine, F0, 11, [(0, sim.engine.N)],
+                               np.arange(-1, 2), [1e5])
+    assert callable(lane)
 
 
 # ---------------------------------------------------------------------
