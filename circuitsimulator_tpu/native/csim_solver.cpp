@@ -170,6 +170,7 @@ struct Ckt {
     vector<int> res;                 // kind 0
     vector<int> vsrc;                // kind 3
     vector<int> isrc;                // kind 4
+    vector<int> dio;                 // kind 6
 
     int eq(int node_id) const {
         return node_id < 0 ? -1 : r->nodes[node_id].eq_index;
@@ -180,7 +181,7 @@ struct Ckt {
 // supported scope: exit-3 fallback for anything else
 static bool scope_ok(const Result& r, std::string& why) {
     for (const auto& e : r.elements) {
-        if (e.kind > 5) { why = "extension device"; return false; }
+        if (e.kind > 6) { why = "extension device"; return false; }
         if (e.kind >= 3 && e.kind <= 4 && e.wave_kind > 3) {
             why = "EXP/SFFM waveform"; return false;
         }
@@ -215,6 +216,44 @@ static bool scope_ok(const Result& r, std::string& why) {
 
 // MOS Level-1 linearization (element.cpp:181-307 semantics as expressed
 // in models/mosfet.py mos_linearize, strict mode)
+// Junction diode (extension device — models/diode.py semantics: Shockley
+// with SPICE-style linearized exponential continuation above u = 40 and
+// optional reverse breakdown).  I(V) ~= g*(Vp-Vm) + cst.
+static const double DIO_VT = 0.025852;   // kT/q at 300 K
+static const double DIO_UMAX = 40.0;
+struct DioLin { double g, cst; };
+static DioLin dio_linearize(const ElementRec& e, double vp, double vm) {
+    double v = vp - vm;
+    double nvt = e.n_ideal * DIO_VT;
+    double u = v / nvt;
+    double eu, deu;
+    if (u <= DIO_UMAX) {
+        eu = std::exp(u);
+        deu = eu;
+    } else {
+        double el = std::exp(DIO_UMAX);
+        eu = el * (1.0 + (u - DIO_UMAX));
+        deu = el;
+    }
+    double i = e.i_sat * (eu - 1.0);
+    double g = e.i_sat * deu / nvt;
+    if (e.d_bv > 0.0) {
+        double ub = -(v + e.d_bv) / DIO_VT;
+        double eb, deb;
+        if (ub <= DIO_UMAX) {
+            eb = std::exp(ub);
+            deb = eb;
+        } else {
+            double el = std::exp(DIO_UMAX);
+            eb = el * (1.0 + (ub - DIO_UMAX));
+            deb = el;
+        }
+        i -= e.d_ibv * eb;
+        g += e.d_ibv * deb / DIO_VT;
+    }
+    return {g, i - g * v};
+}
+
 struct MosLin { double gd, gg, gs, cst; };
 static MosLin mos_linearize(const ElementRec& e, double vd, double vg,
                             double vs) {
@@ -309,6 +348,16 @@ static void stamp_mos(const Ckt& c, const vector<double>& x, Dense& M) {
         M.g(s, d, -m.gd); M.g(s, g, -m.gg); M.g(s, s, -m.gs);
         M.i(d, -m.cst); M.i(s, m.cst);
     }
+    for (int idx : c.dio) {
+        const auto& e = r.elements[idx];
+        int p = c.eq(e.nodes[0]), q = c.eq(e.nodes[1]);
+        double vp = p >= 0 ? x[p] : 0.0;
+        double vm = q >= 0 ? x[q] : 0.0;
+        DioLin dl = dio_linearize(e, vp, vm);
+        M.g(p, p, dl.g); M.g(p, q, -dl.g);
+        M.g(q, p, -dl.g); M.g(q, q, dl.g);
+        M.i(p, -dl.cst); M.i(q, dl.cst);
+    }
 }
 
 static void stamp_gmin(const Ckt& c, double gmin, Dense& M) {
@@ -330,7 +379,7 @@ static vector<double> dc_solve(const Ckt& c, const vector<IcRec>& nodesets) {
         int eq = nid >= 0 ? c.eq(nid) : -1;
         if (eq >= 0) { ns.push_back({eq, rec.value}); x[eq] = rec.value; }
     }
-    if (c.mos.empty()) {
+    if (c.mos.empty() && c.dio.empty()) {
         Dense M;
         M.reset(N);
         stamp_dc_static(c, 1.0, M);
@@ -442,6 +491,10 @@ static int run_transient(const Ckt& c, const vector<double>& x0,
         stamp_cap(s, -1, e.cj0);           // Csb (bulk grounded)
         stamp_cap(d, -1, e.cj0);           // Cdb
     }
+    for (int idx : c.dio) {                // diode junction CJO lump
+        const auto& e = r.elements[idx];
+        stamp_cap(c.eq(e.nodes[0]), c.eq(e.nodes[1]), e.cj0);
+    }
     stamp_gmin(c, 1e-6, S);
 
     // state from the DC solution
@@ -462,6 +515,12 @@ static int run_transient(const Ckt& c, const vector<double>& x0,
         double vd = volt(c.eq(e.nodes[0]), x0), vg = volt(c.eq(e.nodes[1]), x0),
                vs = volt(c.eq(e.nodes[2]), x0);
         mos_prev[j] = {vg - vs, vg - vd, vs, vd};
+    }
+    vector<double> dio_vprev(c.dio.size());
+    for (size_t j = 0; j < c.dio.size(); ++j) {
+        const auto& e = r.elements[c.dio[j]];
+        dio_vprev[j] = volt(c.eq(e.nodes[0]), x0)
+                       - volt(c.eq(e.nodes[1]), x0);
     }
 
     FILE* f = std::fopen(csv_path, "w");
@@ -532,6 +591,13 @@ static int run_transient(const Ckt& c, const vector<double>& x0,
             h = e.cj0 / dt * mp.vsb; addI(s, h);
             h = e.cj0 / dt * mp.vdb; addI(d, h);
         }
+        for (size_t j = 0; j < c.dio.size(); ++j) {
+            const auto& e = r.elements[c.dio[j]];
+            if (e.cj0 <= 0.0) continue;
+            double h = e.cj0 / dt * dio_vprev[j];
+            addI(c.eq(e.nodes[0]), h);
+            addI(c.eq(e.nodes[1]), -h);
+        }
         // damped Newton
         for (int it = 0; it < MAXIT; ++it) {
             Dense M;
@@ -568,6 +634,11 @@ static int run_transient(const Ckt& c, const vector<double>& x0,
                    vg = volt(c.eq(e.nodes[1]), x),
                    vs = volt(c.eq(e.nodes[2]), x);
             mos_prev[j] = {vg - vs, vg - vd, vs, vd};
+        }
+        for (size_t j = 0; j < c.dio.size(); ++j) {
+            const auto& e = r.elements[c.dio[j]];
+            dio_vprev[j] = volt(c.eq(e.nodes[0]), x)
+                           - volt(c.eq(e.nodes[1]), x);
         }
         dump_row(t, x);
     }
@@ -623,6 +694,7 @@ static int run(const char* path, const char* csv_path) {
             case 3: c.vsrc.push_back((int)i); break;
             case 4: c.isrc.push_back((int)i); break;
             case 5: c.mos.push_back((int)i); break;
+            case 6: c.dio.push_back((int)i); break;
         }
         if (e.branch_eq >= 0) maxeq = std::max(maxeq, e.branch_eq);
     }

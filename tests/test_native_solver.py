@@ -85,9 +85,45 @@ def test_fuzz_corpus_matches_reference(tmp_path, case):
 
 def test_out_of_scope_deck_exits_3(tmp_path):
     deck = tmp_path / "ext.sp"
-    deck.write_text("V1 a 0 DC 1\nR1 a b 1k\nD1 b 0 1\n"
-                    ".MODEL 1 IS 1e-14\n.op\n")
+    deck.write_text("V1 a 0 DC 1\nR1 a b 1k\nQ1 0 b 0 1\n"
+                    ".MODEL 1 IS 1e-16 BF 100\n.op\n")
     r = _run(str(deck), str(tmp_path / "o.csv"))
     assert r.returncode == 3
     assert "outside the native solver scope" in r.stderr
     assert r.stdout == ""     # nothing printed -> clean CLI fallback
+
+
+def test_diode_deck_matches_jax_engine(tmp_path):
+    """Diodes are an extension device (no reference golden): the native
+    tier must match the JAX engine differentially — same DC table, CSV
+    at %.9e print precision."""
+    deck = tmp_path / "dio.sp"
+    deck.write_text(
+        "* diode rectifier\n"
+        "V1 in 0 SIN 0 2 1e6\n"
+        "R1 in a 100\n"
+        "D1 a out 1\n"
+        ".MODEL 1 IS 1e-14 N 1.5 CJO 2e-12\n"
+        "RL out 0 1k\n"
+        "CL out 0 1n\n"
+        ".TRAN 2e-9 4e-7\n")
+    out_n = str(tmp_path / "n.csv")
+    r = _run(str(deck), out_n)
+    assert r.returncode == 0, r.stderr
+    # JAX engine in-process (same interpreter; the CLI subprocess would
+    # pay the site hook)
+    from circuitsimulator_tpu.cli import main as cli_main
+    out_j = str(tmp_path / "j.csv")
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main(["--engine", "jax", str(deck), out_j])
+    assert rc == 0
+    va, _ = parse_dc_table(r.stdout)
+    vb, _ = parse_dc_table(buf.getvalue())
+    assert set(va) == set(vb)
+    for k in va:
+        assert va[k] == pytest.approx(vb[k], abs=1e-6), k
+    a = np.loadtxt(out_n, delimiter=",", skiprows=1)
+    b = np.loadtxt(out_j, delimiter=",", skiprows=1)
+    np.testing.assert_allclose(a, b, rtol=2e-9, atol=2e-9)
