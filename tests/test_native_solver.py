@@ -85,8 +85,8 @@ def test_fuzz_corpus_matches_reference(tmp_path, case):
 
 def test_out_of_scope_deck_exits_3(tmp_path):
     deck = tmp_path / "ext.sp"
-    deck.write_text("V1 a 0 DC 1\nR1 a b 1k\nQ1 0 b 0 1\n"
-                    ".MODEL 1 IS 1e-16 BF 100\n.op\n")
+    deck.write_text("V1 a 0 DC 1\nR1 a b 1k\nE1 c 0 a 0 2.0\n"
+                    "Rc c 0 1k\n.op\n")
     r = _run(str(deck), str(tmp_path / "o.csv"))
     assert r.returncode == 3
     assert "outside the native solver scope" in r.stderr
