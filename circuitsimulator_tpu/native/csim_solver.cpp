@@ -171,6 +171,11 @@ struct Ckt {
     vector<int> vsrc;                // kind 3
     vector<int> isrc;                // kind 4
     vector<int> dio;                 // kind 6
+    vector<int> vcvs, vccs, cccs, ccvs;  // kinds 8/9/10/11
+    vector<int> mut;                 // kind 12 (K card)
+    // resolved control branch eqs (F/H) and inductor pairs (K)
+    vector<int> ctrl_k;              // parallel to cccs then ccvs
+    vector<std::pair<int,int>> mut_ab;   // element indices of (La, Lb)
 
     int eq(int node_id) const {
         return node_id < 0 ? -1 : r->nodes[node_id].eq_index;
@@ -181,7 +186,8 @@ struct Ckt {
 // supported scope: exit-3 fallback for anything else
 static bool scope_ok(const Result& r, std::string& why) {
     for (const auto& e : r.elements) {
-        if (e.kind > 6) { why = "extension device"; return false; }
+        if (e.kind > 12) { why = "extension device"; return false; }
+        if (e.kind == 7) { why = "extension device"; return false; }
         if (e.kind >= 3 && e.kind <= 4 && e.wave_kind > 3) {
             why = "EXP/SFFM waveform"; return false;
         }
@@ -333,6 +339,49 @@ static void stamp_dc_static(const Ckt& c, double scale, Dense& M) {
         M.i(c.eq(e.nodes[1]), v);
     }
     // capacitors: open at DC
+    // linear controlled sources (extension; ops/assemble.py _ctrl_vals):
+    // VCCS rows [p,p,m,m] x [cp,cm,cp,cm] vals [+g,-g,-g,+g];
+    // CCCS rows [p,m] x [kc] vals [+a,-a];
+    // VCVS KCL coupling + branch row with -gain on the control pair;
+    // CCVS branch row with -r on the control branch
+    for (int idx : c.vccs) {
+        const auto& e = r.elements[idx];
+        int p = c.eq(e.nodes[0]), m = c.eq(e.nodes[1]);
+        int cp = c.eq(e.nodes[2]), cm = c.eq(e.nodes[3]);
+        double g = e.value;
+        M.g(p, cp, g); M.g(p, cm, -g); M.g(m, cp, -g); M.g(m, cm, g);
+    }
+    for (size_t q = 0; q < c.cccs.size(); ++q) {
+        const auto& e = r.elements[c.cccs[q]];
+        int p = c.eq(e.nodes[0]), m = c.eq(e.nodes[1]);
+        int kc = c.ctrl_k[q];
+        M.g(p, kc, e.value); M.g(m, kc, -e.value);
+    }
+    for (int idx : c.vcvs) {
+        const auto& e = r.elements[idx];
+        int p = c.eq(e.nodes[0]), m = c.eq(e.nodes[1]);
+        int cp = c.eq(e.nodes[2]), cm = c.eq(e.nodes[3]);
+        int k = e.branch_eq;
+        M.g(p, k, 1.0); M.g(m, k, -1.0);
+        M.g(k, p, 1.0); M.g(k, m, -1.0);
+        M.g(k, cp, -e.value); M.g(k, cm, e.value);
+    }
+    for (size_t q = 0; q < c.ccvs.size(); ++q) {
+        const auto& e = r.elements[c.ccvs[q]];
+        int p = c.eq(e.nodes[0]), m = c.eq(e.nodes[1]);
+        int k = e.branch_eq;
+        int kc = c.ctrl_k[c.cccs.size() + q];
+        M.g(p, k, 1.0); M.g(m, k, -1.0);
+        M.g(k, p, 1.0); M.g(k, m, -1.0);
+        M.g(k, kc, -e.value);
+    }
+}
+
+static double mut_M(const Ckt& c, int mi) {
+    const auto& e = c.r->elements[c.mut[mi]];
+    double la = c.r->elements[c.mut_ab[mi].first].value;
+    double lb = c.r->elements[c.mut_ab[mi].second].value;
+    return e.value * std::sqrt(la * lb);
 }
 
 static void stamp_mos(const Ckt& c, const vector<double>& x, Dense& M) {
@@ -495,6 +544,14 @@ static int run_transient(const Ckt& c, const vector<double>& x0,
         const auto& e = r.elements[idx];
         stamp_cap(c.eq(e.nodes[0]), c.eq(e.nodes[1]), e.cj0);
     }
+    for (size_t mi = 0; mi < c.mut.size(); ++mi) {
+        // mutual inductance: branch-row cross terms -(M/dt)
+        double M_ = mut_M(c, (int)mi);
+        int ka = r.elements[c.mut_ab[mi].first].branch_eq;
+        int kb = r.elements[c.mut_ab[mi].second].branch_eq;
+        S.g(ka, kb, -M_ / dt);
+        S.g(kb, ka, -M_ / dt);
+    }
     stamp_gmin(c, 1e-6, S);
 
     // state from the DC solution
@@ -534,7 +591,8 @@ static int run_transient(const Ckt& c, const vector<double>& x0,
     for (const auto& nd : r.nodes)
         if (nd.eq_index >= 0) std::fprintf(f, ",V(%s)", c.nm(nd.name_off));
     for (const auto& e : r.elements)
-        if ((e.kind == 3 || e.kind == 2) && e.branch_eq >= 0)
+        if ((e.kind == 3 || e.kind == 2 || e.kind == 8 || e.kind == 11)
+            && e.branch_eq >= 0)
             std::fprintf(f, ",I(%s)", c.nm(e.name_off));
     std::fprintf(f, "\n");
     auto dump_row = [&](double t, const vector<double>& x) {
@@ -543,7 +601,8 @@ static int run_transient(const Ckt& c, const vector<double>& x0,
         for (const auto& nd : r.nodes)
             if (nd.eq_index >= 0) std::fprintf(f, ",%.9e", x[nd.eq_index]);
         for (const auto& e : r.elements)
-            if ((e.kind == 3 || e.kind == 2) && e.branch_eq >= 0)
+            if ((e.kind == 3 || e.kind == 2 || e.kind == 8 || e.kind == 11)
+                && e.branch_eq >= 0)
                 std::fprintf(f, ",%.9e", x[e.branch_eq]);
         std::fprintf(f, "\n");
     };
@@ -578,6 +637,20 @@ static int run_transient(const Ckt& c, const vector<double>& x0,
             const auto& e = r.elements[c.inds[j]];
             if (e.value > 0.0)
                 I0[e.branch_eq] += -(e.value / dt) * ind_iprev[j];
+        }
+        for (size_t mi = 0; mi < c.mut.size(); ++mi) {
+            // mutual history: row k_a gets -(M/dt) i_b_prev and vice versa
+            double M_ = mut_M(c, (int)mi);
+            int ea = c.mut_ab[mi].first, eb = c.mut_ab[mi].second;
+            int ka = r.elements[ea].branch_eq, kb = r.elements[eb].branch_eq;
+            double ia = x[ka], ib = x[kb];
+            // previous-step currents: track via ind_iprev (inds order)
+            for (size_t j = 0; j < c.inds.size(); ++j) {
+                if (c.inds[j] == ea) ia = ind_iprev[j];
+                if (c.inds[j] == eb) ib = ind_iprev[j];
+            }
+            I0[ka] += -(M_ / dt) * ib;
+            I0[kb] += -(M_ / dt) * ia;
         }
         for (size_t j = 0; j < c.mos.size(); ++j) {
             const auto& e = r.elements[c.mos[j]];
@@ -695,10 +768,51 @@ static int run(const char* path, const char* csv_path) {
             case 4: c.isrc.push_back((int)i); break;
             case 5: c.mos.push_back((int)i); break;
             case 6: c.dio.push_back((int)i); break;
+            case 8: c.vcvs.push_back((int)i); break;
+            case 9: c.vccs.push_back((int)i); break;
+            case 10: c.cccs.push_back((int)i); break;
+            case 11: c.ccvs.push_back((int)i); break;
+            case 12: c.mut.push_back((int)i); break;
         }
         if (e.branch_eq >= 0) maxeq = std::max(maxeq, e.branch_eq);
     }
     c.N = maxeq + 1;
+    // resolve F/H controlling branch eqs and K inductor pairs by name
+    auto find_branch = [&](const char* name) -> int {
+        for (const auto& e2 : r.elements)
+            if (e2.branch_eq >= 0 && std::string(c.nm(e2.name_off)) == name)
+                return e2.branch_eq;
+        return -1;
+    };
+    auto find_ind = [&](const char* name) -> int {
+        for (size_t j = 0; j < r.elements.size(); ++j)
+            if (r.elements[j].kind == 2
+                && std::string(c.nm(r.elements[j].name_off)) == name)
+                return (int)j;
+        return -1;
+    };
+    for (int idx : c.cccs)
+        c.ctrl_k.push_back(find_branch(c.nm(r.elements[idx].ctrl_off)));
+    for (int idx : c.ccvs)
+        c.ctrl_k.push_back(find_branch(c.nm(r.elements[idx].ctrl_off)));
+    for (size_t q = 0; q < c.ctrl_k.size(); ++q) {
+        if (c.ctrl_k[q] < 0) {
+            std::fprintf(stderr, "csim_native: unresolved F/H control; "
+                         "falling back to the JAX engine\n");
+            return 3;
+        }
+    }
+    for (int idx : c.mut) {
+        const auto& e = r.elements[idx];
+        int a = find_ind(c.nm(e.ctrl_off));
+        int b = find_ind(c.nm(e.ctrl2_off));
+        if (a < 0 || b < 0) {
+            std::fprintf(stderr, "csim_native: unresolved K coupling; "
+                         "falling back to the JAX engine\n");
+            return 3;
+        }
+        c.mut_ab.push_back({a, b});
+    }
 
     std::printf("\n==== Circuit summary ====\n");
     std::printf("Node count   : %d\n", (int)r.nodes.size());
@@ -720,7 +834,9 @@ static int run(const char* path, const char* csv_path) {
     std::printf("\n==== DC branch currents (voltage sources / inductors) "
                 "====\n");
     for (const auto& e : r.elements) {
-        if (e.branch_eq < 0 || (e.kind != 3 && e.kind != 2)) continue;
+        if (e.branch_eq < 0
+            || (e.kind != 3 && e.kind != 2 && e.kind != 8 && e.kind != 11))
+            continue;
         const char* np_ = c.nm(r.nodes[e.nodes[0]].name_off);
         const char* nm_ = c.nm(r.nodes[e.nodes[1]].name_off);
         if (e.kind == 3)

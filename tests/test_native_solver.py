@@ -85,8 +85,8 @@ def test_fuzz_corpus_matches_reference(tmp_path, case):
 
 def test_out_of_scope_deck_exits_3(tmp_path):
     deck = tmp_path / "ext.sp"
-    deck.write_text("V1 a 0 DC 1\nR1 a b 1k\nE1 c 0 a 0 2.0\n"
-                    "Rc c 0 1k\n.op\n")
+    deck.write_text("V1 a 0 DC 1\nR1 a b 1k\n"
+                    "T1 b 0 c 0 Z0=50 TD=1n\nRc c 0 50\n.op\n")
     r = _run(str(deck), str(tmp_path / "o.csv"))
     assert r.returncode == 3
     assert "outside the native solver scope" in r.stderr
@@ -124,6 +124,46 @@ def test_diode_deck_matches_jax_engine(tmp_path):
     assert set(va) == set(vb)
     for k in va:
         assert va[k] == pytest.approx(vb[k], abs=1e-6), k
+    a = np.loadtxt(out_n, delimiter=",", skiprows=1)
+    b = np.loadtxt(out_j, delimiter=",", skiprows=1)
+    np.testing.assert_allclose(a, b, rtol=2e-9, atol=2e-9)
+
+
+def test_controlled_sources_and_mutual_match_jax(tmp_path):
+    """E/G/F/H + K (all linear, extension devices): native vs JAX engine
+    differential — DC table identical and CSV at print precision (the
+    measured diff on this deck is exactly 0.0)."""
+    deck = tmp_path / "ctrl.sp"
+    deck.write_text(
+        "* controlled sources + mutual inductor\n"
+        "V1 in 0 SIN 0 1 1e6\n"
+        "R1 in a 1k\n"
+        "E1 b 0 a 0 2.5\n"
+        "Rb b bb 500\n"
+        "G1 0 cc bb 0 1e-3\n"
+        "Rcc cc 0 2k\n"
+        "F1 0 dd V1 2.0\n"
+        "Rdd dd 0 100\n"
+        "H1 hh 0 V1 50\n"
+        "Rhh hh 0 1k\n"
+        "L1 a la 1u\n"
+        "RLa la 0 50\n"
+        "L2 m2 0 2u\n"
+        "Rm2 cc m2 75\n"
+        "K1 L1 L2 0.8\n"
+        "C1 cc 0 1n\n"
+        ".TRAN 5e-9 3e-7\n")
+    out_n = str(tmp_path / "n.csv")
+    r = _run(str(deck), out_n)
+    assert r.returncode == 0, r.stderr
+    from circuitsimulator_tpu.cli import main as cli_main
+    out_j = str(tmp_path / "j.csv")
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main(["--engine", "jax", str(deck), out_j])
+    assert rc == 0
+    assert open(out_n).readline() == open(out_j).readline()
     a = np.loadtxt(out_n, delimiter=",", skiprows=1)
     b = np.loadtxt(out_j, delimiter=",", skiprows=1)
     np.testing.assert_allclose(a, b, rtol=2e-9, atol=2e-9)
