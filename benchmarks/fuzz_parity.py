@@ -219,8 +219,24 @@ def main():
         my_out = run_engine(base + ".sp", base + "_mine.csv")
         problems, rel = compare_case(ref_out, my_out,
                                      base + "_ref.csv", base + "_mine.csv")
+        # native C++ tier: the same deck through csim_native (r5) —
+        # three-way differential (reference | JAX | native)
+        nat_rel = float("nan")
+        from circuitsimulator_tpu.native import solver_binary
+        nb = solver_binary()
+        if nb is not None:
+            rn = subprocess.run([nb, base + ".sp", base + "_nat.csv"],
+                                capture_output=True, text=True, timeout=120)
+            if rn.returncode == 0:
+                nat_problems, nat_rel = compare_case(
+                    ref_out, rn.stdout, base + "_ref.csv",
+                    base + "_nat.csv")
+                problems += [f"[native] {q}" for q in nat_problems]
+            elif rn.returncode != 3:
+                problems.append(f"[native] rc={rn.returncode}")
         status = "OK" if not problems else "MISMATCH"
-        print(f"case {i:3d}: {status}  (csv rel err {rel:.2e})")
+        print(f"case {i:3d}: {status}  (csv rel err {rel:.2e}, "
+              f"native {nat_rel:.2e})")
         for p in problems:
             print("    ", p)
             failures += 1
