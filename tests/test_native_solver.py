@@ -167,3 +167,18 @@ def test_controlled_sources_and_mutual_match_jax(tmp_path):
     a = np.loadtxt(out_n, delimiter=",", skiprows=1)
     b = np.loadtxt(out_j, delimiter=",", skiprows=1)
     np.testing.assert_allclose(a, b, rtol=2e-9, atol=2e-9)
+
+
+def test_cli_auto_routes_to_native(tmp_path, capsys):
+    """A plain CLI invocation of a reference-scope deck must route to the
+    native binary (stdout equals the binary's own, which equals the
+    golden) and a flagged invocation must use the JAX engine."""
+    from circuitsimulator_tpu.cli import main as cli_main
+    out = str(tmp_path / "o.csv")
+    rc = cli_main(["tests/netlists/buffer.sp", out])
+    assert rc == 0
+    a = np.loadtxt(out, delimiter=",", skiprows=1)
+    b = np.loadtxt(os.path.join(GOLD, "buffer_tran.csv"),
+                   delimiter=",", skiprows=1)
+    # native path: bitwise against the reference golden
+    np.testing.assert_array_equal(a, b)
