@@ -227,8 +227,13 @@ def main(argv=None) -> int:
             binp = solver_binary()
             if binp is not None:
                 import subprocess
-                r = subprocess.run([binp, args.netlist, args.tran_out])
+                # relay through Python's stdio objects (not the raw fds)
+                # so redirection/capture of sys.stdout sees the output
+                r = subprocess.run([binp, args.netlist, args.tran_out],
+                                   capture_output=True, text=True)
                 if r.returncode != 3:
+                    sys.stdout.write(r.stdout)
+                    sys.stderr.write(r.stderr)
                     return r.returncode
             elif args.engine == "native":
                 print("native solver unavailable (g++ build failed)",
